@@ -1,0 +1,73 @@
+"""OHLCV 1-minute bar aggregation — the engine's flagship operator.
+
+Reference: AGGREGATE_SQL (aggregator.py:26-39) —
+
+    GROUP BY symbol, date_trunc('minute', event_time) producing
+    open  = (array_agg(price ORDER BY event_time ASC))[1]     -- op A2
+    high  = MAX(price)                                        -- A3
+    low   = MIN(price)                                        -- A3
+    close = (array_agg(price ORDER BY event_time DESC))[1]    -- A2
+    volume_sum = SUM(COALESCE(volume, 0))                     -- A4
+    tick_count = COUNT(*)                                     -- A5
+
+Spark restatement: ``min_by``/``max_by`` replace the ordered-array-agg trick —
+they are single-pass, order-insensitive aggregates that survive partial/final
+split (map-side combine), so the whole bar aggregation is ONE hash-aggregate
+with no sort and no window function.  At 100 TB this matters: the shuffle
+carries only partially-combined per-(symbol, minute) state, not raw ticks.
+
+Tie behavior on equal event_time is nondeterministic in BOTH systems (the
+reference's array_agg ordering is equally unstable on ties — SURVEY.md §7);
+fixtures keep timestamps unique within a group.
+
+The same aggregate-expression list serves the batch path (this module) and
+the streaming path (streaming/job.py groups by ``window(event_time, "1
+minute")`` instead of ``date_trunc`` — identical semantics for tumbling 1-min
+windows, SURVEY.md op F1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Aggregate expressions shared by the batch and streaming bar paths.
+def bar_agg_exprs(
+    price: str = "price", event_time: str = "event_time", volume: str = "volume"
+) -> list[Column]:
+    return [
+        F.min_by(F.col(price), F.col(event_time)).alias("open"),
+        F.max(F.col(price)).alias("high"),
+        F.min(F.col(price)).alias("low"),
+        F.max_by(F.col(price), F.col(event_time)).alias("close"),
+        F.sum(F.coalesce(F.col(volume), F.lit(0))).alias("volume_sum"),
+        F.count(F.lit(1)).alias("tick_count"),
+    ]
+
+
+def ohlcv_bars(
+    ticks: DataFrame,
+    bucket: str = "1 minute",
+) -> DataFrame:
+    """Batch OHLCV bars: one row per (symbol, minute bucket).
+
+    ``bucket`` accepts any Spark interval understood by ``date_trunc`` units
+    via the mapping below; the reference only ever uses 1 minute (op ST5) but
+    the rollup generalizes (hypertable-style coarser bars in
+    operators/serving.py build on this).
+    """
+    unit = {"1 minute": "minute", "1 hour": "hour", "1 day": "day"}[bucket]
+    return ticks.groupBy(
+        F.col("symbol"),
+        F.date_trunc(unit, F.col("event_time")).alias("bucket_start"),
+    ).agg(*bar_agg_exprs())
+
+
+def ohlcv_bars_in_range(
+    ticks: DataFrame, from_time: Column | str, to_time: Column | str
+) -> DataFrame:
+    """The aggregator's exact batch shape: half-open range filter (op P4,
+    aggregator.py:37) then bar aggregation.  The filter is a plain Catalyst
+    predicate → parquet row-group pruning at scale."""
+    c = F.col("event_time")
+    return ohlcv_bars(ticks.filter((c >= F.lit(from_time)) & (c < F.lit(to_time))))

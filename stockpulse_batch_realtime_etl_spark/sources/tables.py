@@ -1,0 +1,52 @@
+"""Batch Parquet sources for the driver-provided tables (TESTDATA.md).
+
+Replaces the reference's JDBC/SQLAlchemy read path (services/api/app/db.py:10-19):
+tables become columnar Parquet scans with Catalyst predicate pushdown and
+column pruning, registered as temp views so every serving query can also run
+as ``spark.sql``.
+
+Scale notes: ``spark.read.parquet`` on a directory of files is already the
+100 TB shape — file listing is distributed, row-group pruning applies, and
+nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stockpulse_batch_realtime_etl_spark.schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table (``{sf_dir}/{name}.parquet``).
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark reads as long
+    nanos under ``spark.sql.legacy.parquet.nanosAsLong``; convert to a real
+    µs timestamp here (integer ``div 1000`` — truncation, matching DuckDB's
+    parquet read of the same column) so every consumer sees TimestampType.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Register every driver table as a temp view (idempotent)."""
+    dfs = load_tables(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,87 @@
+"""Tick-shaped sources and normalization.
+
+The reference has two producer shapes (SURVEY.md §1.2):
+
+* narrow ``{symbol, price, volume, event_time}`` (producer.py:66-74)
+* wide ``{symbol, open, high, low, close, volume, event_time, source}``
+  (producer_yfinance.py:100-109) — no ``price`` field; the reference consumer
+  dead-letters these on ``tick["price"]`` KeyError (consumer.py:82, 137-139).
+
+Design decision (SURVEY.md §1.2): we *normalize* instead —
+``price := coalesce(price, close)`` — and only dead-letter genuinely malformed
+records (sources/dlq.py).
+
+For oracle-checked batch queries, the tick role is played by the driver's
+``events`` table per FIXTURES.md §5:
+
+=================  =======================================================
+reference column   events column
+=================  =======================================================
+symbol             ``event_type``  (low-cardinality string key)
+price              ``value``
+volume             ``CASE WHEN event_id % 20 = 0 THEN NULL
+                   ELSE event_id % 15000 + 500 END``  (deterministic;
+                   ~5%% nulls exercise ``SUM(COALESCE(volume,0))``,
+                   aggregator.py:34)
+event_time         ``ts``
+=================  =======================================================
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stockpulse_batch_realtime_etl_spark.sources.tables import load_table
+
+#: SQL fragment used verbatim in DuckDB oracles (keep in sync with
+#: ``ticks_from_events``).
+TICKS_FROM_EVENTS_SQL = """
+SELECT
+  event_type AS symbol,
+  value      AS price,
+  CASE WHEN event_id % 20 = 0 THEN NULL
+       ELSE event_id % 15000 + 500 END AS volume,
+  ts         AS event_time
+FROM events
+"""
+
+
+def ticks_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the driver's ``events`` table onto the ``stock_ticks`` model."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_type").alias("symbol"),
+        F.col("value").alias("price"),
+        F.when(F.col("event_id") % 20 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("event_id") % 15000 + 500)
+        .alias("volume"),
+        F.col("ts").alias("event_time"),
+    )
+
+
+def _norm_price() -> Column:
+    return F.coalesce(F.col("price"), F.col("close")).alias("price")
+
+
+def normalize_ticks(decoded: DataFrame) -> DataFrame:
+    """Normalize a union-decoded tick DataFrame (schemas.TICK_UNION_SCHEMA).
+
+    Accepts both producer shapes: ``price := coalesce(price, close)``, keeps
+    the extra OHLC/source columns, parses ISO-8601 ``event_time`` (F10) and
+    stamps ``created_at`` (init.sql:6).  Rows that remain invalid after
+    normalization (null symbol / price / event_time) belong in the DLQ —
+    the split lives in sources/dlq.py so the predicate is defined once.
+    """
+    return decoded.select(
+        F.upper(F.col("symbol")).alias("symbol"),
+        _norm_price(),
+        F.col("open"),
+        F.col("high"),
+        F.col("low"),
+        F.col("close"),
+        F.col("volume").cast("long").alias("volume"),
+        F.to_timestamp(F.col("event_time")).alias("event_time"),
+        F.col("source"),
+        F.current_timestamp().alias("created_at"),
+    )
