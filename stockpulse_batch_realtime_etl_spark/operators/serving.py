@@ -1,0 +1,229 @@
+"""The reference API's query surface as DataFrame functions (SURVEY.md §2.10).
+
+Each function mirrors one FastAPI endpoint's SQL (services/api/app/routers/
+ticks.py, bars.py) as a pure DataFrame expression over a ticks/bars table:
+
+=====================  ==========================================  ==========
+endpoint               composition (SURVEY.md op IDs)              here
+=====================  ==========================================  ==========
+GET /symbols           A9  distinct + sort                         symbols
+GET /ticks/latest      P5 ∘ P2 ∘ O1                                latest_ticks
+GET /ticks/summary     P5 ∘ P2 ∘ P3 ∘ A7                           tick_summary
+GET /bars/latest       P5 ∘ P2 ∘ O1                                latest_bars
+GET /bars/summary      P5 ∘ P2 ∘ P3 ∘ A8 (+F6 change_pct)          bar_summary
+GET /movers            (A10×2) ∘ J1 ∘ F6 ∘ O2                      movers
+=====================  ==========================================  ==========
+
+Determinism: the reference's ``NOW()``-relative windows (op F9) are
+parameterized — ``as_of`` defaults to ``max(event_time)`` of the input so
+results are reproducible and oracle-checkable at any scale factor.  The
+as-of scalar is computed with an aggregate + broadcast cross-join (one extra
+tiny stage), never a ``.collect()`` round-trip, so the whole query stays one
+lazily-planned DAG that works unchanged on a cluster.
+
+Scale notes:
+* ``latest_*`` compile to TakeOrderedAndProject (top-k, no global sort).
+* ``movers`` fuses the reference's two ``DISTINCT ON`` CTE branches
+  (bars.py:122-135) into ONE hash aggregate with ``min_by``/``max_by`` —
+  one scan + one shuffle instead of two of each (the manual rewrite called
+  out in SURVEY.md §4); the follow-up J1 join disappears entirely.
+* summaries are single partial→final aggregates; with a symbol predicate
+  they scan only matching row groups (predicate pushdown on the symbol
+  column; at 100 TB the ticks table would be partitioned/clustered by
+  symbol+date exactly like the reference's composite B-tree, init.sql:10-11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Reference symbol validation (ticks.py:10-19, op P5/F7/F8).
+SYMBOL_RE = "^[A-Za-z]{1,10}$"
+
+
+def validate_symbol(symbol: str) -> str:
+    """API-layer guard: 422 in the reference; ValueError here."""
+    import re
+
+    if not re.match(SYMBOL_RE, symbol):
+        raise ValueError(f"invalid symbol: {symbol!r}")
+    return symbol.upper()
+
+
+def _as_of(df: DataFrame, time_col: str) -> DataFrame:
+    """1-row broadcastable frame holding max(time_col) — the deterministic
+    stand-in for the reference's NOW() (op F9)."""
+    return df.agg(F.max(time_col).alias("as_of"))
+
+
+def _window_filter(df: DataFrame, time_col: str, minutes: int) -> DataFrame:
+    """P3: time_col >= as_of - minutes (inclusive upper edge, matching the
+    reference's ``event_time >= NOW() - interval`` with no upper bound)."""
+    asof = _as_of(df, time_col)
+    return (
+        df.join(F.broadcast(asof))
+        .filter(
+            F.col(time_col)
+            >= F.col("as_of") - F.expr(f"INTERVAL {int(minutes)} MINUTES")
+        )
+        .drop("as_of")
+    )
+
+
+# --- /symbols ---------------------------------------------------------------
+
+def symbols(ticks: DataFrame) -> DataFrame:
+    """A9: SELECT DISTINCT symbol ORDER BY symbol (ticks.py:24-26)."""
+    return ticks.select("symbol").distinct().orderBy("symbol")
+
+
+# --- /ticks/latest ----------------------------------------------------------
+
+def latest_ticks(ticks: DataFrame, symbol: str, limit: int = 100) -> DataFrame:
+    """P2 ∘ O1 (ticks.py:38-46): latest N ticks for one symbol.
+
+    Tie-break on (price, volume) after event_time keeps the row *set*
+    deterministic if equal timestamps ever occur; NULLS LAST is explicit on
+    the nullable volume because Spark and other engines default differently.
+    """
+    limit = max(1, min(int(limit), 100))  # Query bound ticks.py:33
+    return (
+        ticks.filter(F.col("symbol") == validate_symbol(symbol))
+        .select("symbol", "price", "volume", "event_time")
+        .orderBy(
+            F.col("event_time").desc(),
+            F.col("price").desc(),
+            F.col("volume").desc_nulls_last(),
+        )
+        .limit(limit)
+    )
+
+
+# --- /ticks/summary ---------------------------------------------------------
+
+def tick_summary(ticks: DataFrame, symbol: str, minutes: int = 60) -> DataFrame:
+    """A7 (ticks.py:70-84): windowed global aggregate for one symbol.
+
+    Empty window → empty DataFrame (the API's 404, ticks.py:86-90, is a
+    serving-layer concern).  avg_price is rounded at 4dp — the reference's
+    visible rounding point (ticks.py:73).
+    """
+    minutes = max(1, min(int(minutes), 1440))
+    t = _window_filter(ticks, "event_time", minutes).filter(
+        F.col("symbol") == validate_symbol(symbol)
+    )
+    return t.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("tick_count"),
+        F.round(F.avg("price"), 4).alias("avg_price"),
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
+        F.sum(F.coalesce(F.col("volume"), F.lit(0))).alias("volume_sum"),
+        F.min("event_time").alias("first_tick"),
+        F.max("event_time").alias("last_tick"),
+    )
+
+
+# --- /bars/latest -----------------------------------------------------------
+
+def latest_bars(bars: DataFrame, symbol: str, limit: int = 100) -> DataFrame:
+    """P2 ∘ O1 over bars (bars.py:30-35)."""
+    limit = max(1, min(int(limit), 1440))  # Query bound bars.py:25
+    return (
+        bars.filter(F.col("symbol") == validate_symbol(symbol))
+        .select(
+            "symbol",
+            "bucket_start",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume_sum",
+            "tick_count",
+        )
+        .orderBy(F.col("bucket_start").desc())
+        .limit(limit)
+    )
+
+
+# --- /bars/summary ----------------------------------------------------------
+
+def _change_pct(open_col: Column, close_col: Column) -> Column:
+    """F6 + F4 (bars.py:141): round((close-open)/nullif(open,0)*100, 4)."""
+    return F.round(
+        (close_col - open_col) / F.nullif(open_col, F.lit(0)) * 100, 4
+    ).alias("change_pct")
+
+
+def bar_summary(bars: DataFrame, symbol: str, minutes: int = 180) -> DataFrame:
+    """A8 (bars.py:66-96): period summary over bars in the window.
+
+    period open  = open of the earliest bar   (A2 on bucket_start ASC)
+    period close = close of the latest bar    (A2 DESC)
+    change_pct   = (close-open)/open*100 with zero/null guard (bars.py:90-96)
+    """
+    minutes = max(1, min(int(minutes), 1440))
+    b = _window_filter(bars, "bucket_start", minutes).filter(
+        F.col("symbol") == validate_symbol(symbol)
+    )
+    agg = b.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("bar_count"),
+        F.min_by("open", "bucket_start").alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", "bucket_start").alias("close"),
+        F.sum("volume_sum").alias("volume_sum"),
+        F.sum("tick_count").alias("tick_count"),
+        F.min("bucket_start").alias("first_bucket"),
+        F.max("bucket_start").alias("last_bucket"),
+    )
+    return agg.withColumn("change_pct", _change_pct(F.col("open"), F.col("close")))
+
+
+# --- /movers ----------------------------------------------------------------
+
+def movers(bars: DataFrame, minutes: int = 180, limit: int = 20) -> DataFrame:
+    """Top movers by |percent change| (bars.py:120-151).
+
+    The reference runs two ``DISTINCT ON (symbol)`` scans (first/last bar per
+    symbol) and joins them (J1); here both collapse into one aggregate —
+    ``min_by(open, bucket_start)`` / ``max_by(close, bucket_start)`` — so the
+    plan is scan → partial agg → final agg → TakeOrderedAndProject.  O2's
+    NULLS LAST ordering is kept explicit.
+    """
+    limit = max(1, min(int(limit), 20))
+    minutes = max(1, min(int(minutes), 1440))
+    b = _window_filter(bars, "bucket_start", minutes)
+    per_symbol = b.groupBy("symbol").agg(
+        F.min_by("open", "bucket_start").alias("open"),
+        F.max_by("close", "bucket_start").alias("close"),
+    )
+    return (
+        per_symbol.withColumn(
+            "change_pct", _change_pct(F.col("open"), F.col("close"))
+        )
+        .orderBy(
+            F.abs(F.col("change_pct")).desc_nulls_last(), F.col("symbol").asc()
+        )
+        .limit(limit)
+    )
+
+
+# --- bonus: explicit window-function variant of A10 -------------------------
+
+def latest_tick_per_symbol(ticks: DataFrame) -> DataFrame:
+    """A10 expressed as a ranking window (the reference's DISTINCT ON shape,
+    bars.py:122-135) — kept alongside the fused-aggregate form in ``movers``
+    to cover the window-function operator class explicitly.  At scale this is
+    one shuffle on symbol; prefer the aggregate form when only min/max-by
+    values are needed (map-side combine beats full row sort)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("symbol").orderBy(
+        F.col("event_time").desc(), F.col("price").desc()
+    )
+    return (
+        ticks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -17,7 +17,8 @@ For oracle-checked batch queries, the tick role is played by the driver's
 =================  =======================================================
 reference column   events column
 =================  =======================================================
-symbol             ``event_type``  (low-cardinality string key)
+symbol             ``upper(event_type)``  (low-cardinality string key,
+                   uppercased like the reference's F7 normalization)
 price              ``value``
 volume             ``CASE WHEN event_id % 20 = 0 THEN NULL
                    ELSE event_id % 15000 + 500 END``  (deterministic;
@@ -38,7 +39,7 @@ from stockpulse_batch_realtime_etl_spark.sources.tables import load_table
 #: ``ticks_from_events``).
 TICKS_FROM_EVENTS_SQL = """
 SELECT
-  event_type AS symbol,
+  upper(event_type) AS symbol,
   value      AS price,
   CASE WHEN event_id % 20 = 0 THEN NULL
        ELSE event_id % 15000 + 500 END AS volume,
@@ -51,7 +52,7 @@ def ticks_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map the driver's ``events`` table onto the ``stock_ticks`` model."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
-        F.col("event_type").alias("symbol"),
+        F.upper(F.col("event_type")).alias("symbol"),
         F.col("value").alias("price"),
         F.when(F.col("event_id") % 20 == 0, F.lit(None).cast("long"))
         .otherwise(F.col("event_id") % 15000 + 500)
