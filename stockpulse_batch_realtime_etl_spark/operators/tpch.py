@@ -1,0 +1,242 @@
+"""Generic relational coverage over the TPC-H-ish driver tables.
+
+The reference's operator classes (hash aggregate A1-A8, equi-join J1, top-k
+O1/O2 — SURVEY.md §2) exercised at analytic scale on ``lineitem``/``orders``/
+``customer``/``supplier``/``part``/``nation``/``region``.  These are the
+queries that stress the 100 TB design: multi-way joins with broadcast vs
+shuffle decisions, partial→final aggregation, and top-k without global sorts.
+
+Cross-engine determinism for money sums: a double sum's value depends on
+accumulation order, which differs between Spark's partial/final hash
+aggregate and any other engine — enough to flip a rounded 4dp hash at sf0.1
+magnitudes.  So every Σ(price-expression) casts the per-row expression to
+DECIMAL(25,6) first (exact, order-insensitive summation; per-row double→
+decimal rounding is deterministic and identical across engines since binary
+doubles never land exactly on decimal tie points) and casts the exact sum
+back to double at the output boundary.  Spark's decimal sum is still a
+single-pass codegen'd hash aggregate — the exactness is free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def money_sum(expr: Column) -> Column:
+    """Order-insensitive, engine-portable sum of a double money expression."""
+    return F.sum(expr.cast("decimal(25,6)")).cast("double")
+
+
+def _revenue() -> Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def q1_pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy single-pass aggregate.
+
+    Plan at scale: parquet scan with l_shipdate pushdown + only the 7 needed
+    columns → partial hash agg per partition (4 groups) → 4-row exchange →
+    final agg.  The shuffle carries ~num_partitions×4 rows regardless of
+    table size — this is the canonical "aggregation is cheap, scan is the
+    cost" query.
+    """
+    li = lineitem.filter(F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(_revenue()).alias("sum_disc_price"),
+            money_sum(_revenue() * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            (money_sum(F.col("l_extendedprice")) / F.count(F.lit(1))).alias(
+                "avg_price_raw"
+            ),
+            (money_sum(F.col("l_discount")) / F.count(F.lit(1))).alias(
+                "avg_disc_raw"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            "avg_qty",
+            F.round("avg_price_raw", 4).alias("avg_price"),
+            F.round("avg_disc_raw", 4).alias("avg_disc"),
+            "count_order",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-07-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join chain → agg → top-k.
+
+    customer is tiny relative to lineitem → broadcast into orders; the
+    orders⋈lineitem join shuffles on orderkey (both sides pre-filtered, so
+    the shuffle is on the reduced sets — filters stay below the join).
+    Top-k is TakeOrderedAndProject, never a global sort.  Revenue is
+    decimal-exact, so the ordering itself is cross-engine deterministic;
+    o_orderkey breaks any remaining ties.
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.filter(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = lineitem.filter(F.col("l_shipdate") > cut).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(
+            ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey),
+            li.l_orderkey == ords.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(money_sum(_revenue()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(k)
+    )
+
+
+def q5_local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with the classic same-nation constraint.
+
+    All dims (region→nation→supplier) are broadcast; the only shuffles are
+    orders⋈lineitem on orderkey and customer⋈orders on custkey.  The
+    c_nationkey = s_nationkey predicate rides the join, not a post-filter.
+    """
+    nat = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    sup = supplier.join(
+        F.broadcast(nat), supplier.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = customer.select("c_custkey", "c_nationkey")
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ords, F.col("l_orderkey") == ords.o_orderkey)
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .join(cust, (F.col("o_custkey") == cust.c_custkey)
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .groupBy("n_name")
+        .agg(money_sum(_revenue()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+def top_customers_by_revenue(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k: int = 10
+) -> DataFrame:
+    """Revenue per customer across the full fact table, top-k.
+
+    lineitem⋈orders shuffles on orderkey; the per-customer rollup then
+    shuffles only the pre-aggregated (custkey, revenue) pairs; customer
+    names join in by broadcast at the very end (smallest possible probe).
+    """
+    li = lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+    ords = orders.select("o_orderkey", "o_custkey")
+    per_cust = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(money_sum(_revenue()).alias("revenue"))
+    )
+    return (
+        per_cust.join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            per_cust.o_custkey == F.col("c_custkey"),
+        )
+        .select("c_custkey", "c_name", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )
+
+
+def brand_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Broadcast-join rollup: revenue by part brand.
+
+    ``part`` is dimension-sized at every sf (200 rows at sf0.001; even real
+    TPC-H part at SF100 broadcasts fine) — the explicit ``broadcast()`` hint
+    pins the plan to BroadcastHashJoin so the fact table never shuffles
+    before aggregation.
+    """
+    return (
+        lineitem.select("l_partkey", "l_extendedprice", "l_discount")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            money_sum(_revenue()).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def order_priority_counts(
+    orders: DataFrame, lineitem: DataFrame,
+    date_from: str = "1996-07-01", date_to: str = "1996-10-01",
+) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join → the operator class the reference
+    lacks entirely (no semi/anti joins, SURVEY.md §2.4) but any real engine
+    needs.  ``left_semi`` never materializes lineitem columns."""
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    )
+    late_lines = lineitem.filter(F.col("l_shipdate") > F.col("l_commitdate")) \
+        if "l_commitdate" in lineitem.columns else lineitem
+    return (
+        ords.join(
+            late_lines.select("l_orderkey"),
+            ords.o_orderkey == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Anti-join coverage (also absent from the reference): customers with
+    no orders at all.  left_anti on custkey — at scale this is a shuffled
+    hash anti-join; output is customer-sized, never fact-sized."""
+    return (
+        customer.join(
+            orders.select("o_custkey"),
+            customer.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .select("c_custkey", "c_name", "c_nationkey")
+        .orderBy("c_custkey")
+    )

@@ -238,3 +238,165 @@ def q_latest_tick_per_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serving.latest_tick_per_symbol(ticks_from_events(spark, sf_dir)).select(
         "symbol", "price", "volume", "event_time"
     )
+
+
+# --- TPC-H-ish relational coverage (operators/tpch.py) ----------------------
+
+def _tables(spark: SparkSession, sf_dir: str, *names: str):
+    from stockpulse_batch_realtime_etl_spark.sources.tables import load_table
+
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  sum(l_quantity) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / count(*), 4) AS avg_price,
+  round(CAST(sum(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / count(*), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators import tpch
+
+    (li,) = _tables(spark, sf_dir, "lineitem")
+    return tpch.q1_pricing_summary(li)
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+SELECT
+  l_orderkey,
+  o_orderdate,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-07-01'
+  AND l_shipdate  > TIMESTAMP '1998-07-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def q_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators import tpch
+
+    cust, ords, li = _tables(spark, sf_dir, "customer", "orders", "lineitem")
+    return tpch.q3_shipping_priority(cust, ords, li)
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+SELECT
+  n_name,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN supplier ON s_nationkey = n_nationkey
+JOIN lineitem ON l_suppkey = s_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+""",
+)
+def q_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators import tpch
+
+    reg, nat, cust, sup, ords, li = _tables(
+        spark, sf_dir, "region", "nation", "customer", "supplier", "orders", "lineitem"
+    )
+    return tpch.q5_local_supplier_volume(reg, nat, cust, sup, ords, li)
+
+
+@register(
+    "top_customers_by_revenue",
+    oracle="""
+SELECT c_custkey, c_name,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+""",
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators import tpch
+
+    cust, ords, li = _tables(spark, sf_dir, "customer", "orders", "lineitem")
+    return tpch.top_customers_by_revenue(cust, ords, li)
+
+
+@register(
+    "brand_revenue",
+    oracle="""
+SELECT p_brand,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+  count(*) AS line_count
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+)
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators import tpch
+
+    li, part = _tables(spark, sf_dir, "lineitem", "part")
+    return tpch.brand_revenue(li, part)
+
+
+@register(
+    "order_priority_counts",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators import tpch
+
+    ords, li = _tables(spark, sf_dir, "orders", "lineitem")
+    return tpch.order_priority_counts(ords, li)
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name, c_nationkey
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+""",
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators import tpch
+
+    cust, ords = _tables(spark, sf_dir, "customer", "orders")
+    return tpch.customers_without_orders(cust, ords)
