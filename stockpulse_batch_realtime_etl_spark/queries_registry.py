@@ -400,3 +400,8 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust, ords = _tables(spark, sf_dir, "customer", "orders")
     return tpch.customers_without_orders(cust, ords)
+
+
+# Extension registrations (dedup / similarity / text) live in queries_ext,
+# which calls register() at import time.
+from stockpulse_batch_realtime_etl_spark import queries_ext  # noqa: E402,F401
