@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is materialized with a noop write (full execution, no driver
+transfer) and timed individually.  A JVM/codegen warmup pass runs first so
+timings reflect steady-state plans rather than first-query JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import __spark_entry__ as entry_mod
+from stockpulse_batch_realtime_etl_spark.session import get_spark
+
+#: Headline set: every registered query (the full SURVEY.md §2 surface +
+#: extensions).  Override with BENCH_QUERIES=name1,name2.
+def _query_names() -> list[str]:
+    override = os.environ.get("BENCH_QUERIES")
+    if override:
+        return override.split(",")
+    return sorted(entry_mod.queries())
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = get_spark(app_name="stockpulse-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+    names = _query_names()
+
+    # warmup: JVM, codegen, parquet footers
+    queries["ohlcv_bars"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "total_query_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

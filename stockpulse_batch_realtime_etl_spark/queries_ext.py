@@ -372,3 +372,104 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), 0.25, 4
     )
+
+
+# --- JSON decode + DLQ split (ops S6/S8/F11) --------------------------------
+
+from stockpulse_batch_realtime_etl_spark.sources.dlq import split_raw_stream
+from stockpulse_batch_realtime_etl_spark.sources.ticks import (
+    RAW_JSON_SQL,
+    raw_json_corpus,
+)
+
+#: DuckDB parses via try_cast(... AS JSON) (NULL on malformed — the
+#: equivalent of from_json's PERMISSIVE null row; plain json_extract throws
+#: on malformed input even behind json_valid() guards).
+RAW_CTE = f"""WITH raw AS ({RAW_JSON_SQL}),
+parsed AS (
+  SELECT raw.*,
+    upper(json_extract_string(j, '$.symbol')) AS p_symbol,
+    coalesce(CAST(json_extract(j, '$.price') AS DOUBLE),
+             CAST(json_extract(j, '$.close') AS DOUBLE)) AS p_price,
+    CAST(json_extract(j, '$.volume') AS BIGINT) AS p_volume,
+    try_cast(json_extract_string(j, '$.event_time') AS TIMESTAMP) AS p_event_time,
+    j IS NULL AS malformed,
+    json_extract_string(j, '$.symbol') IS NULL AS no_symbol
+  FROM (SELECT *, try_cast(value AS JSON) AS j FROM raw) raw
+)"""
+
+
+@register(
+    "json_decode_ticks",
+    oracle=f"""
+{RAW_CTE}
+SELECT p_symbol AS symbol, p_price AS price, p_volume AS volume,
+       p_event_time AS event_time
+FROM parsed
+WHERE NOT malformed AND NOT no_symbol
+  AND p_price IS NOT NULL AND p_event_time IS NOT NULL
+""",
+)
+def q_json_decode_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    split = split_raw_stream(raw_json_corpus(spark, sf_dir))
+    return split.ticks.select("symbol", "price", "volume", "event_time")
+
+
+@register(
+    "dlq_failed_events",
+    oracle=f"""
+{RAW_CTE}
+SELECT
+  'consumer' AS source,
+  topic,
+  partition AS partition_id,
+  "offset" AS offset_id,
+  value AS raw_value,
+  CASE
+    WHEN malformed THEN 'JSONDecodeError: malformed record'
+    WHEN no_symbol THEN 'KeyError: ''symbol'''
+    WHEN p_price IS NULL THEN 'KeyError: ''price'''
+    ELSE 'ValueError: unparseable event_time'
+  END AS error_message
+FROM parsed
+WHERE NOT (NOT malformed AND NOT no_symbol
+           AND p_price IS NOT NULL AND p_event_time IS NOT NULL)
+""",
+)
+def q_dlq_failed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    split = split_raw_stream(raw_json_corpus(spark, sf_dir))
+    return split.failed.select(
+        "source", "topic", "partition_id", "offset_id", "raw_value", "error_message"
+    )
+
+
+# --- multimodal plumbing (mapInPandas; oracle replays md5 arithmetic) -------
+
+from stockpulse_batch_realtime_etl_spark.operators import multimodal
+
+
+def _nib_sql(pos: int) -> str:
+    return f"(strpos('0123456789abcdef', substr(md5(text), {pos + 1}, 1)) - 1)"
+
+
+@register(
+    "multimodal_features",
+    oracle=f"""
+SELECT
+  doc_id AS asset_id,
+  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+  octet_length(encode(text)) AS byte_len,
+  md5(text) AS content_md5,
+  CASE WHEN doc_id % 3 = 0
+       THEN 64 + {_nib_sql(0)} * 16 + {_nib_sql(1)} END AS width,
+  CASE WHEN doc_id % 3 = 0
+       THEN 64 + {_nib_sql(2)} * 16 + {_nib_sql(3)} END AS height,
+  CASE WHEN doc_id % 3 != 0
+       THEN 1000 + {_nib_sql(0)} * 4096 + {_nib_sql(1)} * 256
+            + {_nib_sql(2)} * 16 + {_nib_sql(3)} END AS duration_ms
+FROM documents
+""",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.media_from_documents(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)

@@ -26,6 +26,8 @@ from typing import NamedTuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import StringType, StructField, StructType
+
 from stockpulse_batch_realtime_etl_spark.schemas import TICK_UNION_SCHEMA
 from stockpulse_batch_realtime_etl_spark.sources.ticks import normalize_ticks
 
@@ -35,19 +37,33 @@ class SplitStreams(NamedTuple):
     failed: DataFrame
 
 
+#: Decode schema = tick union + corrupt-record capture.  In PERMISSIVE mode
+#: from_json never yields a null struct — malformed input produces an
+#: all-null row — so distinguishing "malformed JSON" from "valid JSON
+#: missing keys" requires columnNameOfCorruptRecord.
+_DECODE_SCHEMA = StructType(
+    list(TICK_UNION_SCHEMA.fields) + [StructField("_corrupt", StringType())]
+)
+
+
 def _decode(raw: DataFrame, value_col: str) -> DataFrame:
     return raw.withColumn(
-        "_tick", F.from_json(F.col(value_col).cast("string"), TICK_UNION_SCHEMA)
+        "_tick",
+        F.from_json(
+            F.col(value_col).cast("string"),
+            _DECODE_SCHEMA,
+            {"columnNameOfCorruptRecord": "_corrupt"},
+        ),
     )
 
 
 def _valid_pred() -> Column:
     t = F.col("_tick")
     return (
-        t.isNotNull()
+        t["_corrupt"].isNull()
         & t["symbol"].isNotNull()
         & F.coalesce(t["price"], t["close"]).isNotNull()
-        & F.to_timestamp(t["event_time"]).isNotNull()
+        & F.try_to_timestamp(t["event_time"]).isNotNull()
     )
 
 
@@ -56,7 +72,7 @@ def _error_message() -> Column:
     JSONDecodeError from KeyError (consumer.py:137-139)."""
     t = F.col("_tick")
     return (
-        F.when(t.isNull(), F.lit("JSONDecodeError: malformed record"))
+        F.when(t["_corrupt"].isNotNull(), F.lit("JSONDecodeError: malformed record"))
         .when(t["symbol"].isNull(), F.lit("KeyError: 'symbol'"))
         .when(
             F.coalesce(t["price"], t["close"]).isNull(), F.lit("KeyError: 'price'")

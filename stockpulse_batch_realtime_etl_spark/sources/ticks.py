@@ -82,7 +82,52 @@ def normalize_ticks(decoded: DataFrame) -> DataFrame:
         F.col("low"),
         F.col("close"),
         F.col("volume").cast("long").alias("volume"),
-        F.to_timestamp(F.col("event_time")).alias("event_time"),
+        F.try_to_timestamp(F.col("event_time")).alias("event_time"),
         F.col("source"),
         F.current_timestamp().alias("created_at"),
+    )
+
+
+#: Deterministic raw-JSON corpus derived from events — exercises the wire
+#: format (op S6/F11) and the DLQ split (op S8) with a mix of valid ticks,
+#: truncated JSON (event_id % 7 == 0), and JSON missing all price fields
+#: (event_id % 11 == 0).  The matching DuckDB fragment is RAW_JSON_SQL.
+RAW_JSON_SQL = """
+SELECT
+  CASE
+    WHEN event_id % 7 = 0 THEN '{"symbol": "' || upper(event_type)
+    WHEN event_id % 11 = 0 THEN '{"symbol": "' || upper(event_type) || '"}'
+    ELSE '{"symbol": "' || upper(event_type)
+         || '", "price": ' || value
+         || ', "volume": ' || (event_id % 15000 + 500)
+         || ', "event_time": "' || CAST(ts AS VARCHAR) || '"}'
+  END AS value,
+  'stock.ticks.v1' AS topic,
+  CAST(event_id % 3 AS INT) AS partition,
+  event_id AS offset
+FROM events
+"""
+
+
+def raw_json_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-shaped raw records (value/topic/partition/offset) built from
+    ``events`` — the batch stand-in for the reference's tick topic."""
+    ev = load_table(spark, sf_dir, "events")
+    sym = F.upper(F.col("event_type"))
+    valid = F.concat(
+        F.lit('{"symbol": "'), sym,
+        F.lit('", "price": '), F.col("value").cast("string"),
+        F.lit(', "volume": '), (F.col("event_id") % 15000 + 500).cast("string"),
+        F.lit(', "event_time": "'), F.col("ts").cast("string"), F.lit('"}'),
+    )
+    raw = (
+        F.when(F.col("event_id") % 7 == 0, F.concat(F.lit('{"symbol": "'), sym))
+        .when(F.col("event_id") % 11 == 0, F.concat(F.lit('{"symbol": "'), sym, F.lit('"}')))
+        .otherwise(valid)
+    )
+    return ev.select(
+        raw.alias("value"),
+        F.lit("stock.ticks.v1").alias("topic"),
+        (F.col("event_id") % 3).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
     )

@@ -1,0 +1,186 @@
+"""Streaming ingest + aggregation: the reference's consumer/aggregator loop
+as ONE Structured Streaming pipeline.
+
+Reference semantics mapped (SURVEY.md §2.8):
+
+=====  ==================================================================
+ST1    hand-rolled etl_runs watermark → ``withWatermark`` + checkpoint
+       (Spark persists stream progress + agg state; an etl_runs audit row
+       per micro-batch is still written for parity)
+ST2    closed-minutes-only emission → watermark-delayed windows; with
+       update-mode + upsert the in-progress window refines per batch and
+       settles once the watermark passes (strictly better than the
+       reference, which silently drops post-watermark late ticks)
+ST3    ``INSERT … ON CONFLICT DO UPDATE`` → foreachBatch merge keyed on
+       (symbol, bucket_start) with date-partition rewrite
+ST4    30 s aggregation cadence → ``trigger(processingTime="30 seconds")``
+ST5    tumbling 1-minute window → ``window(event_time, "1 minute")``
+ST6    late data within watermark → captured by state update + re-upsert
+ST7    at-least-once consumer → checkpointed source offsets + idempotent
+       (keyed) sink = effectively-once
+=====  ==================================================================
+
+Sink design without Delta: the bars table is Parquet partitioned by
+``bucket_date``.  Each micro-batch rewrites ONLY the date partitions it
+touches (dynamic partition overwrite): existing rows for other keys in the
+touched partitions are retained via an anti-join union.  At production
+scale a day partition of 1-minute bars is ~1440 × n_symbols rows — small,
+so the rewrite amplification is bounded and bulk backfills stay partition-
+parallel.  (With Delta/Iceberg available this collapses to ``MERGE INTO``;
+the surrounding plumbing is unchanged.)
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from stockpulse_batch_realtime_etl_spark.operators.ohlcv import bar_agg_exprs
+from stockpulse_batch_realtime_etl_spark.sources.dlq import split_raw_stream
+
+BARS_KEY = ("symbol", "bucket_start")
+
+
+def raw_json_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based stand-in for the Kafka source: a directory of JSON-lines
+    files with a ``value`` string column (same shape the Kafka source's
+    ``selectExpr("CAST(value AS STRING)")`` yields).  Swapping in the real
+    Kafka source is a one-liner::
+
+        spark.readStream.format("kafka")
+             .option("kafka.bootstrap.servers", …)
+             .option("subscribe", "stock.ticks.v1")
+             .option("startingOffsets", "earliest")   # consumer.py:113
+    """
+    reader = spark.readStream.format("text")  # text source → `value` column
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def tick_stream_from_raw(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Decode + split a raw value stream → (ticks, failed_events)."""
+    split = split_raw_stream(raw)
+    return split.ticks, split.failed
+
+
+def windowed_bars(ticks: DataFrame, watermark: str = "2 minutes") -> DataFrame:
+    """Watermarked tumbling-window OHLCV aggregation (streaming flavor of
+    operators/ohlcv.ohlcv_bars — same aggregate expression list)."""
+    return (
+        ticks.withWatermark("event_time", watermark)
+        .groupBy(
+            F.col("symbol"),
+            F.window("event_time", "1 minute").alias("w"),
+        )
+        .agg(*bar_agg_exprs())
+        .select(
+            "symbol",
+            F.col("w.start").alias("bucket_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume_sum",
+            "tick_count",
+        )
+    )
+
+
+def upsert_bars_batch(
+    batch: DataFrame, table_path: str, audit_path: str | None = None
+) -> None:
+    """foreachBatch body: MERGE the micro-batch into the bars table keyed on
+    (symbol, bucket_start) — the reference's ON CONFLICT DO UPDATE
+    (aggregator.py:41-51) — rewriting only touched date partitions."""
+    spark = batch.sparkSession
+    started = time.time()
+    batch = batch.withColumn("bucket_date", F.to_date("bucket_start"))
+    batch.persist()
+    try:
+        n = batch.count()
+        if n == 0:
+            return
+        dates = [r[0] for r in batch.select("bucket_date").distinct().collect()]
+        from pyspark.errors import AnalysisException
+
+        try:
+            existing = (
+                spark.read.parquet(table_path)
+                .filter(F.col("bucket_date").isin(dates))
+            )
+            keep = existing.join(
+                batch.select(*BARS_KEY), list(BARS_KEY), "left_anti"
+            )
+            merged = keep.unionByName(batch)
+        except AnalysisException:  # first batch: table doesn't exist yet
+            merged = batch
+        (
+            merged.repartition("bucket_date")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket_date")
+            .parquet(table_path)
+        )
+        if audit_path:
+            audit = spark.createDataFrame(
+                [("aggregator", n, "complete")],
+                "source string, records_processed long, status string",
+            ).select(
+                "*",
+                F.lit(started).cast("timestamp").alias("started_at"),
+                F.current_timestamp().alias("completed_at"),
+            )
+            audit.write.mode("append").parquet(audit_path)
+    finally:
+        batch.unpersist()
+
+
+def start_bar_aggregation(
+    ticks: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    audit_path: str | None = None,
+    watermark: str = "2 minutes",
+    trigger_secs: int = 30,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """The aggregator service (aggregator.py:116-153) as one streaming query.
+
+    Update output mode: every refined window flows to the upsert each
+    batch — matching the reference's recompute-and-upsert cycle, with the
+    watermark bounding state instead of an etl_runs row.
+    """
+    bars = windowed_bars(ticks, watermark)
+    writer = (
+        bars.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(
+            lambda df, _epoch: upsert_bars_batch(df, table_path, audit_path)
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
+    return writer.start()
+
+
+def start_dlq_sink(
+    failed: DataFrame, dlq_path: str, checkpoint: str, available_now: bool = False
+) -> StreamingQuery:
+    """failed_events append sink (op S8) — plain streaming append, no state."""
+    writer = (
+        failed.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .format("parquet")
+        .option("path", dlq_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,76 @@
+"""Dedup operator semantics on constructed corpora."""
+
+from __future__ import annotations
+
+import pytest
+
+from stockpulse_batch_realtime_etl_spark.operators import dedup
+
+
+def doc(i, text, lang="en", source="s"):
+    return (i, text, lang, source, len(text))
+
+
+@pytest.fixture(scope="module")
+def docs(make_docs):
+    return make_docs(
+        [
+            doc(1, "the quick brown fox jumps over the lazy dog"),
+            doc(2, "The  Quick   Brown fox jumps over the lazy dog"),  # ws/case dup of 1
+            doc(3, "the quick brown fox jumps over the lazy cat"),     # near-dup of 1
+            doc(4, "completely different content about spark engines"),
+            doc(5, "the quick brown fox jumps over the lazy dog"),     # exact dup of 1
+        ]
+    )
+
+
+def test_exact_dedup_normalizes_case_and_whitespace(docs):
+    groups = {r.fingerprint: r for r in dedup.exact_dedup(docs).collect()}
+    counts = sorted(r.dup_count for r in groups.values())
+    assert counts == [1, 1, 3]          # {1,2,5} collapse
+    big = next(r for r in groups.values() if r.dup_count == 3)
+    assert big.kept_doc_id == 1          # keep-min policy
+
+
+def test_shingles_full_ngrams_only(make_docs):
+    d = make_docs([doc(1, "a b c d"), doc(2, "x y")])
+    sh = {(r.doc_id, r.shingle) for r in dedup.shingles(d, 3).collect()}
+    assert sh == {(1, "a b c"), (1, "b c d")}  # doc 2 too short → none
+
+
+def test_minhash_identical_docs_identical_signatures(docs):
+    sigs = {r.doc_id: r for r in dedup.minhash_signatures(docs).collect()}
+    s1, s2, s4 = sigs[1], sigs[2], sigs[4]
+    assert tuple(s1)[1:] == tuple(s2)[1:]     # normalized-identical docs
+    assert tuple(s1)[1:] != tuple(s4)[1:]
+
+
+def test_lsh_finds_duplicate_pairs(docs):
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(docs).collect()}
+    assert (1, 2) in pairs and (1, 5) in pairs and (2, 5) in pairs
+    # near-dup 3 shares most shingles with 1 → should bucket together too
+    assert (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_jaccard_exact_values(make_docs):
+    d = make_docs([doc(1, "a b c d"), doc(2, "a b c e")])
+    # shingles: {abc,bcd} vs {abc,bce} → J = 1/3
+    r = dedup.jaccard_pairs(d, 3).collect()
+    assert len(r) == 1
+    assert r[0].doc_a == 1 and r[0].doc_b == 2
+    assert r[0].jaccard == round(1 / 3, 6)
+
+
+def test_simhash_identical_docs_same_fingerprint(docs):
+    fps = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(docs).collect()}
+    assert fps[1] == fps[2] == fps[5]
+    assert 0 <= fps[1] < 2**16
+    # near-dup differs in few bits; unrelated differs in many
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(fps[1], fps[3]) <= ham(fps[1], fps[4]) + 2
+
+
+def test_simhash_dup_groups(docs):
+    groups = dedup.simhash_dup_groups(docs).collect()
+    assert any(g.dup_count >= 3 for g in groups)

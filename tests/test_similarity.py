@@ -1,0 +1,72 @@
+"""Similarity-search semantics on constructed vectors with known cosines."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from stockpulse_batch_realtime_etl_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.0, 0.0, 0.0], 0),    # identical to 0 → cos 1
+        (2, [1.0, 1.0, 0.0, 0.0], 0),    # cos(0,2) = 1/√2
+        (3, [0.0, 1.0, 0.0, 0.0], 1),    # orthogonal to 0
+        (4, [-1.0, 0.0, 0.0, 0.0], 1),   # opposite → cos -1
+        (5, [1.0, 0.1, 0.0, 0.0], 0),    # very close to 0
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_brute_force_topk_exact_cosines(embeddings):
+    out = similarity.brute_force_topk(embeddings, [0], k=5).collect()
+    by_cand = {r.cand_id: r for r in out}
+    assert by_cand[1].cos_sim == 1.0
+    assert by_cand[2].cos_sim == round(1 / math.sqrt(2), 6)
+    assert by_cand[3].cos_sim == 0.0
+    assert by_cand[4].cos_sim == -1.0
+    # ranking: 1 (cos 1) > 5 (~0.995) > 2 (~0.707) > 3 (0) > 4 (-1)
+    assert [r.cand_id for r in sorted(out, key=lambda r: r.rank)] == [1, 5, 2, 3, 4]
+
+
+def test_brute_force_excludes_self(embeddings):
+    out = similarity.brute_force_topk(embeddings, [0], k=10).collect()
+    assert all(r.cand_id != 0 for r in out)
+
+
+def test_lsh_bucket_restricts_candidates(embeddings):
+    # nbits=2 buckets on sign of dims 1-2: vec 4 (negative dim0) is in a
+    # different bucket from vec 0 → never a candidate despite |cos|=1
+    out = similarity.lsh_bucketed_topk(embeddings, [0], k=10, nbits=2).collect()
+    cands = {r.cand_id for r in out}
+    assert 4 not in cands
+    assert 1 in cands and 5 in cands
+
+
+def test_near_dup_pairs_threshold(embeddings):
+    pairs = similarity.embedding_near_dup_pairs(embeddings, 0.99, nbits=2).collect()
+    got = {(r.vec_a, r.vec_b) for r in pairs}
+    assert (0, 1) in got                     # identical vectors
+    assert (0, 5) in got                     # cos ≈ 0.995
+    assert all(r.cos_sim >= 0.99 for r in pairs)
+
+
+def test_lsh_recall_vs_brute_force(embeddings):
+    brute = {
+        r.cand_id
+        for r in similarity.brute_force_topk(embeddings, [0], k=3).collect()
+    }
+    bucketed = {
+        r.cand_id
+        for r in similarity.lsh_bucketed_topk(embeddings, [0], k=3, nbits=2).collect()
+    }
+    # LSH results are a subset of the corpus restricted to the bucket, and
+    # every returned candidate must also score identically to brute force
+    assert bucketed <= {1, 2, 5}
+    assert len(brute) == 3

@@ -1,0 +1,151 @@
+"""Structured Streaming path: decode → watermark window agg → idempotent
+upsert.  Mirrors the reference aggregator's invariants (SURVEY.md §5):
+idempotence (rerun ⇒ same table), late-data refinement, DLQ-not-crash."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from stockpulse_batch_realtime_etl_spark.operators.ohlcv import ohlcv_bars
+from stockpulse_batch_realtime_etl_spark.sources.dlq import split_raw_stream
+from stockpulse_batch_realtime_etl_spark.streaming import job
+
+
+def tick_json(symbol, price, volume, minute, second=0):
+    return json.dumps(
+        {
+            "symbol": symbol,
+            "price": price,
+            "volume": volume,
+            "event_time": f"2024-01-15T12:{minute:02d}:{second:02d}+00:00",
+        }
+    )
+
+
+BATCH1 = [
+    tick_json("AAPL", 190.0, 100, 5, 10),
+    tick_json("AAPL", 191.5, 200, 5, 40),
+    tick_json("AAPL", 192.0, 300, 6, 5),
+    tick_json("MSFT", 415.0, 50, 5, 20),
+    '{"broken json',
+    '{"symbol": "NOPRICE", "event_time": "2024-01-15T12:05:00Z"}',
+]
+
+# late tick for the already-seen 12:05 bucket (within watermark)
+BATCH2 = [tick_json("AAPL", 189.0, 50, 5, 55)]
+
+
+def run_stream(spark, src_dir, table, ckpt, dlq, dlq_ckpt):
+    raw = job.raw_json_stream(spark, src_dir)
+    ticks, failed = job.tick_stream_from_raw(raw)
+    q1 = job.start_bar_aggregation(
+        ticks.select("symbol", "price", "volume", "event_time"),
+        table, ckpt, watermark="10 minutes", available_now=True,
+    )
+    q2 = job.start_dlq_sink(failed, dlq, dlq_ckpt, available_now=True)
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+
+
+@pytest.fixture(scope="module")
+def paths(tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    p = {
+        "src": str(root / "src"),
+        "table": str(root / "bars"),
+        "ckpt": str(root / "ckpt"),
+        "dlq": str(root / "dlq"),
+        "dlq_ckpt": str(root / "dlq_ckpt"),
+    }
+    (root / "src").mkdir()
+    return p
+
+
+def bars_rows(spark, table):
+    df = spark.read.parquet(table).drop("bucket_date")
+    return {(r.symbol, str(r.bucket_start)): r for r in df.collect()}
+
+
+def test_stream_end_to_end(spark, paths):
+    with open(f"{paths['src']}/batch1.jsonl", "w") as f:
+        f.write("\n".join(BATCH1))
+    run_stream(spark, paths["src"], paths["table"], paths["ckpt"],
+               paths["dlq"], paths["dlq_ckpt"])
+
+    bars = bars_rows(spark, paths["table"])
+    aapl5 = bars[("AAPL", "2024-01-15 12:05:00")]
+    assert aapl5.open == 190.0 and aapl5.close == 191.5
+    assert aapl5.high == 191.5 and aapl5.low == 190.0
+    assert aapl5.volume_sum == 300 and aapl5.tick_count == 2
+    assert bars[("AAPL", "2024-01-15 12:06:00")].tick_count == 1
+    assert bars[("MSFT", "2024-01-15 12:05:00")].tick_count == 1
+
+    # malformed + missing-price rows dead-lettered, not crashed (ST10)
+    dlq = spark.read.parquet(paths["dlq"])
+    assert dlq.count() == 2
+
+
+def test_stream_matches_batch_aggregation(spark, paths):
+    # streaming result == batch ohlcv_bars over the same valid ticks
+    raw = spark.read.text(f"{paths['src']}/batch1.jsonl")
+    ticks = split_raw_stream(raw).ticks.select(
+        "symbol", "price", "volume", "event_time"
+    )
+    batch = {
+        (r.symbol, str(r.bucket_start)): r for r in ohlcv_bars(ticks).collect()
+    }
+    stream = bars_rows(spark, paths["table"])
+    assert set(batch) == set(stream)
+    for k in batch:
+        assert batch[k].open == stream[k].open
+        assert batch[k].volume_sum == stream[k].volume_sum
+
+
+def test_rerun_is_idempotent(spark, paths):
+    # restart from the same checkpoint with no new data → table unchanged (ST3)
+    before = bars_rows(spark, paths["table"])
+    run_stream(spark, paths["src"], paths["table"], paths["ckpt"],
+               paths["dlq"], paths["dlq_ckpt"])
+    after = bars_rows(spark, paths["table"])
+    assert set(before) == set(after)
+    for k in before:
+        assert before[k].tick_count == after[k].tick_count
+
+
+def test_late_data_refines_bar(spark, paths):
+    # late tick within watermark → its bucket is recomputed and upserted (ST6)
+    with open(f"{paths['src']}/batch2.jsonl", "w") as f:
+        f.write("\n".join(BATCH2))
+    run_stream(spark, paths["src"], paths["table"], paths["ckpt"],
+               paths["dlq"], paths["dlq_ckpt"])
+    bars = bars_rows(spark, paths["table"])
+    aapl5 = bars[("AAPL", "2024-01-15 12:05:00")]
+    assert aapl5.tick_count == 3
+    assert aapl5.close == 189.0          # 12:05:55 is now the last tick
+    assert aapl5.low == 189.0
+    assert aapl5.volume_sum == 350
+    # untouched buckets retained by the partition-merge (not clobbered)
+    assert bars[("AAPL", "2024-01-15 12:06:00")].tick_count == 1
+    assert bars[("MSFT", "2024-01-15 12:05:00")].tick_count == 1
+
+
+def test_upsert_batch_unit_idempotent(spark, tmp_path):
+    table = str(tmp_path / "bars")
+    df = spark.createDataFrame(
+        [("AAPL", "2024-01-15 12:05:00", 1.0, 2.0, 0.5, 1.5, 10, 2)],
+        "symbol string, bucket_start string, open double, high double, "
+        "low double, close double, volume_sum long, tick_count int",
+    ).selectExpr("symbol", "cast(bucket_start as timestamp) bucket_start",
+                 "open", "high", "low", "close", "volume_sum", "tick_count")
+    job.upsert_bars_batch(df, table)
+    job.upsert_bars_batch(df, table)            # same batch twice
+    out = spark.read.parquet(table)
+    assert out.count() == 1                      # keyed upsert, no dupes
+
+    # new version of the same key wins
+    df2 = df.withColumn("close", df.close * 0 + 9.9)
+    job.upsert_bars_batch(df2, table)
+    row = spark.read.parquet(table).collect()[0]
+    assert row.close == 9.9 and spark.read.parquet(table).count() == 1
