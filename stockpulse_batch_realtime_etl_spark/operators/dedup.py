@@ -64,9 +64,18 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle).
 
-    Built array-side: ``transform`` over token indices → explode → distinct.
-    The distinct is per-(doc, shingle) — a narrow shuffle that both minhash
-    and the exact-Jaccard index share.
+    Shape: build the gram array with ``transform`` over token indices,
+    explode, then ``distinct()``.  The distinct LOOKS like a shuffle but
+    Spark's partial (map-side) aggregation collapses per-partition
+    duplicates first, so the exchange carries near-distinct pairs — and the
+    explode/distinct pipeline stays inside whole-stage codegen.
+
+    Perf note (measured, sf0.1): the tempting "array-side" alternative —
+    ``array_distinct`` + per-row higher-order functions — is ~8× SLOWER
+    here: lambda-bearing array expressions are interpreted (no codegen) and
+    CollapseProject re-inlines the array construction into every consumer,
+    recomputing it per reference.  Explode + hash-aggregate is the
+    Spark-native fast path.
     """
     toks = F.split(_norm_text(), " ")
     # Full n-grams only: docs shorter than n tokens contribute no shingles
@@ -92,8 +101,11 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 12, n: int = 3) -> Dat
     """k-minhash signature per doc: ``mh_i = min(md5(i || ':' || shingle))``.
 
     One groupBy over the shingle table computes all k mins in a single
-    partial→final hash aggregate — the shuffle carries k hex strings per
-    (partition, doc), independent of document length.
+    partial→final hash aggregate: the k salted md5s are evaluated once per
+    shingle inside codegen, map-side combine reduces state to k hex strings
+    per (partition, doc), and the exchange is independent of document
+    length.  (An array-side ``array_min(transform(...))`` variant benched
+    ~8× slower — see the perf note on ``shingles``.)
     """
     sh = shingles(docs, n)
     aggs = [

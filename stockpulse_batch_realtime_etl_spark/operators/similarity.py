@@ -50,6 +50,13 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cos_precomputed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with per-ROW precomputed norms: the pairwise work drops from
+    3 vector passes to 1 (the dot product).  Numerically identical to
+    ``cosine`` — same operands, same order — so oracles are unaffected."""
+    return F.round(_dot(a, b) / (na * nb), 6)
+
+
 def brute_force_topk(
     embeddings: DataFrame, query_ids: list[int], k: int = 5
 ) -> DataFrame:
@@ -57,20 +64,28 @@ def brute_force_topk(
 
     The query side is filtered then ``broadcast`` — the corpus never
     shuffles for the join; ranking shuffles only per-query candidates.
+    Norms are precomputed per row (corpus-size work) so each of the
+    |queries|×|corpus| pairs costs exactly one dot product.
     Self-matches are excluded (the usual near-dup convention).
     """
     q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
     )
     c = embeddings.select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_norm"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+            _cos_precomputed(
+                F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -104,12 +119,16 @@ def lsh_bucketed_topk(
     plumbing, more bucket keys per query — kept out of the baseline.
     """
     with_bucket = embeddings.select(
-        "vec_id", "embedding", _sign_bucket(F.col("embedding"), nbits).alias("bucket")
+        "vec_id",
+        "embedding",
+        _sign_bucket(F.col("embedding"), nbits).alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
     )
     q = with_bucket.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
+        F.col("nrm").alias("q_norm"),
     )
     scored = (
         with_bucket.join(
@@ -120,7 +139,9 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("cand_id"),
-            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+            _cos_precomputed(
+                F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("nrm")
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -145,7 +166,10 @@ def embedding_near_dup_pairs(
     is this same query repeated with different bit sets.
     """
     wb = embeddings.select(
-        "vec_id", "embedding", _sign_bucket(F.col("embedding"), nbits).alias("bucket")
+        "vec_id",
+        "embedding",
+        _sign_bucket(F.col("embedding"), nbits).alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
     )
     a, b = wb.alias("a"), wb.alias("b")
     return (
@@ -157,9 +181,12 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias(
-                "cos_sim"
-            ),
+            _cos_precomputed(
+                F.col("a.embedding"),
+                F.col("b.embedding"),
+                F.col("a.nrm"),
+                F.col("b.nrm"),
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
