@@ -47,6 +47,14 @@ def main() -> None:
     queries["ohlcv_bars"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # warmup: Python workers (one interpreter per core; reused afterwards via
+    # spark.python.worker.reuse) so the first Pandas-UDF query isn't charged
+    # ~3s of interpreter fork — the same steady-state treatment the JVM gets.
+    spark.range(spark.sparkContext.defaultParallelism).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in names:

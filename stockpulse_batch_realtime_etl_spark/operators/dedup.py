@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from stockpulse_batch_realtime_etl_spark.sources.tables import fan_out
+
 # --- normalization + fingerprint -------------------------------------------
 
 def _norm_text(col: str = "text") -> Column:
@@ -89,7 +91,8 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select("doc_id", F.explode(grams).alias("shingle"))
+        fan_out(docs)
+        .select("doc_id", F.explode(grams).alias("shingle"))
         .filter(F.col("shingle") != "")
         .distinct()
     )
@@ -233,11 +236,17 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 16) -> DataFrame:
     dedup (split fingerprints into quarters + 4 self-joins for ≤3-bit
     hamming search — Manku'07 — composes from this table).
     """
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.split(_norm_text(), " ")).alias("token"),
-    ).filter(F.col("token") != "")
-    h = F.md5(F.col("token"))
+    # Materialize md5(token) ONCE in a projection below the aggregate — the
+    # 16 per-bit aggregate expressions each reference the same hash, and
+    # inlining it would cost `bits` md5 evaluations per token (measured ~2×
+    # slower end-to-end at sf0.1).
+    toks = (
+        fan_out(docs)
+        .select("doc_id", F.explode(F.split(_norm_text(), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .select("doc_id", F.md5(F.col("token")).alias("h"))
+    )
+    h = F.col("h")
     bit_sums = []
     for b in range(bits):
         nib = _nibble(h, b // 4)

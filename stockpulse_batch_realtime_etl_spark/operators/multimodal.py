@@ -100,7 +100,9 @@ def extract_features(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(features, FEATURE_SCHEMA)
+    from stockpulse_batch_realtime_etl_spark.sources.tables import fan_out
+
+    return fan_out(media).mapInPandas(features, FEATURE_SCHEMA)
 
 
 def resize_images(media: DataFrame, max_px: int = 256) -> DataFrame:

@@ -28,6 +28,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from stockpulse_batch_realtime_etl_spark.sources.tables import fan_out
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double, sequential index order (engine-portable)."""
@@ -73,7 +75,7 @@ def brute_force_topk(
         F.col("embedding").alias("q_emb"),
         _norm(F.col("embedding")).alias("q_norm"),
     )
-    c = embeddings.select(
+    c = fan_out(embeddings).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
         _norm(F.col("embedding")).alias("c_norm"),
@@ -118,7 +120,7 @@ def lsh_bucketed_topk(
     as here).  Recall improves with multi-probe (flip one bit) — same
     plumbing, more bucket keys per query — kept out of the baseline.
     """
-    with_bucket = embeddings.select(
+    with_bucket = fan_out(embeddings).select(
         "vec_id",
         "embedding",
         _sign_bucket(F.col("embedding"), nbits).alias("bucket"),
@@ -165,7 +167,7 @@ def embedding_near_dup_pairs(
     missed — production runs multiple hash tables (union of buckets), which
     is this same query repeated with different bit sets.
     """
-    wb = embeddings.select(
+    wb = fan_out(embeddings).select(
         "vec_id",
         "embedding",
         _sign_bucket(F.col("embedding"), nbits).alias("bucket"),

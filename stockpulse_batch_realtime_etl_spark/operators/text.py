@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from stockpulse_batch_realtime_etl_spark.sources.tables import fan_out
+
 #: Function-word list used for quality scoring and language-ID.  English
 #: row is what the synthetic corpus exercises; other rows keep the operator
 #: honest (real corpora hit them).
@@ -43,11 +45,16 @@ def text_stats(docs: DataFrame) -> DataFrame:
 
     Array-native form: stopword ratio via ``F.size(F.filter(tokens, ...))``
     — no explode, no shuffle, one projection over the scan.
+
+    The token array is materialized in its OWN projection first: four of the
+    stat columns consume it, and CollapseProject deliberately refuses to
+    merge the two projects (a non-cheap expression referenced >1× is never
+    duplicated), so the regex split runs once per row instead of four times.
     """
-    toks = _tokens()
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = F.col("_toks")
     n_tok = F.size(toks)
-    return docs.select(
+    return fan_out(docs).select("*", _tokens().alias("_toks")).select(
         "doc_id",
         "lang",
         "source",
@@ -99,7 +106,8 @@ def token_counts(docs: DataFrame) -> DataFrame:
     one row per (partition, distinct token), not per token occurrence; with a
     ~100k-word vocabulary that is negligible at any corpus size."""
     return (
-        docs.select(F.explode(_tokens()).alias("token"))
+        fan_out(docs)
+        .select(F.explode(_tokens()).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -121,7 +129,7 @@ def language_id(docs: DataFrame) -> DataFrame:
     spark = docs.sparkSession
     kws = spark.createDataFrame(kw_rows, ["kw_lang", "kw"])
 
-    toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    toks = fan_out(docs).select("doc_id", F.explode(_tokens()).alias("token"))
     hits = (
         toks.join(F.broadcast(kws), F.lower(F.col("token")) == F.col("kw"))
         .groupBy("doc_id", "kw_lang")

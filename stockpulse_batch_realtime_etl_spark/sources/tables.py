@@ -36,6 +36,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, min_factor: int = 2) -> DataFrame:
+    """Round-robin repartition a NARROW scan up to cluster parallelism before
+    a compute-heavy stage (shingle explode, per-token hashing, mapInPandas).
+
+    Why: the driver's single-file, single-row-group parquet gives Spark no
+    split points, so the scan — and every pipelined operator above it, i.e.
+    ALL the per-row compute — runs in one task while 31 cores idle.  A
+    round-robin exchange of the (MB-scale) input buys full parallelism for
+    the expensive stage.
+
+    Guarded: when the source already has ≥ parallelism/min_factor partitions
+    (the 100 TB case — real tables have thousands of row groups), this is a
+    no-op, so no gratuitous shuffle is ever added at scale.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * min_factor <= target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
 ) -> dict[str, DataFrame]:
