@@ -35,11 +35,13 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Reference symbol validation (ticks.py:10-19, op P5/F7/F8).
-SYMBOL_RE = "^[A-Za-z]{1,10}$"
+from stockpulse_batch_realtime_etl_spark.functions.scalars import (
+    SYMBOL_RE,
+    change_pct,
+)
 
 
 def validate_symbol(symbol: str) -> str:
@@ -155,13 +157,6 @@ def latest_bars(bars: DataFrame, symbol: str, limit: int = 100) -> DataFrame:
 
 # --- /bars/summary ----------------------------------------------------------
 
-def _change_pct(open_col: Column, close_col: Column) -> Column:
-    """F6 + F4 (bars.py:141): round((close-open)/nullif(open,0)*100, 4)."""
-    return F.round(
-        (close_col - open_col) / F.nullif(open_col, F.lit(0)) * 100, 4
-    ).alias("change_pct")
-
-
 def bar_summary(bars: DataFrame, symbol: str, minutes: int = 180) -> DataFrame:
     """A8 (bars.py:66-96): period summary over bars in the window.
 
@@ -184,7 +179,7 @@ def bar_summary(bars: DataFrame, symbol: str, minutes: int = 180) -> DataFrame:
         F.min("bucket_start").alias("first_bucket"),
         F.max("bucket_start").alias("last_bucket"),
     )
-    return agg.withColumn("change_pct", _change_pct(F.col("open"), F.col("close")))
+    return agg.withColumn("change_pct", change_pct(F.col("open"), F.col("close")))
 
 
 # --- /movers ----------------------------------------------------------------
@@ -207,7 +202,7 @@ def movers(bars: DataFrame, minutes: int = 180, limit: int = 20) -> DataFrame:
     )
     return (
         per_symbol.withColumn(
-            "change_pct", _change_pct(F.col("open"), F.col("close"))
+            "change_pct", change_pct(F.col("open"), F.col("close"))
         )
         .orderBy(
             F.abs(F.col("change_pct")).desc_nulls_last(), F.col("symbol").asc()

@@ -1,0 +1,118 @@
+"""Physical-plan contracts (plans/assertions.py): the shapes we promise at
+100 TB, pinned as tests at sf0.001.
+
+The reference's physical design is two composite B-tree indexes + the
+Postgres planner (SURVEY.md §4); ours is Catalyst plan shape.  Each test
+asserts one scale-critical property — pushdown, pruning, broadcast, top-k,
+codegen, shuffle budget — so a plan regression fails CI rather than a
+cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from stockpulse_batch_realtime_etl_spark.operators import serving, text, tpch
+from stockpulse_batch_realtime_etl_spark.plans import assertions as P
+from stockpulse_batch_realtime_etl_spark.sources.tables import load_table
+from stockpulse_batch_realtime_etl_spark.sources.ticks import ticks_from_events
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ticks(spark):
+    return ticks_from_events(spark, SF)
+
+
+def test_latest_ticks_is_topk_not_global_sort(spark, ticks):
+    df = serving.latest_ticks(ticks, "purchase", 100)
+    P.assert_take_ordered(df)
+    P.assert_no_cartesian(df)
+
+
+def test_movers_is_single_aggregate_no_join(spark, ticks):
+    from stockpulse_batch_realtime_etl_spark.operators.ohlcv import ohlcv_bars
+
+    df = serving.movers(ohlcv_bars(ticks), 180, 20)
+    # The reference's two DISTINCT ON CTEs + join (bars.py:122-144) fuse to
+    # aggregates here — no join operator of any kind may appear.
+    plan = P.simple_plan(df)
+    assert "Join" not in plan, plan
+    P.assert_take_ordered(df)
+
+
+def test_q1_pushes_shipdate_filter_and_prunes_columns(spark):
+    li = load_table(spark, SF, "lineitem")
+    df = tpch.q1_pricing_summary(li)
+    P.assert_pushed_filter(df, "l_shipdate")
+    # Column pruning: the scan must read only the 7 columns Q1 touches, not
+    # all 16 of lineitem.
+    (cols,) = P.read_schema_columns(df)
+    assert set(cols) == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    }, cols
+
+
+def test_q3_broadcasts_dimension_side(spark):
+    cust = load_table(spark, SF, "customer")
+    ords = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    df = tpch.q3_shipping_priority(cust, ords, li)
+    P.assert_broadcast_join(df, min_count=1)
+    P.assert_no_cartesian(df)
+
+
+def test_q5_no_cartesian_and_broadcasts(spark):
+    args = [
+        load_table(spark, SF, n)
+        for n in ("region", "nation", "customer", "supplier", "orders", "lineitem")
+    ]
+    df = tpch.q5_local_supplier_volume(*args)
+    P.assert_broadcast_join(df, min_count=2)
+    P.assert_no_cartesian(df)
+
+
+def test_ohlcv_bars_single_shuffle(spark, ticks):
+    from stockpulse_batch_realtime_etl_spark.operators.ohlcv import ohlcv_bars
+
+    df = ohlcv_bars(ticks)
+    # scan → partial agg → ONE exchange on the group key → final agg.
+    assert P.count_exchanges(df) == 1, P.simple_plan(df)
+    P.assert_whole_stage_codegen(df)
+
+
+def test_text_stats_tokenizes_once(spark):
+    docs = load_table(spark, SF, "documents")
+    df = text.text_stats(docs)
+    # The token array must be materialized in one projection, not re-split
+    # per consuming column (4 columns consume it).
+    plan = P.formatted_plan(df)
+    assert plan.count("split(trim(") <= 1, plan
+
+
+def test_tick_summary_uses_scalar_subquery_not_bnlj(spark, ticks):
+    df = serving.tick_summary(ticks, "purchase", 60)
+    plan = P.simple_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Subquery" in P.formatted_plan(df) or "scalar-subquery" in plan
+
+
+def test_fan_out_noop_when_already_parallel(spark):
+    from stockpulse_batch_realtime_etl_spark.sources.tables import fan_out
+
+    wide = spark.range(0, 1000, 1, spark.sparkContext.defaultParallelism)
+    # Already at cluster parallelism → fan_out must not add an exchange.
+    assert fan_out(wide) is wide
+    narrow = spark.range(0, 1000, 1, 1)
+    assert fan_out(narrow).rdd.getNumPartitions() == (
+        spark.sparkContext.defaultParallelism
+    )
