@@ -262,6 +262,64 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 16) -> DataFrame:
     return sums.select("doc_id", fp.cast("long").alias("simhash"))
 
 
+def simhash_near_dups(
+    docs: DataFrame,
+    bits: int = 16,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by simhash Hamming distance ≤ ``max_hamming``
+    (Manku et al., WWW'07 §3).
+
+    Pigeonhole: split the ``bits``-bit fingerprint into ``n_bands`` bands;
+    any pair within Hamming distance < n_bands must agree exactly on ≥1
+    band.  Candidate generation is therefore a self-equi-join on
+    (band_idx, band_value) — sub-quadratic, shuffle keyed on small ints —
+    and the exact Hamming check ``bit_count(a XOR b)`` filters candidates.
+    With the defaults (16 bits, 4 bands) recall is total for hamming ≤ 3.
+
+    Output: (doc_a, doc_b, hamming), doc_a < doc_b, distinct.
+    """
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    fp = simhash_fingerprints(docs, bits)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_dup_groups(docs: DataFrame, bits: int = 16) -> DataFrame:
     """Documents sharing a simhash fingerprint (near-dup clusters)."""
     return (

@@ -156,6 +156,87 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_assign(embeddings: DataFrame, ncells: int = 8) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid.
+
+    Centroids are the vectors with ``vec_id < ncells`` — a training-free,
+    deterministic quantizer so tests and the DuckDB oracle can replay it
+    bit-for-bit.  A production build swaps in k-means centroids (e.g.
+    ``pyspark.ml.clustering.KMeans`` fit on a sample); the assignment and
+    search plumbing below is unchanged — that is the point of the seam.
+
+    Shape: centroids are dimension-sized → ``broadcast`` cross join, then
+    argmax-cosine per vector via ``min_by`` over (-cos, centroid_id).  The
+    scoring pass is corpus-partition-parallel; the fold back to one row per
+    vector is a single shuffle keyed on vec_id (map-side combine reduces it
+    to one candidate row per partition per vector).
+    Output: (vec_id, embedding, nrm, cell).
+    """
+    cent = embeddings.filter(F.col("vec_id") < ncells).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_norm"),
+    )
+    vecs = fan_out(embeddings).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    scored = vecs.join(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        "cent_id",
+        _cos_precomputed(
+            F.col("embedding"), F.col("c_emb"), F.col("nrm"), F.col("c_norm")
+        ).alias("cos"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.first("embedding").alias("embedding"),
+        F.first("nrm").alias("nrm"),
+        F.min_by(
+            "cent_id", F.struct((-F.col("cos")).alias("neg"), F.col("cent_id"))
+        ).alias("cell"),
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 5, ncells: int = 8
+) -> DataFrame:
+    """IVF top-k (nprobe=1): each query searches only its own coarse cell.
+
+    The scale path of the ANN ladder: expected cell size |corpus|/ncells, so
+    pairwise work drops by ncells× vs brute force.  Recall grows with
+    nprobe (probe the next-nearest cells too — same join, more cell keys per
+    query); exactness is ``brute_force_topk``.  The candidate join shuffles
+    on the cell id; centroid skew (one fat cell) is exactly what k-means
+    balancing fixes in production, and AQE skew-split absorbs meanwhile.
+    """
+    assigned = ivf_assign(embeddings, ncells)
+    q = assigned.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_norm"),
+        F.col("cell").alias("q_cell"),
+    )
+    scored = assigned.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        _cos_precomputed(
+            F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("nrm")
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.8, nbits: int = 4
 ) -> DataFrame:

@@ -97,7 +97,10 @@ def quality_score(docs: DataFrame) -> DataFrame:
         + 0.25 * clamp(F.col("stopword_ratio") / 0.1)
         + 0.25 * clamp(F.col("distinct_tokens") / F.nullif(F.col("token_count"), F.lit(0)) / 0.5)
     )
-    return s.select("doc_id", "lang", "source", F.round(score, 4).alias("quality"))
+    # 6dp, not the serving layer's 4dp: the 0.25-weighted components land on
+    # a 5-decimal grid, so 4dp rounding hits exact .xxxx5 halves where
+    # binary-float engines legitimately disagree; 6dp can't.
+    return s.select("doc_id", "lang", "source", F.round(score, 6).alias("quality"))
 
 
 def token_counts(docs: DataFrame) -> DataFrame:

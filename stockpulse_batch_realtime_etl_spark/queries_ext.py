@@ -157,6 +157,41 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(load_table(spark, sf_dir, "documents"))
 
 
+#: quality_score consumes text_stats OUTPUT (alpha/stopword ratios already
+#: rounded 4dp there), so the oracle replays the same rounding points.
+@register(
+    "quality_score",
+    oracle=rf"""
+WITH stats AS (
+SELECT
+  doc_id,
+  lang,
+  source,
+  len(string_split_regex(trim(text), '\s+')) AS token_count,
+  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS distinct_tokens,
+  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        / nullif(length(text), 0), 4) AS alpha_ratio,
+  round(len(list_filter(string_split_regex(trim(text), '\s+'),
+                        t -> list_contains({_STOP_SQL}, t)))
+        / nullif(len(string_split_regex(trim(text), '\s+')), 0), 4) AS stopword_ratio
+FROM documents
+)
+SELECT doc_id, lang, source,
+  -- all literals cast to DOUBLE: DuckDB types bare 0.25/0.1 as DECIMAL and
+  -- would compute exactly where Spark computes in binary floating point
+  round(
+      CAST(0.25 AS DOUBLE) * least(greatest(token_count / CAST(50.0 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+    + CAST(0.25 AS DOUBLE) * least(greatest(alpha_ratio / CAST(0.8 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+    + CAST(0.25 AS DOUBLE) * least(greatest(stopword_ratio / CAST(0.1 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+    + CAST(0.25 AS DOUBLE) * least(greatest(distinct_tokens / nullif(token_count, 0) / CAST(0.5 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+  , 6) AS quality
+FROM stats
+""",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
 # --- dedup ------------------------------------------------------------------
 
 @register(
@@ -262,6 +297,31 @@ SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
 @register("simhash_fingerprints", oracle=_simhash_oracle(16))
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(load_table(spark, sf_dir, "documents"), 16)
+
+
+_SH_BANDS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, simhash, {b} AS band_idx, (simhash >> {b * 4}) & 15 AS band_val FROM fp"
+    for b in range(4)
+)
+
+
+@register(
+    "simhash_near_dups",
+    oracle=f"""
+WITH fp AS ({_simhash_oracle(16).strip()}),
+bands AS (
+{_SH_BANDS}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM bands a
+JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+            AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dups(load_table(spark, sf_dir, "documents"), 16, 3, 4)
 
 
 # --- similarity search ------------------------------------------------------
@@ -374,6 +434,63 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NCELLS = 8
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
+  WHERE vec_id < {_NCELLS}
+),
+vc AS (
+  SELECT v.vec_id, c.cent_id,
+         CAST(unnest(v.embedding) AS DOUBLE) AS vv,
+         CAST(unnest(c.cent_emb) AS DOUBLE) AS cv
+  FROM embeddings v, cent c
+),
+vc_scored AS (
+  SELECT vec_id, cent_id,
+         round(sum(vv * cv) / (sqrt(sum(vv * vv)) * sqrt(sum(cv * cv))), 6)
+           AS cos
+  FROM vc GROUP BY vec_id, cent_id
+),
+assign AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC
+    ) AS rn
+    FROM vc_scored
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT a.vec_id AS query_id, e.embedding AS q_emb, a.cell AS q_cell
+  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE a.vec_id IN ({", ".join(map(str, _QUERY_IDS))})
+),
+pairs AS (
+  SELECT q.query_id, q.q_emb, a.vec_id AS cand_id, e.embedding AS c_emb
+  FROM q
+  JOIN assign a ON a.cell = q.q_cell AND a.vec_id != q.query_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+),
+{_COS_PAIRS_SQL.strip()},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC
+  ) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5
+""",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, 5, _NCELLS
+    )
+
+
 # --- JSON decode + DLQ split (ops S6/S8/F11) --------------------------------
 
 from stockpulse_batch_realtime_etl_spark.sources.dlq import split_raw_stream
@@ -440,6 +557,54 @@ def q_dlq_failed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = split_raw_stream(raw_json_corpus(spark, sf_dir))
     return split.failed.select(
         "source", "topic", "partition_id", "offset_id", "raw_value", "error_message"
+    )
+
+
+# --- streaming pipeline, end-to-end (ops S5-S8, ST1-ST7) --------------------
+
+#: The streaming run aggregates exactly the VALID ticks of the raw JSON
+#: corpus, so its oracle is the OHLCV aggregate over the parsed rows — the
+#: full wire-format → decode → DLQ-split → watermarked-window-agg → upsert
+#: path is value-checked against SQL, not just row-counted.
+@register(
+    "streaming_ohlcv_bars",
+    oracle=f"""
+{RAW_CTE},
+ticks AS (
+  SELECT p_symbol AS symbol, p_price AS price, p_volume AS volume,
+         p_event_time AS event_time
+  FROM parsed
+  WHERE NOT malformed AND NOT no_symbol
+    AND p_price IS NOT NULL AND p_event_time IS NOT NULL
+)
+SELECT
+  symbol,
+  date_trunc('minute', event_time) AS bucket_start,
+  round(arg_min(price, event_time), 4) AS open,
+  round(max(price), 4)  AS high,
+  round(min(price), 4)  AS low,
+  round(arg_max(price, event_time), 4) AS close,
+  sum(coalesce(volume, 0)) AS volume_sum,
+  count(*) AS tick_count
+FROM ticks
+GROUP BY symbol, date_trunc('minute', event_time)
+""",
+)
+def q_streaming_ohlcv_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.streaming.job import (
+        run_pipeline_available_now,
+    )
+
+    bars = run_pipeline_available_now(spark, sf_dir)
+    return bars.select(
+        "symbol",
+        "bucket_start",
+        F.round("open", 4).alias("open"),
+        F.round("high", 4).alias("high"),
+        F.round("low", 4).alias("low"),
+        F.round("close", 4).alias("close"),
+        F.col("volume_sum").cast("long").alias("volume_sum"),
+        F.col("tick_count").cast("long").alias("tick_count"),
     )
 
 

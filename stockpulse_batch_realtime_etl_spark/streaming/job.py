@@ -32,6 +32,7 @@ the surrounding plumbing is unchanged.)
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -169,6 +170,58 @@ def start_bar_aggregation(
     else:
         writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
     return writer.start()
+
+
+def run_pipeline_available_now(
+    spark: SparkSession, sf_dir: str, base_dir: str | None = None
+) -> DataFrame:
+    """Run the COMPLETE streaming pipeline once over a bounded corpus and
+    return the resulting bars table — the whole reference system
+    (producer wire format → consumer decode/DLQ → aggregator upsert) as one
+    deterministic, oracle-checkable invocation.
+
+    Steps: materialize the Kafka-shaped JSON corpus (sources/ticks.py
+    RAW_JSON_SQL) as JSON-lines files, stream them with
+    ``trigger(availableNow=True)`` through the decode→split→windowed-agg→
+    upsert pipeline, then read the bars table back.  State, checkpoint and
+    sink live under ``base_dir`` (a deterministic temp dir, wiped per run
+    for idempotence).
+    """
+    import shutil
+    import tempfile
+
+    from stockpulse_batch_realtime_etl_spark.sources.ticks import raw_json_corpus
+
+    if base_dir is None:
+        import hashlib
+
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        base_dir = os.path.join(tempfile.gettempdir(), f"stockpulse_stream_{tag}")
+    shutil.rmtree(base_dir, ignore_errors=True)
+    raw_dir = os.path.join(base_dir, "raw")
+    bars_dir = os.path.join(base_dir, "bars")
+    ckpt = os.path.join(base_dir, "ckpt")
+
+    (
+        raw_json_corpus(spark, sf_dir)
+        .select("value")
+        .coalesce(8)
+        .write.mode("overwrite")
+        .text(raw_dir)
+    )
+    ticks, _failed = tick_stream_from_raw(raw_json_stream(spark, raw_dir))
+    q = start_bar_aggregation(ticks, bars_dir, ckpt, available_now=True)
+    q.awaitTermination()
+    return spark.read.parquet(bars_dir).select(
+        "symbol",
+        "bucket_start",
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume_sum",
+        "tick_count",
+    )
 
 
 def start_dlq_sink(

@@ -74,3 +74,31 @@ def test_simhash_identical_docs_same_fingerprint(docs):
 def test_simhash_dup_groups(docs):
     groups = dedup.simhash_dup_groups(docs).collect()
     assert any(g.dup_count >= 3 for g in groups)
+
+
+def test_simhash_near_dups_finds_identical_and_respects_hamming(docs):
+    pairs = dedup.simhash_near_dups(docs, bits=16, max_hamming=3).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    # identical docs (1,2,5 share a fingerprint) → hamming 0 pairs present
+    assert got[(1, 2)] == 0 and got[(1, 5)] == 0 and got[(2, 5)] == 0
+    assert all(h <= 3 for h in got.values())
+    assert all(a < b for (a, b) in got)
+
+
+def test_simhash_near_dups_band_recall_guarantee(make_docs):
+    # Pigeonhole property: any pair within hamming ≤ 3 of each other MUST be
+    # found (4 bands of 4 bits — at least one band matches exactly).  Build
+    # that situation organically: two docs sharing most tokens.
+    d = make_docs(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 1),
+            (2, "alpha beta gamma delta epsilon zeta eta iota", "en", "s", 1),
+        ]
+    )
+    fps = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(d, 16).collect()}
+    ham = bin(fps[1] ^ fps[2]).count("1")
+    found = {(r.doc_a, r.doc_b) for r in dedup.simhash_near_dups(d, 16, 3, 4).collect()}
+    if ham <= 3:
+        assert (1, 2) in found
+    else:  # still must not FALSELY report within-threshold
+        assert (1, 2) not in found

@@ -70,3 +70,30 @@ def test_lsh_recall_vs_brute_force(embeddings):
     # every returned candidate must also score identically to brute force
     assert bucketed <= {1, 2, 5}
     assert len(brute) == 3
+
+
+def test_ivf_assign_centroid_membership(embeddings):
+    # ncells=2: centroids are vecs 0 ([1,0,0,0]) and 1 (identical to 0) —
+    # every vector assigns to the argmax-cosine centroid with min-id
+    # tie-break, so cell 0 wins all ties between the identical centroids.
+    assigned = {r.vec_id: r.cell for r in similarity.ivf_assign(embeddings, 2).collect()}
+    assert assigned[0] == 0 and assigned[1] == 0
+    assert assigned[2] == 0 and assigned[5] == 0
+    # orthogonal (cos 0 to both) and opposite (cos -1) still pick cell 0 by
+    # tie-break — membership is total: every vector lands in exactly one cell
+    assert set(assigned) == {0, 1, 2, 3, 4, 5}
+
+
+def test_ivf_topk_searches_own_cell_only(embeddings):
+    out = similarity.ivf_topk(embeddings, [0], k=10, ncells=2).collect()
+    cands = {r.cand_id for r in out}
+    # with these degenerate centroids all vectors share cell 0, so IVF = brute
+    brute = {r.cand_id for r in similarity.brute_force_topk(embeddings, [0], k=10).collect()}
+    assert cands == brute
+    # scores must agree with brute force exactly (same cosine, same rounding)
+    ivf_scores = {r.cand_id: r.cos_sim for r in out}
+    brute_scores = {
+        r.cand_id: r.cos_sim
+        for r in similarity.brute_force_topk(embeddings, [0], k=10).collect()
+    }
+    assert ivf_scores == brute_scores
