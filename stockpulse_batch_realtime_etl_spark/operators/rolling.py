@@ -1,0 +1,53 @@
+"""Rolling window-frame analytics over ticks — the operator class the
+reference's API *implies* (price change over a window, bars.py:141) but
+never generalizes: moving averages, rolling extrema, per-tick returns.
+
+All are window-frame expressions (``ROWS BETWEEN n PRECEDING AND CURRENT
+ROW``) — one shuffle on the partition key, one sort per partition, then a
+single running pass; everything stays in whole-stage codegen.
+
+Scale shape: the shuffle is keyed by symbol.  With few hot symbols (the
+reference has 6) a single symbol's history lands in one partition — the
+standard fix is range-partitioning on (symbol, coarse time bucket) and
+computing frames per bucket with a ``bucket-1`` overlap carry; at the
+reference's cardinalities (and the driver's, ~10 keys) plain partitioning
+is correct and optimal.  Deterministic ordering: ties on event_time are
+broken by (price, volume) in the frame ORDER BY, matching the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _frame():
+    return Window.partitionBy("symbol").orderBy(
+        F.col("event_time"), F.col("price"), F.col("volume")
+    )
+
+
+def rolling_stats(ticks: DataFrame, n: int = 10) -> DataFrame:
+    """Per tick: simple moving average / min / max of the last ``n`` ticks
+    (current row inclusive) and the tick-over-tick return.
+
+    ``sma`` / extrema use a ROWS frame (count-based — robust to irregular
+    tick spacing); ``ret`` is ``price/lag(price) - 1``.  6dp rounding on
+    both sides of the oracle pins float noise.
+    """
+    w = _frame()
+    frame = w.rowsBetween(-(n - 1), Window.currentRow)
+    prev = F.lag("price", 1).over(w)
+    return ticks.select(
+        "symbol",
+        "event_time",
+        "price",
+        "volume",
+        F.round(F.avg("price").over(frame), 6).alias("sma"),
+        F.min("price").over(frame).alias("roll_min"),
+        F.max("price").over(frame).alias("roll_max"),
+        F.round(
+            F.when(prev != 0, (F.col("price") - prev) / prev), 6
+        ).alias("ret"),
+    )

@@ -240,6 +240,60 @@ def q_latest_tick_per_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rolling_stats",
+    oracle=f"""
+{TICKS_CTE}
+SELECT
+  symbol, event_time, price, volume,
+  round(avg(price) OVER w10, 6) AS sma,
+  min(price) OVER w10 AS roll_min,
+  max(price) OVER w10 AS roll_max,
+  round(CASE WHEN lag(price, 1) OVER w1 != 0
+             THEN (price - lag(price, 1) OVER w1) / lag(price, 1) OVER w1
+        END, 6) AS ret
+FROM ticks
+WINDOW
+  w1  AS (PARTITION BY symbol ORDER BY event_time, price, volume),
+  w10 AS (PARTITION BY symbol ORDER BY event_time, price, volume
+          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators.rolling import rolling_stats
+
+    return rolling_stats(ticks_from_events(spark, sf_dir), 10)
+
+
+@register(
+    "ticks_asof_bars",
+    oracle=f"""
+{BARS_CTE}
+SELECT t.symbol, t.price, t.volume, t.event_time,
+       b.bucket_start, b.close AS bar_close
+FROM ticks t
+ASOF LEFT JOIN bars b
+  ON t.symbol = b.symbol AND t.event_time >= b.bucket_start
+""",
+)
+def q_ticks_asof_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators.asof import asof_join
+
+    ticks = ticks_from_events(spark, sf_dir)
+    bars = ohlcv_bars(ticks).select("symbol", "bucket_start", "close")
+    joined = asof_join(
+        ticks, bars, "symbol", "event_time", "bucket_start", ["bucket_start", "close"]
+    )
+    return joined.select(
+        "symbol",
+        "price",
+        "volume",
+        "event_time",
+        "bucket_start",
+        F.col("close").alias("bar_close"),
+    )
+
+
 # --- TPC-H-ish relational coverage (operators/tpch.py) ----------------------
 
 def _tables(spark: SparkSession, sf_dir: str, *names: str):

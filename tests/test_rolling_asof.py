@@ -1,0 +1,66 @@
+"""Rolling window-frame analytics + as-of join semantics on constructed
+fixtures with hand-computed expectations."""
+
+from __future__ import annotations
+
+from conftest import ts
+
+from stockpulse_batch_realtime_etl_spark.operators.asof import asof_join
+from stockpulse_batch_realtime_etl_spark.operators.rolling import rolling_stats
+
+
+def test_rolling_sma_and_extrema(make_ticks):
+    t = make_ticks(
+        [
+            ("AAPL", 10.0, 1, ts(0)),
+            ("AAPL", 20.0, 1, ts(1)),
+            ("AAPL", 30.0, 1, ts(2)),
+            ("MSFT", 5.0, 1, ts(0)),
+        ]
+    )
+    rows = {
+        (r.symbol, r.event_time): r for r in rolling_stats(t, n=2).collect()
+    }
+    a0, a1, a2 = (rows[("AAPL", ts(i))] for i in range(3))
+    assert a0.sma == 10.0 and a0.ret is None          # first tick: no prior
+    assert a1.sma == 15.0 and a1.ret == 1.0           # (20-10)/10
+    assert a2.sma == 25.0 and a2.ret == 0.5           # frame = last 2 rows
+    assert a2.roll_min == 20.0 and a2.roll_max == 30.0
+    m = rows[("MSFT", ts(0))]
+    assert m.sma == 5.0 and m.ret is None             # partitions isolated
+
+
+def test_asof_join_picks_latest_preceding(spark):
+    left = spark.createDataFrame(
+        [
+            ("A", ts(0, 30), 1),   # between bars @0 and @1 → bar 0
+            ("A", ts(1, 0), 2),    # exactly at bar 1 → inclusive → bar 1
+            ("A", ts(5, 0), 3),    # far after → latest bar (1)
+            ("B", ts(0, 10), 4),   # no bar for B → nulls
+        ],
+        "symbol string, t timestamp, tick_id int",
+    )
+    right = spark.createDataFrame(
+        [("A", ts(0), 100.0), ("A", ts(1), 200.0)],
+        "symbol string, bucket timestamp, close double",
+    )
+    out = {
+        r.tick_id: r
+        for r in asof_join(left, right, "symbol", "t", "bucket", ["close"]).collect()
+    }
+    assert out[1].close == 100.0
+    assert out[2].close == 200.0   # equal timestamp is visible (inclusive)
+    assert out[3].close == 200.0   # carried forward
+    assert out[4].close is None    # left join: no preceding right row
+    assert len(out) == 4           # every left row exactly once
+
+
+def test_asof_join_preserves_left_columns(spark):
+    left = spark.createDataFrame(
+        [("A", ts(2), 7, 9.9)], "symbol string, t timestamp, n int, x double"
+    )
+    right = spark.createDataFrame(
+        [("A", ts(1), 1.0)], "symbol string, bt timestamp, v double"
+    )
+    (row,) = asof_join(left, right, "symbol", "t", "bt", ["v"]).collect()
+    assert (row.symbol, row.t, row.n, row.x, row.v) == ("A", ts(2), 7, 9.9, 1.0)
