@@ -299,8 +299,15 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(load_table(spark, sf_dir, "documents"), 16)
 
 
+#: 32-bit fingerprints for the near-dup search (vs 16 for the fingerprint
+#: table): with b bands over f bits each band carries f/b bits, and band
+#: buckets shrink exponentially in band width — at 16 bits a 4-bit band has
+#: only 16 values, so every bucket holds ~n/16 docs and candidate
+#: generation degenerates toward n²; at 32 bits (8-bit bands, 256 values)
+#: the same corpus yields ~100× fewer candidate pairs.  Recall guarantee
+#: (hamming ≤ 3 ⇒ ≥1 of 4 bands identical) is unchanged.
 _SH_BANDS = "\nUNION ALL\n".join(
-    f"SELECT doc_id, simhash, {b} AS band_idx, (simhash >> {b * 4}) & 15 AS band_val FROM fp"
+    f"SELECT doc_id, simhash, {b} AS band_idx, (simhash >> {b * 8}) & 255 AS band_val FROM fp"
     for b in range(4)
 )
 
@@ -308,7 +315,7 @@ _SH_BANDS = "\nUNION ALL\n".join(
 @register(
     "simhash_near_dups",
     oracle=f"""
-WITH fp AS ({_simhash_oracle(16).strip()}),
+WITH fp AS ({_simhash_oracle(32).strip()}),
 bands AS (
 {_SH_BANDS}
 )
@@ -321,7 +328,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
 )
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_near_dups(load_table(spark, sf_dir, "documents"), 16, 3, 4)
+    return dedup.simhash_near_dups(load_table(spark, sf_dir, "documents"), 32, 3, 4)
 
 
 # --- similarity search ------------------------------------------------------
