@@ -1,0 +1,56 @@
+"""Partitioned columnar storage layout — the Spark analog of the
+reference's physical design.
+
+The reference's two composite B-tree indexes, ``(symbol, event_time DESC)``
+on stock_ticks and ``(symbol, bucket_start DESC)`` on stock_bars_1m
+(infra/postgres/init.sql:10-11, 27-28), exist to make "latest N for one
+symbol" an index-only backward scan.  The columnar equivalent:
+
+* **partition by (symbol, date)** — a symbol-equality predicate prunes to
+  that symbol's directories (PartitionFilters in the scan), a time
+  predicate prunes dates; at 100 TB a /symbols/latest query touches only
+  the last date dirs of one symbol instead of the whole table;
+* **sort within files by event_time** — parquet column min/max row-group
+  statistics then skip row groups for time ranges (the DESC-scan analog);
+* top-k over the pruned scan is ``TakeOrderedAndProject`` — no full sort.
+
+``tests/test_storage.py`` asserts the pruning actually happens (the plan's
+PartitionFilters, not just intent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_ticks_partitioned(ticks: DataFrame, path: str) -> None:
+    """Write the ticks table in its production layout:
+    ``path/symbol=X/event_date=D/part-*.parquet``, files sorted by
+    event_time so row-group stats are time-clustered."""
+    (
+        ticks.withColumn("event_date", F.to_date("event_time"))
+        .repartition("symbol", "event_date")
+        .sortWithinPartitions("event_time")
+        .write.mode("overwrite")
+        .partitionBy("symbol", "event_date")
+        .parquet(path)
+    )
+
+
+def write_bars_partitioned(bars: DataFrame, path: str) -> None:
+    """Bars layout: ``path/symbol=X/bucket_date=D/`` (init.sql:27-28 analog)."""
+    (
+        bars.withColumn("bucket_date", F.to_date("bucket_start"))
+        .repartition("symbol", "bucket_date")
+        .sortWithinPartitions("bucket_start")
+        .write.mode("overwrite")
+        .partitionBy("symbol", "bucket_date")
+        .parquet(path)
+    )
+
+
+def read_ticks(spark: SparkSession, path: str) -> DataFrame:
+    """Read the partitioned ticks table; symbol/event_date predicates become
+    partition pruning, event_time predicates become row-group skipping."""
+    return spark.read.parquet(path)

@@ -1,0 +1,91 @@
+"""Custom stateful streaming operator: per-symbol RUNNING OHLCV
+("session-to-date bar") via ``applyInPandasWithState``.
+
+The windowed aggregation in streaming/job.py covers everything the
+reference computes; this operator demonstrates the escape hatch for
+semantics Spark's built-in windowing can NOT express — state that never
+closes (a running aggregate since stream start), custom merge logic, and
+arbitrary per-group Python — while keeping the production shape:
+
+* state is a single fixed-width tuple per symbol (bounded memory,
+  RocksDB-backed at scale; no per-event state growth),
+* each micro-batch arrives as Arrow-batched pandas frames (no per-row
+  Python), is folded into state with vectorized ops, and emits exactly one
+  row per active symbol per batch,
+* ordering within a batch is handled by explicit event_time argmin/argmax —
+  no reliance on arrival order (ST8).
+
+The same skeleton carries any custom stateful operator (gap sessionization,
+pattern detection, online variance): change the state tuple + fold.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: (first_time, open, high, low, last_time, close, volume_sum, tick_count)
+STATE_SCHEMA = (
+    "first_ts double, open double, high double, low double, "
+    "last_ts double, close double, volume_sum long, tick_count long"
+)
+
+OUTPUT_SCHEMA = (
+    "symbol string, open double, high double, low double, close double, "
+    "volume_sum long, tick_count long"
+)
+
+
+def _fold(key: Any, pdfs: Iterator["pd.DataFrame"], state: GroupState):  # noqa: F821
+    import pandas as pd
+
+    (symbol,) = key
+    if state.exists:
+        f_ts, o, h, low, l_ts, c, vol, cnt = state.get
+    else:
+        f_ts, o, h, low, l_ts, c, vol, cnt = (
+            float("inf"), None, float("-inf"), float("inf"), float("-inf"),
+            None, 0, 0,
+        )
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        ts = pdf["event_time"].astype("int64") / 1e9  # epoch seconds
+        prices = pdf["price"].astype("float64")
+        first_i, last_i = ts.idxmin(), ts.idxmax()
+        if ts[first_i] < f_ts:
+            f_ts, o = float(ts[first_i]), float(prices[first_i])
+        if ts[last_i] > l_ts:
+            l_ts, c = float(ts[last_i]), float(prices[last_i])
+        h = max(h, float(prices.max()))
+        low = min(low, float(prices.min()))
+        vol += int(pdf["volume"].fillna(0).sum())
+        cnt += len(pdf)
+    state.update((f_ts, o, h, low, l_ts, c, vol, cnt))
+    yield pd.DataFrame(
+        [
+            {
+                "symbol": symbol,
+                "open": o,
+                "high": h,
+                "low": low,
+                "close": c,
+                "volume_sum": vol,
+                "tick_count": cnt,
+            }
+        ]
+    )
+
+
+def running_bars(ticks: DataFrame) -> DataFrame:
+    """ticks stream → one running-OHLCV row per symbol per micro-batch."""
+    return ticks.groupBy("symbol").applyInPandasWithState(
+        _fold,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,61 @@
+"""Partitioned storage layout: the pruning must be visible in the plan,
+not just intended (sources/storage.py; the reference's index analog)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from stockpulse_batch_realtime_etl_spark.plans import assertions as P
+from stockpulse_batch_realtime_etl_spark.sources import storage
+from stockpulse_batch_realtime_etl_spark.sources.ticks import ticks_from_events
+
+
+@pytest.fixture(scope="module")
+def ticks_path(spark):
+    path = tempfile.mkdtemp(prefix="ticks_part_")
+    ticks = ticks_from_events(spark, "/root/testdata/sf0.001")
+    storage.write_ticks_partitioned(ticks, path)
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_symbol_predicate_prunes_partitions(spark, ticks_path):
+    df = storage.read_ticks(spark, ticks_path).filter(F.col("symbol") == "PURCHASE")
+    plan = P.formatted_plan(df)
+    assert "PartitionFilters" in plan
+    # the symbol equality must appear as a PARTITION filter (directory
+    # pruning), not a data filter evaluated per row
+    import re
+
+    (pf,) = re.findall(r"PartitionFilters: \[(.*?)\]", plan)
+    assert "symbol" in pf, plan
+
+
+def test_pruned_read_returns_same_rows_as_filter(spark, ticks_path):
+    base = ticks_from_events(spark, "/root/testdata/sf0.001")
+    expected = base.filter(F.col("symbol") == "PURCHASE").count()
+    pruned = (
+        storage.read_ticks(spark, ticks_path)
+        .filter(F.col("symbol") == "PURCHASE")
+        .count()
+    )
+    assert pruned == expected > 0
+
+
+def test_latest_ticks_over_partitioned_layout(spark, ticks_path):
+    from stockpulse_batch_realtime_etl_spark.operators import serving
+
+    df = storage.read_ticks(spark, ticks_path)
+    out = serving.latest_ticks(
+        df.select("symbol", "price", "volume", "event_time"), "purchase", 5
+    )
+    P.assert_take_ordered(out)
+    rows = out.collect()
+    assert len(rows) == 5
+    times = [r.event_time for r in rows]
+    assert times == sorted(times, reverse=True)
