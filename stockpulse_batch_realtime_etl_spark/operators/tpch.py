@@ -240,3 +240,76 @@ def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFram
         .select("c_custkey", "c_name", "c_nationkey")
         .orderBy("c_custkey")
     )
+
+
+def q6_forecast_revenue(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global aggregate — the pushdown
+    benchmark.  Every predicate reaches the parquet scan (range on
+    l_shipdate, range on l_discount, bound on l_quantity → row-group
+    min/max skipping); the aggregate is a single partial→final sum with no
+    group key, so the shuffle carries exactly one row per partition."""
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+            & (F.col("l_discount") >= disc_lo)
+            & (F.col("l_discount") <= disc_hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+def revenue_rollup(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """ROLLUP(nation, market segment): revenue at three grain levels —
+    (nation, segment), (nation), and grand total — in ONE pass.
+
+    The operator class the reference lacks entirely (SURVEY.md §2.3 notes
+    no grouping sets/cube/rollup anywhere).  Spark plans rollup as an
+    Expand (3 output rows per input) feeding one hash aggregate — still a
+    single shuffle; at scale prefer rollup over N separate aggregations
+    precisely because the scan and shuffle are shared.  Null grouping
+    columns mark the subtotal rows (SQL standard), made explicit here via
+    ``grouping_id`` so consumers don't confuse a null key with a subtotal.
+    """
+    joined = (
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        joined.rollup("n_name", "c_mktsegment")
+        .agg(
+            money_sum(_revenue()).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+            F.grouping_id().alias("grouping_level"),
+        )
+        .orderBy(
+            F.col("n_name").asc_nulls_last(),
+            F.col("c_mktsegment").asc_nulls_last(),
+        )
+    )

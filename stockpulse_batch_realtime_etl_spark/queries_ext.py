@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stockpulse_batch_realtime_etl_spark.operators import dedup, similarity, text
-from stockpulse_batch_realtime_etl_spark.queries_registry import register
+from stockpulse_batch_realtime_etl_spark.queries_registry import ORACLES, register
 from stockpulse_batch_realtime_etl_spark.sources.tables import load_table
 
 # --- shared oracle CTE fragments -------------------------------------------
@@ -377,6 +377,15 @@ def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(
         load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, 5
     )
+
+
+# Vectorized scale path: SAME oracle as ann_brute_force_topk — the numpy
+# matmul formulation must reproduce the per-pair SQL semantics exactly.
+register("ann_brute_force_topk_np", oracle=ORACLES["ann_brute_force_topk"])(
+    lambda spark, sf_dir: similarity.brute_force_topk_np(
+        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, 5
+    )
+)
 
 
 _BUCKET_SQL = " + ".join(

@@ -441,6 +441,54 @@ def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT
+  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE)
+    AS revenue,
+  count(*) AS line_count
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators import tpch
+
+    (li,) = _tables(spark, sf_dir, "lineitem")
+    return tpch.q6_forecast_revenue(li)
+
+
+@register(
+    "revenue_rollup",
+    oracle="""
+SELECT
+  n_name,
+  c_mktsegment,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+    AS revenue,
+  count(*) AS line_count,
+  grouping(n_name, c_mktsegment) AS grouping_level
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation   ON n_nationkey = c_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)
+ORDER BY n_name ASC NULLS LAST, c_mktsegment ASC NULLS LAST
+""",
+)
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators import tpch
+
+    li, ords, cust, nat = _tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation"
+    )
+    return tpch.revenue_rollup(li, ords, cust, nat)
+
+
+@register(
     "customers_without_orders",
     oracle="""
 SELECT c_custkey, c_name, c_nationkey

@@ -97,3 +97,13 @@ def test_ivf_topk_searches_own_cell_only(embeddings):
         for r in similarity.brute_force_topk(embeddings, [0], k=10).collect()
     }
     assert ivf_scores == brute_scores
+
+
+def test_brute_force_np_matches_hof_exactly(embeddings):
+    hof = sorted(
+        map(tuple, similarity.brute_force_topk(embeddings, [0, 3], k=4).collect())
+    )
+    np_ = sorted(
+        map(tuple, similarity.brute_force_topk_np(embeddings, [0, 3], k=4).collect())
+    )
+    assert hof == np_  # same doubles, same rounding, same tie-breaks
