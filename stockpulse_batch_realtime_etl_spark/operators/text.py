@@ -118,6 +118,31 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def lang_vocab(docs: DataFrame) -> DataFrame:
+    """Per-language corpus vocabulary: doc count, token occurrences, and
+    DISTINCT token count — the distinct-aggregate operator class (absent
+    from the reference, SURVEY.md §2.3).
+
+    ``count(DISTINCT token)`` plans as a two-level aggregate (Expand →
+    partial → final); at extreme cardinalities swap in
+    ``approx_count_distinct`` (HLL) — same query shape, bounded state —
+    which is asserted against the exact count in tests (not oracle-checked:
+    HLL sketches are engine-specific).
+    """
+    toks = fan_out(docs).select(
+        "lang", "doc_id", F.explode(_tokens()).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_count"),
+            F.count(F.lit(1)).alias("token_count"),
+            F.countDistinct("token").alias("vocab_size"),
+        )
+        .orderBy("lang")
+    )
+
+
 def language_id(docs: DataFrame) -> DataFrame:
     """Heuristic language ID: function-word overlap vote.
 

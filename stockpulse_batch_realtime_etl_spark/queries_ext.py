@@ -157,6 +157,27 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "lang_vocab",
+    oracle=r"""
+SELECT lang,
+       count(DISTINCT doc_id) AS doc_count,
+       count(*) AS token_count,
+       count(DISTINCT token) AS vocab_size
+FROM (
+  SELECT lang, doc_id,
+         unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+)
+WHERE token != ''
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def q_lang_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_vocab(load_table(spark, sf_dir, "documents"))
+
+
 #: quality_score consumes text_stats OUTPUT (alpha/stopword ratios already
 #: rounded 4dp there), so the oracle replays the same rounding points.
 @register(

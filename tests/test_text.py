@@ -60,3 +60,43 @@ def test_language_id_hit_counts(docs):
     assert out[1].lang_hits == 2
     # doc2: der×2, ist, nicht are de keywords → 4 hits
     assert out[2].lang_hits == 4
+
+
+def test_lang_vocab_distinct_counts(make_docs):
+    d = make_docs(
+        [
+            (1, "the cat the dog", "en", "s", 1),
+            (2, "the bird", "en", "s", 1),
+            (3, "el gato", "es", "s", 1),
+        ]
+    )
+    from stockpulse_batch_realtime_etl_spark.operators.text import lang_vocab
+
+    rows = {r.lang: r for r in lang_vocab(d).collect()}
+    en = rows["en"]
+    assert en.doc_count == 2
+    assert en.token_count == 6            # occurrences, with repeats
+    assert en.vocab_size == 4             # {the, cat, dog, bird}
+    assert rows["es"].vocab_size == 2
+
+
+def test_lang_vocab_approx_matches_exact_at_small_cardinality(spark):
+    from pyspark.sql import functions as F
+
+    from stockpulse_batch_realtime_etl_spark.operators.text import lang_vocab
+    from stockpulse_batch_realtime_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {r.lang: r.vocab_size for r in lang_vocab(docs).collect()}
+    approx = {
+        r.lang: r.approx
+        for r in (
+            docs.select("lang", F.explode(F.split(F.trim("text"), "\\s+")).alias("t"))
+            .filter(F.col("t") != "")
+            .groupBy("lang")
+            .agg(F.approx_count_distinct("t", 0.02).alias("approx"))
+            .collect()
+        )
+    }
+    for lang, v in exact.items():
+        assert abs(approx[lang] - v) / v < 0.1  # HLL within tolerance
