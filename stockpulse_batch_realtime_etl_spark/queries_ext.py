@@ -675,3 +675,41 @@ FROM documents
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.media_from_documents(load_table(spark, sf_dir, "documents"))
     return multimodal.extract_features(media)
+
+
+#: Frame sampling is the 1→N multimodal explode (one row per sampled frame).
+#: The "frames" are deterministic byte-range slices (the codec stub), so the
+#: oracle replays them with BLOB substring arithmetic and compares md5s —
+#: the pipeline shape (mapInPandas explode, binary payloads) is fully
+#: value-checked even though the real decoder is stubbed.
+@register(
+    "frame_samples",
+    oracle="""
+WITH vids AS (
+  -- DuckDB cannot slice BLOBs; the corpus is verified pure-ASCII at every
+  -- sf, so VARCHAR substring replays the Spark side's byte slicing exactly
+  SELECT doc_id AS asset_id, text AS payload,
+         greatest(1, octet_length(encode(text)) // 4) AS step
+  FROM documents WHERE doc_id % 3 = 2
+),
+frames AS (
+  SELECT asset_id, i AS frame_idx,
+         substring(payload, CAST(i * step + 1 AS BIGINT), CAST(step AS BIGINT))
+           AS frame_bytes
+  FROM vids, (SELECT unnest(generate_series(0, 3)) AS i)
+)
+SELECT asset_id, frame_idx,
+       md5(frame_bytes) AS frame_md5,
+       octet_length(encode(frame_bytes)) AS frame_len
+FROM frames
+""",
+)
+def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.media_from_documents(load_table(spark, sf_dir, "documents"))
+    frames = multimodal.sample_frames(media, 4)
+    return frames.select(
+        "asset_id",
+        "frame_idx",
+        F.md5("frame_bytes").alias("frame_md5"),
+        F.length("frame_bytes").cast("long").alias("frame_len"),
+    )

@@ -149,3 +149,24 @@ def test_upsert_batch_unit_idempotent(spark, tmp_path):
     job.upsert_bars_batch(df2, table)
     row = spark.read.parquet(table).collect()[0]
     assert row.close == 9.9 and spark.read.parquet(table).count() == 1
+
+
+def test_upsert_writes_audit_row(spark, tmp_path):
+    """ST1 parity artifact: each micro-batch records an etl_runs-shaped audit
+    row (source, records_processed, status, started_at, completed_at —
+    init.sql:41-48) when audit_path is given."""
+    import datetime as dt
+
+    bars = spark.createDataFrame(
+        [("AAPL", dt.datetime(2024, 1, 15, 12, 5), 1.0, 2.0, 0.5, 1.5, 100, 3)],
+        "symbol string, bucket_start timestamp, open double, high double, "
+        "low double, close double, volume_sum long, tick_count long",
+    )
+    table = str(tmp_path / "bars")
+    audit = str(tmp_path / "audit")
+    job.upsert_bars_batch(bars, table, audit_path=audit)
+    (row,) = spark.read.parquet(audit).collect()
+    assert row.source == "aggregator"
+    assert row.records_processed == 1
+    assert row.status == "complete"
+    assert row.completed_at >= row.started_at
