@@ -118,6 +118,31 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+#: BPE-style pre-tokenization pattern (the GPT-2 shape, simplified to the
+#: regex intersection of Java (Spark) and RE2 (DuckDB, no lookaheads):
+#: letter runs, digit runs, punctuation runs — each with optional leading
+#: space kept, BPE-style.
+BPE_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def bpe_token_counts(docs: DataFrame) -> DataFrame:
+    """Corpus frequency under BPE-ish regex pre-tokenization — the token
+    accounting an LLM-data pipeline actually runs (whitespace counting is
+    ``token_counts``).  ``regexp_extract_all`` keeps tokenization JVM-side;
+    explode + count with map-side combine as usual."""
+    return (
+        fan_out(docs)
+        .select(
+            F.explode(
+                F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+    )
+
+
 def lang_vocab(docs: DataFrame) -> DataFrame:
     """Per-language corpus vocabulary: doc count, token occurrences, and
     DISTINCT token count — the distinct-aggregate operator class (absent

@@ -158,6 +158,22 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_token_counts",
+    oracle=rf"""
+SELECT token, count(*) AS freq
+FROM (
+  SELECT unnest(regexp_extract_all(text, '{text.BPE_PATTERN}', 0)) AS token
+  FROM documents
+)
+GROUP BY token
+ORDER BY freq DESC, token ASC
+""",
+)
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bpe_token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "lang_vocab",
     oracle=r"""
 SELECT lang,

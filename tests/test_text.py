@@ -100,3 +100,20 @@ def test_lang_vocab_approx_matches_exact_at_small_cardinality(spark):
     }
     for lang, v in exact.items():
         assert abs(approx[lang] - v) / v < 0.1  # HLL within tolerance
+
+
+def test_bpe_token_counts_splits_punct_and_digits(make_docs):
+    from stockpulse_batch_realtime_etl_spark.operators.text import bpe_token_counts
+
+    d = make_docs([(1, "don't stop 42 times!", "en", "s", 1)])
+    toks = {r.token: r.freq for r in bpe_token_counts(d).collect()}
+    # letter runs, digit runs, punctuation runs — leading space retained
+    assert toks == {
+        "don": 1,
+        "'": 1,
+        "t": 1,
+        " stop": 1,
+        " 42": 1,
+        " times": 1,
+        "!": 1,
+    }
