@@ -168,7 +168,11 @@ def lsh_candidate_pairs(
 # --- exact n-gram Jaccard ---------------------------------------------------
 
 def jaccard_pairs(
-    docs: DataFrame, n: int = 3, min_jaccard: float = 0.0, k: int | None = None
+    docs: DataFrame,
+    n: int = 3,
+    min_jaccard: float = 0.0,
+    k: int | None = None,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard for every doc pair sharing ≥1 shingle.
 
@@ -185,7 +189,21 @@ def jaccard_pairs(
     """
     sh = shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a, b = sh.alias("a"), sh.alias("b")
+    join_side = sh
+    if df_cap is not None:
+        # Drop stop-grams from the JOIN side only: a shingle in > df_cap docs
+        # contributes df² candidate pairs for near-zero Jaccard signal.
+        # |A|,|B| (sizes) stay uncapped so reported Jaccard for surviving
+        # pairs is a strict LOWER bound of the true value (intersection may
+        # be undercounted, never overcounted) — the standard trade.
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("shingle")
+        )
+        join_side = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a, b = join_side.alias("a"), join_side.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))

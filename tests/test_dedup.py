@@ -102,3 +102,15 @@ def test_simhash_near_dups_band_recall_guarantee(make_docs):
         assert (1, 2) in found
     else:  # still must not FALSELY report within-threshold
         assert (1, 2) not in found
+
+
+def test_jaccard_df_cap_drops_stop_grams(make_docs):
+    # "a b c" appears in ALL four docs (a stop-gram); each pair also shares
+    # nothing else.  With df_cap=3 the hot shingle is dropped from the join
+    # side → no candidate pairs survive; without it every pair matches.
+    rows = [doc(i, f"a b c x{i} y{i}") for i in range(1, 5)]
+    d = make_docs(rows)
+    uncapped = dedup.jaccard_pairs(d, 3).collect()
+    assert len(uncapped) == 6  # all C(4,2) pairs share the hot shingle
+    capped = dedup.jaccard_pairs(d, 3, df_cap=3).collect()
+    assert capped == []
