@@ -116,3 +116,36 @@ def test_fan_out_noop_when_already_parallel(spark):
     assert fan_out(narrow).rdd.getNumPartitions() == (
         spark.sparkContext.defaultParallelism
     )
+
+
+def test_asof_join_is_single_shuffle_no_range_explosion(spark, ticks):
+    from stockpulse_batch_realtime_etl_spark.operators.asof import asof_join
+    from stockpulse_batch_realtime_etl_spark.operators.ohlcv import ohlcv_bars
+
+    bars = ohlcv_bars(ticks).select("symbol", "bucket_start", "close")
+    df = asof_join(ticks, bars, "symbol", "event_time", "bucket_start", ["close"])
+    plan = P.simple_plan(df)
+    # union + window, never a join operator (no BNLJ/cartesian range blowup)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "Window" in plan and "Union" in plan
+
+
+def test_rollup_is_expand_plus_one_aggregate(spark):
+    from stockpulse_batch_realtime_etl_spark.operators import tpch
+
+    li, ords, cust, nat = (
+        load_table(spark, SF, n) for n in ("lineitem", "orders", "customer", "nation")
+    )
+    df = tpch.revenue_rollup(li, ords, cust, nat)
+    plan = P.simple_plan(df)
+    assert "Expand" in plan
+    P.assert_broadcast_join(df, min_count=2)  # customer + nation broadcast
+
+
+def test_ivf_no_cartesian_and_codegen(spark):
+    from stockpulse_batch_realtime_etl_spark.operators import similarity
+
+    emb = load_table(spark, SF, "embeddings")
+    df = similarity.ivf_topk(emb, list(range(4)), 3, 4)
+    P.assert_no_cartesian(df)
+    P.assert_whole_stage_codegen(df)
