@@ -241,6 +241,22 @@ def q_latest_tick_per_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "price_cardinality",
+    oracle=f"""
+{TICKS_CTE}
+SELECT symbol, count(DISTINCT price) AS distinct_count
+FROM ticks GROUP BY symbol ORDER BY symbol
+""",
+)
+def q_price_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators.skew import (
+        salted_distinct_count,
+    )
+
+    return salted_distinct_count(ticks_from_events(spark, sf_dir), "symbol", "price")
+
+
+@register(
     "rolling_stats",
     oracle=f"""
 {TICKS_CTE}
