@@ -71,3 +71,61 @@ def ohlcv_bars_in_range(
     predicate → parquet row-group pruning at scale."""
     c = F.col("event_time")
     return ohlcv_bars(ticks.filter((c >= F.lit(from_time)) & (c < F.lit(to_time))))
+
+
+def sliding_bars(
+    ticks: DataFrame, length_minutes: int = 5, slide_minutes: int = 1
+) -> DataFrame:
+    """Sliding-window OHLCV: a ``length``-minute bar every ``slide`` minutes
+    (the smoothed chart view; the reference has tumbling only, SURVEY.md ST5).
+
+    ``F.window(ts, length, slide)`` assigns each tick to length/slide
+    windows via an internal generator (an explode of window starts) feeding
+    the SAME single hash aggregate as tumbling bars — no self-join, no
+    re-scan per offset.  Data volume into the shuffle multiplies by
+    length/slide: at scale prefer computing tumbling slide-sized panes and
+    merging (pane open/close are min_by/max_by-combinable), which is what
+    Spark's streaming slide implementation effectively does.
+    """
+    w = F.window("event_time", f"{length_minutes} minutes", f"{slide_minutes} minutes")
+    return (
+        ticks.groupBy(F.col("symbol"), w.alias("w"))
+        .agg(*bar_agg_exprs())
+        .select(
+            "symbol",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume_sum",
+            "tick_count",
+        )
+    )
+
+
+def session_bars(ticks: DataFrame, gap_minutes: int = 5) -> DataFrame:
+    """Session-window OHLCV: per-symbol activity bursts separated by ≥ gap
+    of silence (the third window class; absent from the reference).
+
+    ``F.session_window`` is a keyed sort + running merge under the hood —
+    one shuffle on symbol.  The oracle replays it with the classic
+    gaps-and-islands SQL (lag + cumulative sum of gap-breaks), proving the
+    semantics match the relational definition exactly.
+    """
+    w = F.session_window("event_time", f"{gap_minutes} minutes")
+    return (
+        ticks.groupBy(F.col("symbol"), w.alias("w"))
+        .agg(*bar_agg_exprs())
+        .select(
+            "symbol",
+            F.col("w.start").alias("session_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume_sum",
+            "tick_count",
+        )
+    )

@@ -241,6 +241,75 @@ def q_latest_tick_per_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sliding_bars",
+    oracle=f"""
+{TICKS_CTE},
+assigned AS (
+  SELECT t.*,
+         date_trunc('minute', event_time) - k.k * INTERVAL 1 MINUTE
+           AS window_start
+  FROM ticks t, (SELECT unnest(generate_series(0, 4)) AS k) k
+)
+SELECT
+  symbol,
+  window_start,
+  window_start + INTERVAL 5 MINUTE AS window_end,
+  arg_min(price, event_time) AS open,
+  max(price) AS high,
+  min(price) AS low,
+  arg_max(price, event_time) AS close,
+  sum(coalesce(volume, 0)) AS volume_sum,
+  count(*) AS tick_count
+FROM assigned
+GROUP BY symbol, window_start
+""",
+)
+def q_sliding_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators.ohlcv import sliding_bars
+
+    return sliding_bars(ticks_from_events(spark, sf_dir), 5, 1)
+
+
+@register(
+    "session_bars",
+    oracle=f"""
+{TICKS_CTE},
+ordered AS (
+  -- Spark session_window merges at EXACTLY the gap (t2 - t1 <= gap stays
+  -- one session), so a new session starts only when the silence EXCEEDS it
+  SELECT *,
+         CASE WHEN lag(event_time) OVER w IS NULL
+                OR event_time - lag(event_time) OVER w > INTERVAL 5 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM ticks
+  WINDOW w AS (PARTITION BY symbol ORDER BY event_time)
+),
+sess AS (
+  SELECT *,
+         sum(brk) OVER (PARTITION BY symbol ORDER BY event_time
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+)
+SELECT
+  symbol,
+  min(event_time) AS session_start,
+  arg_min(price, event_time) AS open,
+  max(price) AS high,
+  min(price) AS low,
+  arg_max(price, event_time) AS close,
+  sum(coalesce(volume, 0)) AS volume_sum,
+  count(*) AS tick_count
+FROM sess
+GROUP BY symbol, sid
+""",
+)
+def q_session_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators.ohlcv import session_bars
+
+    return session_bars(ticks_from_events(spark, sf_dir), 5)
+
+
+@register(
     "price_cardinality",
     oracle=f"""
 {TICKS_CTE}

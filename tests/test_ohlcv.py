@@ -93,3 +93,37 @@ def test_hourly_rollup_bucket(make_ticks):
     )
     bars = ohlcv_bars(df, bucket="1 hour").collect()
     assert len(bars) == 1 and bars[0].tick_count == 2
+
+
+def test_sliding_bars_tick_joins_five_windows(make_ticks):
+    from stockpulse_batch_realtime_etl_spark.operators.ohlcv import sliding_bars
+
+    t = make_ticks([("AAPL", 10.0, 1, ts(10, 30))])
+    rows = sliding_bars(t, 5, 1).collect()
+    # one tick at 12:10:30 → member of windows starting 12:06 .. 12:10
+    starts = sorted(str(r.window_start) for r in rows)
+    assert len(rows) == 5
+    assert starts[0].endswith("12:06:00") and starts[-1].endswith("12:10:00")
+    assert all(r.open == r.close == 10.0 and r.tick_count == 1 for r in rows)
+
+
+def test_session_bars_split_exactly_at_gap(make_ticks):
+    from stockpulse_batch_realtime_etl_spark.operators.ohlcv import session_bars
+
+    t = make_ticks(
+        [
+            ("AAPL", 1.0, 1, ts(0)),
+            ("AAPL", 2.0, 1, ts(5)),       # exactly 5 min gap → still MERGES
+            ("AAPL", 3.0, 1, ts(10, 1)),   # 5min1s > gap → NEW session
+            ("MSFT", 9.0, 1, ts(0)),
+        ]
+    )
+    rows = sorted(
+        session_bars(t, 5).collect(), key=lambda r: (r.symbol, r.session_start)
+    )
+    aapl = [r for r in rows if r.symbol == "AAPL"]
+    assert len(aapl) == 2
+    assert aapl[0].tick_count == 2 and aapl[0].open == 1.0 and aapl[0].close == 2.0
+    assert aapl[1].tick_count == 1 and aapl[1].open == 3.0
+    msft = [r for r in rows if r.symbol == "MSFT"]
+    assert len(msft) == 1
