@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stockpulse_batch_realtime_etl_spark.sources.tables import load_table
+from stockpulse_batch_realtime_etl_spark.sources.tables import fan_out, load_table
 
 #: SQL fragment used verbatim in DuckDB oracles (keep in sync with
 #: ``ticks_from_events``).
@@ -111,8 +111,13 @@ FROM events
 
 def raw_json_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kafka-shaped raw records (value/topic/partition/offset) built from
-    ``events`` — the batch stand-in for the reference's tick topic."""
-    ev = load_table(spark, sf_dir, "events")
+    ``events`` — the batch stand-in for the reference's tick topic.
+
+    ``fan_out`` before the JSON-build: everything downstream of this corpus
+    (string concat here, ``from_json`` + the validity split in dlq.py) is
+    per-row compute pipelined onto the scan, and the driver's single-row-group
+    parquet would otherwise run it all in one task."""
+    ev = fan_out(load_table(spark, sf_dir, "events"))
     sym = F.upper(F.col("event_type"))
     valid = F.concat(
         F.lit('{"symbol": "'), sym,

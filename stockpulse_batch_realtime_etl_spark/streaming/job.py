@@ -104,10 +104,12 @@ def upsert_bars_batch(
     batch = batch.withColumn("bucket_date", F.to_date("bucket_start"))
     batch.persist()
     try:
-        n = batch.count()
+        # one job yields both the row count and the touched partition list
+        per_date = batch.groupBy("bucket_date").count().collect()
+        n = sum(r["count"] for r in per_date)
         if n == 0:
             return
-        dates = [r[0] for r in batch.select("bucket_date").distinct().collect()]
+        dates = [r["bucket_date"] for r in per_date]
         from pyspark.errors import AnalysisException
 
         try:
@@ -192,6 +194,27 @@ def run_pipeline_available_now(
 
     from stockpulse_batch_realtime_etl_spark.sources.ticks import raw_json_corpus
 
+    # Bounded backfill with bounded state (one window row per (symbol, minute)
+    # in the corpus) → the memory-backed store beats RocksDB, whose per-batch
+    # per-partition instance open/commit overhead only pays off when state
+    # outgrows the executor heap.  The session default (RocksDB) still governs
+    # continuous production streams started via start_bar_aggregation.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider",
+    )
+    # State partitions are fixed at the stream's FIRST batch from
+    # spark.sql.shuffle.partitions; each carries per-batch store open/commit
+    # overhead.  Size to the corpus (tens of MB) instead of inheriting the
+    # cluster-wide default — a production deployment sizes this to state
+    # volume the same way.
+    shuffle_key = "spark.sql.shuffle.partitions"
+    prev_shuffle = spark.conf.get(shuffle_key, None)
+    spark.conf.set(shuffle_key, "8")
+
     if base_dir is None:
         import hashlib
 
@@ -202,16 +225,25 @@ def run_pipeline_available_now(
     bars_dir = os.path.join(base_dir, "bars")
     ckpt = os.path.join(base_dir, "ckpt")
 
-    (
-        raw_json_corpus(spark, sf_dir)
-        .select("value")
-        .coalesce(8)
-        .write.mode("overwrite")
-        .text(raw_dir)
-    )
-    ticks, _failed = tick_stream_from_raw(raw_json_stream(spark, raw_dir))
-    q = start_bar_aggregation(ticks, bars_dir, ckpt, available_now=True)
-    q.awaitTermination()
+    try:
+        (
+            raw_json_corpus(spark, sf_dir)
+            .select("value")
+            .write.mode("overwrite")
+            .text(raw_dir)
+        )
+        ticks, _failed = tick_stream_from_raw(raw_json_stream(spark, raw_dir))
+        q = start_bar_aggregation(ticks, bars_dir, ckpt, available_now=True)
+        q.awaitTermination()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+        if prev_shuffle is None:
+            spark.conf.unset(shuffle_key)
+        else:
+            spark.conf.set(shuffle_key, prev_shuffle)
     return spark.read.parquet(bars_dir).select(
         "symbol",
         "bucket_start",
