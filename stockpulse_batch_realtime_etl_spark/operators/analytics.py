@@ -1,0 +1,284 @@
+"""Market-analytics operator classes beyond the reference's API surface:
+volume-weighted pricing, time-range window frames, deterministic statistical
+aggregates, per-group top-k, pivot, and relational set operations.
+
+The reference's analytics stop at the serving queries (SURVEY.md §2.10) —
+min/max/avg summaries and a join-based movers ranking.  This module supplies
+the operator classes a quant/analytics user reaches for next, each expressed
+as a declarative single-pass plan so Catalyst keeps partial aggregation,
+pushdown, and whole-stage codegen:
+
+* ``vwap_bars``        — weighted-average aggregate (sum ratios)
+* ``time_range_stats`` — RANGE-BETWEEN-INTERVAL window frames (event-time
+  based frames, robust to irregular tick spacing, vs rolling.py's ROWS)
+* ``stats_summary``    — variance / correlation via exact decimal moments
+* ``top_bars_per_day`` — windowed top-k per group (rank ≤ k)
+* ``hourly_symbol_pivot`` — pivot (wide conditional aggregation)
+* ``notable_days``     — UNION / INTERSECT / EXCEPT over derived sets
+
+Determinism contract (tools/check_parity.py hashes values): every floating
+aggregate either sums exactly in DECIMAL before one final double cast
+(tpch.money_sum pattern) or is a min/max/count; derived arithmetic uses the
+SAME expression shape as the oracle so IEEE doubles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stockpulse_batch_realtime_etl_spark.operators.tpch import money_sum
+
+
+def vwap_bars(ticks: DataFrame, bucket: str = "1 minute") -> DataFrame:
+    """Per (symbol, bucket): volume-weighted average price + participation.
+
+    One hash aggregate (identical plan shape to the flagship OHLCV bars —
+    partial/final, single shuffle).  The ``price·volume`` turnover sums in
+    DECIMAL(25,6) so the result is independent of partitioning; zero traded
+    volume ⇒ NULL vwap (division guard, reference F4 pattern).
+    """
+    w = F.window("event_time", bucket)
+    vol = F.coalesce(F.col("volume"), F.lit(0))
+    return (
+        ticks.groupBy(F.col("symbol"), w.alias("w"))
+        .agg(
+            money_sum(F.col("price") * vol).alias("turnover"),
+            F.sum(vol).alias("volume_sum"),
+            F.count(F.lit(1)).alias("tick_count"),
+        )
+        .select(
+            "symbol",
+            F.col("w.start").alias("bucket_start"),
+            F.round(
+                F.when(
+                    F.col("volume_sum") > 0,
+                    F.col("turnover") / F.col("volume_sum"),
+                ),
+                6,
+            ).alias("vwap"),
+            F.round("turnover", 4).alias("turnover"),
+            "volume_sum",
+            "tick_count",
+        )
+    )
+
+
+def time_range_stats(ticks: DataFrame, minutes: int = 10) -> DataFrame:
+    """Per tick: mean price / tick count / traded volume over the PRECEDING
+    ``minutes`` of event time (current row inclusive) — a RANGE frame keyed
+    by the timestamp itself.
+
+    Why RANGE and not ROWS (rolling.py): with irregular tick arrival a
+    row-count frame spans a variable wall-clock horizon; a time-range frame
+    is the semantics "last 10 minutes" actually means.  Frames over
+    timestamp ORDER BY treat equal-timestamp rows as peers — every peer
+    sees the same frame — so the result is deterministic without any
+    tie-break column.
+
+    Scale: one shuffle on symbol, one sort, one running two-pointer pass
+    per partition (Spark evaluates bounded RANGE frames incrementally, not
+    per-row rescans).  The mean divides two exact sums, so no float-order
+    noise exists for the oracle to disagree with.
+    """
+    frame = (
+        f"PARTITION BY symbol ORDER BY event_time "
+        f"RANGE BETWEEN INTERVAL {minutes} MINUTES PRECEDING AND CURRENT ROW"
+    )
+    return ticks.select(
+        "symbol",
+        "event_time",
+        "price",
+        F.round(
+            F.expr(f"sum(cast(price AS DECIMAL(25,6))) OVER ({frame})").cast(
+                "double"
+            )
+            / F.expr(f"count(price) OVER ({frame})"),
+            6,
+        ).alias("range_avg_price"),
+        F.expr(f"count(*) OVER ({frame})").alias("range_tick_count"),
+        F.expr(
+            f"sum(coalesce(volume, 0)) OVER ({frame})"
+        ).alias("range_volume_sum"),
+    )
+
+
+def _moments(x: Column, y: Column) -> list[Column]:
+    """Exact decimal power sums — the partial-aggregatable core of every
+    second-order statistic.  DECIMAL(38,6) sums are associative and
+    commutative, so the derived stats are identical under any partitioning
+    (and bit-identical to an oracle computing the same shape)."""
+    dec = "decimal(38,6)"
+    return [
+        F.count(x).alias("n"),
+        F.sum(x.cast(dec)).cast("double").alias("sx"),
+        F.sum((x * x).cast(dec)).cast("double").alias("sxx"),
+        F.count(F.when(y.isNotNull(), x)).alias("np"),
+        F.sum(F.when(y.isNotNull(), x).cast(dec)).cast("double").alias("px"),
+        F.sum(y.cast(dec)).cast("double").alias("py"),
+        F.sum((F.when(y.isNotNull(), x) * F.when(y.isNotNull(), x)).cast(dec))
+        .cast("double")
+        .alias("pxx"),
+        F.sum((y * y).cast(dec)).cast("double").alias("pyy"),
+        F.sum((x * y).cast(dec)).cast("double").alias("pxy"),
+    ]
+
+
+def stats_summary(ticks: DataFrame) -> DataFrame:
+    """Per symbol: price variance/stddev, price-volume covariance and
+    correlation, and exact interpolated percentiles.
+
+    Built-in ``stddev``/``corr`` stream Welford-style updates whose float
+    error depends on partition boundaries — correct, but not reproducible
+    across engines or even two runs with different partitioning.  Instead:
+    exact DECIMAL power sums (one hash aggregate, fully map-side
+    combinable), then textbook closed forms in double — deterministic at
+    any parallelism.  Pair stats (covar/corr) use only rows where volume is
+    present, matching SQL null-pair semantics.
+
+    ``percentile`` is Spark's exact linear-interpolation aggregate
+    (= DuckDB ``quantile_cont``); at 100 TB swap for ``approx_percentile``
+    — same plan shape, bounded state.
+    """
+    x, y = F.col("price"), F.col("volume").cast("double")
+    pcts = F.expr("percentile(price, array(0.5D, 0.9D, 0.99D))")
+    m = (
+        ticks.groupBy("symbol")
+        .agg(*_moments(x, y), pcts.alias("pct"))
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    np_, px, py = F.col("np"), F.col("px"), F.col("py")
+    pxx, pyy, pxy = F.col("pxx"), F.col("pyy"), F.col("pxy")
+    var = (sxx - sx * sx / n) / (n - 1)
+    covar = (pxy - px * py / np_) / (np_ - 1)
+    corr = (np_ * pxy - px * py) / F.sqrt(
+        (np_ * pxx - px * px) * (np_ * pyy - py * py)
+    )
+    return m.select(
+        "symbol",
+        n.alias("tick_count"),
+        F.round(sx / n, 6).alias("mean_price"),
+        F.round(var, 6).alias("var_price"),
+        F.round(F.sqrt(var), 6).alias("stddev_price"),
+        F.round(covar, 4).alias("covar_price_volume"),
+        F.round(corr, 6).alias("corr_price_volume"),
+        F.round(F.col("pct")[0], 6).alias("p50_price"),
+        F.round(F.col("pct")[1], 6).alias("p90_price"),
+        F.round(F.col("pct")[2], 6).alias("p99_price"),
+    ).orderBy("symbol")
+
+
+def top_bars_per_day(bars: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k bars per trading day by traded volume — windowed top-k per
+    group (the reference's movers ranking is a GLOBAL top-k, O2; this is the
+    grouped generalization).
+
+    ``row_number`` over (day DESC-volume) then ``rank <= k``: one shuffle on
+    day, one sort per partition, early-out after k rows per group under
+    codegen.  Deterministic total order: ties broken by (symbol,
+    bucket_start).  At scale, skewed days are handled by AQE; for extreme k
+    ≪ group size a partial per-partition top-k pre-prune (groupBy day +
+    min_by heap) drops shuffle volume — unnecessary at k=3.
+    """
+    w = Window.partitionBy("day").orderBy(
+        F.col("volume_sum").desc(), F.col("symbol"), F.col("bucket_start")
+    )
+    return (
+        bars.withColumn("day", F.to_date("bucket_start"))
+        .withColumn("day_rank", F.row_number().over(w))
+        .filter(F.col("day_rank") <= k)
+        .select("day", "day_rank", "symbol", "bucket_start", "volume_sum")
+    )
+
+
+#: The driver corpus's full symbol set (upper(event_type), stable across all
+#: provided scale factors).  Pivot REQUIRES a static value list on both the
+#: Spark side (fixed output schema, single-pass plan — no extra distinct-scan
+#: job) and the oracle side (SQL columns are static).
+PIVOT_SYMBOLS = ("CLICK", "ERROR", "PURCHASE", "SIGNUP", "VIEW")
+
+
+def hourly_symbol_pivot(ticks: DataFrame) -> DataFrame:
+    """Tick count per (hour-of-day × symbol), symbols as columns — pivot.
+
+    With explicit values ``pivot`` compiles to ONE hash aggregate of
+    conditional counts (no distinct-values pre-job, no second shuffle): the
+    same plan a hand-written ``count(CASE WHEN …)`` list produces, which is
+    exactly how the oracle states it.
+    """
+    return (
+        ticks.withColumn("hour_of_day", F.hour("event_time"))
+        .groupBy("hour_of_day")
+        .pivot("symbol", list(PIVOT_SYMBOLS))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(PIVOT_SYMBOLS))
+        .orderBy("hour_of_day")
+    )
+
+
+def daily_symbol_stats(ticks: DataFrame) -> DataFrame:
+    """Shared input for ``notable_days``: per (symbol, day) intraday range
+    ratio and traded volume."""
+    return (
+        ticks.withColumn("day", F.to_date("event_time"))
+        .groupBy("symbol", "day")
+        .agg(
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.sum(F.coalesce(F.col("volume"), F.lit(0))).alias("volume_sum"),
+        )
+        .select(
+            "symbol",
+            "day",
+            # F4 guard (NULLIF pattern): a zero low (prices can touch 0 in
+            # the corpus) would divide-by-zero under ANSI mode; NULL ratio
+            # days drop out of the volatile set and its mean.
+            F.when(
+                F.col("low") != 0,
+                (F.col("high") - F.col("low")) / F.col("low"),
+            ).alias("range_ratio"),
+            "volume_sum",
+        )
+    )
+
+
+def notable_days(ticks: DataFrame) -> DataFrame:
+    """Relational set operations over derived day sets (a class the
+    reference lacks entirely — SURVEY.md §2.6 records "none").
+
+    volatile := days whose intraday range ratio exceeds the corpus mean;
+    heavy    := days whose traded volume exceeds the corpus mean.
+    Result   := ('volatile_only', volatile EXCEPT heavy)
+              ∪ ('both',          volatile INTERSECT heavy)   (UNION ALL)
+
+    Thresholds are scalar subqueries (corpus means), so the query is
+    self-scaling — no magic constants that break at a different sf.  Spark
+    plans the scalar as a one-row broadcast; EXCEPT/INTERSECT become hash
+    left-anti / left-semi aggregates over the (already tiny) day sets.
+    """
+    daily = daily_symbol_stats(ticks)
+    # mean_rr sums exactly in decimal first: a float-ordered avg could move
+    # the threshold by an ulp and flip a borderline day between engines.
+    # mean_vol's integer sums are exact in double below 2^53 on both sides.
+    means = daily.agg(
+        (
+            F.sum(F.col("range_ratio").cast("decimal(38,12)")).cast("double")
+            / F.count("range_ratio")
+        ).alias("mean_rr"),
+        F.avg("volume_sum").alias("mean_vol"),
+    )
+    with_means = daily.join(F.broadcast(means))
+    volatile = with_means.filter(F.col("range_ratio") > F.col("mean_rr")).select(
+        "symbol", "day"
+    )
+    heavy = with_means.filter(F.col("volume_sum") > F.col("mean_vol")).select(
+        "symbol", "day"
+    )
+    tagged_only = volatile.exceptAll(heavy).select(
+        F.lit("volatile_only").alias("tag"), "symbol", "day"
+    )
+    tagged_both = volatile.intersect(heavy).select(
+        F.lit("both").alias("tag"), "symbol", "day"
+    )
+    return tagged_only.unionAll(tagged_both).orderBy("tag", "symbol", "day")

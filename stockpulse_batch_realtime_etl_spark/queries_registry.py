@@ -589,6 +589,197 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tpch.customers_without_orders(cust, ords)
 
 
+
+# --- analytics extensions: VWAP, range frames, stats, top-k, pivot, set ops -
+
+@register(
+    "vwap_bars",
+    oracle=f"""
+{TICKS_CTE}
+SELECT
+  symbol,
+  date_trunc('minute', event_time) AS bucket_start,
+  round(CASE WHEN sum(coalesce(volume, 0)) > 0 THEN
+    CAST(sum(CAST(price * coalesce(volume, 0) AS DECIMAL(25,6))) AS DOUBLE)
+      / sum(coalesce(volume, 0)) END, 6) AS vwap,
+  round(CAST(sum(CAST(price * coalesce(volume, 0) AS DECIMAL(25,6)))
+        AS DOUBLE), 4) AS turnover,
+  sum(coalesce(volume, 0)) AS volume_sum,
+  count(*) AS tick_count
+FROM ticks
+GROUP BY symbol, date_trunc('minute', event_time)
+""",
+)
+def q_vwap_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import vwap_bars
+
+    return vwap_bars(ticks_from_events(spark, sf_dir))
+
+
+@register(
+    "time_range_stats",
+    oracle=f"""
+{TICKS_CTE}
+SELECT
+  symbol,
+  event_time,
+  price,
+  round(CAST(sum(CAST(price AS DECIMAL(25,6))) OVER w AS DOUBLE)
+        / count(price) OVER w, 6) AS range_avg_price,
+  count(*) OVER w AS range_tick_count,
+  sum(coalesce(volume, 0)) OVER w AS range_volume_sum
+FROM ticks
+WINDOW w AS (PARTITION BY symbol ORDER BY event_time
+             RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)
+""",
+)
+def q_time_range_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        time_range_stats,
+    )
+
+    return time_range_stats(ticks_from_events(spark, sf_dir), 10)
+
+
+@register(
+    "stats_summary",
+    oracle=f"""
+{TICKS_CTE},
+m AS (
+  SELECT
+    symbol,
+    count(price) AS n,
+    CAST(sum(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(price * price AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+    count(CASE WHEN volume IS NOT NULL THEN price END) AS np,
+    CAST(sum(CASE WHEN volume IS NOT NULL
+             THEN CAST(price AS DECIMAL(38,6)) END) AS DOUBLE) AS px,
+    CAST(sum(CAST(CAST(volume AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS py,
+    CAST(sum(CASE WHEN volume IS NOT NULL THEN CAST(price * price
+             AS DECIMAL(38,6)) END) AS DOUBLE) AS pxx,
+    CAST(sum(CAST(CAST(volume AS DOUBLE) * CAST(volume AS DOUBLE)
+             AS DECIMAL(38,6))) AS DOUBLE) AS pyy,
+    CAST(sum(CAST(price * CAST(volume AS DOUBLE) AS DECIMAL(38,6)))
+         AS DOUBLE) AS pxy,
+    quantile_cont(price, 0.5) AS q50,
+    quantile_cont(price, 0.9) AS q90,
+    quantile_cont(price, 0.99) AS q99
+  FROM ticks GROUP BY symbol
+)
+SELECT
+  symbol,
+  n AS tick_count,
+  round(sx / n, 6) AS mean_price,
+  round((sxx - sx * sx / n) / (n - 1), 6) AS var_price,
+  round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_price,
+  round((pxy - px * py / np) / (np - 1), 4) AS covar_price_volume,
+  round((np * pxy - px * py)
+        / sqrt((np * pxx - px * px) * (np * pyy - py * py)), 6)
+    AS corr_price_volume,
+  round(q50, 6) AS p50_price,
+  round(q90, 6) AS p90_price,
+  round(q99, 6) AS p99_price
+FROM m
+ORDER BY symbol
+""",
+)
+def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import stats_summary
+
+    return stats_summary(ticks_from_events(spark, sf_dir))
+
+
+@register(
+    "top_bars_per_day",
+    oracle=f"""
+{BARS_CTE},
+ranked AS (
+  SELECT
+    CAST(bucket_start AS DATE) AS day,
+    row_number() OVER (PARTITION BY CAST(bucket_start AS DATE)
+                       ORDER BY volume_sum DESC, symbol, bucket_start)
+      AS day_rank,
+    symbol,
+    bucket_start,
+    volume_sum
+  FROM bars
+)
+SELECT day, day_rank, symbol, bucket_start, volume_sum
+FROM ranked WHERE day_rank <= 3
+""",
+)
+def q_top_bars_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        top_bars_per_day,
+    )
+    from stockpulse_batch_realtime_etl_spark.operators.ohlcv import ohlcv_bars
+
+    return top_bars_per_day(ohlcv_bars(ticks_from_events(spark, sf_dir)), 3)
+
+
+@register(
+    "hourly_symbol_pivot",
+    oracle=f"""
+{TICKS_CTE}
+SELECT
+  hour(event_time) AS hour_of_day,
+  count(*) FILTER (symbol = 'CLICK') AS "CLICK",
+  count(*) FILTER (symbol = 'ERROR') AS "ERROR",
+  count(*) FILTER (symbol = 'PURCHASE') AS "PURCHASE",
+  count(*) FILTER (symbol = 'SIGNUP') AS "SIGNUP",
+  count(*) FILTER (symbol = 'VIEW') AS "VIEW"
+FROM ticks
+GROUP BY hour(event_time)
+""",
+)
+def q_hourly_symbol_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        hourly_symbol_pivot,
+    )
+
+    return hourly_symbol_pivot(ticks_from_events(spark, sf_dir))
+
+
+@register(
+    "notable_days",
+    oracle=f"""
+{TICKS_CTE},
+daily AS (
+  SELECT
+    symbol,
+    CAST(event_time AS DATE) AS day,
+    CASE WHEN min(price) <> 0
+         THEN (max(price) - min(price)) / min(price) END AS range_ratio,
+    sum(coalesce(volume, 0)) AS volume_sum
+  FROM ticks GROUP BY symbol, CAST(event_time AS DATE)
+),
+means AS (
+  SELECT
+    CAST(sum(CAST(range_ratio AS DECIMAL(38,12))) AS DOUBLE)
+      / count(range_ratio) AS mean_rr,
+    avg(volume_sum) AS mean_vol
+  FROM daily
+),
+volatile AS (
+  SELECT symbol, day FROM daily, means WHERE range_ratio > mean_rr
+),
+heavy AS (
+  SELECT symbol, day FROM daily, means WHERE volume_sum > mean_vol
+)
+SELECT 'volatile_only' AS tag, symbol, day
+FROM (SELECT symbol, day FROM volatile EXCEPT SELECT symbol, day FROM heavy)
+UNION ALL
+SELECT 'both' AS tag, symbol, day
+FROM (SELECT symbol, day FROM volatile INTERSECT
+      SELECT symbol, day FROM heavy)
+""",
+)
+def q_notable_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import notable_days
+
+    return notable_days(ticks_from_events(spark, sf_dir))
+
+
 # Extension registrations (dedup / similarity / text) live in queries_ext,
 # which calls register() at import time.
 from stockpulse_batch_realtime_etl_spark import queries_ext  # noqa: E402,F401

@@ -1,0 +1,122 @@
+"""Edge semantics of the analytics operator classes (operators/analytics.py):
+VWAP null/zero-volume guards, RANGE-frame time windows, moment-derived
+statistics vs numpy, grouped top-k tie-breaks, pivot zero-fill, and the
+set-operation day classification."""
+
+from __future__ import annotations
+
+import math
+
+from conftest import ts
+
+from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+    hourly_symbol_pivot,
+    notable_days,
+    stats_summary,
+    time_range_stats,
+    top_bars_per_day,
+    vwap_bars,
+)
+
+
+def test_vwap_weighted_and_zero_volume_guard(make_ticks):
+    t = make_ticks(
+        [
+            ("AAPL", 10.0, 100, ts(5, 10)),
+            ("AAPL", 20.0, 300, ts(5, 50)),    # vwap = (10*100+20*300)/400
+            ("MSFT", 50.0, None, ts(5, 10)),   # null volume → 0 → NULL vwap
+        ]
+    )
+    rows = {r.symbol: r for r in vwap_bars(t).collect()}
+    assert rows["AAPL"].vwap == 17.5
+    assert rows["AAPL"].turnover == 7000.0
+    assert rows["AAPL"].volume_sum == 400
+    assert rows["MSFT"].vwap is None and rows["MSFT"].volume_sum == 0
+
+
+def test_time_range_frame_bounds_and_peers(make_ticks):
+    t = make_ticks(
+        [
+            ("AAPL", 10.0, 1, ts(0)),
+            ("AAPL", 20.0, 2, ts(10)),     # exactly 10 min later → in frame
+            ("AAPL", 30.0, 4, ts(21)),     # >10 min after both → alone
+            ("AAPL", 40.0, 8, ts(21)),     # equal-timestamp peer: same frame
+        ]
+    )
+    rows = sorted(
+        time_range_stats(t, 10).collect(), key=lambda r: (r.event_time, r.price)
+    )
+    assert rows[0].range_tick_count == 1 and rows[0].range_avg_price == 10.0
+    assert rows[1].range_tick_count == 2 and rows[1].range_avg_price == 15.0
+    # both 12:21 peers see BOTH 12:21 rows (RANGE peers) and neither earlier
+    assert rows[2].range_tick_count == 2 and rows[2].range_avg_price == 35.0
+    assert rows[3].range_tick_count == 2 and rows[3].range_volume_sum == 12
+
+
+def test_stats_summary_matches_numpy(make_ticks):
+    import numpy as np
+
+    prices = [10.0, 12.5, 11.0, 14.0, 9.5, 13.25]
+    vols = [100, 200, None, 150, 300, 250]
+    t = make_ticks(
+        [("AAPL", p, v, ts(i)) for i, (p, v) in enumerate(zip(prices, vols))]
+    )
+    r = stats_summary(t).collect()[0]
+    assert r.tick_count == 6
+    assert math.isclose(r.var_price, np.var(prices, ddof=1), abs_tol=1e-6)
+    px = [p for p, v in zip(prices, vols) if v is not None]
+    pv = [float(v) for v in vols if v is not None]
+    assert math.isclose(
+        r.corr_price_volume, np.corrcoef(px, pv)[0, 1], abs_tol=1e-6
+    )
+    assert math.isclose(
+        r.p50_price, float(np.percentile(prices, 50)), abs_tol=1e-6
+    )
+
+
+def test_top_bars_per_day_rank_and_tiebreak(spark):
+    bars = spark.createDataFrame(
+        [
+            ("A", ts(1), 100),
+            ("B", ts(2), 300),
+            ("C", ts(3), 200),
+            ("D", ts(4), 300),  # ties B on volume → B first (symbol asc)
+            ("E", ts(5), 50),
+        ],
+        "symbol string, bucket_start timestamp, volume_sum long",
+    )
+    rows = top_bars_per_day(bars, 3).collect()
+    assert [(r.day_rank, r.symbol) for r in rows] == [(1, "B"), (2, "D"), (3, "C")]
+
+
+def test_pivot_fills_absent_symbols_with_zero(make_ticks):
+    t = make_ticks(
+        [("CLICK", 1.0, 1, ts(0, hour=9)), ("VIEW", 1.0, 1, ts(0, hour=9))]
+    )
+    r = hourly_symbol_pivot(t).collect()[0]
+    assert r.hour_of_day == 9
+    assert (r.CLICK, r.VIEW, r.ERROR, r.PURCHASE, r.SIGNUP) == (1, 1, 0, 0, 0)
+
+
+def test_notable_days_set_classification(make_ticks):
+    # Day 15: AAPL volatile (wide range) but light volume; MSFT heavy + flat;
+    # day 16: AAPL volatile AND heavy → 'both'.
+    import datetime as dt
+
+    def at(day, minute):
+        return dt.datetime(2024, 1, day, 12, minute)
+
+    t = make_ticks(
+        [
+            ("AAPL", 10.0, 1, at(15, 0)),
+            ("AAPL", 30.0, 1, at(15, 30)),       # rr=2.0, vol=2
+            ("MSFT", 100.0, 1000, at(15, 0)),
+            ("MSFT", 100.1, 1000, at(15, 30)),   # rr≈0.001, vol=2000
+            ("AAPL", 10.0, 1500, at(16, 0)),
+            ("AAPL", 25.0, 1500, at(16, 30)),    # rr=1.5, vol=3000
+        ]
+    )
+    rows = {(r.tag, r.symbol, str(r.day)) for r in notable_days(t).collect()}
+    assert ("volatile_only", "AAPL", "2024-01-15") in rows
+    assert ("both", "AAPL", "2024-01-16") in rows
+    assert not any(r[1] == "MSFT" for r in rows if r[0] != "heavy")
