@@ -346,3 +346,78 @@ def simhash_dup_groups(docs: DataFrame, bits: int = 16) -> DataFrame:
         .agg(F.min("doc_id").alias("kept_doc_id"), F.count(F.lit(1)).alias("dup_count"))
         .filter(F.col("dup_count") > 1)
     )
+
+
+# --- duplicate-group resolution (connected components) ----------------------
+
+def dup_groups(
+    docs: DataFrame,
+    num_hashes: int = 12,
+    band_size: int = 2,
+    n: int = 3,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve LSH candidate pairs into duplicate GROUPS: connected
+    components of the candidate graph, labeled by the component's minimum
+    doc_id (the canonical "keep" document).
+
+    Candidate pairs alone under-report duplication: A~B and B~C may pair
+    while A~C misses a band, yet all three are one duplicate cluster.  The
+    training-data dedup decision ("keep one per cluster") therefore needs
+    components, not pairs.
+
+    Algorithm: iterative min-label propagation.  labels start as doc_id;
+    each round every node takes ``min(own label, neighbors' labels)``; stop
+    when a round changes nothing.  Each round is one join + one aggregate —
+    both shuffle on doc_id, both AQE-planned; state per round is one long
+    per node.  Rounds needed = component DIAMETER, and near-dup clusters
+    are shallow (duplicates of a common source pair with each other), so
+    convergence is 2-4 rounds in practice; ``max_iter`` bounds adversarial
+    chains, and the O(log n)-round large-star/small-star variant is the
+    drop-in upgrade if profiling ever shows deep components at scale.
+
+    Deterministic: the min-label fixpoint is unique regardless of
+    partitioning or iteration order — the oracle replays it as a recursive
+    transitive closure.
+
+    Returns one row per document: (doc_id, group_id, is_canonical) —
+    singletons label themselves.
+    """
+    pairs = lsh_candidate_pairs(docs, num_hashes, band_size, n)
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    edges = fwd.unionAll(rev).persist()
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("group_id")).persist()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("group_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(
+                    F.col("group_id"), F.coalesce(F.col("nbr_min"), F.col("group_id"))
+                ).alias("group_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.group_id") != F.col("o.group_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        "group_id",
+        (F.col("doc_id") == F.col("group_id")).alias("is_canonical"),
+    )

@@ -129,3 +129,30 @@ def session_bars(ticks: DataFrame, gap_minutes: int = 5) -> DataFrame:
             "tick_count",
         )
     )
+
+
+def rollup_bars(bars: DataFrame, unit: str = "hour") -> DataFrame:
+    """Coarser bars computed FROM finer bars — the materialized-rollup
+    cascade (1m → 1h → 1d) a hypertable/OLAP store maintains.
+
+    OHLCV is mergeable: a coarse bar is an exact function of its fine bars
+    (open = open of the earliest fine bar, close = close of the latest,
+    extrema/sums combine), so the hourly rollup reads ~60× fewer rows than
+    re-aggregating raw ticks — at 100 TB, THE difference between scanning a
+    bar table and re-scanning the tick firehose.  Same single hash-aggregate
+    plan shape as the flagship, keyed by the coarser bucket.
+    """
+    return (
+        bars.groupBy(
+            F.col("symbol"),
+            F.date_trunc(unit, F.col("bucket_start")).alias("bucket_start"),
+        )
+        .agg(
+            F.min_by(F.col("open"), F.col("bucket_start")).alias("open"),
+            F.max(F.col("high")).alias("high"),
+            F.min(F.col("low")).alias("low"),
+            F.max_by(F.col("close"), F.col("bucket_start")).alias("close"),
+            F.sum(F.col("volume_sum")).alias("volume_sum"),
+            F.sum(F.col("tick_count")).alias("tick_count"),
+        )
+    )

@@ -288,6 +288,46 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_groups",
+    oracle=f"""
+WITH RECURSIVE {SIGS_CTE.lstrip()},
+bands AS (
+{_BAND_SELECTS}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM cands
+  UNION ALL SELECT doc_b, doc_a FROM cands
+),
+-- transitive closure: r = every node reachable from doc_id (components are
+-- tiny near-dup clusters, so the closure is bounded); min(r) = the unique
+-- min-label fixpoint Spark's propagation converges to
+reach(doc_id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.doc_id = e.b
+)
+SELECT
+  d.doc_id,
+  coalesce(c.group_id, d.doc_id) AS group_id,
+  coalesce(c.group_id, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d
+LEFT JOIN (SELECT doc_id, min(r) AS group_id FROM reach GROUP BY doc_id) c
+  ON c.doc_id = d.doc_id
+""",
+)
+def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dup_groups(
+        load_table(spark, sf_dir, "documents"), NUM_HASHES, BAND_SIZE, 3
+    )
+
+
+@register(
     "jaccard_top_pairs",
     oracle=f"""
 WITH {SHINGLES_CTE.lstrip()},

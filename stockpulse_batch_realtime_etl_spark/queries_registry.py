@@ -590,6 +590,41 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# --- materialized-rollup cascade: coarse bars FROM fine bars ----------------
+
+@register(
+    "hourly_bars_rollup",
+    oracle=f"""
+{BARS_CTE}
+SELECT
+  symbol,
+  date_trunc('hour', bucket_start) AS bucket_start,
+  round(arg_min(open, bucket_start), 4) AS open,
+  round(max(high), 4)  AS high,
+  round(min(low), 4)   AS low,
+  round(arg_max(close, bucket_start), 4) AS close,
+  sum(volume_sum) AS volume_sum,
+  sum(tick_count) AS tick_count
+FROM bars
+GROUP BY symbol, date_trunc('hour', bucket_start)
+""",
+)
+def q_hourly_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators.ohlcv import rollup_bars
+
+    hourly = rollup_bars(ohlcv_bars(ticks_from_events(spark, sf_dir)), "hour")
+    return hourly.select(
+        "symbol",
+        "bucket_start",
+        F.round("open", 4).alias("open"),
+        F.round("high", 4).alias("high"),
+        F.round("low", 4).alias("low"),
+        F.round("close", 4).alias("close"),
+        F.col("volume_sum").cast("long").alias("volume_sum"),
+        F.col("tick_count").cast("long").alias("tick_count"),
+    )
+
+
 # --- analytics extensions: VWAP, range frames, stats, top-k, pivot, set ops -
 
 @register(

@@ -114,3 +114,27 @@ def test_jaccard_df_cap_drops_stop_grams(make_docs):
     assert len(uncapped) == 6  # all C(4,2) pairs share the hot shingle
     capped = dedup.jaccard_pairs(d, 3, df_cap=3).collect()
     assert capped == []
+
+
+def test_dup_groups_resolves_transitive_chain(make_docs):
+    """A~B and B~C pair via shared shingles without A~C needing to: the
+    component labels all three with min doc_id; unrelated docs stay alone."""
+    from stockpulse_batch_realtime_etl_spark.operators.dedup import dup_groups
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    # doc2 overlaps doc1; doc3 overlaps doc2 (different tail than doc1)
+    docs = make_docs(
+        [
+            (1, base + " one two three", "en", "t", 0),
+            (2, base + " one two three four", "en", "t", 0),
+            (3, base + " four five six seven", "en", "t", 0),
+            (9, "completely unrelated text about spark execution plans", "en", "t", 0),
+        ]
+    )
+    got = {r.doc_id: (r.group_id, r.is_canonical) for r in dup_groups(docs).collect()}
+    assert got[1] == (1, True)
+    assert got[2][0] == 1 and not got[2][1]
+    assert got[9] == (9, True)
+    # doc3 joins iff it shares a band with doc2 — either way the label is
+    # the component min and the fixpoint is stable
+    assert got[3][0] in (1, 3)

@@ -127,3 +127,27 @@ def test_session_bars_split_exactly_at_gap(make_ticks):
     assert aapl[1].tick_count == 1 and aapl[1].open == 3.0
     msft = [r for r in rows if r.symbol == "MSFT"]
     assert len(msft) == 1
+
+
+def test_rollup_cascade_equals_direct_aggregation(make_ticks):
+    """Mergeability invariant: 1m bars rolled to 1h == 1h bars from ticks."""
+    from stockpulse_batch_realtime_etl_spark.operators.ohlcv import rollup_bars
+
+    t = make_ticks(
+        [
+            ("AAPL", 10.0, 100, ts(5, 10, hour=12)),
+            ("AAPL", 30.0, None, ts(5, 50, hour=12)),
+            ("AAPL", 5.0, 200, ts(47, 0, hour=12)),
+            ("AAPL", 20.0, 300, ts(2, 0, hour=13)),
+            ("MSFT", 50.0, 50, ts(30, 0, hour=12)),
+        ]
+    )
+    cascade = rollup_bars(ohlcv_bars(t), "hour")
+    direct = ohlcv_bars(t, bucket="1 hour")
+    key = lambda r: (r.symbol, r.bucket_start)
+    c = {key(r): r for r in cascade.collect()}
+    d = {key(r): r for r in direct.collect()}
+    assert set(c) == set(d)
+    for k in c:
+        for f in ("open", "high", "low", "close", "volume_sum", "tick_count"):
+            assert getattr(c[k], f) == getattr(d[k], f), (k, f)
