@@ -202,10 +202,13 @@ PIVOT_SYMBOLS = ("CLICK", "ERROR", "PURCHASE", "SIGNUP", "VIEW")
 def hourly_symbol_pivot(ticks: DataFrame) -> DataFrame:
     """Tick count per (hour-of-day × symbol), symbols as columns — pivot.
 
-    With explicit values ``pivot`` compiles to ONE hash aggregate of
-    conditional counts (no distinct-values pre-job, no second shuffle): the
-    same plan a hand-written ``count(CASE WHEN …)`` list produces, which is
-    exactly how the oracle states it.
+    With explicit values ``pivot`` skips the distinct-values pre-job and
+    plans a two-level aggregate: partial count per (hour, symbol) — so the
+    first shuffle carries one row per group, not per tick — then
+    ``pivotfirst`` packs the ≤ |values| rows per hour into columns.  The
+    second shuffle moves only |hours|·|symbols| pre-aggregated rows, which
+    is noise at any scale; the oracle states the equivalent conditional-
+    aggregation form.
     """
     return (
         ticks.withColumn("hour_of_day", F.hour("event_time"))
@@ -258,23 +261,34 @@ def notable_days(ticks: DataFrame) -> DataFrame:
     left-anti / left-semi aggregates over the (already tiny) day sets.
     """
     daily = daily_symbol_stats(ticks)
+    # Corpus means as window aggregates over the WHOLE (tiny: symbols×days
+    # rows) daily table rather than a separate agg branch: every set-op arm
+    # below then hangs off ONE identical subtree, which AQE's exchange reuse
+    # dedupes at runtime — a join against a separately-aggregated means row
+    # would give each arm a different column-pruned lineage and re-scan the
+    # tick table once per arm.
     # mean_rr sums exactly in decimal first: a float-ordered avg could move
     # the threshold by an ulp and flip a borderline day between engines.
     # mean_vol's integer sums are exact in double below 2^53 on both sides.
-    means = daily.agg(
+    everything = Window.partitionBy()
+    flagged = daily.select(
+        "symbol",
+        "day",
         (
-            F.sum(F.col("range_ratio").cast("decimal(38,12)")).cast("double")
-            / F.count("range_ratio")
-        ).alias("mean_rr"),
-        F.avg("volume_sum").alias("mean_vol"),
+            F.col("range_ratio")
+            > F.sum(F.col("range_ratio").cast("decimal(38,12)"))
+            .over(everything)
+            .cast("double")
+            / F.count("range_ratio").over(everything)
+        ).alias("is_volatile"),
+        (
+            F.col("volume_sum")
+            > F.sum("volume_sum").over(everything)
+            / F.count("volume_sum").over(everything)
+        ).alias("is_heavy"),
     )
-    with_means = daily.join(F.broadcast(means))
-    volatile = with_means.filter(F.col("range_ratio") > F.col("mean_rr")).select(
-        "symbol", "day"
-    )
-    heavy = with_means.filter(F.col("volume_sum") > F.col("mean_vol")).select(
-        "symbol", "day"
-    )
+    volatile = flagged.filter("is_volatile").select("symbol", "day")
+    heavy = flagged.filter("is_heavy").select("symbol", "day")
     tagged_only = volatile.exceptAll(heavy).select(
         F.lit("volatile_only").alias("tag"), "symbol", "day"
     )

@@ -149,3 +149,73 @@ def test_ivf_no_cartesian_and_codegen(spark):
     df = similarity.ivf_topk(emb, list(range(4)), 3, 4)
     P.assert_no_cartesian(df)
     P.assert_whole_stage_codegen(df)
+
+
+def test_vwap_is_single_shuffle_aggregate(spark, ticks):
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import vwap_bars
+
+    plan = P.simple_plan(vwap_bars(ticks))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan and "Sort" not in plan
+
+
+def test_stats_summary_is_one_aggregate_pass(spark, ticks):
+    """All nine moments + three percentiles in ONE partial/final aggregate —
+    no per-statistic re-scan."""
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import stats_summary
+
+    plan = P.simple_plan(stats_summary(ticks))
+    assert plan.count("FileScan") == 1
+    # one hash exchange for the groupBy (+ one range for the final orderBy)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_top_bars_per_day_plans_group_limit(spark, ticks):
+    """rank<=k must push a per-partition group-limit below the shuffle —
+    never sort whole days to keep 3 rows."""
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        top_bars_per_day,
+    )
+    from stockpulse_batch_realtime_etl_spark.operators.ohlcv import ohlcv_bars
+
+    plan = P.simple_plan(top_bars_per_day(ohlcv_bars(ticks), 3))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan  # map-side pre-prune before the day shuffle
+
+
+def test_pivot_preaggregates_before_shuffle(spark, ticks):
+    """Static-value pivot: no distinct-values job (one scan) and a partial
+    (hour, symbol) aggregate so the shuffle carries groups, not ticks."""
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        hourly_symbol_pivot,
+    )
+
+    plan = P.simple_plan(hourly_symbol_pivot(ticks))
+    assert plan.count("FileScan") == 1
+    assert "pivotfirst" in plan and "partial_count" in plan
+
+
+def test_time_range_stats_single_sort_range_frame(spark, ticks):
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        time_range_stats,
+    )
+
+    plan = P.simple_plan(time_range_stats(ticks, 10))
+    assert plan.count("Sort") == 1 and plan.count("Exchange") == 1
+    assert "RangeFrame" in plan
+
+
+def test_notable_days_reuses_daily_subtrees(spark, ticks):
+    """The set-op arms must share the flagged daily subtrees via AQE
+    exchange reuse: after execution at most 2 distinct scans survive
+    (price-pruned and volume-pruned) and reuse nodes appear."""
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import notable_days
+
+    df = notable_days(ticks)
+    df.collect()  # AQE final plan materializes after execution
+    plan = P.simple_plan(df)
+    # explain prints the executed plan first, then the initial plan; scan
+    # budget applies to the executed section
+    executed = plan[: len(plan) // 2] if plan.count("FileScan") > 4 else plan
+    assert "ReusedExchange" in plan
+    assert executed.count("FileScan") <= 3
