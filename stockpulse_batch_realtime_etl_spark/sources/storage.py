@@ -54,3 +54,30 @@ def read_ticks(spark: SparkSession, path: str) -> DataFrame:
     """Read the partitioned ticks table; symbol/event_date predicates become
     partition pruning, event_time predicates become row-group skipping."""
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    key: str = "symbol",
+    buckets: int = 8,
+) -> None:
+    """Write ``df`` as a bucketed external table: hash-bucketed AND
+    sorted by ``key`` within each bucket file.
+
+    Bucketing is the co-located-join layout: two tables bucketed by the
+    same key into the same bucket count join WITHOUT any Exchange — each
+    task reads bucket i of both sides.  At 100 TB this removes the shuffle
+    of BOTH join inputs for every recurring join on the key (ticks⋈bars,
+    ticks⋈dim); the shuffle is paid once at write time instead of once per
+    query.  ``tests/test_storage.py`` asserts the exchange-free plan.
+    """
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(table_name)
+    )

@@ -59,3 +59,38 @@ def test_latest_ticks_over_partitioned_layout(spark, ticks_path):
     assert len(rows) == 5
     times = [r.event_time for r in rows]
     assert times == sorted(times, reverse=True)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
+    """Two tables bucketed by symbol into the same bucket count must join
+    with ZERO shuffles (the bucket layout IS the join partitioning), and
+    produce the same rows as the shuffled join."""
+    from stockpulse_batch_realtime_etl_spark.operators.ohlcv import ohlcv_bars
+    from stockpulse_batch_realtime_etl_spark.plans.assertions import simple_plan
+    from stockpulse_batch_realtime_etl_spark.sources.storage import write_bucketed
+    from stockpulse_batch_realtime_etl_spark.sources.ticks import ticks_from_events
+
+    base = tmp_path_factory.mktemp("bucketed")
+    ticks = ticks_from_events(spark, "/root/testdata/sf0.001")
+    sym_stats = ticks.groupBy("symbol").count()
+    bars = ohlcv_bars(ticks)
+    write_bucketed(sym_stats, "t_sym_stats", str(base / "sym_stats"))
+    write_bucketed(bars, "t_bars_b", str(base / "bars"))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_bars_b").join(
+            spark.table("t_sym_stats"), "symbol"
+        )
+        plan = simple_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        expected = bars.join(sym_stats, "symbol")
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, expected.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_sym_stats")
+        spark.sql("DROP TABLE IF EXISTS t_bars_b")
