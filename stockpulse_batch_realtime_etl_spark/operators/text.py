@@ -206,3 +206,34 @@ def language_id(docs: DataFrame) -> DataFrame:
             F.coalesce("lang_hits", F.lit(0)).alias("lang_hits"),
         )
     )
+
+
+def dataset_splits(
+    docs: DataFrame,
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the split a training-data
+    pipeline must make REPRODUCIBLY: the same document lands in the same
+    split on every run, every engine, any partitioning.
+
+    Mechanism: the first two hex digits of ``md5(doc_id)`` are a uniform
+    0-255 bucket; lexicographic comparison of fixed-width lowercase hex IS
+    numeric comparison, so the split is three string range checks — pure
+    codegen, no shuffle at all (the summary consumers aggregate on split).
+    ``rand(seed)`` would NOT work here: its value depends on partition
+    layout, so a repartition would silently reshuffle documents between
+    train and test.
+    """
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    train_hi = F.lit(f"{(256 * train_pct) // 100:02x}")
+    val_hi = F.lit(f"{(256 * (train_pct + val_pct)) // 100:02x}")
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < train_hi, "train")
+        .when(bucket < val_hi, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -701,6 +701,43 @@ def q_streaming_ohlcv_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- training-pipeline plumbing: splits + streaming dedup -------------------
+
+@register(
+    "dataset_splits",
+    oracle="""
+SELECT
+  doc_id,
+  lang,
+  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+""",
+)
+def q_dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.dataset_splits(load_table(spark, sf_dir, "documents"), 90, 5)
+
+
+@register(
+    "streaming_dedup_ticks",
+    oracle=f"""
+{RAW_CTE}
+SELECT DISTINCT p_symbol AS symbol, p_event_time AS event_time
+FROM parsed
+WHERE NOT malformed AND NOT no_symbol
+  AND p_price IS NOT NULL AND p_event_time IS NOT NULL
+""",
+)
+def q_streaming_dedup_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.streaming.job import (
+        run_dedup_available_now,
+    )
+
+    return run_dedup_available_now(spark, sf_dir)
+
+
 # --- multimodal plumbing (mapInPandas; oracle replays md5 arithmetic) -------
 
 from stockpulse_batch_realtime_etl_spark.operators import multimodal

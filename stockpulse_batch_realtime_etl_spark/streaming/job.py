@@ -174,6 +174,69 @@ def start_bar_aggregation(
     return writer.start()
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _bounded_run_env(
+    spark: SparkSession, sf_dir: str, base_dir: str | None, kind: str
+):
+    """Shared setup for a bounded (availableNow) streaming run over the
+    JSON corpus: materialize the corpus as text files, size streaming state
+    to the bounded corpus, and restore session conf afterwards.
+
+    State sizing: bounded backfill with bounded state → the memory-backed
+    store beats RocksDB, whose per-batch per-partition instance open/commit
+    overhead only pays off when state outgrows the executor heap; and state
+    partition count (fixed at the stream's FIRST batch from
+    spark.sql.shuffle.partitions) is sized to the corpus rather than the
+    cluster-wide default.  The session defaults (RocksDB, 32 partitions)
+    still govern continuous production streams.
+
+    Yields ``(raw_dir, out_dir, checkpoint_dir)``.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from stockpulse_batch_realtime_etl_spark.sources.ticks import raw_json_corpus
+
+    overrides = {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider"
+        ),
+        "spark.sql.shuffle.partitions": "8",
+    }
+    prev = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+
+    if base_dir is None:
+        tag = hashlib.md5(f"{kind}:{sf_dir}".encode()).hexdigest()[:8]
+        base_dir = os.path.join(
+            tempfile.gettempdir(), f"stockpulse_{kind}_{tag}"
+        )
+    shutil.rmtree(base_dir, ignore_errors=True)
+    raw_dir = os.path.join(base_dir, "raw")
+    out_dir = os.path.join(base_dir, "out")
+    ckpt = os.path.join(base_dir, "ckpt")
+    try:
+        (
+            raw_json_corpus(spark, sf_dir)
+            .select("value")
+            .write.mode("overwrite")
+            .text(raw_dir)
+        )
+        yield raw_dir, out_dir, ckpt
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def run_pipeline_available_now(
     spark: SparkSession, sf_dir: str, base_dir: str | None = None
 ) -> DataFrame:
@@ -189,61 +252,12 @@ def run_pipeline_available_now(
     sink live under ``base_dir`` (a deterministic temp dir, wiped per run
     for idempotence).
     """
-    import shutil
-    import tempfile
-
-    from stockpulse_batch_realtime_etl_spark.sources.ticks import raw_json_corpus
-
-    # Bounded backfill with bounded state (one window row per (symbol, minute)
-    # in the corpus) → the memory-backed store beats RocksDB, whose per-batch
-    # per-partition instance open/commit overhead only pays off when state
-    # outgrows the executor heap.  The session default (RocksDB) still governs
-    # continuous production streams started via start_bar_aggregation.
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev_provider = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "HDFSBackedStateStoreProvider",
-    )
-    # State partitions are fixed at the stream's FIRST batch from
-    # spark.sql.shuffle.partitions; each carries per-batch store open/commit
-    # overhead.  Size to the corpus (tens of MB) instead of inheriting the
-    # cluster-wide default — a production deployment sizes this to state
-    # volume the same way.
-    shuffle_key = "spark.sql.shuffle.partitions"
-    prev_shuffle = spark.conf.get(shuffle_key, None)
-    spark.conf.set(shuffle_key, "8")
-
-    if base_dir is None:
-        import hashlib
-
-        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        base_dir = os.path.join(tempfile.gettempdir(), f"stockpulse_stream_{tag}")
-    shutil.rmtree(base_dir, ignore_errors=True)
-    raw_dir = os.path.join(base_dir, "raw")
-    bars_dir = os.path.join(base_dir, "bars")
-    ckpt = os.path.join(base_dir, "ckpt")
-
-    try:
-        (
-            raw_json_corpus(spark, sf_dir)
-            .select("value")
-            .write.mode("overwrite")
-            .text(raw_dir)
-        )
+    with _bounded_run_env(spark, sf_dir, base_dir, "stream") as dirs:
+        raw_dir, out_dir, ckpt = dirs
         ticks, _failed = tick_stream_from_raw(raw_json_stream(spark, raw_dir))
-        q = start_bar_aggregation(ticks, bars_dir, ckpt, available_now=True)
+        q = start_bar_aggregation(ticks, out_dir, ckpt, available_now=True)
         q.awaitTermination()
-    finally:
-        if prev_provider is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev_provider)
-        if prev_shuffle is None:
-            spark.conf.unset(shuffle_key)
-        else:
-            spark.conf.set(shuffle_key, prev_shuffle)
+        bars_dir = out_dir
     return spark.read.parquet(bars_dir).select(
         "symbol",
         "bucket_start",
@@ -269,3 +283,56 @@ def start_dlq_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_dedup_available_now(
+    spark: SparkSession, sf_dir: str, base_dir: str | None = None
+) -> DataFrame:
+    """Streaming deduplication (the ST7 upgrade): the reference's
+    at-least-once consumer can write duplicate ticks after a crash
+    (consumer.py:111-117 — auto-commit + non-transactional insert, no dedup
+    key); ``dropDuplicates`` over a watermarked stream is the Spark fix.
+
+    Bounded, oracle-checkable form: stream the JSON corpus PLUS a
+    deterministically re-delivered 20% slice (every 5th offset — simulating
+    redelivery after a crash), decode, and keep first-seen (symbol,
+    event_time) keys.  The output must equal plain DISTINCT over the clean
+    corpus — if the operator failed to collapse the redelivered rows the
+    row count (and hash) would differ, so the gate actually proves the
+    dedup.  State is one key per distinct (symbol, event_time) bounded by
+    the watermark — at production rates, minutes of keys, not the stream's
+    history.
+    """
+    with _bounded_run_env(spark, sf_dir, base_dir, "dedup") as (
+        raw_dir,
+        out_dir,
+        ckpt,
+    ):
+        from stockpulse_batch_realtime_etl_spark.sources.ticks import (
+            raw_json_corpus,
+        )
+
+        # redelivered slice: same wire bytes, appended as extra files
+        (
+            raw_json_corpus(spark, sf_dir)
+            .filter(F.col("offset") % 5 == 0)
+            .select("value")
+            .write.mode("append")
+            .text(raw_dir)
+        )
+        ticks, _failed = tick_stream_from_raw(raw_json_stream(spark, raw_dir))
+        deduped = (
+            ticks.select("symbol", "event_time")
+            .withWatermark("event_time", "2 minutes")
+            .dropDuplicates(["symbol", "event_time"])
+        )
+        q = (
+            deduped.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", out_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -170,3 +170,16 @@ def test_upsert_writes_audit_row(spark, tmp_path):
     assert row.records_processed == 1
     assert row.status == "complete"
     assert row.completed_at >= row.started_at
+
+
+def test_streaming_dedup_collapses_redelivered_rows(spark):
+    """The bounded dedup run streams the corpus + a redelivered 20% slice;
+    output must equal the clean corpus' DISTINCT keys with no duplicates."""
+    from stockpulse_batch_realtime_etl_spark.streaming.job import (
+        run_dedup_available_now,
+    )
+
+    out = run_dedup_available_now(spark, "/root/testdata/sf0.001")
+    total = out.count()
+    distinct = out.select("symbol", "event_time").distinct().count()
+    assert total == distinct > 0

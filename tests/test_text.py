@@ -117,3 +117,21 @@ def test_bpe_token_counts_splits_punct_and_digits(make_docs):
         " times": 1,
         "!": 1,
     }
+
+
+def test_dataset_splits_deterministic_and_proportional(spark, make_docs):
+    from stockpulse_batch_realtime_etl_spark.operators.text import dataset_splits
+
+    docs = make_docs([(i, f"text {i}", "en", "t", 0) for i in range(2000)])
+    a = {r.doc_id: r.split for r in dataset_splits(docs).collect()}
+    # repartitioning must not move documents between splits (vs rand())
+    b = {
+        r.doc_id: r.split
+        for r in dataset_splits(docs.repartition(7)).collect()
+    }
+    assert a == b
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.85 < c["train"] / 2000 < 0.94
+    assert c["val"] > 0 and c["test"] > 0
