@@ -383,12 +383,30 @@ def dup_groups(
     Returns one row per document: (doc_id, group_id, is_canonical) —
     singletons label themselves.
     """
-    pairs = lsh_candidate_pairs(docs, num_hashes, band_size, n)
+    # pairs persist BEFORE the symmetrize union: both union branches read
+    # the cache, so the LSH pipeline (shingle → minhash → band join) runs
+    # exactly once.
+    pairs = lsh_candidate_pairs(docs, num_hashes, band_size, n).persist()
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    edges = fwd.unionAll(rev).persist()
+    # localCheckpoint (not just persist): an iterative loop's logical plan
+    # otherwise grows by one join+agg per round and Catalyst re-analyzes the
+    # WHOLE tree (including the LSH subtree) every iteration — analysis time
+    # soon dwarfs execution.  Checkpointing truncates the plan to the
+    # materialized partitions.  (On a production cluster use a reliable
+    # checkpoint dir for fault tolerance; the algorithm is unchanged.)
+    edges = fwd.unionAll(rev).localCheckpoint()
+    pairs.unpersist()
 
-    labels = docs.select("doc_id", F.col("doc_id").alias("group_id")).persist()
+    # Iterate ONLY over edge-endpoint nodes: near-dup candidates are a small
+    # fraction of any real corpus, so the propagation state is |candidate
+    # docs| rows, not |corpus| rows — singletons join back once at the end.
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("group_id"))
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
@@ -403,7 +421,7 @@ def dup_groups(
                     F.col("group_id"), F.coalesce(F.col("nbr_min"), F.col("group_id"))
                 ).alias("group_id"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -411,13 +429,18 @@ def dup_groups(
             .filter(F.col("n.group_id") != F.col("o.group_id"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
-    return labels.select(
-        "doc_id",
-        "group_id",
-        (F.col("doc_id") == F.col("group_id")).alias("is_canonical"),
+    resolved = labels.withColumnRenamed("doc_id", "edge_doc_id")
+    return (
+        docs.select("doc_id")
+        .join(resolved, docs["doc_id"] == resolved["edge_doc_id"], "left")
+        .select(
+            docs["doc_id"],
+            F.coalesce("group_id", docs["doc_id"]).alias("group_id"),
+            (F.coalesce("group_id", docs["doc_id"]) == docs["doc_id"]).alias(
+                "is_canonical"
+            ),
+        )
     )
