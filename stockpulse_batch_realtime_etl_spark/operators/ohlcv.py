@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: Aggregate expressions shared by the batch and streaming bar paths.
 def bar_agg_exprs(
@@ -155,4 +156,52 @@ def rollup_bars(bars: DataFrame, unit: str = "hour") -> DataFrame:
             F.sum(F.col("volume_sum")).alias("volume_sum"),
             F.sum(F.col("tick_count")).alias("tick_count"),
         )
+    )
+
+
+def gapfill_bars(bars: DataFrame, step: str = "1 minute") -> DataFrame:
+    """Gap-filled continuous bar series: emit EVERY bucket in each symbol's
+    [min, max] span, carrying the last known close forward through silent
+    minutes (LOCF) — the hypertable ``time_bucket_gapfill`` + ``locf``
+    operation a charting/backtest consumer needs, absent from both the
+    reference and vanilla SQL stores.
+
+    Plan: per-symbol span (one tiny aggregate) → ``sequence`` + ``explode``
+    builds the dense grid JVM-side (no driver loop, no Python) → left join
+    real bars (grid and bars share the (symbol, bucket) key — with bars
+    bucketed/partitioned by symbol this is co-located) → one window pass
+    for the carry-forward.  Grid size is span/step rows per symbol —
+    generation is O(output), unavoidable and embarrassingly parallel.
+    """
+    span = bars.groupBy("symbol").agg(
+        F.min("bucket_start").alias("mn"), F.max("bucket_start").alias("mx")
+    )
+    grid = span.select(
+        "symbol",
+        F.explode(
+            F.sequence("mn", "mx", F.expr(f"INTERVAL {step}"))
+        ).alias("bucket_start"),
+    )
+    joined = grid.join(
+        bars.select(
+            "symbol",
+            "bucket_start",
+            "close",
+            "volume_sum",
+            F.lit(False).alias("_real"),
+        ),
+        ["symbol", "bucket_start"],
+        "left",
+    )
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "symbol",
+        "bucket_start",
+        F.last("close", ignorenulls=True).over(w).alias("close_filled"),
+        F.coalesce("volume_sum", F.lit(0)).alias("volume_sum"),
+        F.col("_real").isNull().alias("is_gap"),
     )

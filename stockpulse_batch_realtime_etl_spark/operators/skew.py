@@ -50,3 +50,41 @@ def salted_distinct_count(
         .agg(F.sum("c").alias("distinct_count"))
         .orderBy(key)
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Inner equi-join that survives a hot fact key: salt the fact side with
+    ``hash(whole row) % buckets`` and EXPLODE the dim side across all
+    buckets, so a hot key's rows spread over ``buckets`` reducers instead
+    of one.
+
+    When to reach for this: the dim side is too big to broadcast (else
+    Catalyst broadcasts and skew is moot) AND the fact key distribution is
+    pathological beyond what AQE's skew-split handles (AQE splits oversized
+    partitions post-shuffle but cannot split one key's sort group in a
+    sort-merge join).  Cost: the dim side replicates ×buckets — choose
+    buckets ≈ hot-key concentration, not cluster size.
+
+    Exact: every fact row meets its dim row in exactly one (key, salt)
+    bucket, so the result multiset equals the plain join's
+    (tests/test_skew.py asserts equality).
+    """
+    fact_cols = [F.col(c) for c in fact.columns]
+    salted_fact = fact.select(
+        *fact_cols,
+        F.pmod(F.xxhash64(F.struct(*fact_cols)), F.lit(salt_buckets)).alias(
+            "_salt"
+        ),
+    )
+    exploded_dim = dim.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+        ).alias("_salt"),
+    )
+    return salted_fact.join(exploded_dim, [key, "_salt"], "inner").drop("_salt")

@@ -625,6 +625,43 @@ def q_hourly_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "gapfill_bars",
+    oracle=f"""
+{BARS_CTE},
+span AS (
+  SELECT symbol, min(bucket_start) AS mn, max(bucket_start) AS mx
+  FROM bars GROUP BY symbol
+),
+grid AS (
+  SELECT symbol,
+         unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS bucket_start
+  FROM span
+),
+joined AS (
+  SELECT g.symbol, g.bucket_start, b.close, b.volume_sum,
+         b.symbol IS NULL AS is_gap
+  FROM grid g
+  LEFT JOIN bars b
+    ON b.symbol = g.symbol AND b.bucket_start = g.bucket_start
+)
+SELECT
+  symbol,
+  bucket_start,
+  last_value(close IGNORE NULLS)
+    OVER (PARTITION BY symbol ORDER BY bucket_start
+          ROWS UNBOUNDED PRECEDING) AS close_filled,
+  coalesce(volume_sum, 0) AS volume_sum,
+  is_gap
+FROM joined
+""",
+)
+def q_gapfill_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators.ohlcv import gapfill_bars
+
+    return gapfill_bars(ohlcv_bars(ticks_from_events(spark, sf_dir)))
+
+
 # --- analytics extensions: VWAP, range frames, stats, top-k, pivot, set ops -
 
 @register(

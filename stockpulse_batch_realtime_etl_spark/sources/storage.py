@@ -81,3 +81,33 @@ def write_bucketed(
         .sortBy(key)
         .saveAsTable(table_name)
     )
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    partition_col: str,
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """Small-file compaction: rewrite a partitioned table with one
+    right-sized file set per partition.
+
+    Why it exists: every streaming micro-batch appends its own files (the
+    upsert sink writes per-trigger), so a long-running stream accretes
+    thousands of KB-scale files per partition — and at 100 TB, file-listing
+    and per-file open overhead come to dominate scan time.  Periodic
+    compaction (read → one shuffle on the partition key → rewrite with
+    ``maxRecordsPerFile``) restores scan-friendly file sizes; the write
+    target is a fresh path, swapped in atomically by the caller (rename or
+    view/manifest flip), never an in-place overwrite of the directory being
+    read.
+    """
+    df = spark.read.parquet(src)
+    (
+        df.repartition(F.col(partition_col))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(partition_col)
+        .parquet(dst)
+    )

@@ -151,3 +151,19 @@ def test_rollup_cascade_equals_direct_aggregation(make_ticks):
     for k in c:
         for f in ("open", "high", "low", "close", "volume_sum", "tick_count"):
             assert getattr(c[k], f) == getattr(d[k], f), (k, f)
+
+
+def test_gapfill_carries_close_and_flags_gaps(make_ticks):
+    from stockpulse_batch_realtime_etl_spark.operators.ohlcv import gapfill_bars
+
+    t = make_ticks(
+        [
+            ("AAPL", 10.0, 100, ts(0)),
+            ("AAPL", 20.0, 200, ts(3)),   # minutes 1-2 are silent
+        ]
+    )
+    rows = sorted(gapfill_bars(ohlcv_bars(t)).collect(), key=lambda r: r.bucket_start)
+    assert [str(r.bucket_start)[-8:-3] for r in rows] == ["12:00", "12:01", "12:02", "12:03"]
+    assert [r.is_gap for r in rows] == [False, True, True, False]
+    assert [r.close_filled for r in rows] == [10.0, 10.0, 10.0, 20.0]
+    assert [r.volume_sum for r in rows] == [100, 0, 0, 200]

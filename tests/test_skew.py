@@ -42,3 +42,25 @@ def test_salt_spreads_hot_key_across_buckets(spark):
     ).distinct()
     n_buckets = salted.count()
     assert n_buckets == 32  # every bucket occupied → 32-way parallel dedup
+
+
+def test_salted_join_equals_plain_join(spark):
+    from stockpulse_batch_realtime_etl_spark.operators.skew import salted_join
+
+    # 90% of fact rows share one hot key
+    fact = spark.createDataFrame(
+        [("HOT" if i % 10 else f"K{i}", float(i)) for i in range(1000)],
+        "symbol string, v double",
+    )
+    dim = spark.createDataFrame(
+        [("HOT", 1), ("K10", 2), ("K20", 3), ("K30", 4)],
+        "symbol string, meta int",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got = sorted(map(tuple, salted_join(fact, dim, "symbol", 8).collect()))
+        want = sorted(map(tuple, fact.join(dim, "symbol").collect()))
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

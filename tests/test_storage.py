@@ -94,3 +94,28 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_sym_stats")
         spark.sql("DROP TABLE IF EXISTS t_bars_b")
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path_factory):
+    import glob
+
+    from stockpulse_batch_realtime_etl_spark.sources.storage import (
+        compact_partitioned,
+    )
+    from stockpulse_batch_realtime_etl_spark.sources.ticks import ticks_from_events
+
+    base = tmp_path_factory.mktemp("compact")
+    src, dst = str(base / "src"), str(base / "dst")
+    ticks = ticks_from_events(spark, "/root/testdata/sf0.001").withColumn(
+        "event_date", F.to_date("event_time")
+    )
+    # simulate a streaming sink's file spray: 20 files per partition
+    ticks.repartition(20).write.partitionBy("event_date").parquet(src)
+    n_src_files = len(glob.glob(f"{src}/event_date=*/part-*"))
+    compact_partitioned(spark, src, dst, "event_date")
+    n_dst_files = len(glob.glob(f"{dst}/event_date=*/part-*"))
+    n_parts = len(glob.glob(f"{dst}/event_date=*"))
+    assert n_dst_files == n_parts < n_src_files  # one file per partition here
+    assert (
+        spark.read.parquet(dst).count() == spark.read.parquet(src).count() > 0
+    )
