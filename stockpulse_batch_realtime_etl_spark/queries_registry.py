@@ -662,6 +662,16 @@ def q_gapfill_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gapfill_bars(ohlcv_bars(ticks_from_events(spark, sf_dir)))
 
 
+# ema is deliberately oracle-less (driver records the weaker rows-only
+# check): the recursion has no closed SQL form — see operators/rolling.ema;
+# value correctness is pinned by the closed-form numpy test instead.
+@register("ema_ticks")
+def q_ema_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators.rolling import ema
+
+    return ema(ticks_from_events(spark, sf_dir), 0.2)
+
+
 # --- analytics extensions: VWAP, range frames, stats, top-k, pivot, set ops -
 
 @register(

@@ -64,3 +64,25 @@ def test_asof_join_preserves_left_columns(spark):
     )
     (row,) = asof_join(left, right, "symbol", "t", "bt", ["v"]).collect()
     assert (row.symbol, row.t, row.n, row.x, row.v) == ("A", ts(2), 7, 9.9, 1.0)
+
+
+def test_ema_matches_closed_form(make_ticks):
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators.rolling import ema
+
+    prices = [10.0, 12.0, 11.0, 15.0, 14.0]
+    t = make_ticks(
+        [("AAPL", p, 1, ts(i)) for i, p in enumerate(prices)]
+        + [("MSFT", 50.0, 1, ts(0))]
+    )
+    rows = {
+        (r.symbol, str(r.event_time)): r.ema for r in ema(t, 0.5).collect()
+    }
+    # closed form: EMA_t = sum_k alpha*(1-alpha)^k * p_{t-k} + (1-a)^t p_0
+    e = prices[0]
+    for i, p in enumerate(prices):
+        if i > 0:
+            e = 0.5 * p + 0.5 * e
+        assert abs(rows[("AAPL", str(ts(i)))] - round(e, 6)) < 1e-9
+    assert rows[("MSFT", str(ts(0)))] == 50.0  # singleton: EMA = price
