@@ -296,3 +296,106 @@ def notable_days(ticks: DataFrame) -> DataFrame:
         F.lit("both").alias("tag"), "symbol", "day"
     )
     return tagged_only.unionAll(tagged_both).orderBy("tag", "symbol", "day")
+
+
+def price_histogram(ticks: DataFrame, nbins: int = 20) -> DataFrame:
+    """Fixed-width per-symbol price histogram — the profiling aggregate
+    behind distribution dashboards and range-partition planning.
+
+    Bucket edges derive from per-symbol min/max window aggregates, the
+    bucket index is explicit floor arithmetic (identical IEEE expression on
+    both engines — no reliance on a builtin's edge-case convention), and
+    the top edge clamps into the last bin.  Two hash aggregates: the first
+    computes extents (window over symbol = one shuffle), the second the
+    histogram itself; both map-side combine.
+    """
+    w = Window.partitionBy("symbol")
+    mn, mx = F.min("price").over(w), F.max("price").over(w)
+    spread = mx - mn
+    bucket = F.when(
+        spread > 0,
+        F.least(
+            F.floor((F.col("price") - mn) * nbins / spread),
+            F.lit(nbins - 1),
+        ),
+    ).otherwise(0)
+    return (
+        ticks.select("symbol", "price", bucket.alias("bucket"))
+        .groupBy("symbol", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("price"), 6).alias("bucket_min"),
+            F.round(F.max("price"), 6).alias("bucket_max"),
+        )
+        .orderBy("symbol", "bucket")
+    )
+
+
+def price_deciles(ticks: DataFrame) -> DataFrame:
+    """Per-symbol decile profile via ``ntile(10)`` — the ranked-bucketing
+    window class (distinct from both frames and fixed-width buckets).
+
+    ntile splits a TOTAL order into equal-count buckets, so the ORDER BY
+    carries tie-breakers (event_time, volume) to pin equal prices to a
+    deterministic bucket on every engine.  One shuffle + one sort, then a
+    tiny aggregate.
+    """
+    w = Window.partitionBy("symbol").orderBy(
+        "price", "event_time", "volume"
+    )
+    return (
+        ticks.select(
+            "symbol", "price", F.ntile(10).over(w).alias("decile")
+        )
+        .groupBy("symbol", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("price"), 6).alias("lo"),
+            F.round(F.max("price"), 6).alias("hi"),
+        )
+        .orderBy("symbol", "decile")
+    )
+
+
+def symbol_correlations(bars: DataFrame) -> DataFrame:
+    """Pairwise close-price correlation between symbols over ALIGNED minute
+    buckets — the cross-series join+aggregate a portfolio/risk view needs.
+
+    Self-join bars on bucket_start (A < B keeps each unordered pair once),
+    then the same exact-decimal moment sums as ``stats_summary`` derive
+    Pearson r per pair.  The join shuffles on bucket_start (uniform key, no
+    skew); pair count is |symbols|², independent of data volume, so the
+    aggregate output is trivially small at any scale.
+    """
+    left = bars.select(
+        F.col("symbol").alias("sym_a"),
+        F.col("bucket_start").alias("b"),
+        F.col("close").alias("x"),
+    )
+    right = bars.select(
+        F.col("symbol").alias("sym_b"),
+        F.col("bucket_start").alias("b"),
+        F.col("close").alias("y"),
+    )
+    dec = "decimal(38,6)"
+    joined = left.join(right, "b").filter(F.col("sym_a") < F.col("sym_b"))
+    x, y = F.col("x"), F.col("y")
+    m = joined.groupBy("sym_a", "sym_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(dec)).cast("double").alias("sx"),
+        F.sum(y.cast(dec)).cast("double").alias("sy"),
+        F.sum((x * x).cast(dec)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(dec)).cast("double").alias("syy"),
+        F.sum((x * y).cast(dec)).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "sym_a",
+        "sym_b",
+        n.alias("aligned_minutes"),
+        F.round(corr, 6).alias("close_corr"),
+    ).orderBy("sym_a", "sym_b")

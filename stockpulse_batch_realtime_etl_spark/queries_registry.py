@@ -662,6 +662,94 @@ def q_gapfill_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gapfill_bars(ohlcv_bars(ticks_from_events(spark, sf_dir)))
 
 
+@register(
+    "price_histogram",
+    oracle=f"""
+{TICKS_CTE},
+ext AS (
+  SELECT symbol, price,
+         min(price) OVER (PARTITION BY symbol) AS mn,
+         max(price) OVER (PARTITION BY symbol) AS mx
+  FROM ticks
+),
+b AS (
+  SELECT symbol, price,
+         CASE WHEN mx - mn > 0
+              THEN least(CAST(floor((price - mn) * 20 / (mx - mn)) AS BIGINT),
+                         19)
+              ELSE 0 END AS bucket
+  FROM ext
+)
+SELECT symbol, bucket, count(*) AS n,
+       round(min(price), 6) AS bucket_min,
+       round(max(price), 6) AS bucket_max
+FROM b GROUP BY symbol, bucket
+""",
+)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        price_histogram,
+    )
+
+    return price_histogram(ticks_from_events(spark, sf_dir), 20)
+
+
+@register(
+    "price_deciles",
+    oracle=f"""
+{TICKS_CTE},
+d AS (
+  SELECT symbol, price,
+         ntile(10) OVER (PARTITION BY symbol
+                         ORDER BY price, event_time, volume) AS decile
+  FROM ticks
+)
+SELECT symbol, decile, count(*) AS n,
+       round(min(price), 6) AS lo,
+       round(max(price), 6) AS hi
+FROM d GROUP BY symbol, decile
+""",
+)
+def q_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        price_deciles,
+    )
+
+    return price_deciles(ticks_from_events(spark, sf_dir))
+
+
+@register(
+    "symbol_correlations",
+    oracle=f"""
+{BARS_CTE},
+j AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.close AS x, b.close AS y
+  FROM bars a
+  JOIN bars b ON a.bucket_start = b.bucket_start AND a.symbol < b.symbol
+),
+m AS (
+  SELECT sym_a, sym_b, count(*) AS n,
+    CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+    CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+  FROM j GROUP BY sym_a, sym_b
+)
+SELECT sym_a, sym_b, n AS aligned_minutes,
+  round((n * sxy - sx * sy)
+        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS close_corr
+FROM m
+""",
+)
+def q_symbol_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        symbol_correlations,
+    )
+
+    return symbol_correlations(ohlcv_bars(ticks_from_events(spark, sf_dir)))
+
+
 # ema is deliberately oracle-less (driver records the weaker rows-only
 # check): the recursion has no closed SQL form — see operators/rolling.ema;
 # value correctness is pinned by the closed-form numpy test instead.

@@ -120,3 +120,50 @@ def test_notable_days_set_classification(make_ticks):
     assert ("volatile_only", "AAPL", "2024-01-15") in rows
     assert ("both", "AAPL", "2024-01-16") in rows
     assert not any(r[1] == "MSFT" for r in rows if r[0] != "heavy")
+
+
+def test_histogram_buckets_and_constant_price(make_ticks):
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        price_histogram,
+    )
+
+    t = make_ticks(
+        [("AAPL", float(p), 1, ts(p)) for p in range(10, 30)]  # 10..29
+        + [("FLAT", 5.0, 1, ts(0)), ("FLAT", 5.0, 1, ts(1))]
+    )
+    rows = price_histogram(t, 4).collect()
+    aapl = {r.bucket: r for r in rows if r.symbol == "AAPL"}
+    assert set(aapl) == {0, 1, 2, 3}
+    assert aapl[3].bucket_max == 29.0  # max price clamps INTO last bucket
+    flat = [r for r in rows if r.symbol == "FLAT"]
+    assert len(flat) == 1 and flat[0].bucket == 0 and flat[0].n == 2
+
+
+def test_deciles_equal_counts(make_ticks):
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        price_deciles,
+    )
+
+    t = make_ticks([("AAPL", float(i), 1, ts(i % 60, i // 60)) for i in range(100)])
+    rows = price_deciles(t).collect()
+    assert len(rows) == 10
+    assert all(r.n == 10 for r in rows)
+    d1 = next(r for r in rows if r.decile == 1)
+    assert (d1.lo, d1.hi) == (0.0, 9.0)
+
+
+def test_symbol_correlations_perfect_and_anti(make_ticks):
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        symbol_correlations,
+    )
+    from stockpulse_batch_realtime_etl_spark.operators.ohlcv import ohlcv_bars
+
+    t = make_ticks(
+        [("A", float(i), 1, ts(i)) for i in range(1, 6)]
+        + [("B", 2.0 * i + 1, 1, ts(i)) for i in range(1, 6)]   # corr(A,B)=1
+        + [("C", 10.0 - i, 1, ts(i)) for i in range(1, 6)]      # corr(A,C)=-1
+    )
+    rows = {(r.sym_a, r.sym_b): r for r in symbol_correlations(ohlcv_bars(t)).collect()}
+    assert rows[("A", "B")].close_corr == 1.0
+    assert rows[("A", "C")].close_corr == -1.0
+    assert rows[("A", "B")].aligned_minutes == 5
