@@ -389,9 +389,14 @@ def symbol_correlations(bars: DataFrame) -> DataFrame:
         F.sum((x * y).cast(dec)).cast("double").alias("sxy"),
     )
     n = F.col("n")
-    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
-        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    # r is undefined when either side has zero variance over the aligned
+    # span (single aligned minute, or a flat series) — NULL, not a 0/0.
+    det = (n * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    corr = F.when(
+        det > 0,
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(det),
     )
     return m.select(
         "sym_a",

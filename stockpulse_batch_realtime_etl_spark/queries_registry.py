@@ -737,8 +737,10 @@ m AS (
   FROM j GROUP BY sym_a, sym_b
 )
 SELECT sym_a, sym_b, n AS aligned_minutes,
-  round((n * sxy - sx * sy)
-        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS close_corr
+  round(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+             THEN (n * sxy - sx * sy)
+                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END,
+        6) AS close_corr
 FROM m
 """,
 )
