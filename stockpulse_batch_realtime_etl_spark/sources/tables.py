@@ -22,6 +22,28 @@ from stockpulse_batch_realtime_etl_spark.schemas import TESTDATA_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Make table reads self-sufficient on ANY SparkSession, not just one
+    built by :func:`stockpulse_batch_realtime_etl_spark.session.get_spark`.
+
+    Both confs are runtime-settable SQL confs, so ``spark.conf.set`` works on
+    a bare ``SparkSession.builder.getOrCreate()`` session (e.g. an external
+    harness).  Without them:
+
+    * ``spark.sql.legacy.parquet.nanosAsLong`` — ``events.parquet`` stores
+      ``ts`` as TIMESTAMP(NANOS), which Spark rejects at the scan with
+      PARQUET_TYPE_ILLEGAL unless read as long nanos.
+    * ``spark.sql.session.timeZone=UTC`` — date_trunc/to_date/collected
+      timestamps must match the UTC-normalized DuckDB oracle regardless of
+      host timezone.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # pragma: no cover - conf locked down; reads may still work
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table (``{sf_dir}/{name}.parquet``).
 
@@ -30,6 +52,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     µs timestamp here (integer ``div 1000`` — truncation, matching DuckDB's
     parquet read of the same column) so every consumer sees TimestampType.
     """
+    _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
