@@ -110,18 +110,22 @@ def _moments(x: Column, y: Column) -> list[Column]:
     commutative, so the derived stats are identical under any partitioning
     (and bit-identical to an oracle computing the same shape)."""
     dec = "decimal(38,6)"
+    # Pair stats must draw every sum from the SAME population: rows where
+    # BOTH x and y are present.  Guard symmetrically (not just on y) so a
+    # null x can never leak into py/pyy/pxy while being excluded from px/pxx.
+    both = x.isNotNull() & y.isNotNull()
+    x_p = F.when(both, x)
+    y_p = F.when(both, y)
     return [
         F.count(x).alias("n"),
         F.sum(x.cast(dec)).cast("double").alias("sx"),
         F.sum((x * x).cast(dec)).cast("double").alias("sxx"),
-        F.count(F.when(y.isNotNull(), x)).alias("np"),
-        F.sum(F.when(y.isNotNull(), x).cast(dec)).cast("double").alias("px"),
-        F.sum(y.cast(dec)).cast("double").alias("py"),
-        F.sum((F.when(y.isNotNull(), x) * F.when(y.isNotNull(), x)).cast(dec))
-        .cast("double")
-        .alias("pxx"),
-        F.sum((y * y).cast(dec)).cast("double").alias("pyy"),
-        F.sum((x * y).cast(dec)).cast("double").alias("pxy"),
+        F.count(x_p).alias("np"),
+        F.sum(x_p.cast(dec)).cast("double").alias("px"),
+        F.sum(y_p.cast(dec)).cast("double").alias("py"),
+        F.sum((x_p * x_p).cast(dec)).cast("double").alias("pxx"),
+        F.sum((y_p * y_p).cast(dec)).cast("double").alias("pyy"),
+        F.sum((x_p * y_p).cast(dec)).cast("double").alias("pxy"),
     ]
 
 
@@ -337,11 +341,15 @@ def price_deciles(ticks: DataFrame) -> DataFrame:
 
     ntile splits a TOTAL order into equal-count buckets, so the ORDER BY
     carries tie-breakers (event_time, volume) to pin equal prices to a
-    deterministic bucket on every engine.  One shuffle + one sort, then a
-    tiny aggregate.
+    deterministic bucket on every engine.  ``volume`` is nullable and the
+    engines disagree on default ASC null placement (Spark NULLS FIRST,
+    DuckDB NULLS LAST) — pin it explicitly.  One shuffle + one sort, then
+    a tiny aggregate.
     """
     w = Window.partitionBy("symbol").orderBy(
-        "price", "event_time", "volume"
+        F.col("price").asc(),
+        F.col("event_time").asc(),
+        F.col("volume").asc_nulls_last(),
     )
     return (
         ticks.select(

@@ -327,14 +327,26 @@ def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Document-frequency cap for the jaccard verify join: a shingle appearing in
+#: more documents than this is a stop-gram whose df² candidate pairs carry no
+#: near-dup signal — dropping it bounds the self-join at scale.
+JACCARD_DF_CAP = 200
+
+
 @register(
     "jaccard_top_pairs",
     oracle=f"""
 WITH {SHINGLES_CTE.lstrip()},
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
+keep AS (
+  SELECT s.doc_id, s.shingle FROM shingles s
+  JOIN (SELECT shingle FROM shingles
+        GROUP BY shingle HAVING count(*) <= {JACCARD_DF_CAP}) ok
+    ON s.shingle = ok.shingle
+),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersection
-  FROM shingles a JOIN shingles b
+  FROM keep a JOIN keep b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
@@ -349,7 +361,9 @@ LIMIT 20
 """,
 )
 def q_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.jaccard_pairs(load_table(spark, sf_dir, "documents"), 3, 0.0, 20)
+    return dedup.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), 3, 0.0, 20, df_cap=JACCARD_DF_CAP
+    )
 
 
 def _simhash_oracle(bits: int = 16) -> str:

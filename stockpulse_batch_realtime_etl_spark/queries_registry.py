@@ -701,7 +701,7 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 d AS (
   SELECT symbol, price,
          ntile(10) OVER (PARTITION BY symbol
-                         ORDER BY price, event_time, volume) AS decile
+                         ORDER BY price, event_time, volume NULLS LAST) AS decile
   FROM ticks
 )
 SELECT symbol, decile, count(*) AS n,
@@ -823,15 +823,20 @@ m AS (
     count(price) AS n,
     CAST(sum(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS sx,
     CAST(sum(CAST(price * price AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
-    count(CASE WHEN volume IS NOT NULL THEN price END) AS np,
-    CAST(sum(CASE WHEN volume IS NOT NULL
+    count(CASE WHEN price IS NOT NULL AND volume IS NOT NULL
+          THEN price END) AS np,
+    CAST(sum(CASE WHEN price IS NOT NULL AND volume IS NOT NULL
              THEN CAST(price AS DECIMAL(38,6)) END) AS DOUBLE) AS px,
-    CAST(sum(CAST(CAST(volume AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS py,
-    CAST(sum(CASE WHEN volume IS NOT NULL THEN CAST(price * price
-             AS DECIMAL(38,6)) END) AS DOUBLE) AS pxx,
-    CAST(sum(CAST(CAST(volume AS DOUBLE) * CAST(volume AS DOUBLE)
-             AS DECIMAL(38,6))) AS DOUBLE) AS pyy,
-    CAST(sum(CAST(price * CAST(volume AS DOUBLE) AS DECIMAL(38,6)))
+    CAST(sum(CASE WHEN price IS NOT NULL AND volume IS NOT NULL
+             THEN CAST(CAST(volume AS DOUBLE) AS DECIMAL(38,6)) END)
+         AS DOUBLE) AS py,
+    CAST(sum(CASE WHEN price IS NOT NULL AND volume IS NOT NULL
+             THEN CAST(price * price AS DECIMAL(38,6)) END) AS DOUBLE) AS pxx,
+    CAST(sum(CASE WHEN price IS NOT NULL AND volume IS NOT NULL
+             THEN CAST(CAST(volume AS DOUBLE) * CAST(volume AS DOUBLE)
+             AS DECIMAL(38,6)) END) AS DOUBLE) AS pyy,
+    CAST(sum(CASE WHEN price IS NOT NULL AND volume IS NOT NULL
+             THEN CAST(price * CAST(volume AS DOUBLE) AS DECIMAL(38,6)) END)
          AS DOUBLE) AS pxy,
     quantile_cont(price, 0.5) AS q50,
     quantile_cont(price, 0.9) AS q90,
