@@ -58,7 +58,9 @@ EMA_SCHEMA = (
 )
 
 
-def ema(ticks: DataFrame, alpha: float = 0.2) -> DataFrame:
+def ema(
+    ticks: DataFrame, alpha: float = 0.2, chunk_seconds: int | None = 86_400
+) -> DataFrame:
     """Per-symbol exponential moving average — the recursive time-series
     operator (EMA_t = α·p_t + (1−α)·EMA_{t−1}) that no finite window frame
     can express: every output depends on the ENTIRE history, so it is the
@@ -66,28 +68,120 @@ def ema(ticks: DataFrame, alpha: float = 0.2) -> DataFrame:
     composition of built-ins is impossible, a full stateful stream operator
     is overkill for batch).
 
-    One shuffle on symbol; each group is ordered and EMA'd vectorized in
-    pandas (Arrow-batched, C-loop ``ewm`` — not a Python row loop).  Skew
-    note: one group = one task; with few hot symbols and deep history,
-    split by (symbol, coarse epoch) and stitch with the carry-in
-    EMA·(1−α)^gap identity.
+    Scale shape (default, ``chunk_seconds`` set): a per-SYMBOL group would
+    be one task holding the symbol's entire history — a ~n_symbols
+    parallelism ceiling and an executor-memory cliff at deep histories.
+    Instead the recursion is split by (symbol, time chunk) using its
+    linearity:
+
+        EMA_i = local_i + (1−α)^i · C_chunk
+
+    where ``local_i`` is the zero-seeded in-chunk contribution
+    Σ_{j≤i} α(1−α)^{i−j} p_j and ``C_chunk`` is the EMA carried out of the
+    previous chunk.  Three fully distributed steps:
+
+    1. per (symbol, chunk): vectorized pandas ``ewm`` on a zero-prepended
+       series → per-row ``local_i`` and decay (1−α)^i (Arrow-batched);
+    2. per (symbol, chunk): JVM-side fold (``aggregate`` over a sorted
+       ``collect_list``) → chunk end-state summary (n, first price, L_end)
+       — rows ≈ #chunks, so the per-symbol sequential stitch
+       C_{k+1} = L_k + (1−α)^{n_k}·C_k touches chunk COUNTS, not ticks;
+    3. broadcast the tiny carry table back and finish the identity.
+
+    The seed matches pandas ``adjust=False`` (EMA_1 = p_1): C_1 = first
+    price of the symbol.  ``chunk_seconds=None`` falls back to the
+    single-group-per-symbol path (used by tests as the equality baseline).
+    Chunk span trades per-group Arrow overhead against parallelism /
+    per-task memory: daily chunks keep a symbol-day (≲ a few hundred MB at
+    exchange feed rates) per task while yielding n_symbols×n_days tasks.
 
     Not oracle-checked (the driver records a rows-only check): the
     recursion is inexpressible in DuckDB short of a per-row recursive CTE.
     Correctness is pinned instead by tests/test_rolling_asof.py against the
-    closed form Σ α(1−α)^k p_{t−k} computed independently in numpy.
+    closed form Σ α(1−α)^k p_{t−k} computed independently in numpy, plus a
+    chunked-vs-single equality test.
     """
+    import numpy as np
     import pandas as pd
 
-    def _ema_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["event_time", "price"])
-        pdf["ema"] = (
-            pdf["price"].ewm(alpha=alpha, adjust=False).mean().round(6)
-        )
-        return pdf[["symbol", "event_time", "price", "ema"]]
+    if chunk_seconds is None:
 
-    return (
-        ticks.select("symbol", "event_time", "price")
-        .groupBy("symbol")
-        .applyInPandas(_ema_group, EMA_SCHEMA)
+        def _ema_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["event_time", "price"])
+            pdf["ema"] = (
+                pdf["price"].ewm(alpha=alpha, adjust=False).mean().round(6)
+            )
+            return pdf[["symbol", "event_time", "price", "ema"]]
+
+        return (
+            ticks.select("symbol", "event_time", "price")
+            .groupBy("symbol")
+            .applyInPandas(_ema_group, EMA_SCHEMA)
+        )
+
+    base = ticks.select("symbol", "event_time", "price").withColumn(
+        "chunk", F.floor(F.unix_micros("event_time") / (chunk_seconds * 1_000_000))
+    )
+
+    local_schema = (
+        "symbol string, chunk long, event_time timestamp, price double, "
+        "local double, decay double"
+    )
+
+    def _local(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["event_time", "price"]).reset_index(drop=True)
+        prices = pdf["price"].to_numpy(dtype="float64")
+        # zero-prepended ewm ≡ the recursion seeded with 0: exactly local_i
+        seeded = pd.Series(np.concatenate(([0.0], prices)))
+        pdf["local"] = seeded.ewm(alpha=alpha, adjust=False).mean().to_numpy()[1:]
+        pdf["decay"] = np.power(
+            1.0 - alpha, np.arange(1, len(prices) + 1, dtype="float64")
+        )
+        return pdf[["symbol", "chunk", "event_time", "price", "local", "decay"]]
+
+    local = base.groupBy("symbol", "chunk").applyInPandas(_local, local_schema)
+
+    # Chunk summaries computed independently of the pandas stage (no cache /
+    # double compute): fold the same recursion JVM-side over the sorted
+    # in-chunk price array.  Arrays are bounded by chunk span, not history.
+    arr = F.sort_array(F.collect_list(F.struct("event_time", "price")))
+    summaries = (
+        base.groupBy("symbol", "chunk")
+        .agg(arr.alias("arr"))
+        .select(
+            "symbol",
+            "chunk",
+            F.size("arr").alias("n"),
+            F.col("arr")[0]["price"].alias("p_first"),
+            F.aggregate(
+                F.transform("arr", lambda s: s["price"]),
+                F.lit(0.0),
+                lambda acc, p: F.lit(alpha) * p + F.lit(1.0 - alpha) * acc,
+            ).alias("l_end"),
+        )
+    )
+
+    carry_schema = "symbol string, chunk long, carry double"
+
+    def _carries(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one row per CHUNK (not per tick) — the only sequential step
+        pdf = pdf.sort_values("chunk").reset_index(drop=True)
+        carries = np.empty(len(pdf))
+        carry = float(pdf["p_first"].iloc[0])  # seed: EMA_1 = p_1
+        for i in range(len(pdf)):
+            carries[i] = carry
+            carry = float(pdf["l_end"].iloc[i]) + (1.0 - alpha) ** int(
+                pdf["n"].iloc[i]
+            ) * carry
+        return pd.DataFrame(
+            {"symbol": pdf["symbol"], "chunk": pdf["chunk"], "carry": carries}
+        )
+
+    carries = summaries.groupBy("symbol").applyInPandas(_carries, carry_schema)
+
+    return local.join(F.broadcast(carries), ["symbol", "chunk"]).select(
+        "symbol",
+        "event_time",
+        "price",
+        F.round(F.col("local") + F.col("decay") * F.col("carry"), 6).alias("ema"),
     )

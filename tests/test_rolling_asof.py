@@ -86,3 +86,32 @@ def test_ema_matches_closed_form(make_ticks):
             e = 0.5 * p + 0.5 * e
         assert abs(rows[("AAPL", str(ts(i)))] - round(e, 6)) < 1e-9
     assert rows[("MSFT", str(ts(0)))] == 50.0  # singleton: EMA = price
+
+
+def test_ema_chunked_equals_single_group(make_ticks):
+    """The (symbol, chunk) split + carry stitch must reproduce the
+    single-group-per-symbol recursion exactly (same 6dp rounding)."""
+    import random
+
+    from stockpulse_batch_realtime_etl_spark.operators.rolling import ema
+
+    rng = random.Random(7)
+    rows = []
+    for sym in ("AAPL", "MSFT", "TSLA"):
+        # 40 ticks over >3 hours: spans many 600s chunks, several ticks each
+        for i in range(40):
+            rows.append(
+                (sym, round(100 + rng.uniform(-5, 5), 2), 1, ts(i % 60, hour=12 + i // 60))
+            )
+    t = make_ticks(rows)
+    single = {
+        (r.symbol, str(r.event_time)): r.ema
+        for r in ema(t, 0.3, chunk_seconds=None).collect()
+    }
+    chunked = {
+        (r.symbol, str(r.event_time)): r.ema
+        for r in ema(t, 0.3, chunk_seconds=600).collect()
+    }
+    assert len(single) == len(chunked) == 120
+    for k, v in single.items():
+        assert abs(chunked[k] - v) < 1e-9, (k, v, chunked[k])
