@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from stockpulse_batch_realtime_etl_spark.operators import frames
 from stockpulse_batch_realtime_etl_spark.operators.tpch import money_sum
 
 
@@ -65,7 +66,9 @@ def vwap_bars(ticks: DataFrame, bucket: str = "1 minute") -> DataFrame:
     )
 
 
-def time_range_stats(ticks: DataFrame, minutes: int = 10) -> DataFrame:
+def time_range_stats(
+    ticks: DataFrame, minutes: int = 10, bucket_seconds: int | None = 86_400
+) -> DataFrame:
     """Per tick: mean price / tick count / traded volume over the PRECEDING
     ``minutes`` of event time (current row inclusive) — a RANGE frame keyed
     by the timestamp itself.
@@ -77,16 +80,32 @@ def time_range_stats(ticks: DataFrame, minutes: int = 10) -> DataFrame:
     sees the same frame — so the result is deterministic without any
     tie-break column.
 
-    Scale: one shuffle on symbol, one sort, one running two-pointer pass
-    per partition (Spark evaluates bounded RANGE frames incrementally, not
-    per-row rescans).  The mean divides two exact sums, so no float-order
-    noise exists for the oracle to disagree with.
+    Scale: the window runs over (symbol, time bucket) with rows inside the
+    horizon of a bucket end duplicated into the next bucket
+    (``frames.with_time_overlap`` — exact, ≤2× shuffle volume, and no
+    sequential step), so tasks scale with n_symbols × n_buckets instead of
+    capping at n_symbols.  Spark evaluates bounded RANGE frames
+    incrementally (running two-pointer pass), not per-row rescans.  The
+    mean divides two exact sums, so no float-order noise exists for the
+    oracle to disagree with.  ``bucket_seconds=None`` keeps the plain
+    per-symbol window (test baseline).
     """
+    if bucket_seconds is None:
+        src = ticks
+        part = "symbol"
+    else:
+        src = frames.with_time_overlap(
+            ticks.select("symbol", "event_time", "price", "volume"),
+            "event_time",
+            horizon_seconds=minutes * 60,
+            bucket_seconds=max(bucket_seconds, minutes * 60),
+        )
+        part = f"symbol, {frames.BUCKET_COL}"
     frame = (
-        f"PARTITION BY symbol ORDER BY event_time "
+        f"PARTITION BY {part} ORDER BY event_time "
         f"RANGE BETWEEN INTERVAL {minutes} MINUTES PRECEDING AND CURRENT ROW"
     )
-    return ticks.select(
+    out = src.select(
         "symbol",
         "event_time",
         "price",
@@ -101,7 +120,9 @@ def time_range_stats(ticks: DataFrame, minutes: int = 10) -> DataFrame:
         F.expr(
             f"sum(coalesce(volume, 0)) OVER ({frame})"
         ).alias("range_volume_sum"),
+        *([] if bucket_seconds is None else [frames.BUCKET_COL, frames.CARRY_COL]),
     )
+    return out if bucket_seconds is None else frames.finalize(out)
 
 
 def _moments(x: Column, y: Column) -> list[Column]:

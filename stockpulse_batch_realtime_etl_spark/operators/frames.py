@@ -1,0 +1,150 @@
+"""Bucketed window-frame helpers — retire the per-symbol parallelism ceiling.
+
+Window operators partitioned by symbol alone (rolling frames, LOCF) put a
+symbol's ENTIRE history into one task: with ~5 hot symbols that is a 5-way
+parallelism ceiling and an executor-memory cliff at deep histories.  These
+helpers re-partition on (symbol, coarse time bucket) and restore exactness
+with a small overlap carry, so the window stage runs n_symbols × n_buckets
+tasks and per-task state is bounded by the bucket span.
+
+Three primitives, one shared shape (bounded per-bucket work → per-symbol
+stitch over per-BUCKET summaries → broadcast back):
+
+* :func:`with_time_overlap` — bounded RANGE frames (``RANGE t PRECEDING``):
+  rows within the horizon of their bucket's end are duplicated into the next
+  bucket as carry rows.  Exact when ``bucket_seconds >= horizon_seconds``
+  (a frame can then reach at most one bucket back).  ≤ 2× shuffle volume,
+  no sequential step at all.
+* :func:`with_row_overlap` — bounded ROWS frames (``ROWS m PRECEDING``):
+  per-bucket last-``m`` tails (JVM-side sorted ``collect_list`` slice),
+  telescoped per symbol over bucket COUNTS (the only sequential step, one
+  tiny Arrow group per symbol), exploded back as carry rows.  Exact for any
+  bucket population — a sparse bucket's carry list reaches arbitrarily far
+  back because the stitch threads the stream tail through every bucket.
+* LOCF carries for gap-fill live in ``ohlcv.gapfill_bars`` directly: the
+  per-bucket "last non-null value" summary table is windowed per symbol
+  (rows = buckets, not ticks) — no pandas, no row duplication.
+
+Callers run their window over ``PARTITION BY (key, _bucket)`` and drop the
+``_carry`` rows from the output.  Determinism requirement for row frames:
+``order_cols`` must order rows totally up to full-row equality (true for
+the tick model, where payload == order columns).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BUCKET_COL = "_bucket"
+CARRY_COL = "_carry"
+
+
+def bucket_of(time_col: str, bucket_seconds: int):
+    return F.floor(F.unix_micros(time_col) / (bucket_seconds * 1_000_000))
+
+
+def with_time_overlap(
+    df: DataFrame,
+    time_col: str,
+    horizon_seconds: int,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Prepare ``df`` for a bounded RANGE frame over (key, ``_bucket``).
+
+    Every row lands in its own bucket (``_carry = false``); rows within
+    ``horizon_seconds`` of their bucket's END are additionally copied into
+    the following bucket (``_carry = true``), so any row's
+    ``[t - horizon, t]`` frame is fully contained in its partition.
+    """
+    if bucket_seconds < horizon_seconds:
+        raise ValueError(
+            f"bucket_seconds={bucket_seconds} must cover the frame horizon "
+            f"{horizon_seconds}s — otherwise a frame spans >1 bucket back"
+        )
+    b = bucket_of(time_col, bucket_seconds)
+    own = df.withColumn(BUCKET_COL, b).withColumn(CARRY_COL, F.lit(False))
+    micros = F.unix_micros(time_col)
+    carry = (
+        df.withColumn(BUCKET_COL, b + 1)
+        .withColumn(CARRY_COL, F.lit(True))
+        .filter(
+            micros
+            >= (F.col(BUCKET_COL) * bucket_seconds - horizon_seconds) * 1_000_000
+        )
+    )
+    return own.unionByName(carry)
+
+
+def with_row_overlap(
+    df: DataFrame,
+    key: str,
+    order_cols: Sequence[str],
+    m: int,
+    time_col: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Prepare ``df`` for a ``ROWS m PRECEDING`` frame over (key, _bucket).
+
+    The ``m`` rows immediately preceding each bucket's start in the
+    symbol's full stream are injected as carry rows.  Computed without ever
+    materializing a symbol's history in one task:
+
+    1. per (key, bucket): sorted ``collect_list`` → keep the last ``m``
+       rows (array bounded by ``m``, not bucket size, after the slice);
+    2. per key: telescope ``tail(k) = last_m(tail(k-1) ++ own_tail(k))``
+       over bucket summaries (#buckets rows, one tiny Arrow group);
+    3. explode each bucket's carry-in list back and union with the data.
+    """
+    import pandas as pd
+
+    payload = [c for c in df.columns if c != key]
+    ordered = list(order_cols) + [c for c in payload if c not in order_cols]
+
+    b = bucket_of(time_col, bucket_seconds)
+    own = df.withColumn(BUCKET_COL, b).withColumn(CARRY_COL, F.lit(False))
+
+    arr = F.sort_array(F.collect_list(F.struct(*ordered)))
+    tails = (
+        df.withColumn(BUCKET_COL, b)
+        .groupBy(key, BUCKET_COL)
+        .agg(arr.alias("arr"))
+        .select(
+            key,
+            BUCKET_COL,
+            F.slice(
+                "arr", F.greatest(F.size("arr") - (m - 1), F.lit(1)), m
+            ).alias("tail"),
+        )
+    )
+
+    def _stitch(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one row per BUCKET; tails are lists of ≤ m row-dicts
+        pdf = pdf.sort_values(BUCKET_COL).reset_index(drop=True)
+        carry_rows, stream_tail = [], []
+        for _, row in pdf.iterrows():
+            carry_rows.append(list(stream_tail))
+            stream_tail = (stream_tail + list(row["tail"]))[-m:]
+        out = pdf[[key, BUCKET_COL]].copy()
+        out["carry"] = carry_rows
+        return out
+
+    tail_type = tails.schema["tail"].dataType
+    carries = tails.groupBy(key).applyInPandas(
+        _stitch,
+        f"{key} string, {BUCKET_COL} long, carry {tail_type.simpleString()}",
+    )
+    carry_rows = (
+        carries.select(key, BUCKET_COL, F.explode("carry").alias("r"))
+        .select(key, BUCKET_COL, *[F.col(f"r.{c}").alias(c) for c in ordered])
+        .select(*df.columns, BUCKET_COL)
+        .withColumn(CARRY_COL, F.lit(True))
+    )
+    return own.unionByName(carry_rows)
+
+
+def finalize(df: DataFrame) -> DataFrame:
+    """Drop carry rows and the bucketing scaffolding after the window."""
+    return df.filter(~F.col(CARRY_COL)).drop(BUCKET_COL, CARRY_COL)

@@ -159,7 +159,9 @@ def rollup_bars(bars: DataFrame, unit: str = "hour") -> DataFrame:
     )
 
 
-def gapfill_bars(bars: DataFrame, step: str = "1 minute") -> DataFrame:
+def gapfill_bars(
+    bars: DataFrame, step: str = "1 minute", bucket_seconds: int | None = 86_400
+) -> DataFrame:
     """Gap-filled continuous bar series: emit EVERY bucket in each symbol's
     [min, max] span, carrying the last known close forward through silent
     minutes (LOCF) — the hypertable ``time_bucket_gapfill`` + ``locf``
@@ -169,9 +171,18 @@ def gapfill_bars(bars: DataFrame, step: str = "1 minute") -> DataFrame:
     Plan: per-symbol span (one tiny aggregate) → ``sequence`` + ``explode``
     builds the dense grid JVM-side (no driver loop, no Python) → left join
     real bars (grid and bars share the (symbol, bucket) key — with bars
-    bucketed/partitioned by symbol this is co-located) → one window pass
-    for the carry-forward.  Grid size is span/step rows per symbol —
-    generation is O(output), unavoidable and embarrassingly parallel.
+    bucketed/partitioned by symbol this is co-located) → LOCF carry.
+    Grid size is span/step rows per symbol — generation is O(output),
+    unavoidable and embarrassingly parallel.
+
+    LOCF at scale (default): an unbounded-preceding ``last(ignorenulls)``
+    partitioned by symbol alone is one task per symbol over the whole grid.
+    Instead: within-day LOCF over (symbol, day), plus a per-DAY summary
+    table (last real close per day, rows = days not minutes) windowed per
+    symbol for the cross-day carry — ``coalesce(local, carry)`` is exact
+    because a null local fill means the day had no real bar before that
+    minute, so the fill is the last close of a prior day.
+    ``bucket_seconds=None`` keeps the single-window path (test baseline).
     """
     span = bars.groupBy("symbol").agg(
         F.min("bucket_start").alias("mn"), F.max("bucket_start").alias("mx")
@@ -193,15 +204,64 @@ def gapfill_bars(bars: DataFrame, step: str = "1 minute") -> DataFrame:
         ["symbol", "bucket_start"],
         "left",
     )
-    w = (
-        Window.partitionBy("symbol")
+    if bucket_seconds is None:
+        w = (
+            Window.partitionBy("symbol")
+            .orderBy("bucket_start")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return joined.select(
+            "symbol",
+            "bucket_start",
+            F.last("close", ignorenulls=True).over(w).alias("close_filled"),
+            F.coalesce("volume_sum", F.lit(0)).alias("volume_sum"),
+            F.col("_real").isNull().alias("is_gap"),
+        )
+
+    from stockpulse_batch_realtime_etl_spark.operators import frames
+
+    g = joined.withColumn(
+        frames.BUCKET_COL, frames.bucket_of("bucket_start", bucket_seconds)
+    )
+    w_local = (
+        Window.partitionBy("symbol", frames.BUCKET_COL)
         .orderBy("bucket_start")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return joined.select(
+    # per-day summary: close of the LAST real minute that day (struct-max →
+    # unambiguous null handling), then LOCF over days per symbol — the
+    # sequential window touches day COUNTS, not minutes.
+    day_last = (
+        g.groupBy("symbol", frames.BUCKET_COL)
+        .agg(
+            F.max(
+                F.when(
+                    F.col("close").isNotNull(),
+                    F.struct("bucket_start", "close"),
+                )
+            )["close"].alias("day_close")
+        )
+    )
+    w_days = (
+        Window.partitionBy("symbol")
+        .orderBy(frames.BUCKET_COL)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = day_last.select(
         "symbol",
-        "bucket_start",
-        F.last("close", ignorenulls=True).over(w).alias("close_filled"),
-        F.coalesce("volume_sum", F.lit(0)).alias("volume_sum"),
-        F.col("_real").isNull().alias("is_gap"),
+        frames.BUCKET_COL,
+        F.last("day_close", ignorenulls=True).over(w_days).alias("carry_close"),
+    )
+    return (
+        g.join(F.broadcast(carries), ["symbol", frames.BUCKET_COL])
+        .select(
+            "symbol",
+            "bucket_start",
+            F.coalesce(
+                F.last("close", ignorenulls=True).over(w_local),
+                F.col("carry_close"),
+            ).alias("close_filled"),
+            F.coalesce("volume_sum", F.lit(0)).alias("volume_sum"),
+            F.col("_real").isNull().alias("is_gap"),
+        )
     )

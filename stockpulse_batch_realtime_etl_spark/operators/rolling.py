@@ -6,13 +6,15 @@ All are window-frame expressions (``ROWS BETWEEN n PRECEDING AND CURRENT
 ROW``) — one shuffle on the partition key, one sort per partition, then a
 single running pass; everything stays in whole-stage codegen.
 
-Scale shape: the shuffle is keyed by symbol.  With few hot symbols (the
-reference has 6) a single symbol's history lands in one partition — the
-standard fix is range-partitioning on (symbol, coarse time bucket) and
-computing frames per bucket with a ``bucket-1`` overlap carry; at the
-reference's cardinalities (and the driver's, ~10 keys) plain partitioning
-is correct and optimal.  Deterministic ordering: ties on event_time are
-broken by (price, volume) in the frame ORDER BY, matching the oracle.
+Scale shape: a shuffle keyed by symbol alone puts a symbol's whole history
+in one task — with few hot symbols (the reference has 6) that is the
+parallelism ceiling.  Both operators here therefore default to bucketed
+frames (``operators/frames.py``): partition on (symbol, day bucket) with an
+exact overlap carry, yielding n_symbols × n_days tasks and bounded per-task
+state; ``bucket_seconds=None`` restores the plain window (the equality-test
+baseline, and optimal when keys ≫ cores).  Deterministic ordering: ties on
+event_time are broken by (price, volume) in the frame ORDER BY, matching
+the oracle.
 """
 
 from __future__ import annotations
@@ -22,24 +24,42 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _frame():
-    return Window.partitionBy("symbol").orderBy(
-        F.col("event_time"), F.col("price"), F.col("volume")
-    )
+from stockpulse_batch_realtime_etl_spark.operators import frames
 
 
-def rolling_stats(ticks: DataFrame, n: int = 10) -> DataFrame:
+def rolling_stats(
+    ticks: DataFrame, n: int = 10, bucket_seconds: int | None = 86_400
+) -> DataFrame:
     """Per tick: simple moving average / min / max of the last ``n`` ticks
     (current row inclusive) and the tick-over-tick return.
 
     ``sma`` / extrema use a ROWS frame (count-based — robust to irregular
     tick spacing); ``ret`` is ``price/lag(price) - 1``.  6dp rounding on
     both sides of the oracle pins float noise.
+
+    Scale shape (default): the window runs over (symbol, day bucket) with
+    the previous ``n-1`` stream rows injected per bucket by
+    :func:`frames.with_row_overlap` — n_symbols × n_days tasks instead of
+    one unbounded task per symbol.  ``bucket_seconds=None`` keeps the plain
+    per-symbol window (test baseline; also optimal when keys ≫ cores).
     """
-    w = _frame()
+    order = [F.col("event_time"), F.col("price"), F.col("volume")]
+    if bucket_seconds is None:
+        w = Window.partitionBy("symbol").orderBy(*order)
+        src = ticks.select("symbol", "event_time", "price", "volume")
+    else:
+        src = frames.with_row_overlap(
+            ticks.select("symbol", "event_time", "price", "volume"),
+            key="symbol",
+            order_cols=("event_time", "price", "volume"),
+            m=max(n - 1, 1),
+            time_col="event_time",
+            bucket_seconds=bucket_seconds,
+        )
+        w = Window.partitionBy("symbol", frames.BUCKET_COL).orderBy(*order)
     frame = w.rowsBetween(-(n - 1), Window.currentRow)
     prev = F.lag("price", 1).over(w)
-    return ticks.select(
+    out = src.select(
         "symbol",
         "event_time",
         "price",
@@ -50,7 +70,9 @@ def rolling_stats(ticks: DataFrame, n: int = 10) -> DataFrame:
         F.round(
             F.when(prev != 0, (F.col("price") - prev) / prev), 6
         ).alias("ret"),
+        *([] if bucket_seconds is None else [frames.BUCKET_COL, frames.CARRY_COL]),
     )
+    return out if bucket_seconds is None else frames.finalize(out)
 
 
 EMA_SCHEMA = (
