@@ -229,3 +229,24 @@ def latest_tick_per_symbol(ticks: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# --- health / readiness (reference §2.10) -----------------------------------
+
+def health_counts(ticks: DataFrame, bars: DataFrame) -> DataFrame:
+    """The /ready deep health check (reference health.py:10-34): a liveness
+    probe row (``SELECT 1``) plus row counts of the tick and 1-minute bar
+    tables.  Three count-only aggregates — each is a map-side-combined
+    COUNT(*), the cheapest full-table statistic Spark has (and at 100 TB,
+    answered from parquet row-group metadata without reading data pages)."""
+    spark = ticks.sparkSession
+    one = spark.range(1).select(
+        F.lit("db").alias("check_name"), F.lit(1).cast("long").alias("n")
+    )
+    t = ticks.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("stock_ticks").alias("check_name"), "n"
+    )
+    b = bars.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("stock_bars_1m").alias("check_name"), "n"
+    )
+    return one.unionByName(t).unionByName(b)

@@ -957,6 +957,29 @@ def q_notable_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     return notable_days(ticks_from_events(spark, sf_dir))
 
 
+@register(
+    "health_counts",
+    oracle=f"""
+{TICKS_CTE}
+SELECT 'db' AS check_name, CAST(1 AS BIGINT) AS n
+UNION ALL
+SELECT 'stock_ticks' AS check_name, count(*) AS n FROM ticks
+UNION ALL
+SELECT 'stock_bars_1m' AS check_name, count(*) AS n FROM (
+  SELECT symbol, date_trunc('minute', event_time) AS b
+  FROM ticks GROUP BY 1, 2
+)
+""",
+)
+def q_health_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference /ready probe (health.py:18-29): SELECT 1 + both table
+    counts; the bar count is the 1-minute OHLCV cardinality."""
+    from stockpulse_batch_realtime_etl_spark.operators.serving import health_counts
+
+    ticks = ticks_from_events(spark, sf_dir)
+    return health_counts(ticks, ohlcv_bars(ticks))
+
+
 # Extension registrations (dedup / similarity / text) live in queries_ext,
 # which calls register() at import time.
 from stockpulse_batch_realtime_etl_spark import queries_ext  # noqa: E402,F401
@@ -1008,8 +1031,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "top_bars_per_day",
     "hourly_symbol_pivot",
     "notable_days",
-    # changed this round (df_cap guard)
+    # changed this round (df_cap guard) / added this round
     "jaccard_top_pairs",
+    "health_counts",
     # relational suite (green in r1; cheap to re-verify)
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -66,3 +66,25 @@ def test_rate_ticks_feed_ohlcv(spark):
     for b in bars:
         assert b.low <= b.open <= b.high
         assert b.low <= b.close <= b.high
+
+
+def test_yfinance_fixture_normalizes_wide_shape(spark):
+    """Reference S3/S4 (producer_yfinance.py:100-109): wide OHLCV rows with
+    no price field land as ticks with price := close, uppercased symbol."""
+    from stockpulse_batch_realtime_etl_spark.sources.yfinance_batch import (
+        YFINANCE_FIXTURE,
+        yfinance_ticks,
+    )
+
+    out = {
+        (r.symbol, str(r.event_time), r.source): r
+        for r in yfinance_ticks(spark).collect()
+    }
+    assert len(out) == len(YFINANCE_FIXTURE)
+    for rec in YFINANCE_FIXTURE:
+        row = out[(rec["symbol"].upper(),
+                   rec["event_time"].replace("T", " ").replace("+00:00", ""),
+                   rec["source"])]
+        assert row.price == rec["close"]  # price := close
+        assert row.open == rec["open"] and row.volume == rec["volume"]
+        assert row.event_time is not None and row.created_at is not None
