@@ -4,7 +4,11 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 ``oracle_sql()`` on DuckDB (views pre-registered over the same parquet),
 then compares row count, column names, and an order-insensitive value hash.
 
-Usage: python tools/check_parity.py [sf_dir] [query ...]
+Usage: python tools/check_parity.py [--bare] [sf_dir] [query ...]
+
+``--bare`` builds a minimally-configured SparkSession (like the driver's
+harness) instead of the repo session factory — the strictest replica of
+the correctness gate.
 """
 
 from __future__ import annotations
@@ -44,12 +48,21 @@ def _rowset(cols: list[str], rows: list[tuple]) -> tuple[int, list[str], set[str
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    bare = "--bare" in args
+    if bare:
+        args.remove("--bare")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entry_mod
 
-    spark = get_spark()
+    if bare:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[32]").getOrCreate()
+    else:
+        spark = get_spark()
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(
