@@ -80,22 +80,72 @@ def sliding_bars(
     """Sliding-window OHLCV: a ``length``-minute bar every ``slide`` minutes
     (the smoothed chart view; the reference has tumbling only, SURVEY.md ST5).
 
-    ``F.window(ts, length, slide)`` assigns each tick to length/slide
-    windows via an internal generator (an explode of window starts) feeding
-    the SAME single hash aggregate as tumbling bars — no self-join, no
-    re-scan per offset.  Data volume into the shuffle multiplies by
-    length/slide: at scale prefer computing tumbling slide-sized panes and
-    merging (pane open/close are min_by/max_by-combinable), which is what
-    Spark's streaming slide implementation effectively does.
+    Pane-merge plan (default when slide divides length): a naive
+    ``F.window(ts, length, slide)`` duplicates every TICK into
+    length/slide windows before the shuffle — the shuffle volume
+    multiplies by the overlap factor.  Instead aggregate tumbling
+    slide-sized PANES first (one ordinary hash aggregate: map-side
+    combined, shuffle carries per-(symbol, pane) state only), then
+    explode each pane into the length/slide sliding windows it feeds and
+    merge with the bar-combine identities (open/close = min_by/max_by on
+    pane start; extrema/sums associative).  The explode multiplies PANE
+    rows — bounded by symbols × time span / slide — not ticks.  This is
+    exactly the pane optimization of streaming slide implementations,
+    done relationally.
     """
-    w = F.window("event_time", f"{length_minutes} minutes", f"{slide_minutes} minutes")
-    return (
-        ticks.groupBy(F.col("symbol"), w.alias("w"))
+    if length_minutes % slide_minutes != 0:
+        w = F.window(
+            "event_time", f"{length_minutes} minutes", f"{slide_minutes} minutes"
+        )
+        return (
+            ticks.groupBy(F.col("symbol"), w.alias("w"))
+            .agg(*bar_agg_exprs())
+            .select(
+                "symbol",
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "open",
+                "high",
+                "low",
+                "close",
+                "volume_sum",
+                "tick_count",
+            )
+        )
+    k = length_minutes // slide_minutes
+    panes = (
+        ticks.groupBy(
+            F.col("symbol"),
+            F.window("event_time", f"{slide_minutes} minutes").alias("p"),
+        )
         .agg(*bar_agg_exprs())
+        .select("symbol", F.col("p.start").alias("pane_start"), "open",
+                "high", "low", "close", "volume_sum", "tick_count")
+    )
+    exploded = panes.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+    ).withColumn(
+        "window_start",
+        F.col("pane_start")
+        - F.col("j") * F.expr(f"INTERVAL {slide_minutes} MINUTES"),
+    )
+    return (
+        exploded.groupBy("symbol", "window_start")
+        .agg(
+            F.min_by("open", "pane_start").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "pane_start").alias("close"),
+            F.sum("volume_sum").alias("volume_sum"),
+            F.sum("tick_count").alias("tick_count"),
+        )
         .select(
             "symbol",
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
+            "window_start",
+            (
+                F.col("window_start")
+                + F.expr(f"INTERVAL {length_minutes} MINUTES")
+            ).alias("window_end"),
             "open",
             "high",
             "low",
