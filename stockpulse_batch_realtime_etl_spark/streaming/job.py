@@ -177,13 +177,64 @@ def start_bar_aggregation(
 import contextlib
 
 
+#: Bump when RAW_JSON_SQL / corpus derivation changes — it keys the on-disk
+#: corpus cache, so stale corpora from older code can never be reused.
+_CORPUS_VERSION = "v2"
+
+
+def _ensure_corpus(
+    spark: SparkSession, sf_dir: str, with_redelivery: bool
+) -> str:
+    """Materialize the Kafka-shaped JSON corpus for ``sf_dir`` ONCE and
+    reuse it across queries and processes.
+
+    The corpus is a pure function of (sf_dir, corpus version), so both
+    bounded streaming queries — and re-runs of either — can share one
+    write.  Reuse is gated on Spark's ``_SUCCESS`` marker (a partial write
+    from a killed run never has one).  The redelivered 20% slice (op ST7)
+    lives in a sibling dir; the dedup run reads ``{base,extra}`` via
+    Hadoop glob so no files are ever copied or appended.
+    """
+    import hashlib
+    import tempfile
+
+    from stockpulse_batch_realtime_etl_spark.sources.ticks import raw_json_corpus
+
+    tag = hashlib.md5(f"{_CORPUS_VERSION}:{sf_dir}".encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"stockpulse_corpus_{tag}")
+    base = os.path.join(root, "base")
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        (
+            raw_json_corpus(spark, sf_dir)
+            .select("value")
+            .write.mode("overwrite")
+            .text(base)
+        )
+    if not with_redelivery:
+        return base
+    extra = os.path.join(root, "extra")
+    if not os.path.exists(os.path.join(extra, "_SUCCESS")):
+        (
+            raw_json_corpus(spark, sf_dir)
+            .filter(F.col("offset") % 5 == 0)
+            .select("value")
+            .write.mode("overwrite")
+            .text(extra)
+        )
+    return os.path.join(root, "{base,extra}")
+
+
 @contextlib.contextmanager
 def _bounded_run_env(
-    spark: SparkSession, sf_dir: str, base_dir: str | None, kind: str
+    spark: SparkSession,
+    sf_dir: str,
+    base_dir: str | None,
+    kind: str,
+    with_redelivery: bool = False,
 ):
     """Shared setup for a bounded (availableNow) streaming run over the
-    JSON corpus: materialize the corpus as text files, size streaming state
-    to the bounded corpus, and restore session conf afterwards.
+    JSON corpus: materialize (or reuse) the corpus as text files, size
+    streaming state to the bounded corpus, and restore session conf after.
 
     State sizing: bounded backfill with bounded state → the memory-backed
     store beats RocksDB, whose per-batch per-partition instance open/commit
@@ -193,13 +244,12 @@ def _bounded_run_env(
     cluster-wide default.  The session defaults (RocksDB, 32 partitions)
     still govern continuous production streams.
 
-    Yields ``(raw_dir, out_dir, checkpoint_dir)``.
+    Yields ``(raw_path, out_dir, checkpoint_dir)``; out/checkpoint are
+    wiped per run (idempotence), the corpus is cached (_ensure_corpus).
     """
     import hashlib
     import shutil
     import tempfile
-
-    from stockpulse_batch_realtime_etl_spark.sources.ticks import raw_json_corpus
 
     overrides = {
         "spark.sql.streaming.stateStore.providerClass": (
@@ -218,17 +268,11 @@ def _bounded_run_env(
             tempfile.gettempdir(), f"stockpulse_{kind}_{tag}"
         )
     shutil.rmtree(base_dir, ignore_errors=True)
-    raw_dir = os.path.join(base_dir, "raw")
     out_dir = os.path.join(base_dir, "out")
     ckpt = os.path.join(base_dir, "ckpt")
     try:
-        (
-            raw_json_corpus(spark, sf_dir)
-            .select("value")
-            .write.mode("overwrite")
-            .text(raw_dir)
-        )
-        yield raw_dir, out_dir, ckpt
+        raw_path = _ensure_corpus(spark, sf_dir, with_redelivery)
+        yield raw_path, out_dir, ckpt
     finally:
         for k, v in prev.items():
             if v is None:
@@ -303,23 +347,10 @@ def run_dedup_available_now(
     the watermark — at production rates, minutes of keys, not the stream's
     history.
     """
-    with _bounded_run_env(spark, sf_dir, base_dir, "dedup") as (
-        raw_dir,
-        out_dir,
-        ckpt,
-    ):
-        from stockpulse_batch_realtime_etl_spark.sources.ticks import (
-            raw_json_corpus,
-        )
-
-        # redelivered slice: same wire bytes, appended as extra files
-        (
-            raw_json_corpus(spark, sf_dir)
-            .filter(F.col("offset") % 5 == 0)
-            .select("value")
-            .write.mode("append")
-            .text(raw_dir)
-        )
+    with _bounded_run_env(
+        spark, sf_dir, base_dir, "dedup", with_redelivery=True
+    ) as (raw_dir, out_dir, ckpt):
+        # raw_dir is the {base,extra} glob: corpus + the redelivered slice
         ticks, _failed = tick_stream_from_raw(raw_json_stream(spark, raw_dir))
         deduped = (
             ticks.select("symbol", "event_time")
