@@ -413,23 +413,26 @@ def dup_groups(
             .groupBy("src")
             .agg(F.min("group_id").alias("nbr_min"))
         )
-        new_labels = (
+        # carry a per-row changed flag instead of re-joining new vs old
+        # labels afterwards: the convergence check becomes a metadata-cheap
+        # scan of the checkpointed partitions, one shuffle join fewer per
+        # round.
+        stepped = (
             labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
             .select(
                 labels["doc_id"],
                 F.least(
                     F.col("group_id"), F.coalesce(F.col("nbr_min"), F.col("group_id"))
                 ).alias("group_id"),
+                (
+                    F.coalesce(F.col("nbr_min"), F.col("group_id"))
+                    < F.col("group_id")
+                ).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.group_id") != F.col("o.group_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("chg")).count()
+        labels = stepped.drop("chg")
         if changed == 0:
             break
     resolved = labels.withColumnRenamed("doc_id", "edge_doc_id")
