@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from stockpulse_batch_realtime_etl_spark.sources.tables import fan_out
 
@@ -236,4 +237,88 @@ def dataset_splits(
         .when(bucket < val_hi, "val")
         .otherwise("test")
         .alias("split"),
+    )
+
+
+# --- term weighting / n-gram statistics -------------------------------------
+
+def _norm_token_arr() -> Column:
+    """Lowercased, whitespace-collapsed token array — the same normalization
+    the dedup shingle path uses (NORM_TOKS_CTE in queries_ext.py), so term
+    statistics and near-dup analyses agree on what a token is."""
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")), " "
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document top-``k`` terms by TF-IDF — the classic relevance /
+    keyword-extraction statistic a training-data pipeline uses for topic
+    balancing and near-dup triage.
+
+    Plan: explode normalized tokens → per-(doc, term) counts (map-side
+    combined, shuffle carries distinct pairs); document frequency is a
+    second aggregate over those pairs (vocabulary-sized); N is a scalar
+    subquery.  The df table joins back BROADCAST (a vocabulary is
+    dimension-sized even at 100 TB corpora); final ranking is one window
+    over doc_id.  Score = tf · ln(N/df) in doubles of exact ints — bit
+    reproducible across engines; ties pinned by term.
+    """
+    toks = (
+        fan_out(docs)
+        .select("doc_id", F.explode(_norm_token_arr()).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    df_tab = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_tab), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "tfidf", "rank")
+    )
+
+
+def bigram_counts(docs: DataFrame) -> DataFrame:
+    """Corpus bigram frequencies — n-gram statistics for LM data prep
+    (vocabulary induction, collocation mining, contamination checks).
+
+    Built array-native: adjacent-pair construction via ``transform`` over an
+    index ``sequence`` (no self-join, no shuffle until the final count);
+    the count aggregate is map-side combined so the shuffle carries one row
+    per distinct bigram per partition.
+    """
+    arr = _norm_token_arr()
+    pairs = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.concat(
+                F.element_at(arr, i), F.lit(" "), F.element_at(arr, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        fan_out(docs)
+        .select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("bigram").asc())
     )

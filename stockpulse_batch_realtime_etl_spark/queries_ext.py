@@ -735,6 +735,51 @@ def q_dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH {NORM_TOKS_CTE.lstrip()},
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM toks WHERE token != '' GROUP BY doc_id, token
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 6) AS tfidf
+  FROM tf JOIN dfq ON tf.token = dfq.token CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, token, tf, tfidf, rank FROM ranked WHERE rank <= 5
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"), 5)
+
+
+@register(
+    "bigram_counts",
+    oracle=f"""
+WITH {NORM_TOKS_CTE.lstrip()},
+bi AS (
+  SELECT a.doc_id, a.token || ' ' || b.token AS bigram
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  WHERE a.token != '' AND b.token != ''
+)
+SELECT bigram, count(*) AS freq
+FROM bi GROUP BY bigram
+ORDER BY freq DESC, bigram ASC
+""",
+)
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bigram_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "streaming_dedup_ticks",
     oracle=f"""
 {RAW_CTE}

@@ -1034,6 +1034,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # changed this round (df_cap guard) / added this round
     "jaccard_top_pairs",
     "health_counts",
+    "tfidf_top_terms",
+    "bigram_counts",
     # relational suite (green in r1; cheap to re-verify)
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -135,3 +135,41 @@ def test_dataset_splits_deterministic_and_proportional(spark, make_docs):
     c = Counter(a.values())
     assert 0.85 < c["train"] / 2000 < 0.94
     assert c["val"] > 0 and c["test"] > 0
+
+
+def test_tfidf_top_terms_closed_form(make_docs):
+    import math
+
+    from stockpulse_batch_realtime_etl_spark.operators.text import tfidf_top_terms
+
+    docs = make_docs(
+        [
+            (1, "apple banana apple", "en", "web", 18),
+            (2, "banana cherry", "en", "web", 13),
+            (3, "cherry cherry cherry", "en", "web", 20),
+        ]
+    )
+    rows = {(r.doc_id, r.token): r for r in tfidf_top_terms(docs, 2).collect()}
+    # apple: tf=2 in doc1, df=1, N=3 → 2*ln(3)
+    assert rows[(1, "apple")].tfidf == round(2 * math.log(3.0), 6)
+    assert rows[(1, "apple")].rank == 1
+    # banana in doc1: tf=1, df=2 → ln(1.5)
+    assert rows[(1, "banana")].tfidf == round(math.log(1.5), 6)
+    # doc3: single distinct term, so only 1 row despite k=2
+    assert [k for k in rows if k[0] == 3] == [(3, "cherry")]
+    assert rows[(3, "cherry")].tf == 3
+
+
+def test_bigram_counts(make_docs):
+    from stockpulse_batch_realtime_etl_spark.operators.text import bigram_counts
+
+    docs = make_docs(
+        [
+            (1, "The  quick fox", "en", "web", 14),  # double space collapses
+            (2, "the quick fox", "en", "web", 13),
+            (3, "single", "en", "web", 6),           # no bigrams
+            (4, "", "en", "web", 0),                  # no bigrams
+        ]
+    )
+    got = {r.bigram: r.freq for r in bigram_counts(docs).collect()}
+    assert got == {"the quick": 2, "quick fox": 2}
