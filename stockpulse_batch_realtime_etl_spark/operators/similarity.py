@@ -344,3 +344,122 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# --- IVF with Lloyd-refined (spherical k-means) centroids -------------------
+
+def _assign_cells(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the dimension-sized centroid
+    table, score cosine per (vector, centroid), fold to argmax per vector
+    (``min_by`` over (−cos, cell) — map-side combinable, ties to the lowest
+    cell id, matching the oracle's ``ORDER BY cos DESC, cell ASC``)."""
+    c = cent.select(
+        F.col("cell").alias("_cell"),
+        F.col("c_emb"),
+        _norm(F.col("c_emb")).alias("c_norm"),
+    )
+    scored = vecs.join(F.broadcast(c)).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        "_cell",
+        _cos_precomputed(
+            F.col("embedding"), F.col("c_emb"), F.col("nrm"), F.col("c_norm")
+        ).alias("cos"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.first("embedding").alias("embedding"),
+        F.first("nrm").alias("nrm"),
+        F.min_by(
+            "_cell", F.struct((-F.col("cos")).alias("neg"), F.col("_cell"))
+        ).alias("cell"),
+    )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame, ncells: int = 8, iters: int = 2
+) -> DataFrame:
+    """Deterministic spherical k-means: seed with the ``vec_id < ncells``
+    vectors (the training-free quantizer of :func:`ivf_assign`), then run a
+    fixed number of Lloyd rounds — assign by max cosine, recompute each
+    centroid as the element-wise member mean.
+
+    Engine-reproducibility: cosines round to 6dp before the argmax (ties →
+    lowest cell) and centroid components round to 9dp after each mean, so
+    double summation-order noise (≈1e-15) can never flip an assignment
+    between Spark and the replaying oracle.  Fixed ``iters`` (no
+    convergence test) keeps the computation a pure function of the input.
+
+    Scale shape: per round, one broadcast-join scoring pass over the corpus
+    (corpus never shuffles for assignment) + one (cell, dim)-keyed mean —
+    both map-side combinable; centroid state is ncells × dim rows.  A cell
+    that loses all members drops out, exactly as in the oracle replay.
+    """
+    vecs = fan_out(embeddings).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    cent = embeddings.filter(F.col("vec_id") < ncells).select(
+        F.col("vec_id").alias("cell"),
+        F.transform("embedding", lambda v: v.cast("double")).alias("c_emb"),
+    )
+    for _ in range(iters):
+        assigned = _assign_cells(vecs, cent)
+        means = (
+            assigned.select(
+                "cell", F.posexplode("embedding").alias("d", "x")
+            )
+            .groupBy("cell", "d")
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast("double")) / F.count(F.lit(1)), 9
+                ).alias("m")
+            )
+        )
+        cent = means.groupBy("cell").agg(
+            F.sort_array(F.collect_list(F.struct("d", "m"))).alias("_dm")
+        ).select(
+            "cell", F.transform("_dm", lambda s: s["m"]).alias("c_emb")
+        )
+    return cent
+
+
+def ivf_kmeans_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    ncells: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF top-k (nprobe=1) over Lloyd-refined centroids — the production
+    form of :func:`ivf_topk`'s documented k-means seam.  Same search
+    skeleton (cell-restricted candidates, broadcast queries); only the
+    quantizer improves, which is the point of the seam."""
+    cent = kmeans_centroids(embeddings, ncells, iters)
+    vecs = fan_out(embeddings).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    assigned = _assign_cells(vecs, cent)
+    q = assigned.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_norm"),
+        F.col("cell").alias("q_cell"),
+    )
+    scored = assigned.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        _cos_precomputed(
+            F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("nrm")
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )

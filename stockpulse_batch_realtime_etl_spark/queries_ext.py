@@ -598,6 +598,86 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_ivf_oracle(ncells: int, iters: int, k: int) -> str:
+    """Unrolled spherical-k-means IVF replay: c0 = seed centroids, then per
+    round sN (round-6 cosine scores) → aN (argmax cell) → cN (round-9
+    element-wise means); final assignment + cell-restricted search."""
+    parts = [
+        """e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings
+)""",
+        f"""c0 AS (
+  SELECT vec_id AS cell, d, x AS cx FROM e WHERE vec_id < {ncells}
+)""",
+    ]
+    for i in range(iters):
+        parts.append(f"""s{i + 1} AS (
+  SELECT e.vec_id, c.cell,
+         round(sum(e.x * c.cx)
+               / (sqrt(sum(e.x * e.x)) * sqrt(sum(c.cx * c.cx))), 6) AS cos
+  FROM e JOIN c{i} c ON e.d = c.d
+  GROUP BY e.vec_id, c.cell
+)""")
+        parts.append(f"""a{i + 1} AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+    FROM s{i + 1}
+  ) WHERE rn = 1
+)""")
+        parts.append(f"""c{i + 1} AS (
+  SELECT a.cell, e.d, round(sum(e.x) / count(*), 9) AS cx
+  FROM e JOIN a{i + 1} a ON e.vec_id = a.vec_id
+  GROUP BY a.cell, e.d
+)""")
+    parts.append(f"""sf AS (
+  SELECT e.vec_id, c.cell,
+         round(sum(e.x * c.cx)
+               / (sqrt(sum(e.x * e.x)) * sqrt(sum(c.cx * c.cx))), 6) AS cos
+  FROM e JOIN c{iters} c ON e.d = c.d
+  GROUP BY e.vec_id, c.cell
+)""")
+    parts.append("""af AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+    FROM sf
+  ) WHERE rn = 1
+)""")
+    qids = ", ".join(map(str, _QUERY_IDS))
+    parts.append(f"""scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round(sum(qe.x * ce.x)
+               / (sqrt(sum(qe.x * qe.x)) * sqrt(sum(ce.x * ce.x))), 6)
+           AS cos_sim
+  FROM af q
+  JOIN af c ON c.cell = q.cell AND c.vec_id != q.vec_id
+  JOIN e qe ON qe.vec_id = q.vec_id
+  JOIN e ce ON ce.vec_id = c.vec_id AND ce.d = qe.d
+  WHERE q.vec_id IN ({qids})
+  GROUP BY q.vec_id, c.vec_id
+)""")
+    parts.append("""ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) AS rank
+  FROM scored
+)""")
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= {k}"
+    )
+
+
+@register("ann_ivf_kmeans_topk", oracle=_kmeans_ivf_oracle(_NCELLS, 2, 5))
+def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_kmeans_topk(
+        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, 5, _NCELLS, 2
+    )
+
+
 # --- JSON decode + DLQ split (ops S6/S8/F11) --------------------------------
 
 from stockpulse_batch_realtime_etl_spark.sources.dlq import split_raw_stream

@@ -1036,6 +1036,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "health_counts",
     "tfidf_top_terms",
     "bigram_counts",
+    "ann_ivf_kmeans_topk",
     # relational suite (green in r1; cheap to re-verify)
     "q1_pricing_summary",
     "q3_shipping_priority",

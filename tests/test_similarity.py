@@ -107,3 +107,31 @@ def test_brute_force_np_matches_hof_exactly(embeddings):
         map(tuple, similarity.brute_force_topk_np(embeddings, [0, 3], k=4).collect())
     )
     assert hof == np_  # same doubles, same rounding, same tie-breaks
+
+
+def test_ivf_kmeans_zero_iters_equals_training_free(embeddings):
+    """With no Lloyd rounds the k-means IVF must reproduce the seed-centroid
+    IVF exactly (same quantizer, same search skeleton)."""
+    base = {
+        (r.query_id, r.rank): (r.cand_id, r.cos_sim)
+        for r in similarity.ivf_topk(embeddings, [0, 1], k=3, ncells=2).collect()
+    }
+    km = {
+        (r.query_id, r.rank): (r.cand_id, r.cos_sim)
+        for r in similarity.ivf_kmeans_topk(
+            embeddings, [0, 1], k=3, ncells=2, iters=0
+        ).collect()
+    }
+    assert base == km and base
+
+
+def test_ivf_kmeans_assigns_every_vector(embeddings):
+    n = embeddings.count()
+    cent = similarity.kmeans_centroids(embeddings, ncells=2, iters=2)
+    vecs = embeddings.selectExpr(
+        "vec_id", "embedding",
+        "sqrt(aggregate(embedding, 0D, (a, v) -> a + cast(v as double) * cast(v as double)))  AS nrm",
+    )
+    assigned = similarity._assign_cells(vecs, cent)
+    assert assigned.count() == n
+    assert assigned.filter("cell IS NULL").count() == 0
