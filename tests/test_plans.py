@@ -219,3 +219,62 @@ def test_notable_days_reuses_daily_subtrees(spark, ticks):
     executed = plan[: len(plan) // 2] if plan.count("FileScan") > 4 else plan
     assert "ReusedExchange" in plan
     assert executed.count("FileScan") <= 3
+
+
+def test_sliding_bars_pane_merge_two_aggregates_no_tick_duplication(spark, ticks):
+    """The pane plan aggregates ticks ONCE into panes, then explodes panes —
+    the explode (Generate) must sit ABOVE the first hash aggregate, so the
+    shuffle never carries ticks x overlap."""
+    from stockpulse_batch_realtime_etl_spark.operators.ohlcv import sliding_bars
+
+    plan = sliding_bars(ticks, 5, 1)._jdf.queryExecution().executedPlan().toString()
+    gen = plan.find("Generate")
+    aggs = [i for i in range(len(plan)) if plan.startswith("HashAggregate", i)]
+    assert gen != -1 and aggs, plan[:800]
+    # deepest (= last printed) aggregate is the pane aggregate, below Generate
+    assert any(i > gen for i in aggs), "pane aggregate missing below explode"
+    P.assert_no_cartesian(sliding_bars(ticks, 5, 1))
+
+
+def test_ema_chunked_has_no_per_symbol_ceiling(spark, ticks):
+    """The chunked EMA's heavy stage groups by (symbol, chunk): far more
+    groups than symbols, and the carry join is broadcast."""
+    from stockpulse_batch_realtime_etl_spark.operators.rolling import ema
+
+    df = ema(ticks, 0.2, chunk_seconds=3600)
+    P.assert_broadcast_join(df, min_count=1)
+    P.assert_no_cartesian(df)
+    n_symbols = ticks.select("symbol").distinct().count()
+    groups = ticks.select(
+        "symbol", F.floor(F.unix_micros("event_time") / 3_600_000_000).alias("c")
+    ).distinct().count()
+    assert groups > n_symbols * 4
+
+
+def test_tfidf_broadcasts_vocabulary(spark):
+    from stockpulse_batch_realtime_etl_spark.operators.text import tfidf_top_terms
+
+    docs = load_table(spark, SF, "documents")
+    df = tfidf_top_terms(docs, 5)
+    P.assert_broadcast_join(df, min_count=1)  # vocabulary-sized df table
+    P.assert_no_cartesian(df)
+    # N is a scalar subquery, not a BroadcastNestedLoopJoin
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_rolling_window_partitions_by_symbol_and_bucket(spark, ticks):
+    """The window stage must partition on (symbol, _bucket), not symbol
+    alone — the plan's Window operator shows both partition keys."""
+    from stockpulse_batch_realtime_etl_spark.operators.rolling import rolling_stats
+
+    plan = (
+        rolling_stats(ticks, 10, bucket_seconds=86_400)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    wins = re.findall(r"Window .*?partition", plan)
+    assert "_bucket" in plan, plan[:800]
