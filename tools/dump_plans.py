@@ -89,6 +89,31 @@ HEADLINERS: dict[str, str] = {
         "scans, and the corpus-mean thresholds are single-partition window "
         "aggregates over symbols×days rows."
     ),
+    "sliding_bars": (
+        "Pane merge: ticks aggregate ONCE into slide-sized panes (partial→"
+        "final hash aggregate), the Generate (explode) sits ABOVE that "
+        "aggregate — the shuffle carries pane state, never ticks × overlap."
+    ),
+    "rolling_stats": (
+        "Bucketed ROWS frame: Window partitions on (symbol, _bucket) with "
+        "carry rows injected per bucket — n_symbols × n_days tasks instead "
+        "of one unbounded task per symbol."
+    ),
+    "ema_ticks": (
+        "Chunked recursion: FlatMapGroupsInPandas per (symbol, day), a JVM "
+        "aggregate fold for chunk end-states, and a BROADCAST join of the "
+        "tiny carry table — no per-symbol parallelism ceiling."
+    ),
+    "tfidf_top_terms": (
+        "Term stats: (doc, term) counts map-side combined, the vocabulary-"
+        "sized df table re-joined BROADCAST, corpus N folded in as a scalar "
+        "subquery (no BroadcastNestedLoopJoin)."
+    ),
+    "ann_ivf_kmeans_topk": (
+        "Lloyd rounds as broadcast-join scoring passes (the corpus is never "
+        "shuffled for assignment) + (cell, dim)-keyed means; search stays "
+        "cell-restricted with broadcast queries."
+    ),
 }
 
 
