@@ -14,6 +14,7 @@ Conventions:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -980,6 +981,97 @@ def q_health_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return health_counts(ticks, ohlcv_bars(ticks))
 
 
+# --- source/sink surfaces through the gate (S1, S2+S6, S7) ------------------
+
+def _md5_unit_sql(salt: str) -> str:
+    """DuckDB replay of rate._hash_unit: first 8 md5 hex chars → [0,1)."""
+    h = f"md5('{salt}' || CAST(i AS VARCHAR))"
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {j}, 1)) - 1) * {16 ** (8 - j)}"
+        for j in range(1, 9)
+    )
+    return f"(({terms}) / {float(16 ** 8)})"
+
+
+_SIM_SYMBOLS = ["AAPL", "MSFT", "GOOG", "AMZN", "TSLA", "NVDA"]
+_SIM_BASES = [190.0, 420.0, 175.0, 185.0, 250.0, 1150.0]
+
+
+@register(
+    "simulated_ticks",
+    oracle=f"""
+WITH g AS (SELECT unnest(generate_series(0, 999)) AS i)
+SELECT
+  ([{", ".join(repr(s) for s in _SIM_SYMBOLS)}])[(i % {len(_SIM_SYMBOLS)}) + 1]
+    AS symbol,
+  round(([{", ".join(str(b) for b in _SIM_BASES)}])[(i % {len(_SIM_SYMBOLS)}) + 1]
+        + ({_md5_unit_sql("drift")} - 0.5), 2) AS price,
+  500 + CAST(floor({_md5_unit_sql("vol")} * 14500) AS BIGINT) AS volume,
+  TIMESTAMP '2024-01-15 12:00:00' + i * (INTERVAL 2 SECOND) AS event_time
+FROM g
+""",
+)
+def q_simulated_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 (producer.py:66-93): the simulated tick source's deterministic
+    batch twin — the oracle replays the seeded md5/pmod arithmetic, so the
+    generator itself is value-hash-verified, not just schema-checked."""
+    from stockpulse_batch_realtime_etl_spark.sources.rate import (
+        simulated_tick_batch,
+    )
+
+    return simulated_tick_batch(spark, 1000)
+
+
+@register(
+    "kafka_roundtrip_ticks",
+    oracle=f"{TICKS_CTE}\nSELECT symbol, price, volume, event_time FROM ticks",
+)
+def q_kafka_roundtrip_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 + S6/F11 (producer.py:84-90 / consumer.py:76-90): ticks → keyed
+    Kafka (key, value-JSON) wire pairs → decode back.  The gate proves the
+    encode/decode pair is lossless (doubles round-trip shortest-form JSON,
+    null volume survives as an absent key)."""
+    from stockpulse_batch_realtime_etl_spark.sources.kafka import (
+        WIRE_TS_FORMAT,
+        encode_ticks_for_kafka,
+    )
+
+    ticks = ticks_from_events(spark, sf_dir)
+    wire = encode_ticks_for_kafka(ticks)
+    schema = "symbol string, price double, volume long, event_time timestamp"
+    return wire.select(
+        F.from_json(
+            F.col("value"), schema, {"timestampFormat": WIRE_TS_FORMAT}
+        ).alias("t")
+    ).select("t.symbol", "t.price", "t.volume", "t.event_time")
+
+
+@register(
+    "storage_roundtrip",
+    oracle=f"{TICKS_CTE}\nSELECT symbol, price, volume, event_time FROM ticks",
+)
+def q_storage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 (consumer.py:111-117 insert path): write the ticks table in its
+    production partitioned layout (symbol/event_date, time-sorted row
+    groups), read it back, and prove the round trip byte-identical via the
+    ticks-identity oracle."""
+    import tempfile
+    import uuid
+
+    from stockpulse_batch_realtime_etl_spark.sources.storage import (
+        read_ticks,
+        write_ticks_partitioned,
+    )
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"stockpulse_s7_{uuid.uuid4().hex[:12]}"
+    )
+    write_ticks_partitioned(ticks_from_events(spark, sf_dir), path)
+    return read_ticks(spark, path).select(
+        "symbol", "price", "volume", "event_time"
+    )
+
+
 # Extension registrations (dedup / similarity / text) live in queries_ext,
 # which calls register() at import time.
 from stockpulse_batch_realtime_etl_spark import queries_ext  # noqa: E402,F401
@@ -1037,6 +1129,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "tfidf_top_terms",
     "bigram_counts",
     "ann_ivf_kmeans_topk",
+    "simulated_ticks",
+    "kafka_roundtrip_ticks",
+    "storage_roundtrip",
     # relational suite (green in r1; cheap to re-verify)
     "q1_pricing_summary",
     "q3_shipping_priority",

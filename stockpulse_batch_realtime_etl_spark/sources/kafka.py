@@ -27,14 +27,21 @@ TICKS_TOPIC = "stock.ticks.v1"
 BARS_TOPIC = "stock.bars.1m.v1"
 
 
+#: Wire timestamp format: microsecond precision (the default SSS truncates
+#: to millis and would make the encode/decode round trip lossy).
+WIRE_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
 def encode_ticks_for_kafka(ticks: DataFrame) -> DataFrame:
     """S2: tick rows → Kafka (key, value) pairs.  key = symbol (per-symbol
     partition ordering, producer.py:87), value = JSON of the full row
-    (producer.py:84-90, op F11)."""
+    (producer.py:84-90, op F11) with lossless µs timestamps."""
     payload = [c for c in ticks.columns]
     return ticks.select(
         F.col("symbol").cast("string").alias("key"),
-        F.to_json(F.struct(*payload)).alias("value"),
+        F.to_json(
+            F.struct(*payload), {"timestampFormat": WIRE_TS_FORMAT}
+        ).alias("value"),
     )
 
 
