@@ -1132,7 +1132,14 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "simulated_ticks",
     "kafka_roundtrip_ticks",
     "storage_roundtrip",
-    # relational suite (green in r1; cheap to re-verify)
+    # dedup chain: dup_groups changed this round; keep the join-bearing
+    # stages inside the gate ahead of the untouched relational suite
+    "dup_groups",
+    "lsh_candidate_pairs",
+    "minhash_signatures",
+    "simhash_near_dups",
+    # relational suite (green in r1, unchanged since; first to age out
+    # under the 50-entry cap)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -1142,11 +1149,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "q6_forecast_revenue",
     "revenue_rollup",
     "customers_without_orders",
-    # dedup chain: keep the join-bearing stages inside the gate
-    "dup_groups",
-    "lsh_candidate_pairs",
-    "minhash_signatures",
-    "simhash_near_dups",
 )
 
 
