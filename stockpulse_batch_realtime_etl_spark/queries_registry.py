@@ -1055,17 +1055,17 @@ def q_storage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     production partitioned layout (symbol/event_date, time-sorted row
     groups), read it back, and prove the round trip byte-identical via the
     ticks-identity oracle."""
+    import hashlib
     import tempfile
-    import uuid
 
     from stockpulse_batch_realtime_etl_spark.sources.storage import (
         read_ticks,
         write_ticks_partitioned,
     )
 
-    path = os.path.join(
-        tempfile.gettempdir(), f"stockpulse_s7_{uuid.uuid4().hex[:12]}"
-    )
+    # deterministic per-sf path + overwrite mode → bounded disk across runs
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"stockpulse_s7_{tag}")
     write_ticks_partitioned(ticks_from_events(spark, sf_dir), path)
     return read_ticks(spark, path).select(
         "symbol", "price", "volume", "event_time"
