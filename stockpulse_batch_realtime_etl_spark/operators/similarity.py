@@ -420,6 +420,14 @@ def kmeans_centroids(
         ).select(
             "cell", F.transform("_dm", lambda s: s["m"]).alias("c_emb")
         )
+        # Truncate lineage each Lloyd round: cent is ncells×dim — tiny —
+        # but its PLAN nests every prior round's corpus-scoring pass, so a
+        # downstream consumer that references cent twice (assignment +
+        # search) would recompute the whole iteration history per
+        # reference.  localCheckpoint materializes the ncells rows and
+        # makes each corpus pass happen exactly once per round — the same
+        # treatment dup_groups gives its label table.
+        cent = cent.localCheckpoint()
     return cent
 
 
@@ -439,7 +447,14 @@ def ivf_kmeans_topk(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
     assigned = _assign_cells(vecs, cent)
-    q = assigned.filter(F.col("vec_id").isin(query_ids)).select(
+    # Assign the k query vectors from a pruned scan (vec_id pushdown)
+    # instead of filtering the corpus-wide assignment: referencing
+    # `assigned` twice would run the full scoring pass twice (AQE reuses
+    # exchanges, not aggregate subtrees), and the query set is k rows.
+    q_vecs = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    q = _assign_cells(q_vecs, cent).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_norm"),
