@@ -81,41 +81,55 @@ EMA_SCHEMA = (
 
 
 def ema(
-    ticks: DataFrame, alpha: float = 0.2, chunk_seconds: int | None = 86_400
+    ticks: DataFrame,
+    alpha: float = 0.2,
+    chunk_seconds: int | None = 86_400,
+    rows_per_subchunk: int | None = None,
 ) -> DataFrame:
     """Per-symbol exponential moving average — the recursive time-series
     operator (EMA_t = α·p_t + (1−α)·EMA_{t−1}) that no finite window frame
-    can express: every output depends on the ENTIRE history, so it is the
-    textbook case for ``applyInPandas`` (custom-operator ladder step (b) —
-    composition of built-ins is impossible, a full stateful stream operator
-    is overkill for batch).
+    can express: every output depends on the ENTIRE history.
 
     Scale shape (default, ``chunk_seconds`` set): a per-SYMBOL group would
     be one task holding the symbol's entire history — a ~n_symbols
     parallelism ceiling and an executor-memory cliff at deep histories.
-    Instead the recursion is split by (symbol, time chunk) using its
-    linearity:
+    Instead the recursion is split by (symbol, time chunk, row sub-chunk)
+    using its linearity:
 
-        EMA_i = local_i + (1−α)^i · C_chunk
+        EMA_i = local_i + (1−α)^i · C_sub
 
-    where ``local_i`` is the zero-seeded in-chunk contribution
-    Σ_{j≤i} α(1−α)^{i−j} p_j and ``C_chunk`` is the EMA carried out of the
-    previous chunk.  Three fully distributed steps:
+    where ``local_i`` is the zero-seeded in-sub-chunk contribution
+    Σ_{j≤i} α(1−α)^{i−j} p_j and ``C_sub`` is the EMA carried into the
+    sub-chunk.  The per-row pass stays ENTIRELY in whole-stage codegen via
+    the renormalized prefix sum
 
-    1. per (symbol, chunk): vectorized pandas ``ewm`` on a zero-prepended
-       series → per-row ``local_i`` and decay (1−α)^i (Arrow-batched);
-    2. per (symbol, chunk): JVM-side fold (``aggregate`` over a sorted
-       ``collect_list``) → chunk end-state summary (n, first price, L_end)
-       — rows ≈ #chunks, so the per-symbol sequential stitch
-       C_{k+1} = L_k + (1−α)^{n_k}·C_k touches chunk COUNTS, not ticks;
-    3. broadcast the tiny carry table back and finish the identity.
+        local_i = (1−α)^i · Σ_{j≤i} α(1−α)^{−j} p_j
+
+    — a running-frame SUM over a window, no Python in the hot path.  The
+    growing (1−α)^{−j} factor is kept finite by bounding sub-chunks to
+    ``B ≈ min(1024, 600/|ln(1−α)|)`` rows (exponent < e^600 ≪ double max;
+    the addends an early term is absorbed against are exactly the ones the
+    true EMA decays to nothing, so 6dp output precision is unaffected).
+
+    Stages:
+
+    1. window over (symbol, chunk) ordered (event_time, price): row_number
+       → sub-chunk id and in-sub index j; one shuffle, one sort;
+    2. running-frame sum over (symbol, chunk, sub) → per-row ``local`` and
+       ``decay=(1−α)^j`` (same exchange, codegen);
+    3. per (symbol, chunk, sub) hash-aggregate → summary (n, first price,
+       L_end) — a ~B×-reduced stream, so the per-symbol sequential stitch
+       C_next = L + (1−α)^n·C (Arrow ``applyInPandas``, the only
+       inherently sequential step) touches summaries, not ticks;
+    4. broadcast the carry table back and finish the identity.  Carry rows
+       = ticks/B; if a deployment's history outgrows the broadcast
+       threshold (≳10¹¹ ticks), raise B or repeat step 3 hierarchically
+       (chunk level then symbol level) — the identity composes.
 
     The seed matches pandas ``adjust=False`` (EMA_1 = p_1): C_1 = first
     price of the symbol.  ``chunk_seconds=None`` falls back to the
-    single-group-per-symbol path (used by tests as the equality baseline).
-    Chunk span trades per-group Arrow overhead against parallelism /
-    per-task memory: daily chunks keep a symbol-day (≲ a few hundred MB at
-    exchange feed rates) per task while yielding n_symbols×n_days tasks.
+    single-group-per-symbol pandas ``ewm`` path (the equality-test
+    baseline).
 
     Not oracle-checked (the driver records a rows-only check): the
     recursion is inexpressible in DuckDB short of a per-row recursive CTE.
@@ -123,8 +137,17 @@ def ema(
     closed form Σ α(1−α)^k p_{t−k} computed independently in numpy, plus a
     chunked-vs-single equality test.
     """
+    import math
+
     import numpy as np
     import pandas as pd
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if alpha == 1.0:  # degenerate: EMA_t = p_t; avoids ln(0) below
+        return ticks.select(
+            "symbol", "event_time", "price", F.round("price", 6).alias("ema")
+        )
 
     if chunk_seconds is None:
 
@@ -141,76 +164,69 @@ def ema(
             .applyInPandas(_ema_group, EMA_SCHEMA)
         )
 
+    q = 1.0 - alpha
+    # (1−α)^{−j} must stay finite for j ≤ B: cap the exponent around e^600
+    # (double max ≈ e^709, leaving ~e^100 of headroom for the price factor).
+    # ``rows_per_subchunk`` overrides only to force boundary crossings in
+    # tests; the cap still applies.
+    B = max(1, min(rows_per_subchunk or 1024, int(600.0 / abs(math.log(q)))))
+
     base = ticks.select("symbol", "event_time", "price").withColumn(
         "chunk", F.floor(F.unix_micros("event_time") / (chunk_seconds * 1_000_000))
     )
 
-    local_schema = (
-        "symbol string, chunk long, event_time timestamp, price double, "
-        "local double, decay double"
+    wo = Window.partitionBy("symbol", "chunk").orderBy("event_time", "price")
+    ranked = (
+        base.withColumn("rn", F.row_number().over(wo))
+        .withColumn("sub", ((F.col("rn") - F.lit(1)) / F.lit(B)).cast("long"))
+        .withColumn("j", F.col("rn") - F.col("sub") * F.lit(B))  # 1-based
+    )
+    wsub = (
+        Window.partitionBy("symbol", "chunk", "sub")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = ranked.withColumn(
+        "local",
+        F.pow(F.lit(q), F.col("j"))
+        * F.sum(
+            F.lit(alpha) * F.pow(F.lit(q), -F.col("j")) * F.col("price")
+        ).over(wsub),
+    ).withColumn("decay", F.pow(F.lit(q), F.col("j")))
+
+    # Sub-chunk end states — consumed alongside the join below; the shuffle
+    # on (symbol, chunk) is a ReusedExchange under AQE, and everything here
+    # is hash-aggregate codegen.
+    summaries = run.groupBy("symbol", "chunk", "sub").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min_by("price", "rn").alias("p_head"),
+        F.max_by("local", "rn").alias("l_end"),
     )
 
-    def _local(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["event_time", "price"]).reset_index(drop=True)
-        prices = pdf["price"].to_numpy(dtype="float64")
-        # zero-prepended ewm ≡ the recursion seeded with 0: exactly local_i
-        seeded = pd.Series(np.concatenate(([0.0], prices)))
-        pdf["local"] = seeded.ewm(alpha=alpha, adjust=False).mean().to_numpy()[1:]
-        pdf["decay"] = np.power(
-            1.0 - alpha, np.arange(1, len(prices) + 1, dtype="float64")
-        )
-        return pdf[["symbol", "chunk", "event_time", "price", "local", "decay"]]
-
-    local = base.groupBy("symbol", "chunk").applyInPandas(_local, local_schema)
-
-    # Chunk summaries computed independently of the pandas stage (no cache /
-    # double compute), via the recursion's closed form
-    # l_end = Σ_j α(1−α)^(n−j) p_j — row_number/count window + one
-    # hash-aggregate, all whole-stage codegen (an earlier sorted
-    # collect_list + interpreted HOF fold benched ~3× slower; float
-    # summation-order noise vs the fold is ~1e-15, under the 6dp output
-    # rounding, and EMA is rows-only checked).  The window shuffles on the
-    # same (symbol, chunk) key as the pandas stage, so AQE reuses the
-    # exchange, and the groupBy below inherits that partitioning.
-    wc = Window.partitionBy("symbol", "chunk")
-    wo = wc.orderBy("event_time", "price")
-    ranked = base.select(
-        "symbol",
-        "chunk",
-        "price",
-        F.row_number().over(wo).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
-        F.first("price").over(wo).alias("p_head"),
-    )
-    summaries = ranked.groupBy("symbol", "chunk").agg(
-        F.max("n").alias("n"),
-        F.min_by("p_head", "rn").alias("p_first"),
-        F.sum(
-            F.lit(alpha)
-            * F.pow(F.lit(1.0 - alpha), F.col("n") - F.col("rn"))
-            * F.col("price")
-        ).alias("l_end"),
-    )
-
-    carry_schema = "symbol string, chunk long, carry double"
+    carry_schema = "symbol string, chunk long, sub long, carry double"
 
     def _carries(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one row per CHUNK (not per tick) — the only sequential step
-        pdf = pdf.sort_values("chunk").reset_index(drop=True)
+        # one row per SUB-CHUNK (~ticks/B) — the only sequential step
+        pdf = pdf.sort_values(["chunk", "sub"]).reset_index(drop=True)
         carries = np.empty(len(pdf))
-        carry = float(pdf["p_first"].iloc[0])  # seed: EMA_1 = p_1
+        carry = float(pdf["p_head"].iloc[0])  # seed: EMA_1 = p_1
         for i in range(len(pdf)):
             carries[i] = carry
-            carry = float(pdf["l_end"].iloc[i]) + (1.0 - alpha) ** int(
+            carry = float(pdf["l_end"].iloc[i]) + q ** int(
                 pdf["n"].iloc[i]
             ) * carry
         return pd.DataFrame(
-            {"symbol": pdf["symbol"], "chunk": pdf["chunk"], "carry": carries}
+            {
+                "symbol": pdf["symbol"],
+                "chunk": pdf["chunk"],
+                "sub": pdf["sub"],
+                "carry": carries,
+            }
         )
 
     carries = summaries.groupBy("symbol").applyInPandas(_carries, carry_schema)
 
-    return local.join(F.broadcast(carries), ["symbol", "chunk"]).select(
+    return run.join(F.broadcast(carries), ["symbol", "chunk", "sub"]).select(
         "symbol",
         "event_time",
         "price",

@@ -115,3 +115,32 @@ def test_ema_chunked_equals_single_group(make_ticks):
     assert len(single) == len(chunked) == 120
     for k, v in single.items():
         assert abs(chunked[k] - v) < 1e-9, (k, v, chunked[k])
+
+
+def test_ema_subchunk_boundary_equals_single_group(make_ticks):
+    """Force rows-per-subchunk far below the row count so the renormalized
+    prefix sum crosses MANY sub-chunk boundaries inside one time chunk, and
+    the carry stitch runs at sub granularity — must still equal the plain
+    per-symbol recursion at 6dp."""
+    import random
+
+    from stockpulse_batch_realtime_etl_spark.operators.rolling import ema
+
+    rng = random.Random(11)
+    rows = [
+        ("AAPL", round(100 + rng.uniform(-5, 5), 2), 1, ts(i % 60, hour=12 + i // 60))
+        for i in range(55)
+    ]
+    t = make_ticks(rows)
+    single = {
+        str(r.event_time): r.ema
+        for r in ema(t, 0.3, chunk_seconds=None).collect()
+    }
+    # one giant time chunk, sub-chunks of 7 rows → 8 stitched sub-chunks
+    chunked = {
+        str(r.event_time): r.ema
+        for r in ema(t, 0.3, chunk_seconds=86_400, rows_per_subchunk=7).collect()
+    }
+    assert len(single) == len(chunked) == 55
+    for k, v in single.items():
+        assert abs(chunked[k] - v) < 1e-9, (k, v, chunked[k])
