@@ -945,3 +945,70 @@ def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("frame_bytes").alias("frame_md5"),
         F.length("frame_bytes").cast("long").alias("frame_len"),
     )
+
+
+# --- rolling-hash fingerprints (Manber '94 / Karp–Rabin) --------------------
+
+def _horner_sql(k: int, base: int, mod: int, s: str = "n", pos: str = "pos") -> str:
+    """Unrolled Karp–Rabin polynomial, identical to the Spark Horner chain
+    in text.kgram_fingerprints (mod applied every step, ascii per char)."""
+    h = "0"
+    for t in range(k):
+        h = f"(({h}) * {base} + ascii(substring({s}, {pos} + {t}, 1))) % {mod}"
+    return h
+
+
+#: normalized text + every k-gram start position (k=8)
+KGRAM_POS_CTE = r"""
+norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, n, CAST(unnest(range(1, length(n) - 8 + 2)) AS INT) AS pos
+  FROM norm WHERE length(n) >= 8
+)
+"""
+
+
+@register(
+    "rolling_fingerprints",
+    oracle=f"""
+WITH {KGRAM_POS_CTE.lstrip()}
+SELECT doc_id, pos, fp FROM (
+  SELECT doc_id, pos, {_horner_sql(8, 257, 1_000_003)} AS fp FROM pos
+) h WHERE fp % 8 = 0
+""",
+)
+def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.kgram_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=8, p=8
+    )
+
+
+@register(
+    "fingerprint_match_pairs",
+    oracle=f"""
+WITH {KGRAM_POS_CTE.lstrip()},
+h AS (
+  SELECT doc_id, pos, {_horner_sql(8, 257, 1_000_003)} AS fp FROM pos
+),
+sel AS (SELECT DISTINCT doc_id, fp FROM h WHERE fp % 8 = 0),
+dfq AS (SELECT fp, count(*) AS df FROM sel GROUP BY fp),
+cold AS (
+  SELECT s.doc_id, s.fp FROM sel s JOIN dfq USING (fp) WHERE dfq.df <= 100
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+  FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared_fps FROM pairs
+ORDER BY shared_fps DESC, doc_a ASC, doc_b ASC LIMIT 50
+""",
+)
+def q_fingerprint_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint_match_pairs(
+        load_table(spark, sf_dir, "documents"), k=8, p=8, doc_cap=100, top=50
+    )

@@ -1140,6 +1140,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "simulated_ticks",
     "kafka_roundtrip_ticks",
     "storage_roundtrip",
+    "rolling_fingerprints",
+    "fingerprint_match_pairs",
     # dedup chain: dup_groups changed this round; keep the join-bearing
     # stages inside the gate ahead of the untouched relational suite
     "dup_groups",

@@ -173,3 +173,54 @@ def test_bigram_counts(make_docs):
     )
     got = {r.bigram: r.freq for r in bigram_counts(docs).collect()}
     assert got == {"the quick": 2, "quick fox": 2}
+
+
+def _kr_hash(g: str, base=257, mod=1_000_003) -> int:
+    h = 0
+    for c in g:
+        h = (h * base + ord(c)) % mod
+    return h
+
+
+def test_kgram_fingerprints_match_reference_hash(make_docs):
+    t = "the quick brown fox jumps over the lazy dog"
+    d = make_docs([doc(1, t), doc(2, "tiny")])  # doc 2: shorter than k
+    k, p = 8, 8
+    got = {
+        (r.doc_id, r.pos): r.fp
+        for r in text.kgram_fingerprints(d, k=k, p=p).collect()
+    }
+    want = {
+        (1, i + 1): _kr_hash(t[i : i + k])
+        for i in range(len(t) - k + 1)
+        if _kr_hash(t[i : i + k]) % p == 0
+    }
+    assert got == want and len(want) > 0
+    assert not any(doc_id == 2 for doc_id, _ in got)
+
+
+def test_kgram_fingerprints_normalizes_case_and_whitespace(make_docs):
+    a = "Shared   Passage Of Text here"
+    b = "shared passage of text here"
+    d = make_docs([doc(1, a), doc(2, b)])
+    by_doc: dict[int, set[int]] = {1: set(), 2: set()}
+    for r in text.kgram_fingerprints(d, k=8, p=2).collect():
+        by_doc[r.doc_id].add(r.fp)
+    assert by_doc[1] == by_doc[2] != set()
+
+
+def test_fingerprint_match_pairs_finds_moved_passage(make_docs):
+    shared = "an identical long passage that appears verbatim in both docs"
+    d = make_docs(
+        [
+            doc(1, "intro text before " + shared),
+            doc(2, shared + " followed by a completely different ending"),
+            doc(3, "nothing in common with the others at all kkjj qqww"),
+        ]
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.shared_fps
+        for r in text.fingerprint_match_pairs(d, k=8, p=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0
+    assert all(3 not in pair for pair in pairs)
