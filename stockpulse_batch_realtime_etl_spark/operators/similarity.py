@@ -308,6 +308,74 @@ def ivf_topk(
     )
 
 
+def ivf_multiprobe_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    ncells: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF top-k with multi-probe: each query searches its ``nprobe``
+    nearest coarse cells instead of one — the standard recall dial
+    (recall→1 as nprobe→ncells, cost grows ~linearly in nprobe).
+
+    Same skeleton as :func:`ivf_topk`; the only change is the query side:
+    rank ALL centroids per query by cosine and keep the top ``nprobe``
+    (probe list), then the cell-equality join naturally fans each query out
+    to its probed cells.  A corpus vector lives in exactly one cell, so a
+    candidate can never be scored twice — no dedup step needed.  The probe
+    list is queries × nprobe rows (tiny, broadcast); the corpus still never
+    shuffles for candidate generation.
+    """
+    assigned = ivf_assign(embeddings, ncells)
+    cent = embeddings.filter(F.col("vec_id") < ncells).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_norm"),
+    )
+    q_vecs = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        q_vecs.join(F.broadcast(cent))
+        .select(
+            "query_id",
+            "q_emb",
+            "q_norm",
+            "cent_id",
+            _cos_precomputed(
+                F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")
+            ).alias("c_cos"),
+        )
+        .withColumn("probe_rank", F.row_number().over(w_probe))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "q_emb", "q_norm", F.col("cent_id").alias("q_cell"))
+    )
+    scored = assigned.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        _cos_precomputed(
+            F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("nrm")
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.8, nbits: int = 4
 ) -> DataFrame:

@@ -1012,3 +1012,62 @@ def q_fingerprint_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint_match_pairs(
         load_table(spark, sf_dir, "documents"), k=8, p=8, doc_cap=100, top=50
     )
+
+
+# --- IVF multi-probe (recall dial) ------------------------------------------
+
+_NPROBE = 2
+
+
+@register(
+    "ann_ivf_multiprobe_topk",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
+  WHERE vec_id < {_NCELLS}
+),
+vc AS (
+  SELECT v.vec_id, c.cent_id,
+         CAST(unnest(v.embedding) AS DOUBLE) AS vv,
+         CAST(unnest(c.cent_emb) AS DOUBLE) AS cv
+  FROM embeddings v, cent c
+),
+vc_scored AS (
+  SELECT vec_id, cent_id,
+         round(sum(vv * cv) / (sqrt(sum(vv * vv)) * sqrt(sum(cv * cv))), 6)
+           AS cos
+  FROM vc GROUP BY vec_id, cent_id
+),
+vc_ranked AS (
+  SELECT vec_id, cent_id, row_number() OVER (
+    PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC
+  ) AS rn
+  FROM vc_scored
+),
+assign AS (SELECT vec_id, cent_id AS cell FROM vc_ranked WHERE rn = 1),
+probes AS (
+  SELECT r.vec_id AS query_id, e.embedding AS q_emb, r.cent_id AS q_cell
+  FROM vc_ranked r JOIN embeddings e ON e.vec_id = r.vec_id
+  WHERE r.rn <= {_NPROBE}
+    AND r.vec_id IN ({", ".join(map(str, _QUERY_IDS))})
+),
+pairs AS (
+  SELECT p.query_id, p.q_emb, a.vec_id AS cand_id, e.embedding AS c_emb
+  FROM probes p
+  JOIN assign a ON a.cell = p.q_cell AND a.vec_id != p.query_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+),
+{_COS_PAIRS_SQL.strip()},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC
+  ) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5
+""",
+)
+def q_ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_multiprobe_topk(
+        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, 5, _NCELLS, _NPROBE
+    )

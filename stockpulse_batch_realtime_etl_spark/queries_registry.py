@@ -1142,6 +1142,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "storage_roundtrip",
     "rolling_fingerprints",
     "fingerprint_match_pairs",
+    "ann_ivf_multiprobe_topk",
     # dedup chain: dup_groups changed this round; keep the join-bearing
     # stages inside the gate ahead of the untouched relational suite
     "dup_groups",

@@ -135,3 +135,47 @@ def test_ivf_kmeans_assigns_every_vector(embeddings):
     assigned = similarity._assign_cells(vecs, cent)
     assert assigned.count() == n
     assert assigned.filter("cell IS NULL").count() == 0
+
+
+def test_ivf_multiprobe_full_probe_equals_brute_force(spark):
+    # Non-degenerate corpus: 4 well-separated direction clusters so the
+    # 4 seed centroids (vec_id < 4) genuinely partition the space.
+    import random
+
+    rng = random.Random(3)
+    dirs = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+    rows = []
+    for i in range(24):
+        d = dirs[i % 4]
+        rows.append((i, [v + rng.uniform(-0.05, 0.05) for v in d]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    brute = {
+        (r.query_id, r.rank): r.cand_id
+        for r in similarity.brute_force_topk(emb, [4, 5], k=3).collect()
+    }
+    full = {
+        (r.query_id, r.rank): r.cand_id
+        for r in similarity.ivf_multiprobe_topk(
+            emb, [4, 5], k=3, ncells=4, nprobe=4
+        ).collect()
+    }
+    assert full == brute and brute
+
+    # nprobe=1 must equal the single-probe IVF operator exactly
+    one = sorted(
+        map(tuple, similarity.ivf_multiprobe_topk(emb, [4, 5], k=3, ncells=4, nprobe=1).collect())
+    )
+    ivf1 = sorted(
+        map(tuple, similarity.ivf_topk(emb, [4, 5], k=3, ncells=4).collect())
+    )
+    assert one == ivf1
+
+    # probing more cells can only widen the candidate set
+    c1 = {r.cand_id for r in similarity.ivf_multiprobe_topk(emb, [4], k=24, ncells=4, nprobe=1).collect()}
+    c2 = {r.cand_id for r in similarity.ivf_multiprobe_topk(emb, [4], k=24, ncells=4, nprobe=2).collect()}
+    assert c1 <= c2

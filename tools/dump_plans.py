@@ -100,9 +100,21 @@ HEADLINERS: dict[str, str] = {
         "of one unbounded task per symbol."
     ),
     "ema_ticks": (
-        "Chunked recursion: FlatMapGroupsInPandas per (symbol, day), a JVM "
-        "aggregate fold for chunk end-states, and a BROADCAST join of the "
-        "tiny carry table — no per-symbol parallelism ceiling."
+        "Chunked recursion with a fully-codegen hot path: the renormalized "
+        "prefix sum (1-a)^i * SUM(a*(1-a)^-j * p) runs as a window frame "
+        "over (symbol, chunk, sub-chunk); Python touches only the ~1/1024 "
+        "summary stream in the carry stitch; carry table re-joined "
+        "BROADCAST — no per-symbol parallelism ceiling."
+    ),
+    "rolling_fingerprints": (
+        "Rolling-hash fingerprints with ZERO shuffles: text → int code "
+        "array once, Karp–Rabin Horner as element_at arithmetic, mod-p "
+        "filter applied IN-ARRAY so the Generate emits only ~len/p rows."
+    ),
+    "fingerprint_match_pairs": (
+        "MOSS-style overlap: inverted-index self-join on the fingerprint "
+        "value, doc-frequency-capped (boilerplate hashes dropped via "
+        "broadcast anti-join) — candidate space stays sub-quadratic."
     ),
     "tfidf_top_terms": (
         "Term stats: (doc, term) counts map-side combined, the vocabulary-"
