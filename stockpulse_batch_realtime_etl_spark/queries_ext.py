@@ -11,7 +11,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stockpulse_batch_realtime_etl_spark.operators import dedup, similarity, text
-from stockpulse_batch_realtime_etl_spark.queries_registry import ORACLES, register
+from stockpulse_batch_realtime_etl_spark.queries_registry import (
+    BARS_CTE,
+    ORACLES,
+    register,
+)
 from stockpulse_batch_realtime_etl_spark.sources.tables import load_table
 
 # --- shared oracle CTE fragments -------------------------------------------
@@ -1070,4 +1074,86 @@ SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5
 def q_ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_multiprobe_topk(
         load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, 5, _NCELLS, _NPROBE
+    )
+
+
+# --- range join: ticks inside mover windows ---------------------------------
+
+@register(
+    "mover_window_ticks",
+    oracle=f"""
+{BARS_CTE.strip()},
+changed AS (
+  SELECT symbol, bucket_start,
+         (close - open) / nullif(open, 0) AS chg
+  FROM bars
+),
+top5 AS (
+  SELECT symbol, bucket_start FROM changed
+  ORDER BY abs(chg) DESC NULLS LAST, symbol ASC, bucket_start ASC
+  LIMIT 5
+),
+win AS (
+  SELECT symbol, bucket_start AS win_start,
+         bucket_start + INTERVAL 30 MINUTE AS win_end
+  FROM top5
+)
+SELECT w.symbol, w.win_start,
+       count(*) AS n_ticks,
+       round(avg(t.price), 4) AS avg_price,
+       min(t.price) AS min_price,
+       max(t.price) AS max_price
+FROM win w
+JOIN ticks t
+  ON t.symbol = w.symbol
+ AND t.event_time >= w.win_start
+ AND t.event_time < w.win_end
+GROUP BY w.symbol, w.win_start
+""",
+)
+def q_mover_window_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/rangejoin.py): the 5 sharpest minute-bar moves
+    become 30-minute interest windows; every tick inside a window is
+    matched by a bucket-expansion equi-join (NO per-key cartesian — the
+    oracle's non-equi JOIN is the semantics being replayed, not the plan)
+    and aggregated per window."""
+    from stockpulse_batch_realtime_etl_spark.operators.ohlcv import ohlcv_bars
+    from stockpulse_batch_realtime_etl_spark.operators.rangejoin import range_join
+    from stockpulse_batch_realtime_etl_spark.queries_registry import (
+        ticks_from_events,
+    )
+
+    ticks = ticks_from_events(spark, sf_dir)
+    bars = ohlcv_bars(ticks)
+    chg = (F.col("close") - F.col("open")) / F.nullif(F.col("open"), F.lit(0))
+    win = (
+        bars.withColumn("chg", chg)
+        .orderBy(
+            F.abs(F.col("chg")).desc_nulls_last(),
+            F.col("symbol").asc(),
+            F.col("bucket_start").asc(),
+        )
+        .limit(5)
+        .select(
+            "symbol",
+            F.col("bucket_start").alias("win_start"),
+            (F.col("bucket_start") + F.expr("INTERVAL 30 MINUTES")).alias(
+                "win_end"
+            ),
+        )
+    )
+    joined = range_join(
+        ticks.select("symbol", "event_time", "price"),
+        win,
+        key="symbol",
+        time_col="event_time",
+        start_col="win_start",
+        end_col="win_end",
+        bucket_seconds=1800,
+    )
+    return joined.groupBy("symbol", "win_start").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.round(F.avg("price"), 4).alias("avg_price"),
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
     )

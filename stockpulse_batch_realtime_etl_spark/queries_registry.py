@@ -1143,6 +1143,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "rolling_fingerprints",
     "fingerprint_match_pairs",
     "ann_ivf_multiprobe_topk",
+    "mover_window_ticks",
     # dedup chain: dup_groups changed this round; keep the join-bearing
     # stages inside the gate ahead of the untouched relational suite
     "dup_groups",
