@@ -401,30 +401,51 @@ def fingerprint_match_pairs(
     MOSS-style local-overlap detector (two documents sharing many sampled
     k-gram hashes share verbatim passages, wherever they sit in the text).
 
-    Inverted-index self-join on the fingerprint VALUE (position-free, so
-    moved text still matches), doc-frequency-capped like
-    ``dedup.jaccard_pairs``: a hash present in > ``doc_cap`` documents is
-    boilerplate (d² pair blowup, no signal) and is dropped from the join.
-    Candidate space is sub-quadratic for the same reason LSH bucketing is:
-    only same-fingerprint pairs materialize.
+    Matching on the fingerprint VALUE (position-free, so moved text still
+    matches), doc-frequency-capped like ``dedup.jaccard_pairs``: a hash
+    present in > ``doc_cap`` documents is boilerplate (d² pair blowup, no
+    signal) and is dropped.
+
+    Shape — JOIN-FREE pair enumeration: with the pair space per
+    fingerprint capped at doc_cap²/2, pairs are cheapest generated
+    in-array rather than by an inverted-index self-join (which would
+    consume the expensive fingerprint subtree on both sides and hinge on
+    AQE exchange reuse).  One shuffle keyed on fp: a window count tags
+    each row with its fingerprint's df (so the hot-fp filter runs BEFORE
+    any list is collected — the collect_list buffer is bounded by
+    ``doc_cap``, never by the df of a boilerplate hash), the surviving
+    ≤ doc_cap doc lists expand to ordered pairs with nested
+    ``transform``/``slice`` array functions, and one final shuffle
+    aggregates pair counts.  No join, no broadcast, two exchanges total.
     """
+    from pyspark.sql.window import Window
+
     fps = kgram_fingerprints(docs, k=k, p=p).select("doc_id", "fp").distinct()
-    hot = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > doc_cap)
-        .select("fp")
+    wdf = Window.partitionBy("fp")
+    cold = fps.withColumn("_df", F.count(F.lit(1)).over(wdf)).filter(
+        F.col("_df") <= doc_cap
     )
-    cold = fps.join(F.broadcast(hot), "fp", "left_anti")
-    a, b = cold.alias("a"), cold.alias("b")
+    ds = cold.groupBy("fp").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
+    pairs = ds.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ds"), i + 2, F.size("ds")),
+                        lambda b: F.struct(
+                            a.alias("doc_a"), b.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("pr")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        pairs.groupBy(
+            F.col("pr.doc_a").alias("doc_a"), F.col("pr.doc_b").alias("doc_b")
         )
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .orderBy(

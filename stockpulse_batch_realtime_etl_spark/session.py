@@ -59,7 +59,11 @@ def get_spark(
         )
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] runs every "executor" inside the driver JVM: 32 tasks
+        # sharing the heap.  8g forced GC storms once a long bench session
+        # accumulated state (queries benched 2-4x their isolated time); the
+        # host has 128 GiB, so give the single JVM a real executor's share.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
