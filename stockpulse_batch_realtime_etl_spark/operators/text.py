@@ -453,3 +453,169 @@ def fingerprint_match_pairs(
         )
         .limit(top)
     )
+
+
+# --- contamination / sampling / LM scoring ----------------------------------
+
+def _split_expr(train_pct: int = 90, val_pct: int = 5) -> Column:
+    """train/val/test label from the md5(doc_id) bucket — the same
+    deterministic assignment as :func:`dataset_splits` (see there for why
+    ``rand()`` is wrong)."""
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    train_hi = F.lit(f"{(256 * train_pct) // 100:02x}")
+    val_hi = F.lit(f"{(256 * (train_pct + val_pct)) // 100:02x}")
+    return (
+        F.when(bucket < train_hi, "train")
+        .when(bucket < val_hi, "val")
+        .otherwise("test")
+    )
+
+
+def _doc_ngrams(n: int, arr: Column) -> Column:
+    """Distinct word n-grams of a (pre-materialized) token array column
+    (array-native: ``transform`` over an index ``sequence`` — no self-join,
+    no explode until the caller asks for one).  Takes the array as a
+    column reference so the regex tokenization it comes from is evaluated
+    once, not once per reference."""
+    return F.when(
+        F.size(arr) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(arr, i + j) for j in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    n: int = 3,
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: which train-split documents share a word
+    n-gram with the held-out test split (the eval set a training pipeline
+    must NOT leak).  Returns one row per contaminated train doc with the
+    count of overlapping distinct n-grams.
+
+    Plan shape: both sides reduce to DISTINCT (doc, gram) pairs; the eval
+    side further collapses to DISTINCT grams, so the equi-join on gram
+    emits at most one row per train (doc, gram) — no quadratic blowup even
+    on stop-grams.  At 100 TB the eval side is a benchmark suite (tiny):
+    Spark broadcasts it and the train side never shuffles; the per-doc
+    count is a map-side-combined hash aggregate on doc_id.  If grams are
+    long, substitute ``md5(gram)`` on both sides to fix the shuffle width.
+    """
+    toks = fan_out(docs).select(
+        "doc_id",
+        "lang",
+        _split_expr(train_pct, val_pct).alias("split"),
+        _norm_token_arr().alias("toks"),
+    )
+    grams = toks.select(
+        "doc_id",
+        "lang",
+        "split",
+        F.explode(_doc_ngrams(n, F.col("toks"))).alias("gram"),
+    )
+    eval_grams = (
+        grams.where(F.col("split") == "test").select("gram").distinct()
+    )
+    return (
+        grams.where(F.col("split") == "train")
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("overlap_grams"))
+    )
+
+
+def stratified_sample(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Deterministic k-per-stratum sample over (lang, source) — the
+    "balanced subset" op of corpus curation (equalize languages / sources
+    before training).  Ordering by md5(doc_id) makes the sample uniform,
+    reproducible under any partitioning, and stable across engines — a
+    distributed reservoir without reservoir state.
+
+    Plan shape: one shuffle on (lang, source) + per-stratum sort.  A giant
+    stratum makes that sort one task's work at 100 TB; the fix is candidate
+    thinning — filter ``bucket < ceil(256 * c·k / est_stratum_rows)`` first
+    (the same md5 prefix ORDER BY means the global top-k survives any
+    prefix filter that retains ≥ k rows per stratum), then rank the ~c·k
+    survivors.  Thinning needs stratum-size estimates (one cheap count
+    pass), so it is left to the caller at test scale.
+    """
+    rank = F.row_number().over(
+        Window.partitionBy("lang", "source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return (
+        docs.select("doc_id", "lang", "source")
+        .withColumn("sample_rank", rank)
+        .where(F.col("sample_rank") <= k)
+    )
+
+
+def bigram_lm_scores(docs: DataFrame) -> DataFrame:
+    """Corpus-conditional bigram log-likelihood per document — the
+    fluency / quality signal of LM data prep (low average log-prob =
+    atypical text: boilerplate, garbled extraction, wrong language).
+
+    Model: P(w2 | w1) = c(w1 w2) / c(w1 ·) with counts over the corpus'
+    own bigrams, so every document bigram is in the model (no smoothing
+    term to pick).  Cross-engine hash parity: each per-bigram log-prob is
+    rounded to 8 dp FIRST, summed exactly as DECIMAL (order-independent),
+    and the average rounded to 6 dp — float-sum ordering can never flip
+    the gate hash.
+
+    Plan shape: one explode + two hash aggregates build the model (the
+    unigram table derives from the bigram table — no second pass over
+    text); scoring is two equi-joins keyed on bigram / w1 that AQE
+    broadcasts while the model fits and shuffle-joins beyond, then one
+    map-side-combined aggregate on doc_id.  Hot bigrams are harmless: the
+    model side is distinct-keyed, so join fan-out is 1.
+    """
+    # materialize the regex tokenization ONCE below the consumer (CollapseProject
+    # keeps the projection: the array is referenced 3×)
+    toks = fan_out(docs).select(
+        "doc_id", "lang", _norm_token_arr().alias("toks")
+    )
+    arr = F.col("toks")
+    bi = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(
+                F.size(arr) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(arr) - 1),
+                    lambda i: F.concat(
+                        F.element_at(arr, i),
+                        F.lit(" "),
+                        F.element_at(arr, i + 1),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    ).withColumn("w1", F.substring_index("bigram", " ", 1))
+    c2 = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.withColumn("k1", F.substring_index("bigram", " ", 1)).groupBy(
+        "k1"
+    ).agg(F.sum("n2").alias("n1"))
+    logp = F.round(
+        F.log(F.col("n2").cast("double") / F.col("n1")), 8
+    ).cast("decimal(20,8)")
+    return (
+        bi.join(c2, "bigram")
+        .join(c1, bi["w1"] == c1["k1"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(logp).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+    )

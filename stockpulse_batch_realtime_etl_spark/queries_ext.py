@@ -1157,3 +1157,94 @@ def q_mover_window_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("price").alias("min_price"),
         F.max("price").alias("max_price"),
     )
+
+
+# --- contamination / sampling / LM scoring ----------------------------------
+
+_SPLIT_SQL = """
+splits AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+"""
+
+
+@register(
+    "contamination_overlap",
+    oracle=f"""
+WITH {NORM_TOKS_CTE.lstrip()},
+grams AS (
+  SELECT DISTINCT a.doc_id,
+         a.token || ' ' || b.token || ' ' || c.token AS gram
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+),
+{_SPLIT_SQL.strip()},
+eval_grams AS (
+  SELECT DISTINCT gram
+  FROM grams JOIN splits USING (doc_id)
+  WHERE split = 'test'
+)
+SELECT g.doc_id, d.lang, count(*) AS overlap_grams
+FROM grams g
+JOIN splits s USING (doc_id)
+JOIN documents d USING (doc_id)
+JOIN eval_grams e ON g.gram = e.gram
+WHERE s.split = 'train'
+GROUP BY g.doc_id, d.lang
+""",
+)
+def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.contamination_overlap(
+        load_table(spark, sf_dir, "documents"), n=3, train_pct=90, val_pct=5
+    )
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+SELECT doc_id, lang, source, sample_rank
+FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS sample_rank
+  FROM documents
+) r WHERE sample_rank <= 20
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.stratified_sample(load_table(spark, sf_dir, "documents"), 20)
+
+
+@register(
+    "bigram_lm_scores",
+    oracle=f"""
+WITH {NORM_TOKS_CTE.lstrip()},
+bi AS (
+  SELECT a.doc_id, a.token AS w1, a.token || ' ' || b.token AS bigram
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+),
+c2 AS (SELECT bigram, count(*) AS n2 FROM bi GROUP BY bigram),
+c1 AS (SELECT w1, count(*) AS n1 FROM bi GROUP BY w1)
+SELECT bi.doc_id, d.lang,
+       count(*) AS n_bigrams,
+       round(CAST(sum(CAST(round(ln(c2.n2 / CAST(c1.n1 AS DOUBLE)), 8)
+                           AS DECIMAL(20,8))) AS DOUBLE) / count(*),
+             6) AS avg_logprob
+FROM bi
+JOIN c2 USING (bigram)
+JOIN c1 USING (w1)
+JOIN documents d USING (doc_id)
+GROUP BY bi.doc_id, d.lang
+""",
+)
+def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bigram_lm_scores(load_table(spark, sf_dir, "documents"))

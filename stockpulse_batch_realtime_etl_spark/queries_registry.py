@@ -1159,7 +1159,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "time_range_stats",
     "stats_summary",
     "top_bars_per_day",
-    "hourly_symbol_pivot",
     "notable_days",
     # changed this round (df_cap guard) / added this round
     "jaccard_top_pairs",
@@ -1174,9 +1173,16 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "fingerprint_match_pairs",
     "ann_ivf_multiprobe_topk",
     "mover_window_ticks",
+    "contamination_overlap",
+    "stratified_sample",
+    "bigram_lm_scores",
     # dedup chain: dup_groups changed this round; keep the join-bearing
     # stages inside the gate ahead of the untouched relational suite
     "dup_groups",
+    # below this line: lowest-stakes remainder (r1-green unchanged, or
+    # extension queries fully pinned by local parity) — first to age out
+    # of the 50-entry gate window as new queries land above
+    "hourly_symbol_pivot",
     "lsh_candidate_pairs",
     "minhash_signatures",
     "simhash_near_dups",

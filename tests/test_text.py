@@ -224,3 +224,86 @@ def test_fingerprint_match_pairs_finds_moved_passage(make_docs):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] > 0
     assert all(3 not in pair for pair in pairs)
+
+
+# --- contamination / sampling / LM scoring ----------------------------------
+
+def _py_split(doc_id, train_pct=90, val_pct=5):
+    import hashlib
+
+    b = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+    if b < f"{(256 * train_pct) // 100:02x}":
+        return "train"
+    if b < f"{(256 * (train_pct + val_pct)) // 100:02x}":
+        return "val"
+    return "test"
+
+
+def test_contamination_overlap_matches_python_oracle(make_docs):
+    import re
+
+    # enough docs that the md5 split yields non-empty train AND test sets;
+    # doc i shares its 3-gram with doc i+100 (same text)
+    rows = [
+        doc(i, f"alpha beta g{i % 7} delta epsilon") for i in range(200)
+    ]
+    docs = make_docs(rows)
+    out = {
+        (r.doc_id): r.overlap_grams
+        for r in text.contamination_overlap(docs, n=3).collect()
+    }
+
+    def grams(t):
+        toks = re.sub(r"\s+", " ", t.lower().strip()).split(" ")
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    split = {i: _py_split(i) for i, *_ in rows}
+    eval_grams = set().union(
+        *(grams(r[1]) for r in rows if split[r[0]] == "test"), set()
+    )
+    expected = {
+        r[0]: len(grams(r[1]) & eval_grams)
+        for r in rows
+        if split[r[0]] == "train" and grams(r[1]) & eval_grams
+    }
+    assert sum(1 for i in split.values() if i == "test") > 0
+    assert out == expected
+
+
+def test_stratified_sample_deterministic_under_repartition(make_docs):
+    rows = [doc(i, f"t {i}", lang="en" if i % 2 else "de") for i in range(60)]
+    docs = make_docs(rows)
+    a = sorted(
+        (r.doc_id, r.lang, r.sample_rank)
+        for r in text.stratified_sample(docs, 5).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.lang, r.sample_rank)
+        for r in text.stratified_sample(docs.repartition(7), 5).collect()
+    )
+    assert a == b
+    per_stratum = {}
+    for _, lang, rank in a:
+        per_stratum.setdefault(lang, []).append(rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_stratum.values())
+
+
+def test_bigram_lm_scores_hand_computed(make_docs):
+    import math
+
+    # corpus bigrams: 'a b' ×2, 'a c' ×1, 'b a' ×1  →  c1: a→3, b→1
+    docs = make_docs([doc(1, "a b a c"), doc(2, "a b")])
+    out = {r.doc_id: r for r in text.bigram_lm_scores(docs).collect()}
+    lp = {
+        "a b": round(math.log(2 / 3), 8),
+        "b a": round(math.log(1 / 1), 8),
+        "a c": round(math.log(1 / 3), 8),
+    }
+    assert out[1].n_bigrams == 3
+    assert out[1].avg_logprob == round(
+        (lp["a b"] + lp["b a"] + lp["a c"]) / 3, 6
+    )
+    assert out[2].n_bigrams == 1
+    assert out[2].avg_logprob == round(lp["a b"] / 1, 6)

@@ -99,6 +99,19 @@ HEADLINERS: dict[str, str] = {
         "carry rows injected per bucket — n_symbols × n_days tasks instead "
         "of one unbounded task per symbol."
     ),
+    "contamination_overlap": (
+        "Decontamination as a fan-out-1 equi-join: the eval side collapses "
+        "to DISTINCT grams and broadcasts (a benchmark suite is tiny next "
+        "to a 100 TB corpus), so the train side never shuffles; per-doc "
+        "overlap counts are a map-side-combined hash aggregate."
+    ),
+    "bigram_lm_scores": (
+        "LM model build + scoring in one pass over text: bigram counts by "
+        "hash aggregate, the unigram table derived FROM the bigram table "
+        "(no second text scan), scoring joins keyed on bigram/w1 that AQE "
+        "broadcasts while the model fits; per-bigram logs rounded then "
+        "DECIMAL-summed so the result is partition-order-independent."
+    ),
     "ema_ticks": (
         "Chunked recursion with a fully-codegen hot path: the renormalized "
         "prefix sum (1-a)^i * SUM(a*(1-a)^-j * p) runs as a window frame "
