@@ -63,10 +63,16 @@ def main() -> None:
     # timing is dominated by neighbor noise.  min-of-2 estimates warm
     # steady-state cost; override with BENCH_REPS=1 for a quick pass.
     reps = max(1, int(os.environ.get("BENCH_REPS", "2")))
+    # Safety valve: if the suite is running long (noisy host), stop doing
+    # extra reps so the harness never risks an external timeout.
+    budget = float(os.environ.get("BENCH_BUDGET_SEC", "480"))
+    t_suite = time.perf_counter()
     timings: dict[str, float] = {}
     for name in names:
         best = None
-        for _ in range(reps):
+        for rep in range(reps):
+            if rep > 0 and time.perf_counter() - t_suite > budget:
+                break
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
