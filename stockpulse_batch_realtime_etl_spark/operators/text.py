@@ -619,3 +619,65 @@ def bigram_lm_scores(docs: DataFrame) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+def mixture_sample(
+    docs: DataFrame, weights: dict[str, float]
+) -> DataFrame:
+    """Corpus mixing: draw the LARGEST deterministic subcorpus whose
+    source composition matches the target ``weights`` — the domain
+    reweighting step of LLM data curation (upweight books, downweight raw
+    web), subject to availability.
+
+    Semantics: with n_s docs available per source and target weight w_s,
+    the feasible total is T = min_s(n_s / w_s); each source contributes
+    its k_s = floor(T · w_s) first documents in md5(doc_id) order.  Both
+    T and the per-source ranking are placement-independent, so the same
+    subcorpus comes out on any cluster, any partitioning, any engine.
+    Sources absent from ``weights`` (weight 0) are excluded.
+
+    Plan shape: one hash aggregate for the per-source counts (a handful of
+    rows — broadcast back), one shuffle on source for the ranking window.
+    The giant-stratum note on :func:`stratified_sample` applies to the
+    ranking here too, with the same md5-prefix thinning fix.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    # weights are RELATIVE (w_s / Σw is the target share); the T/k_s math is
+    # scale-invariant in w, so no normalization — normalizing in float here
+    # while an oracle uses the raw literals would diverge in the last ulp.
+    w_expr = None
+    for s, w in sorted(weights.items()):
+        cond = F.when(F.col("source") == s, F.lit(float(w)))
+        w_expr = cond if w_expr is None else w_expr.when(
+            F.col("source") == s, F.lit(float(w))
+        )
+    in_scope = docs.where(
+        F.col("source").isin(*sorted(weights))
+    ).withColumn("w", w_expr)
+    counts = (
+        in_scope.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .withColumn(
+            "t_feasible",
+            F.min(F.col("n_s") / F.col("w")).over(
+                Window.partitionBy(F.lit(1))
+            ),
+        )
+        .select(
+            "source",
+            F.floor(F.col("t_feasible") * F.col("w")).alias("k_s"),
+        )
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return (
+        in_scope.select("doc_id", "lang", "source")
+        .withColumn("sample_rank", rank)
+        .join(F.broadcast(counts), "source")
+        .where(F.col("sample_rank") <= F.col("k_s"))
+        .select("doc_id", "lang", "source", "sample_rank")
+    )

@@ -1248,3 +1248,42 @@ GROUP BY bi.doc_id, d.lang
 )
 def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "mixture_sample",
+    oracle="""
+WITH counts AS (
+  SELECT source,
+         CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+                     WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+                     WHEN 'src2' THEN CAST(0.2 AS DOUBLE) END AS w,
+         count(*) AS n_s
+  FROM documents
+  WHERE source IN ('src0', 'src1', 'src2')
+  GROUP BY source
+),
+ks AS (
+  SELECT source,
+         CAST(floor(min(n_s / w) OVER () * w) AS BIGINT) AS k_s
+  FROM counts
+),
+ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS sample_rank
+  FROM documents
+  WHERE source IN ('src0', 'src1', 'src2')
+)
+SELECT r.doc_id, r.lang, r.source, r.sample_rank
+FROM ranked r JOIN ks USING (source)
+WHERE r.sample_rank <= ks.k_s
+""",
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.mixture_sample(
+        load_table(spark, sf_dir, "documents"),
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+    )

@@ -1146,7 +1146,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "latest_tick_per_symbol",
     "sliding_bars",
     "session_bars",
-    "price_cardinality",
     "rolling_stats",
     "ticks_asof_bars",
     "hourly_bars_rollup",
@@ -1176,12 +1175,14 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "contamination_overlap",
     "stratified_sample",
     "bigram_lm_scores",
+    "mixture_sample",
     # dedup chain: dup_groups changed this round; keep the join-bearing
     # stages inside the gate ahead of the untouched relational suite
     "dup_groups",
     # below this line: lowest-stakes remainder (r1-green unchanged, or
     # extension queries fully pinned by local parity) — first to age out
     # of the 50-entry gate window as new queries land above
+    "price_cardinality",
     "hourly_symbol_pivot",
     "lsh_candidate_pairs",
     "minhash_signatures",

@@ -307,3 +307,23 @@ def test_bigram_lm_scores_hand_computed(make_docs):
     )
     assert out[2].n_bigrams == 1
     assert out[2].avg_logprob == round(lp["a b"] / 1, 6)
+
+
+def test_mixture_sample_feasible_composition(make_docs):
+    # A has 10 docs, B has 4; weights 0.6/0.4 → T = min(10/.6, 4/.4) = 10
+    # → k_A = 6, k_B = 4; source C excluded (no weight)
+    rows = [doc(i, f"t {i}") for i in range(10)]
+    rows += [(100 + i, f"u {i}", "en", "B", 3) for i in range(4)]
+    rows += [(200 + i, f"v {i}", "en", "C", 3) for i in range(5)]
+    rows = [(i, t, lang, src if src != "s" else "A", n)
+            for (i, t, lang, src, n) in rows]
+    docs = make_docs(rows)
+    out = text.mixture_sample(docs, {"A": 0.6, "B": 0.4}).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.source, set()).add(r.sample_rank)
+    assert per == {"A": {1, 2, 3, 4, 5, 6}, "B": {1, 2, 3, 4}}
+    again = text.mixture_sample(docs.repartition(5), {"A": 0.6, "B": 0.4})
+    assert sorted(r.doc_id for r in out) == sorted(
+        r.doc_id for r in again.collect()
+    )
