@@ -681,3 +681,73 @@ def mixture_sample(
         .where(F.col("sample_rank") <= F.col("k_s"))
         .select("doc_id", "lang", "source", "sample_rank")
     )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition filters: the fraction of a document that is
+    repeated content — the signal that catches boilerplate, keyword spam,
+    and degenerate generations that length/stopword heuristics miss.
+
+    Per document:
+    * ``dup_token_ratio`` — 1 − distinct/total tokens;
+    * ``top_bigram_frac`` — occurrences of the most frequent bigram over
+      total bigrams (ties broken lexicographically smallest);
+    * ``dup_bigram_frac`` — fraction of bigram occurrences whose bigram
+      appears more than once.
+
+    Plan shape: the token ratio is array-native (no explode); the bigram
+    fractions explode once and run TWO hash aggregates — (doc, bigram)
+    counts, then per-doc max / conditional sums — both map-side combined
+    and keyed on doc_id, so per-task state is bounded by a document's
+    distinct-bigram count, LINEAR in document length (an in-array
+    frequency scan would be quadratic on long documents).  Single-token
+    documents have no bigrams: their fractions are NULL via the left join
+    back to the base projection.
+    """
+    toks = fan_out(docs).select(
+        "doc_id", "lang", _norm_token_arr().alias("toks")
+    )
+    arr = F.col("toks")
+    n_tok = F.size(arr)
+    base = toks.select(
+        "doc_id",
+        "lang",
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(arr)) / n_tok.cast("double"),
+            6,
+        ).alias("dup_token_ratio"),
+        F.when(
+            n_tok >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n_tok - 1),
+                lambda i: F.concat(
+                    F.element_at(arr, i), F.lit(" "), F.element_at(arr, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("bi"),
+    )
+    per_bigram = (
+        base.select("doc_id", F.explode("bi").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = per_bigram.groupBy("doc_id").agg(
+        F.max("c").alias("top_cnt"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_occ"),
+        F.sum("c").alias("n_bi"),
+    )
+    return (
+        base.select("doc_id", "lang", "dup_token_ratio")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "dup_token_ratio",
+            F.round(F.col("top_cnt") / F.col("n_bi").cast("double"), 6).alias(
+                "top_bigram_frac"
+            ),
+            F.round(F.col("dup_occ") / F.col("n_bi").cast("double"), 6).alias(
+                "dup_bigram_frac"
+            ),
+        )
+    )

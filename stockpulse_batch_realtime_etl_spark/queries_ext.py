@@ -1287,3 +1287,42 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         {"src0": 0.5, "src1": 0.3, "src2": 0.2},
     )
+
+
+@register(
+    "repetition_stats",
+    oracle=f"""
+WITH {NORM_TOKS_CTE.lstrip()},
+base AS (
+  SELECT doc_id,
+         round(CAST(1.0 AS DOUBLE)
+               - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE),
+               6) AS dup_token_ratio
+  FROM tl
+),
+bi AS (
+  SELECT a.doc_id, a.token || ' ' || b.token AS bigram
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+),
+per_bigram AS (
+  SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY doc_id, bigram
+),
+per_doc AS (
+  SELECT doc_id,
+         max(c) AS top_cnt,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ,
+         sum(c) AS n_bi
+  FROM per_bigram GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang, base.dup_token_ratio,
+       round(per_doc.top_cnt / CAST(per_doc.n_bi AS DOUBLE), 6)
+         AS top_bigram_frac,
+       round(per_doc.dup_occ / CAST(per_doc.n_bi AS DOUBLE), 6)
+         AS dup_bigram_frac
+FROM documents d
+JOIN base USING (doc_id)
+LEFT JOIN per_doc USING (doc_id)
+""",
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_stats(load_table(spark, sf_dir, "documents"))

@@ -1157,7 +1157,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "vwap_bars",
     "time_range_stats",
     "stats_summary",
-    "top_bars_per_day",
     "notable_days",
     # changed this round (df_cap guard) / added this round
     "jaccard_top_pairs",
@@ -1176,12 +1175,14 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stratified_sample",
     "bigram_lm_scores",
     "mixture_sample",
+    "repetition_stats",
     # dedup chain: dup_groups changed this round; keep the join-bearing
     # stages inside the gate ahead of the untouched relational suite
     "dup_groups",
     # below this line: lowest-stakes remainder (r1-green unchanged, or
     # extension queries fully pinned by local parity) — first to age out
     # of the 50-entry gate window as new queries land above
+    "top_bars_per_day",
     "price_cardinality",
     "hourly_symbol_pivot",
     "lsh_candidate_pairs",

@@ -327,3 +327,22 @@ def test_mixture_sample_feasible_composition(make_docs):
     assert sorted(r.doc_id for r in out) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+def test_repetition_stats_hand_computed(make_docs):
+    docs = make_docs(
+        [
+            doc(1, "a b a b a"),   # bigrams: ab, ba, ab, ba → all dup; top 2/4
+            doc(2, "x y z"),       # bigrams xy, yz → no dups
+            doc(3, "solo"),        # no bigrams → NULL fracs
+        ]
+    )
+    out = {r.doc_id: r for r in text.repetition_stats(docs).collect()}
+    assert out[1].dup_token_ratio == round(1 - 2 / 5, 6)
+    assert out[1].top_bigram_frac == 0.5
+    assert out[1].dup_bigram_frac == 1.0
+    assert out[2].dup_token_ratio == 0.0
+    assert out[2].top_bigram_frac == 0.5
+    assert out[2].dup_bigram_frac == 0.0
+    assert out[3].top_bigram_frac is None
+    assert out[3].dup_bigram_frac is None
