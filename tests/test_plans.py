@@ -278,3 +278,28 @@ def test_bucketed_rolling_window_partitions_by_symbol_and_bucket(spark, ticks):
 
     wins = re.findall(r"Window .*?partition", plan)
     assert "_bucket" in plan, plan[:800]
+
+
+def test_contamination_overlap_broadcasts_eval_grams(spark):
+    docs = load_table(spark, SF, "documents")
+    df = text.contamination_overlap(docs, n=3)
+    # eval side must collapse + broadcast; train side must never sort-merge
+    P.assert_broadcast_join(df)
+    plan = P.simple_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    P.assert_no_cartesian(df)
+
+
+def test_bigram_lm_no_cartesian_no_bnlj(spark):
+    docs = load_table(spark, SF, "documents")
+    df = text.bigram_lm_scores(docs)
+    plan = P.simple_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    P.assert_no_cartesian(df)
+
+
+def test_mixture_sample_broadcasts_quota_table(spark):
+    docs = load_table(spark, SF, "documents")
+    df = text.mixture_sample(docs, {"src0": 0.5, "src1": 0.5})
+    P.assert_broadcast_join(df)
+    P.assert_no_cartesian(df)
