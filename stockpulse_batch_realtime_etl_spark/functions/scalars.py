@@ -40,6 +40,20 @@ def minute_bucket(ts: Column) -> Column:
     return F.date_trunc("minute", ts)
 
 
+def ts_micros(ts: Column | str) -> Column:
+    """Epoch microseconds of a timestamp column, tolerant of TIMESTAMP_NTZ.
+
+    Spark 4.1 ignores ``spark.sql.legacy.parquet.nanosAsLong`` and reads
+    parquet TIMESTAMP(NANOS) as TIMESTAMP_NTZ (µs-truncated), which
+    ``unix_micros`` rejects outright — so cast first.  Precondition: the
+    session timezone is UTC (asserted loudly in sources/tables.py), which
+    makes the NTZ→timestamp cast instant-preserving; on a plain
+    TimestampType column the cast is a no-op.
+    """
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def round4(x: Column) -> Column:
     """F2 — ticks.py:73, bars.py:141: the reference's visible rounding."""
     return F.round(x, 4)

@@ -38,12 +38,14 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from stockpulse_batch_realtime_etl_spark.functions.scalars import ts_micros
+
 BUCKET_COL = "_bucket"
 CARRY_COL = "_carry"
 
 
 def bucket_of(time_col: str, bucket_seconds: int):
-    return F.floor(F.unix_micros(time_col) / (bucket_seconds * 1_000_000))
+    return F.floor(ts_micros(time_col) / (bucket_seconds * 1_000_000))
 
 
 def with_time_overlap(
@@ -66,7 +68,7 @@ def with_time_overlap(
         )
     b = bucket_of(time_col, bucket_seconds)
     own = df.withColumn(BUCKET_COL, b).withColumn(CARRY_COL, F.lit(False))
-    micros = F.unix_micros(time_col)
+    micros = ts_micros(time_col)
     carry = (
         df.withColumn(BUCKET_COL, b + 1)
         .withColumn(CARRY_COL, F.lit(True))

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from stockpulse_batch_realtime_etl_spark.functions.scalars import ts_micros
+
 
 def range_join(
     points: DataFrame,
@@ -56,15 +58,15 @@ def range_join(
         "_bucket",
         F.explode(
             F.sequence(
-                F.floor(F.unix_micros(start_col) / us),
+                F.floor(ts_micros(start_col) / us),
                 # half-open end: the end-instant itself needs no bucket
-                F.floor((F.unix_micros(end_col) - 1) / us),
+                F.floor((ts_micros(end_col) - 1) / us),
             )
         ),
     )
     if broadcast_intervals:
         expanded = F.broadcast(expanded)
-    pts = points.withColumn("_bucket", F.floor(F.unix_micros(time_col) / us))
+    pts = points.withColumn("_bucket", F.floor(ts_micros(time_col) / us))
     out_cols = points.columns + [c for c in intervals.columns if c != key]
     return (
         pts.join(expanded, [key, "_bucket"])

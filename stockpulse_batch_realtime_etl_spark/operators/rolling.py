@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+from stockpulse_batch_realtime_etl_spark.functions.scalars import ts_micros
 from stockpulse_batch_realtime_etl_spark.operators import frames
 
 
@@ -174,7 +175,7 @@ def ema(
     B = max(1, min(rows_per_subchunk or 1024, int(600.0 / abs(math.log(q)))))
 
     base = ticks.select("symbol", "event_time", "price").withColumn(
-        "chunk", F.floor(F.unix_micros("event_time") / (chunk_seconds * 1_000_000))
+        "chunk", F.floor(ts_micros("event_time") / (chunk_seconds * 1_000_000))
     )
 
     wo = Window.partitionBy("symbol", "chunk").orderBy("event_time", "price")

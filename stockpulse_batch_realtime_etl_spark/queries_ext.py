@@ -775,7 +775,7 @@ SELECT
   round(max(price), 4)  AS high,
   round(min(price), 4)  AS low,
   round(arg_max(price, event_time), 4) AS close,
-  sum(coalesce(volume, 0)) AS volume_sum,
+  CAST(sum(coalesce(volume, 0)) AS BIGINT) AS volume_sum,
   count(*) AS tick_count
 FROM ticks
 GROUP BY symbol, date_trunc('minute', event_time)

@@ -62,7 +62,9 @@ SELECT
   round(max(price), 4)  AS high,
   round(min(price), 4)  AS low,
   round(arg_max(price, event_time), 4) AS close,
-  sum(coalesce(volume, 0)) AS volume_sum,
+  -- CAST: DuckDB sum(BIGINT) returns HUGEINT (float64/decimal in Arrow),
+  -- which hash-mismatches Spark's int64 on value-identical results
+  CAST(sum(coalesce(volume, 0)) AS BIGINT) AS volume_sum,
   count(*) AS tick_count
 FROM ticks
 GROUP BY symbol, date_trunc('minute', event_time)
@@ -95,7 +97,9 @@ bars AS (
     max(price)  AS high,
     min(price)  AS low,
     arg_max(price, event_time) AS close,
-    sum(coalesce(volume, 0)) AS volume_sum,
+    -- CAST: DuckDB sum(BIGINT) returns HUGEINT (float64/decimal in Arrow),
+  -- which hash-mismatches Spark's int64 on value-identical results
+  CAST(sum(coalesce(volume, 0)) AS BIGINT) AS volume_sum,
     count(*) AS tick_count
   FROM ticks
   GROUP BY symbol, date_trunc('minute', event_time)
@@ -137,7 +141,9 @@ SELECT
   round(avg(price), 4) AS avg_price,
   min(price) AS min_price,
   max(price) AS max_price,
-  sum(coalesce(volume, 0)) AS volume_sum,
+  -- CAST: DuckDB sum(BIGINT) returns HUGEINT (float64/decimal in Arrow),
+  -- which hash-mismatches Spark's int64 on value-identical results
+  CAST(sum(coalesce(volume, 0)) AS BIGINT) AS volume_sum,
   min(event_time) AS first_tick,
   max(event_time) AS last_tick
 FROM ticks
@@ -179,8 +185,8 @@ FROM (
     max(high) AS high,
     min(low)  AS low,
     arg_max(close, bucket_start) AS close,
-    sum(volume_sum) AS volume_sum,
-    sum(tick_count) AS tick_count,
+    CAST(sum(volume_sum) AS BIGINT) AS volume_sum,
+    CAST(sum(tick_count) AS BIGINT) AS tick_count,
     min(bucket_start) AS first_bucket,
     max(bucket_start) AS last_bucket
   FROM bars
@@ -259,7 +265,9 @@ SELECT
   max(price) AS high,
   min(price) AS low,
   arg_max(price, event_time) AS close,
-  sum(coalesce(volume, 0)) AS volume_sum,
+  -- CAST: DuckDB sum(BIGINT) returns HUGEINT (float64/decimal in Arrow),
+  -- which hash-mismatches Spark's int64 on value-identical results
+  CAST(sum(coalesce(volume, 0)) AS BIGINT) AS volume_sum,
   count(*) AS tick_count
 FROM assigned
 GROUP BY symbol, window_start
@@ -298,7 +306,9 @@ SELECT
   max(price) AS high,
   min(price) AS low,
   arg_max(price, event_time) AS close,
-  sum(coalesce(volume, 0)) AS volume_sum,
+  -- CAST: DuckDB sum(BIGINT) returns HUGEINT (float64/decimal in Arrow),
+  -- which hash-mismatches Spark's int64 on value-identical results
+  CAST(sum(coalesce(volume, 0)) AS BIGINT) AS volume_sum,
   count(*) AS tick_count
 FROM sess
 GROUP BY symbol, sid
@@ -604,8 +614,8 @@ SELECT
   round(max(high), 4)  AS high,
   round(min(low), 4)   AS low,
   round(arg_max(close, bucket_start), 4) AS close,
-  sum(volume_sum) AS volume_sum,
-  sum(tick_count) AS tick_count
+  CAST(sum(volume_sum) AS BIGINT) AS volume_sum,
+  CAST(sum(tick_count) AS BIGINT) AS tick_count
 FROM bars
 GROUP BY symbol, date_trunc('hour', bucket_start)
 """,
@@ -807,7 +817,9 @@ SELECT
       / sum(coalesce(volume, 0)) END, 6) AS vwap,
   round(CAST(sum(CAST(price * coalesce(volume, 0) AS DECIMAL(25,6)))
         AS DOUBLE), 4) AS turnover,
-  sum(coalesce(volume, 0)) AS volume_sum,
+  -- CAST: DuckDB sum(BIGINT) returns HUGEINT (float64/decimal in Arrow),
+  -- which hash-mismatches Spark's int64 on value-identical results
+  CAST(sum(coalesce(volume, 0)) AS BIGINT) AS volume_sum,
   count(*) AS tick_count
 FROM ticks
 GROUP BY symbol, date_trunc('minute', event_time)
@@ -830,7 +842,7 @@ SELECT
   round(CAST(sum(CAST(price AS DECIMAL(25,6))) OVER w AS DOUBLE)
         / count(price) OVER w, 6) AS range_avg_price,
   count(*) OVER w AS range_tick_count,
-  sum(coalesce(volume, 0)) OVER w AS range_volume_sum
+  CAST(sum(coalesce(volume, 0)) OVER w AS BIGINT) AS range_volume_sum
 FROM ticks
 WINDOW w AS (PARTITION BY symbol ORDER BY event_time
              RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)
@@ -1124,72 +1136,73 @@ from stockpulse_batch_realtime_etl_spark import queries_ext  # noqa: E402,F401
 # tail.  Names not listed keep their registration order after the priority
 # block, so newly-added queries are never silently dropped from the dict.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # never received a CORRECTNESS row in r1 (registered past the cap)
+    # --- never gate-green, FIXED this round (r3): NTZ-proof bucket helpers
+    # (functions.scalars.ts_micros), oracle CAST(sum AS BIGINT) against
+    # DuckDB's HUGEINT, and the Kafka wire-format NTZ cast — highest
+    # information content, checked first
+    "ohlcv_bars",
+    "tick_summary",
+    "latest_bars",
+    "bar_summary",
+    "sliding_bars",
+    "session_bars",
+    "hourly_bars_rollup",
+    "gapfill_bars",
+    "vwap_bars",
+    "streaming_ohlcv_bars",
+    "kafka_roundtrip_ticks",
+    "rolling_stats",
+    "ema_ticks",
+    "time_range_stats",
+    "mover_window_ticks",
+    # --- never received a CORRECTNESS row in ANY round (r1 blocked on the
+    # scan error, r2 aged out past the 50-entry cap) — first-ever verdicts
+    "top_bars_per_day",
+    "price_cardinality",
+    "hourly_symbol_pivot",
+    # --- new round-3 registrations go here (above the proven-green tail) ---
+    # --- r2-green, kept in the gate to catch regressions from this round's
+    # shared-code edits (TICKS_CTE consumers, serving, streaming, dedup/ANN)
+    "symbols",
+    "latest_ticks",
+    "movers",
+    "latest_tick_per_symbol",
+    "ticks_asof_bars",
+    "price_histogram",
+    "price_deciles",
+    "symbol_correlations",
+    "stats_summary",
+    "notable_days",
     "json_decode_ticks",
     "dlq_failed_events",
-    "streaming_ohlcv_bars",
     "streaming_dedup_ticks",
+    "simulated_ticks",
+    "storage_roundtrip",
+    "health_counts",
     "dataset_splits",
     "multimodal_features",
     "frame_samples",
     "ann_ivf_topk",
     "ann_lsh_bucketed_topk",
     "embedding_near_dup_pairs",
-    # events/tick path: unblocked this round by the load_table conf fix
-    "ohlcv_bars",
-    "symbols",
-    "latest_ticks",
-    "tick_summary",
-    "latest_bars",
-    "bar_summary",
-    "movers",
-    "latest_tick_per_symbol",
-    "sliding_bars",
-    "session_bars",
-    "rolling_stats",
-    "ticks_asof_bars",
-    "hourly_bars_rollup",
-    "gapfill_bars",
-    "price_histogram",
-    "price_deciles",
-    "symbol_correlations",
-    "ema_ticks",
-    "vwap_bars",
-    "time_range_stats",
-    "stats_summary",
-    "notable_days",
-    # changed this round (df_cap guard) / added this round
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_multiprobe_topk",
     "jaccard_top_pairs",
-    "health_counts",
     "tfidf_top_terms",
     "bigram_counts",
-    "ann_ivf_kmeans_topk",
-    "simulated_ticks",
-    "kafka_roundtrip_ticks",
-    "storage_roundtrip",
     "rolling_fingerprints",
     "fingerprint_match_pairs",
-    "ann_ivf_multiprobe_topk",
-    "mover_window_ticks",
     "contamination_overlap",
     "stratified_sample",
     "bigram_lm_scores",
     "mixture_sample",
     "repetition_stats",
-    # dedup chain: dup_groups changed this round; keep the join-bearing
-    # stages inside the gate ahead of the untouched relational suite
     "dup_groups",
-    # below this line: lowest-stakes remainder (r1-green unchanged, or
-    # extension queries fully pinned by local parity) — first to age out
-    # of the 50-entry gate window as new queries land above
-    "top_bars_per_day",
-    "price_cardinality",
-    "hourly_symbol_pivot",
+    # below this line: lowest-stakes remainder (green in a prior round,
+    # code unchanged) — first to age out of the 50-entry gate window
     "lsh_candidate_pairs",
     "minhash_signatures",
     "simhash_near_dups",
-    # relational suite (green in r1, unchanged since; first to age out
-    # under the 50-entry cap)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",

@@ -36,7 +36,15 @@ def encode_ticks_for_kafka(ticks: DataFrame) -> DataFrame:
     """S2: tick rows → Kafka (key, value) pairs.  key = symbol (per-symbol
     partition ordering, producer.py:87), value = JSON of the full row
     (producer.py:84-90, op F11) with lossless µs timestamps."""
-    payload = [c for c in ticks.columns]
+    # TIMESTAMP_NTZ (what Spark 4.1 reads parquet TIMESTAMP(NANOS) as) has
+    # no zone offset, so formatting it through the XXX pattern yields NULL
+    # for every value — cast to a real timestamp first.  Instant-preserving
+    # under the UTC session this library asserts (sources/tables.py), and
+    # the wire then carries an explicit offset as producer.py:84-90 does.
+    payload = [
+        F.col(c).cast("timestamp").alias(c) if t == "timestamp_ntz" else F.col(c)
+        for c, t in ticks.dtypes
+    ]
     return ticks.select(
         F.col("symbol").cast("string").alias("key"),
         F.to_json(

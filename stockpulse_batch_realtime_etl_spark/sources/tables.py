@@ -40,8 +40,20 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:  # pragma: no cover - conf locked down; reads may still work
+    except Exception:  # pragma: no cover - conf locked down; verified below
         pass
+    # UTC is a hard correctness precondition, not a nicety: NTZ→timestamp
+    # casts (functions.scalars.ts_micros) and the Kafka wire format's +00:00
+    # offset are instant-preserving ONLY under a UTC session.  A locked-down
+    # non-UTC session would silently shift every derived instant — fail loudly
+    # instead.
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise RuntimeError(
+            f"spark.sql.session.timeZone={tz!r} but this library requires UTC "
+            "(NTZ casts and the Kafka wire format are timezone-sensitive); "
+            "the conf could not be set on this session"
+        )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

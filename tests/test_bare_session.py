@@ -30,7 +30,10 @@ assert "session" not in [m.split(".")[-1] for m in sys.modules
 from stockpulse_batch_realtime_etl_spark.sources.tables import load_table
 
 ev = load_table(spark, {sf_dir!r}, "events")
-assert dict(ev.dtypes)["ts"] == "timestamp", ev.dtypes
+# Spark <=3.x (nanosAsLong honored) -> converted to "timestamp";
+# Spark 4.1+ ignores the conf and reads TIMESTAMP(NANOS) as "timestamp_ntz".
+# Consumers tolerate both (functions.scalars.ts_micros casts when bucketing).
+assert dict(ev.dtypes)["ts"] in ("timestamp", "timestamp_ntz"), ev.dtypes
 n = ev.count()
 assert n > 0, n
 

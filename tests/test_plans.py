@@ -14,6 +14,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
+from stockpulse_batch_realtime_etl_spark.functions.scalars import ts_micros
 from stockpulse_batch_realtime_etl_spark.operators import serving, text, tpch
 from stockpulse_batch_realtime_etl_spark.plans import assertions as P
 from stockpulse_batch_realtime_etl_spark.sources.tables import load_table
@@ -246,7 +247,7 @@ def test_ema_chunked_has_no_per_symbol_ceiling(spark, ticks):
     P.assert_no_cartesian(df)
     n_symbols = ticks.select("symbol").distinct().count()
     groups = ticks.select(
-        "symbol", F.floor(F.unix_micros("event_time") / 3_600_000_000).alias("c")
+        "symbol", F.floor(ts_micros("event_time") / 3_600_000_000).alias("c")
     ).distinct().count()
     assert groups > n_symbols * 4
 
