@@ -72,24 +72,23 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     duplicates first, so the exchange carries near-distinct pairs — and the
     explode/distinct pipeline stays inside whole-stage codegen.
 
-    Perf note (measured, sf0.1): the tempting "array-side" alternative —
-    ``array_distinct`` + per-row higher-order functions — is ~8× SLOWER
-    here: lambda-bearing array expressions are interpreted (no codegen) and
-    CollapseProject re-inlines the array construction into every consumer,
-    recomputing it per reference.  Explode + hash-aggregate is the
-    Spark-native fast path.
+    Perf note (measured, sf0.1): gram construction uses the ``zip_with``
+    slice ladder (``text.adjacent_ngrams``), NOT ``transform`` over an
+    index ``sequence``: lambda HOFs are interpreted and CollapseProject
+    re-inlines the tokenization into every per-element lambda reference,
+    re-running the regex once per gram — O(len²) per document, measured
+    ~12× slower.  The ladder keeps per-element work O(1); explode +
+    hash-aggregate then stays the Spark-native fast path.
     """
+    from stockpulse_batch_realtime_etl_spark.operators.text import (
+        adjacent_ngrams,
+    )
+
     toks = F.split(_norm_text(), " ")
     # Full n-grams only: docs shorter than n tokens contribute no shingles
     # (standard minhash convention; keeps semantics identical to the oracle's
     # positional self-join formulation).
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = adjacent_ngrams(toks, n)
     return (
         fan_out(docs)
         .select("doc_id", F.explode(grams).alias("shingle"))

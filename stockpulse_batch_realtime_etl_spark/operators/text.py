@@ -251,6 +251,34 @@ def _norm_token_arr() -> Column:
     )
 
 
+def adjacent_ngrams(arr: Column, n: int) -> Column:
+    """Array of adjacent word ``n``-grams of a token array, space-joined.
+
+    Built as a ``zip_with`` ladder over ``n`` shifted ``slice``s, NOT as
+    ``transform(sequence(...), element_at)``: lambda HOFs are interpreted
+    (no codegen) and CollapseProject re-inlines the token-array expression
+    into every lambda reference — with ``element_at`` that re-runs the
+    regex tokenization once per ELEMENT (O(len²) per document; measured
+    12× slower on the bench corpus at sf0.1).  The slice ladder evaluates
+    the source array ``n`` times per ROW, keeping per-element work O(1).
+
+    Docs shorter than ``n`` tokens yield an empty array (the WHEN guard
+    also keeps ``slice``'s length argument non-negative — Spark's If
+    evaluates branches lazily per row, so the slice never sees one).
+    """
+    m = F.size(arr) - (n - 1)
+    out = F.slice(arr, 1, m)
+    for j in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(arr, j + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(F.size(arr) >= n, out).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     """Per-document top-``k`` terms by TF-IDF — the classic relevance /
     keyword-extraction statistic a training-data pipeline uses for topic
@@ -302,21 +330,12 @@ def bigram_counts(docs: DataFrame) -> DataFrame:
     """Corpus bigram frequencies — n-gram statistics for LM data prep
     (vocabulary induction, collocation mining, contamination checks).
 
-    Built array-native: adjacent-pair construction via ``transform`` over an
-    index ``sequence`` (no self-join, no shuffle until the final count);
-    the count aggregate is map-side combined so the shuffle carries one row
-    per distinct bigram per partition.
+    Built array-native: adjacent-pair construction via the ``zip_with``
+    slice ladder (``adjacent_ngrams`` — no self-join, no shuffle until the
+    final count); the count aggregate is map-side combined so the shuffle
+    carries one row per distinct bigram per partition.
     """
-    arr = _norm_token_arr()
-    pairs = F.when(
-        F.size(arr) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(arr) - 1),
-            lambda i: F.concat(
-                F.element_at(arr, i), F.lit(" "), F.element_at(arr, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    pairs = adjacent_ngrams(_norm_token_arr(), 2)
     return (
         fan_out(docs)
         .select(F.explode(pairs).alias("bigram"))
@@ -472,22 +491,10 @@ def _split_expr(train_pct: int = 90, val_pct: int = 5) -> Column:
 
 
 def _doc_ngrams(n: int, arr: Column) -> Column:
-    """Distinct word n-grams of a (pre-materialized) token array column
-    (array-native: ``transform`` over an index ``sequence`` — no self-join,
-    no explode until the caller asks for one).  Takes the array as a
-    column reference so the regex tokenization it comes from is evaluated
-    once, not once per reference."""
-    return F.when(
-        F.size(arr) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(arr) - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(arr, i + j) for j in range(n)]
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """Distinct word n-grams of a token array column (array-native: the
+    ``adjacent_ngrams`` zip_with slice ladder — no self-join, no explode
+    until the caller asks for one)."""
+    return F.array_distinct(adjacent_ngrams(arr, n))
 
 
 def contamination_overlap(
@@ -587,19 +594,7 @@ def bigram_lm_scores(docs: DataFrame) -> DataFrame:
     bi = toks.select(
         "doc_id",
         "lang",
-        F.explode(
-            F.when(
-                F.size(arr) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(arr) - 1),
-                    lambda i: F.concat(
-                        F.element_at(arr, i),
-                        F.lit(" "),
-                        F.element_at(arr, i + 1),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("bigram"),
+        F.explode(adjacent_ngrams(arr, 2)).alias("bigram"),
     ).withColumn("w1", F.substring_index("bigram", " ", 1))
     c2 = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
     c1 = c2.withColumn("k1", F.substring_index("bigram", " ", 1)).groupBy(
@@ -683,6 +678,127 @@ def mixture_sample(
     )
 
 
+def temperature_mixture(
+    docs: DataFrame, total: int = 1000, alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-based source resampling: draw ``total`` documents with
+    per-source quotas ∝ n_s^α — the multilingual/domain rebalancing rule
+    (α=1 keeps natural proportions, α→0 approaches uniform; 0.3-0.7 is the
+    usual range for upweighting low-resource sources without drowning
+    high-resource ones).
+
+    Cross-engine determinism is engineered, not hoped for: n_s^α for the
+    default α=0.5 is ``sqrt`` (IEEE correctly-rounded on every engine,
+    unlike ``pow``), per-source weights are rounded to 6 dp and summed as
+    DECIMAL (order-independent — a float Σ over sources could differ in
+    the last ulp between engines and flip a floor()), and the final quota
+    is IEEE double multiply/divide of identical inputs.  Selection within
+    a source is the md5(doc_id) prefix order shared by every sampling op
+    here.
+
+    Plan shape: one hash aggregate for source counts (broadcast back), one
+    shuffle on source for the ranking window — identical scale behavior to
+    :func:`mixture_sample`, including its giant-stratum thinning note.
+    """
+    pw = F.sqrt(F.col("n_s")) if alpha == 0.5 else F.pow("n_s", F.lit(alpha))
+    counts = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .withColumn("s_s", F.round(pw, 6).cast("decimal(38,6)"))
+        .withColumn(
+            "s_tot", F.sum("s_s").over(Window.partitionBy(F.lit(1)))
+        )
+        .select(
+            "source",
+            F.least(
+                F.col("n_s"),
+                F.floor(
+                    F.lit(int(total))
+                    * F.col("s_s").cast("double")
+                    / F.col("s_tot").cast("double")
+                ),
+            ).alias("k_s"),
+        )
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return (
+        docs.select("doc_id", "lang", "source")
+        .withColumn("sample_rank", rank)
+        .join(F.broadcast(counts), "source")
+        .where(F.col("sample_rank") <= F.col("k_s"))
+        .select("doc_id", "lang", "source", "sample_rank")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame, ctx_tokens: int = 512, n_shards: int = 8
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign every document a position
+    in a stream of fixed-size training sequences — the step that turns a
+    curated corpus into context-window-sized model inputs with no padding
+    waste (documents are concatenated in a deterministic order and the
+    stream is cut every ``ctx_tokens`` tokens).
+
+    Exact global packing is a sequential scan; the scalable form packs
+    per SHARD (how real pipelines shard tokenization output): documents
+    are routed to ``n_shards`` md5 shards and packed independently within
+    each, so the only sequential state is a per-shard running token count
+    — a window over (shard), giving n_shards-way parallelism and bounded
+    per-task state at any corpus size (raise ``n_shards`` with the data;
+    results stay deterministic because shard routing and intra-shard order
+    are both pure md5(doc_id) functions, independent of partitioning).
+
+    Output per document: its shard, token count, the sequence index
+    (``seq_index``) its first token lands in, the offset within that
+    sequence, and whether it spans a sequence boundary (boundary-crossing
+    docs are the ones a loader must split or mask across the cut).
+    """
+    h = F.md5(F.col("doc_id").cast("string"))
+    # first md5 byte as an integer (instr arithmetic, portable to the SQL
+    # oracle verbatim), mod n_shards → deterministic shard routing
+    nib = "0123456789abcdef"
+    shard = (
+        (F.expr(f"instr('{nib}', substring(md5(cast(doc_id as string)), 1, 1)) - 1") * 16
+         + F.expr(f"instr('{nib}', substring(md5(cast(doc_id as string)), 2, 1)) - 1"))
+        % n_shards
+    ).cast("int")
+    toks = F.filter(_norm_token_arr(), lambda t: t != "")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        h.alias("h"),
+        shard.alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("start")
+    out = base.withColumn("cum", cum).select(
+        "doc_id",
+        "source",
+        "shard",
+        "n_tokens",
+        F.expr(f"(cum - n_tokens) div {ctx_tokens}").alias("seq_index"),
+        F.expr(f"(cum - n_tokens) % {ctx_tokens}").alias("offset"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr(f"(cum - 1) div {ctx_tokens}")
+            > F.expr(f"(cum - n_tokens) div {ctx_tokens}"),
+        )
+        .otherwise(F.lit(False))
+        .alias("spans_boundary"),
+    )
+    return out
+
+
 def repetition_stats(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition filters: the fraction of a document that is
     repeated content — the signal that catches boilerplate, keyword spam,
@@ -716,15 +832,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             F.lit(1.0) - F.size(F.array_distinct(arr)) / n_tok.cast("double"),
             6,
         ).alias("dup_token_ratio"),
-        F.when(
-            n_tok >= 2,
-            F.transform(
-                F.sequence(F.lit(1), n_tok - 1),
-                lambda i: F.concat(
-                    F.element_at(arr, i), F.lit(" "), F.element_at(arr, i + 1)
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>")).alias("bi"),
+        adjacent_ngrams(arr, 2).alias("bi"),
     )
     per_bigram = (
         base.select("doc_id", F.explode("bi").alias("bigram"))

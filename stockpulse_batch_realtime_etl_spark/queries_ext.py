@@ -1326,3 +1326,87 @@ LEFT JOIN per_doc USING (doc_id)
 )
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "temperature_mixture_sample",
+    oracle="""
+WITH counts AS (
+  SELECT source, count(*) AS n_s FROM documents GROUP BY source
+),
+scaled AS (
+  SELECT source, n_s,
+         CAST(round(sqrt(n_s), 6) AS DECIMAL(38,6)) AS s_s
+  FROM counts
+),
+ks AS (
+  -- DECIMAL sum over sources (order-independent), IEEE double mult/div of
+  -- identical inputs, floor — bit-reproducible against the Spark twin
+  SELECT source,
+         least(n_s,
+               CAST(floor(200 * CAST(s_s AS DOUBLE)
+                          / CAST(sum(s_s) OVER () AS DOUBLE)) AS BIGINT)
+         ) AS k_s
+  FROM scaled
+),
+ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS sample_rank
+  FROM documents
+)
+SELECT r.doc_id, r.lang, r.source, r.sample_rank
+FROM ranked r JOIN ks USING (source)
+WHERE r.sample_rank <= ks.k_s
+""",
+)
+def q_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (α=0.5) source resampling — the multilingual rebalance
+    rule; deterministic md5-order draw, quota ∝ sqrt(n_s)."""
+    return text.temperature_mixture(
+        load_table(spark, sf_dir, "documents"), total=200, alpha=0.5
+    )
+
+
+@register(
+    "packed_sequences",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(list_filter(
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                            ' '),
+               x -> x <> '')) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+sh AS (
+  SELECT *,
+         ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 8 AS shard
+  FROM toks
+),
+c AS (
+  SELECT *,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY h, doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM sh
+)
+SELECT doc_id, source, shard, n_tokens,
+       (cum - n_tokens) // 512 AS seq_index,
+       (cum - n_tokens) % 512 AS offset,
+       CASE WHEN n_tokens > 0
+            THEN (cum - 1) // 512 > (cum - n_tokens) // 512
+            ELSE false END AS spans_boundary
+FROM c
+""",
+)
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 512-token training sequences,
+    md5-sharded 8 ways — deterministic doc → (shard, seq, offset) layout."""
+    return text.pack_sequences(
+        load_table(spark, sf_dir, "documents"), ctx_tokens=512, n_shards=8
+    )

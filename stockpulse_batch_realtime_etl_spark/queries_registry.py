@@ -1160,7 +1160,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "top_bars_per_day",
     "price_cardinality",
     "hourly_symbol_pivot",
-    # --- new round-3 registrations go here (above the proven-green tail) ---
+    # --- new round-3 registrations (above the proven-green tail) ---
+    "packed_sequences",
+    "temperature_mixture_sample",
     # --- r2-green, kept in the gate to catch regressions from this round's
     # shared-code edits (TICKS_CTE consumers, serving, streaming, dedup/ANN)
     "symbols",

@@ -346,3 +346,79 @@ def test_repetition_stats_hand_computed(make_docs):
     assert out[2].dup_bigram_frac == 0.0
     assert out[3].top_bigram_frac is None
     assert out[3].dup_bigram_frac is None
+
+
+def test_adjacent_ngrams_hand_built(spark):
+    df = spark.createDataFrame([(1, "a  b c d"), (2, "a"), (3, "")], "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            text.adjacent_ngrams(text._norm_token_arr(), 2).alias("bi"),
+            text.adjacent_ngrams(text._norm_token_arr(), 3).alias("tri"),
+        ).collect()
+    }
+    assert out[1].bi == ["a b", "b c", "c d"]
+    assert out[1].tri == ["a b c", "b c d"]
+    assert out[2].bi == [] and out[2].tri == []
+    assert out[3].bi == []  # empty text -> single empty token, no pairs
+
+
+def _md5(v):
+    import hashlib
+
+    return hashlib.md5(str(v).encode()).hexdigest()
+
+
+def test_pack_sequences_layout_single_shard(make_docs):
+    # n_shards=1 -> one global concat stream in md5(doc_id) order; ctx=5
+    texts = {1: "a b c", 2: "d e f g", 3: "h i", 4: "j k l m n o"}
+    docs = make_docs([doc(i, t) for i, t in texts.items()])
+    out = {
+        r.doc_id: r
+        for r in text.pack_sequences(docs, ctx_tokens=5, n_shards=1).collect()
+    }
+    order = sorted(texts, key=lambda i: (_md5(i), i))
+    cum = 0
+    for i in order:
+        n = len(texts[i].split())
+        start, cum = cum, cum + n
+        r = out[i]
+        assert r.shard == 0
+        assert r.n_tokens == n
+        assert r.seq_index == start // 5
+        assert r.offset == start % 5
+        assert r.spans_boundary == ((cum - 1) // 5 > start // 5)
+
+
+def test_pack_sequences_deterministic_under_repartition(make_docs):
+    docs = make_docs([doc(i, "w " * (i % 7 + 1)) for i in range(40)])
+    a = sorted(map(tuple, text.pack_sequences(docs, 8, 4).collect()))
+    b = sorted(
+        map(tuple, text.pack_sequences(docs.repartition(7), 8, 4).collect())
+    )
+    assert a == b
+    # every shard's sequence stream starts at offset 0 of seq 0
+    firsts = {}
+    for row in a:
+        d = dict(zip(["doc_id", "source", "shard", "n_tokens", "seq", "off", "spans"], row))
+        key = d["shard"]
+        cur = (d["seq"], d["off"])
+        firsts[key] = min(firsts.get(key, cur), cur)
+    assert all(v == (0, 0) for v in firsts.values())
+
+
+def test_temperature_mixture_quota(make_docs):
+    # A: 16 docs, B: 4 docs; alpha=.5 -> s = (4, 2), total=6 -> k = (4, 2)
+    rows = [(i, f"t {i}", "en", "A", 3) for i in range(16)]
+    rows += [(100 + i, f"u {i}", "en", "B", 3) for i in range(4)]
+    docs = make_docs(rows)
+    out = text.temperature_mixture(docs, total=6, alpha=0.5).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.source, set()).add(r.sample_rank)
+    assert per == {"A": {1, 2, 3, 4}, "B": {1, 2}}
+    again = text.temperature_mixture(docs.repartition(5), total=6, alpha=0.5)
+    assert sorted(r.doc_id for r in out) == sorted(
+        r.doc_id for r in again.collect()
+    )
