@@ -387,20 +387,27 @@ def kgram_fingerprints(
         ),
     )
     L = F.size("_codes")
+    m = L - k + 1
 
-    def _horner(i: Column) -> Column:
-        h: Column = F.lit(0).cast("long")
-        for t in range(k):
-            h = (h * base + F.element_at(F.col("_codes"), (i + t).cast("int"))) % mod
-        return h
+    # Horner chain as a zip_with ladder over k shifted slices — NOT
+    # element_at inside an index-transform lambda, which would re-inline
+    # the split+ascii construction per ELEMENT reference (O(k·len²) per
+    # document, the interpreted-HOF pitfall logged in SCALE.md).  The
+    # ladder references _codes k times per ROW: O(k·len), linear.
+    def code_at(off: int) -> Column:
+        return F.slice(F.col("_codes"), off + 1, m)
 
+    fp = F.transform(code_at(0), lambda c: c.cast("long") % mod)
+    for t in range(1, k):
+        fp = F.zip_with(fp, code_at(t), lambda h, c: (h * base + c) % mod)
     arr = F.when(
         L >= k,
         F.filter(
-            F.transform(
-                F.sequence(F.lit(1), L - k + 1),
-                lambda i: F.struct(
-                    i.cast("int").alias("pos"), _horner(i).alias("fp")
+            F.zip_with(
+                F.sequence(F.lit(1), m),
+                fp,
+                lambda i, h: F.struct(
+                    i.cast("int").alias("pos"), h.alias("fp")
                 ),
             ),
             lambda s: s["fp"] % p == 0,
