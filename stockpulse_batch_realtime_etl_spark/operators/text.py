@@ -806,6 +806,77 @@ def pack_sequences(
     return out
 
 
+def curation_funnel(
+    docs: DataFrame,
+    quality_min: float = 0.8,
+    dup_token_max: float = 0.6,
+    contamination_min_grams: int = 4,
+) -> DataFrame:
+    """The full curation pipeline as ONE query: per-stage survivor counts
+    for raw → exact-dedup → quality filter → repetition filter →
+    benchmark decontamination — the yield report every training-data run
+    starts and ends with ("how many documents did each gate cost?").
+
+    Composition, not re-implementation: each stage's predicate is the
+    corresponding first-class operator's output (``dedup.exact_dedup``,
+    :func:`quality_score`, :func:`repetition_stats`,
+    :func:`contamination_overlap`), so the funnel is consistent with the
+    individual gates by construction.  Stages are CUMULATIVE (a doc must
+    survive all earlier gates to count later), matching how a real
+    pipeline chains them.
+
+    Plan shape: every stage produces a doc-keyed flag table; one 4-way
+    doc_id equi-join assembles the flag row (AQE broadcasts the small
+    sides), one aggregate computes all five conditional counts in a single
+    pass, and ``stack`` unpivots to (stage_idx, stage, n_docs) rows —
+    stage counts never require re-running earlier stages.
+    """
+    from stockpulse_batch_realtime_etl_spark.operators.dedup import (
+        exact_dedup,
+    )
+
+    canon = exact_dedup(docs).select(
+        F.col("kept_doc_id").alias("doc_id"), F.lit(True).alias("canon")
+    )
+    q = quality_score(docs).select("doc_id", "quality")
+    r = repetition_stats(docs).select("doc_id", "dup_token_ratio")
+    contam = (
+        contamination_overlap(docs)
+        .where(F.col("overlap_grams") >= contamination_min_grams)
+        .select("doc_id", F.lit(True).alias("contaminated"))
+    )
+    s1 = F.coalesce("canon", F.lit(False))
+    s2 = s1 & F.coalesce(F.col("quality") >= quality_min, F.lit(False))
+    s3 = s2 & F.coalesce(
+        F.col("dup_token_ratio") <= dup_token_max, F.lit(False)
+    )
+    s4 = s3 & ~F.coalesce("contaminated", F.lit(False))
+    flags = (
+        docs.select("doc_id")
+        .join(canon, "doc_id", "left")
+        .join(q, "doc_id", "left")
+        .join(r, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            s1.alias("s1"), s2.alias("s2"), s3.alias("s3"), s4.alias("s4")
+        )
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count(F.when(F.col("s1"), 1)).alias("n1"),
+        F.count(F.when(F.col("s2"), 1)).alias("n2"),
+        F.count(F.when(F.col("s3"), 1)).alias("n3"),
+        F.count(F.when(F.col("s4"), 1)).alias("n4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, 0, 'raw', n0, 1, 'exact_dedup', n1,"
+            " 2, 'quality', n2, 3, 'repetition', n3,"
+            " 4, 'decontamination', n4) AS (stage_idx, stage, n_docs)"
+        )
+    )
+
+
 def repetition_stats(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition filters: the fraction of a document that is
     repeated content — the signal that catches boilerplate, keyword spam,

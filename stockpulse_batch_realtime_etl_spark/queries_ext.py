@@ -1410,3 +1410,111 @@ def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pack_sequences(
         load_table(spark, sf_dir, "documents"), ctx_tokens=512, n_shards=8
     )
+
+
+@register(
+    "curation_funnel",
+    oracle=rf"""
+WITH {NORM_TOKS_CTE.lstrip()},
+grams AS (
+  SELECT DISTINCT a.doc_id,
+         a.token || ' ' || b.token || ' ' || c.token AS gram
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+),
+{_SPLIT_SQL.strip()},
+eval_grams AS (
+  SELECT DISTINCT gram
+  FROM grams JOIN splits USING (doc_id)
+  WHERE split = 'test'
+),
+contam AS (
+  SELECT g.doc_id
+  FROM grams g
+  JOIN splits s USING (doc_id)
+  JOIN eval_grams e ON g.gram = e.gram
+  WHERE s.split = 'train'
+  GROUP BY g.doc_id
+  HAVING count(*) >= 4
+),
+canon AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents
+  ) GROUP BY fp
+),
+qstats AS (
+  SELECT
+    doc_id,
+    len(string_split_regex(trim(text), '\s+')) AS token_count,
+    len(list_distinct(string_split_regex(trim(text), '\s+'))) AS distinct_tokens,
+    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+          / nullif(length(text), 0), 4) AS alpha_ratio,
+    round(len(list_filter(string_split_regex(trim(text), '\s+'),
+                          t -> list_contains({_STOP_SQL}, t)))
+          / nullif(len(string_split_regex(trim(text), '\s+')), 0), 4) AS stopword_ratio
+  FROM documents
+),
+quality AS (
+  SELECT doc_id,
+    round(
+        CAST(0.25 AS DOUBLE) * least(greatest(token_count / CAST(50.0 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+      + CAST(0.25 AS DOUBLE) * least(greatest(alpha_ratio / CAST(0.8 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+      + CAST(0.25 AS DOUBLE) * least(greatest(stopword_ratio / CAST(0.1 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+      + CAST(0.25 AS DOUBLE) * least(greatest(distinct_tokens / nullif(token_count, 0) / CAST(0.5 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+    , 6) AS quality
+  FROM qstats
+),
+rep AS (
+  SELECT doc_id,
+         round(CAST(1.0 AS DOUBLE)
+               - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE),
+               6) AS dup_token_ratio
+  FROM tl
+),
+flags AS (
+  SELECT
+    (c.doc_id IS NOT NULL) AS s1,
+    (c.doc_id IS NOT NULL)
+      AND coalesce(q.quality >= 0.8, false) AS s2,
+    (c.doc_id IS NOT NULL)
+      AND coalesce(q.quality >= 0.8, false)
+      AND coalesce(r.dup_token_ratio <= 0.6, false) AS s3,
+    (c.doc_id IS NOT NULL)
+      AND coalesce(q.quality >= 0.8, false)
+      AND coalesce(r.dup_token_ratio <= 0.6, false)
+      AND ct.doc_id IS NULL AS s4
+  FROM documents d
+  LEFT JOIN canon c ON c.doc_id = d.doc_id
+  LEFT JOIN quality q ON q.doc_id = d.doc_id
+  LEFT JOIN rep r ON r.doc_id = d.doc_id
+  LEFT JOIN contam ct ON ct.doc_id = d.doc_id
+),
+counts AS (
+  SELECT count(*) AS n0,
+         count(CASE WHEN s1 THEN 1 END) AS n1,
+         count(CASE WHEN s2 THEN 1 END) AS n2,
+         count(CASE WHEN s3 THEN 1 END) AS n3,
+         count(CASE WHEN s4 THEN 1 END) AS n4
+  FROM flags
+)
+SELECT 0 AS stage_idx, 'raw' AS stage, n0 AS n_docs FROM counts
+UNION ALL SELECT 1, 'exact_dedup', n1 FROM counts
+UNION ALL SELECT 2, 'quality', n2 FROM counts
+UNION ALL SELECT 3, 'repetition', n3 FROM counts
+UNION ALL SELECT 4, 'decontamination', n4 FROM counts
+""",
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-stage survivor counts of the full curation pipeline
+    (dedup -> quality -> repetition -> decontamination), one composed
+    query over the first-class stage operators."""
+    return text.curation_funnel(
+        load_table(spark, sf_dir, "documents"),
+        quality_min=0.8,
+        dup_token_max=0.6,
+        contamination_min_grams=4,
+    )

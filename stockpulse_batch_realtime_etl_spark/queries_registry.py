@@ -1163,6 +1163,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # --- new round-3 registrations (above the proven-green tail) ---
     "packed_sequences",
     "temperature_mixture_sample",
+    "curation_funnel",
     # --- r2-green, kept in the gate to catch regressions from this round's
     # shared-code edits (TICKS_CTE consumers, serving, streaming, dedup/ANN)
     "symbols",

@@ -422,3 +422,31 @@ def test_temperature_mixture_quota(make_docs):
     assert sorted(r.doc_id for r in out) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+def test_curation_funnel_cumulative_counts(make_docs):
+    # doc 1+2 identical (dedup keeps 1); doc 3 unique but repetitive
+    good = "the cat and the dog are on a mat with food and water here now"
+    docs = make_docs(
+        [
+            doc(1, good),
+            doc(2, good),                      # exact dup of 1 -> dropped
+            doc(3, "spam " * 20),              # dup_token_ratio ~0.95 -> dropped
+            doc(4, good + " extra tokens to stay distinct"),
+        ]
+    )
+    out = {r.stage: r for r in text.curation_funnel(
+        docs, quality_min=0.0, dup_token_max=0.6, contamination_min_grams=10**9
+    ).collect()}
+    assert [out[s].stage_idx for s in
+            ("raw", "exact_dedup", "quality", "repetition", "decontamination")
+            ] == [0, 1, 2, 3, 4]
+    assert out["raw"].n_docs == 4
+    assert out["exact_dedup"].n_docs == 3      # doc 2 collapsed into 1
+    assert out["quality"].n_docs == 3          # threshold 0 keeps all
+    assert out["repetition"].n_docs == 2       # doc 3 dropped
+    assert out["decontamination"].n_docs == 2  # threshold huge -> none dropped
+    # counts are monotone non-increasing by construction
+    ns = [out[s].n_docs for s in
+          ("raw", "exact_dedup", "quality", "repetition", "decontamination")]
+    assert ns == sorted(ns, reverse=True)
