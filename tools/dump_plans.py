@@ -121,8 +121,9 @@ HEADLINERS: dict[str, str] = {
     ),
     "rolling_fingerprints": (
         "Rolling-hash fingerprints with ZERO shuffles: text → int code "
-        "array once, Karp–Rabin Horner as element_at arithmetic, mod-p "
-        "filter applied IN-ARRAY so the Generate emits only ~len/p rows."
+        "array once, Karp–Rabin Horner as a zip_with slice ladder (O(k·len) "
+        "per doc, no interpreted-lambda re-inlining), mod-p filter applied "
+        "IN-ARRAY so the Generate emits only ~len/p rows."
     ),
     "fingerprint_match_pairs": (
         "MOSS-style overlap: inverted-index self-join on the fingerprint "
@@ -138,6 +139,22 @@ HEADLINERS: dict[str, str] = {
         "Lloyd rounds as broadcast-join scoring passes (the corpus is never "
         "shuffled for assignment) + (cell, dim)-keyed means; search stays "
         "cell-restricted with broadcast queries."
+    ),
+    "packed_sequences": (
+        "Concat-and-chunk sequence packing: ONE shuffle (the per-shard "
+        "window) — the only sequential state is a running token sum per md5 "
+        "shard, so parallelism = n_shards and grows with the corpus."
+    ),
+    "temperature_mixture_sample": (
+        "n_s^α source resampling: counts collapse to a handful of rows, the "
+        "quota table re-joins BROADCAST; one shuffle on source for the "
+        "ranking window."
+    ),
+    "curation_funnel": (
+        "The whole curation pipeline in one DAG: stage flags assemble via "
+        "doc_id equi-joins (AQE broadcasts the reduced sides), all five "
+        "stage counts come from a single aggregate + stack unpivot — no "
+        "stage is ever re-run."
     ),
 }
 
