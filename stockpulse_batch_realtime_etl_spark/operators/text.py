@@ -374,9 +374,27 @@ def kgram_fingerprints(
     allocated.  2× faster steady-state (6× cold) than materializing k-char
     gram strings, 2× than explode-then-hash (which drags the full text
     through the Generate).  No shuffle anywhere — the fingerprint set is
-    per-row derived.  Winnowing (Schleimer et al., SIGMOD '03) is the
-    gap-guaranteed upgrade: same per-gram hashes, window-min selection
-    instead of 0-mod-p.
+    per-row derived.  :func:`winnowed_fingerprints` is the gap-guaranteed
+    upgrade: same per-gram hashes, window-min selection instead of
+    0-mod-p.
+    """
+    codes, arr = _kgram_struct_arr(docs, k, base, mod)
+    return codes.select(
+        "doc_id", F.inline(F.filter(arr, lambda s: s["fp"] % p == 0))
+    )
+
+
+def _kgram_struct_arr(
+    docs: DataFrame, k: int, base: int, mod: int
+) -> tuple[DataFrame, Column]:
+    """Shared k-gram hash builder: (codes df, array<struct<pos,fp>> column)
+    with one struct per k-gram start position (empty for docs < k chars).
+
+    Horner chain as a zip_with ladder over k shifted slices — NOT
+    element_at inside an index-transform lambda, which would re-inline
+    the split+ascii construction per ELEMENT reference (O(k·len²) per
+    document, the interpreted-HOF pitfall logged in SCALE.md).  The
+    ladder references _codes k times per ROW: O(k·len), linear.
     """
     from stockpulse_batch_realtime_etl_spark.operators.dedup import _norm_text
 
@@ -389,11 +407,6 @@ def kgram_fingerprints(
     L = F.size("_codes")
     m = L - k + 1
 
-    # Horner chain as a zip_with ladder over k shifted slices — NOT
-    # element_at inside an index-transform lambda, which would re-inline
-    # the split+ascii construction per ELEMENT reference (O(k·len²) per
-    # document, the interpreted-HOF pitfall logged in SCALE.md).  The
-    # ladder references _codes k times per ROW: O(k·len), linear.
     def code_at(off: int) -> Column:
         return F.slice(F.col("_codes"), off + 1, m)
 
@@ -402,18 +415,68 @@ def kgram_fingerprints(
         fp = F.zip_with(fp, code_at(t), lambda h, c: (h * base + c) % mod)
     arr = F.when(
         L >= k,
-        F.filter(
-            F.zip_with(
-                F.sequence(F.lit(1), m),
-                fp,
-                lambda i, h: F.struct(
-                    i.cast("int").alias("pos"), h.alias("fp")
-                ),
-            ),
-            lambda s: s["fp"] % p == 0,
+        F.zip_with(
+            F.sequence(F.lit(1), m),
+            fp,
+            lambda i, h: F.struct(i.cast("int").alias("pos"), h.alias("fp")),
         ),
     ).otherwise(F.expr("CAST(array() AS array<struct<pos:int,fp:bigint>>)"))
-    return codes.select("doc_id", F.inline(arr))
+    return codes, arr
+
+
+def winnowed_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 8,
+    base: int = 257,
+    mod: int = 1_000_003,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD
+    '03) — the gap-GUARANTEED upgrade over 0-mod-p sampling that
+    :func:`kgram_fingerprints` documents: every window of ``w`` consecutive
+    k-gram positions contributes its minimum hash (rightmost on ties), so
+    any shared substring of length ≥ k + w − 1 is certain to share a
+    fingerprint — 0-mod-p can miss arbitrarily long matches when no gram
+    hashes to 0 mod p.
+
+    Selection rule, set-oriented: a position is selected iff it is the
+    rightmost minimum of at least one window.  Each position fans out to
+    the ≤ w windows containing it (an in-array ``sequence`` explode — no
+    self-join), each window picks ``min_by`` a composite order string
+    (fp asc, pos desc = rightmost min), and overlapping windows'
+    duplicate selections collapse with one distinct.  Docs shorter than
+    ``w`` grams winnow over their single truncated window.  One shuffle
+    (the window-id aggregate) + the dedup exchange; fan-out is a constant
+    w, never data-dependent.
+    """
+    codes, arr = _kgram_struct_arr(docs, k, base, mod)
+    grams = codes.select(
+        "doc_id", F.size(arr).alias("m"), F.inline(arr)
+    )
+    win = F.least(F.lit(w), F.col("m"))
+    lo = F.greatest(win, F.col("pos"))
+    hi = F.least(F.col("m"), F.col("pos") + win - 1)
+    ends = grams.select(
+        "doc_id",
+        "pos",
+        "fp",
+        F.explode(F.sequence(lo, hi)).alias("win_end"),
+    )
+    # composite order: fp asc, then pos DESC (rightmost) — fixed-width
+    # digit strings compare identically on every engine
+    ordkey = F.concat(
+        F.lpad(F.col("fp").cast("string"), 7, "0"),
+        F.lpad((F.lit(9_999_999) - F.col("pos")).cast("string"), 7, "0"),
+    )
+    sel = (
+        ends.withColumn("ordkey", ordkey)
+        .groupBy("doc_id", "win_end")
+        .agg(F.min_by(F.struct("pos", "fp"), F.col("ordkey")).alias("s"))
+    )
+    return (
+        sel.select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+        .distinct()
+    )
 
 
 def fingerprint_match_pairs(

@@ -1518,3 +1518,38 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_token_max=0.6,
         contamination_min_grams=4,
     )
+
+
+@register(
+    "winnowed_fingerprints",
+    oracle=f"""
+WITH {KGRAM_POS_CTE.lstrip()},
+h AS (
+  SELECT doc_id, pos, {_horner_sql(8, 257, 1_000_003)} AS fp,
+         CAST(length(n) - 8 + 1 AS INT) AS m
+  FROM pos
+),
+e AS (
+  SELECT doc_id, pos, fp,
+         unnest(generate_series(greatest(least(8, m), pos),
+                                least(m, pos + least(8, m) - 1))) AS win_end,
+         lpad(CAST(fp AS VARCHAR), 7, '0')
+           || lpad(CAST(9999999 - pos AS VARCHAR), 7, '0') AS ordkey
+  FROM h
+),
+sel AS (
+  SELECT doc_id, win_end,
+         arg_min(pos, ordkey) AS pos,
+         arg_min(fp, ordkey) AS fp
+  FROM e GROUP BY doc_id, win_end
+)
+SELECT DISTINCT doc_id, pos, fp FROM sel
+""",
+)
+def q_winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (SIGMOD '03) fingerprint selection over the same k-gram
+    Karp-Rabin hashes as rolling_fingerprints: rightmost window minima,
+    guaranteed to catch any shared substring of length >= k + w - 1."""
+    return text.winnowed_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=8, w=8
+    )

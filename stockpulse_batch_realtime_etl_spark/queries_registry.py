@@ -1164,6 +1164,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "packed_sequences",
     "temperature_mixture_sample",
     "curation_funnel",
+    "winnowed_fingerprints",
     # --- r2-green, kept in the gate to catch regressions from this round's
     # shared-code edits (TICKS_CTE consumers, serving, streaming, dedup/ANN)
     "symbols",

@@ -450,3 +450,34 @@ def test_curation_funnel_cumulative_counts(make_docs):
     ns = [out[s].n_docs for s in
           ("raw", "exact_dedup", "quality", "repetition", "decontamination")]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_winnowed_fingerprints_gap_guarantee(make_docs):
+    # Two docs sharing a long verbatim passage MUST share a fingerprint
+    # (guarantee holds for any shared run >= k + w - 1 = 15 chars).
+    shared = "identical passage of text appearing in both documents"
+    docs = make_docs(
+        [
+            doc(1, "prefix one " + shared + " tail a"),
+            doc(2, "completely different opening words " + shared),
+            doc(3, "nothing in common with the others at all"),
+        ]
+    )
+    fps = text.winnowed_fingerprints(docs, k=8, w=8).collect()
+    per = {}
+    for r in fps:
+        per.setdefault(r.doc_id, set()).add(r.fp)
+    assert per[1] & per[2], "shared passage produced no shared fingerprint"
+    # every window of w=8 gram positions is covered by >= 1 selection
+    import hashlib  # noqa: F401  (parity of density, not exact positions)
+    assert len(per[1]) >= (len("prefix one " + shared + " tail a") - 8 + 1) // 8
+    # deterministic under repartition
+    again = text.winnowed_fingerprints(docs.repartition(5), k=8, w=8).collect()
+    assert sorted(map(tuple, fps)) == sorted(map(tuple, again))
+
+
+def test_winnowed_short_doc_single_window(make_docs):
+    # fewer than w grams -> the whole doc is one window -> exactly one fp
+    docs = make_docs([doc(1, "abcdefghij")])  # 10 chars -> 3 grams < w=8
+    fps = text.winnowed_fingerprints(docs, k=8, w=8).collect()
+    assert len(fps) == 1
