@@ -1553,3 +1553,64 @@ def q_winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.winnowed_fingerprints(
         load_table(spark, sf_dir, "documents"), k=8, w=8
     )
+
+
+@register(
+    "streaming_session_bars",
+    oracle=f"""
+{RAW_CTE},
+ticks AS (
+  SELECT p_symbol AS symbol, p_price AS price, p_volume AS volume,
+         p_event_time AS event_time
+  FROM parsed
+  WHERE NOT malformed AND NOT no_symbol
+    AND p_price IS NOT NULL AND p_event_time IS NOT NULL
+),
+ordered AS (
+  -- session_window merges at EXACTLY the gap (t2 - t1 <= gap stays one
+  -- session) — same convention the batch session_bars oracle pins
+  SELECT *,
+         CASE WHEN lag(event_time) OVER w IS NULL
+                OR event_time - lag(event_time) OVER w > INTERVAL 5 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM ticks
+  WINDOW w AS (PARTITION BY symbol ORDER BY event_time)
+),
+sess AS (
+  SELECT *,
+         sum(brk) OVER (PARTITION BY symbol ORDER BY event_time
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+)
+SELECT
+  symbol,
+  min(event_time) AS session_start,
+  round(arg_min(price, event_time), 4) AS open,
+  round(max(price), 4)  AS high,
+  round(min(price), 4)  AS low,
+  round(arg_max(price, event_time), 4) AS close,
+  CAST(sum(coalesce(volume, 0)) AS BIGINT) AS volume_sum,
+  count(*) AS tick_count
+FROM sess
+GROUP BY symbol, sid
+""",
+)
+def q_streaming_session_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5 dynamic-gap flavor: streaming session_window aggregation over
+    the decoded wire corpus, bounded complete-mode run — must equal the
+    batch sessionization of the same ticks."""
+    from stockpulse_batch_realtime_etl_spark.streaming.job import (
+        run_session_bars_available_now,
+    )
+
+    bars = run_session_bars_available_now(spark, sf_dir, gap="5 minutes")
+    return bars.select(
+        "symbol",
+        "session_start",
+        F.round("open", 4).alias("open"),
+        F.round("high", 4).alias("high"),
+        F.round("low", 4).alias("low"),
+        F.round("close", 4).alias("close"),
+        F.col("volume_sum").cast("long").alias("volume_sum"),
+        F.col("tick_count").cast("long").alias("tick_count"),
+    )

@@ -1165,6 +1165,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "temperature_mixture_sample",
     "curation_funnel",
     "winnowed_fingerprints",
+    "streaming_session_bars",
     # --- r2-green, kept in the gate to catch regressions from this round's
     # shared-code edits (TICKS_CTE consumers, serving, streaming, dedup/ANN)
     "symbols",

@@ -329,6 +329,65 @@ def start_dlq_sink(
     return writer.start()
 
 
+def run_session_bars_available_now(
+    spark: SparkSession,
+    sf_dir: str,
+    base_dir: str | None = None,
+    gap: str = "5 minutes",
+) -> DataFrame:
+    """Streaming SESSION-window bars (dynamic-gap flavor of ST5): merge
+    ticks separated by ≤ ``gap`` into one session per symbol, aggregated
+    with the shared OHLCV expression list — the sessionization every
+    activity-stream pipeline needs and fixed windows can't express.
+
+    Session windows forbid update mode, and append mode would withhold
+    every session the final watermark hasn't closed (the last session per
+    symbol, for a bounded corpus) — so the bounded run uses COMPLETE mode
+    through ``foreachBatch``: each batch overwrites the sink with the full
+    session table, and the final batch's table is exactly the batch
+    ``session_bars`` semantics over the whole corpus (state is bounded by
+    the corpus here; a continuous production stream would run append mode
+    and accept watermark-delayed emission).
+    """
+    with _bounded_run_env(spark, sf_dir, base_dir, "sess") as (
+        raw_dir,
+        out_dir,
+        ckpt,
+    ):
+        ticks, _failed = tick_stream_from_raw(raw_json_stream(spark, raw_dir))
+        sess = (
+            ticks.withWatermark("event_time", "2 minutes")
+            .groupBy(
+                F.col("symbol"),
+                F.session_window("event_time", gap).alias("w"),
+            )
+            .agg(*bar_agg_exprs())
+            .select(
+                "symbol",
+                F.col("w.start").alias("session_start"),
+                "open",
+                "high",
+                "low",
+                "close",
+                "volume_sum",
+                "tick_count",
+            )
+        )
+
+        def _write_full(batch_df: DataFrame, _epoch: int) -> None:
+            batch_df.write.mode("overwrite").parquet(out_dir)
+
+        q = (
+            sess.writeStream.outputMode("complete")
+            .foreachBatch(_write_full)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def run_dedup_available_now(
     spark: SparkSession, sf_dir: str, base_dir: str | None = None
 ) -> DataFrame:

@@ -216,3 +216,37 @@ def test_metrics_listener_captures_progress(spark, tmp_path):
     assert rows, "no progress events captured"
     assert any(r.num_input_rows > 0 for r in rows)
     assert all(r.batch_id >= 0 for r in rows)
+
+
+def test_streaming_session_bars_match_batch_sessionization(spark):
+    """The bounded complete-mode session run must equal batch session
+    aggregation of the same decoded ticks (same gap, same agg exprs)."""
+    from pyspark.sql import functions as F
+
+    from stockpulse_batch_realtime_etl_spark.operators.ohlcv import (
+        bar_agg_exprs,
+        session_bars,
+    )
+    from stockpulse_batch_realtime_etl_spark.sources.dlq import (
+        split_raw_stream,
+    )
+    from stockpulse_batch_realtime_etl_spark.sources.ticks import (
+        raw_json_corpus,
+    )
+    from stockpulse_batch_realtime_etl_spark.streaming.job import (
+        run_session_bars_available_now,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = run_session_bars_available_now(spark, sf, gap="5 minutes")
+    ticks = split_raw_stream(raw_json_corpus(spark, sf)).ticks.select(
+        "symbol", "price", "volume", "event_time"
+    )
+    want = session_bars(ticks, 5).select(
+        "symbol", "session_start", "open", "high", "low", "close",
+        F.col("volume_sum").cast("long").alias("volume_sum"),
+        F.col("tick_count").cast("long").alias("tick_count"),
+    )
+    gs = sorted(map(tuple, got.select(*want.columns).collect()))
+    ws = sorted(map(tuple, want.collect()))
+    assert gs == ws
