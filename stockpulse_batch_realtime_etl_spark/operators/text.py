@@ -940,6 +940,56 @@ def curation_funnel(
     )
 
 
+def packing_stats(
+    docs: DataFrame, ctx_tokens: int = 512, n_shards: int = 8
+) -> DataFrame:
+    """Per-shard packing efficiency report over :func:`pack_sequences` —
+    the yield numbers a training run plans capacity with: documents and
+    tokens per shard, sequences produced, boundary-crossing documents (the
+    ones a loader must split/mask), and the padding waste of the final
+    partial sequence.
+
+    One hash aggregate over the packing layout (n_shards rows out);
+    utilization = tokens / (sequences × ctx), exact because only the last
+    sequence of a shard can be partial under concat-and-chunk.
+    """
+    packed = pack_sequences(docs, ctx_tokens=ctx_tokens, n_shards=n_shards)
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.count(F.when(F.col("spans_boundary"), 1)).alias(
+                "boundary_docs"
+            ),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            "boundary_docs",
+            # ceil-div without floats: sequences the shard's stream fills
+            F.expr(
+                f"(n_tokens + {ctx_tokens} - 1) div {ctx_tokens}"
+            ).alias("n_sequences"),
+            F.expr(
+                f"((n_tokens + {ctx_tokens} - 1) div {ctx_tokens})"
+                f" * {ctx_tokens} - n_tokens"
+            ).alias("pad_tokens"),
+            F.round(
+                F.col("n_tokens")
+                / (
+                    F.expr(
+                        f"(n_tokens + {ctx_tokens} - 1) div {ctx_tokens}"
+                    )
+                    * ctx_tokens
+                ).cast("double"),
+                6,
+            ).alias("utilization"),
+        )
+    )
+
+
 def repetition_stats(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition filters: the fraction of a document that is
     repeated content — the signal that catches boilerplate, keyword spam,

@@ -1614,3 +1614,57 @@ def q_streaming_session_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("volume_sum").cast("long").alias("volume_sum"),
         F.col("tick_count").cast("long").alias("tick_count"),
     )
+
+
+@register(
+    "packing_stats",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                            ' '),
+               x -> x <> '')) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+sh AS (
+  SELECT *,
+         ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 8 AS shard
+  FROM toks
+),
+c AS (
+  SELECT *,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY h, doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM sh
+),
+packed AS (
+  SELECT doc_id, shard, n_tokens,
+         CASE WHEN n_tokens > 0
+              THEN (cum - 1) // 512 > (cum - n_tokens) // 512
+              ELSE false END AS spans_boundary
+  FROM c
+)
+SELECT shard,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       count(CASE WHEN spans_boundary THEN 1 END) AS boundary_docs,
+       (CAST(sum(n_tokens) AS BIGINT) + 511) // 512 AS n_sequences,
+       ((CAST(sum(n_tokens) AS BIGINT) + 511) // 512) * 512
+         - CAST(sum(n_tokens) AS BIGINT) AS pad_tokens,
+       round(CAST(sum(n_tokens) AS BIGINT)
+             / CAST(((CAST(sum(n_tokens) AS BIGINT) + 511) // 512) * 512
+                    AS DOUBLE), 6) AS utilization
+FROM packed
+GROUP BY shard
+""",
+)
+def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard packing yield (docs, tokens, sequences, boundary docs,
+    padding waste) over the 512-token / 8-shard packing layout."""
+    return text.packing_stats(
+        load_table(spark, sf_dir, "documents"), ctx_tokens=512, n_shards=8
+    )

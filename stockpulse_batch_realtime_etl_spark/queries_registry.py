@@ -1166,6 +1166,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "curation_funnel",
     "winnowed_fingerprints",
     "streaming_session_bars",
+    "packing_stats",
     # --- r2-green, kept in the gate to catch regressions from this round's
     # shared-code edits (TICKS_CTE consumers, serving, streaming, dedup/ANN)
     "symbols",
