@@ -450,8 +450,15 @@ def winnowed_fingerprints(
     w, never data-dependent.
     """
     codes, arr = _kgram_struct_arr(docs, k, base, mod)
+    # m from the CODE array's length, NOT F.size(arr): a second reference
+    # to the ladder expression re-evaluates the whole interpreted tree per
+    # row (measured 45 s → 0.7 s at sf0.1 for this one projection).  Rows
+    # only exist where L ≥ k (inline of the empty array emits nothing), so
+    # m ≥ 1 wherever it is read.
     grams = codes.select(
-        "doc_id", F.size(arr).alias("m"), F.inline(arr)
+        "doc_id",
+        (F.size("_codes") - (k - 1)).alias("m"),
+        F.inline(arr),
     )
     win = F.least(F.lit(w), F.col("m"))
     lo = F.greatest(win, F.col("pos"))
