@@ -304,3 +304,51 @@ def test_mixture_sample_broadcasts_quota_table(spark):
     df = text.mixture_sample(docs, {"src0": 0.5, "src1": 0.5})
     P.assert_broadcast_join(df)
     P.assert_no_cartesian(df)
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Packing's only exchange is the per-shard window partitioning — one
+    shuffle, no join, no cartesian."""
+    from stockpulse_batch_realtime_etl_spark.operators.text import pack_sequences
+
+    docs = load_table(spark, SF, "documents")
+    df = pack_sequences(docs, 512, 8)
+    P.assert_no_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # window partitioning exchange + (possibly) the fan_out round-robin;
+    # no hash-join exchanges beyond those
+    assert "Join" not in plan, plan[:600]
+
+
+def test_curation_funnel_single_pass(spark):
+    """All five stage counts come from ONE aggregate over the flag join —
+    the plan has exactly one final single-row aggregate and no cartesian."""
+    from stockpulse_batch_realtime_etl_spark.operators.text import curation_funnel
+
+    docs = load_table(spark, SF, "documents")
+    df = curation_funnel(docs)
+    P.assert_no_cartesian(df)
+
+
+def test_winnowed_fingerprints_join_free(spark):
+    """Winnowing fans each position to its windows IN-ARRAY: no self-join
+    anywhere in the plan."""
+    from stockpulse_batch_realtime_etl_spark.operators.text import (
+        winnowed_fingerprints,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    df = winnowed_fingerprints(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:600]
+
+
+def test_temperature_mixture_broadcasts_quotas(spark):
+    from stockpulse_batch_realtime_etl_spark.operators.text import (
+        temperature_mixture,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    df = temperature_mixture(docs, total=100)
+    P.assert_broadcast_join(df, min_count=1)
+    P.assert_no_cartesian(df)
