@@ -156,6 +156,15 @@ HEADLINERS: dict[str, str] = {
         "stage counts come from a single aggregate + stack unpivot — no "
         "stage is ever re-run."
     ),
+    "winnowed_fingerprints": (
+        "Winnowing with NO self-join: each gram position fans out to its "
+        "≤ w windows in-array, window minima via min_by on a composite "
+        "key, overlap duplicates collapse in one distinct."
+    ),
+    "packing_stats": (
+        "Packing yield rollup: one hash aggregate over the shard layout "
+        "(n_shards rows out); ceil-division stays in integer arithmetic."
+    ),
 }
 
 
