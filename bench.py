@@ -60,9 +60,12 @@ def main() -> None:
     # measured CPU-steal spikes (up to ~9% st / 40% sy in vmstat during
     # otherwise-identical runs; full-suite totals swung 66 s → 180 s with
     # GC pause-sum at 1.6 s and code-cache ruled out), so a single-shot
-    # timing is dominated by neighbor noise.  min-of-2 estimates warm
-    # steady-state cost; override with BENCH_REPS=1 for a quick pass.
-    reps = max(1, int(os.environ.get("BENCH_REPS", "2")))
+    # timing is dominated by neighbor noise.  min-of-3 estimates warm
+    # steady-state cost (r3 measured single-query swings of 2.6 s → 33 s
+    # for identical plans, so two samples still let one spike through);
+    # the budget valve below keeps total wall-time bounded regardless.
+    # Override with BENCH_REPS=1 for a quick pass.
+    reps = max(1, int(os.environ.get("BENCH_REPS", "3")))
     # Safety valve: if the suite is running long (noisy host), stop doing
     # extra reps so the harness never risks an external timeout.
     budget = float(os.environ.get("BENCH_BUDGET_SEC", "480"))
