@@ -169,6 +169,57 @@ def lang_vocab(docs: DataFrame) -> DataFrame:
     )
 
 
+def source_token_stats(docs: DataFrame) -> DataFrame:
+    """Per-source token economics — the inputs a mixture planner actually
+    weights by (token budgets, not doc counts): docs, token occurrences,
+    vocabulary size, type-token ratio, and the most frequent token with
+    its share (a skew/boilerplate tell per source).
+
+    Plan: one explode → (source, token) counts (map-side combined), then
+    a per-source aggregate; the top token comes from ``max_by`` over the
+    count table — no window, no second text scan.  Distinct-heavy at
+    extreme scale → the ``lang_vocab`` HLL note applies unchanged.
+    """
+    tok_counts = (
+        fan_out(docs)
+        .select("source", F.explode(_tokens()).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    docs_per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("doc_count")
+    )
+    # deterministic top token: max count, ties toward the lexicographically
+    # LARGEST token — encoded as one fixed-width string key (zero-padded
+    # count ‖ token) so Spark's max_by and DuckDB's arg_max order
+    # identically with no struct-comparison semantics in play
+    key = F.concat(F.lpad(F.col("c").cast("string"), 12, "0"), F.col("token"))
+    per_source = tok_counts.groupBy("source").agg(
+        F.sum("c").alias("token_count"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.max_by("token", key).alias("top_token"),
+        F.max_by("c", key).alias("top_c"),
+    )
+    return (
+        per_source.join(F.broadcast(docs_per_source), "source")
+        .select(
+            "source",
+            "doc_count",
+            F.col("token_count").cast("long").alias("token_count"),
+            "vocab_size",
+            F.round(
+                F.col("vocab_size") / F.col("token_count").cast("double"), 6
+            ).alias("type_token_ratio"),
+            "top_token",
+            F.round(
+                F.col("top_c") / F.col("token_count").cast("double"), 6
+            ).alias("top_token_share"),
+        )
+        .orderBy("source")
+    )
+
+
 def language_id(docs: DataFrame) -> DataFrame:
     """Heuristic language ID: function-word overlap vote.
 

@@ -1668,3 +1668,39 @@ def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.packing_stats(
         load_table(spark, sf_dir, "documents"), ctx_tokens=512, n_shards=8
     )
+
+
+@register(
+    "source_token_stats",
+    oracle=r"""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+),
+tc AS (
+  SELECT source, token, count(*) AS c
+  FROM tok WHERE token != '' GROUP BY source, token
+),
+dps AS (SELECT source, count(*) AS doc_count FROM documents GROUP BY source),
+ps AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS token_count,
+         count(*) AS vocab_size,
+         arg_max(token, lpad(CAST(c AS VARCHAR), 12, '0') || token) AS top_token,
+         arg_max(c,     lpad(CAST(c AS VARCHAR), 12, '0') || token) AS top_c
+  FROM tc GROUP BY source
+)
+SELECT ps.source, dps.doc_count, ps.token_count, ps.vocab_size,
+       round(ps.vocab_size / CAST(ps.token_count AS DOUBLE), 6)
+         AS type_token_ratio,
+       ps.top_token,
+       round(ps.top_c / CAST(ps.token_count AS DOUBLE), 6)
+         AS top_token_share
+FROM ps JOIN dps USING (source)
+ORDER BY ps.source
+""",
+)
+def q_source_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budgets for mixture planning: tokens, vocabulary,
+    type-token ratio, and the dominant token's share."""
+    return text.source_token_stats(load_table(spark, sf_dir, "documents"))

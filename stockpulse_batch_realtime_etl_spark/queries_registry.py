@@ -1167,8 +1167,22 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "winnowed_fingerprints",
     "streaming_session_bars",
     "packing_stats",
-    # --- r2-green, kept in the gate to catch regressions from this round's
-    # shared-code edits (TICKS_CTE consumers, serving, streaming, dedup/ANN)
+    "source_token_stats",
+    # --- r2-green whose CODE CHANGED in r3 (adjacent_ngrams rewrite of
+    # shingles/bigrams, kgram zip_with ladder) — regression risk, gated
+    "jaccard_top_pairs",
+    "dup_groups",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash_near_dups",
+    "bigram_counts",
+    "bigram_lm_scores",
+    "repetition_stats",
+    "contamination_overlap",
+    "rolling_fingerprints",
+    "fingerprint_match_pairs",
+    # --- r2-green, unchanged code, highest-coverage representatives of
+    # each remaining family (serving, streaming, storage, analytics)
     "symbols",
     "latest_ticks",
     "movers",
@@ -1182,8 +1196,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "json_decode_ticks",
     "dlq_failed_events",
     "streaming_dedup_ticks",
-    "simulated_ticks",
     "storage_roundtrip",
+    # below this line: lowest-stakes remainder (green in a prior round,
+    # code unchanged) — first to age out of the 50-entry gate window
+    "simulated_ticks",
     "health_counts",
     "dataset_splits",
     "multimodal_features",
@@ -1193,22 +1209,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "embedding_near_dup_pairs",
     "ann_ivf_kmeans_topk",
     "ann_ivf_multiprobe_topk",
-    "jaccard_top_pairs",
     "tfidf_top_terms",
-    "bigram_counts",
-    "rolling_fingerprints",
-    "fingerprint_match_pairs",
-    "contamination_overlap",
     "stratified_sample",
-    "bigram_lm_scores",
     "mixture_sample",
-    "repetition_stats",
-    "dup_groups",
-    # below this line: lowest-stakes remainder (green in a prior round,
-    # code unchanged) — first to age out of the 50-entry gate window
-    "lsh_candidate_pairs",
-    "minhash_signatures",
-    "simhash_near_dups",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",

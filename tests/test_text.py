@@ -481,3 +481,20 @@ def test_winnowed_short_doc_single_window(make_docs):
     docs = make_docs([doc(1, "abcdefghij")])  # 10 chars -> 3 grams < w=8
     fps = text.winnowed_fingerprints(docs, k=8, w=8).collect()
     assert len(fps) == 1
+
+
+def test_source_token_stats_hand_computed(make_docs):
+    rows = [
+        (1, "a a a b", "en", "X", 7),
+        (2, "a b c", "en", "X", 5),
+        (3, "z z", "en", "Y", 3),
+    ]
+    docs = make_docs(rows)
+    out = {r.source: r for r in text.source_token_stats(docs).collect()}
+    x = out["X"]
+    assert (x.doc_count, x.token_count, x.vocab_size) == (2, 7, 3)
+    assert x.top_token == "a" and x.top_token_share == round(4 / 7, 6)
+    assert x.type_token_ratio == round(3 / 7, 6)
+    y = out["Y"]
+    assert (y.doc_count, y.token_count, y.vocab_size) == (1, 2, 1)
+    assert y.top_token == "z" and y.top_token_share == 1.0
