@@ -1704,3 +1704,46 @@ def q_source_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token budgets for mixture planning: tokens, vocabulary,
     type-token ratio, and the dominant token's share."""
     return text.source_token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "streaming_running_bars",
+    oracle=f"""
+{RAW_CTE},
+ticks AS (
+  SELECT p_symbol AS symbol, p_price AS price, p_volume AS volume,
+         p_event_time AS event_time
+  FROM parsed
+  WHERE NOT malformed AND NOT no_symbol
+    AND p_price IS NOT NULL AND p_event_time IS NOT NULL
+)
+SELECT
+  symbol,
+  round(arg_min(price, event_time), 4) AS open,
+  round(max(price), 4)  AS high,
+  round(min(price), 4)  AS low,
+  round(arg_max(price, event_time), 4) AS close,
+  CAST(sum(coalesce(volume, 0)) AS BIGINT) AS volume_sum,
+  count(*) AS tick_count
+FROM ticks
+GROUP BY symbol
+""",
+)
+def q_streaming_running_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) end-to-end: the
+    final per-symbol running OHLCV must equal the batch GROUP BY over the
+    decoded wire corpus — state folding is exact under any batch split."""
+    from stockpulse_batch_realtime_etl_spark.streaming.job import (
+        run_running_bars_available_now,
+    )
+
+    bars = run_running_bars_available_now(spark, sf_dir)
+    return bars.select(
+        "symbol",
+        F.round("open", 4).alias("open"),
+        F.round("high", 4).alias("high"),
+        F.round("low", 4).alias("low"),
+        F.round("close", 4).alias("close"),
+        F.col("volume_sum").cast("long").alias("volume_sum"),
+        F.col("tick_count").cast("long").alias("tick_count"),
+    )

@@ -1168,6 +1168,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "streaming_session_bars",
     "packing_stats",
     "source_token_stats",
+    "streaming_running_bars",
     # --- r2-green whose CODE CHANGED in r3 (adjacent_ngrams rewrite of
     # shingles/bigrams, kgram zip_with ladder) — regression risk, gated
     "jaccard_top_pairs",

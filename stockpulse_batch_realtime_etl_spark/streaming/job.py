@@ -388,6 +388,59 @@ def run_session_bars_available_now(
     return spark.read.parquet(out_dir)
 
 
+def run_running_bars_available_now(
+    spark: SparkSession, sf_dir: str, base_dir: str | None = None
+) -> DataFrame:
+    """Bounded run of the custom stateful operator
+    (``streaming.stateful.running_bars``, applyInPandasWithState): stream
+    the wire corpus, fold per-symbol running OHLCV state across
+    micro-batches, and return the FINAL running bar per symbol.
+
+    Update-mode emission yields one row per active symbol per batch; the
+    final answer is the row with the highest tick_count per symbol
+    (monotone in batch order, so "latest" needs no batch-id bookkeeping).
+    Every state field is exact under any batch split — argmin/argmax by
+    event_time, integer sums, min/max — so the result provably equals the
+    batch GROUP BY over the same ticks, which is what the oracle checks.
+    """
+    from stockpulse_batch_realtime_etl_spark.streaming.stateful import (
+        running_bars,
+    )
+
+    with _bounded_run_env(spark, sf_dir, base_dir, "stateful") as (
+        raw_dir,
+        out_dir,
+        ckpt,
+    ):
+        ticks, _failed = tick_stream_from_raw(raw_json_stream(spark, raw_dir))
+        bars = running_bars(
+            ticks.select("symbol", "price", "volume", "event_time")
+        )
+        def _append(batch_df: DataFrame, _epoch: int) -> None:
+            # parquet sinks reject update mode; foreachBatch append keeps
+            # every batch's emission for the final latest-per-symbol reduce
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            bars.writeStream.outputMode("update")
+            .foreachBatch(_append)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    emitted = spark.read.parquet(out_dir)
+    final = emitted.groupBy("symbol").agg(
+        F.max_by(
+            F.struct(
+                "open", "high", "low", "close", "volume_sum", "tick_count"
+            ),
+            F.col("tick_count"),
+        ).alias("s")
+    )
+    return final.select("symbol", "s.*")
+
+
 def run_dedup_available_now(
     spark: SparkSession, sf_dir: str, base_dir: str | None = None
 ) -> DataFrame:
