@@ -546,3 +546,140 @@ def ivf_kmeans_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos_sim", "rank")
     )
+
+
+# --- product quantization (PQ / ADC) ----------------------------------------
+
+def _pq_explode(embeddings: DataFrame, sub_dim: int) -> DataFrame:
+    """Long form (vec_id, s, d, x): 0-based dimension index d, subspace
+    s = d div sub_dim, component x cast to double."""
+    return (
+        fan_out(embeddings)
+        .select("vec_id", F.posexplode("embedding").alias("d", "xf"))
+        .select(
+            "vec_id",
+            "d",
+            F.floor(F.col("d") / sub_dim).cast("int").alias("s"),
+            F.col("xf").cast("double").alias("x"),
+        )
+    )
+
+
+def _pq_assign(e: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Nearest codebook entry per (vector, subspace) by squared L2,
+    rounded to 6dp before the argmin (ties → lowest code) so summation-
+    order noise can never flip an assignment between engines."""
+    dists = (
+        e.join(F.broadcast(codebooks), ["s", "d"])
+        .groupBy("vec_id", "s", "code")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))),
+                6,
+            ).alias("dist")
+        )
+    )
+    return dists.groupBy("vec_id", "s").agg(
+        F.min_by("code", F.struct("dist", "code")).alias("code")
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    n_sub: int = 4,
+    kpq: int = 4,
+    iters: int = 1,
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic product-quantization codebooks: split the vector into
+    ``n_sub`` contiguous subspaces and run k-means (squared-L2, seeded
+    with the ``vec_id < kpq`` sub-vectors, fixed Lloyd rounds) in EACH —
+    the codebook is (s, code, d, cx) in long form.
+
+    Same engine-reproducibility contract as :func:`kmeans_centroids`:
+    distances round to 6dp before argmin, centroid components to 9dp
+    after each mean, fixed iteration count.  All subspaces train in the
+    SAME aggregate passes (s is just a group key), so cost does not grow
+    with n_sub.
+    """
+    sub_dim = dim // n_sub
+    e = _pq_explode(embeddings, sub_dim)
+    c = e.filter(F.col("vec_id") < kpq).select(
+        "s", F.col("vec_id").cast("int").alias("code"), "d", F.col("x").alias("cx")
+    )
+    for _ in range(iters):
+        assigned = _pq_assign(e, c)
+        c = (
+            e.join(assigned, ["vec_id", "s"])
+            .groupBy("s", "code", "d")
+            .agg(F.round(F.sum("x") / F.count(F.lit(1)), 9).alias("cx"))
+        )
+        # tiny (n_sub × kpq × sub_dim rows) but its plan nests the corpus
+        # scoring pass — truncate so downstream double references don't
+        # re-run the iteration history (same treatment as kmeans_centroids)
+        c = c.localCheckpoint()
+    return c
+
+
+def ann_pq_adc_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_sub: int = 4,
+    kpq: int = 4,
+    iters: int = 1,
+    dim: int = 64,
+) -> DataFrame:
+    """PQ search with asymmetric distance computation (ADC, Jégou et al.
+    TPAMI'11): corpus vectors are stored as ``n_sub`` one-byte codes; a
+    query builds one lookup table of exact query↔centroid distances per
+    subspace, and every candidate's approximate distance is just the sum
+    of ``n_sub`` table lookups — scoring cost independent of the vector
+    dimension, memory per vector = codes not floats.  This is the
+    compressed-corpus rung of the ANN ladder (brute force → LSH/IVF cell
+    restriction → PQ codes), the one that matters when the vectors
+    themselves no longer fit.
+
+    Determinism: lookup entries are 6dp-rounded doubles cast to
+    DECIMAL(18,6) and SUMMED AS DECIMAL (order-independent — a float sum
+    over subspaces could differ in the last ulp between engines), then
+    cast back to double.  Ranking ascending by (adc_dist, cand_id).
+
+    Plan: codebooks and lookup tables broadcast (n_sub × kpq × nq rows);
+    the corpus-side join touches only the CODES table — one shuffle for
+    the (query, cand) aggregate, nothing dimension-sized ever moves.
+    """
+    sub_dim = dim // n_sub
+    e = _pq_explode(embeddings, sub_dim)
+    c = pq_codebooks(embeddings, n_sub, kpq, iters, dim)
+    codes = _pq_assign(e, c)
+    # query lookup tables from a pruned scan (vec_id pushdown)
+    qe = _pq_explode(
+        embeddings.filter(F.col("vec_id").isin(query_ids)), sub_dim
+    )
+    lut = (
+        qe.join(F.broadcast(c), ["s", "d"])
+        .groupBy(F.col("vec_id").alias("query_id"), F.col("s"), F.col("code"))
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("dist")
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum("dist").cast("double").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "adc_dist", "rank")
+    )

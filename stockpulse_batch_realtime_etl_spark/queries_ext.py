@@ -1747,3 +1747,88 @@ def q_streaming_running_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("volume_sum").cast("long").alias("volume_sum"),
         F.col("tick_count").cast("long").alias("tick_count"),
     )
+
+
+def _pq_adc_oracle(n_sub: int, kpq: int, iters: int, k: int, dim: int) -> str:
+    """Unrolled PQ/ADC replay: per-subspace L2 k-means (round-6 distances
+    → argmin code → round-9 means), corpus encoding, per-query lookup
+    tables, DECIMAL-summed ADC scores — mirrors similarity.ann_pq_adc_topk
+    step for step."""
+    sub = dim // n_sub
+    parts = [
+        f"""e AS (
+  SELECT vec_id, x, d, CAST(d // {sub} AS INT) AS s FROM (
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) - 1 AS d
+    FROM embeddings
+  )
+)""",
+        f"""c0 AS (
+  SELECT s, CAST(vec_id AS INT) AS code, d, x AS cx
+  FROM e WHERE vec_id < {kpq}
+)""",
+    ]
+    for i in range(iters):
+        parts.append(f"""s{i + 1} AS (
+  SELECT e.vec_id, e.s, c.code,
+         round(sum((e.x - c.cx) * (e.x - c.cx)), 6) AS dist
+  FROM e JOIN c{i} c ON c.s = e.s AND c.d = e.d
+  GROUP BY e.vec_id, e.s, c.code
+)""")
+        parts.append(f"""a{i + 1} AS (
+  SELECT vec_id, s, code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, s ORDER BY dist ASC, code ASC) AS rn
+    FROM s{i + 1}
+  ) WHERE rn = 1
+)""")
+        parts.append(f"""c{i + 1} AS (
+  SELECT a.s, a.code, e.d, round(sum(e.x) / count(*), 9) AS cx
+  FROM e JOIN a{i + 1} a ON a.vec_id = e.vec_id AND a.s = e.s
+  GROUP BY a.s, a.code, e.d
+)""")
+    qids = ", ".join(map(str, _QUERY_IDS))
+    parts.append(f"""sf AS (
+  SELECT e.vec_id, e.s, c.code,
+         round(sum((e.x - c.cx) * (e.x - c.cx)), 6) AS dist
+  FROM e JOIN c{iters} c ON c.s = e.s AND c.d = e.d
+  GROUP BY e.vec_id, e.s, c.code
+)""")
+    parts.append("""af AS (
+  SELECT vec_id, s, code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, s ORDER BY dist ASC, code ASC) AS rn
+    FROM sf
+  ) WHERE rn = 1
+)""")
+    parts.append(f"""lut AS (
+  SELECT vec_id AS query_id, s, code, CAST(dist AS DECIMAL(18,6)) AS dist
+  FROM sf WHERE vec_id IN ({qids})
+)""")
+    parts.append("""scored AS (
+  SELECT l.query_id, a.vec_id AS cand_id,
+         CAST(sum(l.dist) AS DOUBLE) AS adc_dist
+  FROM af a
+  JOIN lut l ON l.s = a.s AND l.code = a.code
+  WHERE a.vec_id != l.query_id
+  GROUP BY l.query_id, a.vec_id
+)""")
+    parts.append("""ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adc_dist ASC, cand_id ASC) AS rank
+  FROM scored
+)""")
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT query_id, cand_id, adc_dist, rank FROM ranked WHERE rank <= {k}"
+    )
+
+
+@register("ann_pq_adc_topk", oracle=_pq_adc_oracle(4, 4, 1, 5, 64))
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC search: 4 subspaces x 4 codes, 1 Lloyd round, top-5 by
+    asymmetric distance — the compressed-corpus ANN rung."""
+    return similarity.ann_pq_adc_topk(
+        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, 5, 4, 4, 1, 64
+    )

@@ -1169,6 +1169,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "packing_stats",
     "source_token_stats",
     "streaming_running_bars",
+    "ann_pq_adc_topk",
     # --- r2-green whose CODE CHANGED in r3 (adjacent_ngrams rewrite of
     # shingles/bigrams, kgram zip_with ladder) — regression risk, gated
     "jaccard_top_pairs",
@@ -1189,17 +1190,17 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "movers",
     "latest_tick_per_symbol",
     "ticks_asof_bars",
-    "price_histogram",
+    "streaming_dedup_ticks",
     "price_deciles",
     "symbol_correlations",
     "stats_summary",
     "notable_days",
     "json_decode_ticks",
     "dlq_failed_events",
-    "streaming_dedup_ticks",
     "storage_roundtrip",
     # below this line: lowest-stakes remainder (green in a prior round,
     # code unchanged) — first to age out of the 50-entry gate window
+    "price_histogram",
     "simulated_ticks",
     "health_counts",
     "dataset_splits",

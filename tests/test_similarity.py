@@ -179,3 +179,30 @@ def test_ivf_multiprobe_full_probe_equals_brute_force(spark):
     c1 = {r.cand_id for r in similarity.ivf_multiprobe_topk(emb, [4], k=24, ncells=4, nprobe=1).collect()}
     c2 = {r.cand_id for r in similarity.ivf_multiprobe_topk(emb, [4], k=24, ncells=4, nprobe=2).collect()}
     assert c1 <= c2
+
+
+def test_ann_pq_adc_prefers_near_cluster(spark):
+    """Two far-apart clusters; ADC over PQ codes must rank same-cluster
+    vectors first, deterministically under repartition."""
+    from stockpulse_batch_realtime_etl_spark.operators.similarity import (
+        ann_pq_adc_topk,
+    )
+
+    rows = []
+    for i in range(10):
+        if i % 2 == 0:  # cluster A (vec 0 seeds code 0)
+            base = [10.0, 10.0, 0.0, 0.0]
+        else:  # cluster B (vec 1 seeds code 1)
+            base = [-10.0, -10.0, 5.0, 5.0]
+        rows.append((i, [float(b) + i * 0.01 for b in base], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = ann_pq_adc_topk(emb, [0], k=3, n_sub=2, kpq=2, iters=1, dim=4)
+    got = out.collect()
+    assert len(got) == 3
+    assert all(r.cand_id % 2 == 0 for r in got), got  # all cluster-A
+    again = ann_pq_adc_topk(
+        emb.repartition(5), [0], k=3, n_sub=2, kpq=2, iters=1, dim=4
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
