@@ -683,3 +683,80 @@ def ann_pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "adc_dist", "rank")
     )
+
+
+def ann_ivfpq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    ncells: int = 8,
+    iters_ivf: int = 2,
+    n_sub: int = 4,
+    kpq: int = 4,
+    iters_pq: int = 1,
+    dim: int = 64,
+) -> DataFrame:
+    """Composed IVF-PQ (the FAISS IVFPQ architecture): the Lloyd-refined
+    IVF quantizer restricts candidates to the query's cell, and PQ/ADC
+    scores the survivors from their codes — the two independently
+    oracle-verified rungs (:func:`ivf_kmeans_topk`,
+    :func:`ann_pq_adc_topk`) chained the way production indexes deploy
+    them.  Candidate count shrinks by ~ncells BEFORE any scoring, and the
+    scoring that remains never touches a vector.
+
+    Ranking ascending by (adc_dist, cand_id) within the query's cell;
+    determinism inherits from both components (round-then-argmin cell
+    assignment, DECIMAL-summed lookups).
+    """
+    sub_dim = dim // n_sub
+    # --- IVF side: cell per vector, query cells from a pruned scan
+    cent = kmeans_centroids(embeddings, ncells, iters_ivf)
+    vecs = fan_out(embeddings).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    cells = _assign_cells(vecs, cent).select("vec_id", "cell")
+    q_vecs = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    q_cells = _assign_cells(q_vecs, cent).select(
+        F.col("vec_id").alias("query_id"), F.col("cell").alias("q_cell")
+    )
+    # --- PQ side: codes + per-query lookup tables
+    e = _pq_explode(embeddings, sub_dim)
+    cb = pq_codebooks(embeddings, n_sub, kpq, iters_pq, dim)
+    codes = _pq_assign(e, cb)
+    qe = _pq_explode(
+        embeddings.filter(F.col("vec_id").isin(query_ids)), sub_dim
+    )
+    lut = (
+        qe.join(F.broadcast(cb), ["s", "d"])
+        .groupBy(F.col("vec_id").alias("query_id"), F.col("s"), F.col("code"))
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("dist")
+        )
+    )
+    # --- compose: same-cell candidates, ADC-scored from codes only
+    cand = cells.join(
+        F.broadcast(q_cells),
+        (F.col("cell") == F.col("q_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "vec_id")
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum("dist").cast("double").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "adc_dist", "rank")
+    )

@@ -1832,3 +1832,138 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_pq_adc_topk(
         load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, 5, 4, 4, 1, 64
     )
+
+
+def _ivfpq_oracle(
+    ncells: int, iters_ivf: int, n_sub: int, kpq: int, iters_pq: int,
+    k: int, dim: int,
+) -> str:
+    """Composed IVF-PQ replay: the kmeans-IVF cell chain (k-prefixed CTEs,
+    cosine) + the PQ code/lookup chain (p-prefixed, squared L2) over one
+    shared long-form table, then cell-restricted ADC scoring — mirrors
+    similarity.ann_ivfpq_topk."""
+    sub = dim // n_sub
+    qids = ", ".join(map(str, _QUERY_IDS))
+    parts = [
+        f"""e AS (
+  SELECT vec_id, x, d, CAST((d - 1) // {sub} AS INT) AS s FROM (
+    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS d
+    FROM embeddings
+  )
+)""",
+        f"kc0 AS (SELECT vec_id AS cell, d, x AS cx FROM e WHERE vec_id < {ncells})",
+    ]
+    for i in range(iters_ivf):
+        parts += [
+            f"""ks{i + 1} AS (
+  SELECT e.vec_id, c.cell,
+         round(sum(e.x * c.cx)
+               / (sqrt(sum(e.x * e.x)) * sqrt(sum(c.cx * c.cx))), 6) AS cos
+  FROM e JOIN kc{i} c ON e.d = c.d
+  GROUP BY e.vec_id, c.cell
+)""",
+            f"""ka{i + 1} AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+    FROM ks{i + 1}
+  ) WHERE rn = 1
+)""",
+            f"""kc{i + 1} AS (
+  SELECT a.cell, e.d, round(sum(e.x) / count(*), 9) AS cx
+  FROM e JOIN ka{i + 1} a ON e.vec_id = a.vec_id
+  GROUP BY a.cell, e.d
+)""",
+        ]
+    parts += [
+        f"""ksf AS (
+  SELECT e.vec_id, c.cell,
+         round(sum(e.x * c.cx)
+               / (sqrt(sum(e.x * e.x)) * sqrt(sum(c.cx * c.cx))), 6) AS cos
+  FROM e JOIN kc{iters_ivf} c ON e.d = c.d
+  GROUP BY e.vec_id, c.cell
+)""",
+        """kaf AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+    FROM ksf
+  ) WHERE rn = 1
+)""",
+        f"pc0 AS (SELECT s, CAST(vec_id AS INT) AS code, d, x AS cx FROM e WHERE vec_id < {kpq})",
+    ]
+    for i in range(iters_pq):
+        parts += [
+            f"""ps{i + 1} AS (
+  SELECT e.vec_id, e.s, c.code,
+         round(sum((e.x - c.cx) * (e.x - c.cx)), 6) AS dist
+  FROM e JOIN pc{i} c ON c.s = e.s AND c.d = e.d
+  GROUP BY e.vec_id, e.s, c.code
+)""",
+            f"""pa{i + 1} AS (
+  SELECT vec_id, s, code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, s ORDER BY dist ASC, code ASC) AS rn
+    FROM ps{i + 1}
+  ) WHERE rn = 1
+)""",
+            f"""pc{i + 1} AS (
+  SELECT a.s, a.code, e.d, round(sum(e.x) / count(*), 9) AS cx
+  FROM e JOIN pa{i + 1} a ON a.vec_id = e.vec_id AND a.s = e.s
+  GROUP BY a.s, a.code, e.d
+)""",
+        ]
+    parts += [
+        f"""psf AS (
+  SELECT e.vec_id, e.s, c.code,
+         round(sum((e.x - c.cx) * (e.x - c.cx)), 6) AS dist
+  FROM e JOIN pc{iters_pq} c ON c.s = e.s AND c.d = e.d
+  GROUP BY e.vec_id, e.s, c.code
+)""",
+        """paf AS (
+  SELECT vec_id, s, code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, s ORDER BY dist ASC, code ASC) AS rn
+    FROM psf
+  ) WHERE rn = 1
+)""",
+        f"""plut AS (
+  SELECT vec_id AS query_id, s, code, CAST(dist AS DECIMAL(18,6)) AS dist
+  FROM psf WHERE vec_id IN ({qids})
+)""",
+        f"""cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id
+  FROM kaf q JOIN kaf c ON c.cell = q.cell AND c.vec_id != q.vec_id
+  WHERE q.vec_id IN ({qids})
+)""",
+        """scored AS (
+  SELECT cand.query_id, cand.vec_id AS cand_id,
+         CAST(sum(l.dist) AS DOUBLE) AS adc_dist
+  FROM cand
+  JOIN paf a ON a.vec_id = cand.vec_id
+  JOIN plut l ON l.query_id = cand.query_id
+             AND l.s = a.s AND l.code = a.code
+  GROUP BY cand.query_id, cand.vec_id
+)""",
+        """ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adc_dist ASC, cand_id ASC) AS rank
+  FROM scored
+)""",
+    ]
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT query_id, cand_id, adc_dist, rank FROM ranked WHERE rank <= {k}"
+    )
+
+
+@register("ann_ivfpq_topk", oracle=_ivfpq_oracle(_NCELLS, 2, 4, 4, 1, 5, 64))
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ: Lloyd-refined cell restriction + PQ/ADC scoring —
+    the production index architecture, both rungs oracle-replayed."""
+    return similarity.ann_ivfpq_topk(
+        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, 5, _NCELLS, 2,
+        4, 4, 1, 64,
+    )

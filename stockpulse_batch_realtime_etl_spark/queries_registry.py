@@ -1170,6 +1170,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "source_token_stats",
     "streaming_running_bars",
     "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
     # --- r2-green whose CODE CHANGED in r3 (adjacent_ngrams rewrite of
     # shingles/bigrams, kgram zip_with ladder) — regression risk, gated
     "jaccard_top_pairs",
@@ -1194,12 +1195,12 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "price_deciles",
     "symbol_correlations",
     "stats_summary",
-    "notable_days",
     "json_decode_ticks",
     "dlq_failed_events",
     "storage_roundtrip",
     # below this line: lowest-stakes remainder (green in a prior round,
     # code unchanged) — first to age out of the 50-entry gate window
+    "notable_days",
     "price_histogram",
     "simulated_ticks",
     "health_counts",

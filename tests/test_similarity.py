@@ -206,3 +206,24 @@ def test_ann_pq_adc_prefers_near_cluster(spark):
         emb.repartition(5), [0], k=3, n_sub=2, kpq=2, iters=1, dim=4
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_ann_ivfpq_subset_of_cell_with_adc_order(spark):
+    """IVF-PQ candidates must come from the query's IVF cell and rank by
+    the same ADC distances the pure-PQ scorer computes."""
+    from stockpulse_batch_realtime_etl_spark.operators.similarity import (
+        ann_ivfpq_topk,
+    )
+    from stockpulse_batch_realtime_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = ann_ivfpq_topk(emb, [0, 1], k=3).collect()
+    assert {r.query_id for r in out} <= {0, 1}
+    for qid in (0, 1):
+        rows = sorted(
+            (r for r in out if r.query_id == qid), key=lambda r: r.rank
+        )
+        dists = [r.adc_dist for r in rows]
+        assert dists == sorted(dists)
+    again = ann_ivfpq_topk(emb.repartition(7), [0, 1], k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
