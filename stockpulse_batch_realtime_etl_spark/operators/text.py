@@ -521,10 +521,17 @@ def winnowed_fingerprints(
         F.explode(F.sequence(lo, hi)).alias("win_end"),
     )
     # composite order: fp asc, then pos DESC (rightmost) — fixed-width
-    # digit strings compare identically on every engine
+    # digit strings compare identically on every engine.  Widths are
+    # DERIVED, not hard-coded: Spark's lpad silently truncates strings
+    # longer than the target width, so a fixed width-7 key would corrupt
+    # the rightmost-min selection for mod > 10**7 or positions > 10**7.
+    # fp < mod always, and pos is a positive int32 (< 10**10), so these
+    # widths are exact for every legal parameterization.
+    fp_w = len(str(mod - 1))
+    pos_max = 9_999_999_999  # > 2**31: any int32 pos stays non-negative
     ordkey = F.concat(
-        F.lpad(F.col("fp").cast("string"), 7, "0"),
-        F.lpad((F.lit(9_999_999) - F.col("pos")).cast("string"), 7, "0"),
+        F.lpad(F.col("fp").cast("string"), fp_w, "0"),
+        F.lpad((F.lit(pos_max) - F.col("pos")).cast("string"), 10, "0"),
     )
     sel = (
         ends.withColumn("ordkey", ordkey)
@@ -809,8 +816,10 @@ def mixture_sample(
 def temperature_mixture(
     docs: DataFrame, total: int = 1000, alpha: float = 0.5
 ) -> DataFrame:
-    """Temperature-based source resampling: draw ``total`` documents with
-    per-source quotas ∝ n_s^α — the multilingual/domain rebalancing rule
+    """Temperature-based source resampling: draw ``total`` documents
+    (exactly, via largest-remainder quota rounding, unless a quota is
+    capped by its source's population) with per-source quotas ∝ n_s^α —
+    the multilingual/domain rebalancing rule
     (α=1 keeps natural proportions, α→0 approaches uniform; 0.3-0.7 is the
     usual range for upweighting low-resource sources without drowning
     high-resource ones).
@@ -829,22 +838,40 @@ def temperature_mixture(
     :func:`mixture_sample`, including its giant-stratum thinning note.
     """
     pw = F.sqrt(F.col("n_s")) if alpha == 0.5 else F.pow("n_s", F.lit(alpha))
+    # Largest-remainder (Hamilton) quota: floor() alone undershoots
+    # ``total`` by up to n_sources-1 docs; redistribute the remainder +1
+    # at a time to the sources with the largest fractional part (ties by
+    # source asc — a total deterministic order, mirrored in the oracle).
+    # raw is IEEE double of bit-identical inputs on both engines, so frac
+    # ordering and the remainder count replay exactly.  The n_s cap can
+    # still undershoot when a quota exceeds a source's population — that
+    # residue is NOT re-cascaded (would need iteration; callers wanting
+    # exactness should raise ``total`` only up to sum(n_s)).
+    wall = Window.partitionBy(F.lit(1))
+    raw = (
+        F.lit(int(total))
+        * F.col("s_s").cast("double")
+        / F.col("s_tot").cast("double")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(F.lit(1)).orderBy(
+            F.col("frac").desc(), F.col("source").asc()
+        )
+    )
     counts = (
         docs.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_s"))
         .withColumn("s_s", F.round(pw, 6).cast("decimal(38,6)"))
-        .withColumn(
-            "s_tot", F.sum("s_s").over(Window.partitionBy(F.lit(1)))
-        )
+        .withColumn("s_tot", F.sum("s_s").over(wall))
+        .withColumn("q", F.floor(raw))
+        .withColumn("frac", raw - F.col("q"))
+        .withColumn("rem", F.lit(int(total)) - F.sum("q").over(wall))
         .select(
             "source",
             F.least(
                 F.col("n_s"),
-                F.floor(
-                    F.lit(int(total))
-                    * F.col("s_s").cast("double")
-                    / F.col("s_tot").cast("double")
-                ),
+                F.col("q")
+                + F.when(rk <= F.col("rem"), F.lit(1)).otherwise(F.lit(0)),
             ).alias("k_s"),
         )
     )
@@ -908,7 +935,6 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("n_tokens").over(w)
-    start = (cum - F.col("n_tokens")).alias("start")
     out = base.withColumn("cum", cum).select(
         "doc_id",
         "source",

@@ -1339,15 +1339,27 @@ scaled AS (
          CAST(round(sqrt(n_s), 6) AS DECIMAL(38,6)) AS s_s
   FROM counts
 ),
-ks AS (
+ks0 AS (
   -- DECIMAL sum over sources (order-independent), IEEE double mult/div of
-  -- identical inputs, floor — bit-reproducible against the Spark twin
+  -- identical inputs — bit-reproducible against the Spark twin
+  SELECT source, n_s,
+         200 * CAST(s_s AS DOUBLE) / CAST(sum(s_s) OVER () AS DOUBLE) AS raw
+  FROM scaled
+),
+ks1 AS (
+  SELECT source, n_s, CAST(floor(raw) AS BIGINT) AS q,
+         raw - floor(raw) AS frac
+  FROM ks0
+),
+ks AS (
+  -- largest-remainder redistribution: +1 to the rem sources with the
+  -- largest fractional part (ties by source asc), capped at n_s
   SELECT source,
          least(n_s,
-               CAST(floor(200 * CAST(s_s AS DOUBLE)
-                          / CAST(sum(s_s) OVER () AS DOUBLE)) AS BIGINT)
+               q + CASE WHEN row_number() OVER (ORDER BY frac DESC, source ASC)
+                        <= 200 - sum(q) OVER () THEN 1 ELSE 0 END
          ) AS k_s
-  FROM scaled
+  FROM ks1
 ),
 ranked AS (
   SELECT doc_id, lang, source,
@@ -1534,7 +1546,7 @@ e AS (
          unnest(generate_series(greatest(least(8, m), pos),
                                 least(m, pos + least(8, m) - 1))) AS win_end,
          lpad(CAST(fp AS VARCHAR), 7, '0')
-           || lpad(CAST(9999999 - pos AS VARCHAR), 7, '0') AS ordkey
+           || lpad(CAST(9999999999 - pos AS VARCHAR), 10, '0') AS ordkey
   FROM h
 ),
 sel AS (

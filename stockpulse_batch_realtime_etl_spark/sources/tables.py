@@ -48,7 +48,10 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     # non-UTC session would silently shift every derived instant — fail loudly
     # instead.
     tz = spark.conf.get("spark.sql.session.timeZone")
-    if tz != "UTC":
+    # Instant-equivalent spellings of UTC are fine — a locked-down session
+    # pinned to 'Etc/UTC' or 'GMT' produces identical NTZ casts.  Only a
+    # genuinely offset zone shifts derived instants.
+    if tz not in {"UTC", "Etc/UTC", "Etc/GMT", "GMT", "Z", "+00:00", "UT"}:
         raise RuntimeError(
             f"spark.sql.session.timeZone={tz!r} but this library requires UTC "
             "(NTZ casts and the Kafka wire format are timezone-sensitive); "
