@@ -71,13 +71,21 @@ def _window_filter(df: DataFrame, time_col: str, minutes: int) -> DataFrame:
 
     name = "wf_" + uuid.uuid4().hex[:12]
     df.createOrReplaceTempView(name)
-    return df.sparkSession.sql(
-        f"""
-        SELECT * FROM {name}
-        WHERE {time_col} >= (SELECT max({time_col}) FROM {name})
-                            - INTERVAL {int(minutes)} MINUTES
-        """
-    )
+    try:
+        # spark.sql analyzes eagerly — the returned DataFrame holds the
+        # resolved plan, so the view is only needed during construction.
+        return df.sparkSession.sql(
+            f"""
+            SELECT * FROM {name}
+            WHERE {time_col} >= (SELECT max({time_col}) FROM {name})
+                                - INTERVAL {int(minutes)} MINUTES
+            """
+        )
+    finally:
+        # drop immediately: thousands of serving calls in one session must
+        # not accumulate catalog entries (uuid names never collide, but the
+        # catalog itself would grow unboundedly)
+        df.sparkSession.catalog.dropTempView(name)
 
 
 # --- /symbols ---------------------------------------------------------------

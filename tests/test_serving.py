@@ -66,6 +66,20 @@ def test_tick_summary_empty_window_is_empty(make_ticks):
     assert serving.tick_summary(df, "MSFT", 60).collect() == []
 
 
+def test_window_filter_no_catalog_growth(ticks):
+    """_window_filter drops its temp view after plan construction: a
+    long-lived serving session issuing thousands of windowed queries must
+    not leak catalog entries, and the returned plan must still execute
+    after the drop (spark.sql resolves eagerly)."""
+    spark = ticks.sparkSession
+    before = {t.name for t in spark.catalog.listTables()}
+    dfs = [serving._window_filter(ticks, "event_time", 60) for _ in range(50)]
+    after = {t.name for t in spark.catalog.listTables()}
+    assert after == before  # zero growth, not merely bounded
+    # plans remain executable post-drop
+    assert dfs[0].count() > 0 and dfs[-1].count() > 0
+
+
 def test_bar_summary_change_pct(ticks):
     bars = ohlcv_bars(ticks)
     r = serving.bar_summary(bars, "AAPL", 1440).collect()[0]
