@@ -951,6 +951,59 @@ def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: REAL codec round trip: per-doc payloads are genuine 24-bit BMP / binary
+#: PPM / 16-bit PCM WAV bytes (numpy encoders), decoded back by independent
+#: pure-numpy parsers inside mapInPandas — header parse, BMP row-padding
+#: strip + bottom-up flip + BGR→RGB swap, RIFF chunk walk.  Because the
+#: encoded values are (7·id+13·i) mod 256 / ((31·id+17·i) mod 65536)−32768
+#: at logical position i, DuckDB replays every output — including the
+#: position-weighted checksum that breaks on any ordering bug — without
+#: ever touching the binary.  Width/height/sample_rate come from the parsed
+#: HEADERS on the Spark side and from the generator arithmetic on the
+#: oracle side, so header round-tripping is value-checked too.
+@register(
+    "multimodal_decoded_stats",
+    oracle="""
+WITH base AS (
+  SELECT doc_id AS asset_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+              ELSE 'wav' END AS format,
+         CAST(4 + doc_id % 13 AS INT) AS w,
+         CAST(4 + doc_id % 11 AS INT) AS h
+  FROM documents
+),
+sized AS (
+  SELECT asset_id, format, w, h,
+         CASE WHEN format = 'wav' THEN 64 + asset_id % 101
+              ELSE w * h * 3 END AS n_values
+  FROM base
+),
+v AS (
+  SELECT asset_id, format, w, h, n_values, i,
+         CASE WHEN format = 'wav'
+              THEN ((31 * asset_id + 17 * i) % 65536) - 32768
+              ELSE (7 * asset_id + 13 * i) % 256 END AS val
+  FROM (SELECT *, unnest(generate_series(0, n_values - 1)) AS i FROM sized)
+)
+SELECT asset_id, format,
+       CASE WHEN format <> 'wav' THEN w END AS width,
+       CASE WHEN format <> 'wav' THEN h END AS height,
+       CASE WHEN format = 'wav'
+            THEN CAST(8000 + (asset_id % 5) * 1000 AS INT) END AS sample_rate,
+       CAST(max(n_values) AS BIGINT) AS n_values,
+       CAST(sum(val) AS BIGINT) AS value_sum,
+       CAST(min(val) AS BIGINT) AS value_min,
+       CAST(max(val) AS BIGINT) AS value_max,
+       CAST(sum(val * (i + 1)) AS BIGINT) AS weighted_sum
+FROM v
+GROUP BY asset_id, format, w, h
+""",
+)
+def q_multimodal_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = multimodal.encode_assets(load_table(spark, sf_dir, "documents"))
+    return multimodal.decoded_stats(assets)
+
+
 # --- rolling-hash fingerprints (Manber '94 / Karp–Rabin) --------------------
 
 def _horner_sql(k: int, base: int, mod: int, s: str = "n", pos: str = "pos") -> str:

@@ -60,6 +60,100 @@ def test_sample_frames_explodes_videos(media):
     assert b"video" in joined  # slices come from the real payload
 
 
-def test_real_decode_is_stubbed():
+def test_real_decode_is_stubbed_for_compressed_only():
+    # unknown/compressed payloads: honest NotImplementedError
     with pytest.raises(NotImplementedError):
         multimodal._try_real_decode("video", b"xxx")
+    with pytest.raises(NotImplementedError):
+        multimodal._try_real_decode("image", b"\x89PNG\r\n\x1a\n....")
+    # uncompressed formats decode for real through the same seam
+    assert multimodal._try_real_decode("image", multimodal.encode_bmp(3))[
+        "width"
+    ] == multimodal._image_dims(3)[0]
+    assert (
+        multimodal._try_real_decode("audio", multimodal.encode_wav(2))[
+            "sample_rate"
+        ]
+        == 8000 + (2 % 5) * 1000
+    )
+
+
+# --- real codec round trips (pure numpy, no Spark needed) -------------------
+
+def test_bmp_roundtrip_exact_order():
+    import numpy as np
+
+    for aid in (0, 3, 9, 12):  # several padding widths: w*3 % 4 varies
+        d = multimodal.decode_image_bytes(multimodal.encode_bmp(aid))
+        w, h = multimodal._image_dims(aid)
+        exp = multimodal._synth_image_vals(aid, w, h).astype(np.int64)
+        assert (d["width"], d["height"]) == (w, h)
+        # exact ORDER equality: proves padding stripped, rows re-flipped
+        # top-down, BGR swapped back to RGB
+        assert np.array_equal(d["vals"], exp)
+
+
+def test_ppm_roundtrip_and_comment_header():
+    import numpy as np
+
+    for aid in (1, 4, 7):
+        d = multimodal.decode_image_bytes(multimodal.encode_ppm(aid))
+        w, h = multimodal._image_dims(aid)
+        assert (d["width"], d["height"]) == (w, h)
+        assert np.array_equal(
+            d["vals"], multimodal._synth_image_vals(aid, w, h).astype(np.int64)
+        )
+    ppm = b"P6\n# a comment\n4 5\n255\n" + bytes(range(60))
+    d = multimodal.decode_image_bytes(ppm)
+    assert (d["width"], d["height"]) == (4, 5)
+    assert int(d["vals"].sum()) == sum(range(60))
+
+
+def test_wav_roundtrip_and_chunk_alignment():
+    import struct
+
+    import numpy as np
+
+    wav = multimodal.encode_wav(2)
+    d = multimodal.decode_wav_bytes(wav)
+    n = 64 + 2 % 101
+    i = np.arange(n, dtype=np.int64)
+    assert np.array_equal(d["vals"], ((31 * 2 + 17 * i) % 65536) - 32768)
+    # an odd-sized LIST chunk before data: the walker must word-align
+    extra = struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"
+    wav2 = wav[:12] + extra + wav[12:]
+    wav2 = wav2[:4] + struct.pack("<I", len(wav2) - 8) + wav2[8:]
+    assert np.array_equal(multimodal.decode_wav_bytes(wav2)["vals"], d["vals"])
+
+
+def test_decoded_stats_end_to_end(make_docs):
+    """encode_assets → decoded_stats through mapInPandas: header fields and
+    the position-weighted checksum match the generator arithmetic."""
+    import numpy as np
+
+    docs = make_docs([doc(i, f"text {i}") for i in range(9)])
+    out = {
+        r.asset_id: r
+        for r in multimodal.decoded_stats(
+            multimodal.encode_assets(docs)
+        ).collect()
+    }
+    assert len(out) == 9
+    for aid, r in out.items():
+        if aid % 3 == 2:
+            assert r.format == "wav" and r.width is None
+            n = 64 + aid % 101
+            i = np.arange(n, dtype=np.int64)
+            v = ((31 * aid + 17 * i) % 65536) - 32768
+            assert r.sample_rate == 8000 + (aid % 5) * 1000
+        else:
+            assert r.format == ("bmp" if aid % 3 == 0 else "ppm")
+            w, h = multimodal._image_dims(aid)
+            assert (r.width, r.height) == (w, h) and r.sample_rate is None
+            v = multimodal._synth_image_vals(aid, w, h).astype(np.int64)
+        assert r.n_values == len(v)
+        assert r.value_sum == int(v.sum())
+        assert (r.value_min, r.value_max) == (int(v.min()), int(v.max()))
+        assert r.weighted_sum == int(
+            (v * np.arange(1, len(v) + 1, dtype=np.int64)).sum()
+        )
