@@ -349,57 +349,17 @@ def simhash_dup_groups(docs: DataFrame, bits: int = 16) -> DataFrame:
 
 # --- duplicate-group resolution (connected components) ----------------------
 
-def dup_groups(
-    docs: DataFrame,
-    num_hashes: int = 12,
-    band_size: int = 2,
-    n: int = 3,
-    max_iter: int = 20,
-) -> DataFrame:
-    """Resolve LSH candidate pairs into duplicate GROUPS: connected
-    components of the candidate graph, labeled by the component's minimum
-    doc_id (the canonical "keep" document).
+def _cc_min_label(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Min-label propagation over a SYMMETRIC edge list → (doc_id, group_id)
+    for every edge-endpoint node.
 
-    Candidate pairs alone under-report duplication: A~B and B~C may pair
-    while A~C misses a band, yet all three are one duplicate cluster.  The
-    training-data dedup decision ("keep one per cluster") therefore needs
-    components, not pairs.
-
-    Algorithm: iterative min-label propagation.  labels start as doc_id;
-    each round every node takes ``min(own label, neighbors' labels)``; stop
-    when a round changes nothing.  Each round is one join + one aggregate —
-    both shuffle on doc_id, both AQE-planned; state per round is one long
-    per node.  Rounds needed = component DIAMETER, and near-dup clusters
-    are shallow (duplicates of a common source pair with each other), so
-    convergence is 2-4 rounds in practice; ``max_iter`` bounds adversarial
-    chains, and the O(log n)-round large-star/small-star variant is the
-    drop-in upgrade if profiling ever shows deep components at scale.
-
-    Deterministic: the min-label fixpoint is unique regardless of
-    partitioning or iteration order — the oracle replays it as a recursive
-    transitive closure.
-
-    Returns one row per document: (doc_id, group_id, is_canonical) —
-    singletons label themselves.
+    Each round every node takes ``min(own label, neighbors' labels)`` — one
+    join + one aggregate, both shuffling on doc_id, both AQE-planned; state
+    per round is one long per node.  Rounds needed = component DIAMETER:
+    right for the shallow clusters near-dup graphs actually have (2-4
+    rounds in practice), wrong for adversarial chains — that regime is
+    :func:`_cc_star`'s O(log n) territory.
     """
-    # pairs persist BEFORE the symmetrize union: both union branches read
-    # the cache, so the LSH pipeline (shingle → minhash → band join) runs
-    # exactly once.
-    pairs = lsh_candidate_pairs(docs, num_hashes, band_size, n).persist()
-    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    # localCheckpoint (not just persist): an iterative loop's logical plan
-    # otherwise grows by one join+agg per round and Catalyst re-analyzes the
-    # WHOLE tree (including the LSH subtree) every iteration — analysis time
-    # soon dwarfs execution.  Checkpointing truncates the plan to the
-    # materialized partitions.  (On a production cluster use a reliable
-    # checkpoint dir for fault tolerance; the algorithm is unchanged.)
-    edges = fwd.unionAll(rev).localCheckpoint()
-    pairs.unpersist()
-
-    # Iterate ONLY over edge-endpoint nodes: near-dup candidates are a small
-    # fraction of any real corpus, so the propagation state is |candidate
-    # docs| rows, not |corpus| rows — singletons join back once at the end.
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -434,7 +394,153 @@ def dup_groups(
         labels = stepped.drop("chg")
         if changed == 0:
             break
-    resolved = labels.withColumnRenamed("doc_id", "edge_doc_id")
+    return labels
+
+
+def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC '14) → (doc_id, group_id) for
+    every edge-endpoint node.
+
+    Converges in O(log n) ROUNDS INDEPENDENT OF DIAMETER — the scale path
+    for deep components where min-label's diameter-many rounds would stall:
+
+    * large-star: every node u computes m = min(Γ(u) ∪ {u}) over its
+      symmetric neighborhood and re-points all STRICTLY LARGER neighbors
+      at m — one aggregate + one join per round.
+    * small-star: over larger→smaller directed edges, every node u
+      re-points its smaller neighbors (and itself) at m = min(Γ⁻(u) ∪ {u}).
+
+    Both operations preserve connectivity and monotonically shrink edge
+    "heights"; the fixpoint is a star per component, centered on the
+    component minimum.  Convergence is detected exactly (count equality +
+    one-sided exceptAll emptiness on the deduped edge sets — both cheap on
+    the checkpointed, already-shrinking edge state); a converged star set
+    is idempotent under both operations, so a spurious extra round is a
+    no-op, never a wrong answer.
+    """
+    # canonical larger→smaller direction, deduped
+    cur = (
+        edges.filter(F.col("src") > F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # --- large-star: symmetric neighborhoods
+        sym = cur.unionAll(
+            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        m = (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("_nbr_min"))
+            .select(
+                F.col("src").alias("u"),
+                F.least(F.col("src"), F.col("_nbr_min")).alias("m"),
+            )
+        )
+        large = (
+            sym.join(m, sym["src"] == m["u"])
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # --- small-star: larger→smaller edges only (large's output already is)
+        m2 = (
+            large.groupBy("src")
+            .agg(F.min("dst").alias("m"))
+            .select(F.col("src").alias("u"), "m")
+        )
+        joined = large.join(m2, large["src"] == m2["u"])
+        nxt = (
+            joined.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionAll(joined.select(F.col("u").alias("src"), "m"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        if nxt.count() == cur.count() and nxt.exceptAll(cur).isEmpty():
+            cur = nxt
+            break
+        cur = nxt
+    # fixpoint is a star per component: non-center nodes point at the
+    # center (= component min); centers label themselves
+    centers = cur.select(F.col("dst").alias("doc_id")).distinct()
+    return (
+        cur.select(F.col("src").alias("doc_id"), F.col("dst").alias("group_id"))
+        .unionAll(centers.select("doc_id", F.col("doc_id").alias("group_id")))
+        .distinct()
+    )
+
+
+#: candidate-edge count above which dup_groups switches from min-label to
+#: large-star/small-star: big graphs risk deep components, and star's
+#: O(log n) rounds beat diameter-many rounds there, while min-label's
+#: 2-round convergence on small shallow graphs avoids star's extra
+#: per-round exchanges.
+STAR_EDGE_THRESHOLD = 100_000
+
+
+def dup_groups(
+    docs: DataFrame,
+    num_hashes: int = 12,
+    band_size: int = 2,
+    n: int = 3,
+    max_iter: int = 20,
+    method: str = "auto",
+) -> DataFrame:
+    """Resolve LSH candidate pairs into duplicate GROUPS: connected
+    components of the candidate graph, labeled by the component's minimum
+    doc_id (the canonical "keep" document).
+
+    Candidate pairs alone under-report duplication: A~B and B~C may pair
+    while A~C misses a band, yet all three are one duplicate cluster.  The
+    training-data dedup decision ("keep one per cluster") therefore needs
+    components, not pairs.
+
+    Two interchangeable kernels compute the same unique fixpoint (equality
+    is pinned by tests; the DuckDB oracle replays it as a recursive
+    transitive closure, so either kernel passes the same gate):
+
+    * ``method="min_label"`` — :func:`_cc_min_label`, diameter-many rounds,
+      cheapest on the shallow clusters near-dup graphs actually have;
+    * ``method="star"`` — :func:`_cc_star`, the Kiveris et al.
+      large-star/small-star alternation, O(log n) rounds regardless of
+      diameter — the 100 TB path for graphs big enough to hide deep
+      components;
+    * ``method="auto"`` (default) — min-label below
+      :data:`STAR_EDGE_THRESHOLD` candidate edges, star at/above it.  The
+      edge count is a cheap aggregate over the already-persisted pair
+      state, and the decision is logged in the plan via the chosen subtree.
+
+    Returns one row per document: (doc_id, group_id, is_canonical) —
+    singletons label themselves.
+    """
+    if method not in ("auto", "min_label", "star"):
+        raise ValueError(f"unknown dup_groups method: {method!r}")
+    # pairs persist BEFORE the symmetrize union: both union branches read
+    # the cache, so the LSH pipeline (shingle → minhash → band join) runs
+    # exactly once.
+    pairs = lsh_candidate_pairs(docs, num_hashes, band_size, n).persist()
+    if method == "auto":
+        method = "star" if pairs.count() >= STAR_EDGE_THRESHOLD else "min_label"
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    # localCheckpoint (not just persist): an iterative loop's logical plan
+    # otherwise grows by one join+agg per round and Catalyst re-analyzes the
+    # WHOLE tree (including the LSH subtree) every iteration — analysis time
+    # soon dwarfs execution.  Checkpointing truncates the plan to the
+    # materialized partitions.  (On a production cluster use a reliable
+    # checkpoint dir for fault tolerance; the algorithm is unchanged.)
+    edges = fwd.unionAll(rev).localCheckpoint()
+    pairs.unpersist()
+
+    # Iterate ONLY over edge-endpoint nodes: near-dup candidates are a small
+    # fraction of any real corpus, so the propagation state is |candidate
+    # docs| rows, not |corpus| rows — singletons join back once at the end.
+    kernel = _cc_star if method == "star" else _cc_min_label
+    resolved = kernel(edges, max_iter).withColumnRenamed("doc_id", "edge_doc_id")
     return (
         docs.select("doc_id")
         .join(resolved, docs["doc_id"] == resolved["edge_doc_id"], "left")

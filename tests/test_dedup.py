@@ -138,3 +138,60 @@ def test_dup_groups_resolves_transitive_chain(make_docs):
     # doc3 joins iff it shares a band with doc2 — either way the label is
     # the component min and the fixpoint is stable
     assert got[3][0] in (1, 3)
+
+
+def _edges_df(spark, pairs):
+    sym = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(sym, "src long, dst long")
+
+
+def test_cc_kernels_agree_on_synthetic_graphs(spark):
+    """min-label and large-star/small-star reach the SAME unique fixpoint on
+    a chain, a star, two disjoint triangles, and a binary-tree-ish graph."""
+    graphs = [
+        [(i, i + 1) for i in range(1, 12)],                # deep chain
+        [(1, k) for k in range(2, 9)],                     # already a star
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],  # 2 triangles
+        [(1, 2), (1, 3), (2, 4), (2, 5), (3, 6), (3, 7), (7, 14)],
+    ]
+    from stockpulse_batch_realtime_etl_spark.operators.dedup import (
+        _cc_min_label,
+        _cc_star,
+    )
+
+    for pairs in graphs:
+        e = _edges_df(spark, pairs)
+        a = {(r.doc_id, r.group_id) for r in _cc_min_label(e, 30).collect()}
+        b = {(r.doc_id, r.group_id) for r in _cc_star(e, 30).collect()}
+        assert a == b, f"fixpoint mismatch on {pairs}: {a ^ b}"
+        # exactly one label per node, label = component min
+        assert len(a) == len({n for p in pairs for n in p})
+
+
+def test_cc_star_beats_diameter_on_deep_chain(spark):
+    """The Kiveris bound: a diameter-15 chain resolves within 5 star rounds
+    (O(log n)), where min-label needs diameter-many."""
+    from stockpulse_batch_realtime_etl_spark.operators.dedup import _cc_star
+
+    chain = [(i, i + 1) for i in range(1, 16)]
+    got = {(r.doc_id, r.group_id) for r in _cc_star(_edges_df(spark, chain), 5).collect()}
+    assert got == {(i, 1) for i in range(1, 17)}
+
+
+def test_dup_groups_methods_identical(make_docs):
+    """dup_groups(method='star') ≡ dup_groups(method='min_label') on real
+    LSH candidate graphs — the auto dispatch can never change results."""
+    from stockpulse_batch_realtime_etl_spark.operators.dedup import dup_groups
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = make_docs(
+        [
+            (1, base + " one two three", "en", "t", 0),
+            (2, base + " one two three four", "en", "t", 0),
+            (3, base + " four five six seven", "en", "t", 0),
+            (9, "completely unrelated text about spark execution plans", "en", "t", 0),
+        ]
+    )
+    a = {tuple(r) for r in dup_groups(docs, method="min_label").collect()}
+    b = {tuple(r) for r in dup_groups(docs, method="star").collect()}
+    assert a == b
