@@ -760,3 +760,53 @@ def ann_ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "adc_dist", "rank")
     )
+
+
+# --- recall instrumentation --------------------------------------------------
+
+def recall_report(truth: DataFrame, approx: dict[str, DataFrame]) -> DataFrame:
+    """recall@k of each approximate top-k result against the exact one: the
+    dial every ANN deployment tunes (probe more cells / longer codes →
+    higher recall, more compute).  Turns the ladder's prose claims into a
+    measured number.
+
+    ``truth`` and each ``approx`` value carry (query_id, cand_id) rows —
+    any of this module's top-k outputs fit.  recall@k = |approx ∩ truth| /
+    |truth|, pooled over all queries (micro-average).
+
+    Plan shape: every input is O(|Q|·k) rows — the scoring work happened
+    upstream — so this is a label-union + one broadcast-joined equi-join +
+    one tiny aggregate; the 1-row total joins via broadcast cross.  Methods
+    with zero hits still report (left join from the method list), so a
+    collapsed index reads recall 0.0 instead of vanishing from the report.
+    """
+    spark = truth.sparkSession
+    t = truth.select("query_id", "cand_id")
+    labeled = None
+    for name in sorted(approx):
+        lab = approx[name].select(
+            F.lit(name).alias("method"), "query_id", "cand_id"
+        )
+        labeled = lab if labeled is None else labeled.unionAll(lab)
+    methods = spark.createDataFrame(
+        [(m,) for m in sorted(approx)], "method string"
+    )
+    hits = (
+        labeled.join(t, ["query_id", "cand_id"])
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    total = t.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        methods.join(F.broadcast(hits), "method", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "method",
+            F.coalesce("h", F.lit(0)).cast("long").alias("hits"),
+            F.col("total").cast("long").alias("total"),
+            F.round(
+                F.coalesce("h", F.lit(0)).cast("double") / F.col("total"), 4
+            ).alias("recall_at_k"),
+        )
+        .orderBy("method")
+    )

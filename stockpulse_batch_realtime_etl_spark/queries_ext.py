@@ -2032,3 +2032,57 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, 5, _NCELLS, 2,
         4, 4, 1, 64,
     )
+
+
+# --- ANN recall instrumentation ---------------------------------------------
+# recall@5 of three approximate rungs against the exact brute-force top-5,
+# fully oracle-replayable: the oracle COMPOSES the already-registered oracle
+# SQL of truth and approximations as subqueries, so both engines compare the
+# same four result sets.
+
+_RECALL_METHODS_SQL = "unnest(['ivf_multiprobe', 'ivfpq', 'lsh_bucketed'])"
+
+@register(
+    "ann_recall_report",
+    oracle=f"""
+WITH bf AS (
+  SELECT query_id, cand_id FROM ({ORACLES["ann_brute_force_topk"]}) t
+),
+approx AS (
+  SELECT 'ivf_multiprobe' AS method, query_id, cand_id
+  FROM ({ORACLES["ann_ivf_multiprobe_topk"]}) t
+  UNION ALL
+  SELECT 'ivfpq', query_id, cand_id FROM ({ORACLES["ann_ivfpq_topk"]}) t
+  UNION ALL
+  SELECT 'lsh_bucketed', query_id, cand_id
+  FROM ({ORACLES["ann_lsh_bucketed_topk"]}) t
+),
+methods AS (SELECT {_RECALL_METHODS_SQL} AS method),
+hits AS (
+  SELECT method, count(*) AS h
+  FROM approx JOIN bf USING (query_id, cand_id)
+  GROUP BY method
+),
+denom AS (SELECT count(*) AS total FROM bf)
+SELECT m.method,
+       CAST(coalesce(h.h, 0) AS BIGINT) AS hits,
+       CAST(d.total AS BIGINT) AS total,
+       round(CAST(coalesce(h.h, 0) AS DOUBLE) / d.total, 4) AS recall_at_k
+FROM methods m LEFT JOIN hits h USING (method), denom d
+""",
+)
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of IVF-multiprobe, IVF-PQ, and sign-LSH against exact
+    brute force — same parameterizations as their standalone queries."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = similarity.brute_force_topk_np(emb, _QUERY_IDS, 5)
+    approx = {
+        "ivf_multiprobe": similarity.ivf_multiprobe_topk(
+            emb, _QUERY_IDS, 5, _NCELLS, _NPROBE
+        ),
+        "ivfpq": similarity.ann_ivfpq_topk(
+            emb, _QUERY_IDS, 5, _NCELLS, 2, 4, 4, 1, 64
+        ),
+        "lsh_bucketed": similarity.lsh_bucketed_topk(emb, _QUERY_IDS, 5, 8),
+    }
+    return similarity.recall_report(truth, approx)

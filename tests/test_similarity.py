@@ -227,3 +227,26 @@ def test_ann_ivfpq_subset_of_cell_with_adc_order(spark):
         assert dists == sorted(dists)
     again = ann_ivfpq_topk(emb.repartition(7), [0, 1], k=3).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_recall_report_counts_hits_and_zero_methods(spark):
+    from stockpulse_batch_realtime_etl_spark.operators.similarity import (
+        recall_report,
+    )
+
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], "query_id long, cand_id long"
+    )
+    approx = {
+        "good": spark.createDataFrame(
+            [(1, 10), (1, 11), (2, 20), (2, 99)], "query_id long, cand_id long"
+        ),
+        "dead": spark.createDataFrame(
+            [(1, 98), (2, 99)], "query_id long, cand_id long"
+        ),
+    }
+    rows = {r.method: r for r in recall_report(truth, approx).collect()}
+    assert rows["good"].hits == 3 and rows["good"].total == 4
+    assert rows["good"].recall_at_k == 0.75
+    # zero-hit method still reports (doesn't vanish from the join)
+    assert rows["dead"].hits == 0 and rows["dead"].recall_at_k == 0.0
