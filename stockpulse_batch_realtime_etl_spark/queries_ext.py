@@ -2086,3 +2086,41 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh_bucketed": similarity.lsh_bucketed_topk(emb, _QUERY_IDS, 5, 8),
     }
     return similarity.recall_report(truth, approx)
+
+
+# --- streaming observability: metrics percentile summary --------------------
+# The reference publishes p50/p95/p99 latency histograms via Prometheus
+# (main.py:47-67); the Spark-native analog summarizes StreamingQueryListener
+# per-batch progress.  Gated deterministically: the probe run batches one
+# micro-batch PER EVENT DAY (one corpus file per day + maxFilesPerTrigger=1),
+# so per-batch num_input_rows is the per-day corpus line count and DuckDB
+# replays the whole summary — exact interpolated percentiles on both sides —
+# from `events` with one GROUP BY.
+
+@register(
+    "streaming_metrics_summary",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, count(*) AS n_rows
+  FROM events GROUP BY 1
+)
+SELECT 'num_input_rows' AS metric,
+       CAST(count(*) AS BIGINT) AS n_batches,
+       CAST(sum(n_rows) AS BIGINT) AS total,
+       round(quantile_cont(CAST(n_rows AS DOUBLE), 0.50), 4) AS p50,
+       round(quantile_cont(CAST(n_rows AS DOUBLE), 0.95), 4) AS p95,
+       round(quantile_cont(CAST(n_rows AS DOUBLE), 0.99), 4) AS p99
+FROM daily
+""",
+)
+def q_streaming_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 over per-micro-batch input rows from a real bounded
+    streaming run, captured by the ProgressMetricsListener."""
+    from stockpulse_batch_realtime_etl_spark.streaming import metrics
+    from stockpulse_batch_realtime_etl_spark.streaming.job import (
+        run_metrics_probe,
+    )
+
+    return metrics.percentile_summary(
+        run_metrics_probe(spark, sf_dir), "num_input_rows"
+    )

@@ -479,3 +479,123 @@ def run_dedup_available_now(
         )
         q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def run_metrics_probe(
+    spark: SparkSession, sf_dir: str, base_dir: str | None = None
+) -> DataFrame:
+    """Bounded streaming run with DETERMINISTIC micro-batching, returning
+    the listener-captured per-batch progress table — the substrate for
+    :func:`metrics.percentile_summary`'s oracle-gated summary.
+
+    Determinism: the corpus is written one text FILE PER EVENT DAY
+    (repartition("day") + partitionBy("day") → exactly one file per day),
+    and the stream reads it with ``maxFilesPerTrigger=1`` under
+    ``availableNow`` — so micro-batches ARE days, and the multiset of
+    per-batch ``num_input_rows`` equals the per-day corpus line counts,
+    which DuckDB replays from ``events`` with one GROUP BY.  Batch ORDER
+    (file discovery order) is not relied on — percentiles are
+    order-insensitive.
+
+    The probe pipeline is the raw text stream into a ``noop`` sink: batch
+    accounting (what the reference's Prometheus counters measure,
+    main.py:47-67) does not depend on the transformation, and the cheapest
+    pipeline keeps the 30-batch bounded run fast at any sf.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+    import time as _time
+
+    from stockpulse_batch_realtime_etl_spark.sources.tables import load_table
+    from stockpulse_batch_realtime_etl_spark.sources.ticks import (
+        raw_json_corpus,
+    )
+    from stockpulse_batch_realtime_etl_spark.streaming import metrics
+
+    tag = hashlib.md5(f"{_CORPUS_VERSION}:metrics:{sf_dir}".encode()).hexdigest()[:8]
+    corpus_dir = os.path.join(
+        tempfile.gettempdir(), f"stockpulse_corpus_daily_{tag}"
+    )
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events").select(
+            F.col("event_id").alias("offset"), F.to_date("ts").alias("day")
+        )
+        (
+            raw_json_corpus(spark, sf_dir)
+            .join(ev, "offset")
+            .repartition("day")
+            .select("value", "day")
+            .write.partitionBy("day")
+            .mode("overwrite")
+            .text(corpus_dir)
+        )
+
+    if base_dir is None:
+        base_dir = os.path.join(tempfile.gettempdir(), f"stockpulse_metrics_{tag}")
+    shutil.rmtree(base_dir, ignore_errors=True)
+    ckpt = os.path.join(base_dir, "ckpt")
+
+    n_days = len(
+        [d for d in os.listdir(corpus_dir) if d.startswith("day=")]
+    )
+    listener = metrics.attach(spark)
+    try:
+        q = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 1)
+            .load(corpus_dir)
+            .select("value")
+            .writeStream.queryName("metrics_probe")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # listener events are delivered on the async listener bus — wait for
+        # all day-batches (bounded), then fall back to the query's own
+        # synchronous recentProgress for any stragglers (identical rows,
+        # keyed by batch_id)
+        deadline = _time.monotonic() + 30
+        def _probe_rows():
+            return [
+                r
+                for r in listener.snapshot()
+                if r["query_name"] == "metrics_probe"
+                and r["num_input_rows"] > 0
+            ]
+        while len(_probe_rows()) < n_days and _time.monotonic() < deadline:
+            _time.sleep(0.2)
+        rows = {r["batch_id"]: r for r in _probe_rows()}
+        if len(rows) < n_days:  # pragma: no cover - listener-bus straggler
+            import json as _json
+
+            for p in q.recentProgress:
+                p = _json.loads(p) if isinstance(p, str) else p
+                if p.get("numInputRows", 0) > 0:
+                    rows.setdefault(
+                        p["batchId"],
+                        {
+                            "query_name": "metrics_probe",
+                            "batch_id": p["batchId"],
+                            "num_input_rows": p["numInputRows"],
+                            "input_rows_per_second": float(
+                                p.get("inputRowsPerSecond") or 0.0
+                            ),
+                            "process_rows_per_second": float(
+                                p.get("processedRowsPerSecond") or 0.0
+                            ),
+                            "batch_duration_ms": p.get("batchDuration", 0),
+                            "state_rows": 0,
+                        },
+                    )
+    finally:
+        metrics.detach(spark, listener)
+    return spark.createDataFrame(
+        [
+            tuple(r[k.split(" ")[0]] for k in metrics.PROGRESS_SCHEMA.split(", "))
+            for r in rows.values()
+        ],
+        metrics.PROGRESS_SCHEMA,
+    )

@@ -23,6 +23,7 @@ import json
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.listener import StreamingQueryListener
 
 PROGRESS_SCHEMA = (
@@ -87,6 +88,34 @@ class ProgressMetricsListener(StreamingQueryListener):
         return spark.createDataFrame(
             [tuple(r[n] for n in names) for r in rows], PROGRESS_SCHEMA
         )
+
+
+def percentile_summary(
+    progress: DataFrame,
+    metric: str = "num_input_rows",
+    ps: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """p50/p95/p99 (exact, interpolated) over one captured per-batch metric
+    — the reference's Prometheus histogram summary (main.py:66-67) as a
+    query.  Exact ``percentile`` not approx: listener volumes are bounded
+    by the ring buffer (≤256 batches), so there is nothing to sketch.
+
+    Works on any PROGRESS_SCHEMA column: ``num_input_rows`` (deterministic
+    for deterministic batching — the oracle-gated path) or
+    ``batch_duration_ms`` (wall-clock — operational use only).
+    """
+    cols = [
+        F.round(
+            F.percentile(F.col(metric).cast("double"), F.lit(p)), 4
+        ).alias(f"p{int(p * 100)}")
+        for p in ps
+    ]
+    return progress.filter(F.col(metric).isNotNull()).agg(
+        F.lit(metric).alias("metric"),
+        F.count(F.lit(1)).cast("long").alias("n_batches"),
+        F.sum(metric).cast("long").alias("total"),
+        *cols,
+    )
 
 
 def attach(spark: SparkSession, max_batches: int = 256) -> ProgressMetricsListener:

@@ -250,3 +250,31 @@ def test_streaming_session_bars_match_batch_sessionization(spark):
     gs = sorted(map(tuple, got.select(*want.columns).collect()))
     ws = sorted(map(tuple, want.collect()))
     assert gs == ws
+
+
+def test_percentile_summary_exact_interpolation(spark):
+    from stockpulse_batch_realtime_etl_spark.streaming import metrics
+
+    rows = [("q", i, n, 0.0, 0.0, 100, 0) for i, n in enumerate([10, 20, 30, 40])]
+    df = spark.createDataFrame(rows, metrics.PROGRESS_SCHEMA)
+    r = metrics.percentile_summary(df, "num_input_rows").collect()[0]
+    assert (r.metric, r.n_batches, r.total) == ("num_input_rows", 4, 100)
+    assert r.p50 == 25.0  # (20+30)/2 — continuous interpolation
+    assert r.p95 == 38.5 and r.p99 == 39.7
+    # works over the wall-clock column too (the operational path)
+    d = metrics.percentile_summary(df, "batch_duration_ms").collect()[0]
+    assert d.p50 == 100.0 and d.n_batches == 4
+
+
+def test_metrics_probe_batches_are_days(spark):
+    """One micro-batch per event day, listener-captured: 30 batches whose
+    input rows sum to the full corpus."""
+    from stockpulse_batch_realtime_etl_spark.streaming.job import (
+        run_metrics_probe,
+    )
+
+    df = run_metrics_probe(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) == 30
+    assert sum(r.num_input_rows for r in rows) == 1000
+    assert all(r.query_name == "metrics_probe" for r in rows)
