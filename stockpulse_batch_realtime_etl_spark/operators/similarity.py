@@ -792,7 +792,7 @@ def recall_report(truth: DataFrame, approx: dict[str, DataFrame]) -> DataFrame:
         [(m,) for m in sorted(approx)], "method string"
     )
     hits = (
-        labeled.join(t, ["query_id", "cand_id"])
+        labeled.join(F.broadcast(t), ["query_id", "cand_id"])
         .groupBy("method")
         .agg(F.count(F.lit(1)).alias("h"))
     )

@@ -1136,45 +1136,93 @@ from stockpulse_batch_realtime_etl_spark import queries_ext  # noqa: E402,F401
 # tail.  Names not listed keep their registration order after the priority
 # block, so newly-added queries are never silently dropped from the dict.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # --- never gate-green, FIXED this round (r3): NTZ-proof bucket helpers
-    # (functions.scalars.ts_micros), oracle CAST(sum AS BIGINT) against
-    # DuckDB's HUGEINT, and the Kafka wire-format NTZ cast — highest
-    # information content, checked first
-    "ohlcv_bars",
+    # --- NEW round-4 registrations — never gated, highest information
+    "multimodal_decoded_stats",
+    "ann_recall_report",
+    "streaming_metrics_summary",
+    # --- r3-green whose CODE CHANGED in r4 (winnowing ordkey widths,
+    # largest-remainder temperature quotas, CC kernel refactor + auto
+    # dispatch, pack_sequences cleanup, _window_filter view drop) —
+    # regression risk, re-gated
+    "winnowed_fingerprints",
+    "temperature_mixture_sample",
+    "dup_groups",
+    "packed_sequences",
     "tick_summary",
-    "latest_bars",
     "bar_summary",
+    "mover_window_ticks",
+    "movers",
+    # --- flagship continuity: entry()'s query + the two streaming/wire
+    # headliners keep a fresh row every round
+    "ohlcv_bars",
+    "streaming_ohlcv_bars",
+    "kafka_roundtrip_ticks",
+    # --- ROTATION: the 36 queries whose last driver row predates r3
+    # (r1/r2 rows only). All pass the local all-89 parity suite; this
+    # refreshes their driver-artifact ground truth (r3 verdict next-step
+    # #1). TPC-H family first (oldest rows, r1).
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "top_customers_by_revenue",
+    "brand_revenue",
+    "order_priority_counts",
+    "revenue_rollup",
+    "customers_without_orders",
+    # ANN ladder rungs (r1/r2 rows)
+    "ann_brute_force_topk",
+    "ann_brute_force_topk_np",
+    "ann_lsh_bucketed_topk",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_multiprobe_topk",
+    "embedding_near_dup_pairs",
+    # text / dedup ops (r1/r2 rows)
+    "text_stats",
+    "quality_score",
+    "token_counts",
+    "bpe_token_counts",
+    "language_id",
+    "lang_vocab",
+    "tfidf_top_terms",
+    "doc_fingerprints",
+    "exact_dedup",
+    "simhash_fingerprints",
+    "dataset_splits",
+    "stratified_sample",
+    "mixture_sample",
+    # serving / storage / analytics / multimodal (r1/r2 rows)
+    "storage_roundtrip",
+    "notable_days",
+    "price_histogram",
+    "simulated_ticks",
+    "health_counts",
+    "multimodal_features",
+    "frame_samples",
+    # ==== 50-entry window boundary (everything below is r3-green with
+    # unchanged code — aging out is safe; the local parity suite still
+    # covers all of them every round) ====
+    "latest_bars",
     "sliding_bars",
     "session_bars",
     "hourly_bars_rollup",
     "gapfill_bars",
     "vwap_bars",
-    "streaming_ohlcv_bars",
-    "kafka_roundtrip_ticks",
     "rolling_stats",
     "ema_ticks",
     "time_range_stats",
-    "mover_window_ticks",
-    # --- never received a CORRECTNESS row in ANY round (r1 blocked on the
-    # scan error, r2 aged out past the 50-entry cap) — first-ever verdicts
     "top_bars_per_day",
     "price_cardinality",
     "hourly_symbol_pivot",
-    # --- new round-3 registrations (above the proven-green tail) ---
-    "packed_sequences",
-    "temperature_mixture_sample",
     "curation_funnel",
-    "winnowed_fingerprints",
     "streaming_session_bars",
     "packing_stats",
     "source_token_stats",
     "streaming_running_bars",
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
-    # --- r2-green whose CODE CHANGED in r3 (adjacent_ngrams rewrite of
-    # shingles/bigrams, kgram zip_with ladder) — regression risk, gated
     "jaccard_top_pairs",
-    "dup_groups",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "simhash_near_dups",
@@ -1184,11 +1232,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "contamination_overlap",
     "rolling_fingerprints",
     "fingerprint_match_pairs",
-    # --- r2-green, unchanged code, highest-coverage representatives of
-    # each remaining family (serving, streaming, storage, analytics)
     "symbols",
     "latest_ticks",
-    "movers",
     "latest_tick_per_symbol",
     "ticks_asof_bars",
     "streaming_dedup_ticks",
@@ -1197,33 +1242,6 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stats_summary",
     "json_decode_ticks",
     "dlq_failed_events",
-    "storage_roundtrip",
-    # below this line: lowest-stakes remainder (green in a prior round,
-    # code unchanged) — first to age out of the 50-entry gate window
-    "notable_days",
-    "price_histogram",
-    "simulated_ticks",
-    "health_counts",
-    "dataset_splits",
-    "multimodal_features",
-    "frame_samples",
-    "ann_ivf_topk",
-    "ann_lsh_bucketed_topk",
-    "embedding_near_dup_pairs",
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_multiprobe_topk",
-    "tfidf_top_terms",
-    "stratified_sample",
-    "mixture_sample",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "top_customers_by_revenue",
-    "brand_revenue",
-    "order_priority_counts",
-    "q6_forecast_revenue",
-    "revenue_rollup",
-    "customers_without_orders",
 )
 
 

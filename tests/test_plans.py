@@ -352,3 +352,38 @@ def test_temperature_mixture_broadcasts_quotas(spark):
     df = temperature_mixture(docs, total=100)
     P.assert_broadcast_join(df, min_count=1)
     P.assert_no_cartesian(df)
+
+
+def test_decoded_stats_no_shuffle_beyond_fanout(spark):
+    """The multimodal encode→decode chain is per-row compute: the only
+    exchange allowed is fan_out's round-robin (local[32] single-file
+    parallelism guard) — a hash shuffle here would mean the codec path
+    grew a grouping it doesn't need."""
+    from stockpulse_batch_realtime_etl_spark.operators import multimodal
+
+    docs = load_table(spark, SF, "documents")
+    df = multimodal.decoded_stats(multimodal.encode_assets(docs))
+    plan = P.simple_plan(df)
+    assert "hashpartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan  # the fan_out round-robin only
+    P.assert_no_cartesian(df)
+
+
+def test_recall_report_broadcasts_everything(spark):
+    """recall@k inputs are O(Q*k) rows: the hit join and the 1-row total
+    must broadcast — a sort-merge join here would shuffle the (tiny)
+    result sets and pointlessly serialize the report stage."""
+    from stockpulse_batch_realtime_etl_spark.operators.similarity import (
+        recall_report,
+    )
+
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11)], "query_id long, cand_id long"
+    )
+    approx = {
+        "a": spark.createDataFrame([(1, 10)], "query_id long, cand_id long")
+    }
+    df = recall_report(truth, approx)
+    plan = P.simple_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    P.assert_broadcast_join(df)
