@@ -346,9 +346,10 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def resize_images(media: DataFrame, max_px: int = 256) -> DataFrame:
-    """Resize stub: passes payloads through ``mapInPandas`` unchanged but
-    stamps the target size — the real implementation replaces the identity
-    transform with a PIL resize inside the same batch loop."""
+    """Resize stub for OPAQUE payloads: passes bytes through ``mapInPandas``
+    unchanged but stamps the target size — PIL plugs into the same batch
+    loop for compressed formats.  :func:`resize_decoded` below is the REAL
+    resize for the uncompressed formats this module can decode itself."""
     import pandas as pd
 
     schema = "asset_id long, media_type string, content binary, target_px int"
@@ -360,6 +361,61 @@ def resize_images(media: DataFrame, max_px: int = 256) -> DataFrame:
             ].copy()
             out["target_px"] = max_px  # real path: PIL.Image.thumbnail here
             yield out
+
+    return media.mapInPandas(resize, schema)
+
+
+def resize_image_bytes(payload: bytes, max_px: int) -> bytes:
+    """REAL thumbnail of an uncompressed image: decode (BMP or PPM),
+    nearest-neighbor subsample so the longer edge is ≤ ``max_px``
+    (aspect-preserving, PIL.thumbnail semantics), re-encode as PPM.
+
+    Nearest-neighbor source index = ``floor(dst * src_dim / dst_dim)`` —
+    pure integer arithmetic, so a downstream consumer (or the DuckDB
+    oracle) can predict every output pixel from the input image exactly.
+    """
+    import numpy as np
+
+    d = decode_image_bytes(payload)
+    w, h = d["width"], d["height"]
+    # pure INTEGER arithmetic (no float scale): (w·max_px) // longer_edge —
+    # bit-identical to the SQL oracle's replay at any parameterization
+    edge = max(w, h)
+    if edge <= max_px:
+        nw, nh = w, h
+    else:
+        nw = max(1, (w * max_px) // edge)
+        nh = max(1, (h * max_px) // edge)
+    px = d["vals"].reshape(h, w, 3)
+    rows = (np.arange(nh, dtype=np.int64) * h) // nh
+    cols = (np.arange(nw, dtype=np.int64) * w) // nw
+    out = px[rows][:, cols].astype(np.uint8)
+    return b"P6\n%d %d\n255\n" % (nw, nh) + out.tobytes()
+
+
+def resize_decoded(media: DataFrame, max_px: int = 16) -> DataFrame:
+    """Real resize pipeline over uncompressed payloads: decode →
+    nearest-neighbor thumbnail → re-encode (PPM), inside one Arrow
+    ``mapInPandas`` pass.  Output payloads are themselves decodable, so
+    the whole chain composes with :func:`decoded_stats` for end-to-end
+    verification."""
+    import pandas as pd
+
+    schema = "asset_id long, format string, content binary"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = pdf[pdf["format"] != "wav"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": imgs["asset_id"],
+                    "format": "ppm",
+                    "content": [
+                        resize_image_bytes(bytes(b), max_px)
+                        for b in imgs["content"]
+                    ],
+                }
+            )
 
     return media.mapInPandas(resize, schema)
 

@@ -2124,3 +2124,61 @@ def q_streaming_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics.percentile_summary(
         run_metrics_probe(spark, sf_dir), "num_input_rows"
     )
+
+
+#: REAL resize rung: decode → nearest-neighbor thumbnail (longer edge ≤ 8,
+#: integer floor sampling) → re-encode PPM → decode again for stats.  Every
+#: resized pixel is v(src_idx) with src_idx = ((r·h//nh)·w + (c·w//nw))·3+ch
+#: — pure integer arithmetic the oracle replays without touching bytes; the
+#: weighted checksum pins the resized ORDER, so a transposed or unflipped
+#: thumbnail fails the gate.
+@register(
+    "multimodal_resized_stats",
+    oracle="""
+WITH imgs AS (
+  SELECT doc_id AS asset_id,
+         CAST(4 + doc_id % 13 AS INT) AS w,
+         CAST(4 + doc_id % 11 AS INT) AS h
+  FROM documents WHERE doc_id % 3 != 2
+),
+dims AS (
+  SELECT asset_id, w, h,
+         CASE WHEN greatest(w, h) <= 8 THEN w
+              ELSE greatest(1, (w * 8) // greatest(w, h)) END AS nw,
+         CASE WHEN greatest(w, h) <= 8 THEN h
+              ELSE greatest(1, (h * 8) // greatest(w, h)) END AS nh
+  FROM imgs
+),
+pos AS (
+  SELECT asset_id, w, h, nw, nh,
+         unnest(generate_series(0, nw * nh * 3 - 1)) AS p
+  FROM dims
+),
+v AS (
+  SELECT asset_id, nw, nh, p,
+         (7 * asset_id + 13 * (
+            ((p // (nw * 3)) * h // nh) * w * 3
+            + (((p % (nw * 3)) // 3) * w // nw) * 3
+            + p % 3
+         )) % 256 AS val
+  FROM pos
+)
+SELECT asset_id,
+       'ppm' AS format,
+       CAST(max(nw) AS INT) AS width,
+       CAST(max(nh) AS INT) AS height,
+       CAST(NULL AS INT) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_values,
+       CAST(sum(val) AS BIGINT) AS value_sum,
+       CAST(min(val) AS BIGINT) AS value_min,
+       CAST(max(val) AS BIGINT) AS value_max,
+       CAST(sum(val * (p + 1)) AS BIGINT) AS weighted_sum
+FROM v
+GROUP BY asset_id
+""",
+)
+def q_multimodal_resized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode → real nearest-neighbor resize → re-encode → decode:
+    the full uncompressed-codec chain, stats-verified end to end."""
+    assets = multimodal.encode_assets(load_table(spark, sf_dir, "documents"))
+    return multimodal.decoded_stats(multimodal.resize_decoded(assets, 8))

@@ -1138,6 +1138,7 @@ from stockpulse_batch_realtime_etl_spark import queries_ext  # noqa: E402,F401
 _GATE_PRIORITY: tuple[str, ...] = (
     # --- NEW round-4 registrations — never gated, highest information
     "multimodal_decoded_stats",
+    "multimodal_resized_stats",
     "ann_recall_report",
     "streaming_metrics_summary",
     # --- r3-green whose CODE CHANGED in r4 (winnowing ordkey widths,
@@ -1152,11 +1153,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "bar_summary",
     "mover_window_ticks",
     "movers",
-    # --- flagship continuity: entry()'s query + the two streaming/wire
-    # headliners keep a fresh row every round
+    # --- flagship continuity: entry()'s query + the streaming headliner
+    # keep a fresh row every round
     "ohlcv_bars",
     "streaming_ohlcv_bars",
-    "kafka_roundtrip_ticks",
     # --- ROTATION: the 36 queries whose last driver row predates r3
     # (r1/r2 rows only). All pass the local all-89 parity suite; this
     # refreshes their driver-artifact ground truth (r3 verdict next-step

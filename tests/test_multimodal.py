@@ -157,3 +157,52 @@ def test_decoded_stats_end_to_end(make_docs):
         assert r.weighted_sum == int(
             (v * np.arange(1, len(v) + 1, dtype=np.int64)).sum()
         )
+
+
+def test_resize_image_bytes_nearest_neighbor():
+    """2x downsample of a known 4x2 image picks rows {0,1→0}, cols by
+    floor(c*w/nw) — verify exact pixel selection and PPM re-encode."""
+    import numpy as np
+
+    # 4 wide, 2 tall, values 0..23 row-major RGB
+    vals = np.arange(24, dtype=np.uint8)
+    ppm = b"P6\n4 2\n255\n" + vals.tobytes()
+    out = multimodal.resize_image_bytes(ppm, 2)
+    d = multimodal.decode_image_bytes(out)
+    assert (d["width"], d["height"]) == (2, 1)
+    # nh=1: src_row = 0; nw=2: src_cols = (0*4//2, 1*4//2) = (0, 2)
+    exp = vals.reshape(2, 4, 3)[[0]][:, [0, 2]].reshape(-1)
+    assert np.array_equal(d["vals"], exp.astype(np.int64))
+    # no-op when already within bounds
+    same = multimodal.resize_image_bytes(ppm, 8)
+    assert np.array_equal(
+        multimodal.decode_image_bytes(same)["vals"], vals.astype(np.int64)
+    )
+
+
+def test_resize_decoded_composes_with_decoded_stats(make_docs):
+    import numpy as np
+
+    docs = make_docs([doc(i, f"text {i}") for i in range(6)])
+    assets = multimodal.encode_assets(docs)
+    out = {
+        r.asset_id: r
+        for r in multimodal.decoded_stats(
+            multimodal.resize_decoded(assets, 8)
+        ).collect()
+    }
+    assert set(out) == {0, 1, 3, 4}  # wavs (2, 5) dropped
+    for aid, r in out.items():
+        w, h = multimodal._image_dims(aid)
+        edge = max(w, h)
+        nw = w if edge <= 8 else max(1, w * 8 // edge)
+        nh = h if edge <= 8 else max(1, h * 8 // edge)
+        assert (r.width, r.height) == (nw, nh) and r.format == "ppm"
+        src = multimodal._synth_image_vals(aid, w, h).reshape(h, w, 3)
+        rows = (np.arange(nh, dtype=np.int64) * h) // nh
+        cols = (np.arange(nw, dtype=np.int64) * w) // nw
+        v = src[rows][:, cols].reshape(-1).astype(np.int64)
+        assert r.value_sum == int(v.sum()) and r.n_values == len(v)
+        assert r.weighted_sum == int(
+            (v * np.arange(1, len(v) + 1, dtype=np.int64)).sum()
+        )
