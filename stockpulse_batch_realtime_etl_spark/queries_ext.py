@@ -2182,3 +2182,96 @@ def q_multimodal_resized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full uncompressed-codec chain, stats-verified end to end."""
     assets = multimodal.encode_assets(load_table(spark, sf_dir, "documents"))
     return multimodal.decoded_stats(multimodal.resize_decoded(assets, 8))
+
+
+# --- PII detection / redaction ----------------------------------------------
+# The synthetic corpus carries no organic PII, so both gated queries compose
+# the deterministic, arithmetic-only injection first (pii.inject_synthetic_pii)
+# — the oracle replays the augmentation and the regex scan verbatim, making
+# the match/redact path real end-to-end rather than a trivially-zero scan.
+
+from stockpulse_batch_realtime_etl_spark.operators import pii
+
+_PII_AUG_CTE = """aug AS (
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 5 = 0
+              THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+              THEN ' 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                   || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+                   || CAST(doc_id % 100 AS VARCHAR)
+              ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+              THEN ' 555-' || lpad(CAST((doc_id * 3) % 1000 AS VARCHAR), 3, '0')
+                   || '-' || lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+              THEN ' ' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+                   || CAST(doc_id % 89 + 10 AS VARCHAR) || '-'
+                   || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+              ELSE '' END
+           AS text
+  FROM documents
+)"""
+
+_PII_COUNTS_SQL = ",\n    ".join(
+    f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{kind}"
+    for kind, pat, _ in pii.PII_PATTERNS
+)
+_PII_TOTAL_SQL = " + ".join(f"n_{kind}" for kind, _, _ in pii.PII_PATTERNS)
+
+
+@register(
+    "pii_scan",
+    oracle=f"""
+WITH {_PII_AUG_CTE},
+c AS (
+  SELECT doc_id, source,
+    {_PII_COUNTS_SQL}
+  FROM aug
+)
+SELECT doc_id, source, n_email, n_ipv4, n_ssn, n_phone,
+       {_PII_TOTAL_SQL} AS n_pii,
+       ({_PII_TOTAL_SQL}) > 0 AS has_pii
+FROM c
+""",
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII hit counts by kind (email/IPv4/SSN/phone)."""
+    return pii.pii_scan(
+        pii.inject_synthetic_pii(load_table(spark, sf_dir, "documents"))
+    )
+
+
+_PII_REDACT_SQL = "text"
+for _kind, _pat, _tok in pii.PII_PATTERNS:
+    _PII_REDACT_SQL = (
+        f"regexp_replace({_PII_REDACT_SQL}, '{_pat}', '{_tok}', 'g')"
+    )
+
+
+@register(
+    "pii_redact",
+    oracle=rf"""
+WITH {_PII_AUG_CTE},
+red AS (
+  SELECT doc_id,
+    CAST({" + ".join(f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in pii.PII_PATTERNS)} AS INT)
+      AS n_redactions,
+    {_PII_REDACT_SQL} AS rtext
+  FROM aug
+)
+SELECT doc_id, n_redactions,
+       md5(rtext) AS redacted_md5,
+       CAST(len(regexp_extract_all(rtext, '\[(EMAIL|IP|SSN|PHONE)\]')) AS INT)
+         AS n_placeholders
+FROM red
+""",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction report: span counts + md5 of the redacted text."""
+    return pii.pii_redact(
+        pii.inject_synthetic_pii(load_table(spark, sf_dir, "documents"))
+    )

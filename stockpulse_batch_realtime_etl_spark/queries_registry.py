@@ -1141,6 +1141,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_resized_stats",
     "ann_recall_report",
     "streaming_metrics_summary",
+    "pii_scan",
+    "pii_redact",
     # --- r3-green whose CODE CHANGED in r4 (winnowing ordkey widths,
     # largest-remainder temperature quotas, CC kernel refactor + auto
     # dispatch, pack_sequences cleanup, _window_filter view drop) —
