@@ -1134,3 +1134,106 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+# --- segment-level (line) dedup --------------------------------------------
+
+def doc_segments(docs: DataFrame, seg_len: int = 10) -> DataFrame:
+    """Non-overlapping ``seg_len``-token segments per document — the
+    "line" unit for C4-style line-level dedup, adapted to a corpus with no
+    newlines (on real corpora, swap the splitter for ``split(text, '\\n')``
+    and the rest of the pipeline is unchanged).  The trailing partial
+    segment is kept, so every token belongs to exactly one segment.
+
+    Shape: tokenization materialized in its OWN projection (the documented
+    interpreted-lambda pitfall: a non-cheap expression inlined into a HOF
+    lambda re-evaluates per element); the segment array is built with one
+    ``transform`` over a ``sequence`` of segment indices doing O(seg_len)
+    work each — O(tokens) per doc total — then posexploded.
+    """
+    toks = F.col("_toks")
+    nseg = F.ceil(F.size(toks) / F.lit(float(seg_len))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * seg_len + 1, seg_len)),
+    )
+    return (
+        fan_out(docs)
+        .select("doc_id", _norm_token_arr().alias("_toks"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.when(nseg > 0, segs).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("seg_idx", "segment"),
+        )
+        .filter(F.col("segment") != "")
+    )
+
+
+def boilerplate_segments(
+    docs: DataFrame, seg_len: int = 10, min_df: int = 2
+) -> DataFrame:
+    """Corpus-wide repeated segments: any segment appearing in ≥ ``min_df``
+    distinct documents (C4's "line appears in multiple pages" rule; in this
+    corpus the hits are segments shared between duplicated documents).
+
+    One explode + one hash aggregate; map-side combine collapses the
+    per-partition repeats before the shuffle, so the exchange carries
+    near-distinct (segment, doc) pairs.  At 100 TB, group on
+    ``md5(segment)`` instead to bound shuffle-row width — the gate keeps the
+    raw segment so the output is human-auditable.
+    """
+    return (
+        doc_segments(docs, seg_len)
+        .groupBy("segment")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_df)
+    )
+
+
+def segment_dedup_stats(
+    docs: DataFrame, seg_len: int = 10, min_df: int = 2
+) -> DataFrame:
+    """Per-document line-dedup report: segment counts, boilerplate fraction,
+    and the md5 of the cleaned text (boilerplate segments removed, original
+    order preserved) — the projection a C4-style cleaner would write.
+
+    Two inherent shuffles: (segment → document-frequency) and the regroup
+    by doc_id; the df table joins back on segment (hash join — boilerplate
+    sets are corpus-scale, not broadcastable at 100 TB).  Order restoration
+    is in-array (sort_array over (seg_idx, segment) structs), never a
+    window sort.
+    """
+    seg = doc_segments(docs, seg_len)
+    dfreq = seg.groupBy("segment").agg(
+        F.count_distinct("doc_id").alias("seg_df")
+    )
+    marked = seg.join(dfreq, "segment").withColumn(
+        "bp", F.col("seg_df") >= min_df
+    )
+    kept_struct = F.when(
+        ~F.col("bp"), F.struct("seg_idx", "segment")
+    )  # null when boilerplate → collect_list skips it
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(F.col("bp"), 1).otherwise(0)).alias("n_boilerplate"),
+        F.round(
+            F.sum(F.when(F.col("bp"), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("boilerplate_frac"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(kept_struct)),
+                    lambda s: s["segment"],
+                ),
+            )
+        ).alias("clean_md5"),
+    )

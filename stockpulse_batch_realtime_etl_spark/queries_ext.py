@@ -2275,3 +2275,82 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii.pii_redact(
         pii.inject_synthetic_pii(load_table(spark, sf_dir, "documents"))
     )
+
+
+# --- segment-level (line) dedup ---------------------------------------------
+
+_SEG_LEN = 10
+_SEG_MIN_DF = 2
+
+#: segments CTE: non-overlapping _SEG_LEN-token windows over the normalized
+#: token list (replays text.doc_segments; list_slice clamps at the tail the
+#: same way F.slice does).
+_SEG_CTE = (
+    NORM_TOKS_CTE
+    + f""",
+seg0 AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks) / {_SEG_LEN}.0) AS BIGINT))) AS si
+  FROM tl
+),
+segf AS (
+  SELECT doc_id, CAST(si AS INT) AS seg_idx,
+         array_to_string(
+           list_slice(toks, si * {_SEG_LEN} + 1, si * {_SEG_LEN} + {_SEG_LEN}),
+           ' ') AS segment
+  FROM seg0
+  WHERE array_to_string(
+          list_slice(toks, si * {_SEG_LEN} + 1, si * {_SEG_LEN} + {_SEG_LEN}),
+          ' ') != ''
+)
+"""
+)
+
+
+@register(
+    "boilerplate_segments",
+    oracle=f"""
+WITH {_SEG_CTE.lstrip()}
+SELECT segment,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences
+FROM segf
+GROUP BY segment
+HAVING count(DISTINCT doc_id) >= {_SEG_MIN_DF}
+""",
+)
+def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated {seg_len}-token segments (C4 line-dedup rule)."""
+    return text.boilerplate_segments(
+        load_table(spark, sf_dir, "documents"), _SEG_LEN, _SEG_MIN_DF
+    )
+
+
+@register(
+    "segment_dedup_stats",
+    oracle=f"""
+WITH {_SEG_CTE.lstrip()},
+dfreq AS (
+  SELECT segment, count(DISTINCT doc_id) AS seg_df FROM segf GROUP BY segment
+),
+mk AS (
+  SELECT s.doc_id, s.seg_idx, s.segment, d.seg_df >= {_SEG_MIN_DF} AS bp
+  FROM segf s JOIN dfreq d USING (segment)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+       round(CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+         AS boilerplate_frac,
+       md5(coalesce(
+         string_agg(CASE WHEN NOT bp THEN segment END, ' ' ORDER BY seg_idx),
+         '')) AS clean_md5
+FROM mk
+GROUP BY doc_id
+""",
+)
+def q_segment_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate fraction + md5 of the line-deduped text."""
+    return text.segment_dedup_stats(
+        load_table(spark, sf_dir, "documents"), _SEG_LEN, _SEG_MIN_DF
+    )

@@ -1143,6 +1143,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "streaming_metrics_summary",
     "pii_scan",
     "pii_redact",
+    "boilerplate_segments",
+    "segment_dedup_stats",
     # --- r3-green whose CODE CHANGED in r4 (winnowing ordkey widths,
     # largest-remainder temperature quotas, CC kernel refactor + auto
     # dispatch, pack_sequences cleanup, _window_filter view drop) —

@@ -498,3 +498,56 @@ def test_source_token_stats_hand_computed(make_docs):
     y = out["Y"]
     assert (y.doc_count, y.token_count, y.vocab_size) == (1, 2, 1)
     assert y.top_token == "z" and y.top_token_share == 1.0
+
+
+# --- segment-level (line) dedup ---------------------------------------------
+
+class TestSegmentDedup:
+    def _docs(self, make_docs):
+        boiler = "all rights reserved contact us for terms"  # 7 tokens
+        return make_docs(
+            [
+                (1, "alpha beta gamma delta " + boiler, "en", "s", 0),
+                (2, "unique words entirely here " + boiler, "en", "s", 0),
+                (3, "another original document body text", "en", "s", 0),
+            ]
+        )
+
+    def test_doc_segments_partition_tokens(self, make_docs):
+        from stockpulse_batch_realtime_etl_spark.operators import text as t
+
+        d = make_docs([(1, "a b c d e f g", "en", "s", 0)])
+        segs = sorted(
+            (r.seg_idx, r.segment) for r in t.doc_segments(d, 3).collect()
+        )
+        assert segs == [(0, "a b c"), (1, "d e f"), (2, "g")]  # trailing partial kept
+
+    def test_boilerplate_detection(self, make_docs):
+        from stockpulse_batch_realtime_etl_spark.operators import text as t
+
+        # seg_len=4: docs 1 and 2 share their trailing segments only if the
+        # boilerplate aligns on the same 4-token boundaries — both prefixes
+        # are 4 tokens, so the shared suffix segments line up exactly.
+        bp = t.boilerplate_segments(self._docs(make_docs), 4, 2).collect()
+        segs = {r.segment for r in bp}
+        assert "all rights reserved contact" in segs
+        assert all(r.n_docs == 2 for r in bp)
+
+    def test_segment_dedup_stats_fraction_and_clean_text(self, make_docs):
+        import hashlib
+
+        from stockpulse_batch_realtime_etl_spark.operators import text as t
+
+        rows = {
+            r.doc_id: r
+            for r in t.segment_dedup_stats(self._docs(make_docs), 4, 2).collect()
+        }
+        # doc 3 has no boilerplate: fraction 0, clean text = full text
+        assert rows[3].n_boilerplate == 0
+        assert rows[3].clean_md5 == hashlib.md5(
+            b"another original document body text"
+        ).hexdigest()
+        # docs 1-2: trailing two segments (7 boilerplate tokens → segs 1,2) flagged
+        assert rows[1].n_segments == 3 and rows[1].n_boilerplate == 2
+        assert rows[1].boilerplate_frac == round(2 / 3, 4)
+        assert rows[1].clean_md5 == hashlib.md5(b"alpha beta gamma delta").hexdigest()
