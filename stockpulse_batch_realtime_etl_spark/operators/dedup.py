@@ -552,3 +552,38 @@ def dup_groups(
             ),
         )
     )
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    num_hashes: int = 12,
+    band_size: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """Quality-aware canonical selection: one survivor per near-dup group,
+    chosen by highest :func:`~...text.quality_score` (ties → lowest doc_id)
+    — the curation policy real pipelines use instead of keep-min ("of the k
+    copies, keep the best-written one").
+
+    Composes :func:`dup_groups` (minhash-LSH + connected components) with
+    the quality scorer, then reduces each group in ONE map-side-combinable
+    aggregate: ``max_by(doc_id, (quality, -doc_id))`` — no window sort, no
+    per-group row shuffle beyond the single groupBy exchange.
+    """
+    from stockpulse_batch_realtime_etl_spark.operators.text import (
+        quality_score,
+    )
+
+    groups = dup_groups(docs, num_hashes, band_size, n).select(
+        "doc_id", "group_id"
+    )
+    q = quality_score(docs).select("doc_id", "quality")
+    j = groups.join(q, "doc_id")
+    ordkey = F.struct(
+        F.col("quality").alias("q"), (-F.col("doc_id")).alias("nd")
+    )
+    return j.groupBy("group_id").agg(
+        F.max_by("doc_id", ordkey).alias("survivor_doc_id"),
+        F.count(F.lit(1)).alias("group_size"),
+        F.max_by("quality", ordkey).alias("survivor_quality"),
+    )

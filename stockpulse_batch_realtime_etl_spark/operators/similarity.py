@@ -810,3 +810,62 @@ def recall_report(truth: DataFrame, approx: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+# --- semantic deduplication (SemDeDup) ---------------------------------------
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    ncells: int = 8,
+    iters: int = 2,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    embedding space, then within each cluster drop every vector that is
+    ≥ ``threshold`` cosine-similar to a LOWER-id vector in the same cluster
+    (deterministic keep-lowest policy — the paper keeps an arbitrary
+    exemplar; lowest id makes the output a pure function of the input).
+
+    Returns (vec_id, cell, is_kept) for the whole corpus — the keep-list a
+    training pipeline feeds into its reader.
+
+    Scale shape: clustering makes the near-dup search LOCAL — the pairwise
+    scoring self-joins on cell, so the candidate space is Σ|cell|², never
+    |corpus|² (SemDeDup's entire point; same family as the LSH/IVF bucket
+    joins above).  The assignment table is localCheckpoint'd because three
+    plan references follow (both self-join sides + the keep-list join);
+    at cluster scale that's a persist-to-storage, and skewed giant cells
+    would get the AQE skew-join treatment documented in SCALE.md.
+    """
+    cent = kmeans_centroids(embeddings, ncells, iters)
+    vecs = fan_out(embeddings).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    assigned = _assign_cells(vecs, cent).localCheckpoint()
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("dup_id"),
+            _cos_precomputed(
+                F.col("a.embedding"),
+                F.col("b.embedding"),
+                F.col("a.nrm"),
+                F.col("b.nrm"),
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("dup_id")
+        .distinct()
+    )
+    return assigned.join(
+        dups, assigned["vec_id"] == dups["dup_id"], "left"
+    ).select(
+        "vec_id",
+        "cell",
+        F.col("dup_id").isNull().alias("is_kept"),
+    )

@@ -602,10 +602,12 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_ivf_oracle(ncells: int, iters: int, k: int) -> str:
-    """Unrolled spherical-k-means IVF replay: c0 = seed centroids, then per
-    round sN (round-6 cosine scores) → aN (argmax cell) → cN (round-9
-    element-wise means); final assignment + cell-restricted search."""
+def _kmeans_assign_parts(ncells: int, iters: int) -> list[str]:
+    """CTE chain replaying kmeans_centroids + final assignment: long-form
+    embeddings ``e``, seed centroids ``c0``, per round sN (round-6 cosine
+    scores) → aN (argmax cell) → cN (round-9 element-wise means), ending at
+    ``af`` = (vec_id, cell).  Shared by the IVF-kmeans search oracle and
+    the SemDeDup oracle."""
     parts = [
         """e AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -650,6 +652,13 @@ def _kmeans_ivf_oracle(ncells: int, iters: int, k: int) -> str:
     FROM sf
   ) WHERE rn = 1
 )""")
+    return parts
+
+
+def _kmeans_ivf_oracle(ncells: int, iters: int, k: int) -> str:
+    """Unrolled spherical-k-means IVF replay: the shared assignment chain +
+    cell-restricted search."""
+    parts = _kmeans_assign_parts(ncells, iters)
     qids = ", ".join(map(str, _QUERY_IDS))
     parts.append(f"""scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
@@ -2353,4 +2362,129 @@ def q_segment_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc boilerplate fraction + md5 of the line-deduped text."""
     return text.segment_dedup_stats(
         load_table(spark, sf_dir, "documents"), _SEG_LEN, _SEG_MIN_DF
+    )
+
+
+# --- semantic deduplication (SemDeDup) ---------------------------------------
+
+#: Sits just above the p99 of the within-cell cosine distribution of the
+#: synthetic embeddings (p99≈0.334, max≈0.513), so the drop set is the true
+#: near-dup tail (~1-5% of the corpus), not a mass cull.  Real sentence
+#: embeddings run far tighter; SemDeDup production thresholds are ~0.95+.
+_SEMDEDUP_TAU = 0.35
+
+
+def _semantic_dedup_oracle(ncells: int, iters: int, tau: float) -> str:
+    """SemDeDup replay: shared kmeans assignment chain (→ af), then the
+    within-cell lower-id pair scan and the keep-list left join."""
+    parts = _kmeans_assign_parts(ncells, iters)
+    parts.append(f"""p AS (
+  SELECT b.vec_id AS dup_id,
+         round(sum(ae.x * be.x)
+               / (sqrt(sum(ae.x * ae.x)) * sqrt(sum(be.x * be.x))), 6)
+           AS cos_sim
+  FROM af a
+  JOIN af b ON b.cell = a.cell AND a.vec_id < b.vec_id
+  JOIN e ae ON ae.vec_id = a.vec_id
+  JOIN e be ON be.vec_id = b.vec_id AND be.d = ae.d
+  GROUP BY a.vec_id, b.vec_id
+  HAVING round(sum(ae.x * be.x)
+               / (sqrt(sum(ae.x * ae.x)) * sqrt(sum(be.x * be.x))), 6)
+         >= {tau}
+)""")
+    parts.append("dups AS (SELECT DISTINCT dup_id FROM p)")
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        "SELECT a.vec_id, a.cell, d.dup_id IS NULL AS is_kept\n"
+        "FROM af a LEFT JOIN dups d ON d.dup_id = a.vec_id"
+    )
+
+
+@register(
+    "semantic_dedup",
+    oracle=_semantic_dedup_oracle(_NCELLS, 2, _SEMDEDUP_TAU),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-list: kmeans cells + within-cell cosine near-dup drop."""
+    return similarity.semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), _NCELLS, 2, _SEMDEDUP_TAU
+    )
+
+
+# --- quality-aware dedup survivor selection ----------------------------------
+
+#: quality formula replay (identical to the quality_score oracle), as a CTE
+#: fragment ending in q(doc_id, quality).
+_QUALITY_CTES = rf"""stats AS (
+SELECT
+  doc_id,
+  len(string_split_regex(trim(text), '\s+')) AS token_count,
+  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS distinct_tokens,
+  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        / nullif(length(text), 0), 4) AS alpha_ratio,
+  round(len(list_filter(string_split_regex(trim(text), '\s+'),
+                        t -> list_contains({_STOP_SQL}, t)))
+        / nullif(len(string_split_regex(trim(text), '\s+')), 0), 4) AS stopword_ratio
+FROM documents
+),
+q AS (
+SELECT doc_id,
+  round(
+      CAST(0.25 AS DOUBLE) * least(greatest(token_count / CAST(50.0 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+    + CAST(0.25 AS DOUBLE) * least(greatest(alpha_ratio / CAST(0.8 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+    + CAST(0.25 AS DOUBLE) * least(greatest(stopword_ratio / CAST(0.1 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+    + CAST(0.25 AS DOUBLE) * least(greatest(distinct_tokens / nullif(token_count, 0) / CAST(0.5 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+  , 6) AS quality
+FROM stats
+)"""
+
+
+@register(
+    "dedup_survivors",
+    oracle=f"""
+WITH RECURSIVE {SIGS_CTE.lstrip()},
+bands AS (
+{_BAND_SELECTS}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM cands
+  UNION ALL SELECT doc_b, doc_a FROM cands
+),
+reach(doc_id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.doc_id = e.b
+),
+labels AS (
+  SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, min(r) AS group_id FROM reach GROUP BY doc_id) c
+    ON c.doc_id = d.doc_id
+),
+{_QUALITY_CTES},
+j AS (
+  SELECT l.group_id, l.doc_id, q.quality
+  FROM labels l JOIN q ON q.doc_id = l.doc_id
+)
+SELECT group_id, doc_id AS survivor_doc_id, group_size, quality AS survivor_quality
+FROM (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY group_id ORDER BY quality DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY group_id) AS group_size
+  FROM j
+) WHERE rn = 1
+""",
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-quality survivor per minhash-LSH near-dup group."""
+    return dedup.dedup_survivors(
+        load_table(spark, sf_dir, "documents"), NUM_HASHES, BAND_SIZE, 3
     )

@@ -1145,6 +1145,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "pii_redact",
     "boilerplate_segments",
     "segment_dedup_stats",
+    "semantic_dedup",
+    "dedup_survivors",
     # --- r3-green whose CODE CHANGED in r4 (winnowing ordkey widths,
     # largest-remainder temperature quotas, CC kernel refactor + auto
     # dispatch, pack_sequences cleanup, _window_filter view drop) —

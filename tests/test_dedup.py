@@ -195,3 +195,41 @@ def test_dup_groups_methods_identical(make_docs):
     a = {tuple(r) for r in dup_groups(docs, method="min_label").collect()}
     b = {tuple(r) for r in dup_groups(docs, method="star").collect()}
     assert a == b
+
+
+# --- quality-aware survivor selection ----------------------------------------
+
+def test_dedup_survivors_picks_best_quality(make_docs):
+    # docs 1/2 are near-dups (one LSH group); doc 2 is longer and richer →
+    # higher quality_score, so it must beat the keep-min policy.
+    rich = (
+        "the quick brown fox jumps over the lazy dog and it is a fine day "
+        "in the green field where the animals play and the sun is warm"
+    )
+    d = make_docs(
+        [
+            doc(1, "the quick brown fox jumps over the lazy dog and it is"),
+            doc(2, rich + " the quick brown fox jumps over the lazy dog and it is"),
+            doc(3, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm"),
+        ]
+    )
+    from stockpulse_batch_realtime_etl_spark.operators.text import quality_score
+
+    qual = {r.doc_id: r.quality for r in quality_score(d).collect()}
+    out = {r.group_id: r for r in dedup.dedup_survivors(d).collect()}
+    merged = [r for r in out.values() if r.group_size > 1]
+    if merged:  # docs 1/2 band-collide (expected with these shingles)
+        g = merged[0]
+        assert g.survivor_doc_id == 2          # higher quality wins over lower id
+        assert g.survivor_quality == qual[2] > qual[1]
+    # every doc accounted for exactly once across groups
+    assert sum(r.group_size for r in out.values()) == 3
+
+
+def test_dedup_survivors_tie_breaks_to_lowest_id(make_docs):
+    # exact duplicates → identical quality → lowest doc_id survives
+    same = "the quick brown fox jumps over the lazy dog again and again"
+    d = make_docs([doc(7, same), doc(4, same), doc(9, same)])
+    out = dedup.dedup_survivors(d).collect()
+    assert len(out) == 1
+    assert out[0].survivor_doc_id == 4 and out[0].group_size == 3

@@ -250,3 +250,45 @@ def test_recall_report_counts_hits_and_zero_methods(spark):
     assert rows["good"].recall_at_k == 0.75
     # zero-hit method still reports (doesn't vanish from the join)
     assert rows["dead"].hits == 0 and rows["dead"].recall_at_k == 0.0
+
+
+# --- SemDeDup ----------------------------------------------------------------
+
+class TestSemanticDedup:
+    def test_keep_lowest_within_cluster(self, spark):
+        # two tight clusters along different axes; ncells=2 seeds from
+        # vec_id 0 and 1, which sit in different clusters
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),
+            (1, [0.0, 1.0, 0.0, 0.0], 1),
+            (2, [1.0, 0.01, 0.0, 0.0], 0),   # ~dup of 0
+            (3, [0.0, 1.0, 0.01, 0.0], 1),   # ~dup of 1
+            (4, [0.0, 0.02, 1.0, 0.0], 1),   # own direction, lands w/ cluster of 1? no: cos small
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = {
+            r.vec_id: r
+            for r in similarity.semantic_dedup(emb, ncells=2, iters=1, threshold=0.95).collect()
+        }
+        assert out[0].is_kept and out[1].is_kept       # cluster minima survive
+        assert not out[2].is_kept                      # dominated by 0
+        assert not out[3].is_kept                      # dominated by 1
+        assert out[4].is_kept                          # nothing ≥0.95-similar
+        assert len(out) == 5                           # whole corpus covered
+
+    def test_threshold_one_keeps_non_identical(self, spark):
+        rows = [
+            (0, [1.0, 0.0], 0),
+            (1, [1.0, 0.0], 0),     # exact dup → cos 1.0
+            (2, [0.9, 0.1], 0),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = {
+            r.vec_id: r.is_kept
+            for r in similarity.semantic_dedup(emb, ncells=1, iters=1, threshold=1.0).collect()
+        }
+        assert out == {0: True, 1: False, 2: True}
