@@ -387,3 +387,51 @@ def test_recall_report_broadcasts_everything(spark):
     plan = P.simple_plan(df)
     assert "SortMergeJoin" not in plan, plan
     P.assert_broadcast_join(df)
+
+
+def test_pii_scan_is_shuffle_free_codegen(spark):
+    from stockpulse_batch_realtime_etl_spark.operators import pii
+
+    docs = load_table(spark, SF, "documents")
+    df = pii.pii_scan(pii.inject_synthetic_pii(docs))
+    # pure per-row regex projection: nothing but the fan_out exchange
+    assert P.count_exchanges(df) <= 1, P.simple_plan(df)
+    P.assert_whole_stage_codegen(df)
+    red = pii.pii_redact(pii.inject_synthetic_pii(docs))
+    assert P.count_exchanges(red) <= 1, P.simple_plan(red)
+
+
+def test_segment_dedup_two_shuffle_budget(spark):
+    docs = load_table(spark, SF, "documents")
+    # df-count + regroup-by-doc (+ fan_out, + the join's second branch of the
+    # SAME exploded table): segment-keyed exchanges, never a cartesian
+    df = text.segment_dedup_stats(docs)
+    P.assert_no_cartesian(df)
+    plan = P.simple_plan(df)
+    assert "Window" not in plan, plan  # order restored in-array, not window sort
+    bp = text.boilerplate_segments(docs)
+    # explode → count_distinct's two-phase expansion: partial dedup keyed on
+    # (segment, doc_id), then the (segment) aggregate — both map-side
+    # combined — plus the fan_out exchange.  3 total, none row-fanning.
+    assert P.count_exchanges(bp) <= 3, P.simple_plan(bp)
+
+
+def test_semantic_dedup_joins_on_cell_no_cartesian(spark):
+    from stockpulse_batch_realtime_etl_spark.operators import similarity
+
+    emb = load_table(spark, SF, "embeddings")
+    df = similarity.semantic_dedup(emb, 4, 1, 0.5)
+    P.assert_no_cartesian(df)
+    plan = P.simple_plan(df)
+    # pair scan must be an equi-join on cell (bucketed candidate space)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_dedup_survivors_single_aggregate_no_window(spark):
+    from stockpulse_batch_realtime_etl_spark.operators import dedup
+
+    docs = load_table(spark, SF, "documents")
+    df = dedup.dedup_survivors(docs)
+    plan = P.simple_plan(df)
+    assert "Window" not in plan, plan  # max_by aggregate, not a window sort
+    P.assert_no_cartesian(df)
