@@ -433,3 +433,52 @@ def symbol_correlations(bars: DataFrame) -> DataFrame:
         n.alias("aligned_minutes"),
         F.round(corr, 6).alias("close_corr"),
     ).orderBy("sym_a", "sym_b")
+
+
+# --- event-log sessionization -----------------------------------------------
+
+def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization of the raw event log: a new session starts
+    when a user is idle longer than ``gap_minutes``.  Classic event
+    analytics (the batch twin of streaming ``session_window``), plus JSON
+    property extraction (``props.k``) — the one surface that parses the
+    events table's JSON payload column.
+
+    Plan: ONE shuffle on user_id; the lag/running-sum window and the
+    per-(user, session) aggregate both consume the same hash partitioning
+    (clustering on user_id satisfies the groupBy's (user_id, session_id)
+    distribution), so Catalyst plans no second exchange.  Per-task state is
+    one user's event stream — 1000 executors sessionize 1000×.
+
+    Determinism: gap arithmetic in epoch-µs (NTZ-proof via ts_micros);
+    the double `value` sum is rounded-then-DECIMAL-summed so float order
+    can never flip the gate hash; ordering ties broken by event_id.
+    """
+    from stockpulse_batch_realtime_etl_spark.functions.scalars import ts_micros
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = ts_micros(F.col("ts"))
+    new_s = F.when(
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > gap_us),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.round(F.col("value"), 8).cast("decimal(20,8)").alias("v"),
+    ).withColumn("session_id", F.sum(new_s).over(run))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_type").alias("n_event_types"),
+        F.round(F.sum("v").cast("double"), 4).alias("total_value"),
+        F.sum("k").alias("k_sum"),
+    )

@@ -1237,3 +1237,92 @@ def segment_dedup_stats(
             )
         ).alias("clean_md5"),
     )
+
+
+# --- RAG-style overlapping chunking -----------------------------------------
+
+def chunked_windows(
+    docs: DataFrame, width: int = 16, stride: int = 8
+) -> DataFrame:
+    """Overlapping token windows for retrieval/embedding pipelines: chunks
+    start at 0, stride, 2·stride, … while the start is inside the document;
+    each spans ``width`` tokens (the tail chunks are shorter).  The md5
+    stands in for the chunk text through the gate; ``n_chunk_tokens`` is
+    derived arithmetically (``min(width, n_tokens − start)``), not by
+    re-splitting.
+
+    Same single-projection shape as :func:`doc_segments`: tokens
+    materialized once, chunk array built by one ``transform`` doing
+    O(width) work per chunk, posexploded — no shuffle at all.
+    """
+    toks = F.col("_toks")
+    n_tok = F.size(toks)
+    nst = F.ceil(n_tok / F.lit(float(stride))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nst - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1, width)),
+    )
+    return (
+        fan_out(docs)
+        .select("doc_id", _norm_token_arr().alias("_toks"))
+        .select(
+            "doc_id",
+            n_tok.alias("_ntok"),
+            F.posexplode(
+                F.when(nst > 0, chunks).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+        .filter(F.col("chunk") != "")
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.least(
+                F.lit(width), F.col("_ntok") - F.col("chunk_idx") * stride
+            ).alias("n_chunk_tokens"),
+            F.md5("chunk").alias("chunk_md5"),
+        )
+    )
+
+
+# --- per-source distribution drift ------------------------------------------
+
+def source_kl_divergence(docs: DataFrame) -> DataFrame:
+    """Token-distribution drift per source: KL(p_source ‖ p_corpus) over
+    unigram distributions — the mixture-monitoring statistic that flags a
+    source whose vocabulary usage diverges from the blend (scraper breakage,
+    language shift, template spam).
+
+    Every source token is by construction in the corpus distribution, so no
+    smoothing term.  Cross-engine parity uses the bigram-LM recipe: each
+    per-type term p_s·ln(p_s/p_c) rounds to 8 dp FIRST, sums exactly as
+    DECIMAL (order-independent), final round 6 dp.
+
+    Plan: explode once → (source, token) hash aggregate; corpus-level
+    counts derive FROM that table (no second text scan); the per-source
+    totals and the corpus total are tiny aggregates that broadcast back.
+    """
+    base = (
+        fan_out(docs)
+        .select("source", F.explode(_norm_token_arr()).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+    )
+    ct = base.groupBy("token").agg(F.sum("c_st").alias("c_t"))
+    ns = base.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    tot = base.agg(F.sum("c_st").alias("n_total"))
+    p_s = F.col("c_st") / F.col("n_s")
+    p_c = F.col("c_t") / F.col("n_total")
+    term = F.round(p_s * F.log(p_s / p_c), 8).cast("decimal(20,8)")
+    joined = (
+        base.join(ct, "token")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    return joined.groupBy("source").agg(
+        F.max("n_s").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.sum(term).cast("double"), 6).alias("kl_divergence"),
+    )

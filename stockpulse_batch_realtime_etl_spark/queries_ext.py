@@ -2488,3 +2488,121 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_survivors(
         load_table(spark, sf_dir, "documents"), NUM_HASHES, BAND_SIZE, 3
     )
+
+
+# --- RAG chunking / distribution drift / sessionization ----------------------
+
+_CHUNK_W, _CHUNK_S = 16, 8
+
+
+@register(
+    "chunked_windows",
+    oracle=rf"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ntext
+  FROM documents
+),
+tl AS (SELECT doc_id, string_split(ntext, ' ') AS toks FROM norm),
+c0 AS (
+  SELECT doc_id, toks, len(toks) AS ntok,
+         unnest(range(0, CAST(ceil(len(toks) / {_CHUNK_S}.0) AS BIGINT))) AS si
+  FROM tl
+),
+ch AS (
+  SELECT doc_id, CAST(si AS INT) AS chunk_idx,
+         CAST(least({_CHUNK_W}, ntok - si * {_CHUNK_S}) AS INT) AS n_chunk_tokens,
+         array_to_string(
+           list_slice(toks, si * {_CHUNK_S} + 1, si * {_CHUNK_S} + {_CHUNK_W}),
+           ' ') AS chunk
+  FROM c0
+)
+SELECT doc_id, chunk_idx, n_chunk_tokens, md5(chunk) AS chunk_md5
+FROM ch WHERE chunk != ''
+""",
+)
+def q_chunked_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token windows (width 16, stride 8) for RAG pipelines."""
+    return text.chunked_windows(
+        load_table(spark, sf_dir, "documents"), _CHUNK_W, _CHUNK_S
+    )
+
+
+@register(
+    "source_kl_divergence",
+    oracle=r"""
+WITH norm AS (
+  SELECT source, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ntext
+  FROM documents
+),
+tok AS (
+  SELECT source, token FROM (
+    SELECT source, unnest(string_split(ntext, ' ')) AS token FROM norm
+  ) WHERE token != ''
+),
+base AS (SELECT source, token, count(*) AS c_st FROM tok GROUP BY 1, 2),
+ct AS (SELECT token, sum(c_st) AS c_t FROM base GROUP BY 1),
+ns AS (SELECT source, sum(c_st) AS n_s FROM base GROUP BY 1),
+tot AS (SELECT sum(c_st) AS n_total FROM base),
+terms AS (
+  SELECT b.source, ns.n_s,
+         CAST(round((b.c_st / CAST(ns.n_s AS DOUBLE))
+               * ln((b.c_st / CAST(ns.n_s AS DOUBLE))
+                    / (ct.c_t / CAST(tot.n_total AS DOUBLE))), 8)
+              AS DECIMAL(20,8)) AS term
+  FROM base b
+  JOIN ct USING (token)
+  JOIN ns USING (source), tot
+)
+SELECT source,
+       CAST(max(n_s) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(CAST(sum(term) AS DOUBLE), 6) AS kl_divergence
+FROM terms GROUP BY source
+""",
+)
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(p_source ‖ p_corpus) unigram drift per source."""
+    return text.source_kl_divergence(load_table(spark, sf_dir, "documents"))
+
+
+_SESSION_GAP_MIN = 30
+
+
+@register(
+    "user_sessions",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(json_extract(props, '$.k') AS INT) AS k,
+         CAST(round(value, 8) AS DECIMAL(20,8)) AS v,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > {_SESSION_GAP_MIN * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(new_s) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS session_id
+  FROM e
+)
+SELECT user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types,
+       round(CAST(sum(v) AS DOUBLE), 4) AS total_value,
+       CAST(sum(k) AS BIGINT) AS k_sum
+FROM s GROUP BY user_id, session_id
+""",
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the raw event log (30-min idle gap)."""
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        user_sessions,
+    )
+
+    return user_sessions(load_table(spark, sf_dir, "events"), _SESSION_GAP_MIN)

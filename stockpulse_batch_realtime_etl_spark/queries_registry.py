@@ -1147,6 +1147,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "segment_dedup_stats",
     "semantic_dedup",
     "dedup_survivors",
+    "chunked_windows",
+    "source_kl_divergence",
+    "user_sessions",
     # --- r3-green whose CODE CHANGED in r4 (winnowing ordkey widths,
     # largest-remainder temperature quotas, CC kernel refactor + auto
     # dispatch, pack_sequences cleanup, _window_filter view drop) —

@@ -167,3 +167,56 @@ def test_symbol_correlations_perfect_and_anti(make_ticks):
     assert rows[("A", "B")].close_corr == 1.0
     assert rows[("A", "C")].close_corr == -1.0
     assert rows[("A", "B")].aligned_minutes == 5
+
+
+# --- sessionization ----------------------------------------------------------
+
+def test_user_sessions_gap_split(spark):
+    import datetime as dt
+
+    rows = [
+        # user 1: two events 5 min apart (one session), then 40-min gap
+        (1, dt.datetime(2024, 1, 15, 12, 0, 0), 100, "view", 1.0, '{"k": 2}'),
+        (2, dt.datetime(2024, 1, 15, 12, 5, 0), 100, "click", 2.0, '{"k": 3}'),
+        (3, dt.datetime(2024, 1, 15, 12, 45, 0), 100, "view", 4.0, '{"k": 5}'),
+        # user 2: single event
+        (4, dt.datetime(2024, 1, 15, 12, 1, 0), 200, "view", 8.0, '{"k": 7}'),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        user_sessions,
+    )
+
+    out = {(r.user_id, r.session_id): r for r in user_sessions(ev, 30).collect()}
+    assert set(out) == {(100, 1), (100, 2), (200, 1)}
+    s1 = out[(100, 1)]
+    assert s1.n_events == 2 and s1.n_event_types == 2
+    assert s1.total_value == 3.0 and s1.k_sum == 5
+    assert s1.session_start == dt.datetime(2024, 1, 15, 12, 0, 0)
+    assert s1.session_end == dt.datetime(2024, 1, 15, 12, 5, 0)
+    s2 = out[(100, 2)]
+    assert s2.n_events == 1 and s2.k_sum == 5 and s2.total_value == 4.0
+
+
+def test_user_sessions_exact_gap_is_same_session(spark):
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 15, 12, 0, 0), 1, "view", 1.0, '{"k": 0}'),
+        (2, dt.datetime(2024, 1, 15, 12, 30, 0), 1, "view", 1.0, '{"k": 0}'),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        user_sessions,
+    )
+
+    out = user_sessions(ev, 30).collect()
+    assert len(out) == 1 and out[0].n_events == 2  # gap is STRICTLY greater

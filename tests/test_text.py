@@ -551,3 +551,51 @@ class TestSegmentDedup:
         assert rows[1].n_segments == 3 and rows[1].n_boilerplate == 2
         assert rows[1].boilerplate_frac == round(2 / 3, 4)
         assert rows[1].clean_md5 == hashlib.md5(b"alpha beta gamma delta").hexdigest()
+
+
+# --- RAG chunking + KL drift -------------------------------------------------
+
+def test_chunked_windows_overlap_and_tail(make_docs):
+    from stockpulse_batch_realtime_etl_spark.operators import text as t
+    import hashlib
+
+    d = make_docs([(1, "a b c d e f g h i j", "en", "s", 0)])  # 10 tokens
+    rows = sorted(
+        (r.chunk_idx, r.n_chunk_tokens, r.chunk_md5)
+        for r in t.chunked_windows(d, width=4, stride=2).collect()
+    )
+    # starts 0,2,4,6,8 → chunks of 4,4,4,4,2 tokens
+    assert [(i, n) for i, n, _ in rows] == [(0, 4), (1, 4), (2, 4), (3, 4), (4, 2)]
+    assert rows[0][2] == hashlib.md5(b"a b c d").hexdigest()
+    assert rows[4][2] == hashlib.md5(b"i j").hexdigest()
+
+
+def test_source_kl_zero_for_identical_distributions(make_docs):
+    from stockpulse_batch_realtime_etl_spark.operators import text as t
+
+    # two sources with IDENTICAL token distributions → KL = 0 for both
+    d = make_docs(
+        [
+            (1, "x x y z", "en", "s1", 0),
+            (2, "x x y z", "en", "s2", 0),
+        ]
+    )
+    rows = {r.source: r for r in t.source_kl_divergence(d).collect()}
+    assert rows["s1"].kl_divergence == 0.0 and rows["s2"].kl_divergence == 0.0
+    assert rows["s1"].n_tokens == 4 and rows["s1"].n_types == 3
+
+
+def test_source_kl_positive_for_drift(make_docs):
+    from stockpulse_batch_realtime_etl_spark.operators import text as t
+    import math
+
+    # s1 = all 'x', s2 = all 'y' → p_s1(x)=1 vs p_c(x)=0.5 → KL = ln 2
+    d = make_docs(
+        [
+            (1, "x x x x", "en", "s1", 0),
+            (2, "y y y y", "en", "s2", 0),
+        ]
+    )
+    rows = {r.source: r.kl_divergence for r in t.source_kl_divergence(d).collect()}
+    assert rows["s1"] == pytest.approx(math.log(2), abs=1e-5)
+    assert rows["s2"] == pytest.approx(math.log(2), abs=1e-5)
