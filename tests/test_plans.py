@@ -435,3 +435,29 @@ def test_dedup_survivors_single_aggregate_no_window(spark):
     plan = P.simple_plan(df)
     assert "Window" not in plan, plan  # max_by aggregate, not a window sort
     P.assert_no_cartesian(df)
+
+
+def test_user_sessions_single_exchange(spark):
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        user_sessions,
+    )
+
+    ev = load_table(spark, SF, "events")
+    df = user_sessions(ev)
+    # window (lag + running sum) and the (user, session) groupBy share the
+    # user_id hash partitioning: exactly one Exchange in the whole plan
+    assert P.count_exchanges(df) == 1, P.simple_plan(df)
+
+
+def test_chunked_windows_shuffle_free(spark):
+    docs = load_table(spark, SF, "documents")
+    df = text.chunked_windows(docs)
+    assert P.count_exchanges(df) <= 1, P.simple_plan(df)  # fan_out only
+    P.assert_whole_stage_codegen(df)
+
+
+def test_source_kl_broadcasts_totals(spark):
+    docs = load_table(spark, SF, "documents")
+    df = text.source_kl_divergence(docs)
+    P.assert_no_cartesian(df)  # the 1-row total joins via broadcast
+    P.assert_broadcast_join(df, 2)  # per-source totals + corpus total

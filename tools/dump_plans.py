@@ -165,6 +165,39 @@ HEADLINERS: dict[str, str] = {
         "Packing yield rollup: one hash aggregate over the shard layout "
         "(n_shards rows out); ceil-division stays in integer arithmetic."
     ),
+    "pii_scan": (
+        "Shuffle-free compliance scan: four regexp_count calls in one "
+        "whole-stage-codegen projection over the pruned (doc_id, source, "
+        "text) read — the plan is scan → project, nothing else."
+    ),
+    "segment_dedup_stats": (
+        "C4 line dedup: count_distinct's two-phase expansion (partial dedup "
+        "on (segment, doc_id) then the segment aggregate), flag join keyed "
+        "on segment, one regroup by doc; cleaned-text order restored "
+        "in-array (sort_array of structs) — no Window operator anywhere."
+    ),
+    "semantic_dedup": (
+        "SemDeDup: the near-dup pair scan is an equi-join on the kmeans "
+        "cell — candidate space Sum |cell|^2, never corpus^2; the "
+        "checkpointed assignment table feeds both join sides and the "
+        "keep-list join without re-running the Lloyd rounds."
+    ),
+    "dedup_survivors": (
+        "Quality-aware survivor per dup group in ONE max_by((quality, "
+        "-doc_id)) hash aggregate — map-side combinable, no window sort, "
+        "composed directly over the CC label table."
+    ),
+    "user_sessions": (
+        "Sessionization in one exchange: the lag/running-sum window and the "
+        "(user, session) aggregate both consume the same user_id hash "
+        "partitioning — Catalyst plans no second shuffle."
+    ),
+    "source_kl_divergence": (
+        "Distribution drift from ONE text scan: corpus counts derive from "
+        "the (source, token) aggregate; per-source totals and the corpus "
+        "total broadcast back (tiny), so the only data-sized shuffle is the "
+        "first aggregate."
+    ),
 }
 
 
