@@ -84,11 +84,15 @@ def text_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
+def quality_score(docs: DataFrame, keep_stats: bool = False) -> DataFrame:
     """Composite quality score in [0,1] from text_stats features — a
     Gopher/C4-style heuristic filter: long enough, mostly alphabetic, some
     stopwords, lexically diverse.  Pure arithmetic over the stats projection
     (one pass; the weights are the operator's contract, asserted in tests).
+
+    ``keep_stats=True`` carries the token_count feature through, so a
+    downstream consumer (the percentile filter) gets score + features in
+    the same single pass instead of re-deriving them via a self-join.
     """
     s = text_stats(docs)
     clamp = lambda c: F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0))  # noqa: E731
@@ -101,7 +105,10 @@ def quality_score(docs: DataFrame) -> DataFrame:
     # 6dp, not the serving layer's 4dp: the 0.25-weighted components land on
     # a 5-decimal grid, so 4dp rounding hits exact .xxxx5 halves where
     # binary-float engines legitimately disagree; 6dp can't.
-    return s.select("doc_id", "lang", "source", F.round(score, 6).alias("quality"))
+    extra = ["token_count"] if keep_stats else []
+    return s.select(
+        "doc_id", "lang", "source", *extra, F.round(score, 6).alias("quality")
+    )
 
 
 def token_counts(docs: DataFrame) -> DataFrame:
@@ -1325,4 +1332,40 @@ def source_kl_divergence(docs: DataFrame) -> DataFrame:
         F.max("n_s").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_types"),
         F.round(F.sum(term).cast("double"), 6).alias("kl_divergence"),
+    )
+
+
+# --- percentile-based quality / length filtering -----------------------------
+
+def quality_length_filter(docs: DataFrame) -> DataFrame:
+    """Per-language percentile curation filter: keep a document iff its
+    quality is ≥ the language's p10 quality AND its token count lies inside
+    the language's [p05, p95] length band — the adaptive (corpus-relative)
+    form of Gopher's fixed length/quality cutoffs, which is what you want
+    when absolute thresholds don't transfer across languages.
+
+    Exact interpolated percentiles (``F.percentile`` ≡ DuckDB
+    ``quantile_cont``), rounded 6dp before the boundary comparison so an
+    engine ulp can never flip a doc sitting exactly on a cutoff.
+
+    Plan: quality+features in ONE text pass (``quality_score(keep_stats)``);
+    cutoffs are a per-lang aggregate (n_langs × 3 doubles) broadcast back —
+    the only data-sized shuffle is the percentile groupBy.
+    """
+    j = quality_score(docs, keep_stats=True)
+    cuts = j.groupBy("lang").agg(
+        F.round(F.percentile("quality", F.lit(0.10)), 6).alias("q_p10"),
+        F.round(F.percentile("token_count", F.lit(0.05)), 6).alias("len_p05"),
+        F.round(F.percentile("token_count", F.lit(0.95)), 6).alias("len_p95"),
+    )
+    return j.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "quality",
+        "token_count",
+        (
+            (F.col("quality") >= F.col("q_p10"))
+            & (F.col("token_count") >= F.col("len_p05"))
+            & (F.col("token_count") <= F.col("len_p95"))
+        ).alias("is_kept"),
     )

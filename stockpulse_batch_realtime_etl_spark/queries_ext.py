@@ -2606,3 +2606,50 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return user_sessions(load_table(spark, sf_dir, "events"), _SESSION_GAP_MIN)
+
+
+# --- percentile-based quality / length filtering -----------------------------
+
+@register(
+    "quality_length_filter",
+    oracle=rf"""
+WITH stats AS (
+SELECT
+  doc_id,
+  lang,
+  len(string_split_regex(trim(text), '\s+')) AS token_count,
+  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS distinct_tokens,
+  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        / nullif(length(text), 0), 4) AS alpha_ratio,
+  round(len(list_filter(string_split_regex(trim(text), '\s+'),
+                        t -> list_contains({_STOP_SQL}, t)))
+        / nullif(len(string_split_regex(trim(text), '\s+')), 0), 4) AS stopword_ratio
+FROM documents
+),
+q AS (
+SELECT doc_id, lang, CAST(token_count AS INT) AS token_count,
+  round(
+      CAST(0.25 AS DOUBLE) * least(greatest(token_count / CAST(50.0 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+    + CAST(0.25 AS DOUBLE) * least(greatest(alpha_ratio / CAST(0.8 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+    + CAST(0.25 AS DOUBLE) * least(greatest(stopword_ratio / CAST(0.1 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+    + CAST(0.25 AS DOUBLE) * least(greatest(distinct_tokens / nullif(token_count, 0) / CAST(0.5 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+  , 6) AS quality
+FROM stats
+),
+cuts AS (
+  SELECT lang,
+         round(quantile_cont(quality, 0.10), 6) AS q_p10,
+         round(quantile_cont(CAST(token_count AS DOUBLE), 0.05), 6) AS len_p05,
+         round(quantile_cont(CAST(token_count AS DOUBLE), 0.95), 6) AS len_p95
+  FROM q GROUP BY lang
+)
+SELECT q.doc_id, q.lang, q.quality, q.token_count,
+       (q.quality >= c.q_p10
+        AND q.token_count >= c.len_p05
+        AND q.token_count <= c.len_p95) AS is_kept
+FROM q JOIN cuts c USING (lang)
+""",
+)
+def q_quality_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile curation filter (quality p10, length p05-p95)."""
+    return text.quality_length_filter(load_table(spark, sf_dir, "documents"))

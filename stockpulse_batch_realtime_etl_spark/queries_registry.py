@@ -1150,6 +1150,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "chunked_windows",
     "source_kl_divergence",
     "user_sessions",
+    "quality_length_filter",
     # --- r3-green whose CODE CHANGED in r4 (winnowing ordkey widths,
     # largest-remainder temperature quotas, CC kernel refactor + auto
     # dispatch, pack_sequences cleanup, _window_filter view drop) —

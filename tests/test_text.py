@@ -599,3 +599,19 @@ def test_source_kl_positive_for_drift(make_docs):
     rows = {r.source: r.kl_divergence for r in t.source_kl_divergence(d).collect()}
     assert rows["s1"] == pytest.approx(math.log(2), abs=1e-5)
     assert rows["s2"] == pytest.approx(math.log(2), abs=1e-5)
+
+
+def test_quality_length_filter_flags_extremes(make_docs):
+    from stockpulse_batch_realtime_etl_spark.operators import text as t
+
+    # 18 mid-length docs + one tiny + one huge: the percentile bands must
+    # cut the two extremes, keep the bulk
+    base = "the quick brown fox jumps over the lazy dog it is a fine day"
+    docs = [(i, base + f" extra{i}", "en", "s", 0) for i in range(1, 19)]
+    docs.append((19, "tiny", "en", "s", 0))
+    docs.append((20, " ".join(f"w{j}" for j in range(400)), "en", "s", 0))
+    rows = {r.doc_id: r for r in t.quality_length_filter(make_docs(docs)).collect()}
+    assert not rows[19].is_kept          # below p05 length AND low quality
+    assert not rows[20].is_kept          # above p95 length
+    kept = sum(r.is_kept for r in rows.values())
+    assert kept >= 16                    # the bulk survives
