@@ -1,0 +1,68 @@
+"""Property-based invariants (hypothesis): randomized corpora, exact laws.
+
+Each property batches all generated docs into ONE small Spark job per
+example; example counts are kept low because a Spark round-trip is ~0.5 s.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from stockpulse_batch_realtime_etl_spark.operators import pii, text
+
+# word soup drawn from a small alphabet so duplicates/boilerplate happen
+_WORD = st.text(alphabet="abcxyz", min_size=1, max_size=5)
+_DOC = st.lists(_WORD, min_size=1, max_size=40).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_DOC, min_size=1, max_size=8), st.integers(2, 7))
+def test_segments_partition_every_token(spark, texts, seg_len):
+    """doc_segments is a partition: re-joining a doc's segments in seg_idx
+    order reconstructs the normalized text exactly (no token lost or
+    duplicated, trailing partial kept)."""
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    segs: dict[int, list] = {}
+    for r in text.doc_segments(docs, seg_len).collect():
+        segs.setdefault(r.doc_id, []).append((r.seg_idx, r.segment))
+    for i, t in enumerate(texts):
+        norm = " ".join(t.split())
+        joined = " ".join(s for _, s in sorted(segs.get(i, [])))
+        assert joined == norm, (t, segs.get(i))
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_DOC, min_size=1, max_size=6), st.randoms())
+def test_pii_redaction_is_idempotent_and_clean(spark, texts, rnd):
+    """redact ∘ redact = redact, and a redacted corpus scans PII-free —
+    for text salted with randomized PII instances at random positions."""
+    salted = []
+    for t in texts:
+        words = t.split()
+        for planted in (
+            f"u{rnd.randint(0, 999)}@ex{rnd.randint(0, 99)}.com",
+            f"{rnd.randint(1, 255)}.{rnd.randint(0, 255)}.0.{rnd.randint(0, 255)}",
+            f"{rnd.randint(100, 999)}-{rnd.randint(100, 999)}-{rnd.randint(1000, 9999)}",
+        ):
+            if rnd.random() < 0.7:
+                words.insert(rnd.randint(0, len(words)), planted)
+        salted.append(" ".join(words))
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(salted)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from pyspark.sql import functions as F
+
+    once = docs.select("doc_id", pii.redact(F.col("text")).alias("r1"))
+    twice = once.select("doc_id", "r1", pii.redact(F.col("r1")).alias("r2"))
+    for r in twice.collect():
+        assert r.r1 == r.r2
+    rescan = pii.pii_scan(
+        once.select(
+            "doc_id", F.col("r1").alias("text"), F.lit("s").alias("source")
+        )
+    )
+    assert rescan.filter(F.col("has_pii")).count() == 0
