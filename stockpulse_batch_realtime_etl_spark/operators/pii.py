@@ -36,7 +36,14 @@ from pyspark.sql import functions as F
 # groups, SSN is 3-2-4, so neither matches the other's instances; IPv4
 # uses dots, the dashed patterns use hyphens only.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# IPv4 with range-valid octets (0-255) — rejects 999.999.999.999-style
+# non-addresses while staying inside the Java∩RE2 subset (non-capturing
+# groups + bounded alternation only).  Remaining known over-matches,
+# accepted as the no-lookaround trade-off: dotted version strings shaped
+# like addresses ("1.2.3.4") and the first four groups of longer dotted
+# runs ("1.2.3.4.5" → "1.2.3.4"; a trailing dot is itself a \b).
+_OCTET = r"(?:25[0-5]|2[0-4]\d|1?\d?\d)"
+IPV4_RE = rf"\b{_OCTET}\.{_OCTET}\.{_OCTET}\.{_OCTET}\b"
 SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
 PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
 
@@ -137,10 +144,18 @@ def redact(text: Column) -> Column:
 
 
 def pii_redact(docs: DataFrame) -> DataFrame:
-    """Redacted-output report: per doc, how many spans were replaced and the
-    md5 of the redacted text (the hash stands in for shipping the full text
-    through the correctness gate; the redacted column itself is what a real
-    pipeline writes downstream).
+    """Redaction report: per doc, the per-kind match total, the md5 of the
+    redacted text (the hash stands in for shipping the full text through
+    the correctness gate; the redacted column itself is what a real
+    pipeline writes downstream), and the count of placeholders inserted.
+
+    ``n_redactions`` is the SUM OF INDEPENDENT PER-KIND MATCH COUNTS on the
+    original text — under cross-kind overlap (a span matched by two kinds,
+    e.g. ``1.2.3.4@host.com`` hit by both email and ipv4) it can exceed
+    ``n_placeholders``, because the sequential replace chain consumes the
+    span at the first matching kind.  ``n_placeholders`` (counted on the
+    redacted output) is the number of replacements actually made; the two
+    columns together expose exactly that divergence.
     """
     per_kind = [
         F.regexp_count(F.col("text"), F.lit(pat)) for _, pat, _ in PII_PATTERNS

@@ -832,16 +832,21 @@ def semantic_dedup(
     Scale shape: clustering makes the near-dup search LOCAL — the pairwise
     scoring self-joins on cell, so the candidate space is Σ|cell|², never
     |corpus|² (SemDeDup's entire point; same family as the LSH/IVF bucket
-    joins above).  The assignment table is localCheckpoint'd because three
-    plan references follow (both self-join sides + the keep-list join);
-    at cluster scale that's a persist-to-storage, and skewed giant cells
-    would get the AQE skew-join treatment documented in SCALE.md.
+    joins above).  The assignment table is localCheckpoint'd (lazily —
+    ``eager=False`` keeps plan construction free of Spark jobs; the cut
+    happens on first execution) because three plan references follow
+    (both self-join sides + the keep-list join).  Caveat as in
+    ``dup_groups``: localCheckpoint blocks are lost on executor failure —
+    on a real cluster swap in ``spark.sparkContext.setCheckpointDir`` +
+    ``.checkpoint()`` (reliable storage) or persist the assignment table;
+    skewed giant cells would get the AQE skew-join treatment documented
+    in SCALE.md.
     """
     cent = kmeans_centroids(embeddings, ncells, iters)
     vecs = fan_out(embeddings).select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
-    assigned = _assign_cells(vecs, cent).localCheckpoint()
+    assigned = _assign_cells(vecs, cent).localCheckpoint(eager=False)
     a, b = assigned.alias("a"), assigned.alias("b")
     dups = (
         a.join(

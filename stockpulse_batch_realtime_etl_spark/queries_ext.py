@@ -200,14 +200,24 @@ def q_lang_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: quality_score consumes text_stats OUTPUT (alpha/stopword ratios already
 #: rounded 4dp there), so the oracle replays the same rounding points.
-@register(
-    "quality_score",
-    oracle=rf"""
-WITH stats AS (
+#: ONE shared builder for every oracle that replays text.quality_score —
+#: three gates (quality_score, dedup_survivors, quality_length_filter)
+#: depend on this formula, so a weight/clamp change edits exactly one
+#: string and all three gates re-verify it.
+def _quality_ctes(carry: tuple[str, ...] = (), q_cols: tuple[str, ...] = ()) -> str:
+    """``stats``+``q`` CTE pair replaying ``text.quality_score``.
+
+    ``carry``: extra document columns carried through ``stats``;
+    ``q_cols``: extra select expressions (may alias/cast ``stats`` columns)
+    emitted into ``q`` alongside ``doc_id`` and ``quality``.
+    """
+    carry_sql = "".join(f"\n  {c}," for c in carry)
+    qcols_sql = "".join(f" {c}," for c in q_cols)
+    # all literals cast to DOUBLE: DuckDB types bare 0.25/0.1 as DECIMAL and
+    # would compute exactly where Spark computes in binary floating point
+    return rf"""stats AS (
 SELECT
-  doc_id,
-  lang,
-  source,
+  doc_id,{carry_sql}
   len(string_split_regex(trim(text), '\s+')) AS token_count,
   len(list_distinct(string_split_regex(trim(text), '\s+'))) AS distinct_tokens,
   round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
@@ -216,10 +226,9 @@ SELECT
                         t -> list_contains({_STOP_SQL}, t)))
         / nullif(len(string_split_regex(trim(text), '\s+')), 0), 4) AS stopword_ratio
 FROM documents
-)
-SELECT doc_id, lang, source,
-  -- all literals cast to DOUBLE: DuckDB types bare 0.25/0.1 as DECIMAL and
-  -- would compute exactly where Spark computes in binary floating point
+),
+q AS (
+SELECT doc_id,{qcols_sql}
   round(
       CAST(0.25 AS DOUBLE) * least(greatest(token_count / CAST(50.0 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
     + CAST(0.25 AS DOUBLE) * least(greatest(alpha_ratio / CAST(0.8 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
@@ -227,6 +236,15 @@ SELECT doc_id, lang, source,
     + CAST(0.25 AS DOUBLE) * least(greatest(distinct_tokens / nullif(token_count, 0) / CAST(0.5 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
   , 6) AS quality
 FROM stats
+)"""
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+WITH {_quality_ctes(carry=("lang", "source"), q_cols=("lang", "source"))}
+SELECT doc_id, lang, source, quality
+FROM q
 """,
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2414,30 +2432,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- quality-aware dedup survivor selection ----------------------------------
 
-#: quality formula replay (identical to the quality_score oracle), as a CTE
-#: fragment ending in q(doc_id, quality).
-_QUALITY_CTES = rf"""stats AS (
-SELECT
-  doc_id,
-  len(string_split_regex(trim(text), '\s+')) AS token_count,
-  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS distinct_tokens,
-  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-        / nullif(length(text), 0), 4) AS alpha_ratio,
-  round(len(list_filter(string_split_regex(trim(text), '\s+'),
-                        t -> list_contains({_STOP_SQL}, t)))
-        / nullif(len(string_split_regex(trim(text), '\s+')), 0), 4) AS stopword_ratio
-FROM documents
-),
-q AS (
-SELECT doc_id,
-  round(
-      CAST(0.25 AS DOUBLE) * least(greatest(token_count / CAST(50.0 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
-    + CAST(0.25 AS DOUBLE) * least(greatest(alpha_ratio / CAST(0.8 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
-    + CAST(0.25 AS DOUBLE) * least(greatest(stopword_ratio / CAST(0.1 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
-    + CAST(0.25 AS DOUBLE) * least(greatest(distinct_tokens / nullif(token_count, 0) / CAST(0.5 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
-  , 6) AS quality
-FROM stats
-)"""
+#: quality formula replay — the shared builder (see _quality_ctes above),
+#: minimal shape: q(doc_id, quality).
+_QUALITY_CTES = _quality_ctes()
 
 
 @register(
@@ -2613,29 +2610,7 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "quality_length_filter",
     oracle=rf"""
-WITH stats AS (
-SELECT
-  doc_id,
-  lang,
-  len(string_split_regex(trim(text), '\s+')) AS token_count,
-  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS distinct_tokens,
-  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-        / nullif(length(text), 0), 4) AS alpha_ratio,
-  round(len(list_filter(string_split_regex(trim(text), '\s+'),
-                        t -> list_contains({_STOP_SQL}, t)))
-        / nullif(len(string_split_regex(trim(text), '\s+')), 0), 4) AS stopword_ratio
-FROM documents
-),
-q AS (
-SELECT doc_id, lang, CAST(token_count AS INT) AS token_count,
-  round(
-      CAST(0.25 AS DOUBLE) * least(greatest(token_count / CAST(50.0 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
-    + CAST(0.25 AS DOUBLE) * least(greatest(alpha_ratio / CAST(0.8 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
-    + CAST(0.25 AS DOUBLE) * least(greatest(stopword_ratio / CAST(0.1 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
-    + CAST(0.25 AS DOUBLE) * least(greatest(distinct_tokens / nullif(token_count, 0) / CAST(0.5 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
-  , 6) AS quality
-FROM stats
-),
+WITH {_quality_ctes(carry=("lang",), q_cols=("lang", "CAST(token_count AS INT) AS token_count"))},
 cuts AS (
   SELECT lang,
          round(quantile_cont(quality, 0.10), 6) AS q_p10,

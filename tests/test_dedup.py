@@ -218,10 +218,13 @@ def test_dedup_survivors_picks_best_quality(make_docs):
     qual = {r.doc_id: r.quality for r in quality_score(d).collect()}
     out = {r.group_id: r for r in dedup.dedup_survivors(d).collect()}
     merged = [r for r in out.values() if r.group_size > 1]
-    if merged:  # docs 1/2 band-collide (expected with these shingles)
-        g = merged[0]
-        assert g.survivor_doc_id == 2          # higher quality wins over lower id
-        assert g.survivor_quality == qual[2] > qual[1]
+    # docs 1/2 MUST band-collide with these shingles — a hard assert so the
+    # quality-beats-keep-min property can never be skipped vacuously if the
+    # LSH banding ever drifts (it would fail here, loudly).
+    assert merged, "expected docs 1/2 to form one LSH dup group"
+    g = merged[0]
+    assert g.survivor_doc_id == 2          # higher quality wins over lower id
+    assert g.survivor_quality == qual[2] > qual[1]
     # every doc accounted for exactly once across groups
     assert sum(r.group_size for r in out.values()) == 3
 
