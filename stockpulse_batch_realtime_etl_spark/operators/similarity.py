@@ -874,3 +874,75 @@ def semantic_dedup(
         "cell",
         F.col("dup_id").isNull().alias("is_kept"),
     )
+
+def semdedup_recall_report(
+    embeddings: DataFrame,
+    ncells: int = 8,
+    iters: int = 2,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Measured recall of SemDeDup's cell-restricted duplicate-pair search
+    against the brute-force all-pairs ground truth at the same cosine
+    threshold — the mirror of :func:`ann_recall_report` for the dedup path.
+
+    Cluster-boundary misses are SemDeDup's known approximation: a pair with
+    cosine ≥ τ whose members land in DIFFERENT k-means cells is never
+    scored, so its duplicate is kept.  This report turns that loss into a
+    number instead of prose.  Because the cell-restricted pair set applies
+    the SAME cosine criterion to a SUBSET of pairs, found ⊆ truth holds
+    structurally — recall is a count ratio, no pair-set join needed:
+
+        truth  = { (a<b) : cos(a,b) ≥ τ }             (all-pairs)
+        found  = { (a<b) ∈ truth : cell(a) = cell(b) }
+
+    Returns ONE row: (n_truth_pairs, n_found_pairs, recall).
+
+    Scale shape: the TRUTH side is deliberately quadratic — it is the
+    measurement harness, not the production path (same status as
+    ``jaccard_top_pairs``' verify join): run it at sf ≤ 1 on a sample to
+    calibrate (ncells, τ), then ship :func:`semantic_dedup` alone.  The
+    cell lookup joins the assignment table twice by vec_id and aggregates
+    once — nothing beyond the truth scan is super-linear.
+    """
+    cent = kmeans_centroids(embeddings, ncells, iters)
+    vecs = fan_out(embeddings).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    cells = _assign_cells(vecs, cent).select("vec_id", "cell")
+    a, b = vecs.alias("a"), vecs.alias("b")
+    truth = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("pa"),
+            F.col("b.vec_id").alias("pb"),
+            _cos_precomputed(
+                F.col("a.embedding"),
+                F.col("b.embedding"),
+                F.col("a.nrm"),
+                F.col("b.nrm"),
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("pa", "pb")
+    )
+    ca = cells.select(F.col("vec_id").alias("pa"), F.col("cell").alias("cell_a"))
+    cb = cells.select(F.col("vec_id").alias("pb"), F.col("cell").alias("cell_b"))
+    return (
+        truth.join(ca, "pa")
+        .join(cb, "pb")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth_pairs"),
+            F.sum(
+                F.when(F.col("cell_a") == F.col("cell_b"), 1).otherwise(0)
+            ).alias("n_found_pairs"),
+        )
+        .select(
+            F.col("n_truth_pairs").cast("long"),
+            F.col("n_found_pairs").cast("long"),
+            F.round(
+                F.col("n_found_pairs").cast("double")
+                / F.col("n_truth_pairs"),
+                4,
+            ).alias("recall"),
+        )
+    )

@@ -309,9 +309,10 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dup_groups",
-    oracle=f"""
+#: shared by dup_groups (auto kernel) and dup_groups_star (star kernel
+#: pinned): both kernels converge to the same unique min-label fixpoint, so
+#: one recursive-transitive-closure oracle gates both.
+_DUP_GROUPS_ORACLE = f"""
 WITH RECURSIVE {SIGS_CTE.lstrip()},
 bands AS (
 {_BAND_SELECTS}
@@ -341,11 +342,30 @@ SELECT
 FROM documents d
 LEFT JOIN (SELECT doc_id, min(r) AS group_id FROM reach GROUP BY doc_id) c
   ON c.doc_id = d.doc_id
-""",
-)
+"""
+
+
+@register("dup_groups", oracle=_DUP_GROUPS_ORACLE)
 def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_groups(
         load_table(spark, sf_dir, "documents"), NUM_HASHES, BAND_SIZE, 3
+    )
+
+
+@register("dup_groups_star", oracle=_DUP_GROUPS_ORACLE)
+def q_dup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components with the large-star/small-star kernel PINNED
+    (method='star'): at gate scale the auto dispatch always picks
+    min-label (edges < STAR_EDGE_THRESHOLD), so this query is the only
+    end-to-end driver execution of the O(log n)-round scale kernel —
+    without it the star path would be covered by local equality tests
+    alone."""
+    return dedup.dup_groups(
+        load_table(spark, sf_dir, "documents"),
+        NUM_HASHES,
+        BAND_SIZE,
+        3,
+        method="star",
     )
 
 
@@ -2426,6 +2446,45 @@ def _semantic_dedup_oracle(ncells: int, iters: int, tau: float) -> str:
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup keep-list: kmeans cells + within-cell cosine near-dup drop."""
     return similarity.semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), _NCELLS, 2, _SEMDEDUP_TAU
+    )
+
+
+def _semdedup_recall_oracle(ncells: int, iters: int, tau: float) -> str:
+    """Recall replay: shared kmeans chain (→ af) + brute-force all-pairs
+    truth from the long-form table, then a count ratio (found ⊆ truth
+    because the cell restriction filters the same cosine criterion)."""
+    parts = _kmeans_assign_parts(ncells, iters)
+    parts.append(f"""truth AS (
+  SELECT ae.vec_id AS pa, be.vec_id AS pb
+  FROM e ae JOIN e be ON be.d = ae.d AND ae.vec_id < be.vec_id
+  GROUP BY ae.vec_id, be.vec_id
+  HAVING round(sum(ae.x * be.x)
+               / (sqrt(sum(ae.x * ae.x)) * sqrt(sum(be.x * be.x))), 6)
+         >= {tau}
+)""")
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT CAST(count(*) AS BIGINT) AS n_truth_pairs,
+       CAST(sum(CASE WHEN ca.cell = cb.cell THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_found_pairs,
+       round(CAST(sum(CASE WHEN ca.cell = cb.cell THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS recall
+FROM truth t
+JOIN af ca ON ca.vec_id = t.pa
+JOIN af cb ON cb.vec_id = t.pb
+"""
+
+
+@register(
+    "semdedup_recall_report",
+    oracle=_semdedup_recall_oracle(_NCELLS, 2, _SEMDEDUP_TAU),
+)
+def q_semdedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured SemDeDup recall: fraction of brute-force cosine-≥τ pairs
+    the cell-restricted search recovers (cluster-boundary misses are the
+    known approximation)."""
+    return similarity.semdedup_recall_report(
         load_table(spark, sf_dir, "embeddings"), _NCELLS, 2, _SEMDEDUP_TAU
     )
 

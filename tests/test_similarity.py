@@ -292,3 +292,22 @@ class TestSemanticDedup:
             for r in similarity.semantic_dedup(emb, ncells=1, iters=1, threshold=1.0).collect()
         }
         assert out == {0: True, 1: False, 2: True}
+
+
+def test_semdedup_recall_single_cell_is_exhaustive(embeddings):
+    # ncells=1 → every pair is within-cell → recall is exactly 1.0
+    r = similarity.semdedup_recall_report(
+        embeddings, ncells=1, iters=1, threshold=0.9
+    ).collect()[0]
+    assert r.n_truth_pairs > 0
+    assert r.n_found_pairs == r.n_truth_pairs
+    assert r.recall == 1.0
+
+
+def test_semdedup_recall_found_subset_of_truth(embeddings):
+    # with real cells, found ⊆ truth and recall ∈ [0, 1]
+    r = similarity.semdedup_recall_report(
+        embeddings, ncells=3, iters=2, threshold=0.9
+    ).collect()[0]
+    assert 0 <= r.n_found_pairs <= r.n_truth_pairs
+    assert 0.0 <= r.recall <= 1.0
