@@ -11,16 +11,19 @@ The idiomatic Spark shape for image/audio/video at 100 TB:
 
 Codec reality has two rungs:
 
-* UNCOMPRESSED formats (24-bit BMP, binary PPM, 16-bit PCM WAV) are decoded
-  FOR REAL by pure-numpy parsers below — header parse, row-padding strip,
-  bottom-up flip, BGR→RGB swap, RIFF chunk walk.  ``decoded_stats`` runs
-  them end-to-end inside ``mapInPandas`` and is oracle-checked: the encoded
-  pixel/sample values are a deterministic function of (asset_id, position),
-  so DuckDB replays count/sum/min/max and a position-weighted checksum
-  (which breaks if the decoder misorders rows or channels) arithmetically.
-* COMPRESSED formats (PNG/JPEG/MP3/MP4) require PIL / soundfile / av —
-  absent in this container — and stay behind ``_try_real_decode``'s
-  import-guard with an honest ``NotImplementedError``.
+* REAL formats (24-bit BMP, binary PPM, 16-bit PCM WAV, and 8-bit RGB PNG
+  via stdlib ``zlib``) are decoded FOR REAL by the dependency-free parsers
+  below — header parse, row-padding strip, bottom-up flip, BGR→RGB swap,
+  RIFF chunk walk, and full PNG chunk-walk + CRC + inflate + five-filter
+  unfiltering.  ``decoded_stats`` runs them end-to-end inside
+  ``mapInPandas`` and is oracle-checked: the encoded pixel/sample values
+  are a deterministic function of (asset_id, position), so DuckDB replays
+  count/sum/min/max and a position-weighted checksum (which breaks if the
+  decoder misorders rows or channels) arithmetically.
+* JPEG-class formats (JPEG/MP3/MP4 — entropy-coded, lossy) require PIL /
+  soundfile / av — absent in this container — and stay behind
+  ``_try_real_decode``'s import-guard with an honest
+  ``NotImplementedError``.
 
 ``extract_features`` (length + md5 + md5-derived pseudo-dimensions over
 arbitrary payloads) remains the format-agnostic fallback surface, also
@@ -65,7 +68,7 @@ def _try_real_decode(media_type: str, payload: bytes):
     the pure-numpy parsers below (no external library); compressed formats
     are the remaining seam where PIL/soundfile/av plug in and raise an
     honest ``NotImplementedError`` while those libraries are absent."""
-    if payload[:2] in (b"BM", b"P6"):
+    if payload[:2] in (b"BM", b"P6") or payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_image_bytes(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav_bytes(payload)
@@ -74,7 +77,7 @@ def _try_real_decode(media_type: str, payload: bytes):
             import PIL.Image  # noqa: F401
         except ImportError:
             raise NotImplementedError(
-                "compressed image decode (PNG/JPEG) requires Pillow"
+                "compressed image decode (JPEG-class) requires Pillow"
             )
     raise NotImplementedError(f"real decode not available for {media_type}")
 
@@ -125,6 +128,142 @@ def encode_bmp(asset_id: int) -> bytes:
     )
     head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 54)
     return head + info + data
+
+
+def _paeth_predict(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left to
+    the linear estimate p = a + b − c, ties a → b → c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(asset_id: int) -> bytes:
+    """Real PNG: 8-bit/channel RGB (color type 2), no interlace, stdlib
+    ``zlib``-deflated IDAT.  Scanline r is FILTERED with type
+    ``(asset_id + r) % 5`` before compression, so across the corpus every
+    unfilter path (None/Sub/Up/Average/Paeth) is genuinely exercised — a
+    decoder that fakes any of them cannot reproduce the deterministic
+    pixel function and fails the oracle."""
+    import numpy as np
+    import zlib
+
+    w, h = _image_dims(asset_id)
+    bpp, stride = 3, w * 3
+    px = _synth_image_vals(asset_id, w, h).reshape(h, stride).astype(np.int64)
+    zero = np.zeros(bpp, dtype=np.int64)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        row = px[r]
+        ft = (asset_id + r) % 5
+        a = np.concatenate([zero, row[:-bpp]])  # Recon(x-bpp), same line
+        b = prev                                # Recon(x), line above
+        c = np.concatenate([zero, prev[:-bpp]])  # Recon(x-bpp), line above
+        if ft == 0:
+            f = row
+        elif ft == 1:
+            f = row - a
+        elif ft == 2:
+            f = row - b
+        elif ft == 3:
+            f = row - (a + b) // 2
+        else:
+            pred = np.array(
+                [_paeth_predict(int(x), int(y), int(z)) for x, y, z in zip(a, b, c)],
+                dtype=np.int64,
+            )
+            f = row - pred
+        raw.append(ft)
+        raw += (f % 256).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_bytes(payload: bytes) -> dict:
+    """Real PNG decode, dependency-free: chunk walk with CRC verification,
+    IHDR parse, IDAT concatenation, stdlib ``zlib`` inflate, then per-row
+    unfiltering of all five PNG filter types (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6) for 8-bit RGB.  Palette/alpha/16-bit/interlaced variants
+    raise ``NotImplementedError`` — the remaining compressed-format seam
+    is now JPEG-class codecs only."""
+    import numpy as np
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("not a PNG payload")
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc != zlib.crc32(tag + data) & 0xFFFFFFFF:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={ctype} interlace={interlace}"
+        )
+    bpp, stride = 3, w * 3
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
+    recon = np.zeros((h, stride), dtype=np.int64)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, r * (stride + 1) + 1
+        ).astype(np.int64)
+        prev = recon[r - 1] if r else np.zeros(stride, dtype=np.int64)
+        if ft == 0:
+            cur = line
+        elif ft == 1:
+            # Sub chain is a prefix sum over each channel column: mod once
+            # at the end (addition commutes with mod; int64 can't overflow)
+            cur = np.cumsum(line.reshape(w, bpp), axis=0).reshape(-1) % 256
+        elif ft == 2:
+            cur = (line + prev) % 256
+        elif ft in (3, 4):
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                pred = (a + b) // 2 if ft == 3 else _paeth_predict(a, b, c)
+                cur[x] = (int(line[x]) + pred) % 256
+        else:
+            raise NotImplementedError(f"PNG filter type {ft}")
+        recon[r] = cur
+    return {"width": w, "height": h, "vals": recon.reshape(-1)}
 
 
 def encode_wav(asset_id: int) -> bytes:
@@ -187,8 +326,10 @@ def decode_image_bytes(payload: bytes) -> dict:
         pos += 1  # single whitespace byte after maxval, then raw RGB
         vals = np.frombuffer(payload, np.uint8, w * h * 3, pos).astype(np.int64)
         return {"width": w, "height": h, "vals": vals}
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_bytes(payload)
     raise NotImplementedError(
-        "compressed/unknown image format (PNG/JPEG require Pillow)"
+        "compressed/unknown image format (JPEG-class requires Pillow)"
     )
 
 
@@ -221,7 +362,12 @@ def decode_wav_bytes(payload: bytes) -> dict:
     }
 
 
-_ENCODERS = {"bmp": encode_bmp, "ppm": encode_ppm, "wav": encode_wav}
+_ENCODERS = {
+    "bmp": encode_bmp,
+    "ppm": encode_ppm,
+    "wav": encode_wav,
+    "png": encode_png,
+}
 
 DECODED_SCHEMA = (
     "asset_id long, format string, width int, height int, sample_rate int, "
@@ -230,19 +376,19 @@ DECODED_SCHEMA = (
 )
 
 
-def encode_assets(docs: DataFrame) -> DataFrame:
+def encode_assets(
+    docs: DataFrame, fmts: tuple[str, ...] = ("bmp", "ppm", "wav")
+) -> DataFrame:
     """Real encoded-media table: one asset per document, format round-robin
-    on doc_id (bmp/ppm/wav), payload = real format bytes from the numpy
-    encoders.  ``mapInPandas`` so encoding runs executor-side over Arrow
-    batches — the 100 TB shape (payload generation/ingest never touches the
-    driver)."""
+    on doc_id over ``fmts`` (default bmp/ppm/wav; pass ``("png",)`` for an
+    all-PNG corpus), payload = real format bytes from the numpy encoders.
+    ``mapInPandas`` so encoding runs executor-side over Arrow batches — the
+    100 TB shape (payload generation/ingest never touches the driver)."""
     import pandas as pd
-
-    fmts = ("bmp", "ppm", "wav")
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            fmt = [fmts[int(a) % 3] for a in pdf["asset_id"]]
+            fmt = [fmts[int(a) % len(fmts)] for a in pdf["asset_id"]]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],

@@ -1051,6 +1051,45 @@ def q_multimodal_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decoded_stats(assets)
 
 
+#: PNG rung: every document encoded as a REAL 8-bit RGB PNG (stdlib-zlib
+#: deflate, per-row filter type (asset_id + row) % 5 → all five PNG filters
+#: exercised across the corpus), then chunk-walked, CRC-checked, inflated
+#: and unfiltered back.  The oracle replays the SAME (7·id+13·i) mod 256
+#: pixel arithmetic — identical stats prove the decode inverted deflate +
+#: filtering exactly; the weighted checksum breaks on any ordering slip.
+@register(
+    "multimodal_png_stats",
+    oracle="""
+WITH base AS (
+  SELECT doc_id AS asset_id,
+         CAST(4 + doc_id % 13 AS INT) AS w,
+         CAST(4 + doc_id % 11 AS INT) AS h
+  FROM documents
+),
+v AS (
+  SELECT asset_id, w, h, w * h * 3 AS n_values, i,
+         (7 * asset_id + 13 * i) % 256 AS val
+  FROM (SELECT *, unnest(generate_series(0, w * h * 3 - 1)) AS i FROM base)
+)
+SELECT asset_id, 'png' AS format, w AS width, h AS height,
+       CAST(NULL AS INT) AS sample_rate,
+       CAST(max(n_values) AS BIGINT) AS n_values,
+       CAST(sum(val) AS BIGINT) AS value_sum,
+       CAST(min(val) AS BIGINT) AS value_min,
+       CAST(max(val) AS BIGINT) AS value_max,
+       CAST(sum(val * (i + 1)) AS BIGINT) AS weighted_sum
+FROM v
+GROUP BY asset_id, w, h
+""",
+)
+def q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """encode-as-PNG → real inflate+unfilter decode → per-asset stats."""
+    assets = multimodal.encode_assets(
+        load_table(spark, sf_dir, "documents"), fmts=("png",)
+    )
+    return multimodal.decoded_stats(assets)
+
+
 # --- rolling-hash fingerprints (Manber '94 / Karp–Rabin) --------------------
 
 def _horner_sql(k: int, base: int, mod: int, s: str = "n", pos: str = "pos") -> str:

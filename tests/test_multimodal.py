@@ -61,11 +61,18 @@ def test_sample_frames_explodes_videos(media):
 
 
 def test_real_decode_is_stubbed_for_compressed_only():
-    # unknown/compressed payloads: honest NotImplementedError
+    # unknown/JPEG-class payloads: honest NotImplementedError
     with pytest.raises(NotImplementedError):
         multimodal._try_real_decode("video", b"xxx")
     with pytest.raises(NotImplementedError):
+        multimodal._try_real_decode("image", b"\xff\xd8\xff\xe0....")  # JPEG SOI
+    # PNG is now a REAL codec: dispatches through the seam, and a truncated
+    # payload is a hard error (corrupt data), not a stub
+    with pytest.raises(ValueError, match="IHDR"):
         multimodal._try_real_decode("image", b"\x89PNG\r\n\x1a\n....")
+    assert multimodal._try_real_decode("image", multimodal.encode_png(4))[
+        "width"
+    ] == multimodal._image_dims(4)[0]
     # uncompressed formats decode for real through the same seam
     assert multimodal._try_real_decode("image", multimodal.encode_bmp(3))[
         "width"
@@ -206,3 +213,56 @@ def test_resize_decoded_composes_with_decoded_stats(make_docs):
         assert r.weighted_sum == int(
             (v * np.arange(1, len(v) + 1, dtype=np.int64)).sum()
         )
+
+
+# --- PNG codec ----------------------------------------------------------------
+
+def test_png_round_trip_all_filters():
+    """Encoder filters row r with type (id+r)%5, so ids 0..9 jointly cover
+    every PNG filter in every row position; decode must invert them all."""
+    import numpy as np
+
+    for aid in range(10):
+        d = multimodal.decode_png_bytes(multimodal.encode_png(aid))
+        w, h = multimodal._image_dims(aid)
+        assert (d["width"], d["height"]) == (w, h)
+        np.testing.assert_array_equal(
+            d["vals"], multimodal._synth_image_vals(aid, w, h).astype(np.int64)
+        )
+
+
+def test_png_crc_corruption_detected():
+    p = bytearray(multimodal.encode_png(3))
+    p[20] ^= 0xFF  # flip a bit inside IHDR
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_png_bytes(bytes(p))
+
+
+def test_png_dispatches_through_generic_decode_and_resize():
+    import numpy as np
+
+    d = multimodal.decode_image_bytes(multimodal.encode_png(7))
+    w, h = multimodal._image_dims(7)
+    np.testing.assert_array_equal(
+        d["vals"], multimodal._synth_image_vals(7, w, h).astype(np.int64)
+    )
+    thumb = multimodal.resize_image_bytes(multimodal.encode_png(25), 8)
+    dd = multimodal.decode_image_bytes(thumb)
+    assert max(dd["width"], dd["height"]) <= 8
+
+
+def test_png_unsupported_variants_raise():
+    import struct as _struct
+    import pytest as _pytest
+
+    # 16-bit depth IHDR → NotImplementedError, not silent garbage
+    ihdr = _struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError, match="depth=16"):
+        multimodal.decode_png_bytes(payload)
