@@ -102,3 +102,15 @@ def count_exchanges(df: DataFrame) -> int:
     excluded).  Use to pin a query's shuffle budget in tests."""
     plan = simple_plan(df)
     return len(re.findall(r"(?<!Broadcast)Exchange", plan))
+
+
+def assert_skew_join_ready(df: DataFrame) -> None:
+    """Pin the skew-resilience posture for a shuffle join whose key can be
+    pathologically hot (e.g. the line-dedup join on raw segment text):
+    AQE + skew-join splitting must be ON in the session that will execute
+    this plan, so an oversized partition is split at runtime instead of
+    stalling one task.  (The salting fallback for keys beyond what split
+    tasks absorb is documented in SCALE.md.)"""
+    conf = df.sparkSession.conf
+    assert conf.get("spark.sql.adaptive.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"

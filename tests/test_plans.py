@@ -461,3 +461,16 @@ def test_source_kl_broadcasts_totals(spark):
     df = text.source_kl_divergence(docs)
     P.assert_no_cartesian(df)  # the 1-row total joins via broadcast
     P.assert_broadcast_join(df, 2)  # per-source totals + corpus total
+
+
+def test_segment_dedup_skew_join_ready(spark):
+    # the seg⋈dfreq join keys on raw segment text — hot boilerplate keys
+    # are expected on real corpora.  Pin: it is a segment-keyed shuffle
+    # join (correctly NOT a broadcast of a corpus-scale df table, no
+    # cartesian) executing under AQE skew-join splitting.
+    docs = load_table(spark, SF, "documents")
+    df = text.segment_dedup_stats(docs)
+    P.assert_no_cartesian(df)
+    P.assert_skew_join_ready(df)
+    plan = P.simple_plan(df)
+    assert "segment" in plan, plan
