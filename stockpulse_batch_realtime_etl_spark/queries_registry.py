@@ -1135,74 +1135,15 @@ from stockpulse_batch_realtime_etl_spark import queries_ext  # noqa: E402,F401
 # come first, and queries already proven green in a prior round fill the
 # tail.  Names not listed keep their registration order after the priority
 # block, so newly-added queries are never silently dropped from the dict.
-_GATE_PRIORITY: tuple[str, ...] = (
-    # --- NEW round-4 registrations — never gated, highest information
-    "multimodal_decoded_stats",
-    "multimodal_resized_stats",
-    "ann_recall_report",
-    "streaming_metrics_summary",
-    "pii_scan",
-    "pii_redact",
-    "boilerplate_segments",
-    "segment_dedup_stats",
-    "semantic_dedup",
-    "dedup_survivors",
-    "chunked_windows",
-    "source_kl_divergence",
-    "user_sessions",
-    "quality_length_filter",
-    # --- r3-green whose CODE CHANGED in r4 (winnowing ordkey widths,
-    # largest-remainder temperature quotas, CC kernel refactor + auto
-    # dispatch, pack_sequences cleanup, _window_filter view drop) —
-    # regression risk, re-gated
-    "winnowed_fingerprints",
-    "temperature_mixture_sample",
-    "dup_groups",
-    "packed_sequences",
-    "tick_summary",
-    "bar_summary",
-    "mover_window_ticks",
-    "movers",
-    # --- flagship continuity: entry()'s query + the streaming headliner
-    # keep a fresh row every round
-    "ohlcv_bars",
-    "streaming_ohlcv_bars",
-    # --- ROTATION: the 36 queries whose last driver row predates r3
-    # (r1/r2 rows only). All pass the local all-89 parity suite; this
-    # refreshes their driver-artifact ground truth (r3 verdict next-step
-    # #1). TPC-H family first (oldest rows, r1).
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "top_customers_by_revenue",
-    "brand_revenue",
-    "order_priority_counts",
-    "revenue_rollup",
-    "customers_without_orders",
-    # ANN ladder rungs (r1/r2 rows)
-    "ann_brute_force_topk",
-    "ann_brute_force_topk_np",
-    "ann_lsh_bucketed_topk",
-    "ann_ivf_topk",
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_multiprobe_topk",
-    "embedding_near_dup_pairs",
-    # text / dedup ops (r1/r2 rows)
-    "text_stats",
-    "quality_score",
-    "token_counts",
-    "bpe_token_counts",
-    "language_id",
-    "lang_vocab",
-    "tfidf_top_terms",
-    "doc_fingerprints",
-    "exact_dedup",
-    "simhash_fingerprints",
+#: EXACTLY the 50 names inside the driver's correctness window this round —
+#: length asserted at import time (the r4 boundary slip put 60 names ahead
+#: of a "50-entry" comment and silently dropped 10 intended rotations).
+_GATE_HEAD: tuple[str, ...] = (
+    # --- the 10 queries whose last driver row is r2 (missed r4's intended
+    # rotation via the boundary slip) — stalest artifacts, rotate first
     "dataset_splits",
     "stratified_sample",
     "mixture_sample",
-    # serving / storage / analytics / multimodal (r1/r2 rows)
     "storage_roundtrip",
     "notable_days",
     "price_histogram",
@@ -1210,14 +1151,31 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "health_counts",
     "multimodal_features",
     "frame_samples",
-    # ==== 50-entry window boundary (everything below is r3-green with
-    # unchanged code — aging out is safe; the local parity suite still
-    # covers all of them every round) ====
-    "latest_bars",
+    # --- NEW round-5 registrations — never gated, highest information
+    "multimodal_png_stats",
+    "dup_groups_star",
+    "semdedup_recall_report",
+    # --- CODE/ORACLE CHANGED in r5 (IPv4 octet tightening, shared quality
+    # CTE builder, lazy localCheckpoint) — regression risk, re-gated
+    "pii_scan",
+    "pii_redact",
+    "quality_score",
+    "quality_length_filter",
+    "dedup_survivors",
+    "semantic_dedup",
+    # --- flagship continuity: entry()'s query + the streaming headliner
+    # keep a fresh row every round
+    "ohlcv_bars",
+    "streaming_ohlcv_bars",
+    # --- ROTATION: 29 of the 39 queries whose last driver row is r3.
+    # sliding/gapfill first (r4 verdict two-round trend watch — local
+    # min-of-10 reproduced NO regression; this records the driver's own
+    # min-of-3 confirmation).
     "sliding_bars",
+    "gapfill_bars",
+    "latest_bars",
     "session_bars",
     "hourly_bars_rollup",
-    "gapfill_bars",
     "vwap_bars",
     "rolling_stats",
     "ema_ticks",
@@ -1242,6 +1200,13 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "contamination_overlap",
     "rolling_fingerprints",
     "fingerprint_match_pairs",
+)
+
+#: Names queued BEHIND the window: the 10 remaining r3-row queries rotate
+#: first in r6; every name not listed at all (r4-green) follows in
+#: registration order.  All 100+ are still verified every round by the
+#: local all-queries parity suite (tests/test_oracle_parity.py).
+_GATE_NEXT: tuple[str, ...] = (
     "symbols",
     "latest_ticks",
     "latest_tick_per_symbol",
@@ -1254,6 +1219,14 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "dlq_failed_events",
 )
 
+assert len(_GATE_HEAD) == 50, (
+    f"driver gate window is exactly 50 entries; _GATE_HEAD has "
+    f"{len(_GATE_HEAD)} — a miscounted rotation must fail loudly"
+)
+assert not set(_GATE_HEAD) & set(_GATE_NEXT)
+
+_GATE_PRIORITY: tuple[str, ...] = _GATE_HEAD + _GATE_NEXT
+
 
 def _gate_ordered(d: dict) -> dict:
     head = {k: d[k] for k in _GATE_PRIORITY if k in d}
@@ -1262,3 +1235,8 @@ def _gate_ordered(d: dict) -> dict:
 
 QUERIES = _gate_ordered(QUERIES)
 ORACLES = _gate_ordered(ORACLES)
+
+# every gate-priority name must actually exist in the registry — a typo'd
+# rotation entry would otherwise silently shrink the driver window
+_missing = [n for n in _GATE_PRIORITY if n not in QUERIES]
+assert not _missing, f"_GATE_PRIORITY names not in registry: {_missing}"
