@@ -258,3 +258,15 @@ def health_counts(ticks: DataFrame, bars: DataFrame) -> DataFrame:
         F.lit("stock_bars_1m").alias("check_name"), "n"
     )
     return one.unionByName(t).unionByName(b)
+
+
+def version_info(spark) -> DataFrame:
+    """The /version static endpoint (reference health.py:32-34): service
+    name, semantic version, and executing engine as a one-row table — the
+    last piece of the reference's API surface, closing SURVEY §2.10.
+    Constant-folded by Catalyst; no scan, no shuffle."""
+    return spark.range(1).select(
+        F.lit("stockpulse-spark").alias("service"),
+        F.lit("1.0.0").alias("version"),
+        F.lit("pyspark").alias("engine"),
+    )

@@ -1369,3 +1369,86 @@ def quality_length_filter(docs: DataFrame) -> DataFrame:
             & (F.col("token_count") <= F.col("len_p95"))
         ).alias("is_kept"),
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 50,
+) -> DataFrame:
+    """Okapi BM25 ranking of the corpus for a fixed query-term set — the
+    classic relevance-retrieval statistic (Robertson & Zaragoza 2009), the
+    step up from :func:`tfidf_top_terms`'s keyword extraction to actual
+    query-time ranking, and the standard recall stage of a RAG / retrieval
+    pipeline before a neural re-ranker.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with the Lucene non-negative idf  ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Plan: the token explode filters to the query terms BEFORE its
+    aggregate (a literal isin — term-matching pairs only ever reach the
+    shuffle, so state is |docs that match| · |terms|, not corpus tokens);
+    doc length comes from an array ``size`` with NO explode; df/N/avgdl
+    are term-count- and 1-row-sized tables joined back broadcast.  The
+    final top-k is TakeOrderedAndProject, never a global sort.  Per-term
+    scores are rounded 6dp then DECIMAL-summed (the source_kl pattern) so
+    the per-doc sum is float-order-proof; ties rank by doc_id.
+    """
+    arr = F.filter(_norm_token_arr(), lambda t: t != "")
+    base = fan_out(docs).select(
+        "doc_id", arr.alias("toks"), F.size(arr).alias("dl")
+    )
+    dl = base.select("doc_id", "dl")
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("token"))
+        .filter(F.col("token").isin(*terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (
+                        F.col("n_docs").cast("double")
+                        - F.col("df")
+                        + F.lit(0.5)
+                    )
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * (F.lit(k1) + F.lit(1.0)))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0)
+                        - F.lit(b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl")
+                    )
+                ),
+                6,
+            ).alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("term_score").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("score"),
+            F.count(F.lit(1)).cast("int").alias("n_terms"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

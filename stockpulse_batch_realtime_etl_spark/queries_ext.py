@@ -2726,3 +2726,78 @@ FROM q JOIN cuts c USING (lang)
 def q_quality_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language percentile curation filter (quality p10, length p05-p95)."""
     return text.quality_length_filter(load_table(spark, sf_dir, "documents"))
+
+
+# --- BM25 relevance ranking + /version ---------------------------------------
+
+#: fixed query-term set for the gated BM25 ranking (all present in the
+#: synthetic vocabulary; the operator takes any term tuple).
+_BM25_TERMS = ("spark", "hash", "window", "join", "stream")
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 50
+
+
+@register(
+    "bm25_scores",
+    oracle=f"""
+WITH {NORM_TOKS_CTE.lstrip()},
+dl AS (
+  SELECT doc_id, len(list_filter(toks, t -> t != '')) AS dl FROM tl
+),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM toks
+  WHERE token IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+  GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id,
+         round(
+           ln(CAST(1 AS DOUBLE)
+              + (CAST(s.n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE))
+                / (df + CAST(0.5 AS DOUBLE)))
+           * (tf * (CAST({_BM25_K1} AS DOUBLE) + CAST(1 AS DOUBLE)))
+           / (tf + CAST({_BM25_K1} AS DOUBLE)
+                   * (CAST(1 AS DOUBLE) - CAST({_BM25_B} AS DOUBLE)
+                      + CAST({_BM25_B} AS DOUBLE) * d.dl / s.avgdl))
+         , 6) AS term_score
+  FROM tf
+  JOIN dl d ON d.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.token = tf.token
+  CROSS JOIN st s
+)
+SELECT doc_id,
+       CAST(sum(CAST(term_score AS DECIMAL(20,6))) AS DOUBLE) AS score,
+       CAST(count(*) AS INT) AS n_terms
+FROM scored
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {_BM25_TOPK}
+""",
+)
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-50 of the corpus for a fixed 5-term query."""
+    return text.bm25_scores(
+        load_table(spark, sf_dir, "documents"),
+        _BM25_TERMS,
+        _BM25_K1,
+        _BM25_B,
+        _BM25_TOPK,
+    )
+
+
+@register(
+    "version_info",
+    oracle="""
+SELECT 'stockpulse-spark' AS service, '1.0.0' AS version,
+       'pyspark' AS engine
+""",
+)
+def q_version_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The /version static endpoint (reference health.py:32-34)."""
+    from stockpulse_batch_realtime_etl_spark.operators.serving import (
+        version_info,
+    )
+
+    return version_info(spark)

@@ -1155,6 +1155,8 @@ _GATE_HEAD: tuple[str, ...] = (
     "multimodal_png_stats",
     "dup_groups_star",
     "semdedup_recall_report",
+    "bm25_scores",
+    "version_info",
     # --- CODE/ORACLE CHANGED in r5 (IPv4 octet tightening, shared quality
     # CTE builder, lazy localCheckpoint) — regression risk, re-gated
     "pii_scan",
@@ -1198,15 +1200,15 @@ _GATE_HEAD: tuple[str, ...] = (
     "bigram_lm_scores",
     "repetition_stats",
     "contamination_overlap",
-    "rolling_fingerprints",
-    "fingerprint_match_pairs",
 )
 
-#: Names queued BEHIND the window: the 10 remaining r3-row queries rotate
+#: Names queued BEHIND the window: the 12 remaining r3-row queries rotate
 #: first in r6; every name not listed at all (r4-green) follows in
 #: registration order.  All 100+ are still verified every round by the
 #: local all-queries parity suite (tests/test_oracle_parity.py).
 _GATE_NEXT: tuple[str, ...] = (
+    "rolling_fingerprints",
+    "fingerprint_match_pairs",
     "symbols",
     "latest_ticks",
     "latest_tick_per_symbol",

@@ -474,3 +474,12 @@ def test_segment_dedup_skew_join_ready(spark):
     P.assert_skew_join_ready(df)
     plan = P.simple_plan(df)
     assert "segment" in plan, plan
+
+
+def test_bm25_topk_broadcasts_stats_no_global_sort(spark):
+    docs = load_table(spark, SF, "documents")
+    df = text.bm25_scores(docs, ("spark", "hash"), k=10)
+    # final ranking is top-k (TakeOrderedAndProject), never a global sort;
+    # df table and the 1-row (N, avgdl) stats join back broadcast
+    P.assert_take_ordered(df)
+    P.assert_broadcast_join(df)

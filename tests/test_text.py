@@ -615,3 +615,35 @@ def test_quality_length_filter_flags_extremes(make_docs):
     assert not rows[20].is_kept          # above p95 length
     kept = sum(r.is_kept for r in rows.values())
     assert kept >= 16                    # the bulk survives
+
+
+def test_bm25_ranks_higher_tf_doc_first(make_docs):
+    from stockpulse_batch_realtime_etl_spark.operators.text import bm25_scores
+
+    d = make_docs(
+        [
+            doc(1, "spark spark spark row row row row"),
+            doc(2, "spark row row row row row row"),
+            doc(3, "row row row row row row row"),
+        ]
+    )
+    out = bm25_scores(d, ("spark",), k=10).collect()
+    # only matching docs appear, ranked by tf (equal dl cancels the
+    # length normalization)
+    assert [r.doc_id for r in out] == [1, 2]
+    assert out[0].score > out[1].score > 0
+    assert all(r.n_terms == 1 for r in out)
+
+
+def test_bm25_length_normalization_penalizes_long_doc(make_docs):
+    from stockpulse_batch_realtime_etl_spark.operators.text import bm25_scores
+
+    d = make_docs(
+        [
+            doc(1, "spark row"),
+            doc(2, "spark " + "row " * 40),
+        ]
+    )
+    out = {r.doc_id: r.score for r in bm25_scores(d, ("spark",), k=10).collect()}
+    # same tf=1, but doc 2 is 20x longer -> lower score under b=0.75
+    assert out[1] > out[2]
