@@ -198,6 +198,22 @@ HEADLINERS: dict[str, str] = {
         "total broadcast back (tiny), so the only data-sized shuffle is the "
         "first aggregate."
     ),
+    "bm25_scores": (
+        "Query-term isin filter sits UNDER the tf aggregate (only matching "
+        "pairs reach the shuffle); doc length from array size with no "
+        "explode; df and the 1-row (N, avgdl) stats broadcast back; final "
+        "ranking is TakeOrderedAndProject, never a global sort."
+    ),
+    "multimodal_png_stats": (
+        "Real PNG decode (CRC + inflate + five-filter unfilter) entirely "
+        "inside one Arrow mapInPandas pass after the fan_out exchange — no "
+        "data-sized shuffle, per-payload CPU parallel across executors."
+    ),
+    "semdedup_recall_report": (
+        "The deliberate all-pairs truth join (measurement harness, sf≤1) "
+        "feeds two vec_id-keyed cell lookups and one 1-row aggregate — "
+        "everything beyond the truth scan is linear."
+    ),
 }
 
 
