@@ -313,3 +313,94 @@ def revenue_rollup(
             F.col("c_mktsegment").asc_nulls_last(),
         )
     )
+
+
+def q14_promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_from: str = "1996-03-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate ratio over a broadcast join.
+
+    One month of lineitem joins part BROADCAST (dimension-sized at any sf);
+    promo share = 100·Σ(rev | p_type='PROMO') / Σ(rev), both sums DECIMAL-
+    exact (order-insensitive) and divided once in double at the output.
+    The date range prunes the scan; the conditional sum is ONE aggregate —
+    no second pass, no self-join."""
+    rev = _revenue()
+    j = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+    )
+    agg = j.agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", rev)
+            .otherwise(F.lit(0.0))
+            .cast("decimal(25,6)")
+        )
+        .cast("double")
+        .alias("promo_revenue"),
+        money_sum(rev).alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 4
+        ).alias("promo_pct"),
+    )
+
+
+def q10_returned_items(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-07-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue last quarter(s).
+
+    The selective fact filter (l_returnflag = 'R' + order-date range) cuts
+    the join input FIRST; lineitem⋈orders shuffles on orderkey, then the
+    customer/nation dimensions broadcast onto the pre-aggregated rollup.
+    Final ranking is TakeOrderedAndProject (top-k, never a global sort);
+    ties pin to c_custkey."""
+    j = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                customer.select(
+                    "c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                    "c_mktsegment",
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name", "c_mktsegment", "c_acctbal")
+        .agg(money_sum(_revenue()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )

@@ -558,6 +558,64 @@ def q_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q14_promo_revenue",
+    oracle="""
+WITH a AS (
+  SELECT
+    CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount)
+                       ELSE 0 END AS DECIMAL(25,6))) AS DOUBLE)
+      AS promo_revenue,
+    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+         AS DOUBLE) AS total_revenue
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+)
+SELECT promo_revenue, total_revenue,
+       round(CAST(100 AS DOUBLE) * promo_revenue / total_revenue, 4)
+         AS promo_pct
+FROM a
+""",
+)
+def q_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators import tpch
+
+    li, pt = _tables(spark, sf_dir, "lineitem", "part")
+    return tpch.q14_promo_revenue(li, pt)
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+WITH r AS (
+  SELECT c_custkey, c_name, n_name, c_mktsegment, c_acctbal,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+              AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation   ON n_nationkey = c_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1996-07-01'
+  GROUP BY c_custkey, c_name, n_name, c_mktsegment, c_acctbal
+)
+SELECT c_custkey, c_name, n_name, c_mktsegment, c_acctbal, revenue
+FROM r ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+""",
+)
+def q_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators import tpch
+
+    cu, od, li, na = _tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    return tpch.q10_returned_items(cu, od, li, na)
+
+
+@register(
     "revenue_rollup",
     oracle="""
 SELECT
@@ -1157,6 +1215,8 @@ _GATE_HEAD: tuple[str, ...] = (
     "semdedup_recall_report",
     "bm25_scores",
     "version_info",
+    "q14_promo_revenue",
+    "q10_returned_items",
     # --- CODE/ORACLE CHANGED in r5 (IPv4 octet tightening, shared quality
     # CTE builder, lazy localCheckpoint) — regression risk, re-gated
     "pii_scan",
@@ -1198,15 +1258,15 @@ _GATE_HEAD: tuple[str, ...] = (
     "simhash_near_dups",
     "bigram_counts",
     "bigram_lm_scores",
-    "repetition_stats",
-    "contamination_overlap",
 )
 
-#: Names queued BEHIND the window: the 12 remaining r3-row queries rotate
+#: Names queued BEHIND the window: the 14 remaining r3-row queries rotate
 #: first in r6; every name not listed at all (r4-green) follows in
 #: registration order.  All 100+ are still verified every round by the
 #: local all-queries parity suite (tests/test_oracle_parity.py).
 _GATE_NEXT: tuple[str, ...] = (
+    "repetition_stats",
+    "contamination_overlap",
     "rolling_fingerprints",
     "fingerprint_match_pairs",
     "symbols",

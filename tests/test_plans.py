@@ -483,3 +483,23 @@ def test_bm25_topk_broadcasts_stats_no_global_sort(spark):
     # df table and the 1-row (N, avgdl) stats join back broadcast
     P.assert_take_ordered(df)
     P.assert_broadcast_join(df)
+
+
+def test_q14_pushdown_and_broadcast_part(spark):
+    li = load_table(spark, SF, "lineitem")
+    pt = load_table(spark, SF, "part")
+    df = tpch.q14_promo_revenue(li, pt)
+    P.assert_pushed_filter(df, "l_shipdate")
+    P.assert_broadcast_join(df)
+    P.assert_no_cartesian(df)
+
+
+def test_q10_topk_with_broadcast_dims(spark):
+    cu = load_table(spark, SF, "customer")
+    od = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    na = load_table(spark, SF, "nation")
+    df = tpch.q10_returned_items(cu, od, li, na)
+    P.assert_take_ordered(df)
+    P.assert_broadcast_join(df, min_count=2)
+    P.assert_pushed_filter(df, "l_returnflag")
