@@ -231,6 +231,7 @@ def _bounded_run_env(
     base_dir: str | None,
     kind: str,
     with_redelivery: bool = False,
+    keep_rocksdb: bool = False,
 ):
     """Shared setup for a bounded (availableNow) streaming run over the
     JSON corpus: materialize (or reuse) the corpus as text files, size
@@ -258,6 +259,10 @@ def _bounded_run_env(
         ),
         "spark.sql.shuffle.partitions": "8",
     }
+    if keep_rocksdb:
+        # transformWithState is only supported on the RocksDB provider —
+        # leave the session default (RocksDB) in place for those runs
+        del overrides["spark.sql.streaming.stateStore.providerClass"]
     prev = {k: spark.conf.get(k, None) for k in overrides}
     for k, v in overrides.items():
         spark.conf.set(k, v)
@@ -389,12 +394,20 @@ def run_session_bars_available_now(
 
 
 def run_running_bars_available_now(
-    spark: SparkSession, sf_dir: str, base_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    base_dir: str | None = None,
+    api: str = "apply_in_pandas_with_state",
 ) -> DataFrame:
-    """Bounded run of the custom stateful operator
-    (``streaming.stateful.running_bars``, applyInPandasWithState): stream
-    the wire corpus, fold per-symbol running OHLCV state across
-    micro-batches, and return the FINAL running bar per symbol.
+    """Bounded run of a custom stateful operator: stream the wire corpus,
+    fold per-symbol running OHLCV state across micro-batches, and return
+    the FINAL running bar per symbol.
+
+    ``api`` selects the exemplar — ``"apply_in_pandas_with_state"``
+    (``streaming.stateful.running_bars``, the Spark 3.4+ GroupState form)
+    or ``"transform_with_state"`` (``running_bars_tws``, the Spark 4
+    StatefulProcessor form).  Both fold identically, so both are gated
+    against the SAME batch GROUP BY oracle.
 
     Update-mode emission yields one row per active symbol per batch; the
     final answer is the row with the highest tick_count per symbol
@@ -403,11 +416,21 @@ def run_running_bars_available_now(
     event_time, integer sums, min/max — so the result provably equals the
     batch GROUP BY over the same ticks, which is what the oracle checks.
     """
-    from stockpulse_batch_realtime_etl_spark.streaming.stateful import (
-        running_bars,
-    )
+    from stockpulse_batch_realtime_etl_spark.streaming import stateful
 
-    with _bounded_run_env(spark, sf_dir, base_dir, "stateful") as (
+    operators = {
+        "apply_in_pandas_with_state": stateful.running_bars,
+        "transform_with_state": stateful.running_bars_tws,
+    }
+    running_bars = operators[api]
+
+    with _bounded_run_env(
+        spark,
+        sf_dir,
+        base_dir,
+        f"stateful_{api}",
+        keep_rocksdb=(api == "transform_with_state"),
+    ) as (
         raw_dir,
         out_dir,
         ckpt,

@@ -89,3 +89,92 @@ def running_bars(ticks: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+
+class RunningBarProcessor(StatefulProcessor):
+    """The SAME running-OHLCV fold as :func:`running_bars`, expressed in the
+    Spark 4 arbitrary-state API (``transformWithStateInPandas`` /
+    ``StatefulProcessor``): typed, named state variables managed through a
+    ``StatefulProcessorHandle`` instead of one opaque ``GroupState`` tuple.
+
+    Why carry both: ``applyInPandasWithState`` is the Spark 3.4+ form this
+    module's docstring motivates; ``transformWithState`` is its successor —
+    composable state variables (value/list/map), TTL, timers, and initial-
+    state bootstrap — and the shape new operators should take.  Both
+    exemplars fold identically (argmin/argmax by event_time, integer sums).
+
+    SANDBOX SEAM: the TWS Python runner speaks a protobuf protocol to the
+    JVM state server, and ``google.protobuf`` is absent from this container
+    (verified: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE →
+    ``ImportError: cannot import name 'descriptor' from 'google.protobuf'``;
+    pip installs are out of scope).  So only the ``applyInPandasWithState``
+    twin runs end-to-end here (driver-gated as ``streaming_running_bars``);
+    THIS processor's fold is exercised by driving ``handleInputRows``
+    directly against a stub ValueState in tests/test_stateful.py — exact
+    under any batch split, same property the gated twin proves.  On a real
+    cluster ``run_running_bars_available_now(api="transform_with_state")``
+    executes it unchanged.
+    """
+
+    def init(self, handle) -> None:
+        self._bar = handle.getValueState("bar", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        (symbol,) = key
+        prev = self._bar.get() if self._bar.exists() else None
+        if prev is not None:
+            f_ts, o, h, low, l_ts, c, vol, cnt = prev
+        else:
+            f_ts, o, h, low, l_ts, c, vol, cnt = (
+                float("inf"), None, float("-inf"), float("inf"),
+                float("-inf"), None, 0, 0,
+            )
+        for pdf in rows:
+            if pdf.empty:
+                continue
+            ts = pdf["event_time"].astype("int64") / 1e9
+            prices = pdf["price"].astype("float64")
+            first_i, last_i = ts.idxmin(), ts.idxmax()
+            if ts[first_i] < f_ts:
+                f_ts, o = float(ts[first_i]), float(prices[first_i])
+            if ts[last_i] > l_ts:
+                l_ts, c = float(ts[last_i]), float(prices[last_i])
+            h = max(h, float(prices.max()))
+            low = min(low, float(prices.min()))
+            vol += int(pdf["volume"].fillna(0).sum())
+            cnt += len(pdf)
+        self._bar.update((f_ts, o, h, low, l_ts, c, vol, cnt))
+        yield pd.DataFrame(
+            [
+                {
+                    "symbol": symbol,
+                    "open": o,
+                    "high": h,
+                    "low": low,
+                    "close": c,
+                    "volume_sum": vol,
+                    "tick_count": cnt,
+                }
+            ]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_bars_tws(ticks: DataFrame) -> DataFrame:
+    """ticks stream → running OHLCV per symbol per micro-batch, via the
+    Spark 4 ``transformWithStateInPandas`` API (state backed by the same
+    RocksDB provider at scale; ``timeMode="None"`` — the running bar never
+    expires, exactly like the GroupStateTimeout.NoTimeout twin above)."""
+    return ticks.groupBy("symbol").transformWithStateInPandas(
+        statefulProcessor=RunningBarProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
