@@ -2801,3 +2801,50 @@ def q_version_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return version_info(spark)
+
+
+@register(
+    "streaming_sector_rollup",
+    oracle=f"""
+{RAW_CTE},
+ticks AS (
+  SELECT p_symbol AS symbol, p_price AS price, p_volume AS volume,
+         p_event_time AS event_time
+  FROM parsed
+  WHERE NOT malformed AND NOT no_symbol
+    AND p_price IS NOT NULL AND p_event_time IS NOT NULL
+),
+dim AS (
+  SELECT DISTINCT symbol,
+         'SEC' || CAST(ascii(substr(symbol, 1, 1)) % 3 AS VARCHAR) AS sector
+  FROM ticks
+)
+SELECT d.sector,
+       date_trunc('minute', t.event_time) AS bucket_start,
+       round(max(price), 4) AS high,
+       round(min(price), 4) AS low,
+       round(avg(price), 4) AS avg_price,
+       CAST(sum(coalesce(volume, 0)) AS BIGINT) AS volume_sum,
+       count(*) AS tick_count
+FROM ticks t JOIN dim d USING (symbol)
+GROUP BY d.sector, date_trunc('minute', t.event_time)
+""",
+)
+def q_streaming_sector_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join end-to-end: the tick stream enriched against a
+    broadcast symbol→sector dimension, rolled up per (sector, minute);
+    the final table must equal the batch join + GROUP BY."""
+    from stockpulse_batch_realtime_etl_spark.streaming.job import (
+        run_sector_rollup_available_now,
+    )
+
+    out = run_sector_rollup_available_now(spark, sf_dir)
+    return out.select(
+        "sector",
+        "bucket_start",
+        F.round("high", 4).alias("high"),
+        F.round("low", 4).alias("low"),
+        F.round("avg_price_raw", 4).alias("avg_price"),
+        F.col("volume_sum").cast("long").alias("volume_sum"),
+        F.col("tick_count").cast("long").alias("tick_count"),
+    )

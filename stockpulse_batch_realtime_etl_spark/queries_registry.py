@@ -1217,6 +1217,7 @@ _GATE_HEAD: tuple[str, ...] = (
     "version_info",
     "q14_promo_revenue",
     "q10_returned_items",
+    "streaming_sector_rollup",
     # --- CODE/ORACLE CHANGED in r5 (IPv4 octet tightening, shared quality
     # CTE builder, lazy localCheckpoint) — regression risk, re-gated
     "pii_scan",
@@ -1257,7 +1258,6 @@ _GATE_HEAD: tuple[str, ...] = (
     "lsh_candidate_pairs",
     "simhash_near_dups",
     "bigram_counts",
-    "bigram_lm_scores",
 )
 
 #: Names queued BEHIND the window: the 14 remaining r3-row queries rotate
@@ -1265,6 +1265,7 @@ _GATE_HEAD: tuple[str, ...] = (
 #: registration order.  All 100+ are still verified every round by the
 #: local all-queries parity suite (tests/test_oracle_parity.py).
 _GATE_NEXT: tuple[str, ...] = (
+    "bigram_lm_scores",
     "repetition_stats",
     "contamination_overlap",
     "rolling_fingerprints",

@@ -278,3 +278,41 @@ def test_metrics_probe_batches_are_days(spark):
     assert len(rows) == 30
     assert sum(r.num_input_rows for r in rows) == 1000
     assert all(r.query_name == "metrics_probe" for r in rows)
+
+
+def test_sector_rollup_stream_static_join_matches_batch(spark):
+    """stream-static join end-to-end: final sector rollup equals the batch
+    join + GROUP BY over the same decoded corpus."""
+    from pyspark.sql import functions as F
+    from stockpulse_batch_realtime_etl_spark.sources.dlq import split_raw_stream
+    from stockpulse_batch_realtime_etl_spark.sources.ticks import raw_json_corpus
+    from stockpulse_batch_realtime_etl_spark.streaming.job import (
+        run_sector_rollup_available_now,
+        symbol_sector_dim,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.sector, r.bucket_start): (
+            round(r.high, 4), round(r.low, 4), round(r.avg_price_raw, 4),
+            r.volume_sum, r.tick_count,
+        )
+        for r in run_sector_rollup_available_now(spark, sf).collect()
+    }
+    ticks = split_raw_stream(raw_json_corpus(spark, sf)).ticks
+    batch = (
+        ticks.join(symbol_sector_dim(spark, sf), "symbol")
+        .groupBy("sector", F.date_trunc("minute", "event_time").alias("b"))
+        .agg(
+            F.round(F.max("price"), 4).alias("high"),
+            F.round(F.min("price"), 4).alias("low"),
+            F.round(F.avg("price"), 4).alias("avg_price"),
+            F.sum(F.coalesce("volume", F.lit(0))).alias("volume_sum"),
+            F.count(F.lit(1)).alias("tick_count"),
+        )
+    )
+    want = {
+        (r.sector, r.b): (r.high, r.low, r.avg_price, r.volume_sum, r.tick_count)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
