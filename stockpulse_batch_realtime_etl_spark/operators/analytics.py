@@ -482,3 +482,79 @@ def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.round(F.sum("v").cast("double"), 4).alias("total_value"),
         F.sum("k").alias("k_sum"),
     )
+
+
+def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Deequ-style data profile: one row per column with null count, exact
+    distinct count, and TYPED min/max (numeric → ``min_num``/``max_num``,
+    timestamp → ``min_ts``/``max_ts``, string → ``min_str``/``max_str``;
+    inapplicable slots stay null) plus the table row count — the
+    completeness / domain / freshness check every ingestion pipeline runs
+    before trusting a table.
+
+    Typed stat slots instead of stringified values: casting min/max to
+    string would couple the gate to each engine's float/timestamp
+    formatting; typed columns hash on the values themselves.
+
+    Plan: ONE aggregate over one scan computes every per-column stat
+    (count_distinct expands into the standard two-phase partial dedup per
+    column, all map-side combined), then the single result row explodes
+    into per-column rows from an in-memory struct array — no second scan,
+    no per-column job.  At 100 TB this is exactly as expensive as the
+    widest count_distinct, and columns are independent so the aggregate
+    parallelizes per partition.
+    """
+    from pyspark.sql.types import (
+        NumericType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    # driver parquet carries TIMESTAMP(NANOS) → TimestampNTZType; both tz'd
+    # and naive timestamps share the ts slot (output cast unifies them)
+    ts_kinds = (TimestampType, TimestampNTZType)
+
+    cols = columns or [f.name for f in df.schema.fields]
+    types = {f.name: f.dataType for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(cols):
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"_null_{i}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{i}"))
+        aggs.append(F.min(F.col(c)).alias(f"_min_{i}"))
+        aggs.append(F.max(F.col(c)).alias(f"_max_{i}"))
+    row = df.agg(*aggs)
+
+    def slot(i: int, c: str, kind, out_type: str) -> tuple[Column, Column]:
+        if not isinstance(types[c], kind):
+            null = F.lit(None).cast(out_type)
+            return null, null
+        mn, mx = F.col(f"_min_{i}"), F.col(f"_max_{i}")
+        if out_type != "string":  # unify int/long/double and tz/ntz slots
+            mn, mx = mn.cast(out_type), mx.cast(out_type)
+        return mn, mx
+
+    structs = []
+    for i, c in enumerate(cols):
+        mn_n, mx_n = slot(i, c, NumericType, "double")
+        mn_t, mx_t = slot(i, c, ts_kinds, "timestamp")
+        mn_s, mx_s = slot(i, c, StringType, "string")
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_null_{i}").alias("n_null"),
+                F.col(f"_nd_{i}").alias("n_distinct"),
+                mn_n.alias("min_num"),
+                mx_n.alias("max_num"),
+                mn_t.alias("min_ts"),
+                mx_t.alias("max_ts"),
+                mn_s.alias("min_str"),
+                mx_s.alias("max_str"),
+            )
+        )
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

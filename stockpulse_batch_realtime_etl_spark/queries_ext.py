@@ -2848,3 +2848,58 @@ def q_streaming_sector_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("volume_sum").cast("long").alias("volume_sum"),
         F.col("tick_count").cast("long").alias("tick_count"),
     )
+
+
+# --- data profiling (Deequ-style) --------------------------------------------
+
+_PROFILE_COLS = (
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+)
+
+
+def _profile_oracle(table: str, cols) -> str:
+    aggs, selects = [], []
+    for i, (c, kind) in enumerate(cols):
+        aggs += [
+            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS null_{i}",
+            f"count(DISTINCT {c}) AS nd_{i}",
+            f"min({c}) AS mn_{i}",
+            f"max({c}) AS mx_{i}",
+        ]
+        num = (f"CAST(mn_{i} AS DOUBLE)", f"CAST(mx_{i} AS DOUBLE)") if kind == "num" else ("CAST(NULL AS DOUBLE)",) * 2
+        ts = (f"mn_{i}", f"mx_{i}") if kind == "ts" else ("CAST(NULL AS TIMESTAMP)",) * 2
+        st = (f"mn_{i}", f"mx_{i}") if kind == "str" else ("CAST(NULL AS VARCHAR)",) * 2
+        selects.append(
+            f"""SELECT '{c}' AS "column", n AS n_rows,
+  CAST(null_{i} AS BIGINT) AS n_null, nd_{i} AS n_distinct,
+  {num[0]} AS min_num, {num[1]} AS max_num,
+  {ts[0]} AS min_ts, {ts[1]} AS max_ts,
+  {st[0]} AS min_str, {st[1]} AS max_str
+FROM s"""
+        )
+    body = ",\n  ".join(["count(*) AS n"] + aggs)
+    return (
+        f"WITH s AS (SELECT\n  {body}\nFROM {table})\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+@register(
+    "orders_profile",
+    oracle=_profile_oracle("orders", _PROFILE_COLS),
+)
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style profile of the orders table: null/distinct counts and
+    typed min/max per column, from ONE aggregate over one scan."""
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        table_profile,
+    )
+
+    return table_profile(
+        load_table(spark, sf_dir, "orders"), [c for c, _ in _PROFILE_COLS]
+    )

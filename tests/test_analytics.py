@@ -220,3 +220,24 @@ def test_user_sessions_exact_gap_is_same_session(spark):
 
     out = user_sessions(ev, 30).collect()
     assert len(out) == 1 and out[0].n_events == 2  # gap is STRICTLY greater
+
+
+def test_table_profile_stats(spark):
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        table_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "b", None), (2, None, 4.0)],
+        "k long, s string, v double",
+    )
+    out = {r.column: r for r in table_profile(df).collect()}
+    assert set(out) == {"k", "s", "v"}
+    k = out["k"]
+    assert (k.n_rows, k.n_null, k.n_distinct) == (3, 0, 2)
+    assert (k.min_num, k.max_num) == (1.0, 2.0)
+    assert k.min_str is None and k.min_ts is None
+    s = out["s"]
+    assert (s.n_null, s.n_distinct, s.min_str, s.max_str) == (1, 2, "a", "b")
+    v = out["v"]
+    assert (v.n_null, v.min_num, v.max_num) == (1, 2.0, 4.0)
