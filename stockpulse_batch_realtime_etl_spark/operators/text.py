@@ -1452,3 +1452,47 @@ def bm25_scores(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document duplicated-n-gram fraction — the RefinedWeb/C4-style
+    novelty metric: over each document's DISTINCT n-grams, what fraction
+    was first seen in an EARLIER document (corpus-wide min doc_id < own
+    doc_id)?  High fractions flag templated/near-copied documents that
+    per-doc dedup misses; the metric also estimates memorization exposure
+    before training.
+
+    Plan: one explode of in-array n-grams (``adjacent_ngrams``' slice
+    ladder — O(1) per element) deduped in-array first, a (gram → min
+    doc_id) hash aggregate, then the join back on gram — corpus-scale on
+    both sides (like the line-dedup join, NOT broadcast; hot template
+    grams get the AQE skew split, salting fallback as documented in
+    SCALE.md) — and a final per-doc aggregate.  Documents with fewer than
+    ``n`` tokens have no grams and are absent, matching the oracle.
+    """
+    grams = fan_out(docs).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(adjacent_ngrams(_norm_token_arr(), n))
+        ).alias("gram"),
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    seen = F.sum(
+        F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            seen.alias("n_seen_before"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_seen_before",
+            F.round(
+                F.col("n_seen_before").cast("double") / F.col("n_grams"), 6
+            ).alias("dup_fraction"),
+        )
+    )

@@ -2903,3 +2903,30 @@ def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_profile(
         load_table(spark, sf_dir, "orders"), [c for c, _ in _PROFILE_COLS]
     )
+
+
+@register(
+    "ngram_novelty",
+    oracle=f"""
+WITH {NORM_TOKS_CTE.lstrip()},
+grams AS (
+  SELECT DISTINCT a.doc_id,
+         a.token || ' ' || b.token || ' ' || c.token AS gram
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+),
+first AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram)
+SELECT g.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_seen_before,
+       round(CAST(sum(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS dup_fraction
+FROM grams g JOIN first f USING (gram)
+GROUP BY g.doc_id
+""",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style duplicated-3-gram fraction per document."""
+    return text.ngram_novelty(load_table(spark, sf_dir, "documents"), 3)

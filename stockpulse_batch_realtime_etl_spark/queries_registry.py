@@ -1219,6 +1219,7 @@ _GATE_HEAD: tuple[str, ...] = (
     "q10_returned_items",
     "streaming_sector_rollup",
     "orders_profile",
+    "ngram_novelty",
     # --- CODE/ORACLE CHANGED in r5 (IPv4 octet tightening, shared quality
     # CTE builder, lazy localCheckpoint) — regression risk, re-gated
     "pii_scan",
@@ -1257,7 +1258,6 @@ _GATE_HEAD: tuple[str, ...] = (
     "jaccard_top_pairs",
     "minhash_signatures",
     "lsh_candidate_pairs",
-    "simhash_near_dups",
 )
 
 #: Names queued BEHIND the window: the 14 remaining r3-row queries rotate
@@ -1265,6 +1265,7 @@ _GATE_HEAD: tuple[str, ...] = (
 #: registration order.  All 100+ are still verified every round by the
 #: local all-queries parity suite (tests/test_oracle_parity.py).
 _GATE_NEXT: tuple[str, ...] = (
+    "simhash_near_dups",
     "bigram_counts",
     "bigram_lm_scores",
     "repetition_stats",

@@ -647,3 +647,22 @@ def test_bm25_length_normalization_penalizes_long_doc(make_docs):
     out = {r.doc_id: r.score for r in bm25_scores(d, ("spark",), k=10).collect()}
     # same tf=1, but doc 2 is 20x longer -> lower score under b=0.75
     assert out[1] > out[2]
+
+
+def test_ngram_novelty_flags_copied_doc(make_docs):
+    from stockpulse_batch_realtime_etl_spark.operators.text import ngram_novelty
+
+    d = make_docs(
+        [
+            doc(1, "the quick brown fox jumps over the lazy dog"),
+            doc(2, "the quick brown fox jumps over the lazy dog"),  # full copy
+            doc(3, "completely different words about spark plans here"),
+            doc(4, "xx"),  # < 3 tokens -> no grams, absent from output
+        ]
+    )
+    out = {r.doc_id: r for r in ngram_novelty(d, 3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].dup_fraction == 0.0          # first occurrence of every gram
+    assert out[2].dup_fraction == 1.0          # every gram seen in doc 1
+    assert out[3].dup_fraction == 0.0
+    assert out[2].n_grams == out[1].n_grams == 7
