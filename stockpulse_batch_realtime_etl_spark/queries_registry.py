@@ -1260,7 +1260,7 @@ _GATE_HEAD: tuple[str, ...] = (
     "lsh_candidate_pairs",
 )
 
-#: Names queued BEHIND the window: the 14 remaining r3-row queries rotate
+#: Names queued BEHIND the window: the 17 remaining r3-row queries rotate
 #: first in r6; every name not listed at all (r4-green) follows in
 #: registration order.  All 100+ are still verified every round by the
 #: local all-queries parity suite (tests/test_oracle_parity.py).
