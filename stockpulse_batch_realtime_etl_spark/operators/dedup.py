@@ -587,3 +587,69 @@ def dedup_survivors(
         F.count(F.lit(1)).alias("group_size"),
         F.max_by("quality", ordkey).alias("survivor_quality"),
     )
+
+
+def incremental_dedup(
+    docs: DataFrame,
+    split_id: int,
+    num_hashes: int = 12,
+    band_size: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """Incremental (new-crawl-vs-base) dedup: flag every NEW document
+    (``doc_id >= split_id``) that duplicates the already-ingested BASE
+    corpus (``doc_id < split_id``) — the shape every recurring ingestion
+    runs (dedupe each crawl against the accumulated corpus), distinct from
+    the whole-corpus self-dedup rungs above.
+
+    Per new doc: ``exact_dup`` (normalized-text fingerprint present in the
+    base), ``near_dup`` (shares ≥1 minhash-LSH band bucket with ANY base
+    doc), ``is_kept`` = neither.  Intra-crawl (new×new) duplication is the
+    ordinary self-join rung's job and deliberately out of scope here.
+
+    Scale shape: fingerprints and bands build over ONE pass of the whole
+    corpus (same pipelines as :func:`exact_dedup` /
+    :func:`lsh_candidate_pairs`), then split by the id predicate; the
+    exact stage is a fingerprint hash join against the DISTINCT base
+    fingerprint set, and the near stage joins new-side bands to base-side
+    bands on (band_idx, band_hash) — candidate space is cross-side bucket
+    matches only, never new×new, never all-pairs.  In production the base
+    side's fingerprints/bands are a MATERIALIZED table maintained
+    incrementally (append each accepted crawl), so each new crawl pays
+    only its own signature pass plus the bucket join.
+    """
+    fps = doc_fingerprints(docs).select("doc_id", "fingerprint")
+    new_fp = fps.filter(F.col("doc_id") >= split_id)
+    base_fp = (
+        fps.filter(F.col("doc_id") < split_id)
+        .select(F.col("fingerprint").alias("_base_fp"))
+        .distinct()
+    )
+    bands = lsh_bands(
+        minhash_signatures(docs, num_hashes, n), num_hashes, band_size
+    )
+    near = (
+        bands.filter(F.col("doc_id") >= split_id)
+        .alias("nb")
+        .join(
+            bands.filter(F.col("doc_id") < split_id).alias("bb"),
+            (F.col("nb.band_idx") == F.col("bb.band_idx"))
+            & (F.col("nb.band_hash") == F.col("bb.band_hash")),
+        )
+        .select(F.col("nb.doc_id").alias("_near_id"))
+        .distinct()
+    )
+    return (
+        new_fp.join(
+            base_fp, new_fp["fingerprint"] == base_fp["_base_fp"], "left"
+        )
+        .join(near, new_fp["doc_id"] == near["_near_id"], "left")
+        .select(
+            "doc_id",
+            F.col("_base_fp").isNotNull().alias("exact_dup"),
+            F.col("_near_id").isNotNull().alias("near_dup"),
+            (F.col("_base_fp").isNull() & F.col("_near_id").isNull()).alias(
+                "is_kept"
+            ),
+        )
+    )

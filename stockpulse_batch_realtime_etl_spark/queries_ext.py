@@ -2930,3 +2930,50 @@ GROUP BY g.doc_id
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb-style duplicated-3-gram fraction per document."""
     return text.ngram_novelty(load_table(spark, sf_dir, "documents"), 3)
+
+
+@register(
+    "incremental_dedup",
+    oracle=rf"""
+WITH {SIGS_CTE.lstrip()},
+bands AS (
+{_BAND_SELECTS}
+),
+split AS (
+  SELECT CAST(floor((max(doc_id) + 1) * 0.8) AS BIGINT) AS sid FROM documents
+),
+fps AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+base_fp AS (
+  SELECT DISTINCT fingerprint FROM fps, split WHERE doc_id < sid
+),
+near AS (
+  SELECT DISTINCT nb.doc_id
+  FROM bands nb
+  JOIN bands bb ON bb.band_idx = nb.band_idx AND bb.band_hash = nb.band_hash
+  CROSS JOIN split
+  WHERE nb.doc_id >= sid AND bb.doc_id < sid
+)
+SELECT n.doc_id,
+       (b.fingerprint IS NOT NULL) AS exact_dup,
+       (nr.doc_id IS NOT NULL) AS near_dup,
+       (b.fingerprint IS NULL AND nr.doc_id IS NULL) AS is_kept
+FROM (SELECT doc_id, fingerprint FROM fps, split WHERE doc_id >= sid) n
+LEFT JOIN base_fp b USING (fingerprint)
+LEFT JOIN near nr ON nr.doc_id = n.doc_id
+""",
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-crawl-vs-base dedup at the 80% doc_id boundary.
+
+    The split scalar is the one deliberate driver-side collect — an O(1)
+    aggregate (same class as the ANN query-set collect), matching the
+    oracle's scalar subquery."""
+    docs = load_table(spark, sf_dir, "documents")
+    sid = docs.agg(
+        F.floor((F.max("doc_id") + 1) * 0.8).cast("long")
+    ).collect()[0][0]
+    return dedup.incremental_dedup(docs, int(sid), NUM_HASHES, BAND_SIZE, 3)

@@ -1220,6 +1220,7 @@ _GATE_HEAD: tuple[str, ...] = (
     "streaming_sector_rollup",
     "orders_profile",
     "ngram_novelty",
+    "incremental_dedup",
     # --- CODE/ORACLE CHANGED in r5 (IPv4 octet tightening, shared quality
     # CTE builder, lazy localCheckpoint) — regression risk, re-gated
     "pii_scan",
@@ -1257,14 +1258,14 @@ _GATE_HEAD: tuple[str, ...] = (
     "ann_ivfpq_topk",
     "jaccard_top_pairs",
     "minhash_signatures",
-    "lsh_candidate_pairs",
 )
 
-#: Names queued BEHIND the window: the 17 remaining r3-row queries rotate
+#: Names queued BEHIND the window: the 18 remaining r3-row queries rotate
 #: first in r6; every name not listed at all (r4-green) follows in
 #: registration order.  All 100+ are still verified every round by the
 #: local all-queries parity suite (tests/test_oracle_parity.py).
 _GATE_NEXT: tuple[str, ...] = (
+    "lsh_candidate_pairs",
     "simhash_near_dups",
     "bigram_counts",
     "bigram_lm_scores",

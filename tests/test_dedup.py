@@ -236,3 +236,21 @@ def test_dedup_survivors_tie_breaks_to_lowest_id(make_docs):
     out = dedup.dedup_survivors(d).collect()
     assert len(out) == 1
     assert out[0].survivor_doc_id == 4 and out[0].group_size == 3
+
+
+def test_incremental_dedup_flags(make_docs):
+    same = "the quick brown fox jumps over the lazy dog again and again"
+    d = make_docs(
+        [
+            doc(1, same),
+            doc(2, "totally different base content about query planners"),
+            doc(10, same),                       # exact copy of base doc 1
+            doc(11, same + " extra tail words"), # near-dup of base via LSH
+            doc(12, "fresh unseen writing with novel vocabulary entirely"),
+        ]
+    )
+    out = {r.doc_id: r for r in dedup.incremental_dedup(d, 10).collect()}
+    assert set(out) == {10, 11, 12}              # new side only
+    assert out[10].exact_dup and not out[10].is_kept
+    assert out[11].near_dup and not out[11].exact_dup and not out[11].is_kept
+    assert out[12].is_kept and not out[12].exact_dup and not out[12].near_dup
