@@ -503,3 +503,34 @@ def test_q10_topk_with_broadcast_dims(spark):
     P.assert_take_ordered(df)
     P.assert_broadcast_join(df, min_count=2)
     P.assert_pushed_filter(df, "l_returnflag")
+
+
+def test_orders_profile_single_aggregate_no_join(spark):
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        table_profile,
+    )
+
+    df = table_profile(load_table(spark, SF, "orders"))
+    plan = P.simple_plan(df)
+    assert "Join" not in plan, plan          # one scan, no self-joins
+    assert "Generate" in plan, plan          # explode of the struct array
+    P.assert_no_cartesian(df)
+
+
+def test_ngram_novelty_skew_ready_no_cartesian(spark):
+    docs = load_table(spark, SF, "documents")
+    df = text.ngram_novelty(docs, 3)
+    P.assert_no_cartesian(df)
+    P.assert_skew_join_ready(df)             # gram join can be hot-keyed
+
+
+def test_incremental_dedup_no_cartesian_band_equijoin(spark):
+    from stockpulse_batch_realtime_etl_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    df = incremental_dedup(docs, 400)
+    P.assert_no_cartesian(df)                # bucket equi-join, never all-pairs
+    plan = P.simple_plan(df)
+    assert "band_hash" in plan, plan
