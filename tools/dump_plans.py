@@ -214,6 +214,31 @@ HEADLINERS: dict[str, str] = {
         "feeds two vec_id-keyed cell lookups and one 1-row aggregate — "
         "everything beyond the truth scan is linear."
     ),
+    "q10_returned_items": (
+        "Selective fact filters (returnflag + order-date) sit under the "
+        "orderkey join; customer/nation broadcast; the top-20 is "
+        "TakeOrderedAndProject."
+    ),
+    "q14_promo_revenue": (
+        "One month-pruned scan, part broadcast, ONE conditional "
+        "DECIMAL-exact aggregate — promo share without a second pass."
+    ),
+    "orders_profile": (
+        "Every per-column stat (null/distinct/min/max) in ONE aggregate "
+        "over one scan; the single result row explodes into per-column "
+        "rows — no join, no per-column job."
+    ),
+    "ngram_novelty": (
+        "In-array gram dedup before the explode; (gram → min doc_id) "
+        "aggregate; corpus-scale gram join back under AQE skew handling; "
+        "per-doc aggregate."
+    ),
+    "incremental_dedup": (
+        "Fingerprints/bands built in one corpus pass, split by id "
+        "predicate; exact stage joins the distinct base fingerprint set; "
+        "near stage joins new-side to base-side buckets only — never "
+        "new×new, never all-pairs."
+    ),
 }
 
 
