@@ -152,24 +152,33 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
 
 
 def encode_png(asset_id: int) -> bytes:
-    """Real PNG: 8-bit/channel RGB (color type 2), no interlace, stdlib
-    ``zlib``-deflated IDAT.  Scanline r is FILTERED with type
-    ``(asset_id + r) % 5`` before compression, so across the corpus every
-    unfilter path (None/Sub/Up/Average/Paeth) is genuinely exercised — a
-    decoder that fakes any of them cannot reproduce the deterministic
-    pixel function and fails the oracle."""
+    """Real PNG of the deterministic synthetic image: scanline r is
+    FILTERED with type ``(asset_id + r) % 5`` before compression, so
+    across the corpus every unfilter path (None/Sub/Up/Average/Paeth) is
+    genuinely exercised — a decoder that fakes any of them cannot
+    reproduce the deterministic pixel function and fails the oracle."""
+    w, h = _image_dims(asset_id)
+    return encode_png_rgb(
+        _synth_image_vals(asset_id, w, h).reshape(h, w, 3), asset_id
+    )
+
+
+def encode_png_rgb(rgb, filter_seed: int = 0) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a real 8-bit RGB PNG (color type
+    2, no interlace, stdlib ``zlib``-deflated IDAT); row r uses filter
+    type ``(filter_seed + r) % 5``."""
     import numpy as np
     import zlib
 
-    w, h = _image_dims(asset_id)
+    h, w = rgb.shape[0], rgb.shape[1]
     bpp, stride = 3, w * 3
-    px = _synth_image_vals(asset_id, w, h).reshape(h, stride).astype(np.int64)
+    px = np.asarray(rgb, dtype=np.int64).reshape(h, stride)
     zero = np.zeros(bpp, dtype=np.int64)
     raw = bytearray()
     prev = np.zeros(stride, dtype=np.int64)
     for r in range(h):
         row = px[r]
-        ft = (asset_id + r) % 5
+        ft = (filter_seed + r) % 5
         a = np.concatenate([zero, row[:-bpp]])  # Recon(x-bpp), same line
         b = prev                                # Recon(x), line above
         c = np.concatenate([zero, prev[:-bpp]])  # Recon(x-bpp), line above

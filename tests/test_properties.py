@@ -66,3 +66,29 @@ def test_pii_redaction_is_idempotent_and_clean(spark, texts, rnd):
         )
     )
     assert rescan.filter(F.col("has_pii")).count() == 0
+
+
+# --- PNG codec round trip (pure Python — no Spark, so examples are cheap) ---
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.integers(0, 4),
+    st.integers(0, 2**32 - 1),
+)
+def test_png_round_trip_random_images(w, h, filter_seed, pix_seed):
+    """decode(encode(px)) == px for ARBITRARY pixel content, any dims ≥ 1,
+    any per-row filter phase — the inverse law the oracle checks only for
+    the synthetic generator."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import multimodal
+
+    rng = np.random.default_rng(pix_seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    d = multimodal.decode_png_bytes(multimodal.encode_png_rgb(px, filter_seed))
+    assert (d["width"], d["height"]) == (w, h)
+    np.testing.assert_array_equal(
+        d["vals"].reshape(h, w, 3), px.astype(np.int64)
+    )
