@@ -92,3 +92,81 @@ def test_png_round_trip_random_images(w, h, filter_seed, pix_seed):
     np.testing.assert_array_equal(
         d["vals"].reshape(h, w, 3), px.astype(np.int64)
     )
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_DOC, min_size=2, max_size=8), st.integers(0, 10**6))
+def test_bm25_matches_pure_python_reference(spark, texts, seed):
+    """Spark BM25 == an independent pure-Python implementation (same
+    formula, same rounding points) on randomized corpora."""
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from stockpulse_batch_realtime_etl_spark.operators.text import bm25_scores
+
+    terms = ("a", "ab", "xyz")
+    k1, b = 1.2, 0.75
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r.doc_id: (r.score, r.n_terms)
+        for r in bm25_scores(docs, terms, k1, b, k=100).collect()
+    }
+
+    toks = [(" ".join(t.split())).split(" ") for t in texts]
+    dls = [len([w for w in tk if w]) for tk in toks]
+    n = len(texts)
+    avgdl = sum(dls) / n
+    df = {
+        q: sum(1 for tk in toks if q in tk)
+        for q in terms
+    }
+    want = {}
+    for i, tk in enumerate(toks):
+        total, hit = 0.0, 0
+        for q in terms:
+            tf = tk.count(q)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (float(n) - df[q] + 0.5) / (df[q] + 0.5))
+            s = idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * dls[i] / avgdl)
+            )
+            total += round(s, 6)
+            hit += 1
+        if hit:
+            want[i] = (round(total, 6), hit)
+    assert {k: (round(v[0], 6), v[1]) for k, v in got.items()} == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_DOC, min_size=2, max_size=10))
+def test_incremental_dedup_consistent_with_exact_and_lsh(spark, texts):
+    """exact_dup ⇔ a base doc shares the normalized fingerprint;
+    near_dup ⇒ an LSH candidate pair crossing the split exists;
+    is_kept ⇔ neither flag."""
+    from stockpulse_batch_realtime_etl_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    split = len(texts) // 2
+    out = {r.doc_id: r for r in dedup.incremental_dedup(docs, split).collect()}
+    fps = {r.doc_id: r.fingerprint for r in dedup.doc_fingerprints(docs).collect()}
+    base_fps = {fp for d, fp in fps.items() if d < split}
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidate_pairs(docs).collect()
+    }
+    cross = {b for (a, b) in pairs if a < split <= b} | {
+        a for (a, b) in pairs if b < split <= a
+    }
+    for d, r in out.items():
+        assert d >= split
+        assert r.exact_dup == (fps[d] in base_fps)
+        assert r.near_dup == (d in cross)
+        assert r.is_kept == (not r.exact_dup and not r.near_dup)
