@@ -515,7 +515,11 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     # and naive timestamps share the ts slot (output cast unifies them)
     ts_kinds = (TimestampType, TimestampNTZType)
 
-    cols = columns or [f.name for f in df.schema.fields]
+    cols = (
+        columns if columns is not None else [f.name for f in df.schema.fields]
+    )
+    if not cols:
+        raise ValueError("table_profile: empty column list")
     types = {f.name: f.dataType for f in df.schema.fields}
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, c in enumerate(cols):

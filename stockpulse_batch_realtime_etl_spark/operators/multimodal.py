@@ -224,6 +224,10 @@ def decode_png_bytes(payload: bytes) -> dict:
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4 : pos + 8]
+        if pos + 12 + length > len(payload):
+            # declared chunk overruns the payload — corrupt file contract
+            # is ValueError, not a low-level struct.error from the CRC read
+            raise ValueError(f"PNG truncated chunk {tag!r}")
         data = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
         if crc != zlib.crc32(tag + data) & 0xFFFFFFFF:

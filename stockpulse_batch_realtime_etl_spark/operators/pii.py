@@ -55,6 +55,12 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("phone", PHONE_RE, "[PHONE]"),
 )
 
+#: matches any placeholder token — DERIVED from PII_PATTERNS so adding a
+#: fifth kind keeps n_placeholders in lockstep with n_redactions.
+PLACEHOLDER_RE = (
+    r"\[(" + "|".join(tok[1:-1] for _, _, tok in PII_PATTERNS) + r")\]"
+)
+
 
 def _pad3(c: Column) -> Column:
     return F.lpad(c.cast("string"), 3, "0")
@@ -175,7 +181,7 @@ def pii_redact(docs: DataFrame) -> DataFrame:
         "doc_id",
         "n_redactions",
         F.md5(F.col("_red")).alias("redacted_md5"),
-        F.regexp_count(
-            F.col("_red"), F.lit(r"\[(EMAIL|IP|SSN|PHONE)\]")
-        ).alias("n_placeholders"),
+        F.regexp_count(F.col("_red"), F.lit(PLACEHOLDER_RE)).alias(
+            "n_placeholders"
+        ),
     )

@@ -370,11 +370,14 @@ def q10_returned_items(
     """TPC-H Q10 shape: who returned the most revenue last quarter(s).
 
     The selective fact filter (l_returnflag = 'R' + order-date range) cuts
-    the join input FIRST; lineitem⋈orders shuffles on orderkey, then the
-    customer/nation dimensions broadcast onto the pre-aggregated rollup.
+    the join input FIRST; lineitem⋈orders shuffles on orderkey, the
+    revenue rollup aggregates by o_custkey ALONE (the exchange carries
+    (custkey, partial-decimal) pairs — not the five wide customer
+    attributes, which are functionally dependent on the key), and the
+    customer/nation dimensions broadcast onto the customer-sized rollup.
     Final ranking is TakeOrderedAndProject (top-k, never a global sort);
     ties pin to c_custkey."""
-    j = (
+    rev = (
         lineitem.filter(F.col("l_returnflag") == "R")
         .select("l_orderkey", "l_extendedprice", "l_discount")
         .join(
@@ -384,7 +387,11 @@ def q10_returned_items(
             ).select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(
+        .groupBy("o_custkey")
+        .agg(money_sum(_revenue()).alias("revenue"))
+    )
+    return (
+        rev.join(
             F.broadcast(
                 customer.select(
                     "c_custkey", "c_name", "c_nationkey", "c_acctbal",
@@ -397,10 +404,10 @@ def q10_returned_items(
             F.broadcast(nation.select("n_nationkey", "n_name")),
             F.col("c_nationkey") == F.col("n_nationkey"),
         )
-    )
-    return (
-        j.groupBy("c_custkey", "c_name", "n_name", "c_mktsegment", "c_acctbal")
-        .agg(money_sum(_revenue()).alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "n_name", "c_mktsegment", "c_acctbal",
+            "revenue",
+        )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(k)
     )

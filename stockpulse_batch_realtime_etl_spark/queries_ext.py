@@ -2351,7 +2351,7 @@ red AS (
 )
 SELECT doc_id, n_redactions,
        md5(rtext) AS redacted_md5,
-       CAST(len(regexp_extract_all(rtext, '\[(EMAIL|IP|SSN|PHONE)\]')) AS INT)
+       CAST(len(regexp_extract_all(rtext, '{pii.PLACEHOLDER_RE}')) AS INT)
          AS n_placeholders
 FROM red
 """,

@@ -261,8 +261,13 @@ def _bounded_run_env(
     }
     if keep_rocksdb:
         # transformWithState is only supported on the RocksDB provider —
-        # leave the session default (RocksDB) in place for those runs
-        del overrides["spark.sql.streaming.stateStore.providerClass"]
+        # set it EXPLICITLY (not merely "don't override"): an externally
+        # built session (the bare-harness case _ensure_session_confs
+        # supports) defaults to the HDFS-backed provider, which would fail
+        overrides["spark.sql.streaming.stateStore.providerClass"] = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
     prev = {k: spark.conf.get(k, None) for k in overrides}
     for k, v in overrides.items():
         spark.conf.set(k, v)

@@ -266,3 +266,13 @@ def test_png_unsupported_variants_raise():
     )
     with _pytest.raises(NotImplementedError, match="depth=16"):
         multimodal.decode_png_bytes(payload)
+
+
+def test_png_truncated_chunk_raises_value_error():
+    p = multimodal.encode_png(1)
+    import pytest as _pytest
+
+    # cut past the 12-byte IEND into IDAT's tail: the declared IDAT length
+    # now overruns the payload → the documented ValueError, not struct.error
+    with _pytest.raises(ValueError, match="truncated chunk"):
+        multimodal.decode_png_bytes(p[:-17])

@@ -100,10 +100,17 @@ def test_bm25_matches_pure_python_reference(spark, texts, seed):
     """Spark BM25 == an independent pure-Python implementation (same
     formula, same rounding points) on randomized corpora."""
     import math
-
-    from pyspark.sql import functions as F  # noqa: F401
+    from decimal import ROUND_HALF_UP, Decimal
 
     from stockpulse_batch_realtime_etl_spark.operators.text import bm25_scores
+
+    def r6(x: float) -> float:
+        # Spark's round(double, 6) is HALF_UP on the shortest decimal repr
+        # (BigDecimal.valueOf); Python's round() is half-even on the exact
+        # binary value — mirror Spark to avoid boundary-double flakes.
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
 
     terms = ("a", "ab", "xyz")
     k1, b = 1.2, 0.75
@@ -135,11 +142,11 @@ def test_bm25_matches_pure_python_reference(spark, texts, seed):
             s = idf * (tf * (k1 + 1.0)) / (
                 tf + k1 * (1.0 - b + b * dls[i] / avgdl)
             )
-            total += round(s, 6)
+            total += r6(s)
             hit += 1
         if hit:
-            want[i] = (round(total, 6), hit)
-    assert {k: (round(v[0], 6), v[1]) for k, v in got.items()} == want
+            want[i] = (r6(total), hit)
+    assert {k: (r6(v[0]), v[1]) for k, v in got.items()} == want
 
 
 @settings(max_examples=6, deadline=None)
