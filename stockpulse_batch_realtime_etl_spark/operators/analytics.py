@@ -562,3 +562,33 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             )
         )
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def missing_minutes(ticks: DataFrame) -> DataFrame:
+    """Time-series continuity audit: per (symbol, day), how many minute
+    buckets inside the symbol's active span that day carried NO ticks —
+    the gap census a charting/backtest consumer runs before trusting a
+    feed (the counting companion of ``gapfill_bars``, which FILLS gaps).
+
+    One hash aggregate: count_distinct of minute buckets + span min/max
+    per (symbol, day); expected = span minutes + 1; missing = expected −
+    active.  All integer arithmetic on whole-minute timestamps — engine
+    exact."""
+    m = ticks.select(
+        "symbol", F.date_trunc("minute", "event_time").alias("m")
+    )
+    per = m.groupBy("symbol", F.to_date("m").alias("day")).agg(
+        F.count_distinct("m").alias("active_minutes"),
+        F.min("m").alias("_first"),
+        F.max("m").alias("_last"),
+    )
+    expected = (
+        (F.unix_timestamp("_last") - F.unix_timestamp("_first")) / 60
+    ).cast("long") + 1
+    return per.select(
+        "symbol",
+        "day",
+        "active_minutes",
+        expected.alias("expected_minutes"),
+        (expected - F.col("active_minutes")).alias("missing_minutes"),
+    )

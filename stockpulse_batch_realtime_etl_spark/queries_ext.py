@@ -14,6 +14,7 @@ from stockpulse_batch_realtime_etl_spark.operators import dedup, similarity, tex
 from stockpulse_batch_realtime_etl_spark.queries_registry import (
     BARS_CTE,
     ORACLES,
+    TICKS_CTE,
     register,
 )
 from stockpulse_batch_realtime_etl_spark.sources.tables import load_table
@@ -2977,3 +2978,64 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.max("doc_id") + 1) * 0.8).cast("long")
     ).collect()[0][0]
     return dedup.incremental_dedup(docs, int(sid), NUM_HASHES, BAND_SIZE, 3)
+
+
+# --- data-quality audits ------------------------------------------------------
+
+_EVENTS_PROFILE_COLS = (
+    ("event_id", "num"),
+    ("ts", "ts"),
+    ("user_id", "num"),
+    ("event_type", "str"),
+    ("value", "num"),
+    ("props", "str"),
+)
+
+
+@register(
+    "events_profile",
+    oracle=_profile_oracle("events", _EVENTS_PROFILE_COLS).replace(
+        "min(ts) AS", "CAST(min(ts) AS TIMESTAMP) AS"
+    ).replace("max(ts) AS", "CAST(max(ts) AS TIMESTAMP) AS"),
+)
+def q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile of the raw event log — exercises the TIMESTAMP(NANOS)
+    column end-to-end through the typed ts slot (the oracle casts its
+    ns-precision min/max to µs TIMESTAMP to match the loader)."""
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        table_profile,
+    )
+
+    return table_profile(
+        load_table(spark, sf_dir, "events"),
+        [c for c, _ in _EVENTS_PROFILE_COLS],
+    )
+
+
+@register(
+    "missing_minutes",
+    oracle=f"""
+{TICKS_CTE},
+m AS (
+  SELECT symbol, date_trunc('minute', event_time) AS m FROM ticks
+)
+SELECT symbol, CAST(date_trunc('day', m) AS DATE) AS day,
+       count(DISTINCT m) AS active_minutes,
+       CAST(date_diff('minute', min(m), max(m)) AS BIGINT) + 1
+         AS expected_minutes,
+       CAST(date_diff('minute', min(m), max(m)) AS BIGINT) + 1
+         - count(DISTINCT m) AS missing_minutes
+FROM m
+GROUP BY symbol, CAST(date_trunc('day', m) AS DATE)
+""",
+)
+def q_missing_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(symbol, day) silent-minute census over the tick feed."""
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        missing_minutes,
+    )
+    from stockpulse_batch_realtime_etl_spark.sources.ticks import (
+        ticks_from_events,
+    )
+
+    return missing_minutes(ticks_from_events(spark, sf_dir))

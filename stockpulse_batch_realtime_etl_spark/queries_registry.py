@@ -1265,6 +1265,11 @@ _GATE_HEAD: tuple[str, ...] = (
 #: registration order.  All 100+ are still verified every round by the
 #: local all-queries parity suite (tests/test_oracle_parity.py).
 _GATE_NEXT: tuple[str, ...] = (
+    # never-gated round-5 late additions — gate FIRST in r6, before stale
+    # refreshes (local parity covers them meanwhile)
+    "events_profile",
+    "missing_minutes",
+    # r3-row rotation queue
     "lsh_candidate_pairs",
     "simhash_near_dups",
     "bigram_counts",

@@ -241,3 +241,24 @@ def test_table_profile_stats(spark):
     assert (s.n_null, s.n_distinct, s.min_str, s.max_str) == (1, 2, "a", "b")
     v = out["v"]
     assert (v.n_null, v.min_num, v.max_num) == (1, 2.0, 4.0)
+
+
+def test_missing_minutes_counts_gaps(spark):
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        missing_minutes,
+    )
+
+    ticks = spark.createDataFrame(
+        [
+            ("A", 1.0, 10, "2024-01-01 09:30:10"),
+            ("A", 2.0, 10, "2024-01-01 09:31:20"),
+            ("A", 3.0, 10, "2024-01-01 09:34:00"),  # 09:32,09:33 silent
+            ("B", 1.0, 10, "2024-01-01 09:30:00"),
+        ],
+        "symbol string, price double, volume long, event_time string",
+    ).selectExpr("symbol", "price", "volume", "CAST(event_time AS TIMESTAMP) AS event_time")
+    out = {r.symbol: r for r in missing_minutes(ticks).collect()}
+    a = out["A"]
+    assert (a.active_minutes, a.expected_minutes, a.missing_minutes) == (3, 5, 2)
+    b = out["B"]
+    assert (b.active_minutes, b.expected_minutes, b.missing_minutes) == (1, 1, 0)
