@@ -235,3 +235,63 @@ def ema(
         "price",
         F.round(F.col("local") + F.col("decay") * F.col("carry"), 6).alias("ema"),
     )
+
+
+def bollinger_bands(
+    ticks: DataFrame,
+    n: int = 20,
+    k: float = 2.0,
+    bucket_seconds: int | None = 86_400,
+) -> DataFrame:
+    """Bollinger bands per tick: rolling mean ± ``k``·σ over the last ``n``
+    ticks — the canonical volatility envelope, and the rolling SECOND
+    moment the SMA/extrema operator doesn't cover.
+
+    Numerics: rolling sums of price and price² accumulate in
+    DECIMAL(25,6) (exact, slide-order-proof — a float running sum with
+    subtract-on-slide drifts, and σ's ``sxx − sx²/n`` cancellation
+    amplifies that drift catastrophically), then the closed form runs in
+    double with the SAME expression shape as the oracle — bit-identical.
+    σ is the population σ of the frame; var clamps at 0 against residual
+    representation error.
+
+    Scale shape: same bucketed-frame treatment as :func:`rolling_stats`
+    (n_symbols × n_days tasks via the exact row-overlap carry);
+    ``bucket_seconds=None`` keeps the plain per-symbol window.
+    """
+    order = [F.col("event_time"), F.col("price"), F.col("volume")]
+    if bucket_seconds is None:
+        w = Window.partitionBy("symbol").orderBy(*order)
+        src = ticks.select("symbol", "event_time", "price", "volume")
+    else:
+        src = frames.with_row_overlap(
+            ticks.select("symbol", "event_time", "price", "volume"),
+            key="symbol",
+            order_cols=("event_time", "price", "volume"),
+            m=max(n - 1, 1),
+            time_col="event_time",
+            bucket_seconds=bucket_seconds,
+        )
+        w = Window.partitionBy("symbol", frames.BUCKET_COL).orderBy(*order)
+    frame = w.rowsBetween(-(n - 1), Window.currentRow)
+    sx = F.sum(F.col("price").cast("decimal(25,6)")).over(frame).cast("double")
+    sxx = (
+        F.sum((F.col("price") * F.col("price")).cast("decimal(25,6)"))
+        .over(frame)
+        .cast("double")
+    )
+    cnt = F.count("price").over(frame).cast("double")
+    mid = sx / cnt
+    var = F.greatest((sxx - sx * sx / cnt) / cnt, F.lit(0.0))
+    sd = F.sqrt(var)
+    out = src.select(
+        "symbol",
+        "event_time",
+        "price",
+        F.round(mid, 6).alias("bb_mid"),
+        F.round(sd, 6).alias("bb_sd"),
+        F.round(mid + F.lit(k) * sd, 6).alias("bb_upper"),
+        F.round(mid - F.lit(k) * sd, 6).alias("bb_lower"),
+        *([] if bucket_seconds is None else [frames.BUCKET_COL, frames.CARRY_COL]),
+    )
+    return out if bucket_seconds is None else frames.finalize(out)

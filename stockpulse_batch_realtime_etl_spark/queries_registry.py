@@ -362,6 +362,41 @@ def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bollinger_bands",
+    oracle=f"""
+{TICKS_CTE}
+SELECT
+  symbol, event_time, price,
+  round(sx / cnt, 6) AS bb_mid,
+  round(sqrt(greatest((sxx - sx * sx / cnt) / cnt, CAST(0 AS DOUBLE))), 6)
+    AS bb_sd,
+  round(sx / cnt + CAST(2 AS DOUBLE)
+        * sqrt(greatest((sxx - sx * sx / cnt) / cnt, CAST(0 AS DOUBLE))), 6)
+    AS bb_upper,
+  round(sx / cnt - CAST(2 AS DOUBLE)
+        * sqrt(greatest((sxx - sx * sx / cnt) / cnt, CAST(0 AS DOUBLE))), 6)
+    AS bb_lower
+FROM (
+  SELECT symbol, event_time, price,
+    CAST(sum(CAST(price AS DECIMAL(25,6))) OVER w20 AS DOUBLE) AS sx,
+    CAST(sum(CAST(price * price AS DECIMAL(25,6))) OVER w20 AS DOUBLE) AS sxx,
+    CAST(count(price) OVER w20 AS DOUBLE) AS cnt
+  FROM ticks
+  WINDOW w20 AS (PARTITION BY symbol ORDER BY event_time, price, volume
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+""",
+)
+def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling mean ± 2σ envelope (decimal-exact rolling moments)."""
+    from stockpulse_batch_realtime_etl_spark.operators.rolling import (
+        bollinger_bands,
+    )
+
+    return bollinger_bands(ticks_from_events(spark, sf_dir), 20, 2.0)
+
+
+@register(
     "ticks_asof_bars",
     oracle=f"""
 {BARS_CTE}
@@ -1269,6 +1304,7 @@ _GATE_NEXT: tuple[str, ...] = (
     # refreshes (local parity covers them meanwhile)
     "events_profile",
     "missing_minutes",
+    "bollinger_bands",
     # r3-row rotation queue
     "lsh_candidate_pairs",
     "simhash_near_dups",

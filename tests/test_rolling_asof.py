@@ -144,3 +144,26 @@ def test_ema_subchunk_boundary_equals_single_group(make_ticks):
     assert len(single) == len(chunked) == 55
     for k, v in single.items():
         assert abs(chunked[k] - v) < 1e-9, (k, v, chunked[k])
+
+
+def test_bollinger_bands_exact_small_case(spark):
+    from stockpulse_batch_realtime_etl_spark.operators.rolling import (
+        bollinger_bands,
+    )
+
+    ticks = spark.createDataFrame(
+        [("A", p, 10, f"2024-01-01 09:3{i}:00") for i, p in enumerate([10.0, 12.0, 14.0])],
+        "symbol string, price double, volume long, event_time string",
+    ).selectExpr("symbol", "price", "volume", "CAST(event_time AS TIMESTAMP) AS event_time")
+    out = sorted(
+        bollinger_bands(ticks, n=3, k=2.0).collect(),
+        key=lambda r: r.event_time,
+    )
+    # row 3: frame {10,12,14} → mid 12, var = ((100+144+196) - 36²/3)/3 = 8/3
+    import math
+
+    assert out[2].bb_mid == 12.0
+    assert out[2].bb_sd == round(math.sqrt((440 - 36 * 36 / 3) / 3), 6)
+    assert out[2].bb_upper == round(12.0 + 2 * out[2].bb_sd, 6)
+    # row 1: single-row frame → sd 0, bands collapse onto price
+    assert out[0].bb_sd == 0.0 and out[0].bb_upper == out[0].bb_mid == 10.0
