@@ -592,3 +592,50 @@ def missing_minutes(ticks: DataFrame) -> DataFrame:
         expected.alias("expected_minutes"),
         (expected - F.col("active_minutes")).alias("missing_minutes"),
     )
+
+
+def funnel_counts(
+    events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Ordered-step behavioral funnel over the event log: how many users
+    performed step 1, then step 2 STRICTLY AFTER their first step 1, then
+    step 3 strictly after that — the product-analytics staple (the
+    sequenced counterpart of :func:`user_sessions`' gap sessionization).
+
+    Semantics: a user reaches step i+1 if any step-(i+1) event is later
+    than their EARLIEST qualifying step-i time (first-touch attribution;
+    the earliest-qualifying choice maximizes reach and makes the result a
+    pure function of the input).
+
+    Plan: one pass per step — filter that step's events (predicate in the
+    scan), join the previous reached-set on user_id (reached-sets shrink
+    monotonically and are user-dimension-sized — AQE broadcasts them as
+    they shrink), keep events after the user's prior-step time, min-
+    aggregate.  Step count is small and fixed, so total work is
+    |steps| · O(events-of-that-step).
+    """
+    reached = None
+    outs = []
+    for i, s in enumerate(steps):
+        e = events.filter(F.col("event_type") == s).select("user_id", "ts")
+        if reached is None:
+            reached = e.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            prev = reached.select("user_id", F.col("t").alias("_prev_t"))
+            reached = (
+                e.join(prev, "user_id")
+                .filter(F.col("ts") > F.col("_prev_t"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        outs.append(
+            reached.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(s).alias("step"),
+                F.lit(i + 1).alias("step_idx"),
+                F.col("n_users").cast("long"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

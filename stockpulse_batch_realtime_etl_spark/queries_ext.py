@@ -3039,3 +3039,38 @@ def q_missing_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return missing_minutes(ticks_from_events(spark, sf_dir))
+
+
+@register(
+    "funnel_counts",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+  GROUP BY e.user_id
+)
+SELECT 'view' AS step, 1 AS step_idx, CAST(count(*) AS BIGINT) AS n_users FROM s1
+UNION ALL
+SELECT 'click', 2, CAST(count(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT 'purchase', 3, CAST(count(*) AS BIGINT) FROM s3
+""",
+)
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel with strict first-touch ordering."""
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        funnel_counts,
+    )
+
+    return funnel_counts(load_table(spark, sf_dir, "events"))

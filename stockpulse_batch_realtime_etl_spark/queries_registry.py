@@ -1305,6 +1305,7 @@ _GATE_NEXT: tuple[str, ...] = (
     "events_profile",
     "missing_minutes",
     "bollinger_bands",
+    "funnel_counts",
     # r3-row rotation queue
     "lsh_candidate_pairs",
     "simhash_near_dups",

@@ -262,3 +262,28 @@ def test_missing_minutes_counts_gaps(spark):
     assert (a.active_minutes, a.expected_minutes, a.missing_minutes) == (3, 5, 2)
     b = out["B"]
     assert (b.active_minutes, b.expected_minutes, b.missing_minutes) == (1, 1, 0)
+
+
+def test_funnel_counts_strict_ordering(spark):
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        funnel_counts,
+    )
+
+    rows = [
+        # user 1: full funnel in order
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:01:00"),
+        (1, "purchase", "2024-01-01 10:02:00"),
+        # user 2: clicked BEFORE first view → click doesn't count
+        (2, "click", "2024-01-01 09:00:00"),
+        (2, "view", "2024-01-01 10:00:00"),
+        # user 3: view only
+        (3, "view", "2024-01-01 10:00:00"),
+        # user 4: purchase without any view → reaches nothing
+        (4, "purchase", "2024-01-01 10:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).selectExpr("user_id", "event_type", "CAST(ts AS TIMESTAMP) AS ts")
+    out = {r.step: r.n_users for r in funnel_counts(ev).collect()}
+    assert out == {"view": 3, "click": 1, "purchase": 1}
