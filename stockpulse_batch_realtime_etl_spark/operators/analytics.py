@@ -639,3 +639,38 @@ def funnel_counts(
     for o in outs[1:]:
         result = result.unionByName(o)
     return result
+
+
+def cohort_retention(events: DataFrame, unit: str = "week") -> DataFrame:
+    """Cohort retention matrix over the event log: users grouped by the
+    period of their FIRST event (their cohort), counted by how many were
+    active again k periods later — the standard growth-analytics view
+    (rows = cohorts, k = period offset, cells = retained users).
+
+    Plan: first-event period per user is one aggregate; (user, period)
+    activity de-dups in a second (count_distinct-style) aggregate; the
+    join back on user_id carries only (cohort, offset) out — three hash
+    exchanges total, all map-side combined, nothing wider than
+    user-dimension tables.  Offsets are exact integer arithmetic on
+    ``date_trunc`` boundaries, so any engine replays them bit-for-bit.
+    """
+    per = F.date_trunc(unit, F.col("ts"))
+    first = (
+        events.groupBy("user_id")
+        .agg(F.min(per).alias("cohort_period"))
+    )
+    active = events.select("user_id", per.alias("p")).distinct()
+    diff_days = F.datediff(F.to_date("p"), F.to_date("cohort_period"))
+    per_len = {"week": 7, "day": 1}[unit]
+    return (
+        active.join(first, "user_id")
+        .select(
+            # DATE output (not midnight timestamp): the natural grain of a
+            # cohort label, and what DuckDB's date_trunc('week') yields
+            F.to_date("cohort_period").alias("cohort_period"),
+            (diff_days / per_len).cast("long").alias("period_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_period", "period_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

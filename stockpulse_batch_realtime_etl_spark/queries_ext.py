@@ -3074,3 +3074,30 @@ def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return funnel_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+WITH first AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_period
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events
+)
+SELECT CAST(f.cohort_period AS DATE) AS cohort_period,
+       CAST(date_diff('day', CAST(f.cohort_period AS DATE), CAST(a.p AS DATE)) / 7
+            AS BIGINT) AS period_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM active a JOIN first f USING (user_id)
+GROUP BY CAST(f.cohort_period AS DATE), period_offset
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over the raw event log."""
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        cohort_retention,
+    )
+
+    return cohort_retention(load_table(spark, sf_dir, "events"), "week")

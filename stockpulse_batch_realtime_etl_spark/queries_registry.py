@@ -1306,6 +1306,7 @@ _GATE_NEXT: tuple[str, ...] = (
     "missing_minutes",
     "bollinger_bands",
     "funnel_counts",
+    "cohort_retention",
     # r3-row rotation queue
     "lsh_candidate_pairs",
     "simhash_near_dups",

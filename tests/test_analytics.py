@@ -287,3 +287,28 @@ def test_funnel_counts_strict_ordering(spark):
     ).selectExpr("user_id", "event_type", "CAST(ts AS TIMESTAMP) AS ts")
     out = {r.step: r.n_users for r in funnel_counts(ev).collect()}
     assert out == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_cohort_retention_offsets(spark):
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        cohort_retention,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),  # cohort wk of Jan 1
+        (1, "2024-01-09 10:00:00"),  # active wk offset 1
+        (2, "2024-01-02 10:00:00"),  # same cohort
+        (3, "2024-01-09 10:00:00"),  # cohort wk of Jan 8
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").selectExpr(
+        "user_id", "CAST(ts AS TIMESTAMP) AS ts", "'x' AS event_type"
+    )
+    out = {
+        (str(r.cohort_period), r.period_offset): r.n_users
+        for r in cohort_retention(ev, "week").collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+    }
