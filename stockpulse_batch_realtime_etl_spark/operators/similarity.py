@@ -946,3 +946,53 @@ def semdedup_recall_report(
             ).alias("recall"),
         )
     )
+
+
+def kmeans_cell_report(
+    embeddings: DataFrame, ncells: int = 8, iters: int = 2
+) -> DataFrame:
+    """Cluster-quality report for the shared spherical k-means quantizer
+    (the one IVF search and SemDeDup both ride on): per cell, member count
+    and mean cosine of members to their centroid — the coherence numbers
+    that justify (ncells, nprobe, τ) choices, completing the
+    instrumentation trio with :func:`ann_recall_report` and
+    :func:`semdedup_recall_report`.
+
+    Plan: one broadcast-scored assignment pass (corpus never shuffles for
+    the join), per-vector argmax fold, then an ncells-row aggregate.  The
+    per-vector best cosine is already 6dp-rounded, so the cell mean is a
+    DECIMAL-exact sum over rounded values divided once — float-order-proof.
+    """
+    cent = kmeans_centroids(embeddings, ncells, iters)
+    vecs = fan_out(embeddings).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    c = cent.select(
+        F.col("cell").alias("_cell"),
+        F.col("c_emb"),
+        _norm(F.col("c_emb")).alias("c_norm"),
+    )
+    scored = vecs.join(F.broadcast(c)).select(
+        "vec_id",
+        "_cell",
+        _cos_precomputed(
+            F.col("embedding"), F.col("c_emb"), F.col("nrm"), F.col("c_norm")
+        ).alias("cos"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min_by(
+            "_cell", F.struct((-F.col("cos")).alias("neg"), F.col("_cell"))
+        ).alias("cell"),
+        F.max("cos").alias("best_cos"),
+    )
+    return (
+        best.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.round(
+                F.sum(F.col("best_cos").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_cos"),
+        )
+    )

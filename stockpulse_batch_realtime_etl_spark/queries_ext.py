@@ -3101,3 +3101,31 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return cohort_retention(load_table(spark, sf_dir, "events"), "week")
+
+
+def _kmeans_cell_report_oracle(ncells: int, iters: int) -> str:
+    parts = _kmeans_assign_parts(ncells, iters)
+    parts.append(
+        "bc AS (SELECT vec_id, max(cos) AS best_cos FROM sf GROUP BY vec_id)"
+    )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT af.cell,
+       CAST(count(*) AS BIGINT) AS n_members,
+       round(CAST(sum(CAST(best_cos AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         AS mean_cos
+FROM af JOIN bc USING (vec_id)
+GROUP BY af.cell
+"""
+
+
+@register(
+    "kmeans_cell_report",
+    oracle=_kmeans_cell_report_oracle(_NCELLS, 2),
+)
+def q_kmeans_cell_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell size + mean member-to-centroid cosine of the shared
+    k-means quantizer."""
+    return similarity.kmeans_cell_report(
+        load_table(spark, sf_dir, "embeddings"), _NCELLS, 2
+    )

@@ -1307,6 +1307,7 @@ _GATE_NEXT: tuple[str, ...] = (
     "bollinger_bands",
     "funnel_counts",
     "cohort_retention",
+    "kmeans_cell_report",
     # r3-row rotation queue
     "lsh_candidate_pairs",
     "simhash_near_dups",

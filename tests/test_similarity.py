@@ -311,3 +311,10 @@ def test_semdedup_recall_found_subset_of_truth(embeddings):
     ).collect()[0]
     assert 0 <= r.n_found_pairs <= r.n_truth_pairs
     assert 0.0 <= r.recall <= 1.0
+
+
+def test_kmeans_cell_report_partitions_corpus(embeddings):
+    out = similarity.kmeans_cell_report(embeddings, ncells=3, iters=2).collect()
+    # every vector lands in exactly one cell; means are valid cosines
+    assert sum(r.n_members for r in out) == embeddings.count()
+    assert all(-1.0 <= r.mean_cos <= 1.0 for r in out)
