@@ -36,9 +36,22 @@ def asof_join(
     left_time: str,
     right_time: str,
     right_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join; output = every left row + latest-as-of right_cols
-    (null where no right row precedes the left row)."""
+    """Left as-of join; output = every left row + the matched right_cols
+    (null where no right row qualifies).
+
+    ``direction="backward"`` (default): latest right row with
+    ``right_time <= left_time`` — the trades→quotes classic.
+    ``direction="forward"``: EARLIEST right row with ``right_time >=
+    left_time`` (the next bar/quote after an event — fill simulation,
+    forward-looking labels).  Same single-shuffle union+carry plan, with
+    the timeline ordered descending so the carry runs from the future
+    backward; at equal timestamps the right row still wins the tie
+    (inclusive semantics in both directions, matching DuckDB ASOF's
+    ``>=`` / ``<=``)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
     lt = F.col(left_time)
     l_tagged = left.select(
         F.col(key).alias("_k"),
@@ -57,9 +70,10 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],
     )
     u = l_tagged.unionByName(r_tagged)
+    t_order = F.col("_t") if direction == "backward" else F.col("_t").desc()
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_t"), F.col("_side"))
+        .orderBy(t_order, F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(

@@ -425,6 +425,44 @@ def q_ticks_asof_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ticks_asof_next_bar",
+    oracle=f"""
+{BARS_CTE}
+SELECT t.symbol, t.price, t.volume, t.event_time,
+       b.bucket_start AS next_bucket_start, b.close AS next_bar_close
+FROM ticks t
+ASOF LEFT JOIN bars b
+  ON t.symbol = b.symbol AND t.event_time <= b.bucket_start
+""",
+)
+def q_ticks_asof_next_bar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: each tick joined to the EARLIEST bar at-or-after it
+    (fill simulation / forward-label shape) — the mirror of
+    ticks_asof_bars, same single-shuffle union+carry plan run backward."""
+    from stockpulse_batch_realtime_etl_spark.operators.asof import asof_join
+
+    ticks = ticks_from_events(spark, sf_dir)
+    bars = ohlcv_bars(ticks).select("symbol", "bucket_start", "close")
+    joined = asof_join(
+        ticks,
+        bars,
+        "symbol",
+        "event_time",
+        "bucket_start",
+        ["bucket_start", "close"],
+        direction="forward",
+    )
+    return joined.select(
+        "symbol",
+        "price",
+        "volume",
+        "event_time",
+        F.col("bucket_start").alias("next_bucket_start"),
+        F.col("close").alias("next_bar_close"),
+    )
+
+
 # --- TPC-H-ish relational coverage (operators/tpch.py) ----------------------
 
 def _tables(spark: SparkSession, sf_dir: str, *names: str):
@@ -1308,6 +1346,7 @@ _GATE_NEXT: tuple[str, ...] = (
     "funnel_counts",
     "cohort_retention",
     "kmeans_cell_report",
+    "ticks_asof_next_bar",
     # r3-row rotation queue
     "lsh_candidate_pairs",
     "simhash_near_dups",

@@ -167,3 +167,27 @@ def test_bollinger_bands_exact_small_case(spark):
     assert out[2].bb_upper == round(12.0 + 2 * out[2].bb_sd, 6)
     # row 1: single-row frame → sd 0, bands collapse onto price
     assert out[0].bb_sd == 0.0 and out[0].bb_upper == out[0].bb_mid == 10.0
+
+
+def test_asof_forward_picks_earliest_following(spark):
+    from stockpulse_batch_realtime_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("A", "2024-01-01 09:30:30"), ("A", "2024-01-01 09:32:00"),
+         ("A", "2024-01-01 09:40:00")],
+        "symbol string, t string",
+    ).selectExpr("symbol", "CAST(t AS TIMESTAMP) AS t")
+    right = spark.createDataFrame(
+        [("A", "2024-01-01 09:31:00", 1.0), ("A", "2024-01-01 09:32:00", 2.0),
+         ("A", "2024-01-01 09:33:00", 3.0)],
+        "symbol string, rt string, v double",
+    ).selectExpr("symbol", "CAST(rt AS TIMESTAMP) AS rt", "v")
+    out = {
+        str(r.t): r.v
+        for r in asof_join(
+            left, right, "symbol", "t", "rt", ["v"], direction="forward"
+        ).collect()
+    }
+    assert out["2024-01-01 09:30:30"] == 1.0     # earliest following
+    assert out["2024-01-01 09:32:00"] == 2.0     # equal time matches (inclusive)
+    assert out["2024-01-01 09:40:00"] is None    # nothing follows
