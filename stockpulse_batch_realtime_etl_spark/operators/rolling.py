@@ -295,3 +295,60 @@ def bollinger_bands(
         *([] if bucket_seconds is None else [frames.BUCKET_COL, frames.CARRY_COL]),
     )
     return out if bucket_seconds is None else frames.finalize(out)
+
+
+def return_outliers(
+    ticks: DataFrame, k_sigma: float = 3.0
+) -> DataFrame:
+    """Anomaly detection on tick-over-tick returns: flag ticks whose
+    return deviates more than ``k_sigma`` standard deviations from their
+    symbol's mean return — the feed-quality / fat-finger screen every
+    market-data consumer runs.
+
+    Plan: one window pass computes per-symbol returns (6dp-rounded, the
+    module convention), one hash aggregate derives exact DECIMAL moments
+    over those rounded returns (n, Σr, Σr² — order-proof), and the
+    n_symbols-row moment table broadcasts back; z and the flag are pure
+    double arithmetic with the oracle's identical expression shape.
+    First-tick rows (null return) are excluded.
+    """
+    w = Window.partitionBy("symbol").orderBy(
+        F.col("event_time"), F.col("price"), F.col("volume")
+    )
+    prev = F.lag("price", 1).over(w)
+    ret = F.round(F.when(prev != 0, (F.col("price") - prev) / prev), 6)
+    r = ticks.select(
+        "symbol", "event_time", "price", ret.alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    dec = "decimal(25,6)"
+    mom = r.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(F.col("ret").cast(dec)).cast("double").alias("_sr"),
+        F.sum((F.col("ret") * F.col("ret")).cast(dec))
+        .cast("double")
+        .alias("_srr"),
+    )
+    mean = F.col("_sr") / F.col("_n")
+    sd = F.sqrt(
+        F.greatest(
+            (F.col("_srr") - F.col("_sr") * F.col("_sr") / F.col("_n"))
+            / F.col("_n"),
+            F.lit(0.0),
+        )
+    )
+    return (
+        r.join(F.broadcast(mom), "symbol")
+        .select(
+            "symbol",
+            "event_time",
+            "price",
+            "ret",
+            F.round(
+                F.when(sd > 0, (F.col("ret") - mean) / sd), 4
+            ).alias("z"),
+            F.when(
+                sd > 0,
+                F.abs((F.col("ret") - mean) / sd) > F.lit(k_sigma),
+            ).otherwise(F.lit(False)).alias("is_outlier"),
+        )
+    )

@@ -3129,3 +3129,48 @@ def q_kmeans_cell_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_cell_report(
         load_table(spark, sf_dir, "embeddings"), _NCELLS, 2
     )
+
+
+@register(
+    "return_outliers",
+    oracle=f"""
+{TICKS_CTE},
+r AS (
+  SELECT symbol, event_time, price,
+         round(CASE WHEN lag(price, 1) OVER w != 0
+                    THEN (price - lag(price, 1) OVER w) / lag(price, 1) OVER w
+               END, 6) AS ret
+  FROM ticks
+  WINDOW w AS (PARTITION BY symbol ORDER BY event_time, price, volume)
+),
+rr AS (SELECT * FROM r WHERE ret IS NOT NULL),
+mom AS (
+  SELECT symbol,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(ret AS DECIMAL(25,6))) AS DOUBLE) AS sr,
+         CAST(sum(CAST(ret * ret AS DECIMAL(25,6))) AS DOUBLE) AS srr
+  FROM rr GROUP BY symbol
+)
+SELECT rr.symbol, rr.event_time, rr.price, rr.ret,
+  round(CASE WHEN sqrt(greatest((srr - sr * sr / n) / n, CAST(0 AS DOUBLE))) > 0
+             THEN (ret - sr / n)
+                  / sqrt(greatest((srr - sr * sr / n) / n, CAST(0 AS DOUBLE)))
+        END, 4) AS z,
+  CASE WHEN sqrt(greatest((srr - sr * sr / n) / n, CAST(0 AS DOUBLE))) > 0
+       THEN abs((ret - sr / n)
+                / sqrt(greatest((srr - sr * sr / n) / n, CAST(0 AS DOUBLE))))
+            > CAST(3 AS DOUBLE)
+       ELSE FALSE END AS is_outlier
+FROM rr JOIN mom ON mom.symbol = rr.symbol
+""",
+)
+def q_return_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3σ return-outlier screen per symbol (exact DECIMAL moments)."""
+    from stockpulse_batch_realtime_etl_spark.operators.rolling import (
+        return_outliers,
+    )
+    from stockpulse_batch_realtime_etl_spark.sources.ticks import (
+        ticks_from_events,
+    )
+
+    return return_outliers(ticks_from_events(spark, sf_dir), 3.0)

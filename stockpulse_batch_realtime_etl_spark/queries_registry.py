@@ -1347,6 +1347,7 @@ _GATE_NEXT: tuple[str, ...] = (
     "cohort_retention",
     "kmeans_cell_report",
     "ticks_asof_next_bar",
+    "return_outliers",
     # r3-row rotation queue
     "lsh_candidate_pairs",
     "simhash_near_dups",

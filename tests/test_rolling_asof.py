@@ -191,3 +191,25 @@ def test_asof_forward_picks_earliest_following(spark):
     assert out["2024-01-01 09:30:30"] == 1.0     # earliest following
     assert out["2024-01-01 09:32:00"] == 2.0     # equal time matches (inclusive)
     assert out["2024-01-01 09:40:00"] is None    # nothing follows
+
+
+def test_return_outliers_flags_spike(spark):
+    from stockpulse_batch_realtime_etl_spark.operators.rolling import (
+        return_outliers,
+    )
+
+    # many tiny returns + one huge spike → only the spike flags
+    prices = [100.0 + 0.01 * i for i in range(30)] + [200.0, 202.0]
+    rows = [
+        ("A", p, 10, f"2024-01-01 09:{30 + i // 60:02d}:{i % 60:02d}")
+        for i, p in enumerate(prices)
+    ]
+    ticks = spark.createDataFrame(
+        rows, "symbol string, price double, volume long, event_time string"
+    ).selectExpr(
+        "symbol", "price", "volume", "CAST(event_time AS TIMESTAMP) AS event_time"
+    )
+    out = return_outliers(ticks, 3.0).collect()
+    flagged = [r for r in out if r.is_outlier]
+    assert len(flagged) == 1 and abs(flagged[0].ret - 1.0) < 0.02  # the 100→200 jump
+    assert all(r.z is not None for r in out)
