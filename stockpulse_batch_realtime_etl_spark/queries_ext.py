@@ -3174,3 +3174,44 @@ def q_return_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return return_outliers(ticks_from_events(spark, sf_dir), 3.0)
+
+
+#: REAL video rung: every document encoded as a YUV4MPEG2 (Y4M) stream
+#: (2-6 frames of 4:4:4 planes), then container-parsed and frame-sampled
+#: (every 2nd frame) executor-side.  The oracle replays the per-frame
+#: (11·id + 5·f + 13·i) mod 256 plane arithmetic — the frame-sample seam
+#: closes the way PNG closed images.
+@register(
+    "video_frame_stats",
+    oracle="""
+WITH base AS (
+  SELECT doc_id AS asset_id,
+         CAST(4 + doc_id % 13 AS INT) AS w,
+         CAST(4 + doc_id % 11 AS INT) AS h,
+         CAST(2 + doc_id % 5 AS INT) AS nf
+  FROM documents
+),
+fr AS (
+  SELECT asset_id, w, h, CAST(f AS INT) AS frame_idx
+  FROM (SELECT *, unnest(range(0, nf)) AS f FROM base)
+  WHERE f % 2 = 0
+),
+v AS (
+  SELECT asset_id, frame_idx, w, h, w * h * 3 AS n_values, i,
+         (11 * asset_id + 5 * frame_idx + 13 * i) % 256 AS val
+  FROM (SELECT *, unnest(generate_series(0, w * h * 3 - 1)) AS i FROM fr)
+)
+SELECT asset_id, frame_idx, w AS width, h AS height,
+       CAST(max(n_values) AS BIGINT) AS n_values,
+       CAST(sum(val) AS BIGINT) AS value_sum,
+       CAST(sum(val * (i + 1)) AS BIGINT) AS weighted_sum
+FROM v
+GROUP BY asset_id, frame_idx, w, h
+""",
+)
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y4M container parse + every-2nd-frame sampling + per-frame stats."""
+    assets = multimodal.encode_assets(
+        load_table(spark, sf_dir, "documents"), fmts=("y4m",)
+    )
+    return multimodal.sampled_frame_stats(assets, every=2)

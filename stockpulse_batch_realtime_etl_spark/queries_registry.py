@@ -1348,6 +1348,7 @@ _GATE_NEXT: tuple[str, ...] = (
     "kmeans_cell_report",
     "ticks_asof_next_bar",
     "return_outliers",
+    "video_frame_stats",
     # r3-row rotation queue
     "lsh_candidate_pairs",
     "simhash_near_dups",

@@ -276,3 +276,42 @@ def test_png_truncated_chunk_raises_value_error():
     # now overruns the payload → the documented ValueError, not struct.error
     with _pytest.raises(ValueError, match="truncated chunk"):
         multimodal.decode_png_bytes(p[:-17])
+
+
+# --- Y4M video codec ---------------------------------------------------------
+
+def test_y4m_round_trip_and_errors():
+    import numpy as np
+
+    for aid in (0, 4, 11):
+        d = multimodal.decode_y4m_bytes(multimodal.encode_y4m(aid))
+        w, h = multimodal._image_dims(aid)
+        assert (d["width"], d["height"]) == (w, h)
+        assert len(d["frames"]) == multimodal._video_frames(aid)
+        i = np.arange(w * h * 3, dtype=np.int64)
+        for f, v in enumerate(d["frames"]):
+            np.testing.assert_array_equal(v, (11 * aid + 5 * f + 13 * i) % 256)
+    p = multimodal.encode_y4m(3)
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_y4m_bytes(p[:-3])
+    with pytest.raises(NotImplementedError, match="C420"):
+        multimodal.decode_y4m_bytes(p.replace(b"C444", b"C420"))
+
+
+def test_sampled_frame_stats_every_second_frame(make_docs):
+    import numpy as np
+
+    docs = make_docs([doc(i, f"text {i}") for i in range(5)])
+    assets = multimodal.encode_assets(docs, fmts=("y4m",))
+    out = {}
+    for r in multimodal.sampled_frame_stats(assets, every=2).collect():
+        out.setdefault(r.asset_id, []).append(r)
+    for aid, rows in out.items():
+        nf = multimodal._video_frames(aid)
+        assert sorted(r.frame_idx for r in rows) == list(range(0, nf, 2))
+        w, h = multimodal._image_dims(aid)
+        i = np.arange(w * h * 3, dtype=np.int64)
+        for r in rows:
+            v = (11 * aid + 5 * r.frame_idx + 13 * i) % 256
+            assert r.value_sum == int(v.sum())
+            assert r.weighted_sum == int((v * (i + 1)).sum())
