@@ -3215,3 +3215,44 @@ def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), fmts=("y4m",)
     )
     return multimodal.sampled_frame_stats(assets, every=2)
+
+
+#: REAL audio processing rung: every document encoded as PCM WAV, then
+#: decoded → every-2nd-sample decimation → re-encoded at half the rate →
+#: decoded again for stats.  The oracle replays the decimated sample
+#: arithmetic ((31·id + 17·(2j)) mod 65536 − 32768) and the halved rate.
+@register(
+    "audio_decimated_stats",
+    oracle="""
+WITH base AS (
+  SELECT doc_id AS asset_id,
+         64 + doc_id % 101 AS n0,
+         8000 + (doc_id % 5) * 1000 AS rate0
+  FROM documents
+),
+v AS (
+  SELECT asset_id,
+         CAST((n0 + 1) // 2 AS BIGINT) AS n_values,
+         CAST(rate0 // 2 AS INT) AS sample_rate,
+         j,
+         ((31 * asset_id + 17 * (2 * j)) % 65536) - 32768 AS val
+  FROM (SELECT *, unnest(range(0, (n0 + 1) // 2)) AS j FROM base)
+)
+SELECT asset_id, 'wav' AS format,
+       CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+       sample_rate,
+       CAST(max(n_values) AS BIGINT) AS n_values,
+       CAST(sum(val) AS BIGINT) AS value_sum,
+       CAST(min(val) AS BIGINT) AS value_min,
+       CAST(max(val) AS BIGINT) AS value_max,
+       CAST(sum(val * (j + 1)) AS BIGINT) AS weighted_sum
+FROM v
+GROUP BY asset_id, sample_rate
+""",
+)
+def q_audio_decimated_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV decode → 2x decimation → re-encode → decode, stats-verified."""
+    assets = multimodal.encode_assets(
+        load_table(spark, sf_dir, "documents"), fmts=("wav",)
+    )
+    return multimodal.decoded_stats(multimodal.decimate_audio(assets, 2))

@@ -1349,6 +1349,7 @@ _GATE_NEXT: tuple[str, ...] = (
     "ticks_asof_next_bar",
     "return_outliers",
     "video_frame_stats",
+    "audio_decimated_stats",
     # r3-row rotation queue
     "lsh_candidate_pairs",
     "simhash_near_dups",

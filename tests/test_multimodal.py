@@ -315,3 +315,16 @@ def test_sampled_frame_stats_every_second_frame(make_docs):
             v = (11 * aid + 5 * r.frame_idx + 13 * i) % 256
             assert r.value_sum == int(v.sum())
             assert r.weighted_sum == int((v * (i + 1)).sum())
+
+
+def test_audio_decimation_round_trip():
+    import numpy as np
+
+    for aid in (2, 5, 30):
+        out = multimodal.resample_audio_bytes(multimodal.encode_wav(aid), 2)
+        d = multimodal.decode_wav_bytes(out)
+        n = 64 + aid % 101
+        i = np.arange(n, dtype=np.int64)
+        full = ((31 * aid + 17 * i) % 65536) - 32768
+        np.testing.assert_array_equal(d["vals"], full[::2])
+        assert d["sample_rate"] == (8000 + (aid % 5) * 1000) // 2
