@@ -272,21 +272,13 @@ def q6_forecast_revenue(
     )
 
 
-def revenue_rollup(
+def _customer_revenue_join(
     lineitem: DataFrame, orders: DataFrame, customer: DataFrame, nation: DataFrame
 ) -> DataFrame:
-    """ROLLUP(nation, market segment): revenue at three grain levels —
-    (nation, segment), (nation), and grand total — in ONE pass.
-
-    The operator class the reference lacks entirely (SURVEY.md §2.3 notes
-    no grouping sets/cube/rollup anywhere).  Spark plans rollup as an
-    Expand (3 output rows per input) feeding one hash aggregate — still a
-    single shuffle; at scale prefer rollup over N separate aggregations
-    precisely because the scan and shuffle are shared.  Null grouping
-    columns mark the subtotal rows (SQL standard), made explicit here via
-    ``grouping_id`` so consumers don't confuse a null key with a subtotal.
-    """
-    joined = (
+    """Shared lineitem⋈orders⋈customer⋈nation revenue input of the
+    grouping-sets family (rollup + cube): fact shuffles once on orderkey,
+    dims broadcast."""
+    return (
         lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
         .join(
             orders.select("o_orderkey", "o_custkey"),
@@ -301,6 +293,23 @@ def revenue_rollup(
             F.col("c_nationkey") == F.col("n_nationkey"),
         )
     )
+
+
+def revenue_rollup(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """ROLLUP(nation, market segment): revenue at three grain levels —
+    (nation, segment), (nation), and grand total — in ONE pass.
+
+    The operator class the reference lacks entirely (SURVEY.md §2.3 notes
+    no grouping sets/cube/rollup anywhere).  Spark plans rollup as an
+    Expand (3 output rows per input) feeding one hash aggregate — still a
+    single shuffle; at scale prefer rollup over N separate aggregations
+    precisely because the scan and shuffle are shared.  Null grouping
+    columns mark the subtotal rows (SQL standard), made explicit here via
+    ``grouping_id`` so consumers don't confuse a null key with a subtotal.
+    """
+    joined = _customer_revenue_join(lineitem, orders, customer, nation)
     return (
         joined.rollup("n_name", "c_mktsegment")
         .agg(
@@ -410,4 +419,28 @@ def q10_returned_items(
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(k)
+    )
+
+
+def revenue_cube(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """CUBE(nation, market segment): ALL four grain combinations —
+    (nation, segment), (nation), (segment), and grand total — in one pass,
+    completing the grouping-sets family next to :func:`revenue_rollup`.
+    Same single Expand→hash-aggregate plan, 4 output rows per input
+    instead of rollup's 3; the (segment)-only grain is the one rollup
+    cannot produce without a second scan."""
+    joined = _customer_revenue_join(lineitem, orders, customer, nation)
+    return (
+        joined.cube("n_name", "c_mktsegment")
+        .agg(
+            money_sum(_revenue()).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+            F.grouping_id().alias("grouping_level"),
+        )
+        .orderBy(
+            F.col("n_name").asc_nulls_last(),
+            F.col("c_mktsegment").asc_nulls_last(),
+        )
     )

@@ -716,6 +716,35 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "revenue_cube",
+    oracle="""
+SELECT
+  n_name,
+  c_mktsegment,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+    AS revenue,
+  count(*) AS line_count,
+  grouping(n_name, c_mktsegment) AS grouping_level
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation   ON n_nationkey = c_nationkey
+GROUP BY CUBE (n_name, c_mktsegment)
+ORDER BY n_name ASC NULLS LAST, c_mktsegment ASC NULLS LAST
+""",
+)
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (nation, segment) — all four grain combinations in one
+    Expand→aggregate pass, completing the grouping-sets family."""
+    from stockpulse_batch_realtime_etl_spark.operators import tpch
+
+    li, ords, cust, nat = _tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation"
+    )
+    return tpch.revenue_cube(li, ords, cust, nat)
+
+
+@register(
     "customers_without_orders",
     oracle="""
 SELECT c_custkey, c_name, c_nationkey
@@ -1350,6 +1379,7 @@ _GATE_NEXT: tuple[str, ...] = (
     "return_outliers",
     "video_frame_stats",
     "audio_decimated_stats",
+    "revenue_cube",
     # r3-row rotation queue
     "lsh_candidate_pairs",
     "simhash_near_dups",
