@@ -444,3 +444,114 @@ def revenue_cube(
             F.col("c_mktsegment").asc_nulls_last(),
         )
     )
+
+
+def q13_order_count_distribution(
+    customer: DataFrame,
+    orders: DataFrame,
+    excluded_priority: str = "1-URGENT",
+) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    INCLUDING zero-order customers.
+
+    The zero bucket is the whole point — it forces a LEFT OUTER join from
+    customer to a filtered orders side (Q13 excludes a comment pattern; the
+    driver tables carry no comment column, so the stand-in exclusion is an
+    order-priority class — same shape: a non-key predicate on the right
+    side that must NOT become a pre-join filter on customer).  Plan at
+    scale: orders pre-aggregates to (custkey, cnt) BEFORE the outer join —
+    the join input shrinks from |orders| to |customers-with-orders| — then
+    customer LEFT joins that rollup, null counts coalesce to 0, and the
+    second aggregate (count-of-counts) is a few-hundred-row exchange.
+    """
+    per_cust = (
+        orders.filter(F.col("o_orderpriority") != excluded_priority)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c_count"))
+    )
+    return (
+        customer.select("c_custkey")
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q18_large_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    qty_threshold: float = 300.0,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    with customer attribution — the canonical HAVING-then-join-back plan.
+
+    The aggregate-with-HAVING runs FIRST and is maximally selective
+    (sum(l_quantity) > 300 keeps well under 0.5% of orders at any sf), so
+    the surviving (orderkey, total_qty) set is tiny and broadcasts onto
+    orders — the big table is scanned once for the aggregate and never
+    joined at full width.  customer broadcasts too.  Final ranking is
+    top-k (TakeOrderedAndProject), tie-pinned on o_orderkey.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > qty_threshold)
+    )
+    return (
+        orders.join(
+            F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(
+            F.col("total_qty").desc(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(k)
+    )
+
+
+def q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a 3-way DISJUNCTION of conjunctive
+    (brand, size-range, quantity-range) blocks.
+
+    The optimizer test here is OR-handling: Catalyst pulls the common
+    structure apart so the part-side conjuncts (brand, size) evaluate on
+    the broadcast dimension and the lineitem-side conjuncts (quantity)
+    evaluate pre-join, with the residual OR as the join filter.  A naive
+    engine evaluates the whole disjunction post-join; at 100 TB the
+    difference is scanning 3 narrow brand slices vs materializing the full
+    join.  One conditional-free DECIMAL sum finishes it.
+    """
+    j = lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount").join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        F.col("p_partkey") == F.col("l_partkey"),
+    )
+    block = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return j.filter(
+        block("Brand#12", 15, 1, 11)
+        | block("Brand#23", 25, 10, 20)
+        | block("Brand#34", 35, 20, 30)
+    ).agg(
+        money_sum(_revenue()).alias("revenue"),
+        F.count(F.lit(1)).alias("line_count"),
+    )

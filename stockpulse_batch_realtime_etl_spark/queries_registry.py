@@ -689,6 +689,79 @@ def q_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q13_order_counts",
+    oracle="""
+WITH per_cust AS (
+  SELECT c_custkey,
+         count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders
+    ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators import tpch
+
+    cu, od = _tables(spark, sf_dir, "customer", "orders")
+    return tpch.q13_order_count_distribution(cu, od)
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 300
+)
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       o_totalprice, total_qty
+FROM orders
+JOIN big      ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_qty DESC, o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+""",
+)
+def q_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators import tpch
+
+    cu, od, li = _tables(spark, sf_dir, "customer", "orders", "lineitem")
+    return tpch.q18_large_orders(cu, od, li)
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+SELECT
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+       AS DOUBLE) AS revenue,
+  count(*) AS line_count
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators import tpch
+
+    li, pt = _tables(spark, sf_dir, "lineitem", "part")
+    return tpch.q19_disjunctive_revenue(li, pt)
+
+
+@register(
     "revenue_rollup",
     oracle="""
 SELECT
@@ -1380,6 +1453,9 @@ _GATE_NEXT: tuple[str, ...] = (
     "video_frame_stats",
     "audio_decimated_stats",
     "revenue_cube",
+    "q13_order_counts",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
     # r3-row rotation queue
     "lsh_candidate_pairs",
     "simhash_near_dups",

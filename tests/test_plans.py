@@ -534,3 +534,53 @@ def test_incremental_dedup_no_cartesian_band_equijoin(spark):
     P.assert_no_cartesian(df)                # bucket equi-join, never all-pairs
     plan = P.simple_plan(df)
     assert "band_hash" in plan, plan
+
+
+def test_q13_outer_join_preserves_zero_bucket(spark):
+    cu = load_table(spark, SF, "customer")
+    od = load_table(spark, SF, "orders")
+    df = tpch.q13_order_count_distribution(cu, od)
+    plan = P.simple_plan(df)
+    # the zero-order bucket requires an OUTER join — an inner join here
+    # would silently drop exactly the rows Q13 exists to count
+    assert "LeftOuter" in plan or "RightOuter" in plan, plan
+    P.assert_no_cartesian(df)
+    # conservation law an inner join would break the moment a customer has
+    # no qualifying orders: every customer lands in exactly one bucket
+    total = sum(r["custdist"] for r in df.collect())
+    assert total == cu.count()
+    # zero bucket exercised explicitly (sf0.001 has no orderless customer):
+    tiny_cu = spark.createDataFrame([(1,), (2,)], "c_custkey long")
+    tiny_od = spark.createDataFrame(
+        [(10, 1, "5-LOW")], "o_orderkey long, o_custkey long, o_orderpriority string"
+    )
+    tiny = {
+        r["c_count"]: r["custdist"]
+        for r in tpch.q13_order_count_distribution(tiny_cu, tiny_od).collect()
+    }
+    assert tiny == {0: 1, 1: 1}
+
+
+def test_q18_having_first_then_broadcast_back(spark):
+    cu = load_table(spark, SF, "customer")
+    od = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    df = tpch.q18_large_orders(cu, od, li)
+    P.assert_take_ordered(df)
+    P.assert_broadcast_join(df, min_count=2)
+    P.assert_no_cartesian(df)
+    out = df.collect()
+    assert all(r["total_qty"] > 300.0 for r in out)
+
+
+def test_q19_disjunction_splits_sides(spark):
+    li = load_table(spark, SF, "lineitem")
+    pt = load_table(spark, SF, "part")
+    df = tpch.q19_disjunctive_revenue(li, pt)
+    P.assert_broadcast_join(df)
+    P.assert_no_cartesian(df)
+    plan = P.simple_plan(df)
+    # Catalyst derives single-side implied conjuncts from the OR blocks:
+    # the lineitem side gets a quantity range scan filter (1 <= q <= 30)
+    # without waiting for the join
+    assert "l_quantity" in plan, plan
