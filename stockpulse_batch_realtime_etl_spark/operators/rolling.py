@@ -352,3 +352,257 @@ def return_outliers(
             ).otherwise(F.lit(False)).alias("is_outlier"),
         )
     )
+
+
+def rsi(
+    ticks: DataFrame, n: int = 14, bucket_seconds: int | None = 86_400
+) -> DataFrame:
+    """Cutler's RSI (SMA-based relative strength index) over the last ``n``
+    tick returns: ``100 − 100/(1 + Σgain/Σloss)``.
+
+    Cutler's variant (simple moving averages of gains/losses) is chosen
+    over Wilder's because it is a pure window-frame expression — Wilder's
+    recursive smoothing would force a sequential per-symbol scan, exactly
+    the shape this module exists to avoid.  Early rows use the partial
+    frame (same convention as :func:`rolling_stats`); ``Σloss = 0`` pins
+    RSI to 100, a frame with no returns yields NULL.
+
+    Numerics: returns are 6dp-rounded FIRST, then gain/loss sums
+    accumulate in DECIMAL(25,6) — order-insensitive, so the bucketed and
+    plain plans (and the oracle) agree bit-for-bit.  RSI rounds to 4dp.
+
+    Scale shape: ``m = n`` row-overlap carry (the frame's oldest return
+    needs ITS predecessor row, so lag-1 plus the ``n−1`` frame depth needs
+    exactly ``n`` carried rows); n_symbols × n_days tasks.
+    """
+    order = [F.col("event_time"), F.col("price"), F.col("volume")]
+    if bucket_seconds is None:
+        w = Window.partitionBy("symbol").orderBy(*order)
+        src = ticks.select("symbol", "event_time", "price", "volume")
+    else:
+        src = frames.with_row_overlap(
+            ticks.select("symbol", "event_time", "price", "volume"),
+            key="symbol",
+            order_cols=("event_time", "price", "volume"),
+            m=n,
+            time_col="event_time",
+            bucket_seconds=bucket_seconds,
+        )
+        w = Window.partitionBy("symbol", frames.BUCKET_COL).orderBy(*order)
+    prev = F.lag("price", 1).over(w)
+    ret = F.round(F.when(prev != 0, (F.col("price") - prev) / prev), 6)
+    frame = w.rowsBetween(-(n - 1), Window.currentRow)
+    dec = "decimal(25,6)"
+    withret = src.withColumn("_ret", ret)
+    sg = (
+        F.sum(F.greatest(F.col("_ret"), F.lit(0.0)).cast(dec))
+        .over(frame)
+        .cast("double")
+    )
+    sl = (
+        F.sum(F.greatest(-F.col("_ret"), F.lit(0.0)).cast(dec))
+        .over(frame)
+        .cast("double")
+    )
+    cnt = F.count("_ret").over(frame)
+    out = withret.select(
+        "symbol",
+        "event_time",
+        "price",
+        F.round(
+            F.when(cnt == 0, F.lit(None).cast("double"))
+            .when(sl == 0, F.lit(100.0))
+            .otherwise(100.0 - 100.0 / (1.0 + sg / sl)),
+            4,
+        ).alias("rsi"),
+        *([] if bucket_seconds is None else [frames.BUCKET_COL, frames.CARRY_COL]),
+    )
+    return out if bucket_seconds is None else frames.finalize(out)
+
+
+def donchian_breakouts(
+    ticks: DataFrame, n: int = 20, bucket_seconds: int | None = 86_400
+) -> DataFrame:
+    """Donchian channel breakout screen: each tick against the max/min of
+    the PREVIOUS ``n`` ticks (current row excluded — the channel must not
+    contain the tick being tested, or a new high could never fire).
+
+    ``ROWS BETWEEN n PRECEDING AND 1 PRECEDING`` frame; comparisons are
+    raw-double exact (both engines take extrema of the same values — no
+    arithmetic, no rounding needed).  Global-first rows have an empty
+    channel → flags pin to false, channel NULL.
+
+    Scale shape: ``m = n`` row-overlap carry, n_symbols × n_days tasks.
+    """
+    order = [F.col("event_time"), F.col("price"), F.col("volume")]
+    if bucket_seconds is None:
+        w = Window.partitionBy("symbol").orderBy(*order)
+        src = ticks.select("symbol", "event_time", "price", "volume")
+    else:
+        src = frames.with_row_overlap(
+            ticks.select("symbol", "event_time", "price", "volume"),
+            key="symbol",
+            order_cols=("event_time", "price", "volume"),
+            m=n,
+            time_col="event_time",
+            bucket_seconds=bucket_seconds,
+        )
+        w = Window.partitionBy("symbol", frames.BUCKET_COL).orderBy(*order)
+    frame = w.rowsBetween(-n, -1)
+    ch_hi = F.max("price").over(frame)
+    ch_lo = F.min("price").over(frame)
+    out = src.select(
+        "symbol",
+        "event_time",
+        "price",
+        ch_hi.alias("channel_high"),
+        ch_lo.alias("channel_low"),
+        F.coalesce(F.col("price") > ch_hi, F.lit(False)).alias("breakout_up"),
+        F.coalesce(F.col("price") < ch_lo, F.lit(False)).alias("breakout_down"),
+        *([] if bucket_seconds is None else [frames.BUCKET_COL, frames.CARRY_COL]),
+    )
+    return out if bucket_seconds is None else frames.finalize(out)
+
+
+def obv(ticks: DataFrame, bucket_seconds: int | None = 86_400) -> DataFrame:
+    """On-balance volume: running Σ of signed volume (+vol on an uptick,
+    −vol on a downtick, 0 on flat / first tick / null volume).
+
+    UNBOUNDED cumulative windows can't use an overlap carry (the frame is
+    the whole history), so the scale path is a genuine distributed prefix
+    sum — the textbook two-pass scan:
+
+    1. per (symbol, day bucket): local running Σ, with a 1-row overlap
+       carry only to compute the boundary tick's direction;
+    2. per symbol over BUCKET SUMMARIES (n_buckets rows, not ticks): the
+       exclusive prefix of bucket totals;
+    3. broadcast-shaped join back; ``obv = bucket_prefix + local_running``.
+
+    Integer arithmetic throughout (volume is BIGINT) — the two-pass and
+    single-window plans are exactly equal, no rounding needed.
+    ``bucket_seconds=None`` keeps the plain per-symbol cumulative window.
+    """
+    order = [F.col("event_time"), F.col("price"), F.col("volume")]
+    cols = ("symbol", "event_time", "price", "volume")
+    if bucket_seconds is None:
+        w = Window.partitionBy("symbol").orderBy(*order)
+        prev = F.lag("price", 1).over(w)
+        flow = (
+            F.when(F.col("price") > prev, F.coalesce(F.col("volume"), F.lit(0)))
+            .when(F.col("price") < prev, -F.coalesce(F.col("volume"), F.lit(0)))
+            .otherwise(F.lit(0))
+        )
+        cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return ticks.select(*cols).select(
+            *cols, F.sum(flow).over(cum).cast("long").alias("obv")
+        )
+    src = frames.with_row_overlap(
+        ticks.select(*cols),
+        key="symbol",
+        order_cols=("event_time", "price", "volume"),
+        m=1,
+        time_col="event_time",
+        bucket_seconds=bucket_seconds,
+    )
+    w = Window.partitionBy("symbol", frames.BUCKET_COL).orderBy(*order)
+    prev = F.lag("price", 1).over(w)
+    flow = (
+        F.when(F.col("price") > prev, F.coalesce(F.col("volume"), F.lit(0)))
+        .when(F.col("price") < prev, -F.coalesce(F.col("volume"), F.lit(0)))
+        .otherwise(F.lit(0))
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = src.withColumn("_flow", flow).withColumn(
+        "_local", F.sum("_flow").over(cum)
+    )
+    # carry rows have prev=NULL → flow 0: they pad the local prefix without
+    # perturbing it, and the bucket totals below exclude nothing real
+    totals = local.groupBy("symbol", frames.BUCKET_COL).agg(
+        F.sum("_flow").alias("_total")
+    )
+    wb = Window.partitionBy("symbol").orderBy(frames.BUCKET_COL)
+    prefix = totals.withColumn(
+        "_prefix",
+        F.coalesce(
+            F.sum("_total").over(
+                wb.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("symbol", frames.BUCKET_COL, "_prefix")
+    return frames.finalize(
+        local.join(prefix, ["symbol", frames.BUCKET_COL])
+    ).select(
+        *cols, (F.col("_prefix") + F.col("_local")).cast("long").alias("obv")
+    )
+
+
+def max_drawdown(
+    ticks: DataFrame, bucket_seconds: int | None = 86_400
+) -> DataFrame:
+    """Per-symbol maximum drawdown: the most negative peak-to-trough price
+    decline, with the running peak and the (earliest) trough timestamp.
+
+    Per-tick drawdown needs the RUNNING MAX from the stream start — like
+    :func:`obv`, an unbounded window — so the scale path is the same
+    distributed prefix scan: per-bucket local running max, bucket-summary
+    prefix max per symbol (rows = buckets), and
+    ``peak = greatest(prefix_max, local_running_max)``.  The final
+    per-symbol reduction (``min_by`` on (drawdown, time)) is a plain hash
+    aggregate; ties at the same 6dp drawdown resolve to the earliest tick.
+    """
+    order = [F.col("event_time"), F.col("price"), F.col("volume")]
+    cols = ("symbol", "event_time", "price", "volume")
+    if bucket_seconds is None:
+        w = Window.partitionBy("symbol").orderBy(*order)
+        cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ticked = ticks.select(*cols).withColumn("_peak", F.max("price").over(cum))
+    else:
+        src = ticks.select(*cols).withColumn(
+            frames.BUCKET_COL,
+            frames.bucket_of("event_time", bucket_seconds),
+        )
+        w = Window.partitionBy("symbol", frames.BUCKET_COL).orderBy(*order)
+        cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        local = src.withColumn("_local_max", F.max("price").over(cum))
+        totals = src.groupBy("symbol", frames.BUCKET_COL).agg(
+            F.max("price").alias("_bmax")
+        )
+        wb = Window.partitionBy("symbol").orderBy(frames.BUCKET_COL)
+        prefix = totals.withColumn(
+            "_prefix_max",
+            F.max("_bmax").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+        ).select("symbol", frames.BUCKET_COL, "_prefix_max")
+        ticked = (
+            local.join(prefix, ["symbol", frames.BUCKET_COL])
+            .withColumn(
+                "_peak", F.greatest(F.col("_local_max"), F.col("_prefix_max"))
+            )
+            .drop(frames.BUCKET_COL, "_local_max", "_prefix_max")
+        )
+    dd = F.round((F.col("price") - F.col("_peak")) / F.col("_peak"), 6)
+    perdd = ticked.withColumn("_dd", dd)
+    return (
+        perdd.groupBy("symbol")
+        .agg(
+            F.min("_dd").alias("max_drawdown"),
+            F.min_by(
+                F.struct(
+                    F.col("event_time").alias("trough_time"),
+                    F.col("_peak").alias("peak_price"),
+                    F.col("price").alias("trough_price"),
+                ),
+                F.struct(F.col("_dd"), F.col("event_time")),
+            ).alias("_at"),
+            F.max("price").alias("all_time_high"),
+        )
+        .select(
+            "symbol",
+            "max_drawdown",
+            F.col("_at.trough_time").alias("trough_time"),
+            F.col("_at.peak_price").alias("peak_price"),
+            F.col("_at.trough_price").alias("trough_price"),
+            "all_time_high",
+        )
+        .orderBy("symbol")
+    )

@@ -397,6 +397,132 @@ def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rsi_ticks",
+    oracle=f"""
+{TICKS_CTE}
+, r AS (
+  SELECT symbol, event_time, price, volume,
+    round(CASE WHEN lag(price, 1) OVER w1 != 0
+               THEN (price - lag(price, 1) OVER w1) / lag(price, 1) OVER w1
+          END, 6) AS ret
+  FROM ticks
+  WINDOW w1 AS (PARTITION BY symbol ORDER BY event_time, price, volume)
+), s AS (
+  SELECT symbol, event_time, price,
+    CAST(sum(CAST(greatest(ret, 0) AS DECIMAL(25,6))) OVER w14 AS DOUBLE)
+      AS sg,
+    CAST(sum(CAST(greatest(-ret, 0) AS DECIMAL(25,6))) OVER w14 AS DOUBLE)
+      AS sl,
+    count(ret) OVER w14 AS cnt
+  FROM r
+  WINDOW w14 AS (PARTITION BY symbol ORDER BY event_time, price, volume
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, event_time, price,
+  round(CASE WHEN cnt = 0 THEN NULL
+             WHEN sl = 0 THEN CAST(100 AS DOUBLE)
+             ELSE 100 - 100 / (1 + sg / sl) END, 4) AS rsi
+FROM s
+""",
+)
+def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's RSI over the last 14 tick returns."""
+    from stockpulse_batch_realtime_etl_spark.operators.rolling import rsi
+
+    return rsi(ticks_from_events(spark, sf_dir), 14)
+
+
+@register(
+    "donchian_breakouts",
+    oracle=f"""
+{TICKS_CTE}
+SELECT symbol, event_time, price,
+  max(price) OVER ch AS channel_high,
+  min(price) OVER ch AS channel_low,
+  coalesce(price > max(price) OVER ch, FALSE) AS breakout_up,
+  coalesce(price < min(price) OVER ch, FALSE) AS breakout_down
+FROM ticks
+WINDOW ch AS (PARTITION BY symbol ORDER BY event_time, price, volume
+              ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+""",
+)
+def q_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian channel breakout flags vs the previous-20-tick envelope."""
+    from stockpulse_batch_realtime_etl_spark.operators.rolling import (
+        donchian_breakouts,
+    )
+
+    return donchian_breakouts(ticks_from_events(spark, sf_dir), 20)
+
+
+@register(
+    "obv_ticks",
+    oracle=f"""
+{TICKS_CTE}
+, f AS (
+  SELECT symbol, event_time, price, volume,
+    CASE WHEN price > lag(price, 1) OVER w1 THEN coalesce(volume, 0)
+         WHEN price < lag(price, 1) OVER w1 THEN -coalesce(volume, 0)
+         ELSE 0 END AS flow
+  FROM ticks
+  WINDOW w1 AS (PARTITION BY symbol ORDER BY event_time, price, volume)
+)
+SELECT symbol, event_time, price, volume,
+  CAST(sum(flow) OVER (PARTITION BY symbol
+                       ORDER BY event_time, price, volume
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+FROM f
+""",
+)
+def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume via the distributed two-pass prefix sum."""
+    from stockpulse_batch_realtime_etl_spark.operators.rolling import obv
+
+    return obv(ticks_from_events(spark, sf_dir))
+
+
+@register(
+    "max_drawdown",
+    oracle=f"""
+{TICKS_CTE}
+, p AS (
+  SELECT symbol, event_time, price,
+    max(price) OVER (PARTITION BY symbol
+                     ORDER BY event_time, price, volume
+                     ROWS UNBOUNDED PRECEDING) AS peak
+  FROM ticks
+), d AS (
+  SELECT symbol, event_time, price, peak,
+    round((price - peak) / peak, 6) AS dd
+  FROM p
+), ranked AS (
+  SELECT symbol, event_time, price, peak, dd,
+    row_number() OVER (PARTITION BY symbol ORDER BY dd, event_time) AS rn
+  FROM d
+)
+SELECT r.symbol,
+       r.dd AS max_drawdown,
+       r.event_time AS trough_time,
+       r.peak AS peak_price,
+       r.price AS trough_price,
+       h.all_time_high
+FROM ranked r
+JOIN (SELECT symbol, max(price) AS all_time_high FROM ticks GROUP BY symbol) h
+  USING (symbol)
+WHERE r.rn = 1
+ORDER BY r.symbol
+""",
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol maximum peak-to-trough drawdown."""
+    from stockpulse_batch_realtime_etl_spark.operators.rolling import (
+        max_drawdown,
+    )
+
+    return max_drawdown(ticks_from_events(spark, sf_dir))
+
+
+@register(
     "ticks_asof_bars",
     oracle=f"""
 {BARS_CTE}
@@ -1456,6 +1582,10 @@ _GATE_NEXT: tuple[str, ...] = (
     "q13_order_counts",
     "q18_large_orders",
     "q19_disjunctive_revenue",
+    "rsi_ticks",
+    "donchian_breakouts",
+    "obv_ticks",
+    "max_drawdown",
     # r3-row rotation queue
     "lsh_candidate_pairs",
     "simhash_near_dups",

@@ -80,3 +80,59 @@ def test_gapfill_bucketed_equals_plain(spark):
         )
     assert len(plain) == len(buck) > 600  # dense minute grid over >5h
     assert plain == buck
+
+
+def test_rsi_bucketed_equals_plain(make_ticks):
+    from stockpulse_batch_realtime_etl_spark.operators.rolling import rsi
+
+    t = make_ticks(_ticks_rows())
+    plain = _collect(rsi(t, 5, bucket_seconds=None), keyc=("symbol", "event_time"))
+    buck = _collect(rsi(t, 5, bucket_seconds=600), keyc=("symbol", "event_time"))
+    assert len(plain) == len(buck)
+    assert plain == buck
+
+
+def test_donchian_bucketed_equals_plain(make_ticks):
+    from stockpulse_batch_realtime_etl_spark.operators.rolling import (
+        donchian_breakouts,
+    )
+
+    t = make_ticks(_ticks_rows())
+    plain = _collect(donchian_breakouts(t, 5, bucket_seconds=None))
+    buck = _collect(donchian_breakouts(t, 5, bucket_seconds=600))
+    assert len(plain) == len(buck)
+    assert plain == buck
+
+
+def test_obv_two_pass_equals_plain_window(make_ticks):
+    from stockpulse_batch_realtime_etl_spark.operators.rolling import obv
+
+    t = make_ticks(_ticks_rows())
+    plain = _collect(obv(t, bucket_seconds=None))
+    buck = _collect(obv(t, bucket_seconds=600))
+    assert len(plain) == len(buck)
+    assert plain == buck
+    # OBV is a running signed-volume sum: last row per symbol equals the
+    # direct per-symbol flow total (integer-exact, no tolerance)
+    assert any(d["obv"] != 0 for d in plain.values())
+
+
+def test_max_drawdown_two_pass_equals_plain(make_ticks):
+    from stockpulse_batch_realtime_etl_spark.operators.rolling import (
+        max_drawdown,
+    )
+
+    t = make_ticks(_ticks_rows())
+    plain = {
+        r["symbol"]: r.asDict()
+        for r in max_drawdown(t, bucket_seconds=None).collect()
+    }
+    buck = {
+        r["symbol"]: r.asDict()
+        for r in max_drawdown(t, bucket_seconds=600).collect()
+    }
+    assert plain == buck
+    for d in plain.values():
+        assert d["max_drawdown"] <= 0.0
+        assert d["trough_price"] <= d["peak_price"]
+        assert d["peak_price"] <= d["all_time_high"]

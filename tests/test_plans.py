@@ -584,3 +584,26 @@ def test_q19_disjunction_splits_sides(spark):
     # the lineitem side gets a quantity range scan filter (1 <= q <= 30)
     # without waiting for the join
     assert "l_quantity" in plan, plan
+
+
+def test_obv_prefix_scan_no_cartesian_no_python(spark):
+    from stockpulse_batch_realtime_etl_spark.operators.rolling import obv
+
+    df = obv(ticks_from_events(spark, SF))
+    P.assert_no_cartesian(df)
+    plan = P.simple_plan(df)
+    # the sequential-looking cumulative sum is really: bucketed local scans
+    # + a bucket-summary prefix joined back — two window specs, one join,
+    # zero Python
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_max_drawdown_prefix_scan_shape(spark):
+    from stockpulse_batch_realtime_etl_spark.operators.rolling import (
+        max_drawdown,
+    )
+
+    df = max_drawdown(ticks_from_events(spark, SF))
+    P.assert_no_cartesian(df)
+    out = {r["symbol"]: r for r in df.collect()}
+    assert out and all(r["max_drawdown"] <= 0.0 for r in out.values())
