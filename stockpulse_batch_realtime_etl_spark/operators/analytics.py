@@ -435,6 +435,74 @@ def symbol_correlations(bars: DataFrame) -> DataFrame:
     ).orderBy("sym_a", "sym_b")
 
 
+def symbol_beta(bars: DataFrame) -> DataFrame:
+    """Market-model regression per symbol: beta, alpha and correlation of
+    minute close-returns against an EQUAL-WEIGHT index of all symbols —
+    the systematic-risk decomposition a portfolio view runs next to
+    :func:`symbol_correlations`.
+
+    Pipeline (three aggregates, one small join, zero Python):
+
+    1. per-symbol minute returns from close prices (6dp-rounded — the
+       module's cross-engine float convention);
+    2. the index return per minute = DECIMAL-exact mean of that minute's
+       symbol returns (each symbol is inside the index — documented
+       equal-weight convention, not a bug; with 5+ symbols the self-term
+       biases beta toward 1 by a known 1/n factor);
+    3. join returns to index on minute (uniform key), then per-symbol
+       DECIMAL moment sums → closed-form OLS slope/intercept/r in double
+       with the oracle's identical expression shape.
+
+    Scale: returns-per-minute output is |symbols|·|minutes| rows — tiny
+    relative to ticks; every aggregate is map-side combinable; the minute
+    join shuffles on bucket_start with no skew.  NULL beta when the index
+    has zero variance over the aligned span.
+    """
+    w = Window.partitionBy("symbol").orderBy("bucket_start")
+    prev = F.lag("close", 1).over(w)
+    rets = (
+        bars.select("symbol", "bucket_start", "close")
+        .withColumn(
+            "ret",
+            F.round(F.when(prev != 0, (F.col("close") - prev) / prev), 6),
+        )
+        .filter(F.col("ret").isNotNull())
+    )
+    dec = "decimal(38,6)"
+    mkt = rets.groupBy("bucket_start").agg(
+        F.round(
+            F.sum(F.col("ret").cast(dec)).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("mkt_ret")
+    )
+    j = rets.join(mkt, "bucket_start")
+    x, y = F.col("mkt_ret"), F.col("ret")
+    m = j.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_periods"),
+        F.sum(x.cast(dec)).cast("double").alias("sx"),
+        F.sum(y.cast(dec)).cast("double").alias("sy"),
+        F.sum((x * x).cast(dec)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(dec)).cast("double").alias("syy"),
+        F.sum((x * y).cast(dec)).cast("double").alias("sxy"),
+    )
+    n = F.col("n_periods").cast("double")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = F.when(varx > 0, (n * F.col("sxy") - F.col("sx") * F.col("sy")) / varx)
+    alpha = (F.col("sy") - beta * F.col("sx")) / n
+    det = varx * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    corr = F.when(
+        det > 0,
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(det),
+    )
+    return m.select(
+        "symbol",
+        "n_periods",
+        F.round(beta, 6).alias("beta"),
+        F.round(alpha, 6).alias("alpha"),
+        F.round(corr, 6).alias("mkt_corr"),
+    ).orderBy("symbol")
+
+
 # --- event-log sessionization -----------------------------------------------
 
 def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:

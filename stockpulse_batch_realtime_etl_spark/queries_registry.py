@@ -1122,6 +1122,58 @@ def q_symbol_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return symbol_correlations(ohlcv_bars(ticks_from_events(spark, sf_dir)))
 
 
+@register(
+    "symbol_beta",
+    oracle=f"""
+{BARS_CTE},
+rets AS (
+  SELECT symbol, bucket_start,
+    round((close - lag(close, 1) OVER w) / lag(close, 1) OVER w, 6) AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket_start)
+  QUALIFY lag(close, 1) OVER w IS NOT NULL AND lag(close, 1) OVER w != 0
+),
+mkt AS (
+  SELECT bucket_start,
+    round(CAST(sum(CAST(ret AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6)
+      AS mkt_ret
+  FROM rets GROUP BY bucket_start
+),
+m AS (
+  SELECT symbol, count(*) AS n_periods,
+    CAST(sum(CAST(mkt_ret AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(ret AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(mkt_ret * mkt_ret AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(ret * ret AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+    CAST(sum(CAST(mkt_ret * ret AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+  FROM rets JOIN mkt USING (bucket_start)
+  GROUP BY symbol
+)
+SELECT symbol, n_periods,
+  round(CASE WHEN n_periods * sxx - sx * sx > 0
+             THEN (n_periods * sxy - sx * sy) / (n_periods * sxx - sx * sx)
+        END, 6) AS beta,
+  round((sy - CASE WHEN n_periods * sxx - sx * sx > 0
+                   THEN (n_periods * sxy - sx * sy)
+                        / (n_periods * sxx - sx * sx) END * sx)
+        / n_periods, 6) AS alpha,
+  round(CASE WHEN (n_periods * sxx - sx * sx) * (n_periods * syy - sy * sy) > 0
+             THEN (n_periods * sxy - sx * sy)
+                  / sqrt((n_periods * sxx - sx * sx)
+                         * (n_periods * syy - sy * sy)) END, 6) AS mkt_corr
+FROM m
+ORDER BY symbol
+""",
+)
+def q_symbol_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS beta/alpha/correlation vs the equal-weight minute index."""
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        symbol_beta,
+    )
+
+    return symbol_beta(ohlcv_bars(ticks_from_events(spark, sf_dir)))
+
+
 # The EMA recursion has no finite window-frame form, but DuckDB CAN replay
 # it at oracle scale via a per-symbol list fold: list_reduce over the
 # ordered price prefix re-runs EMA_i = α·p_i + (1−α)·EMA_{i−1} exactly
@@ -1586,6 +1638,7 @@ _GATE_NEXT: tuple[str, ...] = (
     "donchian_breakouts",
     "obv_ticks",
     "max_drawdown",
+    "symbol_beta",
     # r3-row rotation queue
     "lsh_candidate_pairs",
     "simhash_near_dups",

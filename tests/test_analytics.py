@@ -312,3 +312,25 @@ def test_cohort_retention_offsets(spark):
         ("2024-01-01", 1): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_symbol_beta_equal_weight_identity(spark):
+    """With the symbol itself inside the equal-weight index, betas average
+    to 1 across symbols when every minute has all symbols aligned — here we
+    assert the weaker invariants that hold for ragged alignment too."""
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import symbol_beta
+    from stockpulse_batch_realtime_etl_spark.operators.ohlcv import ohlcv_bars
+    from stockpulse_batch_realtime_etl_spark.sources.ticks import ticks_from_events
+
+    from pyspark.sql import functions as F
+
+    bars = ohlcv_bars(ticks_from_events(spark, "/root/testdata/sf0.001"))
+    out = {r["symbol"]: r for r in symbol_beta(bars).collect()}
+    assert len(out) == 5
+    for r in out.values():
+        assert r["n_periods"] > 0
+        assert r["mkt_corr"] is None or -1.0 <= r["mkt_corr"] <= 1.0
+    # a single-symbol universe regresses on itself: beta 1, alpha 0, r 1
+    one = bars.filter(F.col("symbol") == "PURCHASE")
+    solo = symbol_beta(one).collect()[0]
+    assert solo["beta"] == 1.0 and solo["alpha"] == 0.0 and solo["mkt_corr"] == 1.0
