@@ -742,3 +742,118 @@ def cohort_retention(events: DataFrame, unit: str = "week") -> DataFrame:
         .groupBy("cohort_period", "period_offset")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over the event log: for each
+    (from_event → to_event) pair, how often a user's next action follows,
+    and the conditional probability per source state.
+
+    Plan: ONE shuffle on user_id for the lead() window (ties broken by
+    event_id — a total order), then a hash aggregate on the pair (25 cells
+    for 5 event types) and a window over the aggregate output (rows =
+    |event_types|², not events) for the per-source normalization.
+    ``p_transition`` is a single exact-BIGINT division — deterministic
+    across engines without decimal scaffolding.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("event_type", 1).over(w)
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("_to", nxt)
+        .filter(F.col("_to").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("event_type").alias("from_event"), F.col("_to").alias("to_event")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    wsrc = Window.partitionBy("from_event")
+    return counts.select(
+        "from_event",
+        "to_event",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(wsrc).cast("double"),
+            6,
+        ).alias("p_transition"),
+    ).orderBy("from_event", "to_event")
+
+
+def rfm_segments(events: DataFrame) -> DataFrame:
+    """RFM customer segmentation over purchase events: recency (µs since
+    the user's last purchase, against the corpus max timestamp), frequency
+    (purchase count), monetary (decimal-exact value sum), each scored into
+    quartiles against exact interpolated percentile cutoffs.
+
+    Scale notes: the user rollup is ONE hash aggregate; the corpus max
+    timestamp and the three cutoffs-per-metric are 1-row aggregates OVER
+    THE ROLLUP (users, not events) broadcast back — an ntile() over all
+    users would be a single-partition global sort, exactly the shape this
+    avoids.  Cutoffs round to 6dp before comparison (``F.percentile`` ≡
+    DuckDB ``quantile_cont``) so an engine ulp can't flip a boundary user;
+    boundary ties score identically in both engines by construction.
+    """
+    from stockpulse_batch_realtime_etl_spark.functions.scalars import ts_micros
+
+    per_user = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(ts_micros("ts")).alias("_last_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    gmax = per_user.agg(F.max("_last_us").alias("_gmax"))
+    r = per_user.crossJoin(F.broadcast(gmax)).select(
+        "user_id",
+        (F.col("_gmax") - F.col("_last_us")).alias("recency_us"),
+        "frequency",
+        "monetary",
+    )
+    cuts = r.agg(
+        *[
+            F.round(F.percentile(c, F.lit(q)), 6).alias(f"_{c[0]}{int(q*100)}")
+            for c in ("recency_us", "frequency", "monetary")
+            for q in (0.25, 0.50, 0.75)
+        ]
+    )
+    j = r.crossJoin(F.broadcast(cuts))
+    one = F.lit(1).cast("int")
+
+    def score_desc(c: str, p: str) -> Column:
+        # smaller is better (recency): below a cutoff earns the point
+        return (
+            one
+            + (F.col(c) < F.col(f"_{p}25")).cast("int")
+            + (F.col(c) < F.col(f"_{p}50")).cast("int")
+            + (F.col(c) < F.col(f"_{p}75")).cast("int")
+        )
+
+    def score_asc(c: str, p: str) -> Column:
+        return (
+            one
+            + (F.col(c) > F.col(f"_{p}25")).cast("int")
+            + (F.col(c) > F.col(f"_{p}50")).cast("int")
+            + (F.col(c) > F.col(f"_{p}75")).cast("int")
+        )
+
+    return j.select(
+        "user_id",
+        "recency_us",
+        "frequency",
+        F.round("monetary", 6).alias("monetary"),
+        score_desc("recency_us", "r").alias("r_score"),
+        score_asc("frequency", "f").alias("f_score"),
+        score_asc("monetary", "m").alias("m_score"),
+    ).withColumn(
+        "segment",
+        F.concat_ws(
+            "",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    ).orderBy("user_id")

@@ -1174,6 +1174,89 @@ def q_symbol_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return symbol_beta(ohlcv_bars(ticks_from_events(spark, sf_dir)))
 
 
+@register(
+    "event_transitions",
+    oracle="""
+WITH p AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS _to
+  FROM events
+), c AS (
+  SELECT event_type AS from_event, _to AS to_event,
+         count(*) AS n_transitions
+  FROM p WHERE _to IS NOT NULL
+  GROUP BY event_type, _to
+)
+SELECT from_event, to_event, n_transitions,
+  round(n_transitions / CAST(sum(n_transitions)
+        OVER (PARTITION BY from_event) AS DOUBLE), 6) AS p_transition
+FROM c
+ORDER BY from_event, to_event
+""",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user actions."""
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        event_transitions,
+    )
+    from stockpulse_batch_realtime_etl_spark.sources.tables import load_table
+
+    return event_transitions(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+    max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+    count(*) AS frequency,
+    CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS monetary
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), r AS (
+  SELECT user_id,
+    (SELECT max(last_us) FROM u) - last_us AS recency_us,
+    frequency, monetary
+  FROM u
+), cuts AS (
+  SELECT
+    round(quantile_cont(recency_us, 0.25), 6) AS r25,
+    round(quantile_cont(recency_us, 0.50), 6) AS r50,
+    round(quantile_cont(recency_us, 0.75), 6) AS r75,
+    round(quantile_cont(frequency, 0.25), 6) AS f25,
+    round(quantile_cont(frequency, 0.50), 6) AS f50,
+    round(quantile_cont(frequency, 0.75), 6) AS f75,
+    round(quantile_cont(monetary, 0.25), 6) AS m25,
+    round(quantile_cont(monetary, 0.50), 6) AS m50,
+    round(quantile_cont(monetary, 0.75), 6) AS m75
+  FROM r
+), s AS (
+  SELECT user_id, recency_us, frequency, round(monetary, 6) AS monetary,
+    1 + CAST(recency_us < r25 AS INT) + CAST(recency_us < r50 AS INT)
+      + CAST(recency_us < r75 AS INT) AS r_score,
+    1 + CAST(frequency > f25 AS INT) + CAST(frequency > f50 AS INT)
+      + CAST(frequency > f75 AS INT) AS f_score,
+    1 + CAST(monetary > m25 AS INT) + CAST(monetary > m50 AS INT)
+      + CAST(monetary > m75 AS INT) AS m_score
+  FROM r, cuts
+)
+SELECT user_id, recency_us, frequency, monetary, r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment
+FROM s ORDER BY user_id
+""",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation over purchase events."""
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        rfm_segments,
+    )
+    from stockpulse_batch_realtime_etl_spark.sources.tables import load_table
+
+    return rfm_segments(load_table(spark, sf_dir, "events"))
+
+
 # The EMA recursion has no finite window-frame form, but DuckDB CAN replay
 # it at oracle scale via a per-symbol list fold: list_reduce over the
 # ordered price prefix re-runs EMA_i = α·p_i + (1−α)·EMA_{i−1} exactly
@@ -1639,6 +1722,8 @@ _GATE_NEXT: tuple[str, ...] = (
     "obv_ticks",
     "max_drawdown",
     "symbol_beta",
+    "event_transitions",
+    "rfm_segments",
     # r3-row rotation queue
     "lsh_candidate_pairs",
     "simhash_near_dups",

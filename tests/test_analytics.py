@@ -334,3 +334,41 @@ def test_symbol_beta_equal_weight_identity(spark):
     one = bars.filter(F.col("symbol") == "PURCHASE")
     solo = symbol_beta(one).collect()[0]
     assert solo["beta"] == 1.0 and solo["alpha"] == 0.0 and solo["mkt_corr"] == 1.0
+
+
+def test_event_transitions_rows_are_probabilities(spark):
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        event_transitions,
+    )
+    from stockpulse_batch_realtime_etl_spark.sources.tables import load_table
+
+    out = event_transitions(load_table(spark, "/root/testdata/sf0.001", "events"))
+    rows = out.collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        assert r["n_transitions"] > 0 and 0.0 < r["p_transition"] <= 1.0
+        by_src.setdefault(r["from_event"], 0.0)
+        by_src[r["from_event"]] += r["p_transition"]
+    for s, tot in by_src.items():
+        assert abs(tot - 1.0) < 1e-4, (s, tot)
+
+
+def test_rfm_segments_scores_quartile_invariants(spark):
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import rfm_segments
+    from stockpulse_batch_realtime_etl_spark.sources.tables import load_table
+
+    out = rfm_segments(load_table(spark, "/root/testdata/sf0.001", "events"))
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        for k in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[k] <= 4
+        assert r["segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+        assert r["recency_us"] >= 0
+    # someone bought most recently: their recency is 0 and r_score is max
+    best = min(rows, key=lambda r: r["recency_us"])
+    assert best["recency_us"] == 0 and best["r_score"] == 4
+    # each quartile band is populated for frequency unless degenerate ties
+    fs = {r["f_score"] for r in rows}
+    assert len(fs) >= 2

@@ -607,3 +607,17 @@ def test_max_drawdown_prefix_scan_shape(spark):
     P.assert_no_cartesian(df)
     out = {r["symbol"]: r for r in df.collect()}
     assert out and all(r["max_drawdown"] <= 0.0 for r in out.values())
+
+
+def test_rfm_no_global_sort_no_ntile(spark):
+    """Quartile scores must come from broadcast percentile cutoffs, never an
+    ntile() global window (single-partition sort over all users)."""
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import rfm_segments
+
+    df = rfm_segments(load_table(spark, SF, "events"))
+    import re
+
+    plan = P.simple_plan(df)
+    # \b: "percentile(" (the cutoff aggregate, wanted) contains "ntile("
+    assert not re.search(r"\bntile\(", plan), plan
+    P.assert_broadcast_join(df, min_count=2)
