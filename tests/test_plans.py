@@ -620,4 +620,8 @@ def test_rfm_no_global_sort_no_ntile(spark):
     plan = P.simple_plan(df)
     # \b: "percentile(" (the cutoff aggregate, wanted) contains "ntile("
     assert not re.search(r"\bntile\(", plan), plan
-    P.assert_broadcast_join(df, min_count=2)
+    # the corpus-max and cutoff frames are 1-row broadcasts: they join as
+    # BroadcastNestedLoopJoin (no key), which is O(n·1) — fine; a
+    # CartesianProduct (both sides shuffled) would not be
+    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
