@@ -996,3 +996,50 @@ def kmeans_cell_report(
             ).alias("mean_cos"),
         )
     )
+
+
+def label_centroid_similarity(emb: DataFrame) -> DataFrame:
+    """Corpus map over the embedding space: per-label centroid (decimal-
+    exact per-dimension mean) and the pairwise cosine between label
+    centroids — the "how close are my sources/classes" diagnostic that
+    decides whether per-label dedup/curation can run independently.
+
+    Determinism: component sums accumulate in DECIMAL(25,9) (a double sum
+    over ~N/labels members per dimension is accumulation-order-dependent),
+    means round to 9dp, and the centroid arrays are assembled in POSITION
+    order so the cosine's fold adds in the same sequence as the oracle's
+    ordered unnest.
+
+    Scale: the posexplode shuffle carries (label, pos) cells — |labels|·dim
+    groups, map-side combined; everything after operates on |labels| rows.
+    The pairwise stage is |labels|²/2 — label count is a model property,
+    not a data-scale property, so this never grows with corpus size.
+    """
+    comp = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    cent = (
+        comp.groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(25,9)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("s"))
+        .select(
+            "label",
+            F.transform("s", lambda t: t["c"]).alias("centroid"),
+        )
+    )
+    a = cent.select(F.col("label").alias("label_a"), F.col("centroid").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("centroid").alias("cb"))
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(cosine(F.col("ca"), F.col("cb")), 6).alias("cos_sim"),
+        )
+        .orderBy("label_a", "label_b")
+    )

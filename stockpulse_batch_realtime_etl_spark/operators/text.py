@@ -1496,3 +1496,50 @@ def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
             ).alias("dup_fraction"),
         )
     )
+
+
+def hapax_stats(docs: DataFrame) -> DataFrame:
+    """Per-source lexical-diversity profile: vocabulary size, hapax
+    legomena (tokens occurring exactly once), type-token ratio, and the
+    head token's share — the corpus-health signals (Heaps/Zipf shape) that
+    catch template spam (tiny TTR, heavy head) and OCR noise (hapax
+    explosion) before training data ships.
+
+    Plan: ONE explode → (source, token) hash aggregate (map-side combined),
+    then a per-source aggregate over the TOKEN-LEVEL rollup (vocab-sized,
+    not corpus-sized).  Ratios are exact BIGINT divisions rounded 6dp;
+    the head token pins ties to the lexically smallest token.
+    """
+    toks = (
+        fan_out(docs)
+        .select("source", F.explode(_tokens()).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    tf = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum("tf").alias("token_count"),
+            F.sum((F.col("tf") == 1).cast("bigint")).alias("hapax_count"),
+            F.min_by(
+                "token", F.struct(F.negate(F.col("tf")), F.col("token"))
+            ).alias("head_token"),
+            F.max("tf").alias("head_tf"),
+        )
+        .select(
+            "source",
+            "vocab_size",
+            "token_count",
+            "hapax_count",
+            "head_token",
+            F.round(F.col("vocab_size") / F.col("token_count"), 6).alias("ttr"),
+            F.round(F.col("hapax_count") / F.col("vocab_size"), 6).alias(
+                "hapax_ratio"
+            ),
+            F.round(F.col("head_tf") / F.col("token_count"), 6).alias(
+                "head_share"
+            ),
+        )
+        .orderBy("source")
+    )

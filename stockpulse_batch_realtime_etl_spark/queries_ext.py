@@ -199,6 +199,47 @@ def q_lang_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_vocab(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "hapax_stats",
+    oracle=r"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT source, token, count(*) AS tf
+  FROM toks WHERE token != ''
+  GROUP BY source, token
+),
+agg AS (
+  SELECT source,
+    count(*) AS vocab_size,
+    CAST(sum(tf) AS BIGINT) AS token_count,
+    CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+    max(tf) AS head_tf
+  FROM tf GROUP BY source
+),
+head AS (
+  SELECT source, token AS head_token
+  FROM (SELECT source, token,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY tf DESC, token ASC) AS rn
+        FROM tf)
+  WHERE rn = 1
+)
+SELECT a.source, vocab_size, token_count, hapax_count, head_token,
+  round(vocab_size / CAST(token_count AS DOUBLE), 6) AS ttr,
+  round(hapax_count / CAST(vocab_size AS DOUBLE), 6) AS hapax_ratio,
+  round(head_tf / CAST(token_count AS DOUBLE), 6) AS head_share
+FROM agg a JOIN head h ON h.source = a.source
+ORDER BY a.source
+""",
+)
+def q_hapax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity: vocab, hapax, TTR, head-token share."""
+    return text.hapax_stats(load_table(spark, sf_dir, "documents"))
+
+
 #: quality_score consumes text_stats OUTPUT (alpha/stopword ratios already
 #: rounded 4dp there), so the oracle replays the same rounding points.
 #: ONE shared builder for every oracle that replays text.quality_score —
@@ -409,6 +450,56 @@ def q_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "minhash_jaccard_estimate",
+    oracle=f"""
+WITH {SIGS_CTE.lstrip()},
+bands AS (
+{_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         round((CAST(sa.mh0 = sb.mh0 AS INT) + CAST(sa.mh1 = sb.mh1 AS INT) + CAST(sa.mh2 = sb.mh2 AS INT) + CAST(sa.mh3 = sb.mh3 AS INT) + CAST(sa.mh4 = sb.mh4 AS INT) + CAST(sa.mh5 = sb.mh5 AS INT) + CAST(sa.mh6 = sb.mh6 AS INT) + CAST(sa.mh7 = sb.mh7 AS INT) + CAST(sa.mh8 = sb.mh8 AS INT) + CAST(sa.mh9 = sb.mh9 AS INT) + CAST(sa.mh10 = sb.mh10 AS INT) + CAST(sa.mh11 = sb.mh11 AS INT))
+               / CAST(12 AS DOUBLE), 6) AS est_jaccard
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS intersection
+  FROM shingles x JOIN shingles y
+    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT e.doc_a, e.doc_b, e.est_jaccard,
+    round(i.intersection
+          / (za.n_shingles + zb.n_shingles - i.intersection), 6)
+      AS exact_jaccard
+  FROM est e
+  JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+  JOIN sizes za ON za.doc_id = e.doc_a
+  JOIN sizes zb ON zb.doc_id = e.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard, exact_jaccard,
+       round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+FROM ex ORDER BY doc_a, doc_b
+""",
+)
+def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured MinHash estimator accuracy over LSH candidate pairs."""
+    return dedup.minhash_jaccard_estimate(
+        load_table(spark, sf_dir, "documents"), NUM_HASHES, BAND_SIZE, 3
+    )
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     bit_sums = ",\n    ".join(
         f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(token), {b // 4 + 1}, 1)) - 1 >> {b % 4}) & 1) = 1 "
@@ -510,6 +601,46 @@ SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5
 def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(
         load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, 5
+    )
+
+
+@register(
+    "label_centroid_similarity",
+    oracle="""
+WITH comp AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos,
+         round(CAST(sum(CAST(val AS DECIMAL(25,9))) AS DOUBLE) / count(*), 9)
+           AS c
+  FROM comp GROUP BY label, pos
+),
+arr AS (
+  SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label
+),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         a.centroid AS ca, b.centroid AS cb
+  FROM arr a JOIN arr b ON a.label < b.label
+),
+exploded AS (
+  SELECT label_a, label_b, unnest(ca) AS x, unnest(cb) AS y FROM pairs
+)
+SELECT label_a, label_b,
+       round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS cos_sim
+FROM exploded
+GROUP BY label_a, label_b
+ORDER BY label_a, label_b
+""",
+)
+def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids."""
+    return similarity.label_centroid_similarity(
+        load_table(spark, sf_dir, "embeddings")
     )
 
 

@@ -1724,6 +1724,9 @@ _GATE_NEXT: tuple[str, ...] = (
     "symbol_beta",
     "event_transitions",
     "rfm_segments",
+    "minhash_jaccard_estimate",
+    "label_centroid_similarity",
+    "hapax_stats",
     # r3-row rotation queue
     "lsh_candidate_pairs",
     "simhash_near_dups",

@@ -254,3 +254,21 @@ def test_incremental_dedup_flags(make_docs):
     assert out[10].exact_dup and not out[10].is_kept
     assert out[11].near_dup and not out[11].exact_dup and not out[11].is_kept
     assert out[12].is_kept and not out[12].exact_dup and not out[12].near_dup
+
+
+def test_minhash_estimate_bounded_error_and_identical_docs(spark, docs):
+    from stockpulse_batch_realtime_etl_spark.operators.dedup import (
+        minhash_jaccard_estimate,
+    )
+
+    out = minhash_jaccard_estimate(docs, 12, 2, 3).collect()
+    assert out, "fixture contains near-dup docs; LSH must surface candidates"
+    for r in out:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 < r["exact_jaccard"] <= 1.0
+        assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["exact_jaccard"])) < 1e-9
+    # identical texts must estimate AND measure J = 1 exactly: every
+    # salted-md5 min is equal, every shingle shared
+    ident = [r for r in out if r["exact_jaccard"] == 1.0]
+    for r in ident:
+        assert r["est_jaccard"] == 1.0 and r["abs_err"] == 0.0

@@ -318,3 +318,31 @@ def test_kmeans_cell_report_partitions_corpus(embeddings):
     # every vector lands in exactly one cell; means are valid cosines
     assert sum(r.n_members for r in out) == embeddings.count()
     assert all(-1.0 <= r.mean_cos <= 1.0 for r in out)
+
+
+def test_label_centroid_similarity_shape_and_self_similarity(spark):
+    from stockpulse_batch_realtime_etl_spark.operators.similarity import (
+        label_centroid_similarity,
+    )
+    from stockpulse_batch_realtime_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = label_centroid_similarity(emb).collect()
+    labels = {r["label"] for r in emb.select("label").distinct().collect()}
+    n = len(labels)
+    assert len(out) == n * (n - 1) // 2
+    for r in out:
+        assert r["label_a"] < r["label_b"]
+        assert -1.0 <= r["cos_sim"] <= 1.0
+    # duplicating a label's rows as a new label yields an identical
+    # centroid: cosine with itself-as-other-label must be exactly 1
+    from pyspark.sql import functions as F
+
+    twin = emb.union(
+        emb.filter(F.col("label") == 0).withColumn("label", F.lit(99))
+    )
+    res = {
+        (r["label_a"], r["label_b"]): r["cos_sim"]
+        for r in label_centroid_similarity(twin).collect()
+    }
+    assert res[(0, 99)] == 1.0

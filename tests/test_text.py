@@ -666,3 +666,25 @@ def test_ngram_novelty_flags_copied_doc(make_docs):
     assert out[2].dup_fraction == 1.0          # every gram seen in doc 1
     assert out[3].dup_fraction == 0.0
     assert out[2].n_grams == out[1].n_grams == 7
+
+
+def test_hapax_stats_small_corpus_exact(make_docs):
+    from stockpulse_batch_realtime_etl_spark.operators.text import hapax_stats
+
+    d = make_docs(
+        [
+            (1, "a a a b c", "en", "web", 9),
+            (2, "a d", "en", "web", 3),
+            (3, "z z", "en", "books", 3),
+        ]
+    )
+    out = {r["source"]: r for r in hapax_stats(d).collect()}
+    web = out["web"]
+    # web tokens: a×4, b, c, d → vocab 4, tokens 7, hapax 3 (b, c, d)
+    assert web["vocab_size"] == 4 and web["token_count"] == 7
+    assert web["hapax_count"] == 3
+    assert web["head_token"] == "a" and web["head_share"] == round(4 / 7, 6)
+    assert web["ttr"] == round(4 / 7, 6)
+    books = out["books"]
+    assert books["vocab_size"] == 1 and books["hapax_count"] == 0
+    assert books["head_token"] == "z" and books["head_share"] == 1.0
