@@ -2982,6 +2982,41 @@ def q_streaming_sector_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_pair_join",
+    oracle=f"""
+{RAW_CTE},
+ticks AS (
+  SELECT p_symbol AS symbol, p_price AS price, p_event_time AS event_time
+  FROM parsed
+  WHERE NOT malformed AND NOT no_symbol
+    AND p_price IS NOT NULL AND p_event_time IS NOT NULL
+),
+a AS (
+  SELECT date_trunc('minute', event_time) AS bucket_start,
+         event_time AS purchase_time, price AS purchase_price
+  FROM ticks WHERE symbol = 'PURCHASE'
+),
+b AS (
+  SELECT date_trunc('minute', event_time) AS m,
+         event_time AS click_time, price AS click_price
+  FROM ticks WHERE symbol = 'CLICK'
+)
+SELECT bucket_start, purchase_time, purchase_price, click_time, click_price
+FROM a JOIN b ON b.m = a.bucket_start
+""",
+)
+def q_streaming_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join end-to-end: purchase×click ticks of the
+    same minute window, both sides watermarked; the appended pair set must
+    equal the batch equality join."""
+    from stockpulse_batch_realtime_etl_spark.streaming.job import (
+        run_stream_stream_join_available_now,
+    )
+
+    return run_stream_stream_join_available_now(spark, sf_dir)
+
+
 # --- data profiling (Deequ-style) --------------------------------------------
 
 _PROFILE_COLS = (

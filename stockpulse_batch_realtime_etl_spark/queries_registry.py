@@ -1727,6 +1727,7 @@ _GATE_NEXT: tuple[str, ...] = (
     "minhash_jaccard_estimate",
     "label_centroid_similarity",
     "hapax_stats",
+    "streaming_pair_join",
     # r3-row rotation queue
     "lsh_candidate_pairs",
     "simhash_near_dups",

@@ -724,3 +724,84 @@ def run_sector_rollup_available_now(
         )
         q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def run_stream_stream_join_available_now(
+    spark: SparkSession,
+    sf_dir: str,
+    base_dir: str | None = None,
+    left_symbol: str = "PURCHASE",
+    right_symbol: str = "CLICK",
+) -> DataFrame:
+    """STREAM-STREAM inner join end-to-end — the last Structured Streaming
+    join class (stream-static lives in ``run_sector_rollup_available_now``):
+    purchase-side ticks joined to click-side ticks of the SAME minute
+    window, both sides watermarked so the join state is garbage-collected.
+
+    The join key is the 1-minute ``window(event_time)`` struct on both
+    sides — the supported state-cleanup pattern (equal windows + both-side
+    watermarks bound how long an unmatched row waits in the state store).
+    Inner stream-stream joins emit matches immediately (the watermark only
+    GCs state), so a bounded availableNow run emits the complete pair set;
+    each micro-batch appends its matches, and the result is a SET — equal
+    to the batch equality-join the oracle runs, independent of batch
+    boundaries.
+
+    At 100 TB: both sides shuffle on the window struct (uniform in time);
+    state per key is the window's rows on each side, bounded by the
+    watermark horizon × arrival rate — the knob a capacity plan sizes.
+    """
+    with _bounded_run_env(spark, sf_dir, base_dir, "ssjoin") as (
+        raw_dir,
+        out_dir,
+        ckpt,
+    ):
+        ticks, _failed = tick_stream_from_raw(raw_json_stream(spark, raw_dir))
+        # each stream may carry at most ONE event-time column into the
+        # join: the window struct inherits the watermark, so the raw
+        # timestamps ride along as plain epoch-µs longs and are re-cast
+        # after the bounded run completes
+        left = (
+            ticks.filter(F.col("symbol") == left_symbol)
+            .withWatermark("event_time", "2 minutes")
+            .select(
+                F.window("event_time", "1 minute").alias("w"),
+                F.col("price").alias("purchase_price"),
+                F.unix_micros("event_time").alias("purchase_us"),
+            )
+        )
+        right = (
+            ticks.filter(F.col("symbol") == right_symbol)
+            .withWatermark("event_time", "2 minutes")
+            .select(
+                F.window("event_time", "1 minute").alias("w2"),
+                F.col("price").alias("click_price"),
+                F.unix_micros("event_time").alias("click_us"),
+            )
+        )
+        joined = left.join(right, F.col("w") == F.col("w2")).select(
+            F.col("w.start").alias("bucket_start"),
+            "purchase_us",
+            "purchase_price",
+            "click_us",
+            "click_price",
+        )
+
+        def _append(batch_df: DataFrame, _epoch: int) -> None:
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            joined.writeStream.outputMode("append")
+            .foreachBatch(_append)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "bucket_start",
+        F.timestamp_micros(F.col("purchase_us")).alias("purchase_time"),
+        "purchase_price",
+        F.timestamp_micros(F.col("click_us")).alias("click_time"),
+        "click_price",
+    )

@@ -316,3 +316,39 @@ def test_sector_rollup_stream_static_join_matches_batch(spark):
         for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_join_matches_batch_equality_join(spark):
+    """stream-stream inner join: the appended pair set equals the batch
+    same-minute equality join — independent of micro-batch boundaries."""
+    from pyspark.sql import functions as F
+    from stockpulse_batch_realtime_etl_spark.sources.dlq import split_raw_stream
+    from stockpulse_batch_realtime_etl_spark.sources.ticks import raw_json_corpus
+    from stockpulse_batch_realtime_etl_spark.streaming.job import (
+        run_stream_stream_join_available_now,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r.bucket_start, r.purchase_time, r.purchase_price, r.click_time,
+         r.click_price)
+        for r in run_stream_stream_join_available_now(
+            spark, sf, left_symbol="PURCHASE", right_symbol="SIGNUP"
+        ).collect()
+    )
+    ticks = split_raw_stream(raw_json_corpus(spark, sf)).ticks
+    a = ticks.filter(F.col("symbol") == "PURCHASE").select(
+        F.date_trunc("minute", "event_time").alias("b"),
+        F.col("event_time").alias("pt"),
+        F.col("price").alias("pp"),
+    )
+    b = ticks.filter(F.col("symbol") == "SIGNUP").select(
+        F.date_trunc("minute", "event_time").alias("b2"),
+        F.col("event_time").alias("ct"),
+        F.col("price").alias("cp"),
+    )
+    want = sorted(
+        (r.b, r.pt, r.pp, r.ct, r.cp)
+        for r in a.join(b, F.col("b") == F.col("b2")).collect()
+    )
+    assert got == want and len(got) > 0
