@@ -239,6 +239,46 @@ HEADLINERS: dict[str, str] = {
         "near stage joins new-side to base-side buckets only — never "
         "new×new, never all-pairs."
     ),
+    "q13_order_counts": (
+        "LEFT OUTER join with the orders side PRE-AGGREGATED to "
+        "(custkey, count) — the join input shrinks from |orders| to "
+        "|customers-with-orders| before any wide row moves."
+    ),
+    "q18_large_orders": (
+        "HAVING-first: the selective sum(quantity)>300 aggregate runs "
+        "before any join, and the tiny survivor set broadcasts back onto "
+        "orders/customer; ranking is TakeOrderedAndProject."
+    ),
+    "q19_disjunctive_revenue": (
+        "OR-of-conjuncts split by Catalyst: part-side conjuncts filter the "
+        "broadcast dimension, the implied quantity range filters the "
+        "lineitem scan, the residual disjunction evaluates at the join."
+    ),
+    "obv_ticks": (
+        "UNBOUNDED running sum as a distributed prefix scan: per-(symbol, "
+        "day) local cumsum + a per-symbol prefix over BUCKET SUMMARIES "
+        "joined back — integer-exact, no single-task-per-symbol ceiling."
+    ),
+    "rfm_segments": (
+        "Quartile scores from 1-row percentile-cutoff aggregates broadcast "
+        "back (BroadcastNestedLoopJoin over one row) — no ntile() global "
+        "sort over users anywhere in the plan."
+    ),
+    "symbol_beta": (
+        "Three map-side-combinable aggregates (minute bars → returns → "
+        "OLS moments) and one uniform minute-key join; all numerics are "
+        "DECIMAL-exact sums over 6dp-rounded returns."
+    ),
+    "minhash_jaccard_estimate": (
+        "Signatures computed once feed both the banded bucket join "
+        "(candidate generation) and the agreement estimator; exact "
+        "Jaccard restricted to candidates — never all-pairs."
+    ),
+    "streaming_pair_join": (
+        "Stream-stream inner join keyed on equal 1-minute window structs "
+        "with both sides watermarked — state GC'd at the horizon, matches "
+        "emitted per micro-batch, result independent of batch boundaries."
+    ),
 }
 
 
