@@ -372,3 +372,28 @@ def test_rfm_segments_scores_quartile_invariants(spark):
     # each quartile band is populated for frequency unless degenerate ties
     fs = {r["f_score"] for r in rows}
     assert len(fs) >= 2
+
+
+def test_approx_percentile_within_tolerance_of_exact(spark):
+    """The sketch swap-in documented for extreme cardinalities
+    (`approx_percentile`, like lang_vocab's HLL note): measured accuracy
+    against the exact interpolated percentile on real tick prices.
+    Engine-specific sketches are never oracle-gated — this pins them."""
+    from pyspark.sql import functions as F
+    from stockpulse_batch_realtime_etl_spark.sources.ticks import ticks_from_events
+
+    t = ticks_from_events(spark, "/root/testdata/sf0.001")
+    rows = (
+        t.groupBy("symbol")
+        .agg(
+            F.expr("approx_percentile(price, array(0.5, 0.95), 1000)").alias("ap"),
+            F.percentile("price", F.lit(0.5)).alias("p50"),
+            F.percentile("price", F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        spread = max(r["p95"], 1e-9)
+        assert abs(r["ap"][0] - r["p50"]) / spread < 0.05, r
+        assert abs(r["ap"][1] - r["p95"]) / spread < 0.05, r
