@@ -555,3 +555,101 @@ def q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         money_sum(_revenue()).alias("revenue"),
         F.count(F.lit(1)).alias("line_count"),
     )
+
+
+def q7_nation_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between nation PAIRS — the fact
+    table resolves two different dimension paths (customer's nation via
+    orders, supplier's nation via l_suppkey) in one query.
+
+    Plan at scale: lineitem⋈orders shuffles on orderkey (the only
+    data-sized exchange); customer, supplier, and BOTH nation lookups
+    broadcast.  The year is grouped from the ship date; the pair aggregate
+    output is |nations|² × years rows.  Revenue sums are DECIMAL-exact.
+    """
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            money_sum(_revenue()).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q22_global_sales_opportunity(
+    customer: DataFrame, orders: DataFrame, since: str = "2000-01-01"
+) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count and balance of ABOVE-AVERAGE-
+    balance customers with no orders since a cutoff (lapsed high-value
+    accounts) — scalar subquery (the average over positive balances) +
+    date-bounded anti-join + small-key aggregate in one plan.  (Q22's
+    literal "never ordered" predicate is empty on the driver tables —
+    every customer has historical orders — so the recency-bounded variant
+    keeps the plan shape AND a non-degenerate result at every sf.)
+
+    The average is a 1-row aggregate broadcast into the filter; the
+    anti-join probes only the orders AFTER the cutoff (the date filter
+    pushes to the orders scan — the anti-join input shrinks first);
+    output is |nations| rows.
+    """
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    rich = (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    never_ordered = rich.join(
+        orders.filter(
+            F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+        ).select("o_custkey"),
+        rich["c_custkey"] == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        never_ordered.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            money_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("nationkey")
+    )

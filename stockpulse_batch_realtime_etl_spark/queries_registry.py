@@ -888,6 +888,61 @@ def q_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q7_nation_volume",
+    oracle="""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+            AS DOUBLE) AS revenue,
+       count(*) AS line_count
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+WHERE cn.n_name <> sn.n_name
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def q_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators import tpch
+
+    li, od, cu, su, na = _tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    return tpch.q7_nation_volume(li, od, cu, su, na)
+
+
+@register(
+    "q22_sales_opportunity",
+    oracle="""
+WITH a AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+           AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey AS nationkey,
+       count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS totacctbal
+FROM customer, a
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+ORDER BY nationkey
+""",
+)
+def q_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stockpulse_batch_realtime_etl_spark.operators import tpch
+
+    cu, od = _tables(spark, sf_dir, "customer", "orders")
+    return tpch.q22_global_sales_opportunity(cu, od)
+
+
+@register(
     "revenue_rollup",
     oracle="""
 SELECT
@@ -1728,6 +1783,8 @@ _GATE_NEXT: tuple[str, ...] = (
     "label_centroid_similarity",
     "hapax_stats",
     "streaming_pair_join",
+    "q7_nation_volume",
+    "q22_sales_opportunity",
     # r3-row rotation queue
     "lsh_candidate_pairs",
     "simhash_near_dups",

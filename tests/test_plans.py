@@ -625,3 +625,46 @@ def test_rfm_no_global_sort_no_ntile(spark):
     # CartesianProduct (both sides shuffled) would not be
     assert plan.count("BroadcastNestedLoopJoin") >= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q7_two_path_nation_join_broadcasts_all_dims(spark):
+    cu = load_table(spark, SF, "customer")
+    od = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    su = load_table(spark, SF, "supplier")
+    na = load_table(spark, SF, "nation")
+    df = tpch.q7_nation_volume(li, od, cu, su, na)
+    # customer, supplier, nation×2 all broadcast; the only shuffled join
+    # is lineitem⋈orders on orderkey
+    P.assert_broadcast_join(df, min_count=4)
+    P.assert_no_cartesian(df)
+    out = df.collect()
+    assert out and all(r["supp_nation"] != r["cust_nation"] for r in out)
+
+
+def test_q22_anti_join_with_scalar_average(spark):
+    cu = load_table(spark, SF, "customer")
+    od = load_table(spark, SF, "orders")
+    df = tpch.q22_global_sales_opportunity(cu, od)
+    plan = P.simple_plan(df)
+    assert "LeftAnti" in plan, plan
+    P.assert_no_cartesian(df)
+    rows = df.collect()
+    # conservation: every counted customer is above-average AND orderless —
+    # cross-check against the independent anti-join count
+    from pyspark.sql import functions as F
+
+    total = sum(r["numcust"] for r in rows)
+    avg_bal = (
+        cu.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(F.col("c_acctbal").cast("decimal(25,6)")).cast("double")
+              / F.count(F.lit(1))).alias("a"))
+        .collect()[0]["a"]
+    )
+    direct = (
+        cu.filter(F.col("c_acctbal") > avg_bal)
+        .join(od.select("o_custkey"),
+              cu["c_custkey"] == F.col("o_custkey"), "left_anti")
+        .count()
+    )
+    assert total == direct
