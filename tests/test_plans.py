@@ -663,8 +663,12 @@ def test_q22_anti_join_with_scalar_average(spark):
     )
     direct = (
         cu.filter(F.col("c_acctbal") > avg_bal)
-        .join(od.select("o_custkey"),
-              cu["c_custkey"] == F.col("o_custkey"), "left_anti")
+        .join(
+            od.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+            .select("o_custkey"),
+            cu["c_custkey"] == F.col("o_custkey"),
+            "left_anti",
+        )
         .count()
     )
     assert total == direct
