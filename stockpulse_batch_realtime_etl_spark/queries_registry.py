@@ -1751,12 +1751,13 @@ _GATE_HEAD: tuple[str, ...] = (
     "minhash_signatures",
 )
 
-#: Names queued BEHIND the window: the 18 remaining r3-row queries rotate
-#: first in r6; every name not listed at all (r4-green) follows in
-#: registration order.  All 100+ are still verified every round by the
-#: local all-queries parity suite (tests/test_oracle_parity.py).
+#: Names queued BEHIND the window (45 total): 27 never-gated round-5
+#: additions first, then the 18 remaining r3-row queries; every name not
+#: listed at all (r4-green) follows in registration order.  All 138 are
+#: still verified every round by the local all-queries parity suite
+#: (tests/test_oracle_parity.py) and by tools/check_parity.py at sf0.01.
 _GATE_NEXT: tuple[str, ...] = (
-    # never-gated round-5 late additions — gate FIRST in r6, before stale
+    # never-gated round-5 additions — gate FIRST in r6, before stale
     # refreshes (local parity covers them meanwhile)
     "events_profile",
     "missing_minutes",
