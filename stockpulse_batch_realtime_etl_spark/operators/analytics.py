@@ -857,3 +857,40 @@ def rfm_segments(events: DataFrame) -> DataFrame:
             F.col("m_score").cast("string"),
         ),
     ).orderBy("user_id")
+
+
+def weekday_hour_profile(ticks: DataFrame) -> DataFrame:
+    """Seasonality heatmap: per (symbol, weekday, hour-of-day) tick count,
+    decimal-exact average price, and volume sum — the activity-profile
+    rollup behind "when does this symbol trade".
+
+    Engine-portable weekday: Spark's ``dayofweek`` is 1-7/Sunday=1 while
+    other engines differ, so the day number is derived arithmetically —
+    ``(epoch_days + 4) % 7`` (0 = Sunday; 1970-01-01 was a Thursday) —
+    identical integer math everywhere.  ONE map-side-combinable aggregate;
+    output is |symbols|·7·24 rows at any data scale.
+    """
+    from stockpulse_batch_realtime_etl_spark.functions.scalars import ts_micros
+
+    us = ts_micros("event_time")
+    dow = ((F.floor(us / F.lit(86_400_000_000)) + 4) % 7).cast("int")
+    return (
+        ticks.groupBy(
+            "symbol",
+            dow.alias("weekday"),
+            F.hour("event_time").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("tick_count"),
+            # raw exact-decimal division, deliberately UNROUNDED: a 4dp
+            # round can land on a decimal tie where Spark (HALF_UP on the
+            # decimal string) and binary-double rounding disagree; the
+            # identical operands make the raw double bit-equal instead
+            (
+                F.sum(F.col("price").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_price"),
+            F.sum(F.coalesce(F.col("volume"), F.lit(0))).alias("volume_sum"),
+        )
+        .orderBy("symbol", "weekday", "hour")
+    )

@@ -1312,6 +1312,31 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "weekday_hour_profile",
+    oracle=f"""
+{TICKS_CTE}
+SELECT symbol,
+  CAST((CAST(floor(epoch_us(CAST(event_time AS TIMESTAMP)) / 86400000000) AS BIGINT) + 4) % 7 AS INT) AS weekday,
+  CAST(hour(event_time) AS INT) AS hour,
+  count(*) AS tick_count,
+  CAST(sum(CAST(price AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+    AS avg_price,
+  CAST(sum(coalesce(volume, 0)) AS BIGINT) AS volume_sum
+FROM ticks
+GROUP BY 1, 2, 3
+ORDER BY symbol, weekday, hour
+""",
+)
+def q_weekday_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (symbol, weekday, hour) activity seasonality rollup."""
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        weekday_hour_profile,
+    )
+
+    return weekday_hour_profile(ticks_from_events(spark, sf_dir))
+
+
 # The EMA recursion has no finite window-frame form, but DuckDB CAN replay
 # it at oracle scale via a per-symbol list fold: list_reduce over the
 # ordered price prefix re-runs EMA_i = α·p_i + (1−α)·EMA_{i−1} exactly
@@ -1786,6 +1811,7 @@ _GATE_NEXT: tuple[str, ...] = (
     "streaming_pair_join",
     "q7_nation_volume",
     "q22_sales_opportunity",
+    "weekday_hour_profile",
     # r3-row rotation queue
     "lsh_candidate_pairs",
     "simhash_near_dups",

@@ -397,3 +397,26 @@ def test_approx_percentile_within_tolerance_of_exact(spark):
         spread = max(r["p95"], 1e-9)
         assert abs(r["ap"][0] - r["p50"]) / spread < 0.05, r
         assert abs(r["ap"][1] - r["p95"]) / spread < 0.05, r
+
+
+def test_weekday_hour_profile_arithmetic_dow(spark, make_ticks):
+    """The arithmetic weekday ((epoch_days+4)%7, 0=Sunday) must agree with
+    the calendar: 1970-01-05 was a Monday."""
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        weekday_hour_profile,
+    )
+    import datetime as dt
+
+    t = make_ticks(
+        [
+            ("A", 10.0, 5, dt.datetime(1970, 1, 5, 13, 30)),   # Monday
+            ("A", 12.0, 5, dt.datetime(1970, 1, 5, 13, 45)),   # Monday, same hr
+            ("A", 20.0, None, dt.datetime(1970, 1, 4, 9, 0)),  # Sunday
+        ]
+    )
+    out = {(r["weekday"], r["hour"]): r for r in weekday_hour_profile(t).collect()}
+    assert set(out) == {(1, 13), (0, 9)}
+    mon = out[(1, 13)]
+    assert mon["tick_count"] == 2 and mon["avg_price"] == 11.0
+    assert mon["volume_sum"] == 10
+    assert out[(0, 9)]["volume_sum"] == 0  # null volume coalesces
