@@ -720,8 +720,14 @@ def minhash_jaccard_estimate(
     )
     za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
     zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    # LEFT join + coalesce(intersection, 0): an LSH candidate pair with zero
+    # shared shingles must report exact_jaccard = 0, not vanish from the
+    # report.  With md5 band hashes, band equality structurally implies a
+    # shared shingle, so the branch is latent today — but the report must
+    # not silently depend on the band-hash scheme.
+    n_inter = F.coalesce(F.col("intersection"), F.lit(0))
     exact = (
-        est.join(inter, ["doc_a", "doc_b"])
+        est.join(inter, ["doc_a", "doc_b"], "left")
         .join(za, "doc_a")
         .join(zb, "doc_b")
         .select(
@@ -729,8 +735,7 @@ def minhash_jaccard_estimate(
             "doc_b",
             "est_jaccard",
             F.round(
-                F.col("intersection")
-                / (F.col("size_a") + F.col("size_b") - F.col("intersection")),
+                n_inter / (F.col("size_a") + F.col("size_b") - n_inter),
                 6,
             ).alias("exact_jaccard"),
         )

@@ -592,7 +592,16 @@ def max_drawdown(
                     F.col("_peak").alias("peak_price"),
                     F.col("price").alias("trough_price"),
                 ),
-                F.struct(F.col("_dd"), F.col("event_time")),
+                # total order: duplicate (symbol, event_time) ticks exist, so
+                # (dd, time) alone leaves peak/trough nondeterministic — add
+                # price then peak to the tie-break, per the module's
+                # (event_time, price, volume) ordering convention
+                F.struct(
+                    F.col("_dd"),
+                    F.col("event_time"),
+                    F.col("price"),
+                    F.col("_peak"),
+                ),
             ).alias("_at"),
             F.max("price").alias("all_time_high"),
         )

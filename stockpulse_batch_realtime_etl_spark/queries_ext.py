@@ -480,11 +480,11 @@ inter AS (
 ),
 ex AS (
   SELECT e.doc_a, e.doc_b, e.est_jaccard,
-    round(i.intersection
-          / (za.n_shingles + zb.n_shingles - i.intersection), 6)
+    round(coalesce(i.intersection, 0)
+          / (za.n_shingles + zb.n_shingles - coalesce(i.intersection, 0)), 6)
       AS exact_jaccard
   FROM est e
-  JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+  LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
   JOIN sizes za ON za.doc_id = e.doc_a
   JOIN sizes zb ON zb.doc_id = e.doc_b
 )

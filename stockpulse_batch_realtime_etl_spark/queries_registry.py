@@ -497,7 +497,8 @@ def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
   FROM p
 ), ranked AS (
   SELECT symbol, event_time, price, peak, dd,
-    row_number() OVER (PARTITION BY symbol ORDER BY dd, event_time) AS rn
+    row_number() OVER (PARTITION BY symbol
+                       ORDER BY dd, event_time, price, peak) AS rn
   FROM d
 )
 SELECT r.symbol,

@@ -38,18 +38,26 @@ OUTPUT_SCHEMA = (
     "volume_sum long, tick_count long"
 )
 
+#: Fold identity: state for a symbol that has seen no ticks yet.
+_EMPTY_STATE = (
+    float("inf"), None, float("-inf"), float("inf"), float("-inf"), None, 0, 0,
+)
 
-def _fold(key: Any, pdfs: Iterator["pd.DataFrame"], state: GroupState):  # noqa: F821
-    import pandas as pd
 
-    (symbol,) = key
-    if state.exists:
-        f_ts, o, h, low, l_ts, c, vol, cnt = state.get
-    else:
-        f_ts, o, h, low, l_ts, c, vol, cnt = (
-            float("inf"), None, float("-inf"), float("inf"), float("-inf"),
-            None, 0, 0,
-        )
+def fold_bar_state(state: tuple | None, pdfs) -> tuple:
+    """The ONE running-OHLCV fold shared by both stateful-API exemplars.
+
+    ``state`` is the 8-slot tuple of :data:`STATE_SCHEMA` (or ``None`` for
+    a fresh key); ``pdfs`` is an iterator of Arrow-batched pandas frames
+    with ``event_time``/``price``/``volume`` columns.  Returns the merged
+    state tuple.  Keeping this in one place means the GroupState and the
+    transformWithState exemplars cannot silently diverge on a future edit
+    (only the GroupState twin runs end-to-end in this container — see the
+    SANDBOX SEAM note on :class:`RunningBarProcessor`).
+    """
+    f_ts, o, h, low, l_ts, c, vol, cnt = (
+        state if state is not None else _EMPTY_STATE
+    )
     for pdf in pdfs:
         if pdf.empty:
             continue
@@ -64,8 +72,14 @@ def _fold(key: Any, pdfs: Iterator["pd.DataFrame"], state: GroupState):  # noqa:
         low = min(low, float(prices.min()))
         vol += int(pdf["volume"].fillna(0).sum())
         cnt += len(pdf)
-    state.update((f_ts, o, h, low, l_ts, c, vol, cnt))
-    yield pd.DataFrame(
+    return (f_ts, o, h, low, l_ts, c, vol, cnt)
+
+
+def _bar_row(symbol: str, state: tuple) -> "pd.DataFrame":  # noqa: F821
+    import pandas as pd
+
+    _f_ts, o, h, low, _l_ts, c, vol, cnt = state
+    return pd.DataFrame(
         [
             {
                 "symbol": symbol,
@@ -78,6 +92,13 @@ def _fold(key: Any, pdfs: Iterator["pd.DataFrame"], state: GroupState):  # noqa:
             }
         ]
     )
+
+
+def _fold(key: Any, pdfs: Iterator["pd.DataFrame"], state: GroupState):  # noqa: F821
+    (symbol,) = key
+    merged = fold_bar_state(state.get if state.exists else None, pdfs)
+    state.update(merged)
+    yield _bar_row(symbol, merged)
 
 
 def running_bars(ticks: DataFrame) -> DataFrame:
@@ -104,7 +125,8 @@ class RunningBarProcessor(StatefulProcessor):
     module's docstring motivates; ``transformWithState`` is its successor —
     composable state variables (value/list/map), TTL, timers, and initial-
     state bootstrap — and the shape new operators should take.  Both
-    exemplars fold identically (argmin/argmax by event_time, integer sums).
+    exemplars call the one :func:`fold_bar_state` body, so they cannot
+    diverge.
 
     SANDBOX SEAM: the TWS Python runner speaks a protobuf protocol to the
     JVM state server, and ``google.protobuf`` is absent from this container
@@ -123,45 +145,12 @@ class RunningBarProcessor(StatefulProcessor):
         self._bar = handle.getValueState("bar", STATE_SCHEMA)
 
     def handleInputRows(self, key, rows, timerValues):
-        import pandas as pd
-
         (symbol,) = key
-        prev = self._bar.get() if self._bar.exists() else None
-        if prev is not None:
-            f_ts, o, h, low, l_ts, c, vol, cnt = prev
-        else:
-            f_ts, o, h, low, l_ts, c, vol, cnt = (
-                float("inf"), None, float("-inf"), float("inf"),
-                float("-inf"), None, 0, 0,
-            )
-        for pdf in rows:
-            if pdf.empty:
-                continue
-            ts = pdf["event_time"].astype("int64") / 1e9
-            prices = pdf["price"].astype("float64")
-            first_i, last_i = ts.idxmin(), ts.idxmax()
-            if ts[first_i] < f_ts:
-                f_ts, o = float(ts[first_i]), float(prices[first_i])
-            if ts[last_i] > l_ts:
-                l_ts, c = float(ts[last_i]), float(prices[last_i])
-            h = max(h, float(prices.max()))
-            low = min(low, float(prices.min()))
-            vol += int(pdf["volume"].fillna(0).sum())
-            cnt += len(pdf)
-        self._bar.update((f_ts, o, h, low, l_ts, c, vol, cnt))
-        yield pd.DataFrame(
-            [
-                {
-                    "symbol": symbol,
-                    "open": o,
-                    "high": h,
-                    "low": low,
-                    "close": c,
-                    "volume_sum": vol,
-                    "tick_count": cnt,
-                }
-            ]
+        merged = fold_bar_state(
+            self._bar.get() if self._bar.exists() else None, rows
         )
+        self._bar.update(merged)
+        yield _bar_row(symbol, merged)
 
     def close(self) -> None:
         pass
