@@ -71,27 +71,47 @@ def main() -> None:
     # every query exactly once).
     reps = max(1, int(os.environ.get("BENCH_REPS", "3")))
     budget = float(os.environ.get("BENCH_BUDGET_SEC", "480"))
+    n_cpus = os.cpu_count() or 1
     t_suite = time.perf_counter()
-    timings: dict[str, float] = {}
+    # per query: (best wall sec, 1-min loadavg sampled when that best rep
+    # STARTED).  The load sample is the contention disclaimer the r4/r5
+    # verdicts kept re-litigating by hand: a regression whose best rep
+    # started at load > n_cpus is neighbor noise until re-measured idle.
+    best: dict[str, tuple[float, float]] = {}
+
+    def run_once(name: str) -> None:
+        load1 = os.getloadavg()[0]
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.perf_counter() - t0
+        prev = best.get(name)
+        if prev is None or dt < prev[0]:
+            best[name] = (dt, load1)
+
     for rep in range(reps):
         order = names[rep % len(names):] + names[: rep % len(names)]
         for name in order:
             if rep >= 2 and time.perf_counter() - t_suite > budget:
                 break
-            t0 = time.perf_counter()
-            queries[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            dt = time.perf_counter() - t0
-            prev = timings.get(name)
-            timings[name] = round(dt if prev is None else min(prev, dt), 3)
-    timings = {name: timings[name] for name in names}
+            run_once(name)
+    # contention valve: one extra rep for any query whose best rep started
+    # on an oversubscribed machine, while budget remains
+    for name in names:
+        if best[name][1] > n_cpus and time.perf_counter() - t_suite < budget:
+            run_once(name)
+    timings = {name: round(best[name][0], 3) for name in names}
+    loads = {name: round(best[name][1], 2) for name in names}
 
     result = {
         "metric": "total_query_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "load_at_best_rep": loads,
+        "n_cpus": n_cpus,
+        "loadavg_suite_end": round(os.getloadavg()[0], 2),
         "sf": sf,
     }
     # Full line first (complete per-query dict, compact separators) ...
@@ -111,6 +131,8 @@ def main() -> None:
         "n_queries": len(timings),
         "queries_truncated_to_20_slowest": len(timings) > 20,
         "queries": slowest,
+        "load_at_best_rep": {k: loads[k] for k in slowest},
+        "n_cpus": n_cpus,
     }
     print(json.dumps(compact, separators=(",", ":")))
 

@@ -20,8 +20,11 @@ Codec reality has two rungs:
   are a deterministic function of (asset_id, position), so DuckDB replays
   count/sum/min/max and a position-weighted checksum (which breaks if the
   decoder misorders rows or channels) arithmetically.
-* JPEG-class formats (JPEG/MP3/MP4 — entropy-coded, lossy) require PIL /
-  soundfile / av — absent in this container — and stay behind
+* BASELINE JPEG (SOF0, grayscale or 4:4:4 colour) is decoded FOR REAL too,
+  by the dependency-free entropy decoder in operators/jpeg.py — marker
+  walk, canonical Huffman + byte-unstuffing, DC diff / AC run-length,
+  zigzag, dequant, IDCT, YCbCr→RGB.  Only the genuinely library-bound
+  remainder (progressive/subsampled JPEG, MP3, MP4) stays behind
   ``_try_real_decode``'s import-guard with an honest
   ``NotImplementedError``.
 
@@ -64,11 +67,14 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def _try_real_decode(media_type: str, payload: bytes):
-    """Real codec dispatch.  Uncompressed formats decode here and now with
-    the pure-numpy parsers below (no external library); compressed formats
-    are the remaining seam where PIL/soundfile/av plug in and raise an
-    honest ``NotImplementedError`` while those libraries are absent."""
-    if payload[:2] in (b"BM", b"P6") or payload[:8] == b"\x89PNG\r\n\x1a\n":
+    """Real codec dispatch.  BMP/PPM/PNG/WAV and baseline JPEG decode here
+    and now with the pure-numpy parsers in this module and operators/jpeg
+    (no external library); the remaining compressed seam — progressive /
+    subsampled JPEG, MP3, MP4 — is where PIL/soundfile/av plug in and
+    raises an honest ``NotImplementedError`` while those are absent."""
+    if payload[:2] in (b"BM", b"P6", b"\xff\xd8") or (
+        payload[:8] == b"\x89PNG\r\n\x1a\n"
+    ):
         return decode_image_bytes(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav_bytes(payload)
@@ -77,7 +83,7 @@ def _try_real_decode(media_type: str, payload: bytes):
             import PIL.Image  # noqa: F401
         except ImportError:
             raise NotImplementedError(
-                "compressed image decode (JPEG-class) requires Pillow"
+                "progressive/subsampled image decode requires Pillow"
             )
     raise NotImplementedError(f"real decode not available for {media_type}")
 
@@ -341,8 +347,14 @@ def decode_image_bytes(payload: bytes) -> dict:
         return {"width": w, "height": h, "vals": vals}
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_bytes(payload)
+    if payload[:2] == b"\xff\xd8":
+        from stockpulse_batch_realtime_etl_spark.operators.jpeg import (
+            decode_jpeg_bytes,
+        )
+
+        return decode_jpeg_bytes(payload)
     raise NotImplementedError(
-        "compressed/unknown image format (JPEG-class requires Pillow)"
+        "unknown image format (progressive/subsampled JPEG requires Pillow)"
     )
 
 
@@ -375,11 +387,18 @@ def decode_wav_bytes(payload: bytes) -> dict:
     }
 
 
+def _encode_jpeg(asset_id: int) -> bytes:
+    from stockpulse_batch_realtime_etl_spark.operators.jpeg import encode_jpeg
+
+    return encode_jpeg(asset_id)
+
+
 _ENCODERS = {
     "bmp": encode_bmp,
     "ppm": encode_ppm,
     "wav": encode_wav,
     "png": encode_png,
+    "jpeg": _encode_jpeg,
 }
 
 DECODED_SCHEMA = (

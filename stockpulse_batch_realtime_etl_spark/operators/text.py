@@ -1543,3 +1543,80 @@ def hapax_stats(docs: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def bpe_learn_merges(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """DISTRIBUTED BPE vocabulary learning — the tokenizer-training shape
+    (Sennrich et al. 2016) a training-data pipeline actually runs, not
+    just the fixed-merge-table application in :func:`bpe_token_counts`.
+
+    Algorithm (classic BPE on the word-frequency table):
+
+    1. One corpus pass builds ``(word, freq)`` for lowercase-alpha words —
+       the ONLY data-sized aggregate; everything after operates on the
+       vocabulary table (~|V| rows, millions at 100 TB — trivially small).
+    2. ``n_merges`` rounds of: adjacent-symbol-pair counts weighted by
+       word frequency (map-side-combined groupBy), pick the best pair
+       (max count, then lexicographically smallest — fully deterministic),
+       and re-tokenize every word's symbol array IN-ARRAY with one
+       ``F.aggregate`` fold (left-greedy, exactly Sennrich's scan: after
+       a merge the new symbol L·R can never re-merge within the pass
+       since R is non-empty, so fold ≡ scan).
+
+    The per-round best-pair pick is a LIMIT-1 ``collect`` — an O(1)
+    driver scalar per round (the "broadcast best merge" shape), never
+    O(data).  The vocabulary table is eagerly ``localCheckpoint``ed each
+    round so round k's pair count doesn't replay rounds 1..k-1's lambda
+    chain.  Output: one row per learned merge (step, left_sym, right_sym,
+    merged, pair_count).
+    """
+    words = (
+        fan_out(docs)
+        .select(F.explode(_tokens()).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seqs = words.select(
+        "word", "freq", F.split("word", "").alias("syms")
+    ).localCheckpoint()
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = (
+            seqs.select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1).alias("l"),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1).alias("r"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(
+            F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc()
+        ).limit(1).collect()
+        if not best:
+            break
+        left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merged = left + right
+        merges.append((step, left, right, merged, cnt))
+        fold = F.aggregate(
+            "syms",
+            F.expr("cast(array() as array<string>)"),
+            lambda acc, s: F.when(
+                (F.try_element_at(acc, F.lit(-1)) == F.lit(left))
+                & (s == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        seqs = seqs.withColumn("syms", fold).localCheckpoint()
+    return docs.sparkSession.createDataFrame(
+        merges,
+        "step int, left_sym string, right_sym string, merged string, "
+        "pair_count long",
+    ).orderBy("step")

@@ -178,6 +178,78 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_token_counts(load_table(spark, sf_dir, "documents"))
 
 
+def _bpe_learn_oracle(n_merges: int = 8) -> str:
+    """Unrolled DuckDB replay of distributed BPE learning
+    (text.bpe_learn_merges): per merge round, a weighted adjacent-pair
+    count, the deterministic best pick (max count, lexicographically
+    smallest pair), and the left-greedy re-tokenize.  The greedy scan is
+    expressed relationally: consecutive runs of pair hits (gaps-and-
+    islands on position), keep every other hit in each run (overlapping
+    hits only occur when left==right), drop the position after each kept
+    hit, rebuild the symbol list ordered by position — provably the same
+    result as the Spark side's fold (a merged symbol can never re-merge
+    within a pass since the right side is non-empty)."""
+    ctes = [r"""s0 AS (
+  SELECT word, freq, string_split(word, '') AS syms
+  FROM (
+    SELECT word, count(*) AS freq FROM (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+      FROM documents
+    ) WHERE regexp_matches(word, '^[a-z]+$')
+    GROUP BY word
+  )
+)"""]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        ctes.append(f"""p{k} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, sum(freq) AS cnt
+  FROM (SELECT *, unnest(generate_series(1, len(syms) - 1)) AS i FROM s{p})
+  GROUP BY l, r
+),
+b{k} AS (
+  SELECT l, r, l || r AS merged, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+),
+pos{k} AS (
+  SELECT word, freq, i, syms[i] AS cur, merged,
+         coalesce(i < len(syms) AND syms[i] = l AND syms[i + 1] = r,
+                  false) AS hit
+  FROM (SELECT s.*, b.l, b.r, b.merged,
+               unnest(generate_series(1, len(s.syms))) AS i
+        FROM s{p} s CROSS JOIN b{k} b)
+),
+sel{k} AS (
+  SELECT *, hit AND ((i - min(i) OVER (PARTITION BY word, blk)) % 2 = 0)
+         AS selected
+  FROM (SELECT *, CASE WHEN hit THEN i - row_number()
+                  OVER (PARTITION BY word, hit ORDER BY i) END AS blk
+        FROM pos{k})
+),
+s{k} AS (
+  SELECT word, freq,
+         list(CASE WHEN selected THEN merged ELSE cur END ORDER BY i) AS syms
+  FROM (SELECT *, coalesce(lag(selected) OVER (PARTITION BY word ORDER BY i),
+                           false) AS skip
+        FROM sel{k})
+  WHERE NOT skip
+  GROUP BY word, freq
+)""")
+    unions = "\n  UNION ALL ".join(
+        f"SELECT {k} AS step, l AS left_sym, r AS right_sym, merged, "
+        f"cnt AS pair_count FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT * FROM (\n  {unions}\n) ORDER BY step"
+    )
+
+
+@register("bpe_learned_merges", oracle=_bpe_learn_oracle(8))
+def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8 rounds of distributed BPE merge learning over the corpus."""
+    return text.bpe_learn_merges(load_table(spark, sf_dir, "documents"), 8)
+
+
 @register(
     "lang_vocab",
     oracle=r"""
@@ -1218,6 +1290,69 @@ def q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """encode-as-PNG → real inflate+unfilter decode → per-asset stats."""
     assets = multimodal.encode_assets(
         load_table(spark, sf_dir, "documents"), fmts=("png",)
+    )
+    return multimodal.decoded_stats(assets)
+
+
+#: JPEG rung (operators/jpeg.py): every document encoded as a REAL colour
+#: baseline JPEG (SOF0, 3-component 4:4:4, canonical Huffman DHT, unit
+#: DQT), then decoded by the dependency-free entropy decoder — marker
+#: walk, Huffman + 0xFF00 unstuffing, DC diff coding, zigzag, dequant,
+#: IDCT, JFIF YCbCr→RGB.  The corpus images are constant per 8×8 block,
+#: so the round trip is EXACT (DC-only DCT, unit quant) and the oracle
+#: replays every decoded RGB value from (asset_id, block) arithmetic:
+#: the same BT.601 constants, the same left-to-right double evaluation
+#: order, and floor(x+0.5) rounding on both sides.  The AC run/ZRL/EOB
+#: paths the DC-only corpus can't reach are pinned bit-exactly by the
+#: coefficient-layer round trip in tests/test_multimodal.py.
+@register(
+    "multimodal_jpeg_stats",
+    oracle="""
+WITH base AS (
+  SELECT doc_id AS asset_id,
+         CAST(4 + doc_id % 13 AS INT) AS w,
+         CAST(4 + doc_id % 11 AS INT) AS h
+  FROM documents
+),
+px AS (
+  SELECT asset_id, w, h, i,
+         (i // 3) % w AS x, (i // 3) // w AS y, i % 3 AS chan
+  FROM (SELECT *, unnest(generate_series(0, w * h * 3 - 1)) AS i FROM base)
+),
+ycc AS (
+  SELECT asset_id, w, h, i, chan,
+         (7 * asset_id + 13 * b) % 256 AS yv,
+         (11 * asset_id + 5 * b) % 256 AS cb,
+         (3 * asset_id + 17 * b) % 256 AS cr
+  FROM (SELECT *, (y // 8) * ((w + 7) // 8) + (x // 8) AS b FROM px)
+),
+rgb AS (
+  SELECT asset_id, w, h, i,
+         CAST(CASE chan
+           WHEN 0 THEN least(255, greatest(0,
+             floor(yv + 1.402 * (cr - 128) + 0.5)))
+           WHEN 1 THEN least(255, greatest(0,
+             floor(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)))
+           ELSE least(255, greatest(0,
+             floor(yv + 1.772 * (cb - 128) + 0.5)))
+         END AS BIGINT) AS val
+  FROM ycc
+)
+SELECT asset_id, 'jpeg' AS format, w AS width, h AS height,
+       CAST(NULL AS INT) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_values,
+       CAST(sum(val) AS BIGINT) AS value_sum,
+       CAST(min(val) AS BIGINT) AS value_min,
+       CAST(max(val) AS BIGINT) AS value_max,
+       CAST(sum(val * (i + 1)) AS BIGINT) AS weighted_sum
+FROM rgb
+GROUP BY asset_id, w, h
+""",
+)
+def q_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """encode-as-JPEG → real Huffman+IDCT decode → per-asset stats."""
+    assets = multimodal.encode_assets(
+        load_table(spark, sf_dir, "documents"), fmts=("jpeg",)
     )
     return multimodal.decoded_stats(assets)
 
@@ -3015,6 +3150,54 @@ def q_streaming_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stream_stream_join_available_now(spark, sf_dir)
+
+
+@register(
+    "streaming_pair_join_outer",
+    oracle=f"""
+{RAW_CTE},
+ticks AS (
+  SELECT p_symbol AS symbol, p_price AS price, p_event_time AS event_time
+  FROM parsed
+  WHERE NOT malformed AND NOT no_symbol
+    AND p_price IS NOT NULL AND p_event_time IS NOT NULL
+),
+a AS (
+  SELECT date_trunc('minute', event_time) AS bucket_start,
+         event_time AS purchase_time, price AS purchase_price
+  FROM ticks WHERE symbol = 'PURCHASE'
+),
+b AS (
+  SELECT date_trunc('minute', event_time) AS m,
+         event_time AS click_time, price AS click_price
+  FROM ticks WHERE symbol = 'CLICK'
+),
+-- the engine's final event-time watermark: min over both inputs of
+-- (max event_time − the 2-minute delay).  Unmatched purchases in windows
+-- the watermark has not passed are STILL HELD IN STATE at end-of-run, so
+-- the batch replay must withhold their null rows the same way.
+wm AS (
+  SELECT least(
+    (SELECT max(event_time) FROM ticks WHERE symbol = 'PURCHASE'),
+    (SELECT max(event_time) FROM ticks WHERE symbol = 'CLICK')
+  ) - INTERVAL 2 MINUTE AS w
+)
+SELECT a.bucket_start, a.purchase_time, a.purchase_price,
+       b.click_time, b.click_price
+FROM a LEFT JOIN b ON b.m = a.bucket_start
+WHERE b.click_time IS NOT NULL
+   OR a.bucket_start + INTERVAL 1 MINUTE <= (SELECT w FROM wm)
+""",
+)
+def q_streaming_pair_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join end-to-end: matches emit immediately;
+    unmatched purchases emit null click columns only once the watermark
+    expires their window — the oracle replays that cutoff exactly."""
+    from stockpulse_batch_realtime_etl_spark.streaming.job import (
+        run_stream_stream_join_available_now,
+    )
+
+    return run_stream_stream_join_available_now(spark, sf_dir, how="left_outer")
 
 
 # --- data profiling (Deequ-style) --------------------------------------------

@@ -1713,78 +1713,15 @@ from stockpulse_batch_realtime_etl_spark import queries_ext  # noqa: E402,F401
 #: EXACTLY the 50 names inside the driver's correctness window this round —
 #: length asserted at import time (the r4 boundary slip put 60 names ahead
 #: of a "50-entry" comment and silently dropped 10 intended rotations).
+#:
+#: ROUND-6 ROTATION (the r5 verdict's #1 directive): the ENTIRE window is
+#: spent clearing the verification debt — 28 round-5 registrations that
+#: have never touched the driver gate, the 19 queries whose last driver
+#: row is r3, the new JPEG rung, and the two flagships: 28+1+19+2 = 50.
+#: After this round no registered query's last driver row is older than
+#: r4.
 _GATE_HEAD: tuple[str, ...] = (
-    # --- the 10 queries whose last driver row is r2 (missed r4's intended
-    # rotation via the boundary slip) — stalest artifacts, rotate first
-    "dataset_splits",
-    "stratified_sample",
-    "mixture_sample",
-    "storage_roundtrip",
-    "notable_days",
-    "price_histogram",
-    "simulated_ticks",
-    "health_counts",
-    "multimodal_features",
-    "frame_samples",
-    # --- NEW round-5 registrations — never gated, highest information
-    "multimodal_png_stats",
-    "dup_groups_star",
-    "semdedup_recall_report",
-    "bm25_scores",
-    "version_info",
-    "q14_promo_revenue",
-    "q10_returned_items",
-    "streaming_sector_rollup",
-    "orders_profile",
-    "ngram_novelty",
-    "incremental_dedup",
-    # --- CODE/ORACLE CHANGED in r5 (IPv4 octet tightening, shared quality
-    # CTE builder, lazy localCheckpoint) — regression risk, re-gated
-    "pii_scan",
-    "pii_redact",
-    "quality_score",
-    "quality_length_filter",
-    "dedup_survivors",
-    "semantic_dedup",
-    # --- flagship continuity: entry()'s query + the streaming headliner
-    # keep a fresh row every round
-    "ohlcv_bars",
-    "streaming_ohlcv_bars",
-    # --- ROTATION: 29 of the 39 queries whose last driver row is r3.
-    # sliding/gapfill first (r4 verdict two-round trend watch — local
-    # min-of-10 reproduced NO regression; this records the driver's own
-    # min-of-3 confirmation).
-    "sliding_bars",
-    "gapfill_bars",
-    "latest_bars",
-    "session_bars",
-    "hourly_bars_rollup",
-    "vwap_bars",
-    "rolling_stats",
-    "ema_ticks",
-    "time_range_stats",
-    "top_bars_per_day",
-    "price_cardinality",
-    "hourly_symbol_pivot",
-    "curation_funnel",
-    "streaming_session_bars",
-    "packing_stats",
-    "source_token_stats",
-    "streaming_running_bars",
-    "ann_pq_adc_topk",
-    "ann_ivfpq_topk",
-    "jaccard_top_pairs",
-    "minhash_signatures",
-)
-
-#: Names queued BEHIND the window (45 total): 27 never-gated round-5
-#: additions first, then the 18 remaining r3-row queries; every name not
-#: listed at all (r4-green) follows in registration order.  All 138 are
-#: still verified every round by the local all-queries parity suite
-#: (tests/test_oracle_parity.py) and by tools/check_parity.py at sf0.01.
-_GATE_NEXT: tuple[str, ...] = (
-    # never-gated round-5 additions — gate FIRST in r6, before stale
-    # refreshes (local parity covers them meanwhile)
+    # --- 28 round-5 registrations, never driver-gated (local parity only)
     "events_profile",
     "missing_minutes",
     "bollinger_bands",
@@ -1813,7 +1750,9 @@ _GATE_NEXT: tuple[str, ...] = (
     "q7_nation_volume",
     "q22_sales_opportunity",
     "weekday_hour_profile",
-    # r3-row rotation queue
+    # --- NEW this round: real baseline-JPEG decode rung
+    "multimodal_jpeg_stats",
+    # --- the 19 queries whose last driver row is r3
     "lsh_candidate_pairs",
     "simhash_near_dups",
     "bigram_counts",
@@ -1832,6 +1771,66 @@ _GATE_NEXT: tuple[str, ...] = (
     "stats_summary",
     "json_decode_ticks",
     "dlq_failed_events",
+    "kafka_roundtrip_ticks",
+    # --- flagship continuity: entry()'s query + the streaming headliner
+    "ohlcv_bars",
+    "streaming_ohlcv_bars",
+)
+
+#: Names queued BEHIND the window, in r7 rotation priority: first any
+#: round-6 registrations that missed this window (gate these FIRST next
+#: round), then the 42 queries whose last driver row is r4 — the stalest
+#: set once this rotation lands.  Every name not listed at all follows in
+#: registration order.  All registered queries are still verified every
+#: round by the local all-queries parity suite (tests/test_oracle_parity)
+#: and by tools/check_parity.py at sf0.01.
+_GATE_NEXT: tuple[str, ...] = (
+    # round-6 registrations outside the window — r7 gates these first
+    "bpe_learned_merges",
+    "streaming_pair_join_outer",
+    # r4-row queries (stalest after this rotation), r4 window order
+    "multimodal_decoded_stats",
+    "multimodal_resized_stats",
+    "ann_recall_report",
+    "streaming_metrics_summary",
+    "boilerplate_segments",
+    "segment_dedup_stats",
+    "chunked_windows",
+    "source_kl_divergence",
+    "user_sessions",
+    "winnowed_fingerprints",
+    "temperature_mixture_sample",
+    "dup_groups",
+    "packed_sequences",
+    "tick_summary",
+    "bar_summary",
+    "mover_window_ticks",
+    "movers",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "top_customers_by_revenue",
+    "brand_revenue",
+    "order_priority_counts",
+    "revenue_rollup",
+    "customers_without_orders",
+    "ann_brute_force_topk",
+    "ann_brute_force_topk_np",
+    "ann_lsh_bucketed_topk",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_multiprobe_topk",
+    "embedding_near_dup_pairs",
+    "text_stats",
+    "token_counts",
+    "bpe_token_counts",
+    "language_id",
+    "lang_vocab",
+    "tfidf_top_terms",
+    "doc_fingerprints",
+    "exact_dedup",
+    "simhash_fingerprints",
 )
 
 assert len(_GATE_HEAD) == 50, (

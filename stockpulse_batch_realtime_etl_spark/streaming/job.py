@@ -732,6 +732,7 @@ def run_stream_stream_join_available_now(
     base_dir: str | None = None,
     left_symbol: str = "PURCHASE",
     right_symbol: str = "CLICK",
+    how: str = "inner",
 ) -> DataFrame:
     """STREAM-STREAM inner join end-to-end — the last Structured Streaming
     join class (stream-static lives in ``run_sector_rollup_available_now``):
@@ -747,11 +748,22 @@ def run_stream_stream_join_available_now(
     to the batch equality-join the oracle runs, independent of batch
     boundaries.
 
+    ``how="left_outer"`` is the semantics users actually struggle with:
+    an unmatched purchase row is NOT dropped — it is emitted with null
+    click columns once the event-time watermark passes its window's end
+    (i.e. once the engine can PROVE no matching click can still arrive).
+    In a bounded availableNow run the final no-data batch flushes every
+    expirable window; windows newer than (final watermark = min of both
+    sides' max event_time − the 2-minute delay) keep their unmatched rows
+    withheld — exactly the cutoff the oracle replays.
+
     At 100 TB: both sides shuffle on the window struct (uniform in time);
     state per key is the window's rows on each side, bounded by the
     watermark horizon × arrival rate — the knob a capacity plan sizes.
     """
-    with _bounded_run_env(spark, sf_dir, base_dir, "ssjoin") as (
+    with _bounded_run_env(
+        spark, sf_dir, base_dir, "ssjoin" if how == "inner" else "ssjoin_lo"
+    ) as (
         raw_dir,
         out_dir,
         ckpt,
@@ -779,7 +791,7 @@ def run_stream_stream_join_available_now(
                 F.unix_micros("event_time").alias("click_us"),
             )
         )
-        joined = left.join(right, F.col("w") == F.col("w2")).select(
+        joined = left.join(right, F.col("w") == F.col("w2"), how).select(
             F.col("w.start").alias("bucket_start"),
             "purchase_us",
             "purchase_price",

@@ -61,15 +61,23 @@ def test_sample_frames_explodes_videos(media):
 
 
 def test_real_decode_is_stubbed_for_compressed_only():
-    # unknown/JPEG-class payloads: honest NotImplementedError
+    # unknown payloads: honest NotImplementedError
     with pytest.raises(NotImplementedError):
         multimodal._try_real_decode("video", b"xxx")
-    with pytest.raises(NotImplementedError):
-        multimodal._try_real_decode("image", b"\xff\xd8\xff\xe0....")  # JPEG SOI
-    # PNG is now a REAL codec: dispatches through the seam, and a truncated
-    # payload is a hard error (corrupt data), not a stub
+    # JPEG is now a REAL codec: SOI dispatches into the baseline decoder,
+    # and a truncated payload is a hard error (corrupt data), not a stub
+    with pytest.raises(ValueError, match="SOS"):
+        multimodal._try_real_decode("image", b"\xff\xd8\xff\xe0....")
+    # PNG likewise
     with pytest.raises(ValueError, match="IHDR"):
         multimodal._try_real_decode("image", b"\x89PNG\r\n\x1a\n....")
+    assert multimodal._try_real_decode(
+        "image",
+        __import__(
+            "stockpulse_batch_realtime_etl_spark.operators.jpeg",
+            fromlist=["encode_jpeg"],
+        ).encode_jpeg(7),
+    )["width"] == multimodal._image_dims(7)[0]
     assert multimodal._try_real_decode("image", multimodal.encode_png(4))[
         "width"
     ] == multimodal._image_dims(4)[0]
@@ -328,3 +336,95 @@ def test_audio_decimation_round_trip():
         full = ((31 * aid + 17 * i) % 65536) - 32768
         np.testing.assert_array_equal(d["vals"], full[::2])
         assert d["sample_rate"] == (8000 + (aid % 5) * 1000) // 2
+
+
+# --- baseline JPEG codec (operators/jpeg.py) --------------------------------
+
+def test_jpeg_colour_round_trip_exact():
+    """Block-constant corpus images round-trip EXACTLY through the real
+    baseline JPEG path (DC-only DCT + unit quant), including partial edge
+    MCUs and the YCbCr→RGB transform."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import jpeg
+
+    for aid in range(12):
+        d = jpeg.decode_jpeg_bytes(jpeg.encode_jpeg(aid))
+        w, h = multimodal._image_dims(aid)
+        assert (d["width"], d["height"]) == (w, h)
+        cw = (w + 7) // 8
+        exp = np.zeros((h, w, 3), dtype=np.int64)
+        for y in range(h):
+            for x in range(w):
+                b = (y // 8) * cw + (x // 8)
+                yv = jpeg.block_value(aid, 0, b)
+                cb = jpeg.block_value(aid, 1, b)
+                cr = jpeg.block_value(aid, 2, b)
+                r = yv + 1.402 * (cr - 128)
+                g = yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+                bl = yv + 1.772 * (cb - 128)
+                exp[y, x] = [
+                    int(np.clip(np.floor(v + 0.5), 0, 255)) for v in (r, g, bl)
+                ]
+        np.testing.assert_array_equal(d["vals"], exp.reshape(-1))
+
+
+def test_jpeg_coefficient_layer_lossless():
+    """The entropy layer (Huffman + DC diff + AC run/ZRL/EOB + stuffing)
+    is bit-lossless on ARBITRARY coefficient blocks — this pins the AC
+    paths the DC-only oracle corpus cannot reach."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import jpeg
+
+    rng = np.random.RandomState(42)
+    comps = []
+    for _ in range(3):
+        blocks = []
+        for _b in range(6):
+            zz = np.zeros(64, dtype=np.int64)
+            # sparse coefficients with long zero runs → ZRL + run>0 codes,
+            # plus negative values and a full-tail block (no EOB)
+            for pos in rng.choice(64, size=rng.randint(1, 8), replace=False):
+                zz[pos] = int(rng.randint(-500, 500))
+            blocks.append(zz)
+        # one block with a nonzero at index 63 exercises the no-EOB path
+        blocks[0][63] = 7
+        comps.append(blocks)
+    data = jpeg.encode_scan_blocks(comps)
+    dc = {
+        (ln, code): sym
+        for sym, (code, ln) in jpeg._canonical_codes(
+            jpeg._DC_BITS, jpeg._DC_VALS
+        ).items()
+    }
+    ac = {
+        (ln, code): sym
+        for sym, (code, ln) in jpeg._canonical_codes(
+            jpeg._AC_BITS, jpeg._AC_VALS
+        ).items()
+    }
+    out = jpeg.decode_scan(data + b"\xff\xd9", 0, 6, 3, [dc] * 3, [ac] * 3)
+    for ci in range(3):
+        for b in range(6):
+            np.testing.assert_array_equal(out[ci][b], comps[ci][b])
+
+
+def test_jpeg_grayscale_and_unsupported_variants():
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import jpeg
+
+    # single-component grayscale: one plane, no colour transform
+    zz = np.zeros(64, dtype=np.int64)
+    zz[0] = 8 * (200 - 128)
+    payload = jpeg.encode_baseline_jpeg([[zz]], 5, 6)
+    d = jpeg.decode_jpeg_bytes(payload)
+    assert (d["width"], d["height"]) == (5, 6)
+    np.testing.assert_array_equal(d["vals"], np.full(30, 200, dtype=np.int64))
+    # progressive (SOF2) is the honest remaining seam
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="SOF"):
+        jpeg.decode_jpeg_bytes(prog)
+    # generic image dispatch reaches the JPEG decoder
+    assert multimodal.decode_image_bytes(payload)["width"] == 5

@@ -352,3 +352,64 @@ def test_stream_stream_join_matches_batch_equality_join(spark):
         for r in a.join(b, F.col("b") == F.col("b2")).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_left_outer_join_null_emission(spark):
+    """LEFT OUTER stream-stream join: matches equal the inner join; every
+    unmatched purchase in a watermark-EXPIRED window emits exactly one
+    null-click row; unmatched purchases in windows the final watermark
+    never passed are withheld (still in state at end-of-run)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from stockpulse_batch_realtime_etl_spark.sources.dlq import split_raw_stream
+    from stockpulse_batch_realtime_etl_spark.sources.ticks import raw_json_corpus
+    from stockpulse_batch_realtime_etl_spark.streaming.job import (
+        run_stream_stream_join_available_now,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = run_stream_stream_join_available_now(
+        spark, sf, left_symbol="PURCHASE", right_symbol="SIGNUP",
+        how="left_outer",
+    ).collect()
+    matched = sorted(
+        (r.bucket_start, r.purchase_time, r.purchase_price, r.click_time,
+         r.click_price)
+        for r in out if r.click_time is not None
+    )
+    nulls = sorted(
+        (r.bucket_start, r.purchase_time, r.purchase_price)
+        for r in out if r.click_time is None
+    )
+
+    ticks = split_raw_stream(raw_json_corpus(spark, sf)).ticks
+    a = ticks.filter(F.col("symbol") == "PURCHASE").select(
+        F.date_trunc("minute", "event_time").alias("b"),
+        F.col("event_time").alias("pt"),
+        F.col("price").alias("pp"),
+    )
+    b = ticks.filter(F.col("symbol") == "SIGNUP").select(
+        F.date_trunc("minute", "event_time").alias("b2"),
+        F.col("event_time").alias("ct"),
+        F.col("price").alias("cp"),
+    )
+    want_matched = sorted(
+        (r.b, r.pt, r.pp, r.ct, r.cp)
+        for r in a.join(b, F.col("b") == F.col("b2")).collect()
+    )
+    assert matched == want_matched and len(matched) > 0
+
+    # final watermark = min(max purchase time, max signup time) - 2 min;
+    # null rows appear exactly for unmatched purchases whose window END
+    # (bucket + 1 min) the watermark reached
+    wm = min(
+        a.agg(F.max("pt")).collect()[0][0],
+        b.agg(F.max("ct")).collect()[0][0],
+    ) - dt.timedelta(minutes=2)
+    want_nulls = sorted(
+        (r.b, r.pt, r.pp)
+        for r in a.join(b, F.col("b") == F.col("b2"), "left_anti").collect()
+        if r.b + dt.timedelta(minutes=1) <= wm
+    )
+    assert nulls == want_nulls and len(nulls) > 0
