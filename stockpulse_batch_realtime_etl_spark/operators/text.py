@@ -1454,7 +1454,9 @@ def bm25_scores(
     )
 
 
-def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
+def ngram_novelty(
+    docs: DataFrame, n: int = 3, hot_df_threshold: int | None = 100_000
+) -> DataFrame:
     """Per-document duplicated-n-gram fraction — the RefinedWeb/C4-style
     novelty metric: over each document's DISTINCT n-grams, what fraction
     was first seen in an EARLIER document (corpus-wide min doc_id < own
@@ -1464,11 +1466,28 @@ def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
 
     Plan: one explode of in-array n-grams (``adjacent_ngrams``' slice
     ladder — O(1) per element) deduped in-array first, a (gram → min
-    doc_id) hash aggregate, then the join back on gram — corpus-scale on
-    both sides (like the line-dedup join, NOT broadcast; hot template
-    grams get the AQE skew split, salting fallback as documented in
-    SCALE.md) — and a final per-doc aggregate.  Documents with fewer than
-    ``n`` tokens have no grams and are absent, matching the oracle.
+    doc_id, df) hash aggregate, then the join back on gram — corpus-scale
+    on both sides — and a final per-doc aggregate.  Documents with fewer
+    than ``n`` tokens have no grams and are absent, matching the oracle.
+
+    SKEW: the join-back key is exactly where template boilerplate bites —
+    a gram present in 10% of a 100 TB corpus puts 10% of all rows on one
+    reducer.  With ``hot_df_threshold`` set (the default), the aggregate
+    that already computes first_doc also counts each gram's document
+    frequency, grams above the threshold become a broadcast-split HOT set
+    routed through :func:`operators.skew.salted_join` (fact side salted
+    ``xxhash64 % 16``, the tiny hot dim slice exploded across the salt
+    range), and the cold remainder takes the ordinary equi-join; the
+    union is exactly the plain join's multiset, so the oracle is
+    unchanged.  The hot-key SET is at most |gram occurrences|/threshold
+    rows — broadcastable by construction.  Cost: one extra pass of the
+    gram stream for the semi/anti split — the standard price of removing
+    a hotspot AQE's post-shuffle splitter cannot (a sort-merge join
+    cannot split one key's sort group).  ``hot_df_threshold=None``
+    restores the single-join plan.  The default is calibrated for real
+    corpora (boilerplate grams hit millions of documents); the registered
+    gate query passes a low threshold so the hot path executes non-empty
+    on the synthetic corpus and its results land under the value hash.
     """
     grams = fan_out(docs).select(
         "doc_id",
@@ -1476,12 +1495,31 @@ def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
             F.array_distinct(adjacent_ngrams(_norm_token_arr(), n))
         ).alias("gram"),
     )
-    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    first = grams.groupBy("gram").agg(
+        F.min("doc_id").alias("first_doc"),
+        F.count(F.lit(1)).alias("_df"),
+    )
+    if hot_df_threshold is None:
+        joined = grams.join(first.drop("_df"), "gram")
+    else:
+        from stockpulse_batch_realtime_etl_spark.operators.skew import (
+            salted_join,
+        )
+
+        hot_keys = first.filter(F.col("_df") > hot_df_threshold).select("gram")
+        hot_dim = first.filter(F.col("_df") > hot_df_threshold).drop("_df")
+        cold_dim = first.filter(F.col("_df") <= hot_df_threshold).drop("_df")
+        fact_hot = grams.join(F.broadcast(hot_keys), "gram", "left_semi")
+        fact_cold = grams.join(F.broadcast(hot_keys), "gram", "left_anti")
+        joined = fact_cold.join(cold_dim, "gram").unionByName(
+            salted_join(fact_hot, hot_dim, "gram", 16)
+            .select("gram", "doc_id", "first_doc")
+        )
     seen = F.sum(
         F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
     ).cast("long")
     return (
-        grams.join(first, "gram")
+        joined
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -3279,7 +3279,14 @@ GROUP BY g.doc_id
 )
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb-style duplicated-3-gram fraction per document."""
-    return text.ngram_novelty(load_table(spark, sf_dir, "documents"), 3)
+    # hot_df_threshold=4: low enough that the synthetic corpus has a
+    # non-empty HOT set at the gate sf, so the broadcast-split +
+    # salted_join path executes end-to-end under the value hash (salting
+    # is exact — the oracle is the plain join either way); production
+    # keeps the operator's corpus-calibrated default
+    return text.ngram_novelty(
+        load_table(spark, sf_dir, "documents"), 3, hot_df_threshold=4
+    )
 
 
 @register(

@@ -524,6 +524,26 @@ def test_ngram_novelty_skew_ready_no_cartesian(spark):
     P.assert_skew_join_ready(df)             # gram join can be hot-keyed
 
 
+def test_ngram_novelty_hot_set_takes_salted_join(spark):
+    """With a finite hot_df_threshold the gram join-back splits: hot grams
+    go through skew.salted_join (fact salted xxhash64 % 16, dim exploded
+    across the salt range), the split itself is a pair of BROADCAST
+    semi/anti joins on the tiny hot-key set, and the cold remainder keeps
+    the plain equi-join.  This is the registered query's plan (the gate
+    runs hot_df_threshold=4)."""
+    docs = load_table(spark, SF, "documents")
+    df = text.ngram_novelty(docs, 3, hot_df_threshold=4)
+    P.assert_no_cartesian(df)
+    plan = P.simple_plan(df)
+    assert "_salt" in plan, plan             # salted join key present
+    assert "xxhash64" in plan, plan          # fact-side salt function
+    # hot/cold split is broadcast, not a shuffle: both the semi and the
+    # anti join against the hot-key set must be broadcast joins
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # dim side replicated across the salt range via explode of a sequence
+    assert "Generate explode" in plan or "explode(" in plan, plan
+
+
 def test_incremental_dedup_no_cartesian_band_equijoin(spark):
     from stockpulse_batch_realtime_etl_spark.operators.dedup import (
         incremental_dedup,
@@ -672,3 +692,30 @@ def test_q22_anti_join_with_scalar_average(spark):
         .count()
     )
     assert total == direct
+
+
+def test_rolling_frame_aggregates_not_duplicated(spark, ticks):
+    """Catalyst does not CSE window expressions: inlining a frame
+    aggregate into several output formulas plans it several times
+    (bollinger_bands shipped 21 sliding-frame aggregates where 3 suffice
+    — 2.9 s → 1.4 s at sf0.1 once materialized).  Pin the per-operator
+    window-aggregate instance counts."""
+    import re
+
+    from stockpulse_batch_realtime_etl_spark.operators import rolling
+
+    def frame_aggs(df):
+        plan = P.simple_plan(df)
+        return len(
+            re.findall(
+                r"(?:sum|count|avg|min|max)\([^;]*?windowspecdefinition",
+                plan,
+            )
+        )
+
+    # 3 = sum(x), sum(x²), count — exactly the moment set
+    assert frame_aggs(rolling.bollinger_bands(ticks)) == 3
+    # 3 = gain sum, loss sum, count
+    assert frame_aggs(rolling.rsi(ticks)) == 3
+    # 2 = channel max, channel min
+    assert frame_aggs(rolling.donchian_breakouts(ticks)) == 2
