@@ -688,3 +688,61 @@ def test_hapax_stats_small_corpus_exact(make_docs):
     books = out["books"]
     assert books["vocab_size"] == 1 and books["hapax_count"] == 0
     assert books["head_token"] == "z" and books["head_share"] == 1.0
+
+
+def test_bpe_learn_merges_matches_sennrich_reference(make_docs):
+    """Distributed BPE training equals the classic driver-side algorithm
+    (Sennrich et al. 2016 learn_bpe): same pair counts, same deterministic
+    tie-break, same left-greedy re-tokenize — including a multi-character
+    merge built on an earlier round's output."""
+    from collections import Counter
+
+    from stockpulse_batch_realtime_etl_spark.operators.text import (
+        bpe_learn_merges,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new lower",
+        "wider wide widest new low",
+        "the the the lowly newly",
+    ]
+    d = make_docs(
+        [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)]
+    )
+    got = [
+        (r.step, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in bpe_learn_merges(d, 6).collect()
+    ]
+
+    # pure-Python reference: word-freq table, n rounds of count→pick→merge
+    words = Counter(
+        w for t in texts for w in t.split() if w.isalpha() and w.islower()
+    )
+    seqs = {w: list(w) for w in words}
+    want = []
+    for step in range(1, 7):
+        pairs: Counter = Counter()
+        for w, freq in words.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += freq
+        if not pairs:
+            break
+        # max count, then lexicographically smallest (left, right)
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((step, l, r, l + r, cnt))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    assert got == want
+    # the learned table must contain at least one multi-char merge (proof
+    # the re-tokenize feeds back into later rounds)
+    assert any(len(l) > 1 or len(r) > 1 for _, l, r, _, _ in got)

@@ -229,9 +229,12 @@ HEADLINERS: dict[str, str] = {
         "rows — no join, no per-column job."
     ),
     "ngram_novelty": (
-        "In-array gram dedup before the explode; (gram → min doc_id) "
-        "aggregate; corpus-scale gram join back under AQE skew handling; "
-        "per-doc aggregate."
+        "In-array gram dedup before the explode; (gram → min doc_id, df) "
+        "aggregate; the gram join back SPLITS on document frequency — hot "
+        "grams route through skew.salted_join (xxhash64-salted fact, dim "
+        "exploded across the salt range) behind a broadcast hot-key "
+        "semi/anti split, cold grams keep the plain equi-join; per-doc "
+        "aggregate on the exact union."
     ),
     "incremental_dedup": (
         "Fingerprints/bands built in one corpus pass, split by id "
@@ -278,6 +281,31 @@ HEADLINERS: dict[str, str] = {
         "Stream-stream inner join keyed on equal 1-minute window structs "
         "with both sides watermarked — state GC'd at the horizon, matches "
         "emitted per micro-batch, result independent of batch boundaries."
+    ),
+    "streaming_pair_join_outer": (
+        "Stream-stream LEFT OUTER join: matches emit immediately; "
+        "unmatched purchases emit null click columns only when the "
+        "watermark expires their window, so end-of-run withholds rows in "
+        "unexpired windows — the oracle replays that exact cutoff."
+    ),
+    "bollinger_bands": (
+        "Rolling second moment over the bucketed overlap frame: exactly "
+        "THREE sliding-frame aggregates (Σx, Σx², count in DECIMAL) "
+        "materialized once — Catalyst does not CSE window expressions, so "
+        "inlining them into the four band formulas would plan 21."
+    ),
+    "bpe_learned_merges": (
+        "Distributed BPE training: one corpus pass to the word-frequency "
+        "table, then per round a vocab-sized pair-count aggregate, a "
+        "LIMIT-1 best-pair pick (O(1) driver scalar), and an in-array "
+        "left-greedy fold — rounds chain lazily off one localCheckpoint, "
+        "never re-scanning the corpus."
+    ),
+    "multimodal_jpeg_stats": (
+        "Real baseline-JPEG decode (Huffman entropy decode, dequant, "
+        "IDCT, YCbCr→RGB — operators/jpeg.py) as per-payload CPU inside "
+        "Arrow mapInPandas; one shuffle-free codec pass, stats reduce "
+        "per asset."
     ),
 }
 
