@@ -1611,6 +1611,18 @@ def bpe_learn_merges(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     one row per learned merge (step, left_sym, right_sym, merged,
     pair_count).
     """
+    merges, _seqs = _bpe_train(docs, n_merges)
+    return docs.sparkSession.createDataFrame(
+        merges,
+        "step int, left_sym string, right_sym string, merged string, "
+        "pair_count long",
+    ).orderBy("step")
+
+
+def _bpe_train(docs: DataFrame, n_merges: int):
+    """Shared BPE training loop: returns (merge list, final vocab seqs
+    DataFrame (word, freq, syms)) — the learner reports the merges, the
+    compression report applies the final seqs corpus-wide."""
     words = (
         fan_out(docs)
         .select(F.explode(_tokens()).alias("word"))
@@ -1656,8 +1668,45 @@ def bpe_learn_merges(docs: DataFrame, n_merges: int = 8) -> DataFrame:
             ).otherwise(F.concat(acc, F.array(s))),
         )
         seqs = seqs.withColumn("syms", fold)
-    return docs.sparkSession.createDataFrame(
-        merges,
-        "step int, left_sym string, right_sym string, merged string, "
-        "pair_count long",
-    ).orderBy("step")
+    return merges, seqs
+
+
+def bpe_compression_stats(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """The payoff measurement of :func:`bpe_learn_merges`: apply the
+    learned vocabulary corpus-wide and report per-source compression —
+    word instances, characters, BPE tokens, and chars-per-token over the
+    trained (lowercase-alpha) word population.
+
+    The key economy: the final vocab table (word → merged symbol array)
+    IS the tokenization of every trained word, so application is a JOIN
+    of the corpus word-instance stream against a vocab-sized table — no
+    per-document merge replay.  At 100 TB the vocab (~10⁶ rows) joins
+    broadcast or one-shuffle per AQE; the word-instance side aggregates
+    map-side-combined per source.
+    """
+    _merges, seqs = _bpe_train(docs, n_merges)
+    vocab = seqs.select("word", F.size("syms").alias("_n_toks"))
+    inst = (
+        fan_out(docs)
+        .select("source", F.explode(_tokens()).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+    )
+    agg = (
+        inst.join(vocab, "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.sum("_n_toks").cast("long").alias("bpe_tokens"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_words",
+        "n_chars",
+        "bpe_tokens",
+        F.round(
+            F.col("n_chars").cast("double") / F.col("bpe_tokens").cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    ).orderBy("source")

@@ -235,7 +235,7 @@ s{k} AS (
 )""")
     unions = "\n  UNION ALL ".join(
         f"SELECT {k} AS step, l AS left_sym, r AS right_sym, merged, "
-        f"cnt AS pair_count FROM b{k}"
+        f"CAST(cnt AS BIGINT) AS pair_count FROM b{k}"
         for k in range(1, n_merges + 1)
     )
     return (
@@ -244,10 +244,42 @@ s{k} AS (
     )
 
 
+def _bpe_compression_oracle(n_merges: int = 8) -> str:
+    """Compression replay: the final vocab CTE (s{n}) holds every trained
+    word's merged symbol array, so application is a join of the corpus
+    word-instance stream against len(syms) — exactly the Spark plan."""
+    base = _bpe_learn_oracle(n_merges)
+    ctes = base[: base.rindex("\nSELECT * FROM (")]
+    return rf"""{ctes},
+wt AS (SELECT word, len(syms) AS n_toks FROM s{n_merges}),
+inst AS (
+  SELECT source, word FROM (
+    SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS word
+    FROM documents
+  ) WHERE regexp_matches(word, '^[a-z]+$')
+)
+SELECT source,
+       count(*) AS n_words,
+       CAST(sum(length(word)) AS BIGINT) AS n_chars,
+       CAST(sum(n_toks) AS BIGINT) AS bpe_tokens,
+       round(CAST(sum(length(word)) AS DOUBLE)
+             / CAST(sum(n_toks) AS DOUBLE), 6) AS chars_per_token
+FROM inst JOIN wt USING (word)
+GROUP BY source ORDER BY source"""
+
+
 @register("bpe_learned_merges", oracle=_bpe_learn_oracle(8))
 def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8 rounds of distributed BPE merge learning over the corpus."""
     return text.bpe_learn_merges(load_table(spark, sf_dir, "documents"), 8)
+
+
+@register("bpe_compression_stats", oracle=_bpe_compression_oracle(8))
+def q_bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE vocab corpus-wide: per-source compression."""
+    return text.bpe_compression_stats(
+        load_table(spark, sf_dir, "documents"), 8
+    )
 
 
 @register(

@@ -1788,6 +1788,7 @@ _GATE_NEXT: tuple[str, ...] = (
     # round-6 registrations outside the window — r7 gates these first
     "bpe_learned_merges",
     "streaming_pair_join_outer",
+    "bpe_compression_stats",
     # r4-row queries (stalest after this rotation), r4 window order
     "multimodal_decoded_stats",
     "multimodal_resized_stats",
