@@ -219,8 +219,9 @@ def decode_png_bytes(payload: bytes) -> dict:
     IHDR parse, IDAT concatenation, stdlib ``zlib`` inflate, then per-row
     unfiltering of all five PNG filter types (None/Sub/Up/Average/Paeth,
     RFC 2083 §6) for 8-bit RGB.  Palette/alpha/16-bit/interlaced variants
-    raise ``NotImplementedError`` — the remaining compressed-format seam
-    is now JPEG-class codecs only."""
+    raise ``NotImplementedError`` — with baseline JPEG real too
+    (operators/jpeg.py), the remaining compressed seam is progressive /
+    subsampled JPEG and the audio/video codec classes."""
     import numpy as np
     import zlib
 

@@ -428,3 +428,41 @@ def test_jpeg_grayscale_and_unsupported_variants():
         jpeg.decode_jpeg_bytes(prog)
     # generic image dispatch reaches the JPEG decoder
     assert multimodal.decode_image_bytes(payload)["width"] == 5
+
+
+def test_jpeg_restart_markers_reset_dc_predictors():
+    """RSTn markers between MCUs byte-align the reader and reset every
+    component's DC predictor — each restart interval entropy-codes its DC
+    values from zero, exactly T.81's resynchronization contract."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import jpeg
+
+    def blk(dc):
+        z = np.zeros(64, dtype=np.int64)
+        z[0] = dc
+        return z
+
+    # two restart intervals of one MCU each; each interval encoded
+    # separately (predictors restart at 0), joined with an RST0 marker
+    mcu_a, mcu_b = [blk(40)], [blk(-7)]
+    scan = (
+        jpeg.encode_scan_blocks([mcu_a])
+        + b"\xff\xd0"
+        + jpeg.encode_scan_blocks([mcu_b])
+    )
+    dc = {
+        (ln, code): sym
+        for sym, (code, ln) in jpeg._canonical_codes(
+            jpeg._DC_BITS, jpeg._DC_VALS
+        ).items()
+    }
+    ac = {
+        (ln, code): sym
+        for sym, (code, ln) in jpeg._canonical_codes(
+            jpeg._AC_BITS, jpeg._AC_VALS
+        ).items()
+    }
+    out = jpeg.decode_scan(scan + b"\xff\xd9", 0, 2, 1, [dc], [ac])
+    assert out[0][0][0] == 40
+    assert out[0][1][0] == -7  # decoded from a FRESH predictor, not 40-7
