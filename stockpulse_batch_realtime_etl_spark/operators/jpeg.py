@@ -124,8 +124,12 @@ class _BitReader:
         self._n = 0
 
     def _fill(self) -> None:
+        if self._pos >= len(self._d):
+            raise ValueError("JPEG entropy data truncated")
         b = self._d[self._pos]
         if b == 0xFF:
+            if self._pos + 1 >= len(self._d):
+                raise ValueError("JPEG entropy data truncated at 0xFF")
             nxt = self._d[self._pos + 1]
             if nxt == 0x00:
                 self._pos += 2
@@ -160,6 +164,24 @@ class _BitReader:
     def byte_align(self) -> None:
         self._n = 0
         self._acc = 0
+
+    def consume_restart(self) -> None:
+        """T.81 restart resync: drop the flush-padding bits of the current
+        byte, then require and consume an RSTn marker at the (now
+        byte-aligned) position.  Called at the DRI cadence, so padding
+        bits are NEVER offered to the Huffman decoder — with short-code
+        tables (1-bit codes are legal) up to 7 pad bits could otherwise
+        decode as a spurious MCU."""
+        self.byte_align()
+        if (
+            self._pos + 1 >= len(self._d)
+            or self._d[self._pos] != 0xFF
+            or not (0xD0 <= self._d[self._pos + 1] <= 0xD7)
+        ):
+            raise ValueError(
+                "JPEG restart interval elapsed without an RSTn marker"
+            )
+        self._pos += 2
 
 
 class _RestartMarker(Exception):
@@ -326,16 +348,25 @@ def decode_scan(
     ncomp: int,
     dc_tables: list[dict],
     ac_tables: list[dict],
+    restart_interval: int = 0,
 ) -> list[list[np.ndarray]]:
     """Entropy-decode ``n_blocks`` interleaved MCUs starting at ``pos``;
     returns per-component lists of zigzag-order coefficient blocks (the
-    exact inverse of :func:`encode_scan_blocks`).  RSTn restart markers
-    reset the DC predictors and byte-align, DRI or not."""
+    exact inverse of :func:`encode_scan_blocks`).
+
+    Restart markers: with a DRI declared, the reader RESYNCS at the
+    interval cadence — byte-aligns (discarding the flush padding bits,
+    which with short-code DHTs could otherwise decode as a spurious MCU)
+    and consumes the RSTn before touching the next interval's data.  An
+    RSTn encountered OUTSIDE the declared cadence (or with no DRI) still
+    resets the predictors defensively, rolling back any partially decoded
+    MCU so the component lists cannot desync."""
     r = _BitReader(data, pos)
     out: list[list[np.ndarray]] = [[] for _ in range(ncomp)]
     pred = [0] * ncomp
     done = 0
     while done < n_blocks:
+        mcu_mark = [len(c) for c in out]
         try:
             for ci in range(ncomp):
                 zz = np.zeros(64, dtype=np.int64)
@@ -359,7 +390,17 @@ def decode_scan(
                     k += 1
                 out[ci].append(zz)
             done += 1
+            if (
+                restart_interval
+                and done % restart_interval == 0
+                and done < n_blocks
+            ):
+                r.consume_restart()
+                pred = [0] * ncomp
         except _RestartMarker:
+            # out-of-cadence RSTn: discard the partial MCU, resync
+            for ci, mark in enumerate(mcu_mark):
+                del out[ci][mark:]
             pred = [0] * ncomp
             r.byte_align()
     return out
@@ -378,6 +419,7 @@ def decode_jpeg_bytes(payload: bytes) -> dict:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     sof = None
+    restart = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -430,10 +472,8 @@ def decode_jpeg_bytes(payload: bytes) -> dict:
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0x{marker:02X})"
             )
-        elif marker == 0xDD:  # DRI — interval is advisory; RSTn markers
-            # themselves drive the predictor resets in decode_scan
+        elif marker == 0xDD:  # DRI: restart cadence for the scan decoder
             (restart,) = struct.unpack_from(">H", body, 0)
-            del restart
         elif marker == 0xDA:  # SOS — entropy data follows
             if sof is None:
                 raise ValueError("JPEG SOS before SOF0")
@@ -454,6 +494,7 @@ def decode_jpeg_bytes(payload: bytes) -> dict:
                 ncomp,
                 [huff[(0, t[0])] for t in scan_tables],
                 [huff[(1, t[1])] for t in scan_tables],
+                restart,
             )
             planes = []
             for ci, (_cid, tq) in enumerate(comps):

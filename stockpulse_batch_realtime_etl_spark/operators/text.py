@@ -1506,8 +1506,9 @@ def ngram_novelty(
             salted_join,
         )
 
-        hot_keys = first.filter(F.col("_df") > hot_df_threshold).select("gram")
-        hot_dim = first.filter(F.col("_df") > hot_df_threshold).drop("_df")
+        hot = first.filter(F.col("_df") > hot_df_threshold)
+        hot_keys = hot.select("gram")
+        hot_dim = hot.drop("_df")
         cold_dim = first.filter(F.col("_df") <= hot_df_threshold).drop("_df")
         fact_hot = grams.join(F.broadcast(hot_keys), "gram", "left_semi")
         fact_cold = grams.join(F.broadcast(hot_keys), "gram", "left_anti")

@@ -210,12 +210,17 @@ b{k} AS (
   SELECT l, r, l || r AS merged, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
 ),
 pos{k} AS (
+  -- LEFT JOIN ON TRUE, not CROSS JOIN: when the corpus runs out of
+  -- mergeable pairs before round {k}, b{k} is EMPTY and a cross join
+  -- would annihilate s{k} — the left join keeps every word with null
+  -- l/r (hit coalesces to false), so s{k} = s{p}, matching the Spark
+  -- side's break-out-of-the-loop behavior
   SELECT word, freq, i, syms[i] AS cur, merged,
          coalesce(i < len(syms) AND syms[i] = l AND syms[i + 1] = r,
                   false) AS hit
   FROM (SELECT s.*, b.l, b.r, b.merged,
                unnest(generate_series(1, len(s.syms))) AS i
-        FROM s{p} s CROSS JOIN b{k} b)
+        FROM s{p} s LEFT JOIN b{k} b ON true)
 ),
 sel{k} AS (
   SELECT *, hit AND ((i - min(i) OVER (PARTITION BY word, blk)) % 2 = 0)
@@ -3207,12 +3212,18 @@ b AS (
 -- the engine's final event-time watermark: min over both inputs of
 -- (max event_time − the 2-minute delay).  Unmatched purchases in windows
 -- the watermark has not passed are STILL HELD IN STATE at end-of-run, so
--- the batch replay must withhold their null rows the same way.
+-- the batch replay must withhold their null rows the same way.  NULL
+-- handling matters: DuckDB's least() IGNORES nulls, but a side with no
+-- rows means the engine's global watermark never advances — so an empty
+-- side must yield a NULL watermark (the <= comparison then withholds
+-- every unmatched row, exactly like the stream).
 wm AS (
-  SELECT least(
-    (SELECT max(event_time) FROM ticks WHERE symbol = 'PURCHASE'),
-    (SELECT max(event_time) FROM ticks WHERE symbol = 'CLICK')
-  ) - INTERVAL 2 MINUTE AS w
+  SELECT CASE WHEN wa IS NULL OR wb IS NULL THEN NULL
+              ELSE least(wa, wb) - INTERVAL 2 MINUTE END AS w
+  FROM (
+    SELECT (SELECT max(event_time) FROM ticks WHERE symbol = 'PURCHASE') AS wa,
+           (SELECT max(event_time) FROM ticks WHERE symbol = 'CLICK') AS wb
+  )
 )
 SELECT a.bucket_start, a.purchase_time, a.purchase_price,
        b.click_time, b.click_price

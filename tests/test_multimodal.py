@@ -466,3 +466,34 @@ def test_jpeg_restart_markers_reset_dc_predictors():
     out = jpeg.decode_scan(scan + b"\xff\xd9", 0, 2, 1, [dc], [ac])
     assert out[0][0][0] == 40
     assert out[0][1][0] == -7  # decoded from a FRESH predictor, not 40-7
+
+
+def test_jpeg_restart_with_short_code_tables_and_dri():
+    """With a DRI declared, the decoder resyncs at the interval cadence —
+    byte-aligning BEFORE the padding bits reach the Huffman decoder.  This
+    matters for short-code DHTs (1-bit codes are legal JPEG): up to 7 pad
+    one-bits would otherwise decode as a spurious MCU and desync the
+    scan."""
+    from stockpulse_batch_realtime_etl_spark.operators import jpeg
+
+    # hand-built canonical tables: DC cat-0 = '0', cat-1 = '10'; EOB = '0'
+    dc = {(1, 0): 0, (2, 2): 1}
+    ac = {(1, 0): 0x00}
+    # MCU0: DC'0'+EOB'0' padded -> 0x3F ; RST0 ; MCU1: DC'10'raw'1'+EOB'0'
+    # padded -> 0xAF
+    scan = bytes([0x3F]) + b"\xff\xd0" + bytes([0xAF])
+    out = jpeg.decode_scan(
+        scan + b"\xff\xd9", 0, 2, 1, [dc], [ac], restart_interval=1
+    )
+    assert [int(b[0]) for b in out[0]] == [0, 1]
+    # a declared interval with no marker present is a hard error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="RSTn"):
+        jpeg.decode_scan(
+            bytes([0x3F, 0xAF]) + b"\xff\xd9", 0, 2, 1, [dc], [ac],
+            restart_interval=1,
+        )
+    # truncated entropy data is a clean ValueError, not IndexError
+    with _pytest.raises(ValueError, match="truncated"):
+        jpeg.decode_scan(bytes([0x3F]), 0, 2, 1, [dc], [ac])

@@ -746,3 +746,22 @@ def test_bpe_learn_merges_matches_sennrich_reference(make_docs):
     # the learned table must contain at least one multi-char merge (proof
     # the re-tokenize feeds back into later rounds)
     assert any(len(l) > 1 or len(r) > 1 for _, l, r, _, _ in got)
+
+
+def test_bpe_merge_dry_corpus_stops_and_applies_partial_vocab(make_docs):
+    """A corpus that runs out of mergeable pairs before n_merges: learning
+    stops early (matching the oracle's empty-b{k} pass-through rounds) and
+    the compression report applies the PARTIAL vocab."""
+    from stockpulse_batch_realtime_etl_spark.operators.text import (
+        bpe_compression_stats,
+        bpe_learn_merges,
+    )
+
+    d = make_docs([(1, "ab ab", "en", "web", 5)])
+    merges = [
+        (r.step, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in bpe_learn_merges(d, 8).collect()
+    ]
+    assert merges == [(1, "a", "b", "ab", 2)]
+    comp = [tuple(r) for r in bpe_compression_stats(d, 8).collect()]
+    assert comp == [("web", 2, 4, 2, 2.0)]
