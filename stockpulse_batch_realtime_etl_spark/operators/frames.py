@@ -29,6 +29,16 @@ Callers run their window over ``PARTITION BY (key, _bucket)`` and drop the
 ``_carry`` rows from the output.  Determinism requirement for row frames:
 ``order_cols`` must order rows totally up to full-row equality (true for
 the tick model, where payload == order columns).
+
+Preconditions (validated where cheap, documented where not):
+
+* ``time_col`` must be NON-NULL — a null time has no bucket, and the
+  bucketed and plain plans would disagree on where nulls sort.  The tick
+  model guarantees this (null event_time is dead-lettered before any
+  window operator); enforce the same upstream for new sources.
+* ``order_cols`` must LEAD with ``time_col`` — exactness relies on carry
+  rows (earlier buckets) sorting strictly before a bucket's own rows in
+  the caller's window order (validated below).
 """
 
 from __future__ import annotations
@@ -108,6 +118,18 @@ def with_row_overlap(
 
     from pyspark.sql.window import Window
 
+    if bucket_seconds <= 0 or m < 1:
+        raise ValueError(
+            f"with_row_overlap: bucket_seconds={bucket_seconds} must be > 0 "
+            f"and m={m} >= 1"
+        )
+    if not order_cols or order_cols[0] != time_col:
+        raise ValueError(
+            f"with_row_overlap: order_cols must lead with time_col "
+            f"({time_col!r}); got {tuple(order_cols)!r} — carry rows from "
+            "earlier buckets must sort before a bucket's own rows or the "
+            "injected tail is not the m preceding rows"
+        )
     payload = [c for c in df.columns if c != key]
     ordered = list(order_cols) + [c for c in payload if c not in order_cols]
 
@@ -128,20 +150,25 @@ def with_row_overlap(
     )
 
     def _stitch(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one row per BUCKET; tails are lists of ≤ m row-dicts
+        # one row per BUCKET; tails are lists of ≤ m row-dicts.  Plain
+        # list iteration, not iterrows: this is the one sequential step,
+        # and at fine buckets over deep histories (hundreds of thousands
+        # of bucket rows per key) a Series-per-row loop would stall it
         pdf = pdf.sort_values(BUCKET_COL).reset_index(drop=True)
         carry_rows, stream_tail = [], []
-        for _, row in pdf.iterrows():
+        for tail in pdf["tail"]:
             carry_rows.append(list(stream_tail))
-            stream_tail = (stream_tail + list(row["tail"]))[-m:]
+            stream_tail = (stream_tail + list(tail))[-m:]
         out = pdf[[key, BUCKET_COL]].copy()
         out["carry"] = carry_rows
         return out
 
     tail_type = tails.schema["tail"].dataType
+    key_type = df.schema[key].dataType.simpleString()
     carries = tails.groupBy(key).applyInPandas(
         _stitch,
-        f"{key} string, {BUCKET_COL} long, carry {tail_type.simpleString()}",
+        f"{key} {key_type}, {BUCKET_COL} long, "
+        f"carry {tail_type.simpleString()}",
     )
     carry_rows = (
         carries.select(key, BUCKET_COL, F.explode("carry").alias("r"))

@@ -175,7 +175,7 @@ def ema(
     B = max(1, min(rows_per_subchunk or 1024, int(600.0 / abs(math.log(q)))))
 
     base = ticks.select("symbol", "event_time", "price").withColumn(
-        "chunk", F.floor(ts_micros("event_time") / (chunk_seconds * 1_000_000))
+        "chunk", frames.bucket_of("event_time", chunk_seconds)
     )
 
     wo = Window.partitionBy("symbol", "chunk").orderBy("event_time", "price")
