@@ -123,6 +123,12 @@ def lsh_bands(
     """Fold the signature into bands: (doc_id, band_idx, band_hash) where
     band_hash = md5(concat of the band's minhashes).  Long format so the
     bucket join is a single equi-join on (band_idx, band_hash)."""
+    if num_hashes % band_size:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be divisible by "
+            f"band_size={band_size} — a remainder would silently drop the "
+            "trailing minhashes and change the LSH S-curve"
+        )
     bands = []
     for b in range(num_hashes // band_size):
         cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
@@ -137,17 +143,10 @@ def lsh_bands(
     ).select("doc_id", "band.band_idx", "band.band_hash")
 
 
-def lsh_candidate_pairs(
-    docs: DataFrame, num_hashes: int = 12, band_size: int = 2, n: int = 3
-) -> DataFrame:
-    """Near-dup candidate pairs: docs sharing ≥1 LSH band bucket.
-
-    Self-join on (band_idx, band_hash) with doc_a < doc_b, then distinct.
-    At 100 TB the bucket join shuffles on band_hash — uniformly distributed
-    by construction (md5), so no skew; a giant bucket would mean actual
-    mass-duplication, which AQE skew-split absorbs.
-    """
-    bands = lsh_bands(minhash_signatures(docs, num_hashes, n), num_hashes, band_size)
+def _band_candidates(bands: DataFrame) -> DataFrame:
+    """(doc_a < doc_b) pairs sharing ≥1 band bucket — the one bucket
+    self-join, shared by :func:`lsh_candidate_pairs` and the estimator
+    audit so the candidate rule cannot drift between them."""
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -162,6 +161,20 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, num_hashes: int = 12, band_size: int = 2, n: int = 3
+) -> DataFrame:
+    """Near-dup candidate pairs: docs sharing ≥1 LSH band bucket.
+
+    Self-join on (band_idx, band_hash) with doc_a < doc_b, then distinct.
+    At 100 TB the bucket join shuffles on band_hash — uniformly distributed
+    by construction (md5), so no skew; a giant bucket would mean actual
+    mass-duplication, which AQE skew-split absorbs.
+    """
+    bands = lsh_bands(minhash_signatures(docs, num_hashes, n), num_hashes, band_size)
+    return _band_candidates(bands)
 
 
 # --- exact n-gram Jaccard ---------------------------------------------------
@@ -392,8 +405,18 @@ def _cc_min_label(edges: DataFrame, max_iter: int) -> DataFrame:
         )
         changed = stepped.filter(F.col("chg")).count()
         labels = stepped.drop("chg")
+        # superseded generations: localCheckpoint blocks are reclaimed by
+        # the ContextCleaner once the old DataFrame reference (reassigned
+        # above) is garbage collected — storage stays O(2 generations)
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"_cc_min_label did not converge in max_iter={max_iter} rounds "
+            "— the component diameter exceeds the budget; raise max_iter "
+            'or use method="star" (O(log n) rounds).  Returning partial '
+            "labels would silently split duplicate clusters."
+        )
     return labels
 
 
@@ -464,6 +487,12 @@ def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
             cur = nxt
             break
         cur = nxt
+    else:
+        raise RuntimeError(
+            f"_cc_star did not converge in max_iter={max_iter} rounds — "
+            "raise max_iter.  An unconverged star set can emit a node as "
+            "both center and satellite, duplicating doc_id rows downstream."
+        )
     # fixpoint is a star per component: non-center nodes point at the
     # center (= component min); centers label themselves
     centers = cur.select(F.col("dst").alias("doc_id")).distinct()
@@ -669,25 +698,19 @@ def minhash_jaccard_estimate(
     (~0.14 at J=0.5, k=12) — the per-pair errors should sit inside a few
     multiples of that.
 
-    Plan: signatures computed ONCE feed both the band bucket join (the
-    sub-quadratic candidate generator) and the estimator columns; the
-    exact intersection joins the shingle inverted index restricted to
-    candidate pairs.  All ratios are exact-int divisions + 6dp rounds —
+    Plan: signatures computed ONCE (lazily localCheckpoint'd) feed both
+    the band bucket join (the sub-quadratic candidate generator, via the
+    shared :func:`_band_candidates` kernel) and the estimator columns;
+    the exact-intersection self-join runs over the shingles of CANDIDATE
+    documents only (semi-join restriction — never the corpus-wide
+    inverted index).  All ratios are exact-int divisions + 6dp rounds —
     engine-portable.
     """
-    sigs = minhash_signatures(docs, num_hashes, n)
-    bands = lsh_bands(sigs, num_hashes, band_size)
-    a, b = bands.alias("a"), bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    # signatures genuinely computed once: the lazy localCheckpoint cuts the
+    # shingle→minhash subtree out of the four downstream plan references
+    # (both band-join sides + both estimator sides)
+    sigs = minhash_signatures(docs, num_hashes, n).localCheckpoint(eager=False)
+    cands = _band_candidates(lsh_bands(sigs, num_hashes, band_size))
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)],
@@ -706,7 +729,19 @@ def minhash_jaccard_estimate(
     )
     sh = shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    x, y = sh.alias("x"), sh.alias("y")
+    # restrict the exact-intersection self-join to CANDIDATE documents
+    # before it runs: without the semi-joins, one hot shingle in d docs
+    # forces O(d²) join output corpus-wide (the blow-up jaccard_pairs'
+    # df_cap exists to avoid) even though only candidate pairs survive
+    # the later join.  Candidate docs are the near-dup population — a
+    # small fraction of any real corpus.
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh.join(cand_ids, "doc_id", "left_semi")
+    x, y = sh_cand.alias("x"), sh_cand.alias("y")
     inter = (
         x.join(
             y,
