@@ -32,6 +32,7 @@ the surrounding plumbing is unchanged.)
 
 from __future__ import annotations
 
+import contextlib
 import os
 import time
 
@@ -108,21 +109,28 @@ def upsert_bars_batch(
         per_date = batch.groupBy("bucket_date").count().collect()
         n = sum(r["count"] for r in per_date)
         if n == 0:
+            # no table rewrite, but the etl_runs audit row is still
+            # written — an idle trigger is a liveness heartbeat (ST1)
+            if audit_path:
+                _write_audit(spark, audit_path, n, started)
             return
         dates = [r["bucket_date"] for r in per_date]
         from pyspark.errors import AnalysisException
 
+        # try-scope is EXACTLY the table read: a wider scope would classify
+        # any downstream analysis error (e.g. an unresolved column from a
+        # stray file in table_path) as "first batch" and dynamic-overwrite
+        # would silently delete other symbols' bars in the touched dates
         try:
-            existing = (
-                spark.read.parquet(table_path)
-                .filter(F.col("bucket_date").isin(dates))
-            )
+            existing_tbl = spark.read.parquet(table_path)
+        except AnalysisException:  # first batch: table doesn't exist yet
+            merged = batch
+        else:
+            existing = existing_tbl.filter(F.col("bucket_date").isin(dates))
             keep = existing.join(
                 batch.select(*BARS_KEY), list(BARS_KEY), "left_anti"
             )
             merged = keep.unionByName(batch)
-        except AnalysisException:  # first batch: table doesn't exist yet
-            merged = batch
         (
             merged.repartition("bucket_date")
             .write.mode("overwrite")
@@ -131,17 +139,24 @@ def upsert_bars_batch(
             .parquet(table_path)
         )
         if audit_path:
-            audit = spark.createDataFrame(
-                [("aggregator", n, "complete")],
-                "source string, records_processed long, status string",
-            ).select(
-                "*",
-                F.lit(started).cast("timestamp").alias("started_at"),
-                F.current_timestamp().alias("completed_at"),
-            )
-            audit.write.mode("append").parquet(audit_path)
+            _write_audit(spark, audit_path, n, started)
     finally:
         batch.unpersist()
+
+
+def _write_audit(
+    spark: SparkSession, audit_path: str, n: int, started: float
+) -> None:
+    """Append one etl_runs audit row (aggregator.py:138-150 parity)."""
+    audit = spark.createDataFrame(
+        [("aggregator", n, "complete")],
+        "source string, records_processed long, status string",
+    ).select(
+        "*",
+        F.lit(started).cast("timestamp").alias("started_at"),
+        F.current_timestamp().alias("completed_at"),
+    )
+    audit.write.mode("append").parquet(audit_path)
 
 
 def start_bar_aggregation(
@@ -174,9 +189,6 @@ def start_bar_aggregation(
     return writer.start()
 
 
-import contextlib
-
-
 #: Bump when RAW_JSON_SQL / corpus derivation changes — it keys the on-disk
 #: corpus cache, so stale corpora from older code can never be reused.
 _CORPUS_VERSION = "v2"
@@ -195,33 +207,68 @@ def _ensure_corpus(
     lives in a sibling dir; the dedup run reads ``{base,extra}`` via
     Hadoop glob so no files are ever copied or appended.
     """
-    import hashlib
     import tempfile
 
     from stockpulse_batch_realtime_etl_spark.sources.ticks import raw_json_corpus
 
-    tag = hashlib.md5(f"{_CORPUS_VERSION}:{sf_dir}".encode()).hexdigest()[:8]
+    tag = _corpus_tag(sf_dir)
     root = os.path.join(tempfile.gettempdir(), f"stockpulse_corpus_{tag}")
     base = os.path.join(root, "base")
     if not os.path.exists(os.path.join(base, "_SUCCESS")):
-        (
-            raw_json_corpus(spark, sf_dir)
+        _publish_atomic(
+            base, lambda d: raw_json_corpus(spark, sf_dir)
             .select("value")
             .write.mode("overwrite")
-            .text(base)
+            .text(d),
         )
     if not with_redelivery:
         return base
     extra = os.path.join(root, "extra")
     if not os.path.exists(os.path.join(extra, "_SUCCESS")):
-        (
-            raw_json_corpus(spark, sf_dir)
+        _publish_atomic(
+            extra, lambda d: raw_json_corpus(spark, sf_dir)
             .filter(F.col("offset") % 5 == 0)
             .select("value")
             .write.mode("overwrite")
-            .text(extra)
+            .text(d),
         )
     return os.path.join(root, "{base,extra}")
+
+
+def _corpus_tag(sf_dir: str, extra_key: str = "") -> str:
+    """Cache key for materialized corpora: code version + canonical path +
+    a fingerprint of the source events parquet (mtime_ns, size) — so a
+    REGENERATED fixture at the same path invalidates the cache instead of
+    silently reusing stale files, and path spellings canonicalize."""
+    import hashlib
+
+    real = os.path.realpath(sf_dir)
+    ev = os.path.join(real, "events.parquet")
+    try:
+        st = os.stat(ev)
+        fp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fp = "missing"
+    return hashlib.md5(
+        f"{_CORPUS_VERSION}:{extra_key}:{real}:{fp}".encode()
+    ).hexdigest()[:8]
+
+
+def _publish_atomic(dest: str, write_fn) -> None:
+    """Cross-process-safe corpus publish: write to a unique sibling temp
+    dir, then atomically rename into place.  Two cold-start processes can
+    both build; exactly one rename wins, the loser discards its copy —
+    never an interleaved/overwritten shared directory."""
+    import shutil
+
+    tmp = f"{dest}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_fn(tmp)
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        # another process published first — its copy is equivalent
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @contextlib.contextmanager
@@ -277,9 +324,13 @@ def _bounded_run_env(
         base_dir = os.path.join(
             tempfile.gettempdir(), f"stockpulse_{kind}_{tag}"
         )
-    shutil.rmtree(base_dir, ignore_errors=True)
     out_dir = os.path.join(base_dir, "out")
     ckpt = os.path.join(base_dir, "ckpt")
+    # wipe exactly what the docstring promises — the out/ckpt subdirs —
+    # never the whole base_dir (a caller may hand us a directory that
+    # contains unrelated files)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
     try:
         raw_path = _ensure_corpus(spark, sf_dir, with_redelivery)
         yield raw_path, out_dir, ckpt
@@ -541,7 +592,7 @@ def run_metrics_probe(
     )
     from stockpulse_batch_realtime_etl_spark.streaming import metrics
 
-    tag = hashlib.md5(f"{_CORPUS_VERSION}:metrics:{sf_dir}".encode()).hexdigest()[:8]
+    tag = _corpus_tag(sf_dir, extra_key="metrics")
     corpus_dir = os.path.join(
         tempfile.gettempdir(), f"stockpulse_corpus_daily_{tag}"
     )
@@ -567,7 +618,9 @@ def run_metrics_probe(
     n_days = len(
         [d for d in os.listdir(corpus_dir) if d.startswith("day=")]
     )
-    listener = metrics.attach(spark)
+    # size the listener ring to the batch count: the default 256 would
+    # silently evict the earliest day-batches at larger sf
+    listener = metrics.attach(spark, max_batches=max(256, 2 * n_days))
     try:
         q = (
             spark.readStream.format("text")
@@ -620,6 +673,13 @@ def run_metrics_probe(
                     )
     finally:
         metrics.detach(spark, listener)
+    if len(rows) < n_days:
+        raise RuntimeError(
+            f"metrics probe captured {len(rows)}/{n_days} day-batches — "
+            "listener-bus + recentProgress retention both fell short; a "
+            "silently truncated progress table would skew the gated "
+            "percentile summary with nothing pointing at the cause"
+        )
     return spark.createDataFrame(
         [
             tuple(r[k.split(" ")[0]] for k in metrics.PROGRESS_SCHEMA.split(", "))
@@ -635,9 +695,6 @@ def symbol_sector_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     — pure arithmetic so the DuckDB oracle replays the attribute exactly;
     on a real deployment this is the security-master table loaded from a
     warehouse).  Dimension-sized by construction: one row per symbol."""
-    from stockpulse_batch_realtime_etl_spark.sources.dlq import (
-        split_raw_stream,
-    )
     from stockpulse_batch_realtime_etl_spark.sources.ticks import (
         raw_json_corpus,
     )
@@ -662,8 +719,9 @@ def run_sector_rollup_available_now(
     """STREAM-STATIC JOIN end-to-end (the one Structured Streaming join
     class the pipeline hadn't demonstrated): the tick stream probes a
     static symbol→sector dimension per micro-batch — planned as a
-    broadcast hash join with the batch side built once, no stream-stream
-    state — then rolls up per (sector, 1-minute window).
+    broadcast hash join with the batch side CACHED (an uncached static
+    plan re-evaluates per micro-batch), no stream-stream state — then
+    rolls up per (sector, 1-minute window).
 
     At 100 TB this is THE enrichment shape: the dimension is loaded from
     the warehouse and broadcast; the unbounded side never shuffles for the
@@ -678,7 +736,9 @@ def run_sector_rollup_available_now(
     session-bars pattern); the final table equals the batch join+GROUP BY
     the oracle runs.
     """
-    dim = symbol_sector_dim(spark, sf_dir)
+    # cache: Structured Streaming re-evaluates an uncached static plan
+    # (full corpus decode + distinct + broadcast rebuild) EVERY micro-batch
+    dim = symbol_sector_dim(spark, sf_dir).cache()
     with _bounded_run_env(spark, sf_dir, base_dir, "sector") as (
         raw_dir,
         out_dir,
@@ -723,6 +783,7 @@ def run_sector_rollup_available_now(
             .start()
         )
         q.awaitTermination()
+        dim.unpersist()
     return spark.read.parquet(out_dir)
 
 
