@@ -55,8 +55,12 @@ def cosine(a: Column, b: Column) -> Column:
 def _cos_precomputed(a: Column, b: Column, na: Column, nb: Column) -> Column:
     """Cosine with per-ROW precomputed norms: the pairwise work drops from
     3 vector passes to 1 (the dot product).  Numerically identical to
-    ``cosine`` — same operands, same order — so oracles are unaffected."""
-    return F.round(_dot(a, b) / (na * nb), 6)
+    ``cosine`` — same operands, same order — so oracles are unaffected.
+
+    ``try_divide``: a zero-norm vector has no direction, so its cosine is
+    NULL — the same answer DuckDB's ``x / 0.0`` gives the oracle, and the
+    defined alternative to ANSI Spark's DIVIDE_BY_ZERO abort."""
+    return F.round(F.try_divide(_dot(a, b), na * nb), 6)
 
 
 def brute_force_topk(
@@ -125,6 +129,10 @@ def brute_force_topk_np(
         .select("vec_id", "embedding")
         .collect()
     )
+    if not q_rows:  # the Catalyst twin returns empty too, not an axis error
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, cand_id long, cos_sim double, rank int"
+        )
     q_ids = np.array([r.vec_id for r in q_rows], dtype="int64")
     q_mat = np.array([r.embedding for r in q_rows], dtype="float64")
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
@@ -138,23 +146,37 @@ def brute_force_topk_np(
             c_ids = pdf["vec_id"].to_numpy(dtype="int64")
             c_mat = np.array(list(pdf["embedding"]), dtype="float64")
             c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
-            sims = np.round(
-                (c_mat @ q_mat.T) / np.outer(c_norm, q_norm), 6
-            )  # (batch × q)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                raw = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)
+            # HALF_UP to 6dp (F.round's decimal mode), not np.round's
+            # banker's rounding; then zero-norm pairs → NaN → emitted as
+            # NULL cos_sim exactly like the try_divide Catalyst twin
+            sims = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+            sims[~np.isfinite(raw)] = np.nan
             for qi, qid in enumerate(q_ids):
                 col = sims[:, qi]
                 mask = c_ids != qid
                 ids, vals = c_ids[mask], col[mask]
                 if len(ids) == 0:
                     continue
-                # partial top-k per batch (cos desc, cand_id asc); the
-                # global ranking resolves across batches/partitions
-                keep = np.lexsort((ids, -vals))[:k]
+                # partial top-k per batch (cos desc NULLS LAST, cand_id
+                # asc): keep k non-null best plus the first k null-cos
+                # candidates — null rows can still reach the global top-k
+                # when a query has fewer than k scored candidates
+                nn = ~np.isnan(vals)
+                keep_nn = np.lexsort((ids[nn], -vals[nn]))[:k]
+                out_ids = list(ids[nn][keep_nn])
+                out_vals = list(vals[nn][keep_nn])
+                null_ids = np.sort(ids[~nn])[:k]
+                out_ids += list(null_ids)
+                out_vals += [None] * len(null_ids)
+                if not out_ids:
+                    continue
                 yield pd.DataFrame(
                     {
                         "query_id": qid,
-                        "cand_id": ids[keep],
-                        "cos_sim": vals[keep],
+                        "cand_id": np.array(out_ids, dtype="int64"),
+                        "cos_sim": pd.array(out_vals, dtype="Float64"),
                     }
                 )
 
@@ -243,14 +265,29 @@ def ivf_assign(embeddings: DataFrame, ncells: int = 8) -> DataFrame:
     to one candidate row per partition per vector).
     Output: (vec_id, embedding, nrm, cell).
     """
-    cent = embeddings.filter(F.col("vec_id") < ncells).select(
+    return _score_against_seeds(
+        fan_out(embeddings).select(
+            "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+        ),
+        _seed_centroids(embeddings, ncells),
+    )
+
+
+def _seed_centroids(embeddings: DataFrame, ncells: int) -> DataFrame:
+    """Seed quantizer: the first ``ncells`` vectors as coarse centroids
+    (deterministic; the k-means variants refine from here)."""
+    return embeddings.filter(F.col("vec_id") < ncells).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("c_emb"),
         _norm(F.col("embedding")).alias("c_norm"),
     )
-    vecs = fan_out(embeddings).select(
-        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
-    )
+
+
+def _score_against_seeds(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """Broadcast-score ``vecs`` against the centroid table and fold to the
+    argmax cell per vector — the one assignment kernel, shared by the
+    corpus side and the k-row query side so the tie-break contract cannot
+    drift."""
     scored = vecs.join(F.broadcast(cent)).select(
         "vec_id",
         "embedding",
@@ -282,7 +319,16 @@ def ivf_topk(
     balancing fixes in production, and AQE skew-split absorbs meanwhile.
     """
     assigned = ivf_assign(embeddings, ncells)
-    q = assigned.filter(F.col("vec_id").isin(query_ids)).select(
+    # assign the k query vectors from a PRUNED scan (vec_id pushdown), not
+    # by filtering `assigned`: a second reference to the corpus-wide
+    # aggregate re-runs the full scoring pass (AQE reuses exchanges, not
+    # aggregate subtrees) — the same fix ivf_kmeans_topk documents
+    q = _score_against_seeds(
+        embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+            "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+        ),
+        _seed_centroids(embeddings, ncells),
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_norm"),
@@ -328,11 +374,7 @@ def ivf_multiprobe_topk(
     shuffles for candidate generation.
     """
     assigned = ivf_assign(embeddings, ncells)
-    cent = embeddings.filter(F.col("vec_id") < ncells).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("c_emb"),
-        _norm(F.col("embedding")).alias("c_norm"),
-    )
+    cent = _seed_centroids(embeddings, ncells)
     q_vecs = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -621,6 +663,33 @@ def pq_codebooks(
     return c
 
 
+def _pq_lut(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    codebooks: DataFrame,
+    sub_dim: int,
+) -> DataFrame:
+    """Per-query ADC lookup table: exact squared query↔centroid distance
+    per (subspace, code), 6dp-rounded then DECIMAL(18,6) so the subspace
+    SUM is order-independent across engines.  One builder shared by the
+    pure-PQ and IVFPQ rungs — the determinism contract lives here once."""
+    qe = _pq_explode(
+        embeddings.filter(F.col("vec_id").isin(query_ids)), sub_dim
+    )
+    return (
+        qe.join(F.broadcast(codebooks), ["s", "d"])
+        .groupBy(F.col("vec_id").alias("query_id"), F.col("s"), F.col("code"))
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("dist")
+        )
+    )
+
+
 def ann_pq_adc_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -654,21 +723,7 @@ def ann_pq_adc_topk(
     c = pq_codebooks(embeddings, n_sub, kpq, iters, dim)
     codes = _pq_assign(e, c)
     # query lookup tables from a pruned scan (vec_id pushdown)
-    qe = _pq_explode(
-        embeddings.filter(F.col("vec_id").isin(query_ids)), sub_dim
-    )
-    lut = (
-        qe.join(F.broadcast(c), ["s", "d"])
-        .groupBy(F.col("vec_id").alias("query_id"), F.col("s"), F.col("code"))
-        .agg(
-            F.round(
-                F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))),
-                6,
-            )
-            .cast("decimal(18,6)")
-            .alias("dist")
-        )
-    )
+    lut = _pq_lut(embeddings, query_ids, c, sub_dim)
     scored = (
         codes.join(F.broadcast(lut), ["s", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -725,21 +780,7 @@ def ann_ivfpq_topk(
     e = _pq_explode(embeddings, sub_dim)
     cb = pq_codebooks(embeddings, n_sub, kpq, iters_pq, dim)
     codes = _pq_assign(e, cb)
-    qe = _pq_explode(
-        embeddings.filter(F.col("vec_id").isin(query_ids)), sub_dim
-    )
-    lut = (
-        qe.join(F.broadcast(cb), ["s", "d"])
-        .groupBy(F.col("vec_id").alias("query_id"), F.col("s"), F.col("code"))
-        .agg(
-            F.round(
-                F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))),
-                6,
-            )
-            .cast("decimal(18,6)")
-            .alias("dist")
-        )
-    )
+    lut = _pq_lut(embeddings, query_ids, cb, sub_dim)
     # --- compose: same-cell candidates, ADC-scored from codes only
     cand = cells.join(
         F.broadcast(q_cells),
@@ -780,6 +821,11 @@ def recall_report(truth: DataFrame, approx: dict[str, DataFrame]) -> DataFrame:
     with zero hits still report (left join from the method list), so a
     collapsed index reads recall 0.0 instead of vanishing from the report.
     """
+    if not approx:
+        raise ValueError(
+            "recall_report: empty approx dict — nothing to measure "
+            "(a None.join crash would otherwise surface far from the cause)"
+        )
     spark = truth.sparkSession
     t = truth.select("query_id", "cand_id")
     labeled = None
@@ -883,7 +929,7 @@ def semdedup_recall_report(
 ) -> DataFrame:
     """Measured recall of SemDeDup's cell-restricted duplicate-pair search
     against the brute-force all-pairs ground truth at the same cosine
-    threshold — the mirror of :func:`ann_recall_report` for the dedup path.
+    threshold — the mirror of :func:`recall_report` for the dedup path.
 
     Cluster-boundary misses are SemDeDup's known approximation: a pair with
     cosine ≥ τ whose members land in DIFFERENT k-means cells is never
@@ -939,11 +985,17 @@ def semdedup_recall_report(
         .select(
             F.col("n_truth_pairs").cast("long"),
             F.col("n_found_pairs").cast("long"),
-            F.round(
-                F.col("n_found_pairs").cast("double")
-                / F.col("n_truth_pairs"),
-                4,
-            ).alias("recall"),
+            # truth = 0 → recall 1.0 ("nothing to miss"), not an ANSI
+            # divide-by-zero abort; the oracle mirrors the CASE
+            F.when(F.col("n_truth_pairs") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.col("n_found_pairs").cast("double")
+                    / F.col("n_truth_pairs"),
+                    4,
+                )
+            )
+            .alias("recall"),
         )
     )
 
@@ -955,7 +1007,7 @@ def kmeans_cell_report(
     (the one IVF search and SemDeDup both ride on): per cell, member count
     and mean cosine of members to their centroid — the coherence numbers
     that justify (ncells, nprobe, τ) choices, completing the
-    instrumentation trio with :func:`ann_recall_report` and
+    instrumentation trio with :func:`recall_report` and
     :func:`semdedup_recall_report`.
 
     Plan: one broadcast-scored assignment pass (corpus never shuffles for

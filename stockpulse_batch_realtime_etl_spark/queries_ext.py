@@ -2809,10 +2809,12 @@ def _semdedup_recall_oracle(ncells: int, iters: int, tau: float) -> str:
     body = ",\n".join(parts)
     return f"""WITH {body}
 SELECT CAST(count(*) AS BIGINT) AS n_truth_pairs,
-       CAST(sum(CASE WHEN ca.cell = cb.cell THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_found_pairs,
-       round(CAST(sum(CASE WHEN ca.cell = cb.cell THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*), 4) AS recall
+       CAST(coalesce(sum(CASE WHEN ca.cell = cb.cell THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_found_pairs,
+       CASE WHEN count(*) = 0 THEN 1.0
+            ELSE round(
+              CAST(sum(CASE WHEN ca.cell = cb.cell THEN 1 ELSE 0 END)
+                   AS DOUBLE) / count(*), 4) END AS recall
 FROM truth t
 JOIN af ca ON ca.vec_id = t.pa
 JOIN af cb ON cb.vec_id = t.pb
