@@ -36,7 +36,16 @@ STOPWORDS = LANG_KEYWORDS["en"]
 
 
 def _tokens(text_col: str = "text") -> Column:
-    """Whitespace tokenization of trimmed text (empty string → empty array)."""
+    """Whitespace tokenization of trimmed text.
+
+    CONVENTION: an empty/whitespace-only document yields ``[""]`` (one
+    empty token), because Spark's ``split('')`` and DuckDB's
+    ``string_split_regex('')`` both return a single-empty-string list —
+    the two engines agree, which is what the hash gate needs.  Paths that
+    must not count the empty token filter it explicitly (every explode
+    consumer does); the corpus generator guarantees non-empty text, so
+    the aggregate stats paths (``text_stats``/``quality_score``) share
+    the convention instead of special-casing it."""
     return F.split(F.trim(F.col(text_col)), "\\s+")
 
 
@@ -46,6 +55,12 @@ def text_stats(docs: DataFrame) -> DataFrame:
 
     Array-native form: stopword ratio via ``F.size(F.filter(tokens, ...))``
     — no explode, no shuffle, one projection over the scan.
+
+    ``avg_token_len`` is the closed form ``(len(text) − n_tok + 1)/n_tok``
+    — exact for single-space-separated text (the corpus convention),
+    overstated by the extra bytes on text with runs of whitespace; kept
+    because the oracle replays the identical arithmetic and the exact
+    form would need a second normalization pass.
 
     The token array is materialized in its OWN projection first: four of the
     stat columns consume it, and CollapseProject deliberately refuses to
@@ -73,7 +88,14 @@ def text_stats(docs: DataFrame) -> DataFrame:
             4,
         ).alias("digit_ratio"),
         F.round(
-            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+            # lower() before the membership test: the stop list is
+            # lowercase and sentence-initial "The"/"In" must count (the
+            # language_id keyword vote already lowercases the same list)
+            F.size(
+                F.filter(
+                    toks, lambda t: F.array_contains(stop_arr, F.lower(t))
+                )
+            )
             / F.nullif(n_tok, F.lit(0)).cast("double"),
             4,
         ).alias("stopword_ratio"),
@@ -142,7 +164,14 @@ def bpe_token_counts(docs: DataFrame) -> DataFrame:
         fan_out(docs)
         .select(
             F.explode(
-                F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)")
+                # the FUNCTION form, not F.expr with an embedded SQL
+                # literal: the SQL parser unescapes '\s' to 's' inside a
+                # single-quoted literal, silently turning the punctuation
+                # class into one that matches whitespace and diverging
+                # from the DuckDB oracle on any multi-space text
+                F.regexp_extract_all(
+                    F.col("text"), F.lit(BPE_PATTERN), F.lit(0)
+                )
             ).alias("token")
         )
         .groupBy("token")
@@ -201,7 +230,10 @@ def source_token_stats(docs: DataFrame) -> DataFrame:
     # LARGEST token — encoded as one fixed-width string key (zero-padded
     # count ‖ token) so Spark's max_by and DuckDB's arg_max order
     # identically with no struct-comparison semantics in play
-    key = F.concat(F.lpad(F.col("c").cast("string"), 12, "0"), F.col("token"))
+    # width 20 covers any BIGINT count (the winnowing block derives widths
+    # for exactly this lpad-truncation hazard; 12 silently truncated
+    # counts >= 10^12 and corrupted the argmax at the design scale)
+    key = F.concat(F.lpad(F.col("c").cast("string"), 20, "0"), F.col("token"))
     per_source = tok_counts.groupBy("source").agg(
         F.sum("c").alias("token_count"),
         F.count(F.lit(1)).alias("vocab_size"),
@@ -285,16 +317,11 @@ def dataset_splits(
     train and test.
     """
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    train_hi = F.lit(f"{(256 * train_pct) // 100:02x}")
-    val_hi = F.lit(f"{(256 * (train_pct + val_pct)) // 100:02x}")
     return docs.select(
         "doc_id",
         "lang",
         bucket.alias("bucket"),
-        F.when(bucket < train_hi, "train")
-        .when(bucket < val_hi, "val")
-        .otherwise("test")
-        .alias("split"),
+        _split_expr(train_pct, val_pct).alias("split"),
     )
 
 
@@ -393,10 +420,13 @@ def bigram_counts(docs: DataFrame) -> DataFrame:
     final count); the count aggregate is map-side combined so the shuffle
     carries one row per distinct bigram per partition.
     """
-    pairs = adjacent_ngrams(_norm_token_arr(), 2)
+    # materialize the token array in its own projection FIRST: the slice
+    # ladder references its argument ~n+2 times, and CollapseProject would
+    # re-inline (and re-run) the regex tokenization into every reference
     return (
         fan_out(docs)
-        .select(F.explode(pairs).alias("bigram"))
+        .select(_norm_token_arr().alias("_toks"))
+        .select(F.explode(adjacent_ngrams(F.col("_toks"), 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.col("freq").desc(), F.col("bigram").asc())
@@ -618,13 +648,22 @@ def fingerprint_match_pairs(
 
 # --- contamination / sampling / LM scoring ----------------------------------
 
+def _split_bound(boundary_idx: int) -> str:
+    """Exclusive upper-bound literal for a 0-255 hex-bucket range check.
+    An index of 256 must compare ABOVE every two-char hex bucket; the
+    naive f"{256:02x}" is the three-char string "100", which sorts BELOW
+    "1a" lexicographically and would silently empty the val split when
+    train+val == 100.  "g" > "ff" in every collation we target."""
+    return "g" if boundary_idx >= 256 else f"{boundary_idx:02x}"
+
+
 def _split_expr(train_pct: int = 90, val_pct: int = 5) -> Column:
     """train/val/test label from the md5(doc_id) bucket — the same
     deterministic assignment as :func:`dataset_splits` (see there for why
     ``rand()`` is wrong)."""
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    train_hi = F.lit(f"{(256 * train_pct) // 100:02x}")
-    val_hi = F.lit(f"{(256 * (train_pct + val_pct)) // 100:02x}")
+    train_hi = F.lit(_split_bound((256 * train_pct) // 100))
+    val_hi = F.lit(_split_bound((256 * (train_pct + val_pct)) // 100))
     return (
         F.when(bucket < train_hi, "train")
         .when(bucket < val_hi, "val")
@@ -657,6 +696,13 @@ def contamination_overlap(
     Spark broadcasts it and the train side never shuffles; the per-doc
     count is a map-side-combined hash aggregate on doc_id.  If grams are
     long, substitute ``md5(gram)`` on both sides to fix the shuffle width.
+
+    BROADCAST SCOPE: this harness stands the test SPLIT in for the
+    benchmark suite, and the forced ``F.broadcast`` is sized for the
+    benchmark-suite case (MMLU-class: thousands of documents).  If the
+    eval side really is a multi-percent corpus split at full scale, DROP
+    the hint and let AQE pick the join — a forced broadcast of a 5 TB
+    gram set would OOM the driver.
     """
     toks = fan_out(docs).select(
         "doc_id",
@@ -783,18 +829,24 @@ def mixture_sample(
     # weights are RELATIVE (w_s / Σw is the target share); the T/k_s math is
     # scale-invariant in w, so no normalization — normalizing in float here
     # while an oracle uses the raw literals would diverge in the last ulp.
-    w_expr = None
-    for s, w in sorted(weights.items()):
-        cond = F.when(F.col("source") == s, F.lit(float(w)))
-        w_expr = cond if w_expr is None else w_expr.when(
-            F.col("source") == s, F.lit(float(w))
-        )
-    in_scope = docs.where(
-        F.col("source").isin(*sorted(weights))
-    ).withColumn("w", w_expr)
+    #
+    # The weight LIST is the left side of the count join: a weighted
+    # source with ZERO available documents must drive T = min(n_s/w_s) to
+    # 0 (empty subcorpus — the composition cannot be met), not silently
+    # vanish from the min and hand back a sample that violates the target
+    # mixture.
+    wdf = docs.sparkSession.createDataFrame(
+        sorted((s, float(w)) for s, w in weights.items()),
+        "source string, w double",
+    )
+    in_scope = docs.where(F.col("source").isin(*sorted(weights)))
     counts = (
-        in_scope.groupBy("source", "w")
-        .agg(F.count(F.lit(1)).alias("n_s"))
+        wdf.join(
+            in_scope.groupBy("source").agg(F.count(F.lit(1)).alias("n_s")),
+            "source",
+            "left",
+        )
+        .withColumn("n_s", F.coalesce("n_s", F.lit(0)))
         .withColumn(
             "t_feasible",
             F.min(F.col("n_s") / F.col("w")).over(
@@ -1489,11 +1541,17 @@ def ngram_novelty(
     gate query passes a low threshold so the hot path executes non-empty
     on the synthetic corpus and its results land under the value hash.
     """
-    grams = fan_out(docs).select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(adjacent_ngrams(_norm_token_arr(), n))
-        ).alias("gram"),
+    # token array materialized first — same CollapseProject re-inlining
+    # hazard as bigram_counts (the ladder references the array ~n+2 times)
+    grams = (
+        fan_out(docs)
+        .select("doc_id", _norm_token_arr().alias("_toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(adjacent_ngrams(F.col("_toks"), n))
+            ).alias("gram"),
+        )
     )
     first = grams.groupBy("gram").agg(
         F.min("doc_id").alias("first_doc"),

@@ -93,7 +93,7 @@ SELECT
   round(length(regexp_replace(text, '[^0-9]', '', 'g'))
         / nullif(length(text), 0), 4) AS digit_ratio,
   round(len(list_filter(string_split_regex(trim(text), '\s+'),
-                        t -> list_contains({_STOP_SQL}, t)))
+                        t -> list_contains({_STOP_SQL}, lower(t))))
         / nullif(len(string_split_regex(trim(text), '\s+')), 0), 4) AS stopword_ratio,
   round((length(text) - len(string_split_regex(trim(text), '\s+')) + 1)
         / nullif(len(string_split_regex(trim(text), '\s+')), 0), 4) AS avg_token_len
@@ -374,7 +374,7 @@ SELECT
   round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
         / nullif(length(text), 0), 4) AS alpha_ratio,
   round(len(list_filter(string_split_regex(trim(text), '\s+'),
-                        t -> list_contains({_STOP_SQL}, t)))
+                        t -> list_contains({_STOP_SQL}, lower(t))))
         / nullif(len(string_split_regex(trim(text), '\s+')), 0), 4) AS stopword_ratio
 FROM documents
 ),
@@ -1696,15 +1696,20 @@ def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mixture_sample",
     oracle="""
-WITH counts AS (
-  SELECT source,
-         CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
-                     WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
-                     WHEN 'src2' THEN CAST(0.2 AS DOUBLE) END AS w,
-         count(*) AS n_s
-  FROM documents
-  WHERE source IN ('src0', 'src1', 'src2')
-  GROUP BY source
+WITH wts(source, w) AS (
+  VALUES ('src0', CAST(0.5 AS DOUBLE)),
+         ('src1', CAST(0.3 AS DOUBLE)),
+         ('src2', CAST(0.2 AS DOUBLE))
+),
+counts AS (
+  -- weight list LEFT-joined to the data counts: an absent weighted
+  -- source yields n_s = 0 and T = 0, matching the Spark side
+  SELECT w.source, w.w, coalesce(c.n_s, 0) AS n_s
+  FROM wts w LEFT JOIN (
+    SELECT source, count(*) AS n_s FROM documents
+    WHERE source IN ('src0', 'src1', 'src2')
+    GROUP BY source
+  ) c USING (source)
 ),
 ks AS (
   SELECT source,
@@ -1909,7 +1914,7 @@ qstats AS (
     round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
           / nullif(length(text), 0), 4) AS alpha_ratio,
     round(len(list_filter(string_split_regex(trim(text), '\s+'),
-                          t -> list_contains({_STOP_SQL}, t)))
+                          t -> list_contains({_STOP_SQL}, lower(t))))
           / nullif(len(string_split_regex(trim(text), '\s+')), 0), 4) AS stopword_ratio
   FROM documents
 ),
@@ -2141,8 +2146,8 @@ ps AS (
   SELECT source,
          CAST(sum(c) AS BIGINT) AS token_count,
          count(*) AS vocab_size,
-         arg_max(token, lpad(CAST(c AS VARCHAR), 12, '0') || token) AS top_token,
-         arg_max(c,     lpad(CAST(c AS VARCHAR), 12, '0') || token) AS top_c
+         arg_max(token, lpad(CAST(c AS VARCHAR), 20, '0') || token) AS top_token,
+         arg_max(c,     lpad(CAST(c AS VARCHAR), 20, '0') || token) AS top_c
   FROM tc GROUP BY source
 )
 SELECT ps.source, dps.doc_count, ps.token_count, ps.vocab_size,
