@@ -175,17 +175,23 @@ def stats_summary(ticks: DataFrame) -> DataFrame:
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     np_, px, py = F.col("np"), F.col("px"), F.col("py")
     pxx, pyy, pxy = F.col("pxx"), F.col("pyy"), F.col("pxy")
-    var = (sxx - sx * sx / n) / (n - 1)
-    covar = (pxy - px * py / np_) / (np_ - 1)
-    corr = (np_ * pxy - px * py) / F.sqrt(
-        (np_ * pxx - px * px) * (np_ * pyy - py * py)
-    )
+    # degenerate-input guards, mirrored in the oracle: a 1-tick symbol has
+    # no sample variance (n−1 = 0 would ANSI-abort the whole job), a
+    # constant-volume symbol has zero correlation denominator, and flat
+    # prices can cancel to a 1e-19-NEGATIVE variance numerator (Spark NaN,
+    # DuckDB sqrt hard-error) — clamp at 0 before the root
+    var = F.when(n > 1, (sxx - sx * sx / n) / (n - 1))
+    covar = F.when(np_ > 1, (pxy - px * py / np_) / (np_ - 1))
+    det = (np_ * pxx - px * px) * (np_ * pyy - py * py)
+    corr = F.when(det > 0, (np_ * pxy - px * py) / F.sqrt(det))
     return m.select(
         "symbol",
         n.alias("tick_count"),
         F.round(sx / n, 6).alias("mean_price"),
         F.round(var, 6).alias("var_price"),
-        F.round(F.sqrt(var), 6).alias("stddev_price"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias(
+            "stddev_price"
+        ),
         F.round(covar, 4).alias("covar_price_volume"),
         F.round(corr, 6).alias("corr_price_volume"),
         F.round(F.col("pct")[0], 6).alias("p50_price"),
@@ -539,7 +545,11 @@ def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         "ts",
         "event_id",
         "event_type",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        # try_cast: get_json_object nulls structurally-bad JSON but NOT a
+        # type-mismatched value — an ANSI cast would abort the whole batch
+        # on one '{"k": "abc"}' event instead of nulling it (the module's
+        # malformed-input convention is null/DLQ, never job death)
+        F.get_json_object("props", "$.k").try_cast("int").alias("k"),
         F.round(F.col("value"), 8).cast("decimal(20,8)").alias("v"),
     ).withColumn("session_id", F.sum(new_s).over(run))
     return sessions.groupBy("user_id", "session_id").agg(
@@ -688,6 +698,8 @@ def funnel_counts(
     aggregate.  Step count is small and fixed, so total work is
     |steps| · O(events-of-that-step).
     """
+    if not steps:
+        raise ValueError("funnel_counts: steps must be non-empty")
     reached = None
     outs = []
     for i, s in enumerate(steps):
@@ -735,6 +747,10 @@ def cohort_retention(events: DataFrame, unit: str = "week") -> DataFrame:
     )
     active = events.select("user_id", per.alias("p")).distinct()
     diff_days = F.datediff(F.to_date("p"), F.to_date("cohort_period"))
+    if unit not in ("week", "day"):
+        raise ValueError(
+            f"cohort_retention: unit must be 'week' or 'day', got {unit!r}"
+        )
     per_len = {"week": 7, "day": 1}[unit]
     return (
         active.join(first, "user_id")
@@ -879,7 +895,11 @@ def weekday_hour_profile(ticks: DataFrame) -> DataFrame:
     from stockpulse_batch_realtime_etl_spark.functions.scalars import ts_micros
 
     us = ts_micros("event_time")
-    dow = ((F.floor(us / F.lit(86_400_000_000)) + 4) % 7).cast("int")
+    # pmod, not %: remainder takes the dividend's sign, so pre-epoch
+    # timestamps (epoch_day < -4) would yield weekday in [-6,-1]
+    dow = F.pmod(F.floor(us / F.lit(86_400_000_000)) + 4, F.lit(7)).cast(
+        "int"
+    )
     return (
         ticks.groupBy(
             "symbol",

@@ -1318,7 +1318,9 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 {TICKS_CTE}
 SELECT symbol,
-  CAST((CAST(floor(epoch_us(CAST(event_time AS TIMESTAMP)) / 86400000000) AS BIGINT) + 4) % 7 AS INT) AS weekday,
+  -- pmod form: DuckDB % takes the dividend's sign, so pre-epoch days
+  -- would go negative without the +7 wrap (mirrors Spark's F.pmod)
+  CAST((((CAST(floor(epoch_us(CAST(event_time AS TIMESTAMP)) / 86400000000) AS BIGINT) + 4) % 7) + 7) % 7 AS INT) AS weekday,
   CAST(hour(event_time) AS INT) AS hour,
   count(*) AS tick_count,
   CAST(sum(CAST(price AS DECIMAL(25,6))) AS DOUBLE) / count(*)
@@ -1465,11 +1467,16 @@ SELECT
   symbol,
   n AS tick_count,
   round(sx / n, 6) AS mean_price,
-  round((sxx - sx * sx / n) / (n - 1), 6) AS var_price,
-  round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_price,
-  round((pxy - px * py / np) / (np - 1), 4) AS covar_price_volume,
-  round((np * pxy - px * py)
-        / sqrt((np * pxx - px * px) * (np * pyy - py * py)), 6)
+  round(CASE WHEN n > 1 THEN (sxx - sx * sx / n) / (n - 1) END, 6)
+    AS var_price,
+  round(sqrt(greatest(
+          CASE WHEN n > 1 THEN (sxx - sx * sx / n) / (n - 1) END, 0)), 6)
+    AS stddev_price,
+  round(CASE WHEN np > 1 THEN (pxy - px * py / np) / (np - 1) END, 4)
+    AS covar_price_volume,
+  round(CASE WHEN (np * pxx - px * px) * (np * pyy - py * py) > 0
+             THEN (np * pxy - px * py)
+                  / sqrt((np * pxx - px * px) * (np * pyy - py * py)) END, 6)
     AS corr_price_volume,
   round(q50, 6) AS p50_price,
   round(q90, 6) AS p90_price,
