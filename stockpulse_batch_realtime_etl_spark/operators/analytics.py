@@ -180,7 +180,11 @@ def stats_summary(ticks: DataFrame) -> DataFrame:
     # constant-volume symbol has zero correlation denominator, and flat
     # prices can cancel to a 1e-19-NEGATIVE variance numerator (Spark NaN,
     # DuckDB sqrt hard-error) — clamp at 0 before the root
-    var = F.when(n > 1, (sxx - sx * sx / n) / (n - 1))
+    var_raw = (sxx - sx * sx / n) / (n - 1)
+    var = F.when(n > 1, var_raw)
+    # clamp INSIDE the guard: greatest() ignores NULLs on both engines,
+    # so greatest(var, 0) would turn the n=1 NULL into stddev 0.0
+    stddev = F.when(n > 1, F.sqrt(F.greatest(var_raw, F.lit(0.0))))
     covar = F.when(np_ > 1, (pxy - px * py / np_) / (np_ - 1))
     det = (np_ * pxx - px * px) * (np_ * pyy - py * py)
     corr = F.when(det > 0, (np_ * pxy - px * py) / F.sqrt(det))
@@ -189,9 +193,7 @@ def stats_summary(ticks: DataFrame) -> DataFrame:
         n.alias("tick_count"),
         F.round(sx / n, 6).alias("mean_price"),
         F.round(var, 6).alias("var_price"),
-        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias(
-            "stddev_price"
-        ),
+        F.round(stddev, 6).alias("stddev_price"),
         F.round(covar, 4).alias("covar_price_volume"),
         F.round(corr, 6).alias("corr_price_volume"),
         F.round(F.col("pct")[0], 6).alias("p50_price"),

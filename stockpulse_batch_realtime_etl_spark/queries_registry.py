@@ -1469,8 +1469,8 @@ SELECT
   round(sx / n, 6) AS mean_price,
   round(CASE WHEN n > 1 THEN (sxx - sx * sx / n) / (n - 1) END, 6)
     AS var_price,
-  round(sqrt(greatest(
-          CASE WHEN n > 1 THEN (sxx - sx * sx / n) / (n - 1) END, 0)), 6)
+  round(CASE WHEN n > 1
+             THEN sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0)) END, 6)
     AS stddev_price,
   round(CASE WHEN np > 1 THEN (pxy - px * py / np) / (np - 1) END, 4)
     AS covar_price_volume,

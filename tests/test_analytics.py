@@ -420,3 +420,49 @@ def test_weekday_hour_profile_arithmetic_dow(spark, make_ticks):
     assert mon["tick_count"] == 2 and mon["avg_price"] == 11.0
     assert mon["volume_sum"] == 10
     assert out[(0, 9)]["volume_sum"] == 0  # null volume coalesces
+
+
+def test_stats_summary_degenerate_symbols_yield_nulls_not_aborts(make_ticks):
+    """One tick → NULL variance/stddev/covar/corr (not an ANSI
+    DIVIDE_BY_ZERO job abort); constant price → variance exactly 0 and
+    stddev 0 (the cancellation residue is clamped before the sqrt);
+    constant volume → NULL correlation (zero denominator)."""
+    import datetime as dt
+
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        stats_summary,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = (
+        [("ONE", 5.0, 10, t0)]
+        + [("FLAT", 0.01, 10 + i, t0 + dt.timedelta(seconds=i)) for i in range(5)]
+        + [("CVOL", 1.0 + i, 7, t0 + dt.timedelta(seconds=i)) for i in range(5)]
+    )
+    out = {r.symbol: r for r in stats_summary(make_ticks(rows)).collect()}
+    one = out["ONE"]
+    assert one.tick_count == 1
+    assert one.var_price is None and one.stddev_price is None
+    assert one.covar_price_volume is None and one.corr_price_volume is None
+    flat = out["FLAT"]
+    assert flat.var_price == 0.0 and flat.stddev_price == 0.0
+    cvol = out["CVOL"]
+    assert cvol.corr_price_volume is None  # zero volume variance
+    assert cvol.var_price is not None and cvol.var_price > 0
+
+
+def test_funnel_and_cohort_parameter_validation(spark):
+    import pytest as _pytest
+
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        cohort_retention,
+        funnel_counts,
+    )
+
+    ev = spark.createDataFrame(
+        [], "user_id long, event_type string, ts timestamp"
+    )
+    with _pytest.raises(ValueError, match="steps"):
+        funnel_counts(ev, steps=())
+    with _pytest.raises(ValueError, match="unit"):
+        cohort_retention(ev, unit="month")
