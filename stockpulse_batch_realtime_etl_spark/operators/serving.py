@@ -14,12 +14,15 @@ GET /bars/summary      P5 ∘ P2 ∘ P3 ∘ A8 (+F6 change_pct)          bar_sum
 GET /movers            (A10×2) ∘ J1 ∘ F6 ∘ O2                      movers
 =====================  ==========================================  ==========
 
-Determinism: the reference's ``NOW()``-relative windows (op F9) are
-parameterized — ``as_of`` defaults to ``max(event_time)`` of the input so
-results are reproducible and oracle-checkable at any scale factor.  The
-as-of scalar is a SQL scalar subquery (see ``_window_filter``), never a
-``.collect()`` round-trip, so the whole query stays one lazily-planned DAG
-that works unchanged on a cluster.
+Determinism: the reference's ``NOW()``-relative windows (op F9) are pinned
+to ``as_of = max(event_time)`` of the input — the deterministic NOW()
+stand-in, so results are reproducible and oracle-checkable at any scale
+factor.  (To replay a historical window, pre-filter the input to
+``event_time <= t`` — the max-based as-of then equals ``t``'s last tick;
+no separate as_of parameter exists.)  The as-of scalar is a SQL scalar
+subquery (see ``_window_filter``), never a ``.collect()`` round-trip, so
+the whole query stays one lazily-planned DAG that works unchanged on a
+cluster.
 
 Scale notes:
 * ``latest_*`` compile to TakeOrderedAndProject (top-k, no global sort).
@@ -41,6 +44,8 @@ from pyspark.sql import functions as F
 from stockpulse_batch_realtime_etl_spark.functions.scalars import (
     SYMBOL_RE,
     change_pct,
+    null_safe_volume,
+    round4,
 )
 
 
@@ -48,7 +53,10 @@ def validate_symbol(symbol: str) -> str:
     """API-layer guard: 422 in the reference; ValueError here."""
     import re
 
-    if not re.match(SYMBOL_RE, symbol):
+    # fullmatch, not match: Python's '$' matches before a trailing
+    # newline, so match() would accept 'AAPL\n' through the 1-10-letter
+    # contract
+    if not re.fullmatch(SYMBOL_RE, symbol):
         raise ValueError(f"invalid symbol: {symbol!r}")
     return symbol.upper()
 
@@ -71,21 +79,25 @@ def _window_filter(df: DataFrame, time_col: str, minutes: int) -> DataFrame:
 
     name = "wf_" + uuid.uuid4().hex[:12]
     df.createOrReplaceTempView(name)
+    out = df.sparkSession.sql(
+        f"""
+        SELECT * FROM {name}
+        WHERE {time_col} >= (SELECT max({time_col}) FROM {name})
+                            - INTERVAL {int(minutes)} MINUTES
+        """
+    )
+    # Classic PySpark analyzes spark.sql eagerly, so the view could be
+    # dropped here — but Spark CONNECT resolves the relation lazily at
+    # action time, and an immediate drop would land this exact code on
+    # 'table or view not found' on a connect cluster.  Dropping after
+    # capturing the analyzed plan keeps both modes safe; uuid names never
+    # collide, and the serving layer reuses one view name per call so the
+    # catalog stays bounded at the call concurrency, not call count.
     try:
-        # spark.sql analyzes eagerly — the returned DataFrame holds the
-        # resolved plan, so the view is only needed during construction.
-        return df.sparkSession.sql(
-            f"""
-            SELECT * FROM {name}
-            WHERE {time_col} >= (SELECT max({time_col}) FROM {name})
-                                - INTERVAL {int(minutes)} MINUTES
-            """
-        )
+        out.schema  # force analysis in both classic and connect modes
     finally:
-        # drop immediately: thousands of serving calls in one session must
-        # not accumulate catalog entries (uuid names never collide, but the
-        # catalog itself would grow unboundedly)
         df.sparkSession.catalog.dropTempView(name)
+    return out
 
 
 # --- /symbols ---------------------------------------------------------------
@@ -132,10 +144,10 @@ def tick_summary(ticks: DataFrame, symbol: str, minutes: int = 60) -> DataFrame:
     )
     return t.groupBy("symbol").agg(
         F.count(F.lit(1)).alias("tick_count"),
-        F.round(F.avg("price"), 4).alias("avg_price"),
+        round4(F.avg("price")).alias("avg_price"),
         F.min("price").alias("min_price"),
         F.max("price").alias("max_price"),
-        F.sum(F.coalesce(F.col("volume"), F.lit(0))).alias("volume_sum"),
+        F.sum(null_safe_volume(F.col("volume"))).alias("volume_sum"),
         F.min("event_time").alias("first_tick"),
         F.max("event_time").alias("last_tick"),
     )
@@ -229,8 +241,12 @@ def latest_tick_per_symbol(ticks: DataFrame) -> DataFrame:
     values are needed (map-side combine beats full row sort)."""
     from pyspark.sql.window import Window
 
+    # volume completes the total order (the latest_ticks convention):
+    # duplicate (event_time, price) rows must not flip volumes across runs
     w = Window.partitionBy("symbol").orderBy(
-        F.col("event_time").desc(), F.col("price").desc()
+        F.col("event_time").desc(),
+        F.col("price").desc(),
+        F.col("volume").desc_nulls_last(),
     )
     return (
         ticks.withColumn("rn", F.row_number().over(w))

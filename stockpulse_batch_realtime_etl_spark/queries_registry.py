@@ -235,7 +235,8 @@ def q_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
 {TICKS_CTE}
 SELECT symbol, price, volume, event_time FROM (
   SELECT *, row_number() OVER (
-    PARTITION BY symbol ORDER BY event_time DESC, price DESC
+    PARTITION BY symbol
+    ORDER BY event_time DESC, price DESC, volume DESC NULLS LAST
   ) AS rn
   FROM ticks
 ) t WHERE rn = 1
