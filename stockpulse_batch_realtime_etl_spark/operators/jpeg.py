@@ -137,7 +137,12 @@ class _BitReader:
                 self._pos += 2
                 raise _RestartMarker()
             else:
-                raise EOFError("entropy data exhausted at marker")
+                # ValueError, not EOFError: all corrupt-scan paths share
+                # one catchable type (the module's documented contract)
+                raise ValueError(
+                    "JPEG entropy data exhausted at marker "
+                    f"0xFF{nxt:02X} mid-scan"
+                )
         else:
             self._pos += 1
         self._acc = (self._acc << 8) | b
@@ -152,8 +157,11 @@ class _BitReader:
         return v
 
     def huffman(self, table: dict[tuple[int, int], int]) -> int:
+        # JPEG codes are at most 16 bits: stop after exactly 16 reads so
+        # an invalid code never consumes a 17th bit (which could pull an
+        # extra byte and misreport as "entropy data truncated")
         code, length = 0, 0
-        while length <= 16:
+        while length < 16:
             code = (code << 1) | self.bits(1)
             length += 1
             sym = table.get((length, code))

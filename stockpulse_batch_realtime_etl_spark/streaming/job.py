@@ -267,8 +267,16 @@ def _publish_atomic(dest: str, write_fn) -> None:
     try:
         os.rename(tmp, dest)
     except OSError:
-        # another process published first — its copy is equivalent
-        shutil.rmtree(tmp, ignore_errors=True)
+        # rename failure means dest already exists — but "another process
+        # published an equivalent copy" is only true if dest carries the
+        # _SUCCESS marker the callers gate reuse on.  A marker-less dest
+        # (partial dir left by a crashed run) would otherwise be read as a
+        # corrupt corpus forever: evict it and retry the rename once.
+        if os.path.exists(os.path.join(dest, "_SUCCESS")):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            shutil.rmtree(dest, ignore_errors=True)
+            os.rename(tmp, dest)
 
 
 @contextlib.contextmanager
@@ -775,15 +783,19 @@ def run_sector_rollup_available_now(
         def _write_full(batch_df: DataFrame, _epoch: int) -> None:
             batch_df.write.mode("overwrite").parquet(out_dir)
 
-        q = (
-            rollup.writeStream.outputMode("complete")
-            .foreachBatch(_write_full)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        dim.unpersist()
+        try:
+            q = (
+                rollup.writeStream.outputMode("complete")
+                .foreachBatch(_write_full)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            # unpersist even when the stream raises — the cached dim would
+            # otherwise pin executor memory for the life of the session
+            dim.unpersist()
     return spark.read.parquet(out_dir)
 
 

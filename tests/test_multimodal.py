@@ -497,3 +497,27 @@ def test_jpeg_restart_with_short_code_tables_and_dri():
     # truncated entropy data is a clean ValueError, not IndexError
     with _pytest.raises(ValueError, match="truncated"):
         jpeg.decode_scan(bytes([0x3F]), 0, 2, 1, [dc], [ac])
+
+
+def test_jpeg_corrupt_scan_errors_are_all_value_error():
+    """Error-contract pins: every corrupt-scan path raises ValueError.
+    (a) a scan ending at a bare non-RST marker mid-MCU (was EOFError);
+    (b) an invalid Huffman code is diagnosed after exactly 16 bits — the
+    old 17th-bit read could consume the last byte and misreport the error
+    as 'entropy data truncated'."""
+    import pytest as _pytest
+
+    from stockpulse_batch_realtime_etl_spark.operators import jpeg
+
+    dc = {(1, 0): 0, (2, 2): 1}
+    ac = {(1, 0): 0x00}
+    # one MCU of data + EOI, but two MCUs requested: the second MCU's DC
+    # read hits the bare 0xFFD9 marker mid-scan
+    with _pytest.raises(ValueError, match="exhausted at marker"):
+        jpeg.decode_scan(bytes([0x3F]) + b"\xff\xd9", 0, 2, 1, [dc], [ac])
+
+    # exactly 16 bits available, none forming a valid code: must raise
+    # invalid-code, NOT read a 17th bit and report truncation
+    r = jpeg._BitReader(bytes([0x00, 0x00]), 0)
+    with _pytest.raises(ValueError, match="invalid Huffman code"):
+        r.huffman({(16, 1): 0})

@@ -413,3 +413,40 @@ def test_stream_stream_left_outer_join_null_emission(spark):
         if r.b + dt.timedelta(minutes=1) <= wm
     )
     assert nulls == want_nulls and len(nulls) > 0
+
+
+def test_publish_atomic_evicts_markerless_partial_dest(tmp_path):
+    """A dest left WITHOUT Spark's _SUCCESS marker (crashed run) must be
+    evicted and replaced, not treated as 'another process published' —
+    otherwise every cold start reuses the corrupt corpus forever."""
+    import os
+
+    from stockpulse_batch_realtime_etl_spark.streaming.job import (
+        _publish_atomic,
+    )
+
+    def write(d):
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0"), "w") as f:
+            f.write("fresh")
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+
+    # partial dest: exists, no _SUCCESS
+    dest = str(tmp_path / "corpus")
+    os.makedirs(dest)
+    with open(os.path.join(dest, "part-0"), "w") as f:
+        f.write("corrupt-partial")
+    _publish_atomic(dest, write)
+    assert os.path.exists(os.path.join(dest, "_SUCCESS"))
+    assert open(os.path.join(dest, "part-0")).read() == "fresh"
+
+    # complete dest: the loser discards its copy, winner's content stays
+    def write_other(d):
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0"), "w") as f:
+            f.write("loser")
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+
+    _publish_atomic(dest, write_other)
+    assert open(os.path.join(dest, "part-0")).read() == "fresh"
+    assert not [p for p in os.listdir(tmp_path) if ".tmp." in p]
