@@ -8,9 +8,12 @@ marker segment walk, DQT/DHT parse, canonical Huffman entropy decode with
 zigzag ordering, dequantization, 8×8 IDCT, level shift, and JFIF
 YCbCr→RGB — with no external library.
 
-Scope (honest seam): baseline sequential (SOF0), 8-bit, 1-component
-grayscale or 3-component 4:4:4 colour.  Progressive (SOF2), subsampled
-chroma, arithmetic coding, and 12-bit precision raise
+Scope (honest seam): baseline sequential (SOF0), 8-bit, grayscale or
+colour with any sampling factors where each component's factor divides
+the max (covers 4:4:4, 4:2:2, and the dominant real-world 4:2:0 —
+interleaved multi-block MCUs, padded edge blocks, nearest-neighbor
+chroma upsampling).  Progressive (SOF2), arithmetic coding, 12-bit
+precision, and non-dividing sampling ratios raise
 ``NotImplementedError``.
 
 Oracle strategy (same trick as the PNG rung, multimodal.py:154): the
@@ -218,64 +221,90 @@ def _dht_payload(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
 
 def encode_scan_blocks(
     component_blocks: list[list[np.ndarray]],
+    mcu_blocks: list[int] | None = None,
 ) -> bytes:
     """Entropy-encode interleaved MCUs of ZIGZAG-ORDER quantized
-    coefficient blocks (one list per component, equal lengths; MCU k is
-    ``[comp[k] for comp in component_blocks]``).  This is the lossless
-    Huffman layer on its own — exposed so tests can round-trip arbitrary
-    coefficient arrays (full AC run/ZRL/EOB coverage) exactly."""
+    coefficient blocks (one list per component).  ``mcu_blocks[i]`` is
+    how many consecutive blocks component ``i`` contributes per MCU
+    (h_i·v_i for subsampled scans; default 1 each), so MCU k is
+    ``comp_i[k·n_i : (k+1)·n_i]`` for every component.  This is the
+    lossless Huffman layer on its own — exposed so tests can round-trip
+    arbitrary coefficient arrays (full AC run/ZRL/EOB coverage) exactly."""
+    counts = mcu_blocks or [1] * len(component_blocks)
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     w = _BitWriter()
     pred = [0] * len(component_blocks)
-    for k in range(len(component_blocks[0])):
+    n_mcus = len(component_blocks[0]) // counts[0]
+    for k in range(n_mcus):
         for ci, blocks in enumerate(component_blocks):
-            zz = blocks[k]
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
-            size = _category(diff)
-            code, length = dc_codes[size]
-            w.write(code, length)
-            if size:
-                raw = diff if diff >= 0 else diff + (1 << size) - 1
-                w.write(raw, size)
-            run = 0
-            last_nz = 0
-            for i in range(63, 0, -1):
-                if zz[i]:
-                    last_nz = i
-                    break
-            for i in range(1, last_nz + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    w.write(code, length)
-                    run -= 16
-                size = _category(v)
-                code, length = ac_codes[(run << 4) | size]
-                w.write(code, length)
-                raw = v if v >= 0 else v + (1 << size) - 1
-                w.write(raw, size)
-                run = 0
-            if last_nz < 63:
-                code, length = ac_codes[0x00]  # EOB
-                w.write(code, length)
+            for zz in blocks[k * counts[ci] : (k + 1) * counts[ci]]:
+                _encode_block(w, zz, ci, pred, dc_codes, ac_codes)
     return w.flush()
 
 
+def _encode_block(
+    w: _BitWriter,
+    zz: np.ndarray,
+    ci: int,
+    pred: list[int],
+    dc_codes: dict,
+    ac_codes: dict,
+) -> None:
+    """Huffman-encode one zigzag coefficient block (DC diff vs the
+    component predictor, then AC run/size with ZRL + EOB)."""
+    diff = int(zz[0]) - pred[ci]
+    pred[ci] = int(zz[0])
+    size = _category(diff)
+    code, length = dc_codes[size]
+    w.write(code, length)
+    if size:
+        raw = diff if diff >= 0 else diff + (1 << size) - 1
+        w.write(raw, size)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = ac_codes[0xF0]  # ZRL
+            w.write(code, length)
+            run -= 16
+        size = _category(v)
+        code, length = ac_codes[(run << 4) | size]
+        w.write(code, length)
+        raw = v if v >= 0 else v + (1 << size) - 1
+        w.write(raw, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        w.write(code, length)
+
+
 def encode_baseline_jpeg(
-    comp_coeffs: list[list[np.ndarray]], w: int, h: int
+    comp_coeffs: list[list[np.ndarray]],
+    w: int,
+    h: int,
+    sampling: list[tuple[int, int]] | None = None,
 ) -> bytes:
     """Assemble a complete baseline JPEG from per-component lists of
     zigzag-order quantized coefficient blocks (unit quant table).  1 list
-    → grayscale, 3 lists → 4:4:4 YCbCr."""
+    → grayscale, 3 lists → YCbCr.  ``sampling`` gives per-component
+    (h_i, v_i) factors (default all 1×1 = 4:4:4); with subsampling each
+    component's blocks must already be in MCU-interleaved order
+    (h_i·v_i consecutive blocks per MCU, raster within the MCU)."""
     ncomp = len(comp_coeffs)
+    samp = sampling or [(1, 1)] * ncomp
     dqt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # Pq=0, Tq=0, all 1s
     sof_comps = b"".join(
-        struct.pack(">BBB", cid + 1, 0x11, 0) for cid in range(ncomp)
+        struct.pack(">BBB", cid + 1, (samp[cid][0] << 4) | samp[cid][1], 0)
+        for cid in range(ncomp)
     )
     sof = _seg(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
     dht = _seg(0xC4, _dht_payload(0x00, _DC_BITS, _DC_VALS)) + _seg(
@@ -285,7 +314,7 @@ def encode_baseline_jpeg(
         struct.pack(">BB", cid + 1, 0x00) for cid in range(ncomp)
     )
     sos = _seg(0xDA, bytes([ncomp]) + sos_comps + bytes([0, 63, 0]))
-    scan = encode_scan_blocks(comp_coeffs)
+    scan = encode_scan_blocks(comp_coeffs, [hi * vi for hi, vi in samp])
     return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
@@ -333,6 +362,60 @@ def encode_jpeg(asset_id: int) -> bytes:
     return encode_baseline_jpeg(comps, w, h)
 
 
+def _image_dims_420(asset_id: int) -> tuple[int, int]:
+    """Per-asset dims for the 4:2:0 corpus: larger than the 4:4:4 rung so
+    multi-MCU interleave is exercised (up to 3×2 MCUs of 16×16), and
+    rarely a multiple of 16 — partial MCUs with padded edge blocks on
+    both axes are the norm, not the exception."""
+    return 8 + asset_id % 29, 8 + asset_id % 23
+
+
+def encode_jpeg_420(asset_id: int) -> bytes:
+    """Real colour baseline JPEG with 2×2-subsampled chroma (4:2:0) — the
+    dominant real-world JPEG shape: each MCU carries four Y blocks (2×2)
+    plus one Cb and one Cr block covering the same 16×16 pixels.
+
+    Plane model (mirrored arithmetically by the DuckDB oracle): the Y
+    plane is constant per 8×8 block over the MCU-PADDED grid of
+    ``2·mcux`` block columns (so pixel (x,y) reads block
+    ``(y//8)·2·mcux + x//8``); each chroma plane is constant per chroma
+    block = 16×16 luma pixels after 2× nearest-neighbor upsampling (pixel
+    (x,y) reads chroma block ``(y//16)·mcux + x//16``).  DC-only blocks +
+    unit quant keep the round trip exact."""
+    w, h = _image_dims_420(asset_id)
+    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+    # Y: MCU-interleaved order — per MCU (raster), its 2×2 blocks (raster);
+    # values indexed over the PADDED 2·mcux-wide grid
+    y_vals = []
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for j in range(4):
+            by, bx = divmod(j, 2)
+            y_vals.append(
+                block_value(
+                    asset_id, 0, (my * 2 + by) * (2 * mcux) + (mx * 2 + bx)
+                )
+            )
+    comps = [
+        _block_constant_coeffs(np.array(y_vals, dtype=np.int64)),
+        _block_constant_coeffs(
+            np.array(
+                [block_value(asset_id, 1, b) for b in range(mcux * mcuy)],
+                dtype=np.int64,
+            )
+        ),
+        _block_constant_coeffs(
+            np.array(
+                [block_value(asset_id, 2, b) for b in range(mcux * mcuy)],
+                dtype=np.int64,
+            )
+        ),
+    ]
+    return encode_baseline_jpeg(
+        comps, w, h, sampling=[(2, 2), (1, 1), (1, 1)]
+    )
+
+
 def _idct_matrix() -> np.ndarray:
     """Orthonormal 8-point DCT-II basis matrix M (M[0]=1/√8)."""
     x = np.arange(8, dtype=np.float64)
@@ -357,10 +440,14 @@ def decode_scan(
     dc_tables: list[dict],
     ac_tables: list[dict],
     restart_interval: int = 0,
+    mcu_blocks: list[int] | None = None,
 ) -> list[list[np.ndarray]]:
     """Entropy-decode ``n_blocks`` interleaved MCUs starting at ``pos``;
     returns per-component lists of zigzag-order coefficient blocks (the
-    exact inverse of :func:`encode_scan_blocks`).
+    exact inverse of :func:`encode_scan_blocks`).  ``mcu_blocks[i]`` is
+    component ``i``'s blocks per MCU (h_i·v_i; default 1 each) — the DC
+    predictor is per-component across the whole scan, shared by all of a
+    component's blocks within an MCU (T.81 F.2.1.3.1).
 
     Restart markers: with a DRI declared, the reader RESYNCS at the
     interval cadence — byte-aligns (discarding the flush padding bits,
@@ -369,6 +456,7 @@ def decode_scan(
     RSTn encountered OUTSIDE the declared cadence (or with no DRI) still
     resets the predictors defensively, rolling back any partially decoded
     MCU so the component lists cannot desync."""
+    counts = mcu_blocks or [1] * ncomp
     r = _BitReader(data, pos)
     out: list[list[np.ndarray]] = [[] for _ in range(ncomp)]
     pred = [0] * ncomp
@@ -377,26 +465,27 @@ def decode_scan(
         mcu_mark = [len(c) for c in out]
         try:
             for ci in range(ncomp):
-                zz = np.zeros(64, dtype=np.int64)
-                size = r.huffman(dc_tables[ci])
-                diff = _extend(r.bits(size), size) if size else 0
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = r.huffman(ac_tables[ci])
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = rs >> 4, rs & 0x0F
-                    k += run
-                    if k > 63:
-                        raise ValueError("JPEG AC coefficient overrun")
-                    zz[k] = _extend(r.bits(size), size)
-                    k += 1
-                out[ci].append(zz)
+                for _ in range(counts[ci]):
+                    zz = np.zeros(64, dtype=np.int64)
+                    size = r.huffman(dc_tables[ci])
+                    diff = _extend(r.bits(size), size) if size else 0
+                    pred[ci] += diff
+                    zz[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = r.huffman(ac_tables[ci])
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        run, size = rs >> 4, rs & 0x0F
+                        k += run
+                        if k > 63:
+                            raise ValueError("JPEG AC coefficient overrun")
+                        zz[k] = _extend(r.bits(size), size)
+                        k += 1
+                    out[ci].append(zz)
             done += 1
             if (
                 restart_interval
@@ -470,11 +559,18 @@ def decode_jpeg_bytes(payload: bytes) -> dict:
             comps = []
             for c in range(ncomp):
                 cid, samp, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
-                if samp != 0x11:
+                comps.append((cid, tq, samp >> 4, samp & 0x0F))
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            for _cid, _tq, hi, vi in comps:
+                if not (1 <= hi <= 4 and 1 <= vi <= 4) or (
+                    hmax % hi or vmax % vi
+                ):
                     raise NotImplementedError(
-                        "subsampled JPEG (only 4:4:4 / grayscale supported)"
+                        f"JPEG sampling factors {hi}x{vi} (max "
+                        f"{hmax}x{vmax}): only integer-ratio subsampling "
+                        "is supported"
                     )
-                comps.append((cid, tq))
             sof = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
@@ -494,25 +590,37 @@ def decode_jpeg_bytes(payload: bytes) -> dict:
             ncomp = len(comps)
             if ns != ncomp:
                 raise NotImplementedError("multi-scan JPEG")
-            cw, ch_ = (w + 7) // 8, (h + 7) // 8
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
             coeffs = decode_scan(
                 payload,
                 pos + 2 + seglen,
-                cw * ch_,
+                mcux * mcuy,
                 ncomp,
                 [huff[(0, t[0])] for t in scan_tables],
                 [huff[(1, t[1])] for t in scan_tables],
                 restart,
+                mcu_blocks=[hi * vi for _, _, hi, vi in comps],
             )
             planes = []
-            for ci, (_cid, tq) in enumerate(comps):
+            for ci, (_cid, tq, hi, vi) in enumerate(comps):
                 q = qt[tq]
-                plane = np.zeros((ch_ * 8, cw * 8), dtype=np.float64)
+                # MCU-padded block grid for this component: mcux·h_i wide,
+                # mcuy·v_i tall; blocks arrive MCU-interleaved (h_i·v_i
+                # consecutive blocks per MCU, raster within the MCU)
+                plane = np.zeros(
+                    (mcuy * vi * 8, mcux * hi * 8), dtype=np.float64
+                )
                 for b, zz in enumerate(coeffs[ci]):
                     raster = np.zeros(64, dtype=np.int64)
                     raster[ZIGZAG] = zz * q
-                    by, bx = divmod(b, cw)
-                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct2(
+                    m, j = divmod(b, hi * vi)
+                    my, mx = divmod(m, mcux)
+                    jy, jx = divmod(j, hi)
+                    gy, gx = my * vi + jy, mx * hi + jx
+                    plane[gy * 8 : gy * 8 + 8, gx * 8 : gx * 8 + 8] = _idct2(
                         raster.reshape(8, 8).astype(np.float64)
                     )
                 # fixed-point reconstruction at 20 fractional bits (the
@@ -522,6 +630,18 @@ def decode_jpeg_bytes(payload: bytes) -> dict:
                 # is what lets the DuckDB oracle replay the downstream
                 # double arithmetic bit-identically
                 plane = np.round(plane * (1 << 20)) / (1 << 20)
+                # crop the padding to the component's true sample dims,
+                # then nearest-neighbor upsample back to full resolution
+                # (pixel (x,y) reads sample (x·h_i//hmax, y·v_i//vmax))
+                ci_w = (w * hi + hmax - 1) // hmax
+                ci_h = (h * vi + vmax - 1) // vmax
+                plane = plane[:ci_h, :ci_w]
+                if hi != hmax or vi != vmax:
+                    plane = np.repeat(
+                        np.repeat(plane, vmax // vi, axis=0),
+                        hmax // hi,
+                        axis=1,
+                    )
                 planes.append(plane[:h, :w] + 128.0)
             if ncomp == 1:
                 vals = np.clip(np.floor(planes[0] + 0.5), 0, 255)

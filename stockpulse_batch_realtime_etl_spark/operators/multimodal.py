@@ -20,11 +20,12 @@ Codec reality has two rungs:
   are a deterministic function of (asset_id, position), so DuckDB replays
   count/sum/min/max and a position-weighted checksum (which breaks if the
   decoder misorders rows or channels) arithmetically.
-* BASELINE JPEG (SOF0, grayscale or 4:4:4 colour) is decoded FOR REAL too,
-  by the dependency-free entropy decoder in operators/jpeg.py — marker
-  walk, canonical Huffman + byte-unstuffing, DC diff / AC run-length,
-  zigzag, dequant, IDCT, YCbCr→RGB.  Only the genuinely library-bound
-  remainder (progressive/subsampled JPEG, MP3, MP4) stays behind
+* BASELINE JPEG (SOF0, grayscale, 4:4:4, or subsampled 4:2:0/4:2:2
+  colour) is decoded FOR REAL too, by the dependency-free entropy decoder
+  in operators/jpeg.py — marker walk, canonical Huffman + byte-unstuffing,
+  DC diff / AC run-length, zigzag, dequant, IDCT, multi-block MCU
+  interleave + chroma upsampling, YCbCr→RGB.  Only the genuinely
+  library-bound remainder (progressive JPEG, MP3, MP4) stays behind
   ``_try_real_decode``'s import-guard with an honest
   ``NotImplementedError``.
 
@@ -69,8 +70,8 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 def _try_real_decode(media_type: str, payload: bytes):
     """Real codec dispatch.  BMP/PPM/PNG/WAV and baseline JPEG decode here
     and now with the pure-numpy parsers in this module and operators/jpeg
-    (no external library); the remaining compressed seam — progressive /
-    subsampled JPEG, MP3, MP4 — is where PIL/soundfile/av plug in and
+    (no external library); the remaining compressed seam — progressive
+    JPEG, MP3, MP4 — is where PIL/soundfile/av plug in and
     raises an honest ``NotImplementedError`` while those are absent."""
     if payload[:2] in (b"BM", b"P6", b"\xff\xd8") or (
         payload[:8] == b"\x89PNG\r\n\x1a\n"
@@ -83,7 +84,7 @@ def _try_real_decode(media_type: str, payload: bytes):
             import PIL.Image  # noqa: F401
         except ImportError:
             raise NotImplementedError(
-                "progressive/subsampled image decode requires Pillow"
+                "progressive image decode requires Pillow"
             )
     raise NotImplementedError(f"real decode not available for {media_type}")
 
@@ -220,8 +221,8 @@ def decode_png_bytes(payload: bytes) -> dict:
     unfiltering of all five PNG filter types (None/Sub/Up/Average/Paeth,
     RFC 2083 §6) for 8-bit RGB.  Palette/alpha/16-bit/interlaced variants
     raise ``NotImplementedError`` — with baseline JPEG real too
-    (operators/jpeg.py), the remaining compressed seam is progressive /
-    subsampled JPEG and the audio/video codec classes."""
+    (operators/jpeg.py), the remaining compressed seam is progressive
+    JPEG and the audio/video codec classes."""
     import numpy as np
     import zlib
 
@@ -355,7 +356,7 @@ def decode_image_bytes(payload: bytes) -> dict:
 
         return decode_jpeg_bytes(payload)
     raise NotImplementedError(
-        "unknown image format (progressive/subsampled JPEG requires Pillow)"
+        "unknown image format (progressive JPEG requires Pillow)"
     )
 
 
@@ -394,12 +395,21 @@ def _encode_jpeg(asset_id: int) -> bytes:
     return encode_jpeg(asset_id)
 
 
+def _encode_jpeg_420(asset_id: int) -> bytes:
+    from stockpulse_batch_realtime_etl_spark.operators.jpeg import (
+        encode_jpeg_420,
+    )
+
+    return encode_jpeg_420(asset_id)
+
+
 _ENCODERS = {
     "bmp": encode_bmp,
     "ppm": encode_ppm,
     "wav": encode_wav,
     "png": encode_png,
     "jpeg": _encode_jpeg,
+    "jpeg420": _encode_jpeg_420,
 }
 
 DECODED_SCHEMA = (

@@ -1394,6 +1394,71 @@ def q_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decoded_stats(assets)
 
 
+#: 4:2:0 rung — the dominant real-world JPEG shape: 2×2-subsampled chroma,
+#: four Y blocks + one Cb + one Cr per 16×16 MCU, interleaved scan, padded
+#: edge blocks on partial MCUs, nearest-neighbor chroma upsampling.  The
+#: corpus uses LARGER dims than the 4:4:4 rung (8..36 × 8..30) so multi-MCU
+#: interleave is the norm.  Oracle replay: pixel (x,y) reads Y from the
+#: MCU-padded 2·mcux-wide block grid and chroma from the mcux-wide chroma
+#: grid (= 16×16 luma pixels each) — a decoder that walks MCUs in the
+#: wrong order, forgets edge-block padding, or upsamples off-by-one moves
+#: the weighted checksum.  Same exactness argument as the 4:4:4 rung
+#: (DC-only blocks, unit quant, floor(x+0.5) both sides).
+@register(
+    "multimodal_jpeg420_stats",
+    oracle="""
+WITH base AS (
+  SELECT doc_id AS asset_id,
+         CAST(8 + doc_id % 29 AS INT) AS w,
+         CAST(8 + doc_id % 23 AS INT) AS h
+  FROM documents
+),
+px AS (
+  SELECT asset_id, w, h, (w + 15) // 16 AS mcux, i,
+         (i // 3) % w AS x, (i // 3) // w AS y, i % 3 AS chan
+  FROM (SELECT *, unnest(generate_series(0, w * h * 3 - 1)) AS i FROM base)
+),
+ycc AS (
+  SELECT asset_id, w, h, i, chan,
+         (7 * asset_id + 13 * yb) % 256 AS yv,
+         (11 * asset_id + 5 * cbb) % 256 AS cb,
+         (3 * asset_id + 17 * cbb) % 256 AS cr
+  FROM (SELECT *,
+               (y // 8) * (2 * mcux) + (x // 8) AS yb,
+               (y // 16) * mcux + (x // 16) AS cbb
+        FROM px)
+),
+rgb AS (
+  SELECT asset_id, w, h, i,
+         CAST(CASE chan
+           WHEN 0 THEN least(255, greatest(0,
+             floor(yv + 1.402 * (cr - 128) + 0.5)))
+           WHEN 1 THEN least(255, greatest(0,
+             floor(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)))
+           ELSE least(255, greatest(0,
+             floor(yv + 1.772 * (cb - 128) + 0.5)))
+         END AS BIGINT) AS val
+  FROM ycc
+)
+SELECT asset_id, 'jpeg420' AS format, w AS width, h AS height,
+       CAST(NULL AS INT) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_values,
+       CAST(sum(val) AS BIGINT) AS value_sum,
+       CAST(min(val) AS BIGINT) AS value_min,
+       CAST(max(val) AS BIGINT) AS value_max,
+       CAST(sum(val * (i + 1)) AS BIGINT) AS weighted_sum
+FROM rgb
+GROUP BY asset_id, w, h
+""",
+)
+def q_multimodal_jpeg420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """encode as 4:2:0 JPEG → real subsampled decode → per-asset stats."""
+    assets = multimodal.encode_assets(
+        load_table(spark, sf_dir, "documents"), fmts=("jpeg420",)
+    )
+    return multimodal.decoded_stats(assets)
+
+
 # --- rolling-hash fingerprints (Manber '94 / Karp–Rabin) --------------------
 
 def _horner_sql(k: int, base: int, mod: int, s: str = "n", pos: str = "pos") -> str:

@@ -521,3 +521,80 @@ def test_jpeg_corrupt_scan_errors_are_all_value_error():
     r = jpeg._BitReader(bytes([0x00, 0x00]), 0)
     with _pytest.raises(ValueError, match="invalid Huffman code"):
         r.huffman({(16, 1): 0})
+
+
+def test_jpeg_420_round_trip_matches_independent_replay():
+    """4:2:0 decode (multi-block MCU interleave, padded edge blocks,
+    chroma upsampling) reproduces the synthesis model exactly — verified
+    against a per-pixel numpy replay that never touches the codec."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import jpeg
+
+    # asset ids chosen to cover: exact multi-MCU grids, partial MCUs on
+    # one axis, partial on both, and the minimum 8x8 single-partial-MCU
+    for aid in [0, 7, 16, 23, 24, 40, 123, 456]:
+        w, h = jpeg._image_dims_420(aid)
+        d = jpeg.decode_jpeg_bytes(jpeg.encode_jpeg_420(aid))
+        assert (d["width"], d["height"]) == (w, h)
+        mcux = (w + 15) // 16
+        y_idx, x_idx = np.meshgrid(
+            np.arange(h), np.arange(w), indexing="ij"
+        )
+        yb = (y_idx // 8) * (2 * mcux) + (x_idx // 8)
+        cbb = (y_idx // 16) * mcux + (x_idx // 16)
+        yv = (7 * aid + 13 * yb) % 256
+        cb = (11 * aid + 5 * cbb) % 256
+        cr = (3 * aid + 17 * cbb) % 256
+        exp = np.stack(
+            [
+                np.clip(np.floor(yv + 1.402 * (cr - 128) + 0.5), 0, 255),
+                np.clip(
+                    np.floor(
+                        yv
+                        - 0.344136 * (cb - 128)
+                        - 0.714136 * (cr - 128)
+                        + 0.5
+                    ),
+                    0,
+                    255,
+                ),
+                np.clip(np.floor(yv + 1.772 * (cb - 128) + 0.5), 0, 255),
+            ],
+            axis=-1,
+        ).reshape(-1)
+        assert np.array_equal(d["vals"], exp.astype(np.int64)), aid
+
+
+def test_jpeg_sampling_scope_guard():
+    """Non-dividing sampling ratios stay an honest NotImplementedError;
+    4:2:2 (2x1 luma) decodes for real through the same generic path."""
+    import numpy as np
+    import pytest as _pytest
+
+    from stockpulse_batch_realtime_etl_spark.operators import jpeg
+
+    # 4:2:2: Y 2x1, chroma 1x1 — one MCU = 16x8 px, 2 Y + 1 Cb + 1 Cr
+    w, h = 16, 8
+    y_blocks = jpeg._block_constant_coeffs(
+        np.array([50, 100], dtype=np.int64)
+    )
+    cbl = jpeg._block_constant_coeffs(np.array([128], dtype=np.int64))
+    crl = jpeg._block_constant_coeffs(np.array([128], dtype=np.int64))
+    payload = jpeg.encode_baseline_jpeg(
+        [y_blocks, cbl, crl], w, h, sampling=[(2, 1), (1, 1), (1, 1)]
+    )
+    d = jpeg.decode_jpeg_bytes(payload)
+    rgb = d["vals"].reshape(h, w, 3)
+    # neutral chroma → R=G=B=Y; left 8 cols = 50, right 8 cols = 100
+    assert (rgb[:, :8] == 50).all() and (rgb[:, 8:] == 100).all()
+
+    # 3x1 against a 2x max ratio does not divide → honest guard
+    bad = jpeg.encode_baseline_jpeg(
+        [y_blocks, cbl, crl], w, h, sampling=[(2, 1), (1, 1), (1, 1)]
+    )
+    # patch the SOF sampling byte of component 2 to 3x1 (non-dividing)
+    idx = bad.index(b"\xff\xc0") + 5 + 5 + 3 + 1  # second comp samp byte
+    bad = bad[:idx] + bytes([0x31]) + bad[idx + 1 :]
+    with _pytest.raises(NotImplementedError, match="sampling factors"):
+        jpeg.decode_jpeg_bytes(bad)
