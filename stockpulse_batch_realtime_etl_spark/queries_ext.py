@@ -3315,6 +3315,91 @@ def q_streaming_pair_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_stream_join_available_now(spark, sf_dir, how="left_outer")
 
 
+#: shared watermark CTE for the outer pair-join oracles: the engine's final
+#: event-time watermark is min over both inputs of (max event_time − the
+#: 2-minute delay); an EMPTY side yields NULL (its watermark never advances)
+#: and the <= comparisons below then withhold every unmatched row — exactly
+#: like the stream.  (DuckDB's least() ignores NULLs, hence the CASE.)
+_PAIR_JOIN_SIDES = """
+ticks AS (
+  SELECT p_symbol AS symbol, p_price AS price, p_event_time AS event_time
+  FROM parsed
+  WHERE NOT malformed AND NOT no_symbol
+    AND p_price IS NOT NULL AND p_event_time IS NOT NULL
+),
+a AS (
+  SELECT date_trunc('minute', event_time) AS bucket_start,
+         event_time AS purchase_time, price AS purchase_price
+  FROM ticks WHERE symbol = 'PURCHASE'
+),
+b AS (
+  SELECT date_trunc('minute', event_time) AS m,
+         event_time AS click_time, price AS click_price
+  FROM ticks WHERE symbol = 'CLICK'
+),
+wm AS (
+  SELECT CASE WHEN wa IS NULL OR wb IS NULL THEN NULL
+              ELSE least(wa, wb) - INTERVAL 2 MINUTE END AS w
+  FROM (
+    SELECT (SELECT max(event_time) FROM ticks WHERE symbol = 'PURCHASE') AS wa,
+           (SELECT max(event_time) FROM ticks WHERE symbol = 'CLICK') AS wb
+  )
+)"""
+
+
+@register(
+    "streaming_pair_join_right",
+    oracle=f"""
+{RAW_CTE},
+{_PAIR_JOIN_SIDES}
+SELECT coalesce(a.bucket_start, b.m) AS bucket_start,
+       a.purchase_time, a.purchase_price, b.click_time, b.click_price
+FROM a RIGHT JOIN b ON b.m = a.bucket_start
+WHERE a.purchase_time IS NOT NULL
+   OR b.m + INTERVAL 1 MINUTE <= (SELECT w FROM wm)
+""",
+)
+def q_streaming_pair_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream RIGHT OUTER join end-to-end: the mirror of the left
+    variant — unmatched clicks emit null purchase columns once the
+    watermark expires their window."""
+    from stockpulse_batch_realtime_etl_spark.streaming.job import (
+        run_stream_stream_join_available_now,
+    )
+
+    return run_stream_stream_join_available_now(
+        spark, sf_dir, how="right_outer"
+    )
+
+
+@register(
+    "streaming_pair_join_full",
+    oracle=f"""
+{RAW_CTE},
+{_PAIR_JOIN_SIDES}
+SELECT coalesce(a.bucket_start, b.m) AS bucket_start,
+       a.purchase_time, a.purchase_price, b.click_time, b.click_price
+FROM a FULL JOIN b ON b.m = a.bucket_start
+WHERE (a.purchase_time IS NOT NULL AND b.click_time IS NOT NULL)
+   OR (a.purchase_time IS NOT NULL AND b.click_time IS NULL
+       AND a.bucket_start + INTERVAL 1 MINUTE <= (SELECT w FROM wm))
+   OR (a.purchase_time IS NULL
+       AND b.m + INTERVAL 1 MINUTE <= (SELECT w FROM wm))
+""",
+)
+def q_streaming_pair_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join end-to-end: matches emit immediately;
+    BOTH sides' unmatched rows emit null-padded once the watermark expires
+    their window — the complete stream-stream join matrix."""
+    from stockpulse_batch_realtime_etl_spark.streaming.job import (
+        run_stream_stream_join_available_now,
+    )
+
+    return run_stream_stream_join_available_now(
+        spark, sf_dir, how="full_outer"
+    )
+
+
 # --- data profiling (Deequ-style) --------------------------------------------
 
 _PROFILE_COLS = (

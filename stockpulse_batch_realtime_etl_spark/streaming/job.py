@@ -830,13 +830,24 @@ def run_stream_stream_join_available_now(
     sides' max event_time − the 2-minute delay) keep their unmatched rows
     withheld — exactly the cutoff the oracle replays.
 
+    ``how="right_outer"`` mirrors that for unmatched clicks (null purchase
+    columns on expiry), and ``how="full_outer"`` emits BOTH sides' null-
+    padded rows at the same watermark cutoff — completing the stream-stream
+    join matrix and exercising the state-store eviction path inner/left
+    never touch on the right side.  Outer rows carry their window in the
+    surviving side's struct, so ``bucket_start`` coalesces across the two.
+
     At 100 TB: both sides shuffle on the window struct (uniform in time);
     state per key is the window's rows on each side, bounded by the
     watermark horizon × arrival rate — the knob a capacity plan sizes.
     """
-    with _bounded_run_env(
-        spark, sf_dir, base_dir, "ssjoin" if how == "inner" else "ssjoin_lo"
-    ) as (
+    kinds = {
+        "inner": "ssjoin",
+        "left_outer": "ssjoin_lo",
+        "right_outer": "ssjoin_ro",
+        "full_outer": "ssjoin_fo",
+    }
+    with _bounded_run_env(spark, sf_dir, base_dir, kinds[how]) as (
         raw_dir,
         out_dir,
         ckpt,
@@ -864,8 +875,12 @@ def run_stream_stream_join_available_now(
                 F.unix_micros("event_time").alias("click_us"),
             )
         )
+        # outer variants: an unmatched row's opposite-side window struct is
+        # NULL, so bucket_start coalesces across the two (equal when matched)
         joined = left.join(right, F.col("w") == F.col("w2"), how).select(
-            F.col("w.start").alias("bucket_start"),
+            F.coalesce(F.col("w.start"), F.col("w2.start")).alias(
+                "bucket_start"
+            ),
             "purchase_us",
             "purchase_price",
             "click_us",

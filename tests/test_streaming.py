@@ -450,3 +450,70 @@ def test_publish_atomic_evicts_markerless_partial_dest(tmp_path):
     _publish_atomic(dest, write_other)
     assert open(os.path.join(dest, "part-0")).read() == "fresh"
     assert not [p for p in os.listdir(tmp_path) if ".tmp." in p]
+
+
+def test_stream_stream_full_outer_join_both_side_null_emission(spark):
+    """FULL OUTER stream-stream join: matches equal the inner join, and
+    BOTH sides' unmatched rows in watermark-expired windows emit exactly
+    one null-padded row each; rows in unexpired windows stay withheld."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from stockpulse_batch_realtime_etl_spark.sources.dlq import split_raw_stream
+    from stockpulse_batch_realtime_etl_spark.sources.ticks import raw_json_corpus
+    from stockpulse_batch_realtime_etl_spark.streaming.job import (
+        run_stream_stream_join_available_now,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = run_stream_stream_join_available_now(
+        spark, sf, left_symbol="PURCHASE", right_symbol="SIGNUP",
+        how="full_outer",
+    ).collect()
+    matched = sorted(
+        (r.bucket_start, r.purchase_time, r.purchase_price,
+         r.click_time, r.click_price)
+        for r in out if r.click_time is not None and r.purchase_time is not None
+    )
+    left_nulls = sorted(
+        (r.bucket_start, r.purchase_time, r.purchase_price)
+        for r in out if r.click_time is None
+    )
+    right_nulls = sorted(
+        (r.bucket_start, r.click_time, r.click_price)
+        for r in out if r.purchase_time is None
+    )
+
+    ticks = split_raw_stream(raw_json_corpus(spark, sf)).ticks
+    a = ticks.filter(F.col("symbol") == "PURCHASE").select(
+        F.date_trunc("minute", "event_time").alias("b"),
+        F.col("event_time").alias("pt"),
+        F.col("price").alias("pp"),
+    )
+    b = ticks.filter(F.col("symbol") == "SIGNUP").select(
+        F.date_trunc("minute", "event_time").alias("b2"),
+        F.col("event_time").alias("ct"),
+        F.col("price").alias("cp"),
+    )
+    want_matched = sorted(
+        (r.b, r.pt, r.pp, r.ct, r.cp)
+        for r in a.join(b, F.col("b") == F.col("b2")).collect()
+    )
+    assert matched == want_matched and len(matched) > 0
+
+    wm = min(
+        a.agg(F.max("pt")).collect()[0][0],
+        b.agg(F.max("ct")).collect()[0][0],
+    ) - dt.timedelta(minutes=2)
+    want_left = sorted(
+        (r.b, r.pt, r.pp)
+        for r in a.join(b, F.col("b") == F.col("b2"), "left_anti").collect()
+        if r.b + dt.timedelta(minutes=1) <= wm
+    )
+    want_right = sorted(
+        (r.b2, r.ct, r.cp)
+        for r in b.join(a, F.col("b2") == F.col("b"), "left_anti").collect()
+        if r.b2 + dt.timedelta(minutes=1) <= wm
+    )
+    assert left_nulls == want_left and len(left_nulls) > 0
+    assert right_nulls == want_right and len(right_nulls) > 0
