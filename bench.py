@@ -101,6 +101,17 @@ def main() -> None:
     for name in names:
         if best[name][1] > n_cpus and time.perf_counter() - t_suite < budget:
             run_once(name)
+    # variance valve: queries with MEASURED intrinsic JVM-internal run
+    # variance (SCALE.md "semdedup_recall_report has intrinsic multi-second
+    # run variance": 3.4→12.2→4.0 s back-to-back on an idle machine, GC
+    # noise the load-at-best-rep field cannot catch) get two extra reps so
+    # min-of-N actually floors them — the values are deterministic, only
+    # the wall time swings, and P(every rep inflated) falls geometrically
+    # with N.  Keep this list to queries with a SCALE.md variance entry.
+    for name in ("semdedup_recall_report",):
+        for _ in range(2):
+            if name in best and time.perf_counter() - t_suite < budget:
+                run_once(name)
     timings = {name: round(best[name][0], 3) for name in names}
     loads = {name: round(best[name][1], 2) for name in names}
 

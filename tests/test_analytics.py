@@ -466,3 +466,53 @@ def test_funnel_and_cohort_parameter_validation(spark):
         funnel_counts(ev, steps=())
     with _pytest.raises(ValueError, match="unit"):
         cohort_retention(ev, unit="month")
+
+
+def test_table_profile_100_columns_bounded_plan(spark):
+    """Wide-table stress (the r5 hazard, fanned out in r6): at 100 columns
+    the profile must still be ONE scan + a CONSTANT number of exchanges —
+    per-column work rides the single Expand-based aggregate, never
+    per-column jobs or a plan that widens with the schema."""
+    from pyspark.sql import functions as F
+    from stockpulse_batch_realtime_etl_spark.operators.analytics import (
+        table_profile,
+    )
+    from stockpulse_batch_realtime_etl_spark.plans import assertions as P
+
+    base = spark.range(500).withColumnRenamed("id", "c0")
+    wide = base.withColumns(
+        {
+            f"c{i}": (
+                F.col("c0") % i
+                if i % 3 == 0
+                else (
+                    F.concat(F.lit("s"), (F.col("c0") % i).cast("string"))
+                    if i % 3 == 1
+                    else (F.col("c0") * i).cast("double")
+                )
+            )
+            for i in range(1, 100)
+        }
+    )
+    assert len(wide.columns) == 100
+
+    out = table_profile(wide)
+    plan = P.formatted_plan(out)
+    n_scans = plan.count("Scan ") + plan.count("* Range")
+    n_exchanges = plan.count("Exchange")
+    assert n_scans <= 1, f"profile must be one scan, saw {n_scans}"
+    # fan-out round-robin + the Expand-based distinct-aggregate phases: a
+    # CONSTANT (4 on this Spark), and — the actual wide-table guarantee —
+    # identical to a 10-column profile's count, never a function of width
+    assert n_exchanges <= 4, plan
+    narrow_plan = P.formatted_plan(
+        table_profile(wide.select(*[f"c{i}" for i in range(10)]))
+    )
+    assert n_exchanges == narrow_plan.count("Exchange")
+
+    rows = {r.column: r for r in out.collect()}
+    assert len(rows) == 100
+    # spot-check typed slots across the three column kinds
+    assert rows["c3"].n_rows == 500 and rows["c3"].n_distinct == 3
+    assert rows["c4"].min_str == "s0" and rows["c4"].n_null == 0
+    assert rows["c5"].max_num == 499.0 * 5

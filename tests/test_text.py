@@ -765,3 +765,28 @@ def test_bpe_merge_dry_corpus_stops_and_applies_partial_vocab(make_docs):
     assert merges == [(1, "a", "b", "ab", 2)]
     comp = [tuple(r) for r in bpe_compression_stats(d, 8).collect()]
     assert comp == [("web", 2, 4, 2, 2.0)]
+
+
+def test_bpe_checkpoint_cadence_identical_merges(make_docs):
+    """checkpoint_every=2 (the 30k-merge-scale replay-bounding knob) must
+    learn EXACTLY the same merge table as the fully-lazy default — the
+    checkpoint only materializes, never changes the fold arithmetic."""
+    from stockpulse_batch_realtime_etl_spark.operators.text import (
+        bpe_learn_merges,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new lower",
+        "wider wide widest new low",
+        "the the the lowly newly",
+    ]
+    d = make_docs(
+        [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)]
+    )
+    lazy = [tuple(r) for r in bpe_learn_merges(d, 6).collect()]
+    ckpt = [
+        tuple(r)
+        for r in bpe_learn_merges(d, 6, checkpoint_every=2).collect()
+    ]
+    assert lazy == ckpt and len(lazy) == 6
