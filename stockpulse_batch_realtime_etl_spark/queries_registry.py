@@ -1722,82 +1722,24 @@ from stockpulse_batch_realtime_etl_spark import queries_ext  # noqa: E402,F401
 #: length asserted at import time (the r4 boundary slip put 60 names ahead
 #: of a "50-entry" comment and silently dropped 10 intended rotations).
 #:
-#: ROUND-6 ROTATION (the r5 verdict's #1 directive): the ENTIRE window is
-#: spent clearing the verification debt — 28 round-5 registrations that
-#: have never touched the driver gate, the 19 queries whose last driver
-#: row is r3, the new JPEG rung, and the two flagships: 28+1+19+2 = 50.
-#: After this round no registered query's last driver row is older than
-#: r4.
+#: ROUND-7 ROTATION (the r6 verdict's #1 directive): the 3 round-6
+#: registrations that have never touched the driver gate lead, then the 3
+#: round-7 registrations (4:2:0 JPEG + the two new outer stream-stream
+#: joins), then the 42 queries whose last driver row is r4 (the stalest
+#: set), then the two flagships: 3+3+42+2 = 50.  After this round no
+#: registered query's last driver row is older than r5.
 _GATE_HEAD: tuple[str, ...] = (
-    # --- 28 round-5 registrations, never driver-gated (local parity only)
-    "events_profile",
-    "missing_minutes",
-    "bollinger_bands",
-    "funnel_counts",
-    "cohort_retention",
-    "kmeans_cell_report",
-    "ticks_asof_next_bar",
-    "return_outliers",
-    "video_frame_stats",
-    "audio_decimated_stats",
-    "revenue_cube",
-    "q13_order_counts",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "rsi_ticks",
-    "donchian_breakouts",
-    "obv_ticks",
-    "max_drawdown",
-    "symbol_beta",
-    "event_transitions",
-    "rfm_segments",
-    "minhash_jaccard_estimate",
-    "label_centroid_similarity",
-    "hapax_stats",
-    "streaming_pair_join",
-    "q7_nation_volume",
-    "q22_sales_opportunity",
-    "weekday_hour_profile",
-    # --- NEW this round: real baseline-JPEG decode rung
-    "multimodal_jpeg_stats",
-    # --- the 19 queries whose last driver row is r3
-    "lsh_candidate_pairs",
-    "simhash_near_dups",
-    "bigram_counts",
-    "bigram_lm_scores",
-    "repetition_stats",
-    "contamination_overlap",
-    "rolling_fingerprints",
-    "fingerprint_match_pairs",
-    "symbols",
-    "latest_ticks",
-    "latest_tick_per_symbol",
-    "ticks_asof_bars",
-    "streaming_dedup_ticks",
-    "price_deciles",
-    "symbol_correlations",
-    "stats_summary",
-    "json_decode_ticks",
-    "dlq_failed_events",
-    "kafka_roundtrip_ticks",
-    # --- flagship continuity: entry()'s query + the streaming headliner
-    "ohlcv_bars",
-    "streaming_ohlcv_bars",
-)
-
-#: Names queued BEHIND the window, in r7 rotation priority: first any
-#: round-6 registrations that missed this window (gate these FIRST next
-#: round), then the 42 queries whose last driver row is r4 — the stalest
-#: set once this rotation lands.  Every name not listed at all follows in
-#: registration order.  All registered queries are still verified every
-#: round by the local all-queries parity suite (tests/test_oracle_parity)
-#: and by tools/check_parity.py at sf0.01.
-_GATE_NEXT: tuple[str, ...] = (
-    # round-6 registrations outside the window — r7 gates these first
+    # --- 3 round-6 registrations, never driver-gated (local parity only);
+    #     streaming_pair_join_outer matters most: watermark-expired null
+    #     emission is the class where the independent oracle earns its keep
     "bpe_learned_merges",
     "streaming_pair_join_outer",
     "bpe_compression_stats",
-    # r4-row queries (stalest after this rotation), r4 window order
+    # --- NEW this round: 4:2:0 JPEG rung + right/full outer stream-stream
+    "multimodal_jpeg420_stats",
+    "streaming_pair_join_right",
+    "streaming_pair_join_full",
+    # --- the 42 queries whose last driver row is r4, r4 window order
     "multimodal_decoded_stats",
     "multimodal_resized_stats",
     "ann_recall_report",
@@ -1840,6 +1782,67 @@ _GATE_NEXT: tuple[str, ...] = (
     "doc_fingerprints",
     "exact_dedup",
     "simhash_fingerprints",
+    # --- flagship continuity: entry()'s query + the streaming headliner
+    "ohlcv_bars",
+    "streaming_ohlcv_bars",
+)
+
+#: Names queued BEHIND the window, in r8 rotation priority: the 48 queries
+#: whose last driver row is r5 — the stalest set once this rotation lands
+#: (every r4-row query is inside the r7 window above; no registration has
+#: ever been left ungated after r7).  Every name not listed at all follows
+#: in registration order.  All registered queries are still verified every
+#: round by the local all-queries parity suite (tests/test_oracle_parity)
+#: and by tools/check_parity.py at sf0.01.
+_GATE_NEXT: tuple[str, ...] = (
+    "ann_ivfpq_topk",
+    "ann_pq_adc_topk",
+    "bm25_scores",
+    "curation_funnel",
+    "dataset_splits",
+    "dedup_survivors",
+    "dup_groups_star",
+    "ema_ticks",
+    "frame_samples",
+    "gapfill_bars",
+    "health_counts",
+    "hourly_bars_rollup",
+    "hourly_symbol_pivot",
+    "incremental_dedup",
+    "jaccard_top_pairs",
+    "latest_bars",
+    "minhash_signatures",
+    "mixture_sample",
+    "multimodal_features",
+    "multimodal_png_stats",
+    "ngram_novelty",
+    "notable_days",
+    "orders_profile",
+    "packing_stats",
+    "pii_redact",
+    "pii_scan",
+    "price_cardinality",
+    "price_histogram",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "quality_length_filter",
+    "quality_score",
+    "rolling_stats",
+    "semantic_dedup",
+    "semdedup_recall_report",
+    "session_bars",
+    "simulated_ticks",
+    "sliding_bars",
+    "source_token_stats",
+    "storage_roundtrip",
+    "stratified_sample",
+    "streaming_running_bars",
+    "streaming_sector_rollup",
+    "streaming_session_bars",
+    "time_range_stats",
+    "top_bars_per_day",
+    "version_info",
+    "vwap_bars",
 )
 
 assert len(_GATE_HEAD) == 50, (
