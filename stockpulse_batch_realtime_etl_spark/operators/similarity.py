@@ -860,9 +860,23 @@ def recall_report(truth: DataFrame, approx: dict[str, DataFrame]) -> DataFrame:
 
 # --- semantic deduplication (SemDeDup) ---------------------------------------
 
+def adaptive_ncells(
+    n: int, target_cell: int = 250, floor: int = 8
+) -> int:
+    """SemDeDup cell count for a corpus of ``n`` vectors: enough cells
+    that the EXPECTED cell size stays ~``target_cell``, never fewer than
+    ``floor``.  This is the knob that keeps the within-cell Σ|cell|² join
+    LINEAR in n (n·target_cell candidate pairs) instead of quadratic —
+    the round-7 scaling probe measured fixed ncells=8 at 14× wall time
+    for 10× data (each cell grows 10× → pair space 100×); with cells
+    scaled to n the same probe rung runs ~linear.  At 10⁹ vectors
+    (100 TB): ~4M cells of ~250 members."""
+    return max(floor, -(-n // target_cell))
+
+
 def semantic_dedup(
     embeddings: DataFrame,
-    ncells: int = 8,
+    ncells: int | None = 8,
     iters: int = 2,
     threshold: float = 0.9,
 ) -> DataFrame:
@@ -887,7 +901,15 @@ def semantic_dedup(
     ``.checkpoint()`` (reliable storage) or persist the assignment table;
     skewed giant cells would get the AQE skew-join treatment documented
     in SCALE.md.
+
+    ``ncells=None`` → :func:`adaptive_ncells` from the corpus count (one
+    cheap metadata-weight job): cell size stays bounded as the corpus
+    grows, keeping the pair space linear — the production form.  The
+    adaptive rule resolves to the historical 8 at every driver sf, so
+    gate hashes are unchanged.
     """
+    if ncells is None:
+        ncells = adaptive_ncells(embeddings.count())
     cent = kmeans_centroids(embeddings, ncells, iters)
     vecs = fan_out(embeddings).select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
@@ -923,7 +945,7 @@ def semantic_dedup(
 
 def semdedup_recall_report(
     embeddings: DataFrame,
-    ncells: int = 8,
+    ncells: int | None = 8,
     iters: int = 2,
     threshold: float = 0.9,
 ) -> DataFrame:
@@ -949,7 +971,11 @@ def semdedup_recall_report(
     calibrate (ncells, τ), then ship :func:`semantic_dedup` alone.  The
     cell lookup joins the assignment table twice by vec_id and aggregates
     once — nothing beyond the truth scan is super-linear.
+    ``ncells=None`` → :func:`adaptive_ncells`, measuring recall for the
+    production cell sizing.
     """
+    if ncells is None:
+        ncells = adaptive_ncells(embeddings.count())
     cent = kmeans_centroids(embeddings, ncells, iters)
     vecs = fan_out(embeddings).select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")

@@ -2857,9 +2857,15 @@ def _semantic_dedup_oracle(ncells: int, iters: int, tau: float) -> str:
     oracle=_semantic_dedup_oracle(_NCELLS, 2, _SEMDEDUP_TAU),
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup keep-list: kmeans cells + within-cell cosine near-dup drop."""
+    """SemDeDup keep-list: kmeans cells + within-cell cosine near-dup drop.
+
+    ncells=None → adaptive_ncells (cell size bounded as the corpus grows —
+    the round-7 probe fix).  At every driver sf the adaptive rule resolves
+    to exactly _NCELLS, so the fixed-ncells oracle replay is unchanged;
+    test_semdedup_adaptive_ncells_matches_gate_config pins that identity.
+    """
     return similarity.semantic_dedup(
-        load_table(spark, sf_dir, "embeddings"), _NCELLS, 2, _SEMDEDUP_TAU
+        load_table(spark, sf_dir, "embeddings"), None, 2, _SEMDEDUP_TAU
     )
 
 
@@ -2900,7 +2906,7 @@ def q_semdedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cell-restricted search recovers (cluster-boundary misses are the
     known approximation)."""
     return similarity.semdedup_recall_report(
-        load_table(spark, sf_dir, "embeddings"), _NCELLS, 2, _SEMDEDUP_TAU
+        load_table(spark, sf_dir, "embeddings"), None, 2, _SEMDEDUP_TAU
     )
 
 

@@ -346,3 +346,25 @@ def test_label_centroid_similarity_shape_and_self_similarity(spark):
         for r in label_centroid_similarity(twin).collect()
     }
     assert res[(0, 99)] == 1.0
+
+
+def test_semdedup_adaptive_ncells_matches_gate_config(spark):
+    """The adaptive cell rule (cells ∝ n, bounded cell size — the probe
+    fix for quadratic Σ|cell|² growth) must resolve to the historical
+    fixed ncells at EVERY driver sf, so the fixed-ncells oracle replay
+    stays hash-identical; and it must scale linearly past them."""
+    from stockpulse_batch_realtime_etl_spark.operators.similarity import (
+        adaptive_ncells,
+    )
+    from stockpulse_batch_realtime_etl_spark.sources.tables import load_table
+
+    for sf_dir in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
+        n = load_table(spark, sf_dir, "embeddings").count()
+        assert adaptive_ncells(n) == 8, (sf_dir, n)
+    # beyond the shipped sfs: cell size stays ~250 → pair space linear
+    assert adaptive_ncells(20_000) == 80
+    assert adaptive_ncells(1_000_000_000) == 4_000_000

@@ -1,0 +1,222 @@
+"""100×-readiness scaling probe: measure each headline query's sf0.1 → 10×
+wall-time ratio against a synthetic 10-times-scaled dataset.
+
+The driver ships sf{0.001,0.01,0.1} only (TESTDATA.md) and /root/testdata is
+read-only, so the 10× rung is BUILT here: a deterministic key-shifted 10-way
+replication of sf0.1 into a cached probe dir.  Replication is designed so
+per-query work scales the way genuinely bigger data would:
+
+* ``documents``: replica k appends a per-replica letter to EVERY word
+  (``regexp_replace`` with a backref), so every shingle/minhash/simhash of
+  a replica differs from every other replica's — replicas are NOT mutual
+  near-duplicates, and the within-replica duplicate structure of sf0.1 is
+  preserved (near-dup pair count grows linearly, as in real corpora).
+  doc_id shifts by (max+1) per replica.
+* ``embeddings``: replica k cyclically rotates the embedding array by k
+  dimensions — rotations of high-dimensional vectors are near-orthogonal,
+  so replicas spread across k-means cells instead of piling into
+  cosine≈1 duplicate clusters.  vec_id shifts by (max+1).
+* ``events``: replica k shifts event_id by k·1,155,000 — a multiple of
+  lcm(7, 11, 3, 15000), PRESERVING the corpus's malformed-record classes,
+  partition assignment, and volume derivation (sources/ticks.py builds all
+  of these from event_id residues) — shifts user_id by (max+1), and shifts
+  ts by k·(span + 1 minute): the timeline EXTENDS (10× history at the same
+  arrival rate), which is the scaling direction streaming state is designed
+  for (state per window bounded; window count grows).
+
+Tables the probed queries never read are copied through unchanged.
+
+Usage::
+
+    python tools/scale_probe.py                  # default: 10 slowest (r6)
+    python tools/scale_probe.py q1 q2 ...        # explicit query list
+
+Prints one JSON line per query: {"query", "sec_sf01", "sec_10x", "ratio"}
+and a trailing summary line.  Ratios land in SCALE.md's probe table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from stockpulse_batch_realtime_etl_spark.session import get_spark
+from stockpulse_batch_realtime_etl_spark.sources.tables import load_table
+
+SF01 = "/root/testdata/sf0.1"
+REPLICAS = 10
+#: multiple of lcm(7, 11, 3, 15000) — keeps event_id residue classes intact
+EVENT_ID_STRIDE = 1_155_000
+
+#: BENCH_r06's 10 slowest — the queries whose scaling exponent matters most
+DEFAULT_QUERIES = [
+    "ann_recall_report",
+    "streaming_metrics_summary",
+    "semdedup_recall_report",
+    "semantic_dedup",
+    "ann_ivfpq_topk",
+    "streaming_pair_join",
+    "streaming_pair_join_outer",
+    "dedup_survivors",
+    "jaccard_top_pairs",
+    "dup_groups_star",
+]
+
+
+def build_probe_dir(spark, base_dir: str = SF01) -> str:
+    dest = os.path.join("/tmp", f"stockpulse_sfprobe_x{REPLICAS}")
+    marker = os.path.join(dest, "_PROBE_READY")
+    if os.path.exists(marker):
+        return dest
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest)
+
+    docs = load_table(spark, base_dir, "documents")
+    d_stride = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = []
+    for k in range(REPLICAS):
+        letter = chr(ord("a") + k)
+        txt = (
+            F.col("text")
+            if k == 0
+            else F.regexp_replace("text", r"([A-Za-z0-9]+)", f"$1{letter}")
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * d_stride)).alias("doc_id"),
+                txt.alias("text"),
+                "lang",
+                "source",
+                F.length(txt).cast("long").alias("n_chars"),
+            )
+        )
+    _union_all(parts).write.parquet(os.path.join(dest, "documents.parquet"))
+
+    emb = load_table(spark, base_dir, "embeddings")
+    v_stride = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    dim = len(emb.select("embedding").first()[0])
+    parts = []
+    for k in range(REPLICAS):
+        shift = k % dim
+        e = (
+            F.col("embedding")
+            if shift == 0
+            else F.concat(
+                F.slice("embedding", shift + 1, dim - shift),
+                F.slice("embedding", 1, shift),
+            )
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(k * v_stride)).alias("vec_id"),
+                e.alias("embedding"),
+                "label",
+            )
+        )
+    _union_all(parts).write.parquet(os.path.join(dest, "embeddings.parquet"))
+
+    ev = load_table(spark, base_dir, "events")
+    u_stride = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span_s = int((hi - lo).total_seconds()) + 60
+    parts = []
+    for k in range(REPLICAS):
+        parts.append(
+            ev.select(
+                (F.col("event_id") + F.lit(k * EVENT_ID_STRIDE)).alias(
+                    "event_id"
+                ),
+                (
+                    F.col("ts")
+                    + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), F.lit(k * span_s))
+                ).alias("ts"),
+                (F.col("user_id") + F.lit(k * u_stride)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    _union_all(parts).write.parquet(os.path.join(dest, "events.parquet"))
+
+    # pass-through for everything else the registry might load
+    for name in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+    ):
+        src = os.path.join(base_dir, f"{name}.parquet")
+        if os.path.exists(src):
+            dst = os.path.join(dest, f"{name}.parquet")
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:
+                shutil.copy(src, dst)
+    open(marker, "w").close()
+    return dest
+
+
+def _union_all(dfs):
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionAll(d)
+    return out
+
+
+def _time(queries, name: str, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT_QUERIES
+    spark = get_spark(app_name="stockpulse-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+    probe_dir = build_probe_dir(spark)
+    # warmup (JVM + python workers), same treatment as bench.py
+    queries["ohlcv_bars"](spark, SF01).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    results = {}
+    for name in names:
+        base = _time(queries, name, spark, SF01)
+        big = _time(queries, name, spark, probe_dir)
+        ratio = round(big / base, 2)
+        results[name] = {
+            "sec_sf01": round(base, 3),
+            "sec_10x": round(big, 3),
+            "ratio": ratio,
+        }
+        print(
+            json.dumps({"query": name, **results[name]}, separators=(",", ":")),
+            flush=True,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "sf01_to_10x_ratio",
+                "replicas": REPLICAS,
+                "queries": {n: r["ratio"] for n, r in results.items()},
+                "loadavg_end": round(os.getloadavg()[0], 2),
+            },
+            separators=(",", ":"),
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
