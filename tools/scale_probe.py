@@ -187,10 +187,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
     probe_dir = build_probe_dir(spark)
-    # warmup (JVM + python workers), same treatment as bench.py
+    # warmup (JVM + python workers + numpy/Arrow import in the reused
+    # workers), same treatment as bench.py — without the ANN warmup the
+    # FIRST probed query's base sample absorbs worker spin-up and its
+    # ratio reads artificially low (r7 probe: ann_recall_report 0.76)
     queries["ohlcv_bars"](spark, SF01).write.format("noop").mode(
         "overwrite"
     ).save()
+    queries["ann_brute_force_topk_np"](spark, SF01).write.format(
+        "noop"
+    ).mode("overwrite").save()
     results = {}
     for name in names:
         base = _time(queries, name, spark, SF01)
