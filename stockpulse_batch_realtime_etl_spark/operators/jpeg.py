@@ -314,7 +314,12 @@ def encode_baseline_jpeg(
         struct.pack(">BB", cid + 1, 0x00) for cid in range(ncomp)
     )
     sos = _seg(0xDA, bytes([ncomp]) + sos_comps + bytes([0, 63, 0]))
-    scan = encode_scan_blocks(comp_coeffs, [hi * vi for hi, vi in samp])
+    # T.81 A.2.2: a single-component scan is NON-interleaved — one data
+    # unit per MCU regardless of declared sampling factors (a grayscale
+    # file may legally declare 2×2), so its blocks are written in plain
+    # raster order
+    mcu_blocks = [hi * vi for hi, vi in samp] if ncomp > 1 else [1]
+    scan = encode_scan_blocks(comp_coeffs, mcu_blocks)
     return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
@@ -590,6 +595,14 @@ def decode_jpeg_bytes(payload: bytes) -> dict:
             ncomp = len(comps)
             if ns != ncomp:
                 raise NotImplementedError("multi-scan JPEG")
+            if ns == 1:
+                # T.81 A.2.2: a single-component scan is NON-interleaved —
+                # one data unit per MCU and a ceil(w/8)×ceil(h/8) block
+                # grid regardless of the declared sampling factors (legal
+                # grayscale files may declare 2×2); normalizing the
+                # factors to 1×1 makes the generic MCU walk below exactly
+                # that grid, and (ncomp == 1) no chroma upsampling runs
+                comps = [(comps[0][0], comps[0][1], 1, 1)]
             hmax = max(c[2] for c in comps)
             vmax = max(c[3] for c in comps)
             mcux = (w + 8 * hmax - 1) // (8 * hmax)

@@ -266,17 +266,40 @@ def _publish_atomic(dest: str, write_fn) -> None:
     write_fn(tmp)
     try:
         os.rename(tmp, dest)
+        return
     except OSError:
-        # rename failure means dest already exists — but "another process
-        # published an equivalent copy" is only true if dest carries the
-        # _SUCCESS marker the callers gate reuse on.  A marker-less dest
-        # (partial dir left by a crashed run) would otherwise be read as a
-        # corrupt corpus forever: evict it and retry the rename once.
+        pass
+    # rename failure means dest already exists — but "another process
+    # published an equivalent copy" is only true if dest carries the
+    # _SUCCESS marker the callers gate reuse on.  A marker-less dest
+    # (partial dir left by a crashed run) would otherwise be read as a
+    # corrupt corpus forever: evict it and retry the rename.
+    if os.path.exists(os.path.join(dest, "_SUCCESS")):
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
+    # Move the stale dest ASIDE to a unique tombstone instead of rmtree:
+    # a concurrent publisher may replace it with a GOOD copy between the
+    # marker check and the eviction, and a reader that already observed
+    # _SUCCESS may be mid-read — the tombstone keeps those files alive
+    # until the very end, and a good dest is never deleted in place.
+    tomb = f"{dest}.stale.{os.getpid()}"
+    try:
+        os.rename(dest, tomb)
+    except OSError:
+        tomb = None  # another process already evicted/replaced it
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        # lost the retry race too — keep the winner only if it is marked
+        # complete; a second marker-less loser here means two crashed
+        # publishers back-to-back, which no retry count fixes: surface it
         if os.path.exists(os.path.join(dest, "_SUCCESS")):
             shutil.rmtree(tmp, ignore_errors=True)
         else:
-            shutil.rmtree(dest, ignore_errors=True)
-            os.rename(tmp, dest)
+            raise
+    finally:
+        if tomb is not None:
+            shutil.rmtree(tomb, ignore_errors=True)
 
 
 @contextlib.contextmanager

@@ -430,6 +430,32 @@ def test_jpeg_grayscale_and_unsupported_variants():
     assert multimodal.decode_image_bytes(payload)["width"] == 5
 
 
+def test_jpeg_single_component_scan_with_factors_is_noninterleaved():
+    """T.81 A.2.2: a single-component scan is NON-interleaved — one data
+    unit per MCU on a ceil(w/8)×ceil(h/8) grid — even when the SOF declares
+    sampling factors >1×1 (legal for grayscale).  Decoding it as
+    interleaved hi·vi-block MCUs would walk a 2·cw-wide padded grid and
+    mis-place every block past the first."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import jpeg
+
+    w, h = 20, 12  # 3×2 blocks, partial on both axes
+    cw, ch = (w + 7) // 8, (h + 7) // 8
+    vals = np.array([40, 80, 120, 160, 200, 240], dtype=np.int64)
+    blocks = jpeg._block_constant_coeffs(vals)
+    payload = jpeg.encode_baseline_jpeg([blocks], w, h, sampling=[(2, 2)])
+    # the SOF really does declare 2×2 for the single component
+    sof_at = payload.index(b"\xff\xc0")
+    assert payload[sof_at + 2 + 2 + 6 + 1] == 0x22
+    d = jpeg.decode_jpeg_bytes(payload)
+    assert (d["width"], d["height"]) == (w, h)
+    got = d["vals"].reshape(h, w)
+    for y in range(h):
+        for x in range(w):
+            assert got[y, x] == vals[(y // 8) * cw + (x // 8)], (x, y)
+
+
 def test_jpeg_restart_markers_reset_dc_predictors():
     """RSTn markers between MCUs byte-align the reader and reset every
     component's DC predictor — each restart interval entropy-codes its DC

@@ -72,8 +72,28 @@ DEFAULT_QUERIES = [
 ]
 
 
+def _fixture_tag(base_dir: str) -> str:
+    """Fingerprint of the source fixture (same (mtime_ns, size) scheme as
+    streaming.job._corpus_tag): a REGENERATED sf0.1 at the same path must
+    invalidate the cached probe dir, not silently reuse stale replicas."""
+    import hashlib
+
+    real = os.path.realpath(base_dir)
+    parts = [real]
+    for name in ("events", "documents", "embeddings"):
+        p = os.path.join(real, f"{name}.parquet")
+        try:
+            st = os.stat(p)
+            parts.append(f"{name}:{st.st_mtime_ns}:{st.st_size}")
+        except OSError:
+            parts.append(f"{name}:missing")
+    return hashlib.md5(":".join(parts).encode()).hexdigest()[:8]
+
+
 def build_probe_dir(spark, base_dir: str = SF01) -> str:
-    dest = os.path.join("/tmp", f"stockpulse_sfprobe_x{REPLICAS}")
+    dest = os.path.join(
+        "/tmp", f"stockpulse_sfprobe_x{REPLICAS}_{_fixture_tag(base_dir)}"
+    )
     marker = os.path.join(dest, "_PROBE_READY")
     if os.path.exists(marker):
         return dest
