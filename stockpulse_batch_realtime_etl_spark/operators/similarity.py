@@ -249,7 +249,29 @@ def lsh_bucketed_topk(
     )
 
 
-def ivf_assign(embeddings: DataFrame, ncells: int = 8) -> DataFrame:
+def adaptive_ncells_search(n: int, floor: int = 8) -> int:
+    """IVF cell count for SEARCH (the FAISS ``ncells ∝ √n`` guideline, as
+    :func:`adaptive_ncells` is for dedup): with cells growing as √n, the
+    per-query scan cost (one cell ≈ n/ncells vectors) grows as √n instead
+    of linearly — fixed ncells=8 means a 10⁹-vector corpus pays a
+    125M-vector scan per query.  ``max(floor, isqrt(n) // 5)`` resolves to
+    the historical 8 at every shipped sf (n=500 → 4→8; n=2000 → 44//5=8),
+    so driver gate hashes are unchanged; the 10× probe corpus (n=20000)
+    gets 28 cells; 10⁹ vectors get ~6.3k.  Mirrored EXACTLY by the oracle
+    scalar subquery ``_NCELLS_SEARCH_SQL`` (``floor(sqrt(n)) // 5``), so
+    the identity holds at ANY corpus size, not just the shipped ones."""
+    from math import isqrt
+
+    return max(floor, isqrt(n) // 5)
+
+
+def _resolve_ncells_search(embeddings: DataFrame, ncells: int | None) -> int:
+    """``ncells=None`` → adaptive from the corpus count (one cheap
+    metadata-weight job) — the production form of the IVF rungs."""
+    return adaptive_ncells_search(embeddings.count()) if ncells is None else ncells
+
+
+def ivf_assign(embeddings: DataFrame, ncells: int | None = 8) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest centroid.
 
     Centroids are the vectors with ``vec_id < ncells`` — a training-free,
@@ -265,6 +287,7 @@ def ivf_assign(embeddings: DataFrame, ncells: int = 8) -> DataFrame:
     to one candidate row per partition per vector).
     Output: (vec_id, embedding, nrm, cell).
     """
+    ncells = _resolve_ncells_search(embeddings, ncells)
     return _score_against_seeds(
         fan_out(embeddings).select(
             "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
@@ -307,7 +330,10 @@ def _score_against_seeds(vecs: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def ivf_topk(
-    embeddings: DataFrame, query_ids: list[int], k: int = 5, ncells: int = 8
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    ncells: int | None = 8,
 ) -> DataFrame:
     """IVF top-k (nprobe=1): each query searches only its own coarse cell.
 
@@ -317,7 +343,10 @@ def ivf_topk(
     query); exactness is ``brute_force_topk``.  The candidate join shuffles
     on the cell id; centroid skew (one fat cell) is exactly what k-means
     balancing fixes in production, and AQE skew-split absorbs meanwhile.
+    ``ncells=None`` → :func:`adaptive_ncells_search` (√n cells — per-query
+    scan cost grows as √n, the production sizing).
     """
+    ncells = _resolve_ncells_search(embeddings, ncells)
     assigned = ivf_assign(embeddings, ncells)
     # assign the k query vectors from a PRUNED scan (vec_id pushdown), not
     # by filtering `assigned`: a second reference to the corpus-wide
@@ -358,7 +387,7 @@ def ivf_multiprobe_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    ncells: int = 8,
+    ncells: int | None = 8,
     nprobe: int = 2,
 ) -> DataFrame:
     """IVF top-k with multi-probe: each query searches its ``nprobe``
@@ -371,8 +400,10 @@ def ivf_multiprobe_topk(
     to its probed cells.  A corpus vector lives in exactly one cell, so a
     candidate can never be scored twice — no dedup step needed.  The probe
     list is queries × nprobe rows (tiny, broadcast); the corpus still never
-    shuffles for candidate generation.
+    shuffles for candidate generation.  ``ncells=None`` →
+    :func:`adaptive_ncells_search`.
     """
+    ncells = _resolve_ncells_search(embeddings, ncells)
     assigned = ivf_assign(embeddings, ncells)
     cent = _seed_centroids(embeddings, ncells)
     q_vecs = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
@@ -545,13 +576,15 @@ def ivf_kmeans_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    ncells: int = 8,
+    ncells: int | None = 8,
     iters: int = 2,
 ) -> DataFrame:
     """IVF top-k (nprobe=1) over Lloyd-refined centroids — the production
     form of :func:`ivf_topk`'s documented k-means seam.  Same search
     skeleton (cell-restricted candidates, broadcast queries); only the
-    quantizer improves, which is the point of the seam."""
+    quantizer improves, which is the point of the seam.  ``ncells=None`` →
+    :func:`adaptive_ncells_search`."""
+    ncells = _resolve_ncells_search(embeddings, ncells)
     cent = kmeans_centroids(embeddings, ncells, iters)
     vecs = fan_out(embeddings).select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
@@ -744,7 +777,7 @@ def ann_ivfpq_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    ncells: int = 8,
+    ncells: int | None = 8,
     iters_ivf: int = 2,
     n_sub: int = 4,
     kpq: int = 4,
@@ -761,8 +794,10 @@ def ann_ivfpq_topk(
 
     Ranking ascending by (adc_dist, cand_id) within the query's cell;
     determinism inherits from both components (round-then-argmin cell
-    assignment, DECIMAL-summed lookups).
+    assignment, DECIMAL-summed lookups).  ``ncells=None`` →
+    :func:`adaptive_ncells_search`.
     """
+    ncells = _resolve_ncells_search(embeddings, ncells)
     sub_dim = dim // n_sub
     # --- IVF side: cell per vector, query cells from a pruned scan
     cent = kmeans_centroids(embeddings, ncells, iters_ivf)

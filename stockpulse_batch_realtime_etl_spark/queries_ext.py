@@ -826,13 +826,35 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NCELLS = 8
 
+#: Adaptive IVF SEARCH cell count, as a scalar subquery — the EXACT SQL
+#: mirror of similarity.adaptive_ncells_search (max(8, isqrt(n) // 5)): the
+#: registered IVF rungs pass ncells=None (adaptive), so the oracle must
+#: derive the SAME cell count from the SAME corpus rather than pin 8 — a
+#: regenerated/larger fixture then flips BOTH sides together instead of
+#: turning the gate into a hash mismatch.  Resolves to 8 at every shipped
+#: sf (n=500, 2000).  floor(sqrt(CAST n AS DOUBLE)) == isqrt(n) for every
+#: feasible oracle corpus (IEEE sqrt is correctly rounded; divergence needs
+#: n ≳ 2^52).
+_NCELLS_SEARCH_SQL = (
+    "(SELECT greatest(8, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) "
+    "AS BIGINT) // 5) FROM embeddings)"
+)
+
+#: Adaptive SemDeDup cell count (similarity.adaptive_ncells: cells ∝ n so
+#: cell size stays ~250): max(8, ceil(n / 250)).  Same fixture-drift
+#: rationale as _NCELLS_SEARCH_SQL; resolves to 8 at every shipped sf.
+_NCELLS_DEDUP_SQL = (
+    "(SELECT greatest(8, CAST(ceil(count(*) / 250.0) AS BIGINT)) "
+    "FROM embeddings)"
+)
+
 
 @register(
     "ann_ivf_topk",
     oracle=f"""
 WITH cent AS (
   SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
-  WHERE vec_id < {_NCELLS}
+  WHERE vec_id < {_NCELLS_SEARCH_SQL}
 ),
 vc AS (
   SELECT v.vec_id, c.cent_id,
@@ -876,12 +898,15 @@ SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5
 """,
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded IVF rung, ncells=None → adaptive_ncells_search (√n cells;
+    resolves to the historical 8 at every shipped sf, and the oracle
+    derives the same count via _NCELLS_SEARCH_SQL at any other)."""
     return similarity.ivf_topk(
-        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, 5, _NCELLS
+        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, 5, None
     )
 
 
-def _kmeans_assign_parts(ncells: int, iters: int) -> list[str]:
+def _kmeans_assign_parts(ncells: int | str, iters: int) -> list[str]:
     """CTE chain replaying kmeans_centroids + final assignment: long-form
     embeddings ``e``, seed centroids ``c0``, per round sN (round-6 cosine
     scores) → aN (argmax cell) → cN (round-9 element-wise means), ending at
@@ -934,7 +959,7 @@ def _kmeans_assign_parts(ncells: int, iters: int) -> list[str]:
     return parts
 
 
-def _kmeans_ivf_oracle(ncells: int, iters: int, k: int) -> str:
+def _kmeans_ivf_oracle(ncells: int | str, iters: int, k: int) -> str:
     """Unrolled spherical-k-means IVF replay: the shared assignment chain +
     cell-restricted search."""
     parts = _kmeans_assign_parts(ncells, iters)
@@ -963,10 +988,15 @@ def _kmeans_ivf_oracle(ncells: int, iters: int, k: int) -> str:
     )
 
 
-@register("ann_ivf_kmeans_topk", oracle=_kmeans_ivf_oracle(_NCELLS, 2, 5))
+@register(
+    "ann_ivf_kmeans_topk",
+    oracle=_kmeans_ivf_oracle(_NCELLS_SEARCH_SQL, 2, 5),
+)
 def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd-refined IVF rung, ncells=None → adaptive_ncells_search
+    (oracle mirrors the rule via _NCELLS_SEARCH_SQL)."""
     return similarity.ivf_kmeans_topk(
-        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, 5, _NCELLS, 2
+        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, 5, None, 2
     )
 
 
@@ -1536,7 +1566,7 @@ _NPROBE = 2
     oracle=f"""
 WITH cent AS (
   SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
-  WHERE vec_id < {_NCELLS}
+  WHERE vec_id < {_NCELLS_SEARCH_SQL}
 ),
 vc AS (
   SELECT v.vec_id, c.cent_id,
@@ -1580,8 +1610,9 @@ SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5
 """,
 )
 def q_ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF rung, ncells=None → adaptive_ncells_search."""
     return similarity.ivf_multiprobe_topk(
-        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, 5, _NCELLS, _NPROBE
+        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, 5, None, _NPROBE
     )
 
 
@@ -2360,7 +2391,7 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_oracle(
-    ncells: int, iters_ivf: int, n_sub: int, kpq: int, iters_pq: int,
+    ncells: int | str, iters_ivf: int, n_sub: int, kpq: int, iters_pq: int,
     k: int, dim: int,
 ) -> str:
     """Composed IVF-PQ replay: the kmeans-IVF cell chain (k-prefixed CTEs,
@@ -2484,12 +2515,16 @@ def _ivfpq_oracle(
     )
 
 
-@register("ann_ivfpq_topk", oracle=_ivfpq_oracle(_NCELLS, 2, 4, 4, 1, 5, 64))
+@register(
+    "ann_ivfpq_topk",
+    oracle=_ivfpq_oracle(_NCELLS_SEARCH_SQL, 2, 4, 4, 1, 5, 64),
+)
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed IVF-PQ: Lloyd-refined cell restriction + PQ/ADC scoring —
-    the production index architecture, both rungs oracle-replayed."""
+    the production index architecture, both rungs oracle-replayed.
+    ncells=None → adaptive_ncells_search (√n cells, FAISS-style)."""
     return similarity.ann_ivfpq_topk(
-        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, 5, _NCELLS, 2,
+        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, 5, None, 2,
         4, 4, 1, 64,
     )
 
@@ -2538,10 +2573,10 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = similarity.brute_force_topk_np(emb, _QUERY_IDS, 5)
     approx = {
         "ivf_multiprobe": similarity.ivf_multiprobe_topk(
-            emb, _QUERY_IDS, 5, _NCELLS, _NPROBE
+            emb, _QUERY_IDS, 5, None, _NPROBE
         ),
         "ivfpq": similarity.ann_ivfpq_topk(
-            emb, _QUERY_IDS, 5, _NCELLS, 2, 4, 4, 1, 64
+            emb, _QUERY_IDS, 5, None, 2, 4, 4, 1, 64
         ),
         "lsh_bucketed": similarity.lsh_bucketed_topk(emb, _QUERY_IDS, 5, 8),
     }
@@ -2825,7 +2860,7 @@ def q_segment_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_TAU = 0.35
 
 
-def _semantic_dedup_oracle(ncells: int, iters: int, tau: float) -> str:
+def _semantic_dedup_oracle(ncells: int | str, iters: int, tau: float) -> str:
     """SemDeDup replay: shared kmeans assignment chain (→ af), then the
     within-cell lower-id pair scan and the keep-list left join."""
     parts = _kmeans_assign_parts(ncells, iters)
@@ -2854,22 +2889,23 @@ def _semantic_dedup_oracle(ncells: int, iters: int, tau: float) -> str:
 
 @register(
     "semantic_dedup",
-    oracle=_semantic_dedup_oracle(_NCELLS, 2, _SEMDEDUP_TAU),
+    oracle=_semantic_dedup_oracle(_NCELLS_DEDUP_SQL, 2, _SEMDEDUP_TAU),
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup keep-list: kmeans cells + within-cell cosine near-dup drop.
 
     ncells=None → adaptive_ncells (cell size bounded as the corpus grows —
-    the round-7 probe fix).  At every driver sf the adaptive rule resolves
-    to exactly _NCELLS, so the fixed-ncells oracle replay is unchanged;
-    test_semdedup_adaptive_ncells_matches_gate_config pins that identity.
+    the round-7 probe fix).  The oracle derives the SAME adaptive count
+    via _NCELLS_DEDUP_SQL, so the identity holds at ANY corpus size — not
+    just the shipped sfs where the rule happens to resolve to 8
+    (test_semdedup_adaptive_ncells_matches_gate_config pins that).
     """
     return similarity.semantic_dedup(
         load_table(spark, sf_dir, "embeddings"), None, 2, _SEMDEDUP_TAU
     )
 
 
-def _semdedup_recall_oracle(ncells: int, iters: int, tau: float) -> str:
+def _semdedup_recall_oracle(ncells: int | str, iters: int, tau: float) -> str:
     """Recall replay: shared kmeans chain (→ af) + brute-force all-pairs
     truth from the long-form table, then a count ratio (found ⊆ truth
     because the cell restriction filters the same cosine criterion)."""
@@ -2899,7 +2935,7 @@ JOIN af cb ON cb.vec_id = t.pb
 
 @register(
     "semdedup_recall_report",
-    oracle=_semdedup_recall_oracle(_NCELLS, 2, _SEMDEDUP_TAU),
+    oracle=_semdedup_recall_oracle(_NCELLS_DEDUP_SQL, 2, _SEMDEDUP_TAU),
 )
 def q_semdedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured SemDeDup recall: fraction of brute-force cosine-≥τ pairs

@@ -368,3 +368,61 @@ def test_semdedup_adaptive_ncells_matches_gate_config(spark):
     # beyond the shipped sfs: cell size stays ~250 → pair space linear
     assert adaptive_ncells(20_000) == 80
     assert adaptive_ncells(1_000_000_000) == 4_000_000
+
+
+def test_search_adaptive_ncells_matches_gate_config(spark):
+    """The IVF SEARCH cell rule (ncells ∝ √n, FAISS-style — per-query scan
+    cost grows as √n instead of linearly) must resolve to the historical 8
+    at every driver sf, and scale as √n past them."""
+    from stockpulse_batch_realtime_etl_spark.operators.similarity import (
+        adaptive_ncells_search,
+    )
+    from stockpulse_batch_realtime_etl_spark.sources.tables import load_table
+
+    for sf_dir in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
+        n = load_table(spark, sf_dir, "embeddings").count()
+        assert adaptive_ncells_search(n) == 8, (sf_dir, n)
+    assert adaptive_ncells_search(20_000) == 28
+    assert adaptive_ncells_search(1_000_000_000) == 6_324
+
+
+def test_adaptive_ncells_sql_mirrors_python_rule():
+    """The oracle scalar subqueries must compute EXACTLY the Python rules
+    at any corpus size — a fixture larger than the shipped sfs (where the
+    rules no longer resolve to 8) must flip Spark and DuckDB together, not
+    turn the gate into a hash mismatch (round-7 advice)."""
+    from math import isqrt
+
+    import duckdb
+
+    from stockpulse_batch_realtime_etl_spark.operators.similarity import (
+        adaptive_ncells,
+        adaptive_ncells_search,
+    )
+    # registry first: queries_ext is designed to be pulled in AT THE END of
+    # queries_registry (circular partner); importing it directly first
+    # would re-enter the registry with a half-populated QUERIES dict
+    from stockpulse_batch_realtime_etl_spark import queries_registry  # noqa: F401
+    from stockpulse_batch_realtime_etl_spark.queries_ext import (
+        _NCELLS_DEDUP_SQL,
+        _NCELLS_SEARCH_SQL,
+    )
+
+    assert adaptive_ncells_search(20_000) == max(8, isqrt(20_000) // 5)
+    con = duckdb.connect()
+    for n in (1, 7, 64, 499, 500, 2000, 2001, 4096, 20_000, 999_983):
+        con.execute(
+            "CREATE OR REPLACE TABLE embeddings AS "
+            "SELECT * FROM range(?) t(vec_id)",
+            [n],
+        )
+        assert con.sql(f"SELECT {_NCELLS_SEARCH_SQL}").fetchone()[0] == (
+            adaptive_ncells_search(n)
+        ), n
+        assert con.sql(f"SELECT {_NCELLS_DEDUP_SQL}").fetchone()[0] == (
+            adaptive_ncells(n)
+        ), n
