@@ -108,7 +108,14 @@ def main() -> None:
     # min-of-N actually floors them — the values are deterministic, only
     # the wall time swings, and P(every rep inflated) falls geometrically
     # with N.  Keep this list to queries with a SCALE.md variance entry.
-    for name in ("semdedup_recall_report",):
+    # ann_ivfpq_topk and winnowed_fingerprints joined in r8: both bounced
+    # ±35% across r5-r7 with UNCHANGED code (ivfpq 5.50→4.61→6.12 s,
+    # winnowed 3.71→2.44→3.46 s) — the same GC/JIT noise class.
+    for name in (
+        "semdedup_recall_report",
+        "ann_ivfpq_topk",
+        "winnowed_fingerprints",
+    ):
         for _ in range(2):
             if name in best and time.perf_counter() - t_suite < budget:
                 run_once(name)

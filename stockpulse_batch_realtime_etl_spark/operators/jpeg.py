@@ -287,18 +287,49 @@ def _encode_block(
         w.write(code, length)
 
 
+def encode_scan_with_restarts(
+    component_blocks: list[list[np.ndarray]],
+    mcu_blocks: list[int],
+    restart_interval: int,
+) -> bytes:
+    """Entropy-encode interleaved MCUs with T.81 restart markers: every
+    ``restart_interval`` MCUs the bitstream byte-aligns (1-padded flush),
+    emits RSTn (n cycling 0..7), and resets every DC predictor.  Each
+    interval is therefore an independent entropy segment — encoded here
+    as separate :func:`encode_scan_blocks` calls joined by the markers,
+    which is bit-identical to an inline encoder because predictor reset +
+    byte alignment is exactly the per-call starting state."""
+    if not restart_interval:
+        return encode_scan_blocks(component_blocks, mcu_blocks)
+    n_mcus = len(component_blocks[0]) // mcu_blocks[0]
+    out = bytearray()
+    for i, start in enumerate(range(0, n_mcus, restart_interval)):
+        end = min(start + restart_interval, n_mcus)
+        chunk = [
+            blocks[start * c : end * c]
+            for blocks, c in zip(component_blocks, mcu_blocks)
+        ]
+        if i:
+            out += bytes([0xFF, 0xD0 + ((i - 1) % 8)])
+        out += encode_scan_blocks(chunk, mcu_blocks)
+    return bytes(out)
+
+
 def encode_baseline_jpeg(
     comp_coeffs: list[list[np.ndarray]],
     w: int,
     h: int,
     sampling: list[tuple[int, int]] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Assemble a complete baseline JPEG from per-component lists of
     zigzag-order quantized coefficient blocks (unit quant table).  1 list
     → grayscale, 3 lists → YCbCr.  ``sampling`` gives per-component
     (h_i, v_i) factors (default all 1×1 = 4:4:4); with subsampling each
     component's blocks must already be in MCU-interleaved order
-    (h_i·v_i consecutive blocks per MCU, raster within the MCU)."""
+    (h_i·v_i consecutive blocks per MCU, raster within the MCU).
+    ``restart_interval`` > 0 declares a DRI segment and interleaves RSTn
+    markers at that MCU cadence."""
     ncomp = len(comp_coeffs)
     samp = sampling or [(1, 1)] * ncomp
     dqt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # Pq=0, Tq=0, all 1s
@@ -319,8 +350,13 @@ def encode_baseline_jpeg(
     # file may legally declare 2×2), so its blocks are written in plain
     # raster order
     mcu_blocks = [hi * vi for hi, vi in samp] if ncomp > 1 else [1]
-    scan = encode_scan_blocks(comp_coeffs, mcu_blocks)
-    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    dri = (
+        _seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    scan = encode_scan_with_restarts(comp_coeffs, mcu_blocks, restart_interval)
+    return b"\xff\xd8" + dqt + dri + sof + dht + sos + scan + b"\xff\xd9"
 
 
 def _block_constant_coeffs(plane_vals: np.ndarray) -> list[np.ndarray]:
@@ -418,6 +454,70 @@ def encode_jpeg_420(asset_id: int) -> bytes:
     ]
     return encode_baseline_jpeg(
         comps, w, h, sampling=[(2, 2), (1, 1), (1, 1)]
+    )
+
+
+def _image_dims_422(asset_id: int) -> tuple[int, int]:
+    """Per-asset dims for the 4:2:2 corpus: MCU is 16×8, so widths up to
+    44 give 1-3 MCU columns (rarely a multiple of 16 → padded partial
+    MCUs on the x axis are the norm) and heights up to 26 give 1-4 MCU
+    rows with partial bottom blocks."""
+    return 8 + asset_id % 37, 8 + asset_id % 19
+
+
+#: RSTn cadence of the 4:2:2 corpus: 2 MCUs → most assets carry several
+#: in-scan restart markers, so the registered query exercises restart
+#: resync COMBINED with an interleaved subsampled scan on every row.
+JPEG422_RESTART_INTERVAL = 2
+
+
+def encode_jpeg_422(asset_id: int) -> bytes:
+    """Real colour baseline JPEG with 2×1-subsampled chroma (4:2:2 — the
+    broadcast/video-frame shape) AND a declared restart interval: each
+    16×8 MCU carries two Y blocks (side by side) plus one Cb and one Cr
+    block covering the same pixels, and every
+    ``JPEG422_RESTART_INTERVAL`` MCUs the scan byte-aligns through an
+    RSTn marker with all DC predictors reset.
+
+    Plane model (mirrored arithmetically by the DuckDB oracle): the Y
+    plane is constant per 8×8 block over the MCU-PADDED grid of
+    ``2·mcux`` block columns (pixel (x,y) reads block
+    ``(y//8)·2·mcux + x//8``); each chroma plane is constant per chroma
+    block = 16×8 luma pixels after 2× horizontal nearest-neighbor
+    upsampling (pixel (x,y) reads chroma block ``(y//8)·mcux + x//16``).
+    DC-only blocks + unit quant keep the round trip exact."""
+    w, h = _image_dims_422(asset_id)
+    mcux, mcuy = (w + 15) // 16, (h + 7) // 8
+    # Y: MCU-interleaved order — per MCU (raster), its 2 blocks
+    # left-to-right; values indexed over the PADDED 2·mcux-wide grid
+    y_vals = []
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for j in range(2):
+            y_vals.append(
+                block_value(asset_id, 0, my * (2 * mcux) + (mx * 2 + j))
+            )
+    comps = [
+        _block_constant_coeffs(np.array(y_vals, dtype=np.int64)),
+        _block_constant_coeffs(
+            np.array(
+                [block_value(asset_id, 1, b) for b in range(mcux * mcuy)],
+                dtype=np.int64,
+            )
+        ),
+        _block_constant_coeffs(
+            np.array(
+                [block_value(asset_id, 2, b) for b in range(mcux * mcuy)],
+                dtype=np.int64,
+            )
+        ),
+    ]
+    return encode_baseline_jpeg(
+        comps,
+        w,
+        h,
+        sampling=[(2, 1), (1, 1), (1, 1)],
+        restart_interval=JPEG422_RESTART_INTERVAL,
     )
 
 

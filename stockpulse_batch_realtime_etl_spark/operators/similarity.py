@@ -978,11 +978,21 @@ def semantic_dedup(
         F.col("dup_id").isNull().alias("is_kept"),
     )
 
+#: Default bound on the recall harness's brute-force truth side: above this
+#: many vectors, truth pairs are counted over a deterministic md5-ordered
+#: sample of exactly this size.  4000 keeps the truth scan ≤ (4000²)/2 pairs
+#: forever (the round-7 probe measured the UNbounded harness at 31.6× wall
+#: for 10× data); every shipped sf has ≤ 2000 vectors, so the cap is a
+#: no-op there and gate hashes are unchanged.
+SEMDEDUP_TRUTH_CAP = 4000
+
+
 def semdedup_recall_report(
     embeddings: DataFrame,
     ncells: int | None = 8,
     iters: int = 2,
     threshold: float = 0.9,
+    truth_cap: int | None = SEMDEDUP_TRUTH_CAP,
 ) -> DataFrame:
     """Measured recall of SemDeDup's cell-restricted duplicate-pair search
     against the brute-force all-pairs ground truth at the same cosine
@@ -1000,14 +1010,24 @@ def semdedup_recall_report(
 
     Returns ONE row: (n_truth_pairs, n_found_pairs, recall).
 
-    Scale shape: the TRUTH side is deliberately quadratic — it is the
+    Scale shape: the TRUTH side is inherently quadratic — it is the
     measurement harness, not the production path (same status as
-    ``jaccard_top_pairs``' verify join): run it at sf ≤ 1 on a sample to
-    calibrate (ncells, τ), then ship :func:`semantic_dedup` alone.  The
-    cell lookup joins the assignment table twice by vec_id and aggregates
-    once — nothing beyond the truth scan is super-linear.
-    ``ncells=None`` → :func:`adaptive_ncells`, measuring recall for the
-    production cell sizing.
+    ``jaccard_top_pairs``' verify join) — so it is BOUNDED: above
+    ``truth_cap`` vectors, both truth and found pairs are counted over the
+    ``truth_cap`` vectors with the smallest ``md5(vec_id)`` — a
+    deterministic, partitioning-independent sample (the md5-ordering
+    device every sampler in text.py uses), replayed exactly by the
+    oracle.  The estimand is unchanged: recall over a uniform-at-random
+    subset of pairs estimates recall over all pairs (clustering still
+    runs on the FULL corpus — the sample restricts only the pair
+    counting).  Every shipped sf has ≤ 2000 ≤ truth_cap vectors, so the
+    cap is a no-op at the driver gate; at 10× data the truth scan is
+    (cap²)/2 pairs instead of 31.6× the base wall (round-7 probe).
+    ``truth_cap=None`` → unbounded (the exact harness, sf ≤ 1 only).
+    The cell lookup joins the assignment table twice by vec_id and
+    aggregates once — nothing beyond the (bounded) truth scan is
+    super-linear.  ``ncells=None`` → :func:`adaptive_ncells`, measuring
+    recall for the production cell sizing.
     """
     if ncells is None:
         ncells = adaptive_ncells(embeddings.count())
@@ -1016,6 +1036,21 @@ def semdedup_recall_report(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
     cells = _assign_cells(vecs, cent).select("vec_id", "cell")
+    if truth_cap is not None:
+        # deterministic truth sample: the cap smallest md5(vec_id).  The
+        # global row_number is a single-partition sort of (vec_id, hash)
+        # rows — ids only, never embeddings — and the sample list is
+        # broadcast back; at the cap it is a ~4000-row exchange.
+        w_s = Window.orderBy("h", "vec_id")
+        sample_ids = (
+            embeddings.select(
+                "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h")
+            )
+            .withColumn("rn", F.row_number().over(w_s))
+            .filter(F.col("rn") <= truth_cap)
+            .select("vec_id")
+        )
+        vecs = vecs.join(F.broadcast(sample_ids), "vec_id")
     a, b = vecs.alias("a"), vecs.alias("b")
     truth = (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))

@@ -1489,6 +1489,75 @@ def q_multimodal_jpeg420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decoded_stats(assets)
 
 
+#: 4:2:2 rung — the broadcast/video-frame JPEG shape (2×1-subsampled
+#: chroma: two Y blocks + one Cb + one Cr per 16×8 MCU) COMBINED with a
+#: declared restart interval (DRI=2 MCUs → several RSTn markers per
+#: asset): every decode must resync the entropy reader (byte-align, eat
+#: the marker, reset DC predictors) repeatedly inside an interleaved
+#: subsampled scan — the exact combination real camera/video JPEGs use
+#: and the one the 4:4:4/4:2:0 rungs never exercise together.  Oracle
+#: replay: pixel (x,y) reads Y from the MCU-padded 2·mcux-wide block grid
+#: and chroma from the mcux-wide chroma grid (16×8 luma pixels each —
+#: horizontal-only upsampling).  Same exactness argument as the other
+#: rungs (DC-only blocks, unit quant, floor(x+0.5) both sides); a decoder
+#: that mis-handles the restart cadence desyncs Huffman decode and cannot
+#: reproduce a single downstream value.
+@register(
+    "multimodal_jpeg422_stats",
+    oracle="""
+WITH base AS (
+  SELECT doc_id AS asset_id,
+         CAST(8 + doc_id % 37 AS INT) AS w,
+         CAST(8 + doc_id % 19 AS INT) AS h
+  FROM documents
+),
+px AS (
+  SELECT asset_id, w, h, (w + 15) // 16 AS mcux, i,
+         (i // 3) % w AS x, (i // 3) // w AS y, i % 3 AS chan
+  FROM (SELECT *, unnest(generate_series(0, w * h * 3 - 1)) AS i FROM base)
+),
+ycc AS (
+  SELECT asset_id, w, h, i, chan,
+         (7 * asset_id + 13 * yb) % 256 AS yv,
+         (11 * asset_id + 5 * cbb) % 256 AS cb,
+         (3 * asset_id + 17 * cbb) % 256 AS cr
+  FROM (SELECT *,
+               (y // 8) * (2 * mcux) + (x // 8) AS yb,
+               (y // 8) * mcux + (x // 16) AS cbb
+        FROM px)
+),
+rgb AS (
+  SELECT asset_id, w, h, i,
+         CAST(CASE chan
+           WHEN 0 THEN least(255, greatest(0,
+             floor(yv + 1.402 * (cr - 128) + 0.5)))
+           WHEN 1 THEN least(255, greatest(0,
+             floor(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)))
+           ELSE least(255, greatest(0,
+             floor(yv + 1.772 * (cb - 128) + 0.5)))
+         END AS BIGINT) AS val
+  FROM ycc
+)
+SELECT asset_id, 'jpeg422' AS format, w AS width, h AS height,
+       CAST(NULL AS INT) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_values,
+       CAST(sum(val) AS BIGINT) AS value_sum,
+       CAST(min(val) AS BIGINT) AS value_min,
+       CAST(max(val) AS BIGINT) AS value_max,
+       CAST(sum(val * (i + 1)) AS BIGINT) AS weighted_sum
+FROM rgb
+GROUP BY asset_id, w, h
+""",
+)
+def q_multimodal_jpeg422_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """encode as 4:2:2 JPEG with restart markers → real subsampled decode
+    with in-scan RSTn resync → per-asset stats."""
+    assets = multimodal.encode_assets(
+        load_table(spark, sf_dir, "documents"), fmts=("jpeg422",)
+    )
+    return multimodal.decoded_stats(assets)
+
+
 # --- rolling-hash fingerprints (Manber '94 / Karp–Rabin) --------------------
 
 def _horner_sql(k: int, base: int, mod: int, s: str = "n", pos: str = "pos") -> str:
@@ -2905,14 +2974,26 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semdedup_recall_oracle(ncells: int | str, iters: int, tau: float) -> str:
-    """Recall replay: shared kmeans chain (→ af) + brute-force all-pairs
-    truth from the long-form table, then a count ratio (found ⊆ truth
+def _semdedup_recall_oracle(
+    ncells: int | str, iters: int, tau: float, truth_cap: int
+) -> str:
+    """Recall replay: shared kmeans chain (→ af) + brute-force truth from
+    the long-form table over the md5-ordered truth sample (a no-op at
+    shipped sfs, where n ≤ cap), then a count ratio (found ⊆ truth
     because the cell restriction filters the same cosine criterion)."""
     parts = _kmeans_assign_parts(ncells, iters)
+    parts.append(f"""samp AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM embeddings
+  ) WHERE rn <= {truth_cap}
+)""")
     parts.append(f"""truth AS (
   SELECT ae.vec_id AS pa, be.vec_id AS pb
   FROM e ae JOIN e be ON be.d = ae.d AND ae.vec_id < be.vec_id
+  WHERE ae.vec_id IN (SELECT vec_id FROM samp)
+    AND be.vec_id IN (SELECT vec_id FROM samp)
   GROUP BY ae.vec_id, be.vec_id
   HAVING round(sum(ae.x * be.x)
                / (sqrt(sum(ae.x * ae.x)) * sqrt(sum(be.x * be.x))), 6)
@@ -2935,12 +3016,15 @@ JOIN af cb ON cb.vec_id = t.pb
 
 @register(
     "semdedup_recall_report",
-    oracle=_semdedup_recall_oracle(_NCELLS_DEDUP_SQL, 2, _SEMDEDUP_TAU),
+    oracle=_semdedup_recall_oracle(
+        _NCELLS_DEDUP_SQL, 2, _SEMDEDUP_TAU, similarity.SEMDEDUP_TRUTH_CAP
+    ),
 )
 def q_semdedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured SemDeDup recall: fraction of brute-force cosine-≥τ pairs
     the cell-restricted search recovers (cluster-boundary misses are the
-    known approximation)."""
+    known approximation).  The truth side is bounded by the md5-ordered
+    SEMDEDUP_TRUTH_CAP sample — a no-op at every shipped sf."""
     return similarity.semdedup_recall_report(
         load_table(spark, sf_dir, "embeddings"), None, 2, _SEMDEDUP_TAU
     )

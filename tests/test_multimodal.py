@@ -592,6 +592,57 @@ def test_jpeg_420_round_trip_matches_independent_replay():
         assert np.array_equal(d["vals"], exp.astype(np.int64)), aid
 
 
+def test_jpeg_422_restart_round_trip_matches_independent_replay():
+    """4:2:2 decode (2×1 chroma subsampling, horizontal-only upsample)
+    COMBINED with in-scan restart markers (DRI=2) reproduces the synthesis
+    model exactly — verified against a per-pixel numpy replay that never
+    touches the codec.  Asset ids cover exact and partial MCU columns,
+    single-MCU images (no restart fires), and >16-MCU images (RSTn marker
+    index wraps past RST7)."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import jpeg
+
+    for aid in [0, 7, 16, 23, 24, 40, 123, 456]:
+        w, h = jpeg._image_dims_422(aid)
+        payload = jpeg.encode_jpeg_422(aid)
+        # the corpus really declares a DRI segment
+        assert b"\xff\xdd" in payload
+        mcux, mcuy = (w + 15) // 16, (h + 7) // 8
+        if mcux * mcuy > jpeg.JPEG422_RESTART_INTERVAL:
+            assert any(
+                bytes([0xFF, 0xD0 + n]) in payload for n in range(8)
+            ), aid
+        d = jpeg.decode_jpeg_bytes(payload)
+        assert (d["width"], d["height"]) == (w, h)
+        y_idx, x_idx = np.meshgrid(
+            np.arange(h), np.arange(w), indexing="ij"
+        )
+        yb = (y_idx // 8) * (2 * mcux) + (x_idx // 8)
+        cbb = (y_idx // 8) * mcux + (x_idx // 16)
+        yv = (7 * aid + 13 * yb) % 256
+        cb = (11 * aid + 5 * cbb) % 256
+        cr = (3 * aid + 17 * cbb) % 256
+        exp = np.stack(
+            [
+                np.clip(np.floor(yv + 1.402 * (cr - 128) + 0.5), 0, 255),
+                np.clip(
+                    np.floor(
+                        yv
+                        - 0.344136 * (cb - 128)
+                        - 0.714136 * (cr - 128)
+                        + 0.5
+                    ),
+                    0,
+                    255,
+                ),
+                np.clip(np.floor(yv + 1.772 * (cb - 128) + 0.5), 0, 255),
+            ],
+            axis=-1,
+        ).reshape(-1)
+        assert np.array_equal(d["vals"], exp.astype(np.int64)), aid
+
+
 def test_jpeg_sampling_scope_guard():
     """Non-dividing sampling ratios stay an honest NotImplementedError;
     4:2:2 (2x1 luma) decodes for real through the same generic path."""

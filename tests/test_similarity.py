@@ -370,6 +370,31 @@ def test_semdedup_adaptive_ncells_matches_gate_config(spark):
     assert adaptive_ncells(1_000_000_000) == 4_000_000
 
 
+def test_semdedup_recall_truth_cap_bounds_pair_space(spark):
+    """Above ``truth_cap`` vectors, the recall harness counts pairs over
+    exactly the cap smallest-md5(vec_id) vectors — C(cap,2) truth pairs on
+    an all-identical corpus — and is a no-op at or below the cap."""
+    n = 30
+    rows = [(i, [1.0, 0.0, 0.0, 0.0], 0) for i in range(n)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    capped = similarity.semdedup_recall_report(
+        emb, 4, 1, 0.9, truth_cap=10
+    ).collect()[0]
+    assert capped.n_truth_pairs == 45  # C(10, 2)
+    assert capped.n_found_pairs == 45  # identical vectors → one cell
+    assert capped.recall == 1.0
+    uncapped = similarity.semdedup_recall_report(
+        emb, 4, 1, 0.9, truth_cap=None
+    ).collect()[0]
+    assert uncapped.n_truth_pairs == n * (n - 1) // 2
+    noop = similarity.semdedup_recall_report(
+        emb, 4, 1, 0.9, truth_cap=n
+    ).collect()[0]
+    assert noop.n_truth_pairs == n * (n - 1) // 2
+
+
 def test_search_adaptive_ncells_matches_gate_config(spark):
     """The IVF SEARCH cell rule (ncells ∝ √n, FAISS-style — per-query scan
     cost grows as √n instead of linearly) must resolve to the historical 8
