@@ -3526,6 +3526,55 @@ def q_streaming_pair_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Stream-stream INTERVAL join (attribution): purchase × clicks of the
+#: same price-bucket key with click_time ∈ [purchase−10m, purchase] — a
+#: time-RANGE join condition on raw event times rather than equal tumbling
+#: windows (the state-store shape the pair-join matrix never exercises:
+#: range-derived per-side state watermarks).  Inner joins emit matches
+#: immediately, so the bounded availableNow pair set equals this batch
+#: interval join exactly.  The key is pmod(floor(price), 10): event-id
+#: derived keys are structurally useless here (ids are monotone in event
+#: time, so ids inside a 10-minute window are consecutive and a modulus
+#: either never or always collides); the price bucket is order-independent
+#: and replayed from the same JSON-parsed price on both sides.
+@register(
+    "streaming_interval_join",
+    oracle=f"""
+{RAW_CTE},
+ticks AS (
+  SELECT p_symbol AS symbol, p_price AS price, p_event_time AS event_time
+  FROM parsed
+  WHERE NOT malformed AND NOT no_symbol
+    AND p_price IS NOT NULL AND p_event_time IS NOT NULL
+),
+a AS (
+  SELECT ((CAST(floor(price) AS BIGINT) % 10) + 10) % 10 AS user_key,
+         event_time AS purchase_time, price AS purchase_price
+  FROM ticks WHERE symbol = 'PURCHASE'
+),
+b AS (
+  SELECT ((CAST(floor(price) AS BIGINT) % 10) + 10) % 10 AS k2,
+         event_time AS click_time, price AS click_price
+  FROM ticks WHERE symbol = 'CLICK'
+)
+SELECT a.user_key, a.purchase_time, a.purchase_price,
+       b.click_time, b.click_price
+FROM a JOIN b ON b.k2 = a.user_key
+  AND a.purchase_time >= b.click_time
+  AND a.purchase_time <= b.click_time + INTERVAL 10 MINUTE
+""",
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval (attribution) join end-to-end: equi-key +
+    10-minute time-range condition, both sides watermarked; the appended
+    pair set must equal the batch interval join."""
+    from stockpulse_batch_realtime_etl_spark.streaming.job import (
+        run_stream_stream_interval_join_available_now,
+    )
+
+    return run_stream_stream_interval_join_available_now(spark, sf_dir)
+
+
 # --- data profiling (Deequ-style) --------------------------------------------
 
 _PROFILE_COLS = (

@@ -1722,79 +1722,22 @@ from stockpulse_batch_realtime_etl_spark import queries_ext  # noqa: E402,F401
 #: length asserted at import time (the r4 boundary slip put 60 names ahead
 #: of a "50-entry" comment and silently dropped 10 intended rotations).
 #:
-#: ROUND-7 ROTATION (the r6 verdict's #1 directive): the 3 round-6
-#: registrations that have never touched the driver gate lead, then the 3
-#: round-7 registrations (4:2:0 JPEG + the two new outer stream-stream
-#: joins), then the 42 queries whose last driver row is r4 (the stalest
-#: set), then the two flagships: 3+3+42+2 = 50.  After this round no
-#: registered query's last driver row is older than r5.
+#: ROUND-8 ROTATION (the r7 verdict's #1 directive): the 2 round-8
+#: registrations lead (4:2:2-with-restarts JPEG rung; the stream-stream
+#: INTERVAL join — the new state-store shape), then all 48 queries whose
+#: last driver row is r5 (the stalest set).  semantic_dedup and
+#: semdedup_recall_report matter most: adaptive_ncells changed their code
+#: path in r7 and the truth-side cap + adaptive oracles changed it again
+#: this round; ann_ivfpq_topk likewise (adaptive search cells).  After
+#: this round no registered query's last driver row is older than r6.
 _GATE_HEAD: tuple[str, ...] = (
-    # --- 3 round-6 registrations, never driver-gated (local parity only);
-    #     streaming_pair_join_outer matters most: watermark-expired null
-    #     emission is the class where the independent oracle earns its keep
-    "bpe_learned_merges",
-    "streaming_pair_join_outer",
-    "bpe_compression_stats",
-    # --- NEW this round: 4:2:0 JPEG rung + right/full outer stream-stream
-    "multimodal_jpeg420_stats",
-    "streaming_pair_join_right",
-    "streaming_pair_join_full",
-    # --- the 42 queries whose last driver row is r4, r4 window order
-    "multimodal_decoded_stats",
-    "multimodal_resized_stats",
-    "ann_recall_report",
-    "streaming_metrics_summary",
-    "boilerplate_segments",
-    "segment_dedup_stats",
-    "chunked_windows",
-    "source_kl_divergence",
-    "user_sessions",
-    "winnowed_fingerprints",
-    "temperature_mixture_sample",
-    "dup_groups",
-    "packed_sequences",
-    "tick_summary",
-    "bar_summary",
-    "mover_window_ticks",
-    "movers",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "top_customers_by_revenue",
-    "brand_revenue",
-    "order_priority_counts",
-    "revenue_rollup",
-    "customers_without_orders",
-    "ann_brute_force_topk",
-    "ann_brute_force_topk_np",
-    "ann_lsh_bucketed_topk",
-    "ann_ivf_topk",
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_multiprobe_topk",
-    "embedding_near_dup_pairs",
-    "text_stats",
-    "token_counts",
-    "bpe_token_counts",
-    "language_id",
-    "lang_vocab",
-    "tfidf_top_terms",
-    "doc_fingerprints",
-    "exact_dedup",
-    "simhash_fingerprints",
-    # --- flagship continuity: entry()'s query + the streaming headliner
-    "ohlcv_bars",
-    "streaming_ohlcv_bars",
-)
-
-#: Names queued BEHIND the window, in r8 rotation priority: the 48 queries
-#: whose last driver row is r5 — the stalest set once this rotation lands
-#: (every r4-row query is inside the r7 window above; no registration has
-#: ever been left ungated after r7).  Every name not listed at all follows
-#: in registration order.  All registered queries are still verified every
-#: round by the local all-queries parity suite (tests/test_oracle_parity)
-#: and by tools/check_parity.py at sf0.01.
-_GATE_NEXT: tuple[str, ...] = (
+    # --- NEW this round: 4:2:2+DRI JPEG decode; interval (attribution) join
+    "multimodal_jpeg422_stats",
+    "streaming_interval_join",
+    # --- the 48 queries whose last driver row is r5, r8-priority order:
+    #     behavior-adjacent code changes first, then the r5 window order
+    "semantic_dedup",
+    "semdedup_recall_report",
     "ann_ivfpq_topk",
     "ann_pq_adc_topk",
     "bm25_scores",
@@ -1828,8 +1771,6 @@ _GATE_NEXT: tuple[str, ...] = (
     "quality_length_filter",
     "quality_score",
     "rolling_stats",
-    "semantic_dedup",
-    "semdedup_recall_report",
     "session_bars",
     "simulated_ticks",
     "sliding_bars",
@@ -1843,6 +1784,64 @@ _GATE_NEXT: tuple[str, ...] = (
     "top_bars_per_day",
     "version_info",
     "vwap_bars",
+)
+
+#: Names queued BEHIND the window, in r9 rotation priority: the 48 queries
+#: whose last driver row is r6 — the stalest set once this rotation lands
+#: (every r5-row query is inside the r8 window above; the two flagships
+#: were re-gated in r7 and stay out of the queue head).  Every name not
+#: listed at all follows in registration order.  All registered queries
+#: are still verified every round by the local all-queries parity suite
+#: (tests/test_oracle_parity) and by tools/check_parity.py at sf0.01.
+_GATE_NEXT: tuple[str, ...] = (
+    "events_profile",
+    "missing_minutes",
+    "bollinger_bands",
+    "funnel_counts",
+    "cohort_retention",
+    "kmeans_cell_report",
+    "ticks_asof_next_bar",
+    "return_outliers",
+    "video_frame_stats",
+    "audio_decimated_stats",
+    "revenue_cube",
+    "q13_order_counts",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "rsi_ticks",
+    "donchian_breakouts",
+    "obv_ticks",
+    "max_drawdown",
+    "symbol_beta",
+    "event_transitions",
+    "rfm_segments",
+    "minhash_jaccard_estimate",
+    "label_centroid_similarity",
+    "hapax_stats",
+    "streaming_pair_join",
+    "q7_nation_volume",
+    "q22_sales_opportunity",
+    "weekday_hour_profile",
+    "multimodal_jpeg_stats",
+    "lsh_candidate_pairs",
+    "simhash_near_dups",
+    "bigram_counts",
+    "bigram_lm_scores",
+    "repetition_stats",
+    "contamination_overlap",
+    "rolling_fingerprints",
+    "fingerprint_match_pairs",
+    "symbols",
+    "latest_ticks",
+    "latest_tick_per_symbol",
+    "ticks_asof_bars",
+    "streaming_dedup_ticks",
+    "price_deciles",
+    "symbol_correlations",
+    "stats_summary",
+    "json_decode_ticks",
+    "dlq_failed_events",
+    "kafka_roundtrip_ticks",
 )
 
 assert len(_GATE_HEAD) == 50, (

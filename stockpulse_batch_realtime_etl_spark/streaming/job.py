@@ -928,3 +928,104 @@ def run_stream_stream_join_available_now(
         F.timestamp_micros(F.col("click_us")).alias("click_time"),
         "click_price",
     )
+
+
+def run_stream_stream_interval_join_available_now(
+    spark: SparkSession,
+    sf_dir: str,
+    base_dir: str | None = None,
+    left_symbol: str = "PURCHASE",
+    right_symbol: str = "CLICK",
+    attribution_minutes: int = 10,
+    key_buckets: int = 10,
+) -> DataFrame:
+    """STREAM-STREAM INTERVAL join end-to-end — the attribution-join class
+    (the one shape ``run_stream_stream_join_available_now`` cannot express):
+    each purchase joins the clicks of the SAME key whose click time falls
+    in ``[purchase_time − attribution_minutes, purchase_time]`` — a
+    time-RANGE condition on the raw event times, not equal tumbling
+    windows.  This is the canonical Structured Streaming ad-attribution
+    pattern (equi-key + interval bounds), and it exercises the state-store
+    shape window-equality joins never touch: each side's state is evicted
+    by a RANGE-derived per-side watermark (click state must outlive its
+    click by the full attribution horizon; purchase state only by the
+    late-data allowance).
+
+    The join key is a price-derived bucket (``pmod(floor(price), 10)``) —
+    the tick model has no user id, and any ``event_id``-derived key is
+    structurally useless here because event ids are monotone in event time
+    (two ticks inside a 10-minute window always have nearby ids, so any
+    modulus either never collides or collides for everything); the price
+    bucket is independent of arrival order, deterministic, and replayed
+    identically by the oracle from the same JSON-parsed price.
+
+    Inner joins emit matches immediately (watermarks only GC state), so a
+    bounded availableNow run appends the complete pair set — equal to the
+    batch interval join the oracle runs, independent of batch boundaries.
+
+    At 100 TB: both sides shuffle on the equi-key bucket; per-key state is
+    bounded by (attribution horizon + watermark delay) × per-key arrival
+    rate — the attribution window is the capacity knob, exactly how
+    production click-attribution pipelines are sized.
+    """
+    with _bounded_run_env(spark, sf_dir, base_dir, "ssjoin_iv") as (
+        raw_dir,
+        out_dir,
+        ckpt,
+    ):
+        ticks, _failed = tick_stream_from_raw(raw_json_stream(spark, raw_dir))
+        key = F.pmod(F.floor("price").cast("long"), key_buckets)
+        left = (
+            ticks.filter(F.col("symbol") == left_symbol)
+            .withWatermark("event_time", "2 minutes")
+            .select(
+                key.alias("user_key"),
+                F.col("event_time").alias("purchase_time"),
+                F.col("price").alias("purchase_price"),
+            )
+        )
+        right = (
+            ticks.filter(F.col("symbol") == right_symbol)
+            .withWatermark("event_time", "2 minutes")
+            .select(
+                key.alias("user_key2"),
+                F.col("event_time").alias("click_time"),
+                F.col("price").alias("click_price"),
+            )
+        )
+        joined = left.join(
+            right,
+            (F.col("user_key") == F.col("user_key2"))
+            & (F.col("purchase_time") >= F.col("click_time"))
+            & (
+                F.col("purchase_time")
+                <= F.col("click_time")
+                + F.expr(f"INTERVAL {attribution_minutes} MINUTES")
+            ),
+            "inner",
+        ).select(
+            "user_key",
+            F.unix_micros("purchase_time").alias("purchase_us"),
+            "purchase_price",
+            F.unix_micros("click_time").alias("click_us"),
+            "click_price",
+        )
+
+        def _append(batch_df: DataFrame, _epoch: int) -> None:
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            joined.writeStream.outputMode("append")
+            .foreachBatch(_append)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "user_key",
+        F.timestamp_micros(F.col("purchase_us")).alias("purchase_time"),
+        "purchase_price",
+        F.timestamp_micros(F.col("click_us")).alias("click_time"),
+        "click_price",
+    )
