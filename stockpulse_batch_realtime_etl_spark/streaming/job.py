@@ -302,6 +302,62 @@ def _publish_atomic(dest: str, write_fn) -> None:
             shutil.rmtree(tomb, ignore_errors=True)
 
 
+def _ensure_daily_corpus(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the Kafka-shaped JSON corpus ONE TEXT FILE PER EVENT DAY
+    (repartition("day") + partitionBy("day")) and pin file-discovery order
+    to event-time order with strictly increasing per-day mtimes (the file
+    stream source orders by modification time) — so a bounded run reading
+    it with ``maxFilesPerTrigger=k`` replays history as day-granular
+    micro-batches with ADVANCING watermarks.  That is what lets stateful
+    operators garbage-collect mid-run exactly as in production: a single
+    availableNow mega-batch never moves the watermark, so stream-stream
+    join state holds BOTH ENTIRE SIDES and every probe scans its whole
+    key bucket (the round-8 probe measured the interval join at 38× wall
+    for 10× data that way; day-batched it is linear).  Shared by the
+    metrics probe (which needs batches ≡ days for its oracle) and the
+    interval join (which needs the watermark to advance).  Built once per
+    (fixture fingerprint) via the same _publish_atomic scheme as
+    _ensure_corpus; the mtime pinning is idempotent and re-applied per
+    call (rename preserves mtimes, but a publisher race loser's clock
+    must not leak in)."""
+    import tempfile
+
+    from stockpulse_batch_realtime_etl_spark.sources.tables import load_table
+    from stockpulse_batch_realtime_etl_spark.sources.ticks import (
+        raw_json_corpus,
+    )
+
+    tag = _corpus_tag(sf_dir, extra_key="daily")
+    dest = os.path.join(
+        tempfile.gettempdir(), f"stockpulse_corpus_daily_{tag}"
+    )
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        def _write(d: str) -> None:
+            ev = load_table(spark, sf_dir, "events").select(
+                F.col("event_id").alias("offset"),
+                F.to_date("ts").alias("day"),
+            )
+            (
+                raw_json_corpus(spark, sf_dir)
+                .join(ev, "offset")
+                .repartition("day")
+                .select("value", "day")
+                .write.partitionBy("day")
+                .mode("overwrite")
+                .text(d)
+            )
+
+        _publish_atomic(dest, _write)
+    base_ts = 1_000_000_000
+    for i, day in enumerate(
+        sorted(x for x in os.listdir(dest) if x.startswith("day="))
+    ):
+        ddir = os.path.join(dest, day)
+        for f in os.listdir(ddir):
+            os.utime(os.path.join(ddir, f), (base_ts + i, base_ts + i))
+    return dest
+
+
 @contextlib.contextmanager
 def _bounded_run_env(
     spark: SparkSession,
@@ -612,35 +668,14 @@ def run_metrics_probe(
     main.py:47-67) does not depend on the transformation, and the cheapest
     pipeline keeps the 30-batch bounded run fast at any sf.
     """
-    import hashlib
     import shutil
     import tempfile
     import time as _time
 
-    from stockpulse_batch_realtime_etl_spark.sources.tables import load_table
-    from stockpulse_batch_realtime_etl_spark.sources.ticks import (
-        raw_json_corpus,
-    )
     from stockpulse_batch_realtime_etl_spark.streaming import metrics
 
+    corpus_dir = _ensure_daily_corpus(spark, sf_dir)
     tag = _corpus_tag(sf_dir, extra_key="metrics")
-    corpus_dir = os.path.join(
-        tempfile.gettempdir(), f"stockpulse_corpus_daily_{tag}"
-    )
-    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
-        ev = load_table(spark, sf_dir, "events").select(
-            F.col("event_id").alias("offset"), F.to_date("ts").alias("day")
-        )
-        (
-            raw_json_corpus(spark, sf_dir)
-            .join(ev, "offset")
-            .repartition("day")
-            .select("value", "day")
-            .write.partitionBy("day")
-            .mode("overwrite")
-            .text(corpus_dir)
-        )
-
     if base_dir is None:
         base_dir = os.path.join(tempfile.gettempdir(), f"stockpulse_metrics_{tag}")
     shutil.rmtree(base_dir, ignore_errors=True)
@@ -938,6 +973,7 @@ def run_stream_stream_interval_join_available_now(
     right_symbol: str = "CLICK",
     attribution_minutes: int = 10,
     key_buckets: int = 10,
+    files_per_trigger: int = 7,
 ) -> DataFrame:
     """STREAM-STREAM INTERVAL join end-to-end — the attribution-join class
     (the one shape ``run_stream_stream_join_available_now`` cannot express):
@@ -963,17 +999,37 @@ def run_stream_stream_interval_join_available_now(
     bounded availableNow run appends the complete pair set — equal to the
     batch interval join the oracle runs, independent of batch boundaries.
 
+    Batching: the corpus replays from the DAY-PARTITIONED corpus
+    (``_ensure_daily_corpus``) in event-time order, ``files_per_trigger``
+    day-files per micro-batch, so the watermark ADVANCES between batches
+    and join state is garbage-collected mid-run.  A single availableNow
+    mega-batch never moves the watermark — both entire sides sit in the
+    state store and every probe scans its whole key bucket, which the
+    round-8 scaling probe measured at 38× wall for 10× data (quadratic
+    per key); chunked replay is linear in replayed history, the honest
+    backfill cost.  ``files_per_trigger`` only sizes the replay chunk
+    (state ≤ chunk + horizon per key) — the emitted rows are identical at
+    any setting; 7 (a week per batch) amortizes micro-batch barrier
+    overhead at bench sfs while keeping per-key state ~30× smaller than
+    the mega-batch.  Late-drop safety: batches are whole days in order,
+    so no row can arrive behind a watermark derived from a LATER day.
+
     At 100 TB: both sides shuffle on the equi-key bucket; per-key state is
-    bounded by (attribution horizon + watermark delay) × per-key arrival
-    rate — the attribution window is the capacity knob, exactly how
-    production click-attribution pipelines are sized.
+    bounded by (attribution horizon + watermark delay + replay chunk) ×
+    per-key arrival rate — the attribution window is the capacity knob,
+    exactly how production click-attribution pipelines are sized.
     """
+    daily_dir = _ensure_daily_corpus(spark, sf_dir)
     with _bounded_run_env(spark, sf_dir, base_dir, "ssjoin_iv") as (
-        raw_dir,
+        _raw_dir,
         out_dir,
         ckpt,
     ):
-        ticks, _failed = tick_stream_from_raw(raw_json_stream(spark, raw_dir))
+        ticks, _failed = tick_stream_from_raw(
+            raw_json_stream(
+                spark, daily_dir, max_files_per_trigger=files_per_trigger
+            ).select("value")
+        )
         key = F.pmod(F.floor("price").cast("long"), key_buckets)
         left = (
             ticks.filter(F.col("symbol") == left_symbol)

@@ -201,7 +201,64 @@ def _time(queries, name: str, spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def bpe_sweep(spark, n_merges: int, variants=(0, 16, 64)) -> None:
+    """Measure bpe_learn_merges at TOKENIZER scale (n_merges ≥ 256, vs the
+    registered query's 8) across checkpoint_every settings — validating
+    where the lazy-replay trade documented in text.py actually flips:
+    checkpoint_every=0 keeps the fold chain lazy (O(rounds²·|V|) replay,
+    fewer job barriers — measured faster at n=8), k>0 cuts it every k
+    rounds (O(rounds·k·|V|)).  Learned merges must be IDENTICAL across
+    variants (checkpointing only materializes)."""
+    from stockpulse_batch_realtime_etl_spark.operators.text import (
+        bpe_learn_merges,
+    )
+
+    docs = load_table(spark, SF01, "documents")
+    results = {}
+    baseline = None
+    for ck in variants:
+        t0 = time.perf_counter()
+        rows = bpe_learn_merges(docs, n_merges, ck).collect()
+        dt = time.perf_counter() - t0
+        merges = [tuple(r) for r in rows]
+        if baseline is None:
+            baseline = merges
+        else:
+            assert merges == baseline, (
+                f"checkpoint_every={ck} changed the learned merges"
+            )
+        results[f"ck{ck}"] = round(dt, 3)
+        print(
+            json.dumps(
+                {
+                    "bpe_n_merges": n_merges,
+                    "checkpoint_every": ck,
+                    "sec": round(dt, 3),
+                    "n_learned": len(rows),
+                },
+                separators=(",", ":"),
+            ),
+            flush=True,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "bpe_checkpoint_sweep",
+                "n_merges": n_merges,
+                "sec": results,
+                "loadavg_end": round(os.getloadavg()[0], 2),
+            },
+            separators=(",", ":"),
+        )
+    )
+
+
 def main() -> None:
+    if sys.argv[1:2] == ["--bpe-sweep"]:
+        spark = get_spark(app_name="stockpulse-scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        bpe_sweep(spark, int(sys.argv[2]) if len(sys.argv) > 2 else 256)
+        return
     names = sys.argv[1:] or DEFAULT_QUERIES
     spark = get_spark(app_name="stockpulse-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
