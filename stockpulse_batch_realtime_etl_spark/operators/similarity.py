@@ -1029,18 +1029,22 @@ def semdedup_recall_report(
     super-linear.  ``ncells=None`` → :func:`adaptive_ncells`, measuring
     recall for the production cell sizing.
     """
+    n = embeddings.count() if ncells is None or truth_cap is not None else 0
     if ncells is None:
-        ncells = adaptive_ncells(embeddings.count())
+        ncells = adaptive_ncells(n)
     cent = kmeans_centroids(embeddings, ncells, iters)
     vecs = fan_out(embeddings).select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
     cells = _assign_cells(vecs, cent).select("vec_id", "cell")
-    if truth_cap is not None:
+    if truth_cap is not None and n > truth_cap:
         # deterministic truth sample: the cap smallest md5(vec_id).  The
         # global row_number is a single-partition sort of (vec_id, hash)
         # rows — ids only, never embeddings — and the sample list is
-        # broadcast back; at the cap it is a ~4000-row exchange.
+        # broadcast back; at the cap it is a ~4000-row exchange.  Skipped
+        # entirely when n ≤ cap (a "select everything" sample would add
+        # two stages to both self-join sides for an identity filter —
+        # the plan at shipped sfs stays exactly the r7 one).
         w_s = Window.orderBy("h", "vec_id")
         sample_ids = (
             embeddings.select(
