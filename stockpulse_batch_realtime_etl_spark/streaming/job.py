@@ -973,7 +973,7 @@ def run_stream_stream_interval_join_available_now(
     right_symbol: str = "CLICK",
     attribution_minutes: int = 10,
     key_buckets: int = 10,
-    files_per_trigger: int = 7,
+    files_per_trigger: int = 15,
 ) -> DataFrame:
     """STREAM-STREAM INTERVAL join end-to-end — the attribution-join class
     (the one shape ``run_stream_stream_join_available_now`` cannot express):
@@ -1009,9 +1009,10 @@ def run_stream_stream_interval_join_available_now(
     per key); chunked replay is linear in replayed history, the honest
     backfill cost.  ``files_per_trigger`` only sizes the replay chunk
     (state ≤ chunk + horizon per key) — the emitted rows are identical at
-    any setting; 7 (a week per batch) amortizes micro-batch barrier
-    overhead at bench sfs while keeping per-key state ~30× smaller than
-    the mega-batch.  Late-drop safety: batches are whole days in order,
+    any setting; 15 (a half-month per batch) amortizes micro-batch
+    barrier overhead at bench sfs (measured: 7.0 s at 7 files, 4.6 s at
+    15 at sf0.1, identical rows) while keeping per-key state bounded at
+    chunk+horizon instead of the whole history.  Late-drop safety: batches are whole days in order,
     so no row can arrive behind a watermark derived from a LATER day.
 
     At 100 TB: both sides shuffle on the equi-key bucket; per-key state is
