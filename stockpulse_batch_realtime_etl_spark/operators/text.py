@@ -557,19 +557,28 @@ def winnowed_fingerprints(
         "fp",
         F.explode(F.sequence(lo, hi)).alias("win_end"),
     )
-    # composite order: fp asc, then pos DESC (rightmost) — fixed-width
-    # digit strings compare identically on every engine.  Widths are
-    # DERIVED, not hard-coded: Spark's lpad silently truncates strings
-    # longer than the target width, so a fixed width-7 key would corrupt
-    # the rightmost-min selection for mod > 10**7 or positions > 10**7.
-    # fp < mod always, and pos is a positive int32 (< 10**10), so these
-    # widths are exact for every legal parameterization.
-    fp_w = len(str(mod - 1))
-    pos_max = 9_999_999_999  # > 2**31: any int32 pos stays non-negative
-    ordkey = F.concat(
-        F.lpad(F.col("fp").cast("string"), fp_w, "0"),
-        F.lpad((F.lit(pos_max) - F.col("pos")).cast("string"), 10, "0"),
-    )
+    # composite order: fp asc, then pos DESC (rightmost).  Packed into ONE
+    # LONG — fp·2³² + (2³²−1−pos) — strictly monotone in (fp asc, pos
+    # desc), so the argmin is IDENTICAL to an (fp, −pos) lexicographic
+    # key.  Numeric, not a fixed-width digit string: the string key
+    # allocated ~17 chars per EXPLODED row (w× the gram count — ~0.5G
+    # transient strings at the 10× probe), and that GC churn was the
+    # measured source of this query's multi-second run variance
+    # (SCALE.md).  Exact while fp < 2³⁰ and pos < 2³¹ (fp < mod, pos is a
+    # positive int32); larger mods fall back to the overflow-free string
+    # key with DERIVED widths (Spark's lpad silently truncates, so a
+    # hard-coded width would corrupt the selection for mod > 10**7).
+    if mod <= (1 << 30):
+        ordkey = F.col("fp") * F.lit(1 << 32) + (
+            F.lit((1 << 32) - 1) - F.col("pos")
+        )
+    else:
+        fp_w = len(str(mod - 1))
+        pos_max = 9_999_999_999  # > 2**31: any int32 pos stays non-negative
+        ordkey = F.concat(
+            F.lpad(F.col("fp").cast("string"), fp_w, "0"),
+            F.lpad((F.lit(pos_max) - F.col("pos")).cast("string"), 10, "0"),
+        )
     sel = (
         ends.withColumn("ordkey", ordkey)
         .groupBy("doc_id", "win_end")
