@@ -410,6 +410,61 @@ def test_jpeg_coefficient_layer_lossless():
             np.testing.assert_array_equal(out[ci][b], comps[ci][b])
 
 
+def test_jpeg_coefficient_layer_lossless_with_restarts_and_subsampling():
+    """The entropy layer stays bit-lossless on ARBITRARY coefficients when
+    restart markers AND multi-block-MCU interleave are both in play — the
+    combination the 4:2:2 corpus uses, here with full AC content (the
+    DC-only corpus can't reach run/ZRL/EOB codes): every restart interval
+    byte-aligns, emits RSTn, resets all DC predictors, and the decoder
+    resyncs at the same cadence."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import jpeg
+
+    rng = np.random.RandomState(7)
+    mcu_blocks = [2, 1, 1]  # 4:2:2 shape
+    n_mcus = 9  # with interval 2 → 4 RSTn markers, last interval short
+    comps = []
+    for ci, per_mcu in enumerate(mcu_blocks):
+        blocks = []
+        for _b in range(n_mcus * per_mcu):
+            zz = np.zeros(64, dtype=np.int64)
+            for pos in rng.choice(64, size=rng.randint(1, 10), replace=False):
+                zz[pos] = int(rng.randint(-300, 300))
+            blocks.append(zz)
+        comps.append(blocks)
+    interval = 2
+    data = jpeg.encode_scan_with_restarts(comps, mcu_blocks, interval)
+    assert sum(
+        data.count(bytes([0xFF, 0xD0 + n])) for n in range(8)
+    ) >= 4
+    dc = {
+        (ln, code): sym
+        for sym, (code, ln) in jpeg._canonical_codes(
+            jpeg._DC_BITS, jpeg._DC_VALS
+        ).items()
+    }
+    ac = {
+        (ln, code): sym
+        for sym, (code, ln) in jpeg._canonical_codes(
+            jpeg._AC_BITS, jpeg._AC_VALS
+        ).items()
+    }
+    out = jpeg.decode_scan(
+        data + b"\xff\xd9",
+        0,
+        n_mcus,
+        3,
+        [dc] * 3,
+        [ac] * 3,
+        restart_interval=interval,
+        mcu_blocks=mcu_blocks,
+    )
+    for ci in range(3):
+        for b in range(len(comps[ci])):
+            np.testing.assert_array_equal(out[ci][b], comps[ci][b])
+
+
 def test_jpeg_grayscale_and_unsupported_variants():
     import numpy as np
 
