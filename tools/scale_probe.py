@@ -53,7 +53,9 @@ from stockpulse_batch_realtime_etl_spark.session import get_spark
 from stockpulse_batch_realtime_etl_spark.sources.tables import load_table
 
 SF01 = "/root/testdata/sf0.1"
-REPLICAS = 10
+#: replication factor — override with SCALE_PROBE_REPLICAS=100 for the
+#: second rung (the 100× build is ~10× the 10× build; same key-shifting)
+REPLICAS = int(os.environ.get("SCALE_PROBE_REPLICAS", "10"))
 #: multiple of lcm(7, 11, 3, 15000) — keeps event_id residue classes intact
 EVENT_ID_STRIDE = 1_155_000
 
@@ -90,9 +92,16 @@ def _fixture_tag(base_dir: str) -> str:
     return hashlib.md5(":".join(parts).encode()).hexdigest()[:8]
 
 
+#: replication-scheme version: bump when the replica transforms change so a
+#: cached probe dir built by older code is never silently reused
+_PROBE_GEN = 2
+
+
 def build_probe_dir(spark, base_dir: str = SF01) -> str:
     dest = os.path.join(
-        "/tmp", f"stockpulse_sfprobe_x{REPLICAS}_{_fixture_tag(base_dir)}"
+        "/tmp",
+        f"stockpulse_sfprobe_x{REPLICAS}"
+        f"_g{_PROBE_GEN}_{_fixture_tag(base_dir)}",
     )
     marker = os.path.join(dest, "_PROBE_READY")
     if os.path.exists(marker):
@@ -104,7 +113,8 @@ def build_probe_dir(spark, base_dir: str = SF01) -> str:
     d_stride = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     parts = []
     for k in range(REPLICAS):
-        letter = chr(ord("a") + k)
+        # base-26 suffix so replica counts past 26 stay distinct words
+        letter = chr(ord("a") + k // 26) + chr(ord("a") + k % 26)
         txt = (
             F.col("text")
             if k == 0
@@ -135,6 +145,12 @@ def build_probe_dir(spark, base_dir: str = SF01) -> str:
                 F.slice("embedding", 1, shift),
             )
         )
+        if (k // dim) % 2 == 1:
+            # rotation alone cycles at k=dim (replica dim would equal
+            # replica 0 exactly → fake cosine-1 duplicates); negating on
+            # each wrap doubles the distinct-transform budget (cos = −1
+            # against the unnegated twin)
+            e = F.transform(e, lambda x: -x)
         parts.append(
             emb.select(
                 (F.col("vec_id") + F.lit(k * v_stride)).alias("vec_id"),
