@@ -59,18 +59,19 @@ REPLICAS = int(os.environ.get("SCALE_PROBE_REPLICAS", "10"))
 #: multiple of lcm(7, 11, 3, 15000) — keeps event_id residue classes intact
 EVENT_ID_STRIDE = 1_155_000
 
-#: BENCH_r06's 10 slowest — the queries whose scaling exponent matters most
+#: round-8 bench's 10 slowest — the queries whose scaling exponent matters
+#: most (streaming_interval_join joined the set this round)
 DEFAULT_QUERIES = [
-    "ann_recall_report",
     "streaming_metrics_summary",
-    "semdedup_recall_report",
+    "streaming_interval_join",
+    "ann_recall_report",
     "semantic_dedup",
     "ann_ivfpq_topk",
-    "streaming_pair_join",
-    "streaming_pair_join_outer",
-    "dedup_survivors",
-    "jaccard_top_pairs",
     "dup_groups_star",
+    "dup_groups",
+    "dedup_survivors",
+    "semdedup_recall_report",
+    "jaccard_top_pairs",
 ]
 
 
