@@ -111,10 +111,14 @@ def main() -> None:
     # ann_ivfpq_topk and winnowed_fingerprints joined in r8: both bounced
     # ±35% across r5-r7 with UNCHANGED code (ivfpq 5.50→4.61→6.12 s,
     # winnowed 3.71→2.44→3.46 s) — the same GC/JIT noise class.
+    # streaming_metrics_summary joined in r8: its wall is 30 sequential
+    # micro-batches, so scheduler jitter compounds (5.2→7.8 s across
+    # rounds with unchanged code).
     for name in (
         "semdedup_recall_report",
         "ann_ivfpq_topk",
         "winnowed_fingerprints",
+        "streaming_metrics_summary",
     ):
         for _ in range(2):
             if name in best and time.perf_counter() - t_suite < budget:
