@@ -452,6 +452,148 @@ def test_publish_atomic_evicts_markerless_partial_dest(tmp_path):
     assert not [p for p in os.listdir(tmp_path) if ".tmp." in p]
 
 
+def _make_dest(path, content, success):
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "part-0"), "w") as f:
+        f.write(content)
+    if success:
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+
+
+def _complete_writer(content):
+    def write(d):
+        _make_dest(d, content, success=True)
+
+    return write
+
+
+def _interleave_rename(monkeypatch, trigger_dst_suffix, interference):
+    """Patch os.rename so that the FIRST call whose destination ends with
+    ``trigger_dst_suffix`` runs ``interference()`` before delegating — a
+    deterministic replay of 'another process acts at exactly the TOCTOU
+    window' without real thread timing."""
+    import os
+
+    real = os.rename
+    fired = {"done": False}
+
+    def wrapper(src, dst):
+        if not fired["done"] and str(dst).endswith(trigger_dst_suffix):
+            fired["done"] = True
+            interference()
+        return real(src, dst)
+
+    monkeypatch.setattr(os, "rename", wrapper)
+
+
+def test_publish_atomic_concurrent_good_publish_is_never_deleted_in_place(
+    tmp_path, monkeypatch
+):
+    """The round-7 ADVICE race: dest is marker-less at the check, but a
+    concurrent publisher lands a GOOD copy before our eviction.  The
+    tombstone design moves that copy aside (readers mid-read keep their
+    open files; nothing is rmtree'd in place) and our own complete copy
+    wins the retry — end state is exactly one complete dest and no stale
+    side dirs."""
+    import os
+
+    from stockpulse_batch_realtime_etl_spark.streaming.job import (
+        _publish_atomic,
+    )
+
+    dest = str(tmp_path / "corpus")
+    _make_dest(dest, "crashed-partial", success=False)
+
+    def other_process_publishes_good_copy():
+        # between our marker check and our eviction rename
+        import shutil
+
+        shutil.rmtree(dest)
+        _make_dest(dest, "winner-b", success=True)
+
+    _interleave_rename(
+        monkeypatch, f".stale.{os.getpid()}", other_process_publishes_good_copy
+    )
+    _publish_atomic(dest, _complete_writer("ours"))
+    assert os.path.exists(os.path.join(dest, "_SUCCESS"))
+    assert open(os.path.join(dest, "part-0")).read() in ("ours", "winner-b")
+    leftovers = [p for p in os.listdir(tmp_path) if p != "corpus"]
+    assert not leftovers, f"stale side dirs survived: {leftovers}"
+
+
+def test_publish_atomic_lost_retry_race_to_complete_copy_discards_quietly(
+    tmp_path, monkeypatch
+):
+    """Both the first rename AND the retry lose: another process evicts the
+    stale dest (our tombstone rename gets OSError) and publishes a complete
+    copy before our retry.  We must keep the winner, discard our tmp, and
+    raise nothing."""
+    import os
+    import shutil
+
+    from stockpulse_batch_realtime_etl_spark.streaming.job import (
+        _publish_atomic,
+    )
+
+    dest = str(tmp_path / "corpus")
+    _make_dest(dest, "crashed-partial", success=False)
+    real_rename = os.rename
+    state = {"phase": 0}
+
+    def wrapper(src, dst):
+        if str(dst).endswith(f".stale.{os.getpid()}") and state["phase"] == 0:
+            # other process already evicted AND republished complete: our
+            # tombstone rename sees no dest → OSError
+            state["phase"] = 1
+            shutil.rmtree(dest)
+            _make_dest(dest, "winner-b", success=True)
+            raise OSError("dest vanished under us")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", wrapper)
+    _publish_atomic(dest, _complete_writer("ours"))  # must not raise
+    assert open(os.path.join(dest, "part-0")).read() == "winner-b"
+    assert os.path.exists(os.path.join(dest, "_SUCCESS"))
+    leftovers = [p for p in os.listdir(tmp_path) if p != "corpus"]
+    assert not leftovers, f"stale side dirs survived: {leftovers}"
+
+
+def test_publish_atomic_double_markerless_loser_surfaces_loudly(
+    tmp_path, monkeypatch
+):
+    """If the retry ALSO loses to a copy that is still marker-less (two
+    crashed publishers back-to-back), no retry count fixes it — the
+    OSError must propagate instead of silently leaving a corrupt dest
+    to be reused forever."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from stockpulse_batch_realtime_etl_spark.streaming.job import (
+        _publish_atomic,
+    )
+
+    dest = str(tmp_path / "corpus")
+    _make_dest(dest, "crashed-partial", success=False)
+    real_rename = os.rename
+    state = {"phase": 0}
+
+    def wrapper(src, dst):
+        if str(dst).endswith(f".stale.{os.getpid()}") and state["phase"] == 0:
+            state["phase"] = 1
+            shutil.rmtree(dest)
+            _make_dest(dest, "another-partial", success=False)
+            raise OSError("dest vanished under us")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", wrapper)
+    with _pytest.raises(OSError):
+        _publish_atomic(dest, _complete_writer("ours"))
+
+
 def test_stream_stream_full_outer_join_both_side_null_emission(spark):
     """FULL OUTER stream-stream join: matches equal the inner join, and
     BOTH sides' unmatched rows in watermark-expired windows emit exactly
