@@ -1786,14 +1786,29 @@ _GATE_HEAD: tuple[str, ...] = (
     "vwap_bars",
 )
 
-#: Names queued BEHIND the window, in r9 rotation priority: the 48 queries
-#: whose last driver row is r6 — the stalest set once this rotation lands
-#: (every r5-row query is inside the r8 window above; the two flagships
-#: were re-gated in r7 and stay out of the queue head).  Every name not
+#: Names queued BEHIND the window, in r9 rotation priority.  HEAD OF THE
+#: QUEUE: the six queries whose code paths changed in r8 but could not fit
+#: the r8 window (all 50 slots went to the 2 new registrations + the 48
+#: r5-stale names, per the no-row-older-than-two-rounds promise) — the
+#: winnowing argmin key was repacked into one long, the three remaining
+#: IVF rungs went adaptive-ncells, and jpeg420/metrics share the changed
+#: jpeg.py / daily-corpus-builder code.  Each was re-verified this round
+#: by the bare-session parity replica (tools/check_parity.py --bare) in
+#: addition to the local suite, but a DRIVER row is the signal that
+#: counts, so they gate first in r9.  THEN: the 48 queries whose last
+#: driver row is r6 — the stalest set once the r8 rotation lands (every
+#: r5-row query is inside the r8 window above; the two flagships were
+#: re-gated in r7 and stay out of the queue head).  Every name not
 #: listed at all follows in registration order.  All registered queries
 #: are still verified every round by the local all-queries parity suite
 #: (tests/test_oracle_parity) and by tools/check_parity.py at sf0.01.
 _GATE_NEXT: tuple[str, ...] = (
+    "winnowed_fingerprints",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_multiprobe_topk",
+    "multimodal_jpeg420_stats",
+    "streaming_metrics_summary",
     "events_profile",
     "missing_minutes",
     "bollinger_bands",
