@@ -594,6 +594,53 @@ def test_publish_atomic_double_markerless_loser_surfaces_loudly(
         _publish_atomic(dest, _complete_writer("ours"))
 
 
+def _race_publish(args):
+    """Child worker for the multiprocess soak (module-level for pickling):
+    publish a complete copy tagged with this worker's id."""
+    dest, wid = args
+    import os as _os
+
+    from stockpulse_batch_realtime_etl_spark.streaming.job import (
+        _publish_atomic,
+    )
+
+    def write(d):
+        _os.makedirs(d, exist_ok=True)
+        with open(_os.path.join(d, "part-0"), "w") as f:
+            f.write(f"worker-{wid}")
+        open(_os.path.join(d, "_SUCCESS"), "w").close()
+
+    _publish_atomic(dest, write)
+    return wid
+
+
+def test_publish_atomic_multiprocess_soak(tmp_path):
+    """TRUE cross-process race: 4 processes × 10 rounds publish the same
+    dest concurrently (fresh dest per round, pre-seeded with a marker-less
+    partial on odd rounds).  Invariants after every round: dest exists,
+    carries _SUCCESS, holds exactly one COMPLETE worker copy, and no
+    .tmp./.stale. side dirs survive.  The deterministic interleaving tests
+    above pin each branch; this pins the composition under real timing."""
+    import os
+    from concurrent.futures import ProcessPoolExecutor
+
+    with ProcessPoolExecutor(max_workers=4) as pool:
+        for rnd in range(10):
+            dest = str(tmp_path / f"corpus{rnd}")
+            if rnd % 2:
+                _make_dest(dest, "crashed-partial", success=False)
+            list(pool.map(_race_publish, [(dest, w) for w in range(4)]))
+            assert os.path.exists(os.path.join(dest, "_SUCCESS")), rnd
+            content = open(os.path.join(dest, "part-0")).read()
+            assert content.startswith("worker-"), (rnd, content)
+            side = [
+                p
+                for p in os.listdir(tmp_path)
+                if ".tmp." in p or ".stale." in p
+            ]
+            assert not side, (rnd, side)
+
+
 def test_stream_stream_full_outer_join_both_side_null_emission(spark):
     """FULL OUTER stream-stream join: matches equal the inner join, and
     BOTH sides' unmatched rows in watermark-expired windows emit exactly
