@@ -2640,12 +2640,15 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force — same parameterizations as their standalone queries."""
     emb = load_table(spark, sf_dir, "embeddings")
     truth = similarity.brute_force_topk_np(emb, _QUERY_IDS, 5)
+    # resolve the adaptive cell count ONCE — passing ncells=None to both
+    # rungs would trigger two redundant embeddings.count() jobs
+    ncells = similarity.adaptive_ncells_search(emb.count())
     approx = {
         "ivf_multiprobe": similarity.ivf_multiprobe_topk(
-            emb, _QUERY_IDS, 5, None, _NPROBE
+            emb, _QUERY_IDS, 5, ncells, _NPROBE
         ),
         "ivfpq": similarity.ann_ivfpq_topk(
-            emb, _QUERY_IDS, 5, None, 2, 4, 4, 1, 64
+            emb, _QUERY_IDS, 5, ncells, 2, 4, 4, 1, 64
         ),
         "lsh_bucketed": similarity.lsh_bucketed_topk(emb, _QUERY_IDS, 5, 8),
     }
@@ -3537,6 +3540,14 @@ def q_streaming_pair_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: time, so ids inside a 10-minute window are consecutive and a modulus
 #: either never or always collides); the price bucket is order-independent
 #: and replayed from the same JSON-parsed price on both sides.
+#:
+#: The attribution horizon and key-bucket modulus are shared between the
+#: oracle text and the Spark call below (same convention as _NPROBE /
+#: SEMDEDUP_TRUTH_CAP): changing either default can never silently desync
+#: the two sides into an unexplained hash mismatch.
+_INTERVAL_JOIN_MINUTES = 10
+_INTERVAL_JOIN_BUCKETS = 10
+
 @register(
     "streaming_interval_join",
     oracle=f"""
@@ -3548,12 +3559,12 @@ ticks AS (
     AND p_price IS NOT NULL AND p_event_time IS NOT NULL
 ),
 a AS (
-  SELECT ((CAST(floor(price) AS BIGINT) % 10) + 10) % 10 AS user_key,
+  SELECT ((CAST(floor(price) AS BIGINT) % {_INTERVAL_JOIN_BUCKETS}) + {_INTERVAL_JOIN_BUCKETS}) % {_INTERVAL_JOIN_BUCKETS} AS user_key,
          event_time AS purchase_time, price AS purchase_price
   FROM ticks WHERE symbol = 'PURCHASE'
 ),
 b AS (
-  SELECT ((CAST(floor(price) AS BIGINT) % 10) + 10) % 10 AS k2,
+  SELECT ((CAST(floor(price) AS BIGINT) % {_INTERVAL_JOIN_BUCKETS}) + {_INTERVAL_JOIN_BUCKETS}) % {_INTERVAL_JOIN_BUCKETS} AS k2,
          event_time AS click_time, price AS click_price
   FROM ticks WHERE symbol = 'CLICK'
 )
@@ -3561,7 +3572,7 @@ SELECT a.user_key, a.purchase_time, a.purchase_price,
        b.click_time, b.click_price
 FROM a JOIN b ON b.k2 = a.user_key
   AND a.purchase_time >= b.click_time
-  AND a.purchase_time <= b.click_time + INTERVAL 10 MINUTE
+  AND a.purchase_time <= b.click_time + INTERVAL {_INTERVAL_JOIN_MINUTES} MINUTE
 """,
 )
 def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3572,7 +3583,12 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_stream_interval_join_available_now,
     )
 
-    return run_stream_stream_interval_join_available_now(spark, sf_dir)
+    return run_stream_stream_interval_join_available_now(
+        spark,
+        sf_dir,
+        attribution_minutes=_INTERVAL_JOIN_MINUTES,
+        key_buckets=_INTERVAL_JOIN_BUCKETS,
+    )
 
 
 # --- data profiling (Deequ-style) --------------------------------------------

@@ -1787,12 +1787,14 @@ _GATE_HEAD: tuple[str, ...] = (
 )
 
 #: Names queued BEHIND the window, in r9 rotation priority.  HEAD OF THE
-#: QUEUE: the six queries whose code paths changed in r8 but could not fit
-#: the r8 window (all 50 slots went to the 2 new registrations + the 48
-#: r5-stale names, per the no-row-older-than-two-rounds promise) — the
+#: QUEUE: the seven queries whose code paths changed in r8 but could not
+#: fit the r8 window (all 50 slots went to the 2 new registrations + the
+#: 48 r5-stale names, per the no-row-older-than-two-rounds promise) — the
 #: winnowing argmin key was repacked into one long, the three remaining
-#: IVF rungs went adaptive-ncells, and jpeg420/metrics share the changed
-#: jpeg.py / daily-corpus-builder code.  Each was re-verified this round
+#: IVF rungs went adaptive-ncells, ann_recall_report composes two of the
+#: adaptive rungs (and its oracle now embeds the adaptive-cells scalar
+#: subqueries), and jpeg420/metrics share the changed jpeg.py /
+#: daily-corpus-builder code.  Each was re-verified this round
 #: by the bare-session parity replica (tools/check_parity.py --bare) in
 #: addition to the local suite, but a DRIVER row is the signal that
 #: counts, so they gate first in r9.  THEN: the 48 queries whose last
@@ -1807,6 +1809,7 @@ _GATE_NEXT: tuple[str, ...] = (
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
     "ann_ivf_multiprobe_topk",
+    "ann_recall_report",
     "multimodal_jpeg420_stats",
     "streaming_metrics_summary",
     "events_profile",

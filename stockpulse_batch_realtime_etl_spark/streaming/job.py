@@ -235,22 +235,31 @@ def _ensure_corpus(
     return os.path.join(root, "{base,extra}")
 
 
-def _corpus_tag(sf_dir: str, extra_key: str = "") -> str:
+def _corpus_tag(
+    sf_dir: str,
+    extra_key: str = "",
+    tables: tuple[str, ...] = ("events",),
+) -> str:
     """Cache key for materialized corpora: code version + canonical path +
-    a fingerprint of the source events parquet (mtime_ns, size) — so a
-    REGENERATED fixture at the same path invalidates the cache instead of
-    silently reusing stale files, and path spellings canonicalize."""
+    a fingerprint of each source parquet in ``tables`` (mtime_ns, size) —
+    so a REGENERATED fixture at the same path invalidates the cache
+    instead of silently reusing stale files, and path spellings
+    canonicalize.  This is the repo's ONE fixture-fingerprint scheme:
+    tools/scale_probe.py keys its replica cache through here too, so a
+    future change (content hashing, symlink handling) applies everywhere."""
     import hashlib
 
     real = os.path.realpath(sf_dir)
-    ev = os.path.join(real, "events.parquet")
-    try:
-        st = os.stat(ev)
-        fp = f"{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        fp = "missing"
+    parts = []
+    for name in tables:
+        p = os.path.join(real, f"{name}.parquet")
+        try:
+            st = os.stat(p)
+            parts.append(f"{name}:{st.st_mtime_ns}:{st.st_size}")
+        except OSError:
+            parts.append(f"{name}:missing")
     return hashlib.md5(
-        f"{_CORPUS_VERSION}:{extra_key}:{real}:{fp}".encode()
+        f"{_CORPUS_VERSION}:{extra_key}:{real}:{':'.join(parts)}".encode()
     ).hexdigest()[:8]
 
 
@@ -348,13 +357,33 @@ def _ensure_daily_corpus(spark: SparkSession, sf_dir: str) -> str:
             )
 
         _publish_atomic(dest, _write)
+    # The pinning walk can race a concurrent publisher's tombstone swap:
+    # _publish_atomic renames a stale dest ASIDE for a moment before the
+    # fresh copy lands, so listdir/utime here can see dest (or a file
+    # swept away with the tombstone) momentarily absent and raise
+    # FileNotFoundError.  The swap always converges on a complete
+    # (_SUCCESS-marked) dest, so retry the whole idempotent walk.
+    import time
+
     base_ts = 1_000_000_000
-    for i, day in enumerate(
-        sorted(x for x in os.listdir(dest) if x.startswith("day="))
-    ):
-        ddir = os.path.join(dest, day)
-        for f in os.listdir(ddir):
-            os.utime(os.path.join(ddir, f), (base_ts + i, base_ts + i))
+    for attempt in range(50):
+        try:
+            for i, day in enumerate(
+                sorted(x for x in os.listdir(dest) if x.startswith("day="))
+            ):
+                ddir = os.path.join(dest, day)
+                for f in os.listdir(ddir):
+                    os.utime(
+                        os.path.join(ddir, f), (base_ts + i, base_ts + i)
+                    )
+            break
+        except FileNotFoundError:
+            time.sleep(0.1)
+    else:
+        raise RuntimeError(
+            f"daily corpus at {dest} never stabilized: a concurrent "
+            f"publisher evicted it and no complete copy reappeared"
+        )
     return dest
 
 

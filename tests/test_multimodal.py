@@ -652,8 +652,9 @@ def test_jpeg_422_restart_round_trip_matches_independent_replay():
     COMBINED with in-scan restart markers (DRI=2) reproduces the synthesis
     model exactly — verified against a per-pixel numpy replay that never
     touches the codec.  Asset ids cover exact and partial MCU columns,
-    single-MCU images (no restart fires), and >16-MCU images (RSTn marker
-    index wraps past RST7)."""
+    single-MCU images (no restart fires), and multi-marker scans (up to
+    RST4 at the corpus' 44×26 cap — the index wrap past RST7 is pinned
+    separately by test_jpeg_restart_marker_index_wraps_past_rst7)."""
     import numpy as np
 
     from stockpulse_batch_realtime_etl_spark.operators import jpeg
@@ -696,6 +697,47 @@ def test_jpeg_422_restart_round_trip_matches_independent_replay():
             axis=-1,
         ).reshape(-1)
         assert np.array_equal(d["vals"], exp.astype(np.int64)), aid
+
+
+def test_jpeg_restart_marker_index_wraps_past_rst7():
+    """T.81 requires RSTn indices to start at RST0 and cycle mod 8; the
+    4:2:2 corpus caps at 12 MCUs (5 markers), so the wrap arithmetic in
+    encode_scan_with_restarts (``0xD0 + ((i-1) % 8)``) is pinned here with
+    a 12-MCU DRI=1 grayscale scan.  The decoder accepts ANY RSTn, so a
+    round trip alone cannot catch an off-by-one like ``0xD0 + (i % 8)`` —
+    the encoded marker SEQUENCE is asserted byte-for-byte, then the image
+    is decoded to confirm per-interval DC predictor resets survive the
+    wrap."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import jpeg
+
+    w, h = 96, 8  # 12 blocks = 12 MCUs (grayscale, one block per MCU)
+    vals = np.array([(37 * j + 11) % 256 for j in range(12)], dtype=np.int64)
+    blocks = jpeg._block_constant_coeffs(vals)
+    payload = jpeg.encode_baseline_jpeg([blocks], w, h, restart_interval=1)
+
+    # markers between the 12 single-MCU intervals: RST0..RST7, then the
+    # wrap back to RST0,RST1,RST2 — eleven markers total.  Entropy bytes
+    # escape 0xFF as 0xFF00, so every raw 0xFF 0xD0-D7 pair in the scan
+    # IS a restart marker.
+    sos = payload.index(b"\xff\xda")
+    seen = []
+    i = sos
+    while i < len(payload) - 1:
+        if payload[i] == 0xFF and 0xD0 <= payload[i + 1] <= 0xD7:
+            seen.append(payload[i + 1] - 0xD0)
+            i += 2
+        else:
+            i += 1
+    assert seen == [0, 1, 2, 3, 4, 5, 6, 7, 0, 1, 2]
+
+    d = jpeg.decode_jpeg_bytes(payload)
+    assert (d["width"], d["height"]) == (w, h)
+    exp = np.repeat(vals, 8)  # row of 12 constant 8-px blocks
+    assert np.array_equal(
+        d["vals"].reshape(h, w), np.tile(exp, (h, 1))
+    )
 
 
 def test_jpeg_sampling_scope_guard():

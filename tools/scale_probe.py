@@ -76,21 +76,18 @@ DEFAULT_QUERIES = [
 
 
 def _fixture_tag(base_dir: str) -> str:
-    """Fingerprint of the source fixture (same (mtime_ns, size) scheme as
-    streaming.job._corpus_tag): a REGENERATED sf0.1 at the same path must
-    invalidate the cached probe dir, not silently reuse stale replicas."""
-    import hashlib
+    """Fingerprint of the source fixture via the repo's single
+    fixture-fingerprint helper (streaming.job._corpus_tag): a REGENERATED
+    sf0.1 at the same path must invalidate the cached probe dir, not
+    silently reuse stale replicas — and any future fingerprint upgrade
+    (content hashing, symlinks) lands here automatically."""
+    from stockpulse_batch_realtime_etl_spark.streaming.job import _corpus_tag
 
-    real = os.path.realpath(base_dir)
-    parts = [real]
-    for name in ("events", "documents", "embeddings"):
-        p = os.path.join(real, f"{name}.parquet")
-        try:
-            st = os.stat(p)
-            parts.append(f"{name}:{st.st_mtime_ns}:{st.st_size}")
-        except OSError:
-            parts.append(f"{name}:missing")
-    return hashlib.md5(":".join(parts).encode()).hexdigest()[:8]
+    return _corpus_tag(
+        base_dir,
+        extra_key="scale_probe",
+        tables=("events", "documents", "embeddings"),
+    )
 
 
 #: replication-scheme version: bump when the replica transforms change so a
@@ -135,6 +132,16 @@ def build_probe_dir(spark, base_dir: str = SF01) -> str:
     emb = load_table(spark, base_dir, "embeddings")
     v_stride = emb.agg(F.max("vec_id")).collect()[0][0] + 1
     dim = len(emb.select("embedding").first()[0])
+    if REPLICAS > 2 * dim:
+        # rotation × sign-flip yields exactly 2·dim distinct transforms;
+        # replica 2·dim would be bit-identical to replica 0, reintroducing
+        # the fake cosine-1 duplicates this scheme exists to avoid — fail
+        # loudly rather than corrupt the dedup/ANN probe measurements
+        raise ValueError(
+            f"SCALE_PROBE_REPLICAS={REPLICAS} exceeds the distinct "
+            f"embedding-transform budget 2*dim={2 * dim}; replicas past "
+            f"that wrap to exact duplicates of earlier ones"
+        )
     parts = []
     for k in range(REPLICAS):
         shift = k % dim
