@@ -94,6 +94,111 @@ def test_png_round_trip_random_images(w, h, filter_seed, pix_seed):
     )
 
 
+# --- JPEG entropy layer (pure Python — no Spark, examples are cheap) --------
+
+#: every baseline MCU-interleave shape the decoder supports: grayscale,
+#: 4:4:4, 4:2:2 (2×1 luma), 4:2:0 (2×2 luma), 4:1:1, and a 2×2×2 stress
+#: shape with multi-block chroma
+_MCU_SHAPES = ([1], [1, 1, 1], [2, 1, 1], [4, 1, 1], [2, 2, 1], [2, 2, 2])
+
+
+def _huff_decode_tables():
+    from stockpulse_batch_realtime_etl_spark.operators import jpeg
+
+    dc = {
+        (ln, code): sym
+        for sym, (code, ln) in jpeg._canonical_codes(
+            jpeg._DC_BITS, jpeg._DC_VALS
+        ).items()
+    }
+    ac = {
+        (ln, code): sym
+        for sym, (code, ln) in jpeg._canonical_codes(
+            jpeg._AC_BITS, jpeg._AC_VALS
+        ).items()
+    }
+    return dc, ac
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.sampled_from(_MCU_SHAPES),
+    st.integers(1, 12),
+    st.integers(0, 4),
+    st.integers(0, 2**32 - 1),
+)
+def test_jpeg_entropy_round_trip_random_streams(shape, n_mcus, interval, seed):
+    """decode_scan(encode_scan_with_restarts(blocks)) == blocks exactly,
+    for ARBITRARY sparse coefficient content over every supported MCU
+    shape and restart cadence (0 = no DRI) — the randomized
+    generalization of the fixed-seed coefficient-layer tests: Huffman
+    magnitude categories up to ±500, DC diffs across predictor resets,
+    run/ZRL/EOB (incl. all-zero blocks), byte stuffing, RSTn resync."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import jpeg
+
+    rng = np.random.default_rng(seed)
+    comps = []
+    for per_mcu in shape:
+        blocks = []
+        for _ in range(n_mcus * per_mcu):
+            zz = np.zeros(64, dtype=np.int64)
+            nz = int(rng.integers(0, 12))
+            if nz:
+                pos = rng.choice(64, size=nz, replace=False)
+                zz[pos] = rng.integers(-500, 501, size=nz)
+            blocks.append(zz)
+        comps.append(blocks)
+    data = jpeg.encode_scan_with_restarts(comps, list(shape), interval)
+    dc, ac = _huff_decode_tables()
+    ncomp = len(shape)
+    out = jpeg.decode_scan(
+        data + b"\xff\xd9",
+        0,
+        n_mcus,
+        ncomp,
+        [dc] * ncomp,
+        [ac] * ncomp,
+        restart_interval=interval,
+        mcu_blocks=list(shape),
+    )
+    for ci in range(ncomp):
+        for b in range(len(comps[ci])):
+            np.testing.assert_array_equal(out[ci][b], comps[ci][b])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 40),
+    st.integers(1, 24),
+    st.integers(0, 3),
+    st.integers(0, 2**32 - 1),
+)
+def test_jpeg_grayscale_file_round_trip_random_dims(w, h, interval, seed):
+    """Full-FILE law for single-component baseline JPEG: random dims
+    (partial edge blocks both axes), random restart cadence (incl. enough
+    intervals to wrap RSTn past RST7 at DRI=1), random per-block constant
+    values — decode maps pixel (x,y) to block (y//8)·⌈w/8⌉ + x//8 on the
+    T.81 A.2.2 non-interleaved grid, exactly."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import jpeg
+
+    rng = np.random.default_rng(seed)
+    cw, ch = (w + 7) // 8, (h + 7) // 8
+    vals = rng.integers(0, 256, size=cw * ch).astype(np.int64)
+    blocks = jpeg._block_constant_coeffs(vals)
+    payload = jpeg.encode_baseline_jpeg(
+        [blocks], w, h, restart_interval=interval
+    )
+    d = jpeg.decode_jpeg_bytes(payload)
+    assert (d["width"], d["height"]) == (w, h)
+    y_idx, x_idx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    exp = vals[(y_idx // 8) * cw + (x_idx // 8)]
+    np.testing.assert_array_equal(d["vals"].reshape(h, w), exp)
+
+
 @settings(max_examples=6, deadline=None)
 @given(st.lists(_DOC, min_size=2, max_size=8), st.integers(0, 10**6))
 def test_bm25_matches_pure_python_reference(spark, texts, seed):
