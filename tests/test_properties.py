@@ -254,6 +254,75 @@ def test_bm25_matches_pure_python_reference(spark, texts, seed):
     assert {k: (r6(v[0]), v[1]) for k, v in got.items()} == want
 
 
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(_DOC, min_size=1, max_size=6),
+    st.integers(2, 5),
+    st.integers(1, 6),
+    st.sampled_from([1_000_003, (1 << 31) + 11]),
+)
+def test_winnowing_matches_pure_python_reference(spark, texts, k, w, mod):
+    """winnowed_fingerprints == the Schleimer/Wilkerson/Aiken selection
+    computed sequentially in pure Python (rightmost minimum of every
+    w-window of Karp–Rabin k-gram hashes), and kgram_fingerprints == the
+    0-mod-p sample of the same hashes — on randomized corpora, for BOTH
+    order-key branches (packed-long for mod < 2³⁰, derived-width string
+    fallback above)."""
+    base, p = 257, 8
+
+    def ref_hashes(t: str) -> list[int]:
+        s = " ".join(t.lower().split())  # dedup._norm_text
+        codes = [ord(c) for c in s]
+        m = len(s) - k + 1
+        out = []
+        for i in range(max(0, m)):
+            h = codes[i] % mod
+            for off in range(1, k):
+                h = (h * base + codes[i + off]) % mod
+            out.append(h)
+        return out
+
+    def ref_winnow(hashes: list[int]) -> set[tuple[int, int]]:
+        m = len(hashes)
+        if not m:
+            return set()
+        win = min(w, m)
+        sel = set()
+        for e in range(win, m + 1):
+            best = min(
+                range(e - win + 1, e + 1),
+                key=lambda pos: (hashes[pos - 1], -pos),
+            )
+            sel.add((best, hashes[best - 1]))
+        return sel
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from stockpulse_batch_realtime_etl_spark.operators.text import (
+        kgram_fingerprints,
+        winnowed_fingerprints,
+    )
+
+    hashes = {i: ref_hashes(t) for i, t in enumerate(texts)}
+
+    got_w: dict[int, set] = {i: set() for i in hashes}
+    for r in winnowed_fingerprints(docs, k, w, base, mod).collect():
+        got_w[r.doc_id].add((r.pos, r.fp))
+    for i in hashes:
+        assert got_w[i] == ref_winnow(hashes[i]), (texts[i], k, w, mod)
+
+    got_k: dict[int, set] = {i: set() for i in hashes}
+    for r in kgram_fingerprints(docs, k, p, base, mod).collect():
+        got_k[r.doc_id].add((r.pos, r.fp))
+    for i, hs in hashes.items():
+        want = {
+            (pos + 1, h) for pos, h in enumerate(hs) if h % p == 0
+        }
+        assert got_k[i] == want, (texts[i], k, mod)
+
+
 @settings(max_examples=6, deadline=None)
 @given(st.lists(_DOC, min_size=2, max_size=10))
 def test_incremental_dedup_consistent_with_exact_and_lsh(spark, texts):
