@@ -614,7 +614,27 @@ def decode_jpeg_bytes(payload: bytes) -> dict:
     ``floor(x+0.5)`` round + clamp, JFIF YCbCr→RGB for colour.  Returns
     ``{width, height, vals}`` with ``vals`` int64 row-major (RGB
     interleaved for colour, single channel for grayscale) — the
-    multimodal.decode_image_bytes contract."""
+    multimodal.decode_image_bytes contract.
+
+    TOTALITY on untrusted bytes: every corrupt-input failure surfaces as
+    the module's unified ``ValueError`` (``NotImplementedError`` stays
+    the honest format-boundary signal).  Arbitrary byte corruption can
+    otherwise reach low-level parse errors — a truncated segment's
+    ``struct.error``, a missing Huffman table's ``KeyError``, a flipped
+    length field's ``IndexError``/``OverflowError`` — and the
+    mapInPandas codec seam routes failures to the DLQ by exception type
+    (fuzzed by test_jpeg_decoder_total_on_corrupt_inputs)."""
+    try:
+        return _decode_jpeg_unchecked(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError) as e:
+        raise ValueError(
+            f"corrupt JPEG ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _decode_jpeg_unchecked(payload: bytes) -> dict:
     if payload[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG payload")
     pos = 2
@@ -648,10 +668,17 @@ def decode_jpeg_bytes(payload: bytes) -> dict:
         elif marker == 0xC4:  # DHT
             bpos = 0
             while bpos < len(body):
+                if bpos + 17 > len(body):
+                    # slicing would silently shorten bits/vals and crash
+                    # _canonical_codes with an IndexError — corrupt-file
+                    # paths must stay inside the unified ValueError contract
+                    raise ValueError("JPEG DHT segment truncated")
                 tc, th = body[bpos] >> 4, body[bpos] & 0x0F
                 bits = list(body[bpos + 1 : bpos + 17])
                 nv = sum(bits)
                 vals = list(body[bpos + 17 : bpos + 17 + nv])
+                if len(vals) < nv:
+                    raise ValueError("JPEG DHT segment truncated")
                 codes = _canonical_codes(bits, vals)
                 huff[(tc, th)] = {
                     (length, code): sym for sym, (code, length) in codes.items()

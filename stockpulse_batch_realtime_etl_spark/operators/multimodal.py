@@ -215,6 +215,41 @@ def encode_png_rgb(rgb, filter_seed: int = 0) -> bytes:
     )
 
 
+def _total_on_corrupt(fn):
+    """Corrupt-input totality boundary for the byte-level codecs: every
+    decoder failure on untrusted bytes surfaces as the unified
+    ``ValueError`` (``NotImplementedError`` stays the honest
+    format-boundary signal).  Arbitrary corruption can otherwise reach
+    low-level parse errors — a truncated header's ``struct.error``, a
+    truncated deflate stream's ``zlib.error``, a flipped length field's
+    ``IndexError``/``OverflowError`` — and the mapInPandas codec seam
+    routes failures to the DLQ by exception type (fuzzed by
+    test_codec_decoders_total_on_corrupt_inputs)."""
+    import functools
+    import zlib
+
+    @functools.wraps(fn)
+    def wrapper(payload, *args, **kwargs):
+        try:
+            return fn(payload, *args, **kwargs)
+        except (ValueError, NotImplementedError):
+            raise
+        except (
+            struct.error,
+            IndexError,
+            KeyError,
+            OverflowError,
+            zlib.error,
+        ) as e:
+            raise ValueError(
+                f"corrupt payload in {fn.__name__} "
+                f"({type(e).__name__}: {e})"
+            ) from e
+
+    return wrapper
+
+
+@_total_on_corrupt
 def decode_png_bytes(payload: bytes) -> dict:
     """Real PNG decode, dependency-free: chunk walk with CRC verification,
     IHDR parse, IDAT concatenation, stdlib ``zlib`` inflate, then per-row
@@ -305,6 +340,7 @@ def encode_wav(asset_id: int) -> bytes:
     )
 
 
+@_total_on_corrupt
 def decode_image_bytes(payload: bytes) -> dict:
     """Parse BMP (24-bit BI_RGB) or PPM (P6) into
     ``{width, height, vals}`` with ``vals`` the int64 RGB values in
@@ -331,6 +367,10 @@ def decode_image_bytes(payload: bytes) -> dict:
         pos, fields = 2, []
         while len(fields) < 3:
             c = payload[pos : pos + 1]
+            if c == b"":
+                # EOF mid-header: without this check the token scan below
+                # would spin forever (b"" is never isspace()) — fuzz-caught
+                raise ValueError("PPM header truncated")
             if c.isspace():
                 pos += 1
             elif c == b"#":  # comment to end-of-line
@@ -338,7 +378,9 @@ def decode_image_bytes(payload: bytes) -> dict:
                     pos += 1
             else:
                 start = pos
-                while not payload[pos : pos + 1].isspace():
+                while payload[pos : pos + 1] != b"" and not payload[
+                    pos : pos + 1
+                ].isspace():
                     pos += 1
                 fields.append(int(payload[start:pos]))
         w, h, maxval = fields
@@ -360,6 +402,7 @@ def decode_image_bytes(payload: bytes) -> dict:
     )
 
 
+@_total_on_corrupt
 def decode_wav_bytes(payload: bytes) -> dict:
     """RIFF chunk walk → ``{sample_rate, vals}`` (int64 PCM samples).
     Handles chunk word-alignment and fmt/data in any order; non-PCM or
@@ -665,6 +708,7 @@ def encode_y4m(asset_id: int) -> bytes:
     return b"".join(out)
 
 
+@_total_on_corrupt
 def decode_y4m_bytes(payload: bytes) -> dict:
     """Parse a Y4M stream: header tag walk (W/H/C colourspace), then
     FRAME-marker-delimited raw planes → ``{width, height, frames}`` with

@@ -168,6 +168,98 @@ def test_jpeg_entropy_round_trip_random_streams(shape, n_mcus, interval, seed):
             np.testing.assert_array_equal(out[ci][b], comps[ci][b])
 
 
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(0, 499),
+    st.sampled_from(["444", "420", "422"]),
+    st.sampled_from(["truncate", "flip", "insert"]),
+    st.integers(0, 2**32 - 1),
+)
+def test_jpeg_decoder_total_on_corrupt_inputs(asset_id, variant, mode, seed):
+    """decode_jpeg_bytes is TOTAL on corrupt bytes: truncations, byte
+    flips, and junk insertions over every encoder variant either still
+    decode (a flip in entropy data can be structurally valid) or raise
+    the module's unified ValueError / NotImplementedError — never an
+    uncontrolled IndexError/KeyError/struct.error, because the
+    mapInPandas codec seam routes failures to the DLQ by exception
+    type."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import jpeg
+    from stockpulse_batch_realtime_etl_spark.operators import multimodal
+
+    enc = {
+        "444": multimodal._encode_jpeg,
+        "420": multimodal._encode_jpeg_420,
+        "422": multimodal._encode_jpeg_422,
+    }[variant]
+    rng = np.random.default_rng(seed)
+    payload = bytearray(enc(asset_id))
+    if mode == "truncate":
+        payload = payload[: int(rng.integers(0, len(payload)))]
+    elif mode == "flip":
+        i = int(rng.integers(0, len(payload)))
+        payload[i] = int(rng.integers(0, 256))
+    else:
+        i = int(rng.integers(0, len(payload) + 1))
+        junk = rng.integers(0, 256, size=int(rng.integers(1, 8)))
+        payload[i:i] = bytes(junk.tolist())
+    try:
+        d = jpeg.decode_jpeg_bytes(bytes(payload))
+        assert isinstance(d, dict) and "vals" in d
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(0, 499),
+    st.sampled_from(["png", "wav", "y4m", "ppm", "bmp"]),
+    st.sampled_from(["truncate", "flip", "insert"]),
+    st.integers(0, 2**32 - 1),
+)
+def test_codec_decoders_total_on_corrupt_inputs(asset_id, codec, mode, seed):
+    """Same totality law as the JPEG fuzz, for every other byte-level
+    codec: corrupt bytes either decode or raise the unified ValueError /
+    NotImplementedError — no leaked struct.error/zlib.error/IndexError,
+    and no hang (a truncated PPM header used to spin the token scan
+    forever)."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import multimodal as mm
+
+    enc = {
+        "png": mm.encode_png,
+        "wav": mm.encode_wav,
+        "y4m": mm.encode_y4m,
+        "ppm": mm.encode_ppm,
+        "bmp": mm.encode_bmp,
+    }[codec]
+    dec = {
+        "png": mm.decode_png_bytes,
+        "wav": mm.decode_wav_bytes,
+        "y4m": mm.decode_y4m_bytes,
+        "ppm": mm.decode_image_bytes,
+        "bmp": mm.decode_image_bytes,
+    }[codec]
+    rng = np.random.default_rng(seed)
+    payload = bytearray(enc(asset_id))
+    if mode == "truncate":
+        payload = payload[: int(rng.integers(0, len(payload)))]
+    elif mode == "flip":
+        i = int(rng.integers(0, len(payload)))
+        payload[i] = int(rng.integers(0, 256))
+    else:
+        i = int(rng.integers(0, len(payload) + 1))
+        junk = rng.integers(0, 256, size=int(rng.integers(1, 8)))
+        payload[i:i] = bytes(junk.tolist())
+    try:
+        d = dec(bytes(payload))
+        assert isinstance(d, dict)
+    except (ValueError, NotImplementedError):
+        pass
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     st.integers(1, 40),
@@ -321,6 +413,74 @@ def test_winnowing_matches_pure_python_reference(spark, texts, k, w, mod):
             (pos + 1, h) for pos, h in enumerate(hs) if h % p == 0
         }
         assert got_k[i] == want, (texts[i], k, mod)
+
+
+#: word soup with case and punctuation so the ^[a-z]+$ train filter and
+#: the tie-break both get exercised
+_BPE_WORD = st.text(alphabet="aabbcXY.z", min_size=1, max_size=6)
+_BPE_DOC = st.lists(_BPE_WORD, min_size=1, max_size=25).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(_BPE_DOC, min_size=1, max_size=5),
+    st.integers(1, 4),
+    st.sampled_from([0, 2]),
+)
+def test_bpe_learned_merges_match_pure_python_reference(
+    spark, texts, n_merges, checkpoint_every
+):
+    """bpe_learn_merges == classic sequential BPE (Sennrich '16) run in
+    pure Python: same word-frequency table (^[a-z]+$ whitespace tokens),
+    same best-pair rule (max count, then lexicographically smallest pair),
+    same left-greedy re-tokenize scan — for randomized corpora, with and
+    without the checkpoint_every replay cut (which must not change the
+    learned merges)."""
+    from collections import Counter
+    import re
+
+    freq: Counter = Counter()
+    for t in texts:
+        for wrd in t.strip().split():
+            if re.fullmatch("[a-z]+", wrd):
+                freq[wrd] += 1
+    seqs = {w: list(w) for w in freq}
+    want = []
+    for step in range(1, n_merges + 1):
+        cnt: Counter = Counter()
+        for w, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                cnt[(a, b)] += freq[w]
+        if not cnt:
+            break
+        (l, r), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((step, l, r, l + r, c))
+        for w, syms in seqs.items():
+            acc: list = []
+            for s in syms:
+                if acc and acc[-1] == l and s == r:
+                    acc[-1] = l + r
+                else:
+                    acc.append(s)
+            seqs[w] = acc
+
+    from stockpulse_batch_realtime_etl_spark.operators.text import (
+        bpe_learn_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = [
+        (r.step, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in bpe_learn_merges(
+            docs, n_merges, checkpoint_every
+        ).collect()
+    ]
+    assert got == want, (texts, n_merges)
 
 
 @settings(max_examples=6, deadline=None)
