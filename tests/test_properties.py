@@ -415,6 +415,55 @@ def test_winnowing_matches_pure_python_reference(spark, texts, k, w, mod):
         assert got_k[i] == want, (texts[i], k, mod)
 
 
+# --- DLQ split conservation over fuzzed records ------------------------------
+
+_JSONISH = st.one_of(
+    # structurally valid JSON with randomized field presence/typing
+    st.fixed_dictionaries(
+        {},
+        optional={
+            "symbol": st.one_of(st.none(), st.text(max_size=6), st.integers()),
+            "price": st.one_of(
+                st.none(), st.floats(allow_nan=False), st.text(max_size=5)
+            ),
+            "close": st.one_of(st.none(), st.floats(allow_nan=False)),
+            "volume": st.one_of(st.none(), st.integers(), st.text(max_size=4)),
+            "event_time": st.one_of(
+                st.none(),
+                st.just("2024-01-15T12:05:00+00:00"),
+                st.text(max_size=10),
+            ),
+        },
+    ).map(lambda d: __import__("json").dumps(d)),
+    # raw junk: truncations, non-JSON, control bytes
+    st.text(max_size=30),
+    st.just('{"symbol": "GOOG", "price":'),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_JSONISH, min_size=1, max_size=20))
+def test_dlq_split_conserves_every_record(spark, values):
+    """split_raw_stream NEVER drops or duplicates a record, whatever the
+    bytes: |ticks| + |failed| == |input| (the consumer-never-crashes law,
+    here over fuzzed record shapes instead of the six fixture rows), and
+    every dead-lettered row carries its raw value verbatim."""
+    from stockpulse_batch_realtime_etl_spark.sources.dlq import (
+        split_raw_stream,
+    )
+
+    raw = spark.createDataFrame(
+        [(v, "stock.ticks.v1", i % 3, i) for i, v in enumerate(values)],
+        "value string, topic string, partition int, offset long",
+    )
+    split = split_raw_stream(raw)
+    n_ticks, n_failed = split.ticks.count(), split.failed.count()
+    assert n_ticks + n_failed == len(values), values
+    by_offset = {r.offset_id: r for r in split.failed.collect()}
+    for off, r in by_offset.items():
+        assert r.raw_value == values[off], (off, values[off])
+
+
 #: word soup with case and punctuation so the ^[a-z]+$ train filter and
 #: the tie-break both get exercised
 _BPE_WORD = st.text(alphabet="aabbcXY.z", min_size=1, max_size=6)
