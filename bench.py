@@ -108,16 +108,18 @@ def main() -> None:
     # min-of-N actually floors them — the values are deterministic, only
     # the wall time swings, and P(every rep inflated) falls geometrically
     # with N.  Keep this list to queries with a SCALE.md variance entry.
-    # ann_ivfpq_topk and winnowed_fingerprints joined in r8: both bounced
-    # ±35% across r5-r7 with UNCHANGED code (ivfpq 5.50→4.61→6.12 s,
-    # winnowed 3.71→2.44→3.46 s) — the same GC/JIT noise class.
+    # ann_ivfpq_topk joined in r8: bounced ±35% across r5-r7 with
+    # UNCHANGED code (5.50→4.61→6.12 s) — the same GC/JIT noise class.
     # streaming_metrics_summary joined in r8: its wall is 30 sequential
     # micro-batches, so scheduler jitter compounds (5.2→7.8 s across
     # rounds with unchanged code).
+    # winnowed_fingerprints LEFT the valve in r8: its swing was the
+    # interpreted zip_with Horner ladder + m·w explode (74-416 s at the
+    # 100× probe); the vectorized Arrow winnowing replaced that path and
+    # measures stable (0.5-0.6 s at sf0.1, 4-6 s at 100×, SCALE.md).
     for name in (
         "semdedup_recall_report",
         "ann_ivfpq_topk",
-        "winnowed_fingerprints",
         "streaming_metrics_summary",
     ):
         for _ in range(2):

@@ -527,6 +527,87 @@ def winnowed_fingerprints(
     fingerprint — 0-mod-p can miss arbitrarily long matches when no gram
     hashes to 0 mod p.
 
+    Shape — vectorized Arrow seam, SHUFFLE-FREE (a measured exception to
+    the repo's expressions-first rule): the expression formulation
+    (:func:`winnowed_fingerprints_expr`) runs its Horner ladder in
+    Spark's INTERPRETED higher-order-function evaluator — the one hot
+    path whole-stage codegen cannot cover — then explodes m·w window
+    rows through a groupBy exchange.  The 100× scale probe measured that
+    wall at 74–416 s for the same input (GC churn + evaluator warming;
+    SCALE.md), the query sat in bench.py's variance valve because of it.
+    Here each Arrow batch computes, per document, the numpy Horner chain
+    (k vector ops) and a vectorized rightmost-argmin over a
+    ``sliding_window_view`` (argmin of the REVERSED window view breaks
+    ties rightward with no packed key, so ANY mod fits), then dedups
+    in-worker with ``np.unique`` — identical selection, zero shuffles,
+    and per-partition work that a 1000-executor cluster splits
+    embarrassingly.  Value-identity with the expression path and with a
+    sequential pure-Python reference is pinned by
+    tests/test_properties.py::test_winnowing_matches_pure_python_reference.
+    """
+    import pandas as pd
+
+    from stockpulse_batch_realtime_etl_spark.operators.dedup import _norm_text
+
+    norm = fan_out(docs).select("doc_id", _norm_text().alias("_t"))
+
+    def winnow(batches):
+        import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            ids, poss, fps = [], [], []
+            for doc_id, s in zip(
+                pdf["doc_id"].to_numpy(), pdf["_t"].to_numpy()
+            ):
+                if s is None:
+                    continue
+                m = len(s) - k + 1
+                if m < 1:
+                    continue
+                if s.isascii():
+                    codes = np.frombuffer(
+                        s.encode(), dtype=np.uint8
+                    ).astype(np.int64)
+                else:
+                    # F.ascii == code point of the character, not a byte
+                    codes = np.fromiter(
+                        map(ord, s), dtype=np.int64, count=len(s)
+                    )
+                h = codes[:m] % mod
+                for t in range(1, k):
+                    h = (h * base + codes[t : t + m]) % mod
+                win = min(w, m)
+                wv = sliding_window_view(h, win)
+                idx = win - 1 - np.argmin(wv[:, ::-1], axis=1)
+                pos = np.unique(np.arange(len(wv), dtype=np.int64) + idx + 1)
+                ids.append(np.full(len(pos), doc_id, dtype=np.int64))
+                poss.append(pos)
+                fps.append(h[pos - 1])
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids),
+                        "pos": np.concatenate(poss).astype(np.int32),
+                        "fp": np.concatenate(fps),
+                    }
+                )
+
+    return norm.mapInPandas(winnow, "doc_id long, pos int, fp long")
+
+
+def winnowed_fingerprints_expr(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 8,
+    base: int = 257,
+    mod: int = 1_000_003,
+) -> DataFrame:
+    """Pure-expression winnowing — the set-oriented reference formulation
+    :func:`winnowed_fingerprints` is cross-checked against (identical
+    output; see that docstring for why the vectorized seam is the
+    production path).
+
     Selection rule, set-oriented: a position is selected iff it is the
     rightmost minimum of at least one window.  Each position fans out to
     the ≤ w windows containing it (an in-array ``sequence`` explode — no

@@ -1790,7 +1790,9 @@ _GATE_HEAD: tuple[str, ...] = (
 #: QUEUE: the seven queries whose code paths changed in r8 but could not
 #: fit the r8 window (all 50 slots went to the 2 new registrations + the
 #: 48 r5-stale names, per the no-row-older-than-two-rounds promise) — the
-#: winnowing argmin key was repacked into one long, the three remaining
+#: winnowing pipeline was REPLACED by the vectorized Arrow seam (the
+#: expr formulation kept as winnowed_fingerprints_expr; identity pinned
+#: by the winnowing property test + sf0.01 parity), the three remaining
 #: IVF rungs went adaptive-ncells, ann_recall_report composes two of the
 #: adaptive rungs (and its oracle now embeds the adaptive-cells scalar
 #: subqueries), and jpeg420/metrics share the changed jpeg.py /

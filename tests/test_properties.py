@@ -395,15 +395,23 @@ def test_winnowing_matches_pure_python_reference(spark, texts, k, w, mod):
     from stockpulse_batch_realtime_etl_spark.operators.text import (
         kgram_fingerprints,
         winnowed_fingerprints,
+        winnowed_fingerprints_expr,
     )
 
     hashes = {i: ref_hashes(t) for i, t in enumerate(texts)}
 
-    got_w: dict[int, set] = {i: set() for i in hashes}
-    for r in winnowed_fingerprints(docs, k, w, base, mod).collect():
-        got_w[r.doc_id].add((r.pos, r.fp))
-    for i in hashes:
-        assert got_w[i] == ref_winnow(hashes[i]), (texts[i], k, w, mod)
+    for impl in (winnowed_fingerprints, winnowed_fingerprints_expr):
+        got_w: dict[int, set] = {i: set() for i in hashes}
+        for r in impl(docs, k, w, base, mod).collect():
+            got_w[r.doc_id].add((r.pos, r.fp))
+        for i in hashes:
+            assert got_w[i] == ref_winnow(hashes[i]), (
+                impl.__name__,
+                texts[i],
+                k,
+                w,
+                mod,
+            )
 
     got_k: dict[int, set] = {i: set() for i in hashes}
     for r in kgram_fingerprints(docs, k, p, base, mod).collect():
