@@ -157,9 +157,11 @@ HEADLINERS: dict[str, str] = {
         "stage is ever re-run."
     ),
     "winnowed_fingerprints": (
-        "Winnowing with NO self-join: each gram position fans out to its "
-        "≤ w windows in-array, window minima via min_by on a composite "
-        "key, overlap duplicates collapse in one distinct."
+        "Winnowing as a SHUFFLE-FREE vectorized Arrow seam: per-doc numpy "
+        "Horner + rightmost-argmin over a sliding_window_view inside one "
+        "mapInPandas, in-worker dedup — the only exchange is fan_out's "
+        "round-robin (the expression formulation's explode+groupBy "
+        "measured 74-416 s at the 100× probe; SCALE.md)."
     ),
     "packing_stats": (
         "Packing yield rollup: one hash aggregate over the shard layout "
