@@ -354,6 +354,8 @@ def decode_image_bytes(payload: bytes) -> dict:
         if bpp != 24 or comp != 0:
             raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
         bottom_up, h = h > 0, abs(h)
+        if w <= 0 or h == 0:
+            raise ValueError(f"BMP non-positive dimensions {w}x{h}")
         row = w * 3
         stride = row + ((-row) % 4)
         px = np.frombuffer(payload, np.uint8, h * stride, data_off).reshape(
@@ -384,6 +386,11 @@ def decode_image_bytes(payload: bytes) -> dict:
                     pos += 1
                 fields.append(int(payload[start:pos]))
         w, h, maxval = fields
+        if w <= 0 or h <= 0:
+            # int() happily parses b"-4"; np.frombuffer with the negative
+            # count w*h*3 would then silently read ALL trailing bytes and
+            # return a garbage dict instead of dead-lettering (fuzz-caught)
+            raise ValueError(f"PPM non-positive dimensions {w}x{h}")
         if maxval != 255:
             raise NotImplementedError(f"PPM maxval={maxval}")
         pos += 1  # single whitespace byte after maxval, then raw RGB
@@ -731,6 +738,11 @@ def decode_y4m_bytes(payload: bytes) -> dict:
             cspace = tok.decode()
     if w is None or h is None:
         raise ValueError("Y4M header missing W/H")
+    if w <= 0 or h <= 0:
+        # a negative dimension makes fsize negative, and the frame walk's
+        # pos = start + fsize would step BACKWARD — an infinite loop on
+        # corrupt input (same class as the PPM negative-dimension decode)
+        raise ValueError(f"Y4M non-positive dimensions {w}x{h}")
     if cspace != "C444":
         raise NotImplementedError(f"Y4M colourspace {cspace} (only C444)")
     fsize = w * h * 3

@@ -235,22 +235,20 @@ def _ensure_corpus(
     return os.path.join(root, "{base,extra}")
 
 
-def _corpus_tag(
-    sf_dir: str,
-    extra_key: str = "",
-    tables: tuple[str, ...] = ("events",),
+def _fixture_fingerprint(
+    sf_dir: str, tables: tuple[str, ...] = ("events",)
 ) -> str:
-    """Cache key for materialized corpora: code version + canonical path +
-    a fingerprint of each source parquet in ``tables`` (mtime_ns, size) —
-    so a REGENERATED fixture at the same path invalidates the cache
-    instead of silently reusing stale files, and path spellings
-    canonicalize.  This is the repo's ONE fixture-fingerprint scheme:
-    tools/scale_probe.py keys its replica cache through here too, so a
-    future change (content hashing, symlink handling) applies everywhere."""
-    import hashlib
-
+    """The repo's ONE fixture-identity fingerprint: canonical path + per
+    source parquet (mtime_ns, size) — so a REGENERATED fixture at the
+    same path invalidates any cache keyed on it instead of silently
+    reusing stale files, and path spellings canonicalize.
+    tools/scale_probe.py keys its replica cache on this too (with its own
+    _PROBE_GEN version axis), so a future fingerprint upgrade (content
+    hashing, symlink handling) applies everywhere — deliberately WITHOUT
+    _CORPUS_VERSION, which versions the streaming corpus BUILDER, not
+    fixture identity."""
     real = os.path.realpath(sf_dir)
-    parts = []
+    parts = [real]
     for name in tables:
         p = os.path.join(real, f"{name}.parquet")
         try:
@@ -258,8 +256,21 @@ def _corpus_tag(
             parts.append(f"{name}:{st.st_mtime_ns}:{st.st_size}")
         except OSError:
             parts.append(f"{name}:missing")
+    return ":".join(parts)
+
+
+def _corpus_tag(
+    sf_dir: str,
+    extra_key: str = "",
+    tables: tuple[str, ...] = ("events",),
+) -> str:
+    """Cache key for materialized streaming corpora: builder code version
+    + the shared fixture fingerprint."""
+    import hashlib
+
     return hashlib.md5(
-        f"{_CORPUS_VERSION}:{extra_key}:{real}:{':'.join(parts)}".encode()
+        f"{_CORPUS_VERSION}:{extra_key}:"
+        f"{_fixture_fingerprint(sf_dir, tables)}".encode()
     ).hexdigest()[:8]
 
 

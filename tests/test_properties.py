@@ -168,6 +168,31 @@ def test_jpeg_entropy_round_trip_random_streams(shape, n_mcus, interval, seed):
             np.testing.assert_array_equal(out[ci][b], comps[ci][b])
 
 
+def _mutate(payload: bytearray, mode: str, rng) -> bytes:
+    """Shared corrupt-input mutation for the codec fuzz properties —
+    truncation, byte flips, junk insertion (which can synthesize '-'
+    before a dimension digit, the negative-dimension class)."""
+    if mode == "truncate":
+        payload = payload[: int(rng.integers(0, len(payload)))]
+    elif mode == "flip":
+        i = int(rng.integers(0, len(payload)))
+        payload[i] = int(rng.integers(0, 256))
+    else:
+        i = int(rng.integers(0, len(payload) + 1))
+        junk = rng.integers(0, 256, size=int(rng.integers(1, 8)))
+        payload[i:i] = bytes(junk.tolist())
+    return bytes(payload)
+
+
+def _sane_image(d: dict) -> None:
+    """Success-branch invariants: a decode that 'succeeds' on corrupt
+    bytes must still be structurally sane (a negative-width garbage dict
+    once passed the bare isinstance check — fuzz-caught)."""
+    assert d["width"] >= 0 and d["height"] >= 0, d
+    n = d["width"] * d["height"]
+    assert len(d["vals"]) in (n, n * 3), (d["width"], d["height"], len(d["vals"]))
+
+
 @settings(max_examples=150, deadline=None)
 @given(
     st.integers(0, 499),
@@ -178,11 +203,11 @@ def test_jpeg_entropy_round_trip_random_streams(shape, n_mcus, interval, seed):
 def test_jpeg_decoder_total_on_corrupt_inputs(asset_id, variant, mode, seed):
     """decode_jpeg_bytes is TOTAL on corrupt bytes: truncations, byte
     flips, and junk insertions over every encoder variant either still
-    decode (a flip in entropy data can be structurally valid) or raise
-    the module's unified ValueError / NotImplementedError — never an
-    uncontrolled IndexError/KeyError/struct.error, because the
-    mapInPandas codec seam routes failures to the DLQ by exception
-    type."""
+    decode to a structurally sane dict (a flip in entropy data can be
+    valid) or raise the module's unified ValueError /
+    NotImplementedError — never an uncontrolled
+    IndexError/KeyError/struct.error, because the mapInPandas codec seam
+    routes failures to the DLQ by exception type."""
     import numpy as np
 
     from stockpulse_batch_realtime_etl_spark.operators import jpeg
@@ -194,21 +219,13 @@ def test_jpeg_decoder_total_on_corrupt_inputs(asset_id, variant, mode, seed):
         "422": multimodal._encode_jpeg_422,
     }[variant]
     rng = np.random.default_rng(seed)
-    payload = bytearray(enc(asset_id))
-    if mode == "truncate":
-        payload = payload[: int(rng.integers(0, len(payload)))]
-    elif mode == "flip":
-        i = int(rng.integers(0, len(payload)))
-        payload[i] = int(rng.integers(0, 256))
-    else:
-        i = int(rng.integers(0, len(payload) + 1))
-        junk = rng.integers(0, 256, size=int(rng.integers(1, 8)))
-        payload[i:i] = bytes(junk.tolist())
+    payload = _mutate(bytearray(enc(asset_id)), mode, rng)
     try:
-        d = jpeg.decode_jpeg_bytes(bytes(payload))
-        assert isinstance(d, dict) and "vals" in d
+        d = jpeg.decode_jpeg_bytes(payload)
     except (ValueError, NotImplementedError):
         pass
+    else:
+        _sane_image(d)
 
 
 @settings(max_examples=150, deadline=None)
@@ -243,21 +260,19 @@ def test_codec_decoders_total_on_corrupt_inputs(asset_id, codec, mode, seed):
         "bmp": mm.decode_image_bytes,
     }[codec]
     rng = np.random.default_rng(seed)
-    payload = bytearray(enc(asset_id))
-    if mode == "truncate":
-        payload = payload[: int(rng.integers(0, len(payload)))]
-    elif mode == "flip":
-        i = int(rng.integers(0, len(payload)))
-        payload[i] = int(rng.integers(0, 256))
-    else:
-        i = int(rng.integers(0, len(payload) + 1))
-        junk = rng.integers(0, 256, size=int(rng.integers(1, 8)))
-        payload[i:i] = bytes(junk.tolist())
+    payload = _mutate(bytearray(enc(asset_id)), mode, rng)
     try:
-        d = dec(bytes(payload))
-        assert isinstance(d, dict)
+        d = dec(payload)
     except (ValueError, NotImplementedError):
-        pass
+        return
+    if codec == "wav":
+        assert d["sample_rate"] is not None and len(d["vals"]) >= 0
+    elif codec == "y4m":
+        assert d["width"] > 0 and d["height"] > 0
+        for f in d["frames"]:
+            assert len(f) == d["width"] * d["height"] * 3
+    else:
+        _sane_image(d)
 
 
 @settings(max_examples=40, deadline=None)
@@ -346,9 +361,17 @@ def test_bm25_matches_pure_python_reference(spark, texts, seed):
     assert {k: (r6(v[0]), v[1]) for k, v in got.items()} == want
 
 
+#: winnowing corpus with NON-ASCII mixed in: "é"/"ß" (BMP) and "💡"
+#: (astral) force the vectorized path's ord() fallback and pin that
+#: Spark's split('')+ascii and Python's per-code-point ord agree — the
+#: branch an all-ASCII corpus would leave dead
+_WINNOW_WORD = st.text(alphabet="abcxyzéß💡", min_size=1, max_size=5)
+_WINNOW_DOC = st.lists(_WINNOW_WORD, min_size=1, max_size=40).map(" ".join)
+
+
 @settings(max_examples=8, deadline=None)
 @given(
-    st.lists(_DOC, min_size=1, max_size=6),
+    st.lists(_WINNOW_DOC, min_size=1, max_size=6),
     st.integers(2, 5),
     st.integers(1, 6),
     st.sampled_from([1_000_003, (1 << 31) + 11]),

@@ -77,17 +77,24 @@ DEFAULT_QUERIES = [
 
 def _fixture_tag(base_dir: str) -> str:
     """Fingerprint of the source fixture via the repo's single
-    fixture-fingerprint helper (streaming.job._corpus_tag): a REGENERATED
-    sf0.1 at the same path must invalidate the cached probe dir, not
-    silently reuse stale replicas — and any future fingerprint upgrade
-    (content hashing, symlinks) lands here automatically."""
-    from stockpulse_batch_realtime_etl_spark.streaming.job import _corpus_tag
+    fixture-identity helper (streaming.job._fixture_fingerprint): a
+    REGENERATED sf0.1 at the same path must invalidate the cached probe
+    dir, not silently reuse stale replicas — and any future fingerprint
+    upgrade (content hashing, symlinks) lands here automatically.  The
+    replica-transform version axis is _PROBE_GEN (in the dir name), NOT
+    streaming.job._CORPUS_VERSION: a streaming corpus-builder change must
+    not force the expensive 100× replica rebuild."""
+    import hashlib
 
-    return _corpus_tag(
-        base_dir,
-        extra_key="scale_probe",
-        tables=("events", "documents", "embeddings"),
+    from stockpulse_batch_realtime_etl_spark.streaming.job import (
+        _fixture_fingerprint,
     )
+
+    return hashlib.md5(
+        _fixture_fingerprint(
+            base_dir, ("events", "documents", "embeddings")
+        ).encode()
+    ).hexdigest()[:8]
 
 
 #: replication-scheme version: bump when the replica transforms change so a
@@ -104,6 +111,21 @@ def build_probe_dir(spark, base_dir: str = SF01) -> str:
     marker = os.path.join(dest, "_PROBE_READY")
     if os.path.exists(marker):
         return dest
+    # replica-budget guard BEFORE any write: failing after the documents
+    # fan-out would leave a marker-less partial dir and waste the most
+    # expensive part of the build
+    emb = load_table(spark, base_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    if REPLICAS > 2 * dim:
+        # rotation × sign-flip yields exactly 2·dim distinct transforms;
+        # replica 2·dim would be bit-identical to replica 0, reintroducing
+        # the fake cosine-1 duplicates this scheme exists to avoid — fail
+        # loudly rather than corrupt the dedup/ANN probe measurements
+        raise ValueError(
+            f"SCALE_PROBE_REPLICAS={REPLICAS} exceeds the distinct "
+            f"embedding-transform budget 2*dim={2 * dim}; replicas past "
+            f"that wrap to exact duplicates of earlier ones"
+        )
     shutil.rmtree(dest, ignore_errors=True)
     os.makedirs(dest)
 
@@ -129,19 +151,7 @@ def build_probe_dir(spark, base_dir: str = SF01) -> str:
         )
     _union_all(parts).write.parquet(os.path.join(dest, "documents.parquet"))
 
-    emb = load_table(spark, base_dir, "embeddings")
     v_stride = emb.agg(F.max("vec_id")).collect()[0][0] + 1
-    dim = len(emb.select("embedding").first()[0])
-    if REPLICAS > 2 * dim:
-        # rotation × sign-flip yields exactly 2·dim distinct transforms;
-        # replica 2·dim would be bit-identical to replica 0, reintroducing
-        # the fake cosine-1 duplicates this scheme exists to avoid — fail
-        # loudly rather than corrupt the dedup/ANN probe measurements
-        raise ValueError(
-            f"SCALE_PROBE_REPLICAS={REPLICAS} exceeds the distinct "
-            f"embedding-transform budget 2*dim={2 * dim}; replicas past "
-            f"that wrap to exact duplicates of earlier ones"
-        )
     parts = []
     for k in range(REPLICAS):
         shift = k % dim
