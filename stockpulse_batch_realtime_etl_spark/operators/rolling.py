@@ -353,6 +353,14 @@ def return_outliers(
             F.lit(0.0),
         )
     )
+    # canonicalize IEEE negative zero: a tiny-negative z rounds to -0.0 in
+    # engines that keep the sign (DuckDB) but to +0.0 through Spark's
+    # BigDecimal round — the sf0.1 parity sweep caught 5 such rows hashing
+    # apart.  x == 0 is true for both zeros, so the CASE rewrites -0.0 to
+    # +0.0 on BOTH sides (mirrored in the oracle SQL) and cannot be
+    # constant-folded away.
+    zraw = F.round(F.when(sd > 0, (F.col("ret") - mean) / sd), 4)
+    z = F.when(zraw == 0, F.lit(0.0)).otherwise(zraw)
     return (
         r.join(F.broadcast(mom), "symbol")
         .select(
@@ -360,9 +368,7 @@ def return_outliers(
             "event_time",
             "price",
             "ret",
-            F.round(
-                F.when(sd > 0, (F.col("ret") - mean) / sd), 4
-            ).alias("z"),
+            z.alias("z"),
             F.when(
                 sd > 0,
                 F.abs((F.col("ret") - mean) / sd) > F.lit(k_sigma),

@@ -3899,10 +3899,18 @@ mom AS (
   FROM rr GROUP BY symbol
 )
 SELECT rr.symbol, rr.event_time, rr.price, rr.ret,
-  round(CASE WHEN sqrt(greatest((srr - sr * sr / n) / n, CAST(0 AS DOUBLE))) > 0
-             THEN (ret - sr / n)
-                  / sqrt(greatest((srr - sr * sr / n) / n, CAST(0 AS DOUBLE)))
-        END, 4) AS z,
+  -- -0.0 canonicalized to +0.0 (DuckDB's round keeps the sign of a
+  -- tiny-negative z; Spark's BigDecimal round does not)
+  CASE WHEN round(CASE WHEN sqrt(greatest((srr - sr * sr / n) / n, CAST(0 AS DOUBLE))) > 0
+                       THEN (ret - sr / n)
+                            / sqrt(greatest((srr - sr * sr / n) / n, CAST(0 AS DOUBLE)))
+                  END, 4) = 0
+       THEN CAST(0 AS DOUBLE)
+       ELSE round(CASE WHEN sqrt(greatest((srr - sr * sr / n) / n, CAST(0 AS DOUBLE))) > 0
+                       THEN (ret - sr / n)
+                            / sqrt(greatest((srr - sr * sr / n) / n, CAST(0 AS DOUBLE)))
+                  END, 4)
+  END AS z,
   CASE WHEN sqrt(greatest((srr - sr * sr / n) / n, CAST(0 AS DOUBLE))) > 0
        THEN abs((ret - sr / n)
                 / sqrt(greatest((srr - sr * sr / n) / n, CAST(0 AS DOUBLE))))
