@@ -1787,7 +1787,7 @@ _GATE_HEAD: tuple[str, ...] = (
 )
 
 #: Names queued BEHIND the window, in r9 rotation priority.  HEAD OF THE
-#: QUEUE: the seven queries whose code paths changed in r8 but could not
+#: QUEUE: the eight queries whose code paths changed in r8 but could not
 #: fit the r8 window (all 50 slots went to the 2 new registrations + the
 #: 48 r5-stale names, per the no-row-older-than-two-rounds promise) — the
 #: winnowing pipeline was REPLACED by the vectorized Arrow seam (the
@@ -1795,8 +1795,10 @@ _GATE_HEAD: tuple[str, ...] = (
 #: by the winnowing property test + sf0.01 parity), the three remaining
 #: IVF rungs went adaptive-ncells, ann_recall_report composes two of the
 #: adaptive rungs (and its oracle now embeds the adaptive-cells scalar
-#: subqueries), and jpeg420/metrics share the changed jpeg.py /
-#: daily-corpus-builder code.  Each was re-verified this round
+#: subqueries), return_outliers gained the −0.0 canonicalization the
+#: full sf0.1 parity sweep demanded, and jpeg420/metrics share the
+#: changed jpeg.py / daily-corpus-builder code.  Each was re-verified
+#: this round
 #: by the bare-session parity replica (tools/check_parity.py --bare) in
 #: addition to the local suite, but a DRIVER row is the signal that
 #: counts, so they gate first in r9.  THEN: the 48 queries whose last
@@ -1812,6 +1814,7 @@ _GATE_NEXT: tuple[str, ...] = (
     "ann_ivf_kmeans_topk",
     "ann_ivf_multiprobe_topk",
     "ann_recall_report",
+    "return_outliers",
     "multimodal_jpeg420_stats",
     "streaming_metrics_summary",
     "events_profile",
@@ -1821,7 +1824,6 @@ _GATE_NEXT: tuple[str, ...] = (
     "cohort_retention",
     "kmeans_cell_report",
     "ticks_asof_next_bar",
-    "return_outliers",
     "video_frame_stats",
     "audio_decimated_stats",
     "revenue_cube",
