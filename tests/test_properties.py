@@ -446,6 +446,63 @@ def test_winnowing_matches_pure_python_reference(spark, texts, k, w, mod):
         assert got_k[i] == want, (texts[i], k, mod)
 
 
+# --- media transform chains (pure Python — no Spark) -------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.integers(1, 20),
+    st.integers(0, 2**32 - 1),
+)
+def test_resize_chain_laws(w, h, max_px, seed):
+    """resize_image_bytes over ARBITRARY pixels: the output decodes, dims
+    obey the aspect-preserving ≤ max_px law, pixels equal the integer
+    nearest-neighbor reference, and the transform is IDEMPOTENT at the
+    byte level (a second resize at the same bound is exactly a no-op) —
+    the property a thumbnail cache relies on."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    payload = b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+    out = mm.resize_image_bytes(payload, max_px)
+    d = mm.decode_image_bytes(out)
+    edge = max(w, h)
+    if edge <= max_px:
+        nw, nh = w, h
+    else:
+        nw = max(1, (w * max_px) // edge)
+        nh = max(1, (h * max_px) // edge)
+        assert max(nw, nh) <= max_px
+    assert (d["width"], d["height"]) == (nw, nh)
+    rows = (np.arange(nh) * h) // nh
+    cols = (np.arange(nw) * w) // nw
+    np.testing.assert_array_equal(
+        d["vals"].reshape(nh, nw, 3), px[rows][:, cols].astype(np.int64)
+    )
+    assert mm.resize_image_bytes(out, max_px) == out
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 499), st.integers(1, 8))
+def test_resample_audio_keeps_every_factorth_sample(asset_id, factor):
+    """resample_audio_bytes == vals[::factor] at rate//factor, and the
+    output is itself a decodable WAV (the chain-composability contract
+    decoded_stats relies on)."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import multimodal as mm
+
+    payload = mm.encode_wav(asset_id)
+    src = mm.decode_wav_bytes(payload)
+    out = mm.decode_wav_bytes(mm.resample_audio_bytes(payload, factor))
+    assert out["sample_rate"] == src["sample_rate"] // factor
+    np.testing.assert_array_equal(out["vals"], src["vals"][::factor])
+
+
 # --- DLQ split conservation over fuzzed records ------------------------------
 
 _JSONISH = st.one_of(
