@@ -368,16 +368,25 @@ def _ensure_daily_corpus(spark: SparkSession, sf_dir: str) -> str:
             )
 
         _publish_atomic(dest, _write)
-    # The pinning walk can race a concurrent publisher's tombstone swap:
-    # _publish_atomic renames a stale dest ASIDE for a moment before the
-    # fresh copy lands, so listdir/utime here can see dest (or a file
-    # swept away with the tombstone) momentarily absent and raise
-    # FileNotFoundError.  The swap always converges on a complete
-    # (_SUCCESS-marked) dest, so retry the whole idempotent walk.
+    _pin_daily_mtimes(dest)
+    return dest
+
+
+def _pin_daily_mtimes(dest: str) -> None:
+    """Pin strictly increasing per-day mtimes over a published daily
+    corpus (file-stream sources discover by modification time — see
+    :func:`_ensure_daily_corpus`).  Idempotent, and safe against a
+    CONCURRENT publisher's tombstone swap: _publish_atomic renames a
+    stale dest ASIDE for a moment before the fresh copy lands, so
+    listdir/utime here can see dest (or a file swept away with the
+    tombstone) momentarily absent and raise FileNotFoundError.  The swap
+    always converges on a complete (_SUCCESS-marked) dest, so retry the
+    whole idempotent walk (soak-tested cross-process in
+    tests/test_streaming.py)."""
     import time
 
     base_ts = 1_000_000_000
-    for attempt in range(50):
+    for _attempt in range(50):
         try:
             for i, day in enumerate(
                 sorted(x for x in os.listdir(dest) if x.startswith("day="))
@@ -387,15 +396,13 @@ def _ensure_daily_corpus(spark: SparkSession, sf_dir: str) -> str:
                     os.utime(
                         os.path.join(ddir, f), (base_ts + i, base_ts + i)
                     )
-            break
+            return
         except FileNotFoundError:
             time.sleep(0.1)
-    else:
-        raise RuntimeError(
-            f"daily corpus at {dest} never stabilized: a concurrent "
-            f"publisher evicted it and no complete copy reappeared"
-        )
-    return dest
+    raise RuntimeError(
+        f"daily corpus at {dest} never stabilized: a concurrent "
+        f"publisher evicted it and no complete copy reappeared"
+    )
 
 
 @contextlib.contextmanager

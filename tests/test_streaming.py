@@ -641,6 +641,78 @@ def test_publish_atomic_multiprocess_soak(tmp_path):
             assert not side, (rnd, side)
 
 
+def _race_daily(args):
+    """Child worker for the daily-corpus soak: even ids PUBLISH a complete
+    day-partitioned copy (exercising the tombstone swap against a
+    pre-seeded marker-less partial); odd ids run the mtime-pinning walk,
+    which must survive the swap's momentary dest absence."""
+    dest, wid = args
+    import os as _os
+
+    from stockpulse_batch_realtime_etl_spark.streaming.job import (
+        _pin_daily_mtimes,
+        _publish_atomic,
+    )
+
+    if wid % 2 == 0:
+        def write(d):
+            for k in range(3):
+                ddir = _os.path.join(d, f"day=2024-01-0{k + 1}")
+                _os.makedirs(ddir, exist_ok=True)
+                with open(_os.path.join(ddir, "part-0.txt"), "w") as f:
+                    f.write(f"worker-{wid}-day-{k}")
+            open(_os.path.join(d, "_SUCCESS"), "w").close()
+
+        _publish_atomic(dest, write)
+    else:
+        _pin_daily_mtimes(dest)
+    return wid
+
+
+def test_daily_corpus_pin_survives_concurrent_publish(tmp_path):
+    """TRUE cross-process race for the mtime-pinning walk: publishers
+    tombstone-swap a marker-less dest while pinners walk it — the walk's
+    FileNotFoundError retry must absorb the swap window (the round-8
+    review's TOCTOU finding), and after quiesce the day dirs carry
+    strictly increasing pinned mtimes."""
+    import os
+    from concurrent.futures import ProcessPoolExecutor
+
+    from stockpulse_batch_realtime_etl_spark.streaming.job import (
+        _pin_daily_mtimes,
+    )
+
+    with ProcessPoolExecutor(max_workers=4) as pool:
+        for rnd in range(6):
+            dest = str(tmp_path / f"daily{rnd}")
+            if rnd % 2:
+                # marker-less partial → publishers take the tombstone path
+                os.makedirs(os.path.join(dest, "day=2024-01-01"))
+                with open(
+                    os.path.join(dest, "day=2024-01-01", "part-0.txt"), "w"
+                ) as f:
+                    f.write("crashed-partial")
+            # workers 1,3 pin concurrently with workers 0,2 publishing;
+            # no call may raise
+            list(pool.map(_race_daily, [(dest, w) for w in range(4)]))
+            assert os.path.exists(os.path.join(dest, "_SUCCESS")), rnd
+            _pin_daily_mtimes(dest)
+            days = sorted(
+                x for x in os.listdir(dest) if x.startswith("day=")
+            )
+            assert len(days) == 3, (rnd, days)
+            stamps = [
+                os.stat(
+                    os.path.join(dest, d, os.listdir(os.path.join(dest, d))[0])
+                ).st_mtime
+                for d in days
+            ]
+            assert stamps == sorted(stamps) and len(set(stamps)) == 3, (
+                rnd,
+                stamps,
+            )
+
+
 def test_stream_stream_full_outer_join_both_side_null_emission(spark):
     """FULL OUTER stream-stream join: matches equal the inner join, and
     BOTH sides' unmatched rows in watermark-expired windows emit exactly
