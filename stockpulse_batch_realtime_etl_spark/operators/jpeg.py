@@ -521,6 +521,68 @@ def encode_jpeg_422(asset_id: int) -> bytes:
     )
 
 
+def _image_dims_411(asset_id: int) -> tuple[int, int]:
+    """Per-asset dims for the 4:1:1 corpus: MCU is 32×8, so widths up to
+    68 give 1-3 MCU columns (rarely a multiple of 32 → padded partial
+    MCUs on the x axis dominate) and heights up to 26 give 1-4 MCU rows
+    with partial bottom blocks."""
+    return 8 + asset_id % 61, 8 + asset_id % 19
+
+
+#: RSTn cadence of the 4:1:1 corpus — same rationale as 4:2:2: most
+#: assets carry several in-scan restart markers, so restart resync is
+#: exercised inside the widest interleave the decoder supports
+JPEG411_RESTART_INTERVAL = 2
+
+
+def encode_jpeg_411(asset_id: int) -> bytes:
+    """Real colour baseline JPEG with 4×1-subsampled chroma (4:1:1 — the
+    DV / consumer-camcorder shape) AND a declared restart interval: each
+    32×8 MCU carries FOUR Y blocks left-to-right plus one Cb and one Cr
+    block covering the same pixels — the WIDEST per-MCU interleave
+    baseline JPEG allows (hmax = 4), so partial right-edge MCUs pad up
+    to three whole Y block columns.
+
+    Plane model (mirrored arithmetically by the DuckDB oracle): the Y
+    plane is constant per 8×8 block over the MCU-PADDED grid of
+    ``4·mcux`` block columns (pixel (x,y) reads block
+    ``(y//8)·4·mcux + x//8``); each chroma plane is constant per chroma
+    block = 32×8 luma pixels after 4× horizontal nearest-neighbor
+    upsampling (pixel (x,y) reads chroma block ``(y//8)·mcux + x//32``).
+    DC-only blocks + unit quant keep the round trip exact."""
+    w, h = _image_dims_411(asset_id)
+    mcux, mcuy = (w + 31) // 32, (h + 7) // 8
+    y_vals = []
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for j in range(4):
+            y_vals.append(
+                block_value(asset_id, 0, my * (4 * mcux) + (mx * 4 + j))
+            )
+    comps = [
+        _block_constant_coeffs(np.array(y_vals, dtype=np.int64)),
+        _block_constant_coeffs(
+            np.array(
+                [block_value(asset_id, 1, b) for b in range(mcux * mcuy)],
+                dtype=np.int64,
+            )
+        ),
+        _block_constant_coeffs(
+            np.array(
+                [block_value(asset_id, 2, b) for b in range(mcux * mcuy)],
+                dtype=np.int64,
+            )
+        ),
+    ]
+    return encode_baseline_jpeg(
+        comps,
+        w,
+        h,
+        sampling=[(4, 1), (1, 1), (1, 1)],
+        restart_interval=JPEG411_RESTART_INTERVAL,
+    )
+
+
 def _idct_matrix() -> np.ndarray:
     """Orthonormal 8-point DCT-II basis matrix M (M[0]=1/√8)."""
     x = np.arange(8, dtype=np.float64)

@@ -461,6 +461,14 @@ def _encode_jpeg_422(asset_id: int) -> bytes:
     return encode_jpeg_422(asset_id)
 
 
+def _encode_jpeg_411(asset_id: int) -> bytes:
+    from stockpulse_batch_realtime_etl_spark.operators.jpeg import (
+        encode_jpeg_411,
+    )
+
+    return encode_jpeg_411(asset_id)
+
+
 _ENCODERS = {
     "bmp": encode_bmp,
     "ppm": encode_ppm,
@@ -469,6 +477,7 @@ _ENCODERS = {
     "jpeg": _encode_jpeg,
     "jpeg420": _encode_jpeg_420,
     "jpeg422": _encode_jpeg_422,
+    "jpeg411": _encode_jpeg_411,
 }
 
 DECODED_SCHEMA = (

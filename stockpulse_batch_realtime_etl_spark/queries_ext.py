@@ -1558,6 +1558,74 @@ def q_multimodal_jpeg422_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decoded_stats(assets)
 
 
+#: 4:1:1 rung — the DV / consumer-camcorder JPEG shape and the WIDEST
+#: per-MCU interleave baseline JPEG allows (four Y blocks + one Cb + one
+#: Cr per 32×8 MCU, hmax = 4 → 4× horizontal-only chroma upsampling),
+#: again COMBINED with a DRI=2 restart cadence.  Beyond 4:2:0/4:2:2 this
+#: exercises the decoder's padded-edge geometry hardest: at these dims a
+#: partial right-edge MCU pads up to THREE whole Y block columns, and a
+#: mis-walked pad (the exact bug class T.81 A.2.2 fixes guard against)
+#: shifts every subsequent block.  Oracle replay: pixel (x,y) reads Y
+#: from the MCU-padded 4·mcux-wide block grid and chroma from the
+#: mcux-wide chroma grid (32×8 luma pixels each).  Same exactness
+#: argument as the other rungs (DC-only blocks, unit quant,
+#: floor(x+0.5) both sides).
+@register(
+    "multimodal_jpeg411_stats",
+    oracle="""
+WITH base AS (
+  SELECT doc_id AS asset_id,
+         CAST(8 + doc_id % 61 AS INT) AS w,
+         CAST(8 + doc_id % 19 AS INT) AS h
+  FROM documents
+),
+px AS (
+  SELECT asset_id, w, h, (w + 31) // 32 AS mcux, i,
+         (i // 3) % w AS x, (i // 3) // w AS y, i % 3 AS chan
+  FROM (SELECT *, unnest(generate_series(0, w * h * 3 - 1)) AS i FROM base)
+),
+ycc AS (
+  SELECT asset_id, w, h, i, chan,
+         (7 * asset_id + 13 * yb) % 256 AS yv,
+         (11 * asset_id + 5 * cbb) % 256 AS cb,
+         (3 * asset_id + 17 * cbb) % 256 AS cr
+  FROM (SELECT *,
+               (y // 8) * (4 * mcux) + (x // 8) AS yb,
+               (y // 8) * mcux + (x // 32) AS cbb
+        FROM px)
+),
+rgb AS (
+  SELECT asset_id, w, h, i,
+         CAST(CASE chan
+           WHEN 0 THEN least(255, greatest(0,
+             floor(yv + 1.402 * (cr - 128) + 0.5)))
+           WHEN 1 THEN least(255, greatest(0,
+             floor(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)))
+           ELSE least(255, greatest(0,
+             floor(yv + 1.772 * (cb - 128) + 0.5)))
+         END AS BIGINT) AS val
+  FROM ycc
+)
+SELECT asset_id, 'jpeg411' AS format, w AS width, h AS height,
+       CAST(NULL AS INT) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_values,
+       CAST(sum(val) AS BIGINT) AS value_sum,
+       CAST(min(val) AS BIGINT) AS value_min,
+       CAST(max(val) AS BIGINT) AS value_max,
+       CAST(sum(val * (i + 1)) AS BIGINT) AS weighted_sum
+FROM rgb
+GROUP BY asset_id, w, h
+""",
+)
+def q_multimodal_jpeg411_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """encode as 4:1:1 JPEG with restart markers → real decode through the
+    widest baseline MCU interleave (4 Y + Cb + Cr) → per-asset stats."""
+    assets = multimodal.encode_assets(
+        load_table(spark, sf_dir, "documents"), fmts=("jpeg411",)
+    )
+    return multimodal.decoded_stats(assets)
+
+
 # --- rolling-hash fingerprints (Manber '94 / Karp–Rabin) --------------------
 
 def _horner_sql(k: int, base: int, mod: int, s: str = "n", pos: str = "pos") -> str:

@@ -1730,6 +1730,9 @@ from stockpulse_batch_realtime_etl_spark import queries_ext  # noqa: E402,F401
 #: path in r7 and the truth-side cap + adaptive oracles changed it again
 #: this round; ann_ivfpq_topk likewise (adaptive search cells).  After
 #: this round no registered query's last driver row is older than r6.
+#: (A third r8 registration, multimodal_jpeg411_stats, landed after this
+#: window was frozen — it heads _GATE_NEXT as the only never-gated
+#: query.)
 _GATE_HEAD: tuple[str, ...] = (
     # --- NEW this round: 4:2:2+DRI JPEG decode; interval (attribution) join
     "multimodal_jpeg422_stats",
@@ -1809,6 +1812,10 @@ _GATE_HEAD: tuple[str, ...] = (
 #: are still verified every round by the local all-queries parity suite
 #: (tests/test_oracle_parity) and by tools/check_parity.py at sf0.01.
 _GATE_NEXT: tuple[str, ...] = (
+    # never-gated round-8 late registration — ahead even of the
+    # changed-code set (a query with NO driver row ever is the
+    # highest-information gate slot)
+    "multimodal_jpeg411_stats",
     "winnowed_fingerprints",
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",

@@ -699,6 +699,56 @@ def test_jpeg_422_restart_round_trip_matches_independent_replay():
         assert np.array_equal(d["vals"], exp.astype(np.int64)), aid
 
 
+def test_jpeg_411_restart_round_trip_matches_independent_replay():
+    """4:1:1 decode (4×1 chroma subsampling — the WIDEST baseline MCU
+    interleave, 4 Y blocks per MCU) COMBINED with in-scan restart markers
+    (DRI=2) reproduces the synthesis model exactly — verified against a
+    per-pixel numpy replay that never touches the codec.  Asset ids cover
+    single-MCU images, exact 32-px-multiple widths, and partial right-edge
+    MCUs padding up to three whole Y block columns."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import jpeg
+
+    for aid in [0, 7, 16, 23, 24, 40, 60, 123, 456]:
+        w, h = jpeg._image_dims_411(aid)
+        payload = jpeg.encode_jpeg_411(aid)
+        assert b"\xff\xdd" in payload  # DRI really declared
+        mcux, mcuy = (w + 31) // 32, (h + 7) // 8
+        if mcux * mcuy > jpeg.JPEG411_RESTART_INTERVAL:
+            assert any(
+                bytes([0xFF, 0xD0 + n]) in payload for n in range(8)
+            ), aid
+        d = jpeg.decode_jpeg_bytes(payload)
+        assert (d["width"], d["height"]) == (w, h)
+        y_idx, x_idx = np.meshgrid(
+            np.arange(h), np.arange(w), indexing="ij"
+        )
+        yb = (y_idx // 8) * (4 * mcux) + (x_idx // 8)
+        cbb = (y_idx // 8) * mcux + (x_idx // 32)
+        yv = (7 * aid + 13 * yb) % 256
+        cb = (11 * aid + 5 * cbb) % 256
+        cr = (3 * aid + 17 * cbb) % 256
+        exp = np.stack(
+            [
+                np.clip(np.floor(yv + 1.402 * (cr - 128) + 0.5), 0, 255),
+                np.clip(
+                    np.floor(
+                        yv
+                        - 0.344136 * (cb - 128)
+                        - 0.714136 * (cr - 128)
+                        + 0.5
+                    ),
+                    0,
+                    255,
+                ),
+                np.clip(np.floor(yv + 1.772 * (cb - 128) + 0.5), 0, 255),
+            ],
+            axis=-1,
+        ).reshape(-1)
+        assert np.array_equal(d["vals"], exp.astype(np.int64)), aid
+
+
 def test_jpeg_restart_marker_index_wraps_past_rst7():
     """T.81 requires RSTn indices to start at RST0 and cycle mod 8; the
     4:2:2 corpus caps at 12 MCUs (5 markers), so the wrap arithmetic in
