@@ -384,7 +384,13 @@ def decode_image_bytes(payload: bytes) -> dict:
                     pos : pos + 1
                 ].isspace():
                     pos += 1
-                fields.append(int(payload[start:pos]))
+                tok = payload[start:pos]
+                if not tok.isdigit():
+                    # int() accepts Python numeric-literal forms a strict
+                    # PPM parser rejects (b"1_6" underscores, leading "+");
+                    # such headers must dead-letter, not decode leniently
+                    raise ValueError(f"PPM non-numeric header token {tok!r}")
+                fields.append(int(tok))
         w, h, maxval = fields
         if w <= 0 or h <= 0:
             # int() happily parses b"-4"; np.frombuffer with the negative

@@ -302,7 +302,14 @@ def _publish_atomic(dest: str, write_fn) -> None:
     # marker check and the eviction, and a reader that already observed
     # _SUCCESS may be mid-read — the tombstone keeps those files alive
     # until the very end, and a good dest is never deleted in place.
-    tomb = f"{dest}.stale.{os.getpid()}"
+    # Tombstone name must be unique PER INVOCATION, not per process: two
+    # publishes of the same dest from one pid (threads, or a retry after
+    # a crash left an earlier same-pid tombstone behind) would otherwise
+    # collide — os.rename onto an existing non-empty dir raises OSError,
+    # which the except below would misread as "another process evicted it".
+    import uuid
+
+    tomb = f"{dest}.stale.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     try:
         os.rename(dest, tomb)
     except OSError:

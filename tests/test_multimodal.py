@@ -124,6 +124,19 @@ def test_ppm_roundtrip_and_comment_header():
     assert int(d["vals"].sum()) == sum(range(60))
 
 
+def test_ppm_header_rejects_python_numeric_literal_lenience():
+    """Round-8 ADVICE: int() accepts b'1_6' (underscore separator) and
+    b'+4' (leading plus), which a strict PPM parser must reject — such
+    headers dead-letter via the unified ValueError instead of decoding
+    as if well-formed."""
+    import pytest
+
+    body = bytes(60)
+    for hdr in (b"P6\n1_6 5\n255\n", b"P6\n+4 5\n255\n", b"P6\n4 5\n+255\n"):
+        with pytest.raises(ValueError, match="non-numeric header token"):
+            multimodal.decode_image_bytes(hdr + body)
+
+
 def test_wav_roundtrip_and_chunk_alignment():
     import struct
 

@@ -469,9 +469,9 @@ def _complete_writer(content):
     return write
 
 
-def _interleave_rename(monkeypatch, trigger_dst_suffix, interference):
-    """Patch os.rename so that the FIRST call whose destination ends with
-    ``trigger_dst_suffix`` runs ``interference()`` before delegating — a
+def _interleave_rename(monkeypatch, trigger_dst_marker, interference):
+    """Patch os.rename so that the FIRST call whose destination contains
+    ``trigger_dst_marker`` runs ``interference()`` before delegating — a
     deterministic replay of 'another process acts at exactly the TOCTOU
     window' without real thread timing."""
     import os
@@ -480,7 +480,7 @@ def _interleave_rename(monkeypatch, trigger_dst_suffix, interference):
     fired = {"done": False}
 
     def wrapper(src, dst):
-        if not fired["done"] and str(dst).endswith(trigger_dst_suffix):
+        if not fired["done"] and trigger_dst_marker in str(dst):
             fired["done"] = True
             interference()
         return real(src, dst)
@@ -514,7 +514,9 @@ def test_publish_atomic_concurrent_good_publish_is_never_deleted_in_place(
         _make_dest(dest, "winner-b", success=True)
 
     _interleave_rename(
-        monkeypatch, f".stale.{os.getpid()}", other_process_publishes_good_copy
+        monkeypatch,
+        f".stale.{os.getpid()}.",
+        other_process_publishes_good_copy,
     )
     _publish_atomic(dest, _complete_writer("ours"))
     assert os.path.exists(os.path.join(dest, "_SUCCESS"))
@@ -543,7 +545,7 @@ def test_publish_atomic_lost_retry_race_to_complete_copy_discards_quietly(
     state = {"phase": 0}
 
     def wrapper(src, dst):
-        if str(dst).endswith(f".stale.{os.getpid()}") and state["phase"] == 0:
+        if f".stale.{os.getpid()}." in str(dst) and state["phase"] == 0:
             # other process already evicted AND republished complete: our
             # tombstone rename sees no dest → OSError
             state["phase"] = 1
@@ -582,7 +584,7 @@ def test_publish_atomic_double_markerless_loser_surfaces_loudly(
     state = {"phase": 0}
 
     def wrapper(src, dst):
-        if str(dst).endswith(f".stale.{os.getpid()}") and state["phase"] == 0:
+        if f".stale.{os.getpid()}." in str(dst) and state["phase"] == 0:
             state["phase"] = 1
             shutil.rmtree(dest)
             _make_dest(dest, "another-partial", success=False)
@@ -592,6 +594,44 @@ def test_publish_atomic_double_markerless_loser_surfaces_loudly(
     monkeypatch.setattr(os, "rename", wrapper)
     with _pytest.raises(OSError):
         _publish_atomic(dest, _complete_writer("ours"))
+
+
+def test_publish_atomic_same_pid_repeat_with_leftover_tombstone(
+    tmp_path, monkeypatch
+):
+    """Round-8 ADVICE: tombstone names keyed on pid alone collide when the
+    SAME process publishes the same dest twice and an earlier tombstone of
+    its own is still on disk (thread overlap, or a crash that left one
+    behind).  With per-invocation-unique names, the second publish must
+    succeed even though a stale `<dest>.stale.<pid>.*`-shaped dir already
+    exists — and, to prove uniqueness rather than luck, a pre-seeded
+    NON-EMPTY dir at the exact pid-only legacy name must never be the
+    rename target."""
+    import os
+
+    from stockpulse_batch_realtime_etl_spark.streaming.job import (
+        _publish_atomic,
+    )
+
+    dest = str(tmp_path / "corpus")
+    # the legacy pid-only tombstone name, non-empty: os.rename onto it
+    # would raise OSError/ENOTEMPTY if the code ever reused that exact name
+    legacy = f"{dest}.stale.{os.getpid()}"
+    _make_dest(legacy, "old-tombstone", success=False)
+    # dest is a marker-less partial → the eviction path must engage
+    _make_dest(dest, "crashed-partial", success=False)
+    _publish_atomic(dest, _complete_writer("ours"))  # must not raise
+    assert os.path.exists(os.path.join(dest, "_SUCCESS"))
+    assert open(os.path.join(dest, "part-0")).read() == "ours"
+    # the pre-seeded legacy dir must be untouched (we never renamed onto it)
+    assert open(os.path.join(legacy, "part-0")).read() == "old-tombstone"
+    # and our own unique tombstone was cleaned up: nothing else remains
+    leftovers = sorted(
+        p
+        for p in os.listdir(tmp_path)
+        if p not in ("corpus", os.path.basename(legacy))
+    )
+    assert not leftovers, f"stale side dirs survived: {leftovers}"
 
 
 def _race_publish(args):
