@@ -8,12 +8,14 @@ marker segment walk, DQT/DHT parse, canonical Huffman entropy decode with
 zigzag ordering, dequantization, 8×8 IDCT, level shift, and JFIF
 YCbCr→RGB — with no external library.
 
-Scope (honest seam): baseline sequential (SOF0), 8-bit, grayscale or
-colour with any sampling factors where each component's factor divides
-the max (covers 4:4:4, 4:2:2, and the dominant real-world 4:2:0 —
-interleaved multi-block MCUs, padded edge blocks, nearest-neighbor
-chroma upsampling).  Progressive (SOF2), arithmetic coding, 12-bit
-precision, and non-dividing sampling ratios raise
+Scope: baseline sequential (SOF0) AND progressive (SOF2, T.81 Annex G —
+spectral selection, successive approximation, EOB runs, refinement
+correction bits), 8-bit, grayscale or colour with any sampling factors
+where each component's factor divides the max (covers 4:4:4, 4:2:2,
+4:1:1, and the dominant real-world 4:2:0 — interleaved multi-block
+MCUs, padded edge blocks, nearest-neighbor chroma upsampling).
+Honest remaining seams: arithmetic coding, hierarchical (SOF5+),
+lossless, 12-bit precision, and non-dividing sampling ratios raise
 ``NotImplementedError``.
 
 Oracle strategy (same trick as the PNG rung, multimodal.py:154): the
@@ -76,6 +78,16 @@ _AC_VALS = [0x00, 0xF0] + [
     (r << 4) | s for r in range(16) for s in range(1, 11)
 ]
 _AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+# Progressive AC Huffman spec: progressive scans additionally need the
+# EOBn symbols ((r << 4) | 0 for r = 1..14 — end-of-band runs covering
+# 2^r .. 2^{r+1}-1 blocks, T.81 G.1.2.2) that baseline never emits;
+# 0x00 stays EOB0 and 0xF0 stays ZRL.  176 symbols, all 8-bit
+# (176/256 < 1: trivially canonical).
+_ACP_VALS = [r << 4 for r in range(16)] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_ACP_BITS = [0, 0, 0, 0, 0, 0, 0, len(_ACP_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
 
 
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -583,6 +595,433 @@ def encode_jpeg_411(asset_id: int) -> bytes:
     )
 
 
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) entropy layer — T.81 Annex G.  Spectral selection
+# splits each block's zigzag coefficients into per-scan bands [Ss..Se];
+# successive approximation transmits them bitplane-wise (first scan at
+# point transform Al, then one refinement bit per scan down to Al=0).
+# The algorithms below follow the spec's flow charts (G.1.2.2 first
+# scans with EOB runs, G.1.2.3 refinement with correction bits) — the
+# same flow the public IJG code implements.
+# ---------------------------------------------------------------------------
+
+
+def _comp_geoms(
+    w: int, h: int, sampling: list[tuple[int, int]]
+) -> tuple[int, int, list[dict]]:
+    """Per-component block-grid geometry: MCU grid dims plus each
+    component's PADDED (MCU-aligned, used by interleaved scans and by the
+    raster coefficient storage) and UNPADDED (true sample dims, used by
+    non-interleaved scans per T.81 A.2.2) block grids."""
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    geoms = []
+    for hi, vi in sampling:
+        ci_w = (w * hi + hmax - 1) // hmax
+        ci_h = (h * vi + vmax - 1) // vmax
+        geoms.append(
+            {
+                "hi": hi,
+                "vi": vi,
+                "pbx": mcux * hi,
+                "pby": mcuy * vi,
+                "ubx": (ci_w + 7) // 8,
+                "uby": (ci_h + 7) // 8,
+            }
+        )
+    return mcux, mcuy, geoms
+
+
+def _dc_scan_units(
+    comp_sel: tuple[int, ...],
+    geoms: list[dict],
+    mcux: int,
+    mcuy: int,
+) -> list[list[tuple[int, int]]]:
+    """The block walk of a DC scan as a list of MCU units, each a list of
+    (component, raster-storage index) pairs.  Interleaved (ns > 1): every
+    image MCU contributes h_i·v_i blocks per component, raster within the
+    MCU, indexed into the PADDED grid.  Non-interleaved (ns == 1): one
+    block per unit, raster over the component's UNPADDED grid (T.81
+    A.2.2) — still indexed into the padded storage rows."""
+    if len(comp_sel) > 1:
+        units = []
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            unit = []
+            for ci in comp_sel:
+                g = geoms[ci]
+                for j in range(g["hi"] * g["vi"]):
+                    jy, jx = divmod(j, g["hi"])
+                    unit.append(
+                        (
+                            ci,
+                            (my * g["vi"] + jy) * g["pbx"]
+                            + mx * g["hi"]
+                            + jx,
+                        )
+                    )
+            units.append(unit)
+        return units
+    ci = comp_sel[0]
+    g = geoms[ci]
+    return [
+        [(ci, by * g["pbx"] + bx)]
+        for by in range(g["uby"])
+        for bx in range(g["ubx"])
+    ]
+
+
+def _ac_block_indices(geom: dict) -> list[int]:
+    """Raster-storage indices of a component's UNPADDED block grid — the
+    walk of every AC scan (AC scans are always non-interleaved)."""
+    return [
+        by * geom["pbx"] + bx
+        for by in range(geom["uby"])
+        for bx in range(geom["ubx"])
+    ]
+
+
+def encode_dc_scan_first(
+    coeffs: list[np.ndarray],
+    comp_sel: tuple[int, ...],
+    geoms: list[dict],
+    mcux: int,
+    mcuy: int,
+    al: int,
+    restart_interval: int = 0,
+) -> bytes:
+    """First DC scan (Ss=Se=0, Ah=0): diff-code each block's DC in the
+    point-transformed domain (arithmetic shift right by Al, G.1.1.1.1).
+    ``coeffs[ci]`` is the (n_padded, 64) zigzag raster array.  A nonzero
+    ``restart_interval`` byte-aligns, emits RSTn, and resets the
+    predictors every that many MCUs — encoded as independent chunks,
+    bit-identical to an inline encoder (predictor reset + alignment IS
+    the per-chunk starting state)."""
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    units = _dc_scan_units(comp_sel, geoms, mcux, mcuy)
+    step = restart_interval or len(units)
+    out = bytearray()
+    for n, start in enumerate(range(0, len(units), step)):
+        if n:
+            out += bytes([0xFF, 0xD0 + ((n - 1) % 8)])
+        w = _BitWriter()
+        pred = {ci: 0 for ci in comp_sel}
+        for unit in units[start : start + step]:
+            for ci, idx in unit:
+                v = int(coeffs[ci][idx, 0]) >> al
+                diff = v - pred[ci]
+                pred[ci] = v
+                size = _category(diff)
+                code, length = dc_codes[size]
+                w.write(code, length)
+                if size:
+                    raw = diff if diff >= 0 else diff + (1 << size) - 1
+                    w.write(raw, size)
+        out += w.flush()
+    return bytes(out)
+
+
+def encode_dc_scan_refine(
+    coeffs: list[np.ndarray],
+    comp_sel: tuple[int, ...],
+    geoms: list[dict],
+    mcux: int,
+    mcuy: int,
+    al: int,
+    restart_interval: int = 0,
+) -> bytes:
+    """DC refinement scan (Ss=Se=0, Ah=Al+1): one raw bit per block —
+    bit Al of the (two's-complement) DC value.  No Huffman table."""
+    units = _dc_scan_units(comp_sel, geoms, mcux, mcuy)
+    step = restart_interval or len(units)
+    out = bytearray()
+    for n, start in enumerate(range(0, len(units), step)):
+        if n:
+            out += bytes([0xFF, 0xD0 + ((n - 1) % 8)])
+        w = _BitWriter()
+        for unit in units[start : start + step]:
+            for ci, idx in unit:
+                w.write((int(coeffs[ci][idx, 0]) >> al) & 1, 1)
+        out += w.flush()
+    return bytes(out)
+
+
+def _flush_eobrun(
+    w: _BitWriter, eobrun: int, pend: list[int], ac_codes: dict
+) -> None:
+    """Emit a pending EOBn symbol (run-length category + low bits, T.81
+    G.1.2.2) followed by any correction bits buffered against it."""
+    if eobrun:
+        nbits = eobrun.bit_length() - 1
+        code, length = ac_codes[nbits << 4]
+        w.write(code, length)
+        if nbits:
+            w.write(eobrun & ((1 << nbits) - 1), nbits)
+    for b in pend:
+        w.write(b, 1)
+
+
+def encode_ac_scan_first(
+    blocks: np.ndarray, ss: int, se: int, al: int
+) -> bytes:
+    """First AC scan of one spectral band (ns=1, Ah=0): baseline-style
+    run/size coding of the point-transformed coefficients
+    (sign·(|v|>>Al)), with trailing zeros folded into cross-block EOB
+    runs (EOBn).  ``blocks`` is (n_blocks, 64) zigzag, unpadded-grid
+    raster order."""
+    ac_codes = _canonical_codes(_ACP_BITS, _ACP_VALS)
+    w = _BitWriter()
+    eobrun = 0
+    for zz in blocks:
+        band = [int(v) for v in zz[ss : se + 1]]
+        tv = [(-((-v) >> al) if v < 0 else v >> al) for v in band]
+        last = -1
+        for i, t in enumerate(tv):
+            if t:
+                last = i
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                _flush_eobrun(w, eobrun, [], ac_codes)
+                eobrun = 0
+            continue
+        _flush_eobrun(w, eobrun, [], ac_codes)
+        eobrun = 0
+        r = 0
+        for i in range(last + 1):
+            t = tv[i]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15:
+                code, length = ac_codes[0xF0]
+                w.write(code, length)
+                r -= 16
+            size = _category(t)
+            code, length = ac_codes[(r << 4) | size]
+            w.write(code, length)
+            raw = t if t >= 0 else t + (1 << size) - 1
+            w.write(raw, size)
+            r = 0
+        if last < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                _flush_eobrun(w, eobrun, [], ac_codes)
+                eobrun = 0
+    _flush_eobrun(w, eobrun, [], ac_codes)
+    return w.flush()
+
+
+def encode_ac_scan_refine(
+    blocks: np.ndarray, ss: int, se: int, al: int
+) -> bytes:
+    """AC refinement scan (ns=1, Ah=Al+1, T.81 G.1.2.3): newly-nonzero
+    coefficients (|v|>>Al == 1) are coded run/size with size 1 plus a
+    sign bit; history-nonzero coefficients contribute one correction bit
+    each, buffered and emitted after the next coded symbol (ZRL /
+    newly-nonzero / EOBn) in walk order — exactly where the decoder's
+    inline reads expect them."""
+    ac_codes = _canonical_codes(_ACP_BITS, _ACP_VALS)
+    w = _BitWriter()
+    eobrun = 0
+    pend: list[int] = []  # correction bits riding with the pending EOBn
+    for zz in blocks:
+        band = [int(v) for v in zz[ss : se + 1]]
+        t = [abs(v) >> al for v in band]
+        eob_idx = -1
+        for i, x in enumerate(t):
+            if x == 1:
+                eob_idx = i
+        r = 0
+        br: list[int] = []  # correction bits since the last coded symbol
+        for i, x in enumerate(t):
+            if x == 0:
+                r += 1
+                continue
+            # ZRLs only up to the last newly-nonzero coefficient: beyond
+            # it trailing zeros fold into the EOB run instead
+            while r > 15 and i <= eob_idx:
+                _flush_eobrun(w, eobrun, pend, ac_codes)
+                eobrun = 0
+                pend = []
+                code, length = ac_codes[0xF0]
+                w.write(code, length)
+                r -= 16
+                for b in br:
+                    w.write(b, 1)
+                br = []
+            if x > 1:
+                br.append(x & 1)
+                continue
+            _flush_eobrun(w, eobrun, pend, ac_codes)
+            eobrun = 0
+            pend = []
+            code, length = ac_codes[(r << 4) | 1]
+            w.write(code, length)
+            w.write(1 if band[i] >= 0 else 0, 1)
+            for b in br:
+                w.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pend.extend(br)
+            if eobrun == 0x7FFF or len(pend) > 900:
+                _flush_eobrun(w, eobrun, pend, ac_codes)
+                eobrun = 0
+                pend = []
+    _flush_eobrun(w, eobrun, pend, ac_codes)
+    return w.flush()
+
+
+def encode_progressive_jpeg(
+    comp_coeffs: list,
+    w: int,
+    h: int,
+    sampling: list[tuple[int, int]] | None = None,
+    dc_quant: int = 1,
+    scans: list[tuple[tuple[int, ...], int, int, int, int]] | None = None,
+    dc_restart_interval: int = 0,
+) -> bytes:
+    """Assemble a complete progressive (SOF2) JPEG.  ``comp_coeffs[ci]``
+    is the component's zigzag coefficient blocks in RASTER order over the
+    PADDED (MCU-aligned) block grid — (n_padded, 64) array or list of
+    64-vectors.  ``scans`` is the scan script as (component indices, Ss,
+    Se, Ah, Al) tuples; the default script interleaves a first DC scan at
+    Al=2 with two refinement passes, then spectral-band AC first scans at
+    Al=1 per component followed by their refinements — the classic
+    libjpeg-style progression shape.  ``dc_quant`` is the DC quantizer
+    (AC stay 1); ``dc_restart_interval`` puts RSTn markers in the DC
+    scans (a DRI 0 segment then disables them before the first AC scan,
+    exercising mid-stream DRI redefinition)."""
+    ncomp = len(comp_coeffs)
+    samp = sampling or [(1, 1)] * ncomp
+    mcux, mcuy, geoms = _comp_geoms(w, h, samp)
+    coeffs = [
+        np.asarray(c, dtype=np.int64).reshape(-1, 64) for c in comp_coeffs
+    ]
+    for ci, g in enumerate(geoms):
+        if coeffs[ci].shape[0] != g["pbx"] * g["pby"]:
+            raise ValueError(
+                f"component {ci}: expected {g['pbx'] * g['pby']} padded "
+                f"blocks, got {coeffs[ci].shape[0]}"
+            )
+    if scans is None:
+        allc = tuple(range(ncomp))
+        if ncomp == 1:
+            scans = [
+                ((0,), 0, 0, 0, 1),
+                ((0,), 0, 0, 1, 0),
+                ((0,), 1, 63, 0, 1),
+                ((0,), 1, 63, 1, 0),
+            ]
+        else:
+            scans = [
+                (allc, 0, 0, 0, 2),
+                (allc, 0, 0, 2, 1),
+                (allc, 0, 0, 1, 0),
+                ((0,), 1, 5, 0, 1),
+                ((1,), 1, 63, 0, 1),
+                ((2,), 1, 63, 0, 1),
+                ((0,), 6, 63, 0, 1),
+                ((0,), 1, 5, 1, 0),
+                ((1,), 1, 63, 1, 0),
+                ((2,), 1, 63, 1, 0),
+                ((0,), 6, 63, 1, 0),
+            ]
+    qtbl = [1] * 64
+    qtbl[0] = dc_quant
+    dqt = _seg(0xDB, bytes([0x00]) + bytes(qtbl))
+    sof_comps = b"".join(
+        struct.pack(">BBB", cid + 1, (samp[cid][0] << 4) | samp[cid][1], 0)
+        for cid in range(ncomp)
+    )
+    sof = _seg(0xC2, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
+    dht = _seg(0xC4, _dht_payload(0x00, _DC_BITS, _DC_VALS)) + _seg(
+        0xC4, _dht_payload(0x10, _ACP_BITS, _ACP_VALS)
+    )
+    out = bytearray(b"\xff\xd8" + dqt + sof + dht)
+    cur_dri = 0
+    for comp_sel, ss, se, ah, al in scans:
+        want_dri = dc_restart_interval if ss == 0 else 0
+        if want_dri != cur_dri:
+            out += _seg(0xDD, struct.pack(">H", want_dri))
+            cur_dri = want_dri
+        sos_comps = b"".join(
+            struct.pack(">BB", ci + 1, 0x00) for ci in comp_sel
+        )
+        out += _seg(
+            0xDA,
+            bytes([len(comp_sel)])
+            + sos_comps
+            + bytes([ss, se, (ah << 4) | al]),
+        )
+        if ss == 0:
+            if se != 0:
+                raise ValueError("DC scan must have Se=0")
+            if ah == 0:
+                out += encode_dc_scan_first(
+                    coeffs, comp_sel, geoms, mcux, mcuy, al, want_dri
+                )
+            else:
+                out += encode_dc_scan_refine(
+                    coeffs, comp_sel, geoms, mcux, mcuy, al, want_dri
+                )
+        else:
+            if len(comp_sel) != 1:
+                raise ValueError("AC scans are single-component")
+            blocks = coeffs[comp_sel[0]][_ac_block_indices(geoms[comp_sel[0]])]
+            if ah == 0:
+                out += encode_ac_scan_first(blocks, ss, se, al)
+            else:
+                out += encode_ac_scan_refine(blocks, ss, se, al)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _image_dims_prog(asset_id: int) -> tuple[int, int]:
+    """Per-asset dims for the progressive corpus: 4:2:0 MCUs of 16×16,
+    widths 8..48 and heights 8..24 → 1-3 MCU columns / 1-2 rows with
+    partial edge MCUs the norm (distinct moduli from every other rung so
+    the query is not a re-label of an existing one)."""
+    return 8 + asset_id % 41, 8 + asset_id % 17
+
+
+def encode_jpeg_progressive(asset_id: int) -> bytes:
+    """Real PROGRESSIVE (SOF2) colour JPEG with 4:2:0 chroma: the same
+    block-constant plane model as the 4:2:0 rung (Y constant per 8×8
+    block over the MCU-padded 2·mcux-wide grid, chroma per 16×16), but
+    transmitted as an 11-scan progression — interleaved DC first scan at
+    Al=2 plus two DC refinement passes (real bitplane data: the DC
+    quantizer is 8, so the stored DC value is v−128 with live low bits),
+    then per-component spectral-band AC scans and their refinements
+    (all-zero AC → cross-block EOB runs, the progressive-only code path).
+    Decoded pixels are IDENTICAL to a baseline encode of the same
+    coefficients, so the DuckDB oracle replays the same 4:2:0 pixel
+    arithmetic with this rung's dims."""
+    w, h = _image_dims_prog(asset_id)
+    mcux, mcuy, geoms = _comp_geoms(w, h, [(2, 2), (1, 1), (1, 1)])
+    comps = []
+    for ci, g in enumerate(geoms):
+        n = g["pbx"] * g["pby"]
+        arr = np.zeros((n, 64), dtype=np.int64)
+        # raster storage == the oracle's block index directly: Y block
+        # (y//8)·(2·mcux)+(x//8), chroma block (y//16)·mcux+(x//16)
+        for idx in range(n):
+            arr[idx, 0] = block_value(asset_id, ci, idx) - 128
+        comps.append(arr)
+    return encode_progressive_jpeg(
+        comps,
+        w,
+        h,
+        sampling=[(2, 2), (1, 1), (1, 1)],
+        dc_quant=8,
+    )
+
+
 def _idct_matrix() -> np.ndarray:
     """Orthonormal 8-point DCT-II basis matrix M (M[0]=1/√8)."""
     x = np.arange(8, dtype=np.float64)
@@ -670,8 +1109,85 @@ def decode_scan(
     return out
 
 
+def _reconstruct_from_raster(
+    qt: dict,
+    comps: list,
+    w: int,
+    h: int,
+    mcux: int,
+    mcuy: int,
+    raster: list[np.ndarray],
+) -> dict:
+    """Shared back half of both decode paths: per-component dequantize →
+    de-zigzag → IDCT → fixed-point snap → crop → upsample → level shift,
+    then grayscale clamp or JFIF YCbCr→RGB.  ``raster[ci]`` is the
+    component's zigzag coefficient blocks in RASTER order over its padded
+    (MCU-aligned) grid."""
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    ncomp = len(comps)
+    planes = []
+    for ci, (_cid, tq, hi, vi) in enumerate(comps):
+        q = qt[tq]
+        pbx = mcux * hi
+        plane = np.zeros((mcuy * vi * 8, pbx * 8), dtype=np.float64)
+        for idx in range(raster[ci].shape[0]):
+            zz = raster[ci][idx]
+            rasterblk = np.zeros(64, dtype=np.int64)
+            rasterblk[ZIGZAG] = zz * q
+            gy, gx = divmod(idx, pbx)
+            plane[gy * 8 : gy * 8 + 8, gx * 8 : gx * 8 + 8] = _idct2(
+                rasterblk.reshape(8, 8).astype(np.float64)
+            )
+        # fixed-point reconstruction at 20 fractional bits (the
+        # hardware-integer-IDCT convention): snaps the ~1e-13
+        # float-matmul residue so integer-valued reconstructions
+        # are EXACT integers before the colour transform — which
+        # is what lets the DuckDB oracle replay the downstream
+        # double arithmetic bit-identically
+        plane = np.round(plane * (1 << 20)) / (1 << 20)
+        # crop the padding to the component's true sample dims,
+        # then nearest-neighbor upsample back to full resolution
+        # (pixel (x,y) reads sample (x·h_i//hmax, y·v_i//vmax))
+        ci_w = (w * hi + hmax - 1) // hmax
+        ci_h = (h * vi + vmax - 1) // vmax
+        plane = plane[:ci_h, :ci_w]
+        if hi != hmax or vi != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0),
+                hmax // hi,
+                axis=1,
+            )
+        planes.append(plane[:h, :w] + 128.0)
+    if ncomp == 1:
+        vals = np.clip(np.floor(planes[0] + 0.5), 0, 255)
+        return {
+            "width": w,
+            "height": h,
+            "vals": vals.reshape(-1).astype(np.int64),
+        }
+    y, cb, cr = planes
+    r_ = y + _CR_R * (cr - 128.0)
+    g_ = y - _CB_G * (cb - 128.0) - _CR_G * (cr - 128.0)
+    b_ = y + _CB_B * (cb - 128.0)
+    rgb = np.stack(
+        [
+            np.clip(np.floor(r_ + 0.5), 0, 255),
+            np.clip(np.floor(g_ + 0.5), 0, 255),
+            np.clip(np.floor(b_ + 0.5), 0, 255),
+        ],
+        axis=-1,
+    )
+    return {
+        "width": w,
+        "height": h,
+        "vals": rgb.reshape(-1).astype(np.int64),
+    }
+
+
 def decode_jpeg_bytes(payload: bytes) -> dict:
-    """Real baseline JPEG decode: marker walk, DQT/DHT/SOF0/SOS parse,
+    """Real JPEG decode — baseline (SOF0) AND progressive (SOF2): marker
+    walk, DQT/DHT/SOF/SOS parse,
     Huffman entropy decode, dequantize, de-zigzag, IDCT, level shift,
     ``floor(x+0.5)`` round + clamp, JFIF YCbCr→RGB for colour.  Returns
     ``{width, height, vals}`` with ``vals`` int64 row-major (RGB
@@ -696,6 +1212,189 @@ def decode_jpeg_bytes(payload: bytes) -> dict:
         ) from e
 
 
+def _parse_sof(body: bytes) -> tuple[int, int, list]:
+    """Parse a SOF0/SOF2 frame header body into (w, h, comps) with the
+    module's precision/sampling validation."""
+    prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+    if prec != 8:
+        raise NotImplementedError(f"JPEG precision {prec}")
+    comps = []
+    for c in range(ncomp):
+        cid, samp, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+        comps.append((cid, tq, samp >> 4, samp & 0x0F))
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    for _cid, _tq, hi, vi in comps:
+        if not (1 <= hi <= 4 and 1 <= vi <= 4) or (hmax % hi or vmax % vi):
+            raise NotImplementedError(
+                f"JPEG sampling factors {hi}x{vi} (max "
+                f"{hmax}x{vmax}): only integer-ratio subsampling "
+                "is supported"
+            )
+    return w, h, comps
+
+
+def _skip_to_marker(payload: bytes, pos: int) -> int:
+    """Position of the next real marker at/after ``pos``: skips entropy
+    bytes, stuffed 0xFF00, in-scan RSTn, and 0xFF fill bytes."""
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] == 0xFF:
+            nxt = payload[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            if nxt == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+                pos += 1
+                continue
+            return pos
+        pos += 1
+    raise ValueError("JPEG truncated after scan data")
+
+
+def _decode_progressive_scan(
+    payload: bytes,
+    data_pos: int,
+    body: bytes,
+    comps: list,
+    prog_geom: tuple,
+    prog: list[np.ndarray],
+    huff: dict,
+    restart: int,
+) -> int:
+    """Decode ONE scan of a progressive frame into the per-component
+    coefficient accumulators (T.81 Annex G) and return the payload
+    position of the next marker.  DC scans (Ss=Se=0) may be interleaved;
+    AC scans are single-component over the unpadded block grid.  First
+    scans (Ah=0) Huffman-decode point-transformed values (DC diffs /
+    AC run-size with EOBn end-of-band runs); refinement scans (Ah=Al+1)
+    add one bitplane — a raw bit per DC, and for AC the correction-bit
+    walk of G.1.2.3.  A declared restart interval resyncs the reader
+    (byte-align + RSTn) and resets predictors/EOB run at its cadence."""
+    mcux, mcuy, geoms = prog_geom
+    ns = body[0]
+    sel: list[tuple[int, int, int]] = []  # (comp index, Td, Ta)
+    by_cid = {c[0]: i for i, c in enumerate(comps)}
+    for c in range(ns):
+        cs, tdta = struct.unpack_from(">BB", body, 1 + 2 * c)
+        if cs not in by_cid:
+            raise ValueError(f"JPEG scan references unknown component {cs}")
+        sel.append((by_cid[cs], tdta >> 4, tdta & 0x0F))
+    ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    if al > 13 or (ah and ah != al + 1):
+        raise ValueError(f"JPEG bad successive approximation Ah={ah} Al={al}")
+    r = _BitReader(payload, data_pos)
+    try:
+        if ss == 0:
+            if se != 0:
+                raise ValueError("JPEG DC scan with Se != 0")
+            comp_sel = tuple(ci for ci, _, _ in sel)
+            units = _dc_scan_units(comp_sel, geoms, mcux, mcuy)
+            dc_tbl = {ci: huff.get((0, td)) for ci, td, _ in sel}
+            if ah == 0 and any(t is None for t in dc_tbl.values()):
+                raise ValueError("JPEG scan references undefined DC table")
+            pred = {ci: 0 for ci in comp_sel}
+            for n, unit in enumerate(units):
+                if restart and n and n % restart == 0:
+                    r.consume_restart()
+                    pred = {ci: 0 for ci in comp_sel}
+                for ci, idx in unit:
+                    if ah == 0:
+                        size = r.huffman(dc_tbl[ci])
+                        diff = _extend(r.bits(size), size) if size else 0
+                        pred[ci] += diff
+                        prog[ci][idx, 0] = pred[ci] << al
+                    elif r.bits(1):
+                        prog[ci][idx, 0] |= 1 << al
+        else:
+            if ns != 1:
+                raise ValueError("JPEG AC scan must be single-component")
+            if not (ss <= se <= 63):
+                raise ValueError(f"JPEG bad spectral band {ss}..{se}")
+            ci, _td, ta = sel[0]
+            ac_tbl = huff.get((1, ta))
+            if ac_tbl is None:
+                raise ValueError("JPEG scan references undefined AC table")
+            p1, m1 = 1 << al, -(1 << al)
+            eobrun = 0
+            for n, idx in enumerate(_ac_block_indices(geoms[ci])):
+                if restart and n and n % restart == 0:
+                    r.consume_restart()
+                    eobrun = 0
+                coef = prog[ci][idx]
+                if ah == 0:
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = r.huffman(ac_tbl)
+                        run, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if run == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (
+                                (1 << run)
+                                + (r.bits(run) if run else 0)
+                                - 1
+                            )
+                            break
+                        k += run
+                        if k > se:
+                            raise ValueError("JPEG AC band overrun")
+                        coef[k] = _extend(r.bits(s), s) << al
+                        k += 1
+                else:
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = r.huffman(ac_tbl)
+                            run, s = rs >> 4, rs & 0x0F
+                            sval = 0
+                            if s:
+                                if s != 1:
+                                    raise ValueError(
+                                        "JPEG refinement AC size != 1"
+                                    )
+                                sval = p1 if r.bits(1) else m1
+                            elif run != 15:
+                                eobrun = (1 << run) + (
+                                    r.bits(run) if run else 0
+                                )
+                                break
+                            # advance: correction bits for history-nonzero
+                            # coefficients; stop at the run-th zero (the
+                            # new coefficient's home, or 16 skips for ZRL)
+                            while k <= se:
+                                if coef[k]:
+                                    if r.bits(1) and not (
+                                        int(coef[k]) & p1
+                                    ):
+                                        coef[k] += p1 if coef[k] > 0 else m1
+                                else:
+                                    run -= 1
+                                    if run < 0:
+                                        break
+                                k += 1
+                            if sval:
+                                if k > se:
+                                    raise ValueError("JPEG AC band overrun")
+                                coef[k] = sval
+                            k += 1
+                    if eobrun:
+                        while k <= se:
+                            if coef[k]:
+                                if r.bits(1) and not (int(coef[k]) & p1):
+                                    coef[k] += p1 if coef[k] > 0 else m1
+                            k += 1
+                        eobrun -= 1
+    except _RestartMarker:
+        raise ValueError("JPEG unexpected restart marker in scan") from None
+    return _skip_to_marker(payload, r._pos)
+
+
 def _decode_jpeg_unchecked(payload: bytes) -> dict:
     if payload[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG payload")
@@ -704,6 +1403,9 @@ def _decode_jpeg_unchecked(payload: bytes) -> dict:
     huff: dict[tuple[int, int], dict] = {}
     sof = None
     restart = 0
+    progressive = False
+    prog: list[np.ndarray] | None = None  # per-comp (n_padded, 64) zigzag
+    prog_geom = None  # (mcux, mcuy, geoms) once the first SOS arrives
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -747,31 +1449,34 @@ def _decode_jpeg_unchecked(payload: bytes) -> dict:
                 }
                 bpos += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline
-            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
-                raise NotImplementedError(f"JPEG precision {prec}")
-            comps = []
-            for c in range(ncomp):
-                cid, samp, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
-                comps.append((cid, tq, samp >> 4, samp & 0x0F))
-            hmax = max(c[2] for c in comps)
-            vmax = max(c[3] for c in comps)
-            for _cid, _tq, hi, vi in comps:
-                if not (1 <= hi <= 4 and 1 <= vi <= 4) or (
-                    hmax % hi or vmax % vi
-                ):
-                    raise NotImplementedError(
-                        f"JPEG sampling factors {hi}x{vi} (max "
-                        f"{hmax}x{vmax}): only integer-ratio subsampling "
-                        "is supported"
-                    )
-            sof = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            sof = _parse_sof(body)
+        elif marker == 0xC2:  # SOF2 progressive
+            sof = _parse_sof(body)
+            progressive = True
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0x{marker:02X})"
+                f"unsupported JPEG frame type (SOF marker 0x{marker:02X})"
             )
         elif marker == 0xDD:  # DRI: restart cadence for the scan decoder
             (restart,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA and progressive:  # one scan of a progression
+            w, h, comps = sof
+            if prog is None:
+                mcux_, mcuy_, geoms_ = _comp_geoms(
+                    w, h, [(hi, vi) for _, _, hi, vi in comps]
+                )
+                prog_geom = (mcux_, mcuy_, geoms_)
+                prog = [
+                    np.zeros(
+                        (g["pbx"] * g["pby"], 64), dtype=np.int64
+                    )
+                    for g in geoms_
+                ]
+            pos = _decode_progressive_scan(
+                payload, pos + 2 + seglen, body, comps, prog_geom, prog,
+                huff, restart,
+            )
+            continue
         elif marker == 0xDA:  # SOS — entropy data follows
             if sof is None:
                 raise ValueError("JPEG SOS before SOF0")
@@ -806,68 +1511,25 @@ def _decode_jpeg_unchecked(payload: bytes) -> dict:
                 restart,
                 mcu_blocks=[hi * vi for _, _, hi, vi in comps],
             )
-            planes = []
-            for ci, (_cid, tq, hi, vi) in enumerate(comps):
-                q = qt[tq]
-                # MCU-padded block grid for this component: mcux·h_i wide,
-                # mcuy·v_i tall; blocks arrive MCU-interleaved (h_i·v_i
-                # consecutive blocks per MCU, raster within the MCU)
-                plane = np.zeros(
-                    (mcuy * vi * 8, mcux * hi * 8), dtype=np.float64
-                )
+            # convert the scan's MCU-interleaved block lists to raster
+            # order over the padded grid, then share the back half with
+            # the progressive path
+            raster = []
+            for ci, (_cid, _tq, hi, vi) in enumerate(comps):
+                pbx = mcux * hi
+                arr = np.zeros((pbx * mcuy * vi, 64), dtype=np.int64)
                 for b, zz in enumerate(coeffs[ci]):
-                    raster = np.zeros(64, dtype=np.int64)
-                    raster[ZIGZAG] = zz * q
                     m, j = divmod(b, hi * vi)
                     my, mx = divmod(m, mcux)
                     jy, jx = divmod(j, hi)
-                    gy, gx = my * vi + jy, mx * hi + jx
-                    plane[gy * 8 : gy * 8 + 8, gx * 8 : gx * 8 + 8] = _idct2(
-                        raster.reshape(8, 8).astype(np.float64)
-                    )
-                # fixed-point reconstruction at 20 fractional bits (the
-                # hardware-integer-IDCT convention): snaps the ~1e-13
-                # float-matmul residue so integer-valued reconstructions
-                # are EXACT integers before the colour transform — which
-                # is what lets the DuckDB oracle replay the downstream
-                # double arithmetic bit-identically
-                plane = np.round(plane * (1 << 20)) / (1 << 20)
-                # crop the padding to the component's true sample dims,
-                # then nearest-neighbor upsample back to full resolution
-                # (pixel (x,y) reads sample (x·h_i//hmax, y·v_i//vmax))
-                ci_w = (w * hi + hmax - 1) // hmax
-                ci_h = (h * vi + vmax - 1) // vmax
-                plane = plane[:ci_h, :ci_w]
-                if hi != hmax or vi != vmax:
-                    plane = np.repeat(
-                        np.repeat(plane, vmax // vi, axis=0),
-                        hmax // hi,
-                        axis=1,
-                    )
-                planes.append(plane[:h, :w] + 128.0)
-            if ncomp == 1:
-                vals = np.clip(np.floor(planes[0] + 0.5), 0, 255)
-                return {
-                    "width": w,
-                    "height": h,
-                    "vals": vals.reshape(-1).astype(np.int64),
-                }
-            y, cb, cr = planes
-            r_ = y + _CR_R * (cr - 128.0)
-            g_ = y - _CB_G * (cb - 128.0) - _CR_G * (cr - 128.0)
-            b_ = y + _CB_B * (cb - 128.0)
-            rgb = np.stack(
-                [
-                    np.clip(np.floor(r_ + 0.5), 0, 255),
-                    np.clip(np.floor(g_ + 0.5), 0, 255),
-                    np.clip(np.floor(b_ + 0.5), 0, 255),
-                ],
-                axis=-1,
+                    arr[(my * vi + jy) * pbx + mx * hi + jx] = zz
+                raster.append(arr)
+            return _reconstruct_from_raster(
+                qt, comps, w, h, mcux, mcuy, raster
             )
-            return {
-                "width": w,
-                "height": h,
-                "vals": rgb.reshape(-1).astype(np.int64),
-            }
         pos += 2 + seglen
+    if progressive and prog is not None:
+        w, h, comps = sof
+        mcux, mcuy, _geoms = prog_geom
+        return _reconstruct_from_raster(qt, comps, w, h, mcux, mcuy, prog)
     raise ValueError("JPEG missing SOS scan")

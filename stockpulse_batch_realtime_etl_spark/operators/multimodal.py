@@ -255,9 +255,10 @@ def decode_png_bytes(payload: bytes) -> dict:
     IHDR parse, IDAT concatenation, stdlib ``zlib`` inflate, then per-row
     unfiltering of all five PNG filter types (None/Sub/Up/Average/Paeth,
     RFC 2083 §6) for 8-bit RGB.  Palette/alpha/16-bit/interlaced variants
-    raise ``NotImplementedError`` — with baseline JPEG real too
-    (operators/jpeg.py), the remaining compressed seam is progressive
-    JPEG and the audio/video codec classes."""
+    raise ``NotImplementedError`` — with baseline AND progressive JPEG
+    real too (operators/jpeg.py), the remaining compressed seams are
+    the palette/alpha PNG variants and the lossy audio/video codec
+    classes."""
     import numpy as np
     import zlib
 
@@ -410,9 +411,7 @@ def decode_image_bytes(payload: bytes) -> dict:
         )
 
         return decode_jpeg_bytes(payload)
-    raise NotImplementedError(
-        "unknown image format (progressive JPEG requires Pillow)"
-    )
+    raise NotImplementedError("unknown image format")
 
 
 @_total_on_corrupt
@@ -475,6 +474,14 @@ def _encode_jpeg_411(asset_id: int) -> bytes:
     return encode_jpeg_411(asset_id)
 
 
+def _encode_jpeg_progressive(asset_id: int) -> bytes:
+    from stockpulse_batch_realtime_etl_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    return encode_jpeg_progressive(asset_id)
+
+
 _ENCODERS = {
     "bmp": encode_bmp,
     "ppm": encode_ppm,
@@ -484,6 +491,7 @@ _ENCODERS = {
     "jpeg420": _encode_jpeg_420,
     "jpeg422": _encode_jpeg_422,
     "jpeg411": _encode_jpeg_411,
+    "jpegprog": _encode_jpeg_progressive,
 }
 
 DECODED_SCHEMA = (

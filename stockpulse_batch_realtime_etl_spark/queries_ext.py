@@ -1626,6 +1626,81 @@ def q_multimodal_jpeg411_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decoded_stats(assets)
 
 
+#: PROGRESSIVE (SOF2) rung — the dominant real-web-crawl JPEG shape the
+#: baseline rungs can't parse: the image arrives as an 11-scan
+#: progression (interleaved first DC scan at point transform Al=2, two
+#: DC refinement bitplanes, then per-component spectral-band AC scans at
+#: Al=1 and their refinement passes — T.81 Annex G), 4:2:0-subsampled so
+#: non-interleaved AC scans walk each component's UNPADDED block grid
+#: while the interleaved DC scan walks padded MCUs (A.2.2's exact trap).
+#: The corpus DC quantizer is 8 with the stored DC value v−128, so the
+#: successive-approximation refinement bits are live data, and the
+#: all-zero AC bands force the progressive-only EOBn cross-block
+#: end-of-band runs on every asset.  Decoded pixels are identical to a
+#: baseline transmission of the same coefficients, so the oracle replays
+#: the 4:2:0 pixel arithmetic with this rung's dims (8+id%41 × 8+id%17).
+#: Same exactness argument as the other rungs (DC-only reconstruction,
+#: floor(x+0.5) both sides); a decoder that drops one refinement bit,
+#: mis-runs an EOB run, or walks an AC scan over the padded grid moves
+#: the weighted checksum.  Ref: operators/jpeg.py Annex-G section.
+@register(
+    "multimodal_jpeg_progressive_stats",
+    oracle="""
+WITH base AS (
+  SELECT doc_id AS asset_id,
+         CAST(8 + doc_id % 41 AS INT) AS w,
+         CAST(8 + doc_id % 17 AS INT) AS h
+  FROM documents
+),
+px AS (
+  SELECT asset_id, w, h, (w + 15) // 16 AS mcux, i,
+         (i // 3) % w AS x, (i // 3) // w AS y, i % 3 AS chan
+  FROM (SELECT *, unnest(generate_series(0, w * h * 3 - 1)) AS i FROM base)
+),
+ycc AS (
+  SELECT asset_id, w, h, i, chan,
+         (7 * asset_id + 13 * yb) % 256 AS yv,
+         (11 * asset_id + 5 * cbb) % 256 AS cb,
+         (3 * asset_id + 17 * cbb) % 256 AS cr
+  FROM (SELECT *,
+               (y // 8) * (2 * mcux) + (x // 8) AS yb,
+               (y // 16) * mcux + (x // 16) AS cbb
+        FROM px)
+),
+rgb AS (
+  SELECT asset_id, w, h, i,
+         CAST(CASE chan
+           WHEN 0 THEN least(255, greatest(0,
+             floor(yv + 1.402 * (cr - 128) + 0.5)))
+           WHEN 1 THEN least(255, greatest(0,
+             floor(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)))
+           ELSE least(255, greatest(0,
+             floor(yv + 1.772 * (cb - 128) + 0.5)))
+         END AS BIGINT) AS val
+  FROM ycc
+)
+SELECT asset_id, 'jpegprog' AS format, w AS width, h AS height,
+       CAST(NULL AS INT) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_values,
+       CAST(sum(val) AS BIGINT) AS value_sum,
+       CAST(min(val) AS BIGINT) AS value_min,
+       CAST(max(val) AS BIGINT) AS value_max,
+       CAST(sum(val * (i + 1)) AS BIGINT) AS weighted_sum
+FROM rgb
+GROUP BY asset_id, w, h
+""",
+)
+def q_multimodal_jpeg_progressive_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """encode as progressive (SOF2) 4:2:0 JPEG → real multi-scan
+    successive-approximation decode → per-asset stats."""
+    assets = multimodal.encode_assets(
+        load_table(spark, sf_dir, "documents"), fmts=("jpegprog",)
+    )
+    return multimodal.decoded_stats(assets)
+
+
 # --- rolling-hash fingerprints (Manber '94 / Karp–Rabin) --------------------
 
 def _horner_sql(k: int, base: int, mod: int, s: str = "n", pos: str = "pos") -> str:

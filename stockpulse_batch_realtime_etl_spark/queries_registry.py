@@ -1722,23 +1722,97 @@ from stockpulse_batch_realtime_etl_spark import queries_ext  # noqa: E402,F401
 #: length asserted at import time (the r4 boundary slip put 60 names ahead
 #: of a "50-entry" comment and silently dropped 10 intended rotations).
 #:
-#: ROUND-8 ROTATION (the r7 verdict's #1 directive): the 2 round-8
-#: registrations lead (4:2:2-with-restarts JPEG rung; the stream-stream
-#: INTERVAL join — the new state-store shape), then all 48 queries whose
-#: last driver row is r5 (the stalest set).  semantic_dedup and
-#: semdedup_recall_report matter most: adaptive_ncells changed their code
-#: path in r7 and the truth-side cap + adaptive oracles changed it again
-#: this round; ann_ivfpq_topk likewise (adaptive search cells).  After
-#: this round no registered query's last driver row is older than r6.
-#: (A third r8 registration, multimodal_jpeg411_stats, landed after this
-#: window was frozen — it heads _GATE_NEXT as the only never-gated
-#: query.)
+#: ROUND-9 ROTATION (the r8 verdict's #1 directive, adjusted for the
+#: 50-slot arithmetic): the verdict's full wish-list — jpeg411 (never
+#: gated) + the new progressive-JPEG rung + the 8 changed-code r7
+#: queries + the 48 r6-stale names — is 58 candidates for 50 slots.
+#: The binding done-criteria are (a) never-gated queries first and
+#: (b) "no registered query's last driver row older than r7 after r9",
+#: which together FIX the window: the two never-gated rungs + all 48
+#: r6 rows.  The changed-code queries keep their r7 driver rows (not
+#: older than r7), were re-verified by the bare-session parity replica
+#: (tools/check_parity.py --bare) at sf0.01 this round after the code
+#: change, and head _GATE_NEXT so they re-gate in r10.  After this
+#: round the histogram is r9=50, r8=50, r7=50 — maximum freshness a
+#: 50-slot window can give 150 queries.
 _GATE_HEAD: tuple[str, ...] = (
-    # --- NEW this round: 4:2:2+DRI JPEG decode; interval (attribution) join
+    # never driver-gated: the r8 late registration and the round-9
+    # progressive (SOF2) JPEG rung
+    "multimodal_jpeg411_stats",
+    "multimodal_jpeg_progressive_stats",
+    # --- the 48 queries whose last driver row is r6, queue order ---
+    "return_outliers",
+    "events_profile",
+    "missing_minutes",
+    "bollinger_bands",
+    "funnel_counts",
+    "cohort_retention",
+    "kmeans_cell_report",
+    "ticks_asof_next_bar",
+    "video_frame_stats",
+    "audio_decimated_stats",
+    "revenue_cube",
+    "q13_order_counts",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "rsi_ticks",
+    "donchian_breakouts",
+    "obv_ticks",
+    "max_drawdown",
+    "symbol_beta",
+    "event_transitions",
+    "rfm_segments",
+    "minhash_jaccard_estimate",
+    "label_centroid_similarity",
+    "hapax_stats",
+    "streaming_pair_join",
+    "q7_nation_volume",
+    "q22_sales_opportunity",
+    "weekday_hour_profile",
+    "multimodal_jpeg_stats",
+    "lsh_candidate_pairs",
+    "simhash_near_dups",
+    "bigram_counts",
+    "bigram_lm_scores",
+    "repetition_stats",
+    "contamination_overlap",
+    "rolling_fingerprints",
+    "fingerprint_match_pairs",
+    "symbols",
+    "latest_ticks",
+    "latest_tick_per_symbol",
+    "ticks_asof_bars",
+    "streaming_dedup_ticks",
+    "price_deciles",
+    "symbol_correlations",
+    "stats_summary",
+    "json_decode_ticks",
+    "dlq_failed_events",
+    "kafka_roundtrip_ticks",
+)
+
+#: Names queued BEHIND the window, in r10 rotation priority.  HEAD OF
+#: THE QUEUE: the seven r7-gated queries whose code paths changed in r8
+#: (the winnowing pipeline was REPLACED by the vectorized Arrow seam —
+#: identity pinned by the winnowing property test + sf0.01/sf0.1
+#: parity; the three IVF rungs + ann_recall_report went adaptive-ncells;
+#: jpeg420/metrics share changed jpeg.py / daily-corpus code).  Each
+#: holds a green r7 driver row AND a post-change bare-session parity
+#: pass, but a fresh driver row is the signal that counts, so they
+#: re-gate first in r10.  THEN: the 50 r8-gated names in window order.
+#: Every name not listed follows in registration order.  All registered
+#: queries are still verified every round by the local all-queries
+#: parity suite (tests/test_oracle_parity) and tools/check_parity.py.
+_GATE_NEXT: tuple[str, ...] = (
+    "winnowed_fingerprints",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_multiprobe_topk",
+    "ann_recall_report",
+    "multimodal_jpeg420_stats",
+    "streaming_metrics_summary",
     "multimodal_jpeg422_stats",
     "streaming_interval_join",
-    # --- the 48 queries whose last driver row is r5, r8-priority order:
-    #     behavior-adjacent code changes first, then the r5 window order
     "semantic_dedup",
     "semdedup_recall_report",
     "ann_ivfpq_topk",
@@ -1787,90 +1861,6 @@ _GATE_HEAD: tuple[str, ...] = (
     "top_bars_per_day",
     "version_info",
     "vwap_bars",
-)
-
-#: Names queued BEHIND the window, in r9 rotation priority.  HEAD OF THE
-#: QUEUE: the eight queries whose code paths changed in r8 but could not
-#: fit the r8 window (all 50 slots went to the 2 new registrations + the
-#: 48 r5-stale names, per the no-row-older-than-two-rounds promise) — the
-#: winnowing pipeline was REPLACED by the vectorized Arrow seam (the
-#: expr formulation kept as winnowed_fingerprints_expr; identity pinned
-#: by the winnowing property test + sf0.01 parity), the three remaining
-#: IVF rungs went adaptive-ncells, ann_recall_report composes two of the
-#: adaptive rungs (and its oracle now embeds the adaptive-cells scalar
-#: subqueries), return_outliers gained the −0.0 canonicalization the
-#: full sf0.1 parity sweep demanded, and jpeg420/metrics share the
-#: changed jpeg.py / daily-corpus-builder code.  Each was re-verified
-#: this round
-#: by the bare-session parity replica (tools/check_parity.py --bare) in
-#: addition to the local suite, but a DRIVER row is the signal that
-#: counts, so they gate first in r9.  THEN: the 48 queries whose last
-#: driver row is r6 — the stalest set once the r8 rotation lands (every
-#: r5-row query is inside the r8 window above; the two flagships were
-#: re-gated in r7 and stay out of the queue head).  Every name not
-#: listed at all follows in registration order.  All registered queries
-#: are still verified every round by the local all-queries parity suite
-#: (tests/test_oracle_parity) and by tools/check_parity.py at sf0.01.
-_GATE_NEXT: tuple[str, ...] = (
-    # never-gated round-8 late registration — ahead even of the
-    # changed-code set (a query with NO driver row ever is the
-    # highest-information gate slot)
-    "multimodal_jpeg411_stats",
-    "winnowed_fingerprints",
-    "ann_ivf_topk",
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_multiprobe_topk",
-    "ann_recall_report",
-    "return_outliers",
-    "multimodal_jpeg420_stats",
-    "streaming_metrics_summary",
-    "events_profile",
-    "missing_minutes",
-    "bollinger_bands",
-    "funnel_counts",
-    "cohort_retention",
-    "kmeans_cell_report",
-    "ticks_asof_next_bar",
-    "video_frame_stats",
-    "audio_decimated_stats",
-    "revenue_cube",
-    "q13_order_counts",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "rsi_ticks",
-    "donchian_breakouts",
-    "obv_ticks",
-    "max_drawdown",
-    "symbol_beta",
-    "event_transitions",
-    "rfm_segments",
-    "minhash_jaccard_estimate",
-    "label_centroid_similarity",
-    "hapax_stats",
-    "streaming_pair_join",
-    "q7_nation_volume",
-    "q22_sales_opportunity",
-    "weekday_hour_profile",
-    "multimodal_jpeg_stats",
-    "lsh_candidate_pairs",
-    "simhash_near_dups",
-    "bigram_counts",
-    "bigram_lm_scores",
-    "repetition_stats",
-    "contamination_overlap",
-    "rolling_fingerprints",
-    "fingerprint_match_pairs",
-    "symbols",
-    "latest_ticks",
-    "latest_tick_per_symbol",
-    "ticks_asof_bars",
-    "streaming_dedup_ticks",
-    "price_deciles",
-    "symbol_correlations",
-    "stats_summary",
-    "json_decode_ticks",
-    "dlq_failed_events",
-    "kafka_roundtrip_ticks",
 )
 
 assert len(_GATE_HEAD) == 50, (

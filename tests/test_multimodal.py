@@ -490,9 +490,11 @@ def test_jpeg_grayscale_and_unsupported_variants():
     d = jpeg.decode_jpeg_bytes(payload)
     assert (d["width"], d["height"]) == (5, 6)
     np.testing.assert_array_equal(d["vals"], np.full(30, 200, dtype=np.int64))
-    # progressive (SOF2) is the honest remaining seam
+    # SOF2 now dispatches into the REAL progressive decoder — a baseline
+    # scan header (Ss=0, Se=63) is invalid inside a progressive frame, so
+    # marker-swapping a baseline file is a hard ValueError, not a stub
     prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError, match="SOF"):
+    with pytest.raises(ValueError, match="Se != 0"):
         jpeg.decode_jpeg_bytes(prog)
     # generic image dispatch reaches the JPEG decoder
     assert multimodal.decode_image_bytes(payload)["width"] == 5
@@ -834,4 +836,198 @@ def test_jpeg_sampling_scope_guard():
     idx = bad.index(b"\xff\xc0") + 5 + 5 + 3 + 1  # second comp samp byte
     bad = bad[:idx] + bytes([0x31]) + bad[idx + 1 :]
     with _pytest.raises(NotImplementedError, match="sampling factors"):
+        jpeg.decode_jpeg_bytes(bad)
+
+
+def test_jpeg_progressive_round_trip_matches_independent_replay():
+    """Progressive (SOF2) decode — 11-scan successive approximation with
+    an interleaved DC first scan, DC refinement bitplanes, spectral-band
+    AC scans and EOB runs, over 4:2:0 subsampling — reproduces the
+    synthesis model exactly, verified against a per-pixel numpy replay
+    that never touches the codec.  The DC quantizer is 8 (stored DC is
+    v−128), so the refinement scans carry LIVE bits: dropping any one of
+    them moves the pixels."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import jpeg
+
+    # cover: single-MCU, partial on one axis, partial on both, multi-MCU
+    for aid in [0, 8, 16, 33, 40, 123, 456]:
+        w, h = jpeg._image_dims_prog(aid)
+        payload = jpeg.encode_jpeg_progressive(aid)
+        assert b"\xff\xc2" in payload  # really SOF2
+        assert payload.count(b"\xff\xda") == 11  # really 11 scans
+        d = jpeg.decode_jpeg_bytes(payload)
+        assert (d["width"], d["height"]) == (w, h)
+        mcux = (w + 15) // 16
+        y_idx, x_idx = np.meshgrid(
+            np.arange(h), np.arange(w), indexing="ij"
+        )
+        yb = (y_idx // 8) * (2 * mcux) + (x_idx // 8)
+        cbb = (y_idx // 16) * mcux + (x_idx // 16)
+        yv = (7 * aid + 13 * yb) % 256
+        cb = (11 * aid + 5 * cbb) % 256
+        cr = (3 * aid + 17 * cbb) % 256
+        exp = np.stack(
+            [
+                np.clip(np.floor(yv + 1.402 * (cr - 128) + 0.5), 0, 255),
+                np.clip(
+                    np.floor(
+                        yv
+                        - 0.344136 * (cb - 128)
+                        - 0.714136 * (cr - 128)
+                        + 0.5
+                    ),
+                    0,
+                    255,
+                ),
+                np.clip(np.floor(yv + 1.772 * (cb - 128) + 0.5), 0, 255),
+            ],
+            axis=-1,
+        ).astype(np.int64)
+        np.testing.assert_array_equal(
+            d["vals"].reshape(h, w, 3), exp, err_msg=f"asset {aid}"
+        )
+
+
+def test_jpeg_progressive_equals_baseline_on_arbitrary_coefficients():
+    """The progressive entropy layer is LOSSLESS: arbitrary (sparse
+    random) coefficient blocks transmitted as a progression — including
+    nonzero AC, so EOBn runs, ZRL-in-refinement, newly-nonzero placement,
+    and correction bits all carry real data — decode to exactly the same
+    pixels as a baseline (SOF0) transmission of the same coefficients.
+    Half the trials are 4:2:0 (unpadded-grid AC walks differ from the
+    padded DC walk); every third adds DC restart markers plus the DRI=0
+    mid-stream redefinition before the AC scans."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import jpeg
+
+    rng = np.random.default_rng(20260815)
+    for trial in range(10):
+        w, h = int(rng.integers(8, 50)), int(rng.integers(8, 40))
+        samp = (
+            [(2, 2), (1, 1), (1, 1)]
+            if trial % 2
+            else [(1, 1), (1, 1), (1, 1)]
+        )
+        mcux, mcuy, geoms = jpeg._comp_geoms(w, h, samp)
+        comps = []
+        for g in geoms:
+            n = g["pbx"] * g["pby"]
+            arr = np.zeros((n, 64), np.int64)
+            mask = rng.random((n, 64)) < 0.15
+            arr[mask] = rng.integers(-500, 501, mask.sum())
+            comps.append(arr)
+        prog = jpeg.encode_progressive_jpeg(
+            comps,
+            w,
+            h,
+            sampling=samp,
+            dc_restart_interval=(3 if trial % 3 == 0 else 0),
+        )
+        # baseline transmission needs MCU-interleaved block order
+        inter = []
+        for ci, g in enumerate(geoms):
+            lst = []
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                for j in range(g["hi"] * g["vi"]):
+                    jy, jx = divmod(j, g["hi"])
+                    lst.append(
+                        comps[ci][
+                            (my * g["vi"] + jy) * g["pbx"]
+                            + mx * g["hi"]
+                            + jx
+                        ]
+                    )
+            inter.append(lst)
+        base = jpeg.encode_baseline_jpeg(inter, w, h, sampling=samp)
+        np.testing.assert_array_equal(
+            jpeg.decode_jpeg_bytes(prog)["vals"],
+            jpeg.decode_jpeg_bytes(base)["vals"],
+            err_msg=f"trial {trial} ({w}x{h}, samp={samp})",
+        )
+
+
+def test_jpeg_progressive_refinement_bits_are_load_bearing():
+    """Dropping the FINAL DC refinement scan from the corpus progression
+    changes the decoded pixels — i.e. the successive-approximation
+    bitplanes carry live data and the decoder really applies them (a
+    decoder that ignored refinement scans would pass the round-trip test
+    for an all-even corpus)."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import jpeg
+
+    aid = 7
+    full = jpeg.decode_jpeg_bytes(jpeg.encode_jpeg_progressive(aid))
+    w, h = jpeg._image_dims_prog(aid)
+    mcux, mcuy, geoms = jpeg._comp_geoms(w, h, [(2, 2), (1, 1), (1, 1)])
+    comps = []
+    for ci, g in enumerate(geoms):
+        n = g["pbx"] * g["pby"]
+        arr = np.zeros((n, 64), dtype=np.int64)
+        for idx in range(n):
+            arr[idx, 0] = jpeg.block_value(aid, ci, idx) - 128
+        comps.append(arr)
+    allc = (0, 1, 2)
+    truncated_script = [
+        (allc, 0, 0, 0, 2),
+        (allc, 0, 0, 2, 1),
+        # final DC refinement (Ah=1, Al=0) DROPPED
+        ((0,), 1, 63, 0, 1),
+        ((1,), 1, 63, 0, 1),
+        ((2,), 1, 63, 0, 1),
+    ]
+    partial = jpeg.decode_jpeg_bytes(
+        jpeg.encode_progressive_jpeg(
+            comps,
+            w,
+            h,
+            sampling=[(2, 2), (1, 1), (1, 1)],
+            dc_quant=8,
+            scans=truncated_script,
+        )
+    )
+    assert not np.array_equal(full["vals"], partial["vals"])
+
+
+def test_jpeg_progressive_error_paths_are_value_errors():
+    """Malformed progressive structure stays inside the unified
+    ValueError contract: baseline-style scan headers in a progressive
+    frame, refinement AC sizes != 1, out-of-range spectral bands, and
+    scans referencing unknown components."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import jpeg
+
+    payload = jpeg.encode_jpeg_progressive(3)
+
+    def patch_sos(p, ss, se, ahal, nth=0):
+        i = -1
+        for _ in range(nth + 1):
+            i = p.index(b"\xff\xda", i + 1)
+        ns = p[i + 4]
+        j = i + 5 + 2 * ns
+        return p[:j] + bytes([ss, se, ahal]) + p[j + 3 :]
+
+    patch_first_sos = patch_sos
+
+    # DC scan with Se != 0 (a baseline header inside a progression)
+    with pytest.raises(ValueError, match="Se != 0"):
+        jpeg.decode_jpeg_bytes(patch_first_sos(payload, 0, 63, 0x00))
+    # bad successive approximation (Ah must be Al+1)
+    with pytest.raises(ValueError, match="successive approximation"):
+        jpeg.decode_jpeg_bytes(patch_first_sos(payload, 0, 0, 0x30))
+    # spectral band out of range, patched into a single-component AC scan
+    with pytest.raises(ValueError, match="spectral band"):
+        jpeg.decode_jpeg_bytes(patch_sos(payload, 9, 3, 0x00, nth=3))
+    # AC scan on the interleaved (3-component) SOS is illegal
+    with pytest.raises(ValueError, match="single-component"):
+        jpeg.decode_jpeg_bytes(patch_sos(payload, 1, 63, 0x00, nth=0))
+    # scan referencing an unknown component id
+    i = payload.index(b"\xff\xda")
+    bad = payload[: i + 5] + bytes([9]) + payload[i + 6 :]
+    with pytest.raises(ValueError, match="unknown component"):
         jpeg.decode_jpeg_bytes(bad)

@@ -196,7 +196,7 @@ def _sane_image(d: dict) -> None:
 @settings(max_examples=150, deadline=None)
 @given(
     st.integers(0, 499),
-    st.sampled_from(["444", "420", "422", "411"]),
+    st.sampled_from(["444", "420", "422", "411", "prog"]),
     st.sampled_from(["truncate", "flip", "insert"]),
     st.integers(0, 2**32 - 1),
 )
@@ -218,6 +218,7 @@ def test_jpeg_decoder_total_on_corrupt_inputs(asset_id, variant, mode, seed):
         "420": multimodal._encode_jpeg_420,
         "422": multimodal._encode_jpeg_422,
         "411": multimodal._encode_jpeg_411,
+        "prog": multimodal._encode_jpeg_progressive,
     }[variant]
     rng = np.random.default_rng(seed)
     payload = _mutate(bytearray(enc(asset_id)), mode, rng)
