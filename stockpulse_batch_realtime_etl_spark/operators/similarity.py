@@ -489,17 +489,154 @@ def embedding_near_dup_pairs(
 
 # --- IVF with Lloyd-refined (spherical k-means) centroids -------------------
 
-def _assign_cells(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+#: Cell count past which the one-hop centroid BROADCAST in
+#: :func:`_assign_cells` stops holding (SCALE.md "Known seams": at 10⁹
+#: vectors ``adaptive_ncells`` yields ~4M cells × 64 doubles ≈ 2 GB —
+#: far past broadcast range).  Above it the assignment routes through
+#: the TWO-LEVEL quantizer.  Every shipped sf resolves to ≤ a few dozen
+#: cells, so the flat path always runs at the driver gate and hashes are
+#: unchanged.
+TWO_LEVEL_CELL_THRESHOLD = 100_000
+
+
+def _assign_cells(
+    vecs: DataFrame,
+    cent: DataFrame,
+    ncells: int | None = None,
+    two_level: bool | None = None,
+) -> DataFrame:
     """Nearest-centroid assignment: broadcast the dimension-sized centroid
     table, score cosine per (vector, centroid), fold to argmax per vector
     (``min_by`` over (−cos, cell) — map-side combinable, ties to the lowest
-    cell id, matching the oracle's ``ORDER BY cos DESC, cell ASC``)."""
+    cell id, matching the oracle's ``ORDER BY cos DESC, cell ASC``).
+
+    ``ncells`` (when the caller knows it) arms the scale switch: above
+    :data:`TWO_LEVEL_CELL_THRESHOLD` cells the centroid table itself is
+    past broadcast range and assignment routes through
+    :func:`_assign_cells_two_level` instead.  ``two_level`` forces the
+    path explicitly (tests pin the two paths against each other)."""
+    if two_level is None:
+        two_level = ncells is not None and ncells > TWO_LEVEL_CELL_THRESHOLD
+    if two_level:
+        import math
+
+        n = ncells if ncells is not None else cent.count()
+        return _assign_cells_two_level(
+            vecs, cent, max(2, math.isqrt(max(0, n - 1)) + 1)
+        )
     c = cent.select(
         F.col("cell").alias("_cell"),
         F.col("c_emb"),
         _norm(F.col("c_emb")).alias("c_norm"),
     )
     scored = vecs.join(F.broadcast(c)).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        "_cell",
+        _cos_precomputed(
+            F.col("embedding"), F.col("c_emb"), F.col("nrm"), F.col("c_norm")
+        ).alias("cos"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.first("embedding").alias("embedding"),
+        F.first("nrm").alias("nrm"),
+        F.min_by(
+            "_cell", F.struct((-F.col("cos")).alias("neg"), F.col("_cell"))
+        ).alias("cell"),
+    )
+
+
+def _assign_cells_two_level(
+    vecs: DataFrame, cent: DataFrame, nsuper: int
+) -> DataFrame:
+    """TWO-LEVEL nearest-centroid assignment — the production path past
+    the ~10⁵-cell broadcast ceiling (SCALE.md "Known seams"; the design
+    FAISS uses for its IVF coarse quantizer hierarchy):
+
+    1. pick ``nsuper`` ≈ √ncells SUPER-centroids (the lowest cell ids —
+       the same training-free seeding device as :func:`kmeans_centroids`;
+       nsuper rows, always broadcastable),
+    2. route every CENTROID to its nearest super-centroid (broadcast
+       argmax over ncells × nsuper scores) → a shuffled ``children``
+       table keyed by super-cell, ~√ncells children per key — never
+       broadcast,
+    3. route every VECTOR likewise (broadcast, corpus never shuffles for
+       routing),
+    4. argmax among the routed super-cell's children via an EQUI-JOIN on
+       super-cell id — per-vector work is ~2·√ncells scores instead of
+       ncells.
+
+    Same rounding (6dp cosine) and tie rule (lowest id) as the flat path
+    at every level.  Like any hierarchical quantizer this is EXACT
+    whenever the globally-nearest centroid is a child of the vector's
+    routed super-cell (tests pin flat ≡ two-level on a margin-structured
+    corpus); on adversarial boundary vectors it can differ — the same
+    approximation class as SemDeDup's own cell boundaries, measured by
+    ``semdedup_recall_report``.  Output schema matches
+    :func:`_assign_cells` exactly."""
+    sup = (
+        cent.orderBy("cell")
+        .limit(nsuper)
+        .select(
+            F.col("cell").alias("_sup"),
+            F.col("c_emb").alias("s_emb"),
+            _norm(F.col("c_emb")).alias("s_norm"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    c = cent.select(
+        F.col("cell").alias("_cell"),
+        "c_emb",
+        _norm(F.col("c_emb")).alias("c_norm"),
+    )
+    children = (
+        c.join(F.broadcast(sup))
+        .select(
+            "_cell",
+            "c_emb",
+            "c_norm",
+            "_sup",
+            _cos_precomputed(
+                F.col("c_emb"),
+                F.col("s_emb"),
+                F.col("c_norm"),
+                F.col("s_norm"),
+            ).alias("cos"),
+        )
+        .groupBy("_cell")
+        .agg(
+            F.first("c_emb").alias("c_emb"),
+            F.first("c_norm").alias("c_norm"),
+            F.min_by(
+                "_sup", F.struct((-F.col("cos")).alias("neg"), F.col("_sup"))
+            ).alias("_sup"),
+        )
+    )
+    routed = (
+        vecs.join(F.broadcast(sup))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            "_sup",
+            _cos_precomputed(
+                F.col("embedding"),
+                F.col("s_emb"),
+                F.col("nrm"),
+                F.col("s_norm"),
+            ).alias("cos"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.first("nrm").alias("nrm"),
+            F.min_by(
+                "_sup", F.struct((-F.col("cos")).alias("neg"), F.col("_sup"))
+            ).alias("_sup"),
+        )
+    )
+    scored = routed.join(children, "_sup").select(
         "vec_id",
         "embedding",
         "nrm",
@@ -544,7 +681,7 @@ def kmeans_centroids(
         F.transform("embedding", lambda v: v.cast("double")).alias("c_emb"),
     )
     for _ in range(iters):
-        assigned = _assign_cells(vecs, cent)
+        assigned = _assign_cells(vecs, cent, ncells=ncells)
         means = (
             assigned.select(
                 "cell", F.posexplode("embedding").alias("d", "x")
@@ -589,7 +726,7 @@ def ivf_kmeans_topk(
     vecs = fan_out(embeddings).select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
-    assigned = _assign_cells(vecs, cent)
+    assigned = _assign_cells(vecs, cent, ncells=ncells)
     # Assign the k query vectors from a pruned scan (vec_id pushdown)
     # instead of filtering the corpus-wide assignment: referencing
     # `assigned` twice would run the full scoring pass twice (AQE reuses
@@ -597,7 +734,7 @@ def ivf_kmeans_topk(
     q_vecs = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
-    q = _assign_cells(q_vecs, cent).select(
+    q = _assign_cells(q_vecs, cent, ncells=ncells).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_norm"),
@@ -804,11 +941,11 @@ def ann_ivfpq_topk(
     vecs = fan_out(embeddings).select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
-    cells = _assign_cells(vecs, cent).select("vec_id", "cell")
+    cells = _assign_cells(vecs, cent, ncells=ncells).select("vec_id", "cell")
     q_vecs = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
-    q_cells = _assign_cells(q_vecs, cent).select(
+    q_cells = _assign_cells(q_vecs, cent, ncells=ncells).select(
         F.col("vec_id").alias("query_id"), F.col("cell").alias("q_cell")
     )
     # --- PQ side: codes + per-query lookup tables
@@ -949,7 +1086,9 @@ def semantic_dedup(
     vecs = fan_out(embeddings).select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
-    assigned = _assign_cells(vecs, cent).localCheckpoint(eager=False)
+    assigned = _assign_cells(vecs, cent, ncells=ncells).localCheckpoint(
+        eager=False
+    )
     a, b = assigned.alias("a"), assigned.alias("b")
     dups = (
         a.join(
@@ -1036,7 +1175,7 @@ def semdedup_recall_report(
     vecs = fan_out(embeddings).select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
-    cells = _assign_cells(vecs, cent).select("vec_id", "cell")
+    cells = _assign_cells(vecs, cent, ncells=ncells).select("vec_id", "cell")
     if truth_cap is not None and n > truth_cap:
         # deterministic truth sample: the cap smallest md5(vec_id).  The
         # global row_number is a single-partition sort of (vec_id, hash)

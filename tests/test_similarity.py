@@ -451,3 +451,75 @@ def test_adaptive_ncells_sql_mirrors_python_rule():
         assert con.sql(f"SELECT {_NCELLS_DEDUP_SQL}").fetchone()[0] == (
             adaptive_ncells(n)
         ), n
+
+
+def test_two_level_assignment_equals_flat_on_structured_corpus(spark):
+    """The two-level quantizer (SCALE.md's production path past the
+    ~10⁵-cell centroid-broadcast ceiling) reproduces the flat one-hop
+    argmax EXACTLY on a corpus whose routing margins make hierarchical
+    assignment lossless: 8 groups over 35 dims, each group's vectors and
+    centroid sharing a 0.3-weight component on a designated super-route
+    dimension (group g routes via dim 32 + g % 3), so every vector's
+    nearest super-centroid is provably the one whose children contain
+    its nearest centroid.  Forced via two_level=True (the auto rule
+    engages only above TWO_LEVEL_CELL_THRESHOLD = 10⁵ cells, so shipped
+    sfs always take the flat path — gate-neutrality is the point)."""
+    rows = []
+    vid = 0
+    for g in range(8):
+        for m in range(6):  # 6 members per group
+            v = [0.0] * 35
+            v[g] = 1.0 + 0.01 * m  # scale jitter, direction-preserving
+            v[32 + g % 3] = 0.3
+            rows.append((vid, v, g))
+            vid += 1
+    # seeds: kmeans_centroids seeds cells from vec_id < ncells, so order
+    # the first 8 ids one-per-group
+    order = sorted(range(len(rows)), key=lambda i: (rows[i][0] % 6, rows[i][2]))
+    rows = [(new_id, rows[old][1], rows[old][2])
+            for new_id, old in enumerate(order)]
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    cent = similarity.kmeans_centroids(embs, ncells=8, iters=2)
+    from stockpulse_batch_realtime_etl_spark.sources.tables import fan_out
+    from pyspark.sql import functions as F
+
+    vecs = fan_out(embs).select(
+        "vec_id", "embedding", similarity._norm(F.col("embedding")).alias("nrm")
+    )
+    flat = {
+        r.vec_id: r.cell
+        for r in similarity._assign_cells(vecs, cent).collect()
+    }
+    two = {
+        r.vec_id: r.cell
+        for r in similarity._assign_cells(
+            vecs, cent, ncells=8, two_level=True
+        ).collect()
+    }
+    assert len(flat) == len(rows)
+    assert flat == two
+    # sanity: the corpus really clusters — 8 distinct cells, 6 members each
+    from collections import Counter
+    assert sorted(Counter(flat.values()).values()) == [6] * 8
+
+
+def test_two_level_auto_rule_is_flat_below_threshold(embeddings):
+    """ncells at any shipped sf is far below TWO_LEVEL_CELL_THRESHOLD, so
+    the auto path must be the flat broadcast argmax — pinned by plan
+    shape: the flat plan has no join on a super-cell key (exactly one
+    aggregate after the broadcast scoring join)."""
+    from pyspark.sql import functions as F
+
+    cent = similarity.kmeans_centroids(embeddings, ncells=2, iters=1)
+    vecs = embeddings.select(
+        "vec_id", "embedding", similarity._norm(F.col("embedding")).alias("nrm")
+    )
+    auto = similarity._assign_cells(vecs, cent, ncells=2)
+    forced = similarity._assign_cells(vecs, cent, ncells=2, two_level=True)
+    assert "_sup" not in auto.schema.simpleString()
+    # the two paths still agree on this tiny separable corpus
+    a = {r.vec_id: r.cell for r in auto.collect()}
+    f = {r.vec_id: r.cell for r in forced.collect()}
+    assert a == f

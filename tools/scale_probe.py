@@ -287,11 +287,80 @@ def bpe_sweep(spark, n_merges: int, variants=(0, 16, 64)) -> None:
     )
 
 
+def two_level_probe(spark, ncells: int | None = None) -> None:
+    """Measure the two-level quantizer against the flat broadcast argmax
+    on the replicated embeddings corpus (SCALE_PROBE_REPLICAS applies):
+    wall time of each assignment path at a production-shaped cell count
+    (default: ``adaptive_ncells`` of the corpus — the cell count a real
+    run of this corpus size would use) plus the assignment AGREEMENT
+    rate (two-level is exact except at routing boundaries — the number
+    quantifies the approximation the same way semdedup_recall_report
+    quantifies cell boundaries)."""
+    from stockpulse_batch_realtime_etl_spark.operators.similarity import (
+        _assign_cells,
+        _norm,
+        adaptive_ncells,
+        kmeans_centroids,
+    )
+    from stockpulse_batch_realtime_etl_spark.sources.tables import fan_out
+
+    probe_dir = build_probe_dir(spark)
+    emb = load_table(spark, probe_dir, "embeddings")
+    n = emb.count()
+    if ncells is None:
+        ncells = adaptive_ncells(n)
+    cent = kmeans_centroids(emb, ncells, iters=1).localCheckpoint()
+    vecs = fan_out(emb).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    t0 = time.perf_counter()
+    flat = _assign_cells(vecs, cent).select("vec_id", "cell")
+    flat.write.format("noop").mode("overwrite").save()
+    t_flat = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    two = _assign_cells(vecs, cent, ncells=ncells, two_level=True).select(
+        "vec_id", F.col("cell").alias("cell2")
+    )
+    two.write.format("noop").mode("overwrite").save()
+    t_two = time.perf_counter() - t0
+    agree = (
+        flat.join(two, "vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("cell") == F.col("cell2")).cast("long")).alias("eq"),
+        )
+        .collect()[0]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "two_level_assign_probe",
+                "replicas": REPLICAS,
+                "n_vectors": n,
+                "ncells": ncells,
+                "sec_flat": round(t_flat, 3),
+                "sec_two_level": round(t_two, 3),
+                "speedup": round(t_flat / t_two, 2),
+                "agreement": round(agree.eq / agree.n, 6),
+                "loadavg_end": round(os.getloadavg()[0], 2),
+            },
+            separators=(",", ":"),
+        )
+    )
+
+
 def main() -> None:
     if sys.argv[1:2] == ["--bpe-sweep"]:
         spark = get_spark(app_name="stockpulse-scale-probe")
         spark.sparkContext.setLogLevel("ERROR")
         bpe_sweep(spark, int(sys.argv[2]) if len(sys.argv) > 2 else 256)
+        return
+    if sys.argv[1:2] == ["--two-level-probe"]:
+        spark = get_spark(app_name="stockpulse-scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        two_level_probe(
+            spark, int(sys.argv[2]) if len(sys.argv) > 2 else None
+        )
         return
     names = sys.argv[1:] or DEFAULT_QUERIES
     spark = get_spark(app_name="stockpulse-scale-probe")
