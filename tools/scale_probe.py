@@ -222,6 +222,143 @@ def build_probe_dir(spark, base_dir: str = SF01) -> str:
     return dest
 
 
+def build_tpch_probe_dir(spark, base_dir: str = SF01) -> str:
+    """Replicated-FACT-TABLE probe dir for the relational (TPC-H-ish)
+    family: ``customer``/``orders``/``lineitem`` replicate REPLICAS× with
+    CONSISTENT key shifts (custkey stride shared by customer and orders;
+    orderkey stride shared by orders and lineitem), so every join
+    fan-in/fan-out shape, per-customer order-count distribution,
+    per-order line set, and customers-WITHOUT-orders property of sf0.1
+    is preserved while the fact volume scales — exactly how a bigger
+    TPC-H sf behaves.  Dimension tables (region/nation/supplier/part)
+    pass through unchanged: dimensions grow slower than facts, and the
+    probed queries join them broadcast-side.  The main probe dir can't
+    serve this family — it passes TPC-H tables through, so ratios there
+    would read a constant-size scan."""
+    dest = os.path.join(
+        "/tmp",
+        f"stockpulse_sfprobe_tpch_x{REPLICAS}"
+        f"_g{_PROBE_GEN}_{_fixture_tag(base_dir)}",
+    )
+    marker = os.path.join(dest, "_PROBE_READY")
+    if os.path.exists(marker):
+        return dest
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest)
+    cust = load_table(spark, base_dir, "customer")
+    orders = load_table(spark, base_dir, "orders")
+    li = load_table(spark, base_dir, "lineitem")
+    c_stride = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
+    o_stride = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    parts = [
+        cust.select(
+            (F.col("c_custkey") + F.lit(k * c_stride)).alias("c_custkey"),
+            "c_name",
+            "c_nationkey",
+            "c_acctbal",
+            "c_mktsegment",
+        )
+        for k in range(REPLICAS)
+    ]
+    _union_all(parts).write.parquet(os.path.join(dest, "customer.parquet"))
+    parts = [
+        orders.select(
+            (F.col("o_orderkey") + F.lit(k * o_stride)).alias("o_orderkey"),
+            (F.col("o_custkey") + F.lit(k * c_stride)).alias("o_custkey"),
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        for k in range(REPLICAS)
+    ]
+    _union_all(parts).write.parquet(os.path.join(dest, "orders.parquet"))
+    parts = [
+        li.select(
+            (F.col("l_orderkey") + F.lit(k * o_stride)).alias("l_orderkey"),
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        )
+        for k in range(REPLICAS)
+    ]
+    _union_all(parts).write.parquet(os.path.join(dest, "lineitem.parquet"))
+    for name in (
+        "region",
+        "nation",
+        "supplier",
+        "part",
+        "events",
+        "documents",
+        "embeddings",
+    ):
+        src = os.path.join(base_dir, f"{name}.parquet")
+        if os.path.exists(src):
+            dst = os.path.join(dest, f"{name}.parquet")
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:
+                shutil.copy(src, dst)
+    open(marker, "w").close()
+    return dest
+
+
+#: relational-family default list for --tpch-probe: the five queries the
+#: round-8 verdict called out as never 100×-probed
+TPCH_PROBE_QUERIES = [
+    "q7_nation_volume",
+    "q13_order_counts",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_sales_opportunity",
+]
+
+
+def tpch_probe(spark, names) -> None:
+    queries = entry_mod.queries()
+    probe_dir = build_tpch_probe_dir(spark)
+    queries["q1_pricing_summary"](spark, SF01).write.format("noop").mode(
+        "overwrite"
+    ).save()  # warmup
+    results = {}
+    for name in names:
+        base = _time(queries, name, spark, SF01)
+        big = _time(queries, name, spark, probe_dir)
+        results[name] = round(big / base, 2)
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "sec_sf01": round(base, 3),
+                    "sec_100x" if REPLICAS == 100 else "sec_big": round(
+                        big, 3
+                    ),
+                    "ratio": results[name],
+                },
+                separators=(",", ":"),
+            ),
+            flush=True,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "tpch_fact_scale_ratio",
+                "replicas": REPLICAS,
+                "queries": results,
+                "loadavg_end": round(os.getloadavg()[0], 2),
+            },
+            separators=(",", ":"),
+        )
+    )
+
+
 def _union_all(dfs):
     out = dfs[0]
     for d in dfs[1:]:
@@ -235,7 +372,7 @@ def _time(queries, name: str, spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-def bpe_sweep(spark, n_merges: int, variants=(0, 16, 64)) -> None:
+def bpe_sweep(spark, n_merges: int, variants=(0, 16, 64), docs_dir=None) -> None:
     """Measure bpe_learn_merges at TOKENIZER scale (n_merges ≥ 256, vs the
     registered query's 8) across checkpoint_every settings — validating
     where the lazy-replay trade documented in text.py actually flips:
@@ -247,7 +384,7 @@ def bpe_sweep(spark, n_merges: int, variants=(0, 16, 64)) -> None:
         bpe_learn_merges,
     )
 
-    docs = load_table(spark, SF01, "documents")
+    docs = load_table(spark, docs_dir or SF01, "documents")
     results = {}
     baseline = None
     for ck in variants:
@@ -353,7 +490,33 @@ def main() -> None:
     if sys.argv[1:2] == ["--bpe-sweep"]:
         spark = get_spark(app_name="stockpulse-scale-probe")
         spark.sparkContext.setLogLevel("ERROR")
-        bpe_sweep(spark, int(sys.argv[2]) if len(sys.argv) > 2 else 256)
+        # optional third arg: comma-separated checkpoint_every variants —
+        # at tokenizer-scale n_merges (≥ 2048) the lazy ck=0 variant's
+        # O(rounds²) replay is deliberately excluded unless asked for
+        variants = (
+            tuple(int(v) for v in sys.argv[3].split(","))
+            if len(sys.argv) > 3
+            else (0, 16, 64)
+        )
+        # optional fourth arg "probe": learn on the REPLICAS×-replicated
+        # documents corpus instead of sf0.1 — per-replica word suffixes
+        # multiply the learnable-merge budget (sf0.1 runs DRY at 89
+        # merges: no pair repeats after that, so tokenizer-scale round
+        # counts need the bigger vocabulary)
+        docs_dir = (
+            build_probe_dir(spark) if sys.argv[4:5] == ["probe"] else None
+        )
+        bpe_sweep(
+            spark,
+            int(sys.argv[2]) if len(sys.argv) > 2 else 256,
+            variants,
+            docs_dir,
+        )
+        return
+    if sys.argv[1:2] == ["--tpch-probe"]:
+        spark = get_spark(app_name="stockpulse-scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        tpch_probe(spark, sys.argv[2:] or TPCH_PROBE_QUERIES)
         return
     if sys.argv[1:2] == ["--two-level-probe"]:
         spark = get_spark(app_name="stockpulse-scale-probe")
