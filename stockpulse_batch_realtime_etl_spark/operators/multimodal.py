@@ -215,6 +215,88 @@ def encode_png_rgb(rgb, filter_seed: int = 0) -> bytes:
     )
 
 
+def encode_png_palette(asset_id: int) -> bytes:
+    """Real PALETTE (color type 3) PNG of a deterministic indexed image.
+    Bit depth cycles (1, 2, 4, 8) by asset — every sub-byte bit-packing
+    path is exercised across the corpus, with rows padded to whole bytes
+    as the spec requires; scanline r is filtered with type
+    ``(asset_id + r) % 5`` on the PACKED bytes (bpp = 1), so all five
+    unfilter paths run at the palette byte-geometry too.  Pixel model
+    (mirrored arithmetically by the DuckDB oracle): pixel i has index
+    ``(7·id + 13·i) mod 2^depth`` and the palette maps index j to
+    ``((5·id + 11·j) % 256, (id + 7·j) % 256, (3·id + 13·j) % 256)``."""
+    import numpy as np
+    import zlib
+
+    w, h = _image_dims(asset_id)
+    depth = (1, 2, 4, 8)[asset_id % 4]
+    nidx = 1 << depth
+    i = np.arange(w * h, dtype=np.int64)
+    idx = ((7 * asset_id + 13 * i) % nidx).astype(np.uint8).reshape(h, w)
+    if depth == 8:
+        packed = idx
+    else:
+        bits = np.unpackbits(idx[:, :, None], axis=2)[:, :, 8 - depth :]
+        flat = bits.reshape(h, w * depth)
+        pad = (-flat.shape[1]) % 8
+        if pad:
+            flat = np.concatenate(
+                [flat, np.zeros((h, pad), dtype=np.uint8)], axis=1
+            )
+        packed = np.packbits(flat, axis=1)
+    stride = packed.shape[1]
+    px = packed.astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        row = px[r]
+        ft = (asset_id + r) % 5
+        a = np.concatenate([[0], row[:-1]])
+        b = prev
+        c = np.concatenate([[0], prev[:-1]])
+        if ft == 0:
+            f = row
+        elif ft == 1:
+            f = row - a
+        elif ft == 2:
+            f = row - b
+        elif ft == 3:
+            f = row - (a + b) // 2
+        else:
+            pred = np.array(
+                [
+                    _paeth_predict(int(x), int(y), int(z))
+                    for x, y, z in zip(a, b, c)
+                ],
+                dtype=np.int64,
+            )
+            f = row - pred
+        raw.append(ft)
+        raw += (f % 256).astype(np.uint8).tobytes()
+        prev = row
+    j = np.arange(nidx, dtype=np.int64)
+    pal = (
+        np.stack(
+            [
+                (5 * asset_id + 11 * j) % 256,
+                (asset_id + 7 * j) % 256,
+                (3 * asset_id + 13 * j) % 256,
+            ],
+            axis=1,
+        )
+        .astype(np.uint8)
+        .tobytes()
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _total_on_corrupt(fn):
     """Corrupt-input totality boundary for the byte-level codecs: every
     decoder failure on untrusted bytes surfaces as the unified
@@ -264,7 +346,7 @@ def decode_png_bytes(payload: bytes) -> dict:
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise NotImplementedError("not a PNG payload")
-    pos, ihdr, idat = 8, None, b""
+    pos, ihdr, idat, plte = 8, None, b"", None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4 : pos + 8]
@@ -278,6 +360,11 @@ def decode_png_bytes(payload: bytes) -> dict:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = data
+        elif tag == b"tRNS":
+            # palette alpha would silently drop if ignored — honest seam
+            raise NotImplementedError("PNG tRNS transparency")
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -286,11 +373,25 @@ def decode_png_bytes(payload: bytes) -> dict:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+    if comp or filt or interlace:
         raise NotImplementedError(
-            f"PNG depth={depth} color_type={ctype} interlace={interlace}"
+            f"PNG compression={comp} filter={filt} interlace={interlace}"
         )
-    bpp, stride = 3, w * 3
+    if ctype == 2 and depth == 8:
+        bpp, stride = 3, w * 3
+    elif ctype == 3 and depth in (1, 2, 4, 8):
+        # palette (indexed) image: scanlines carry bit-packed palette
+        # indices (MSB-first within each byte, rows padded to whole
+        # bytes); PNG filtering operates on the PACKED bytes with bpp=1
+        if plte is None:
+            raise ValueError("PNG palette image missing PLTE")
+        if not plte or len(plte) % 3:
+            raise ValueError("PNG PLTE length not a multiple of 3")
+        bpp, stride = 1, (w * depth + 7) // 8
+    else:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={ctype}"
+        )
     raw = zlib.decompress(idat)
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline data length mismatch")
@@ -306,7 +407,7 @@ def decode_png_bytes(payload: bytes) -> dict:
         elif ft == 1:
             # Sub chain is a prefix sum over each channel column: mod once
             # at the end (addition commutes with mod; int64 can't overflow)
-            cur = np.cumsum(line.reshape(w, bpp), axis=0).reshape(-1) % 256
+            cur = np.cumsum(line.reshape(-1, bpp), axis=0).reshape(-1) % 256
         elif ft == 2:
             cur = (line + prev) % 256
         elif ft in (3, 4):
@@ -320,7 +421,26 @@ def decode_png_bytes(payload: bytes) -> dict:
         else:
             raise NotImplementedError(f"PNG filter type {ft}")
         recon[r] = cur
-    return {"width": w, "height": h, "vals": recon.reshape(-1)}
+    if ctype == 2:
+        return {"width": w, "height": h, "vals": recon.reshape(-1)}
+    pal = np.frombuffer(plte, np.uint8).astype(np.int64).reshape(-1, 3)
+    if depth == 8:
+        idx = recon
+    else:
+        bits = np.unpackbits(recon.astype(np.uint8), axis=1)
+        idx = (
+            bits.reshape(h, -1, depth)
+            .astype(np.int64)
+            .dot(1 << np.arange(depth - 1, -1, -1, dtype=np.int64))
+        )
+    idx = idx[:, :w]  # row padding bits are not pixels
+    if idx.max(initial=0) >= pal.shape[0]:
+        raise ValueError("PNG palette index out of range")
+    return {
+        "width": w,
+        "height": h,
+        "vals": pal[idx.reshape(-1)].reshape(-1),
+    }
 
 
 def encode_wav(asset_id: int) -> bytes:
@@ -492,6 +612,7 @@ _ENCODERS = {
     "jpeg422": _encode_jpeg_422,
     "jpeg411": _encode_jpeg_411,
     "jpegprog": _encode_jpeg_progressive,
+    "pngpal": encode_png_palette,
 }
 
 DECODED_SCHEMA = (

@@ -1701,6 +1701,63 @@ def q_multimodal_jpeg_progressive_stats(
     return multimodal.decoded_stats(assets)
 
 
+#: PALETTE (indexed) PNG rung — the other dominant real-web PNG shape the
+#: RGB rung can't parse: color type 3 with bit depth cycling 1/2/4/8 by
+#: asset, so every sub-byte MSB-first bit-unpacking path, the whole-byte
+#: row padding, and all five PNG filters AT THE PACKED-BYTE GEOMETRY
+#: (bpp=1: filter neighbors are bytes, not pixels) are exercised across
+#: the corpus; the PLTE lookup resolves indices to RGB.  Pixel model
+#: replayed arithmetically: pixel i has index (7·id+13·i) mod 2^depth and
+#: palette entry j = ((5·id+11·j)%256, (id+7·j)%256, (3·id+13·j)%256).
+#: A decoder that unpacks LSB-first, counts padding bits as pixels, or
+#: filters at pixel (not byte) offsets moves the weighted checksum.
+@register(
+    "multimodal_png_palette_stats",
+    oracle="""
+WITH base AS (
+  SELECT doc_id AS asset_id,
+         CAST(4 + doc_id % 13 AS INT) AS w,
+         CAST(4 + doc_id % 11 AS INT) AS h,
+         CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 4
+                         WHEN 2 THEN 16 ELSE 256 END AS nidx
+  FROM documents
+),
+px AS (
+  SELECT asset_id, w, h, i,
+         (7 * asset_id + 13 * (i // 3)) % nidx AS idx, i % 3 AS chan
+  FROM (SELECT *, unnest(generate_series(0, w * h * 3 - 1)) AS i FROM base)
+),
+vals AS (
+  SELECT asset_id, w, h, i,
+         CAST(CASE chan
+           WHEN 0 THEN (5 * asset_id + 11 * idx) % 256
+           WHEN 1 THEN (asset_id + 7 * idx) % 256
+           ELSE (3 * asset_id + 13 * idx) % 256
+         END AS BIGINT) AS val
+  FROM px
+)
+SELECT asset_id, 'pngpal' AS format, w AS width, h AS height,
+       CAST(NULL AS INT) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_values,
+       CAST(sum(val) AS BIGINT) AS value_sum,
+       CAST(min(val) AS BIGINT) AS value_min,
+       CAST(max(val) AS BIGINT) AS value_max,
+       CAST(sum(val * (i + 1)) AS BIGINT) AS weighted_sum
+FROM vals
+GROUP BY asset_id, w, h
+""",
+)
+def q_multimodal_png_palette_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """encode as palette PNG (bit depths 1/2/4/8) → real indexed decode →
+    per-asset stats."""
+    assets = multimodal.encode_assets(
+        load_table(spark, sf_dir, "documents"), fmts=("pngpal",)
+    )
+    return multimodal.decoded_stats(assets)
+
+
 # --- rolling-hash fingerprints (Manber '94 / Karp–Rabin) --------------------
 
 def _horner_sql(k: int, base: int, mod: int, s: str = "n", pos: str = "pos") -> str:

@@ -1804,6 +1804,10 @@ _GATE_HEAD: tuple[str, ...] = (
 #: queries are still verified every round by the local all-queries
 #: parity suite (tests/test_oracle_parity) and tools/check_parity.py.
 _GATE_NEXT: tuple[str, ...] = (
+    # never driver-gated (registered after the r9 window froze): the
+    # palette-PNG rung — ahead even of the changed-code set, same rule
+    # that put jpeg411 first in the r9 window
+    "multimodal_png_palette_stats",
     "winnowed_fingerprints",
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",

@@ -1031,3 +1031,75 @@ def test_jpeg_progressive_error_paths_are_value_errors():
     bad = payload[: i + 5] + bytes([9]) + payload[i + 6 :]
     with pytest.raises(ValueError, match="unknown component"):
         jpeg.decode_jpeg_bytes(bad)
+
+
+def test_png_palette_roundtrip_all_depths():
+    """Palette (color type 3) PNG: all four bit depths (1/2/4/8), sub-byte
+    MSB-first unpacking, row bit-padding stripped, PLTE lookup, and all
+    five filters at the packed-byte geometry — verified against the
+    arithmetic pixel model the DuckDB oracle replays."""
+    import numpy as np
+
+    for aid in range(12):  # 3 full cycles of the depth rotation
+        d = multimodal.decode_image_bytes(multimodal.encode_png_palette(aid))
+        w, h = multimodal._image_dims(aid)
+        assert (d["width"], d["height"]) == (w, h)
+        depth = (1, 2, 4, 8)[aid % 4]
+        nidx = 1 << depth
+        i = np.arange(w * h, dtype=np.int64)
+        idx = (7 * aid + 13 * i) % nidx
+        exp = np.stack(
+            [
+                (5 * aid + 11 * idx) % 256,
+                (aid + 7 * idx) % 256,
+                (3 * aid + 13 * idx) % 256,
+            ],
+            axis=1,
+        ).reshape(-1)
+        np.testing.assert_array_equal(d["vals"], exp, err_msg=f"asset {aid}")
+
+
+def test_png_palette_error_paths():
+    """Malformed palette structure stays in the unified error contract:
+    missing PLTE, non-multiple-of-3 PLTE, out-of-range index, and the
+    honest tRNS transparency seam."""
+    import struct as _struct
+    import zlib as _zlib
+
+    payload = multimodal.encode_png_palette(3)  # depth 8 asset
+
+    def replace_chunk(p, tag, new_data):
+        # strip the chunk entirely when new_data is None, else swap body
+        out, pos = bytearray(p[:8]), 8
+        while pos + 8 <= len(p):
+            (ln,) = _struct.unpack_from(">I", p, pos)
+            t = p[pos + 4 : pos + 8]
+            body = p[pos + 8 : pos + 8 + ln]
+            if t == tag:
+                if new_data is not None:
+                    out += multimodal._png_chunk(tag, new_data)
+            else:
+                out += p[pos : pos + 12 + ln]
+            pos += 12 + ln
+        return bytes(out)
+
+    with pytest.raises(ValueError, match="missing PLTE"):
+        multimodal.decode_image_bytes(replace_chunk(payload, b"PLTE", None))
+    with pytest.raises(ValueError, match="multiple of 3"):
+        multimodal.decode_image_bytes(replace_chunk(payload, b"PLTE", b"ab"))
+    # palette shorter than the max index used → out-of-range
+    with pytest.raises(ValueError, match="index out of range"):
+        multimodal.decode_image_bytes(
+            replace_chunk(payload, b"PLTE", bytes(6))
+        )
+    # tRNS present → honest seam, not silent alpha drop
+    i = payload.index(b"IDAT") - 4
+    with_trns = (
+        payload[:i] + multimodal._png_chunk(b"tRNS", bytes(4)) + payload[i:]
+    )
+    with pytest.raises(NotImplementedError, match="tRNS"):
+        multimodal.decode_image_bytes(with_trns)
+    # unchanged payload still decodes (the splicing helpers are sound)
+    assert multimodal.decode_image_bytes(payload)["width"] == \
+        multimodal._image_dims(3)[0]
+    _zlib  # silence unused import in case of refactor

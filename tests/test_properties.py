@@ -233,7 +233,7 @@ def test_jpeg_decoder_total_on_corrupt_inputs(asset_id, variant, mode, seed):
 @settings(max_examples=150, deadline=None)
 @given(
     st.integers(0, 499),
-    st.sampled_from(["png", "wav", "y4m", "ppm", "bmp"]),
+    st.sampled_from(["png", "pngpal", "wav", "y4m", "ppm", "bmp"]),
     st.sampled_from(["truncate", "flip", "insert"]),
     st.integers(0, 2**32 - 1),
 )
@@ -249,6 +249,7 @@ def test_codec_decoders_total_on_corrupt_inputs(asset_id, codec, mode, seed):
 
     enc = {
         "png": mm.encode_png,
+        "pngpal": mm.encode_png_palette,
         "wav": mm.encode_wav,
         "y4m": mm.encode_y4m,
         "ppm": mm.encode_ppm,
@@ -256,6 +257,7 @@ def test_codec_decoders_total_on_corrupt_inputs(asset_id, codec, mode, seed):
     }[codec]
     dec = {
         "png": mm.decode_png_bytes,
+        "pngpal": mm.decode_image_bytes,
         "wav": mm.decode_wav_bytes,
         "y4m": mm.decode_y4m_bytes,
         "ppm": mm.decode_image_bytes,
