@@ -765,13 +765,25 @@ def _flush_eobrun(
 
 
 def encode_ac_scan_first(
-    blocks: np.ndarray, ss: int, se: int, al: int
+    blocks: np.ndarray, ss: int, se: int, al: int,
+    restart_interval: int = 0,
 ) -> bytes:
     """First AC scan of one spectral band (ns=1, Ah=0): baseline-style
     run/size coding of the point-transformed coefficients
     (sign·(|v|>>Al)), with trailing zeros folded into cross-block EOB
     runs (EOBn).  ``blocks`` is (n_blocks, 64) zigzag, unpadded-grid
-    raster order."""
+    raster order.  A nonzero ``restart_interval`` encodes each k-block
+    interval independently (EOB runs cannot cross a restart — the
+    per-chunk flush IS the reset) joined by RSTn markers."""
+    if restart_interval:
+        out = bytearray()
+        for n, start in enumerate(range(0, len(blocks), restart_interval)):
+            if n:
+                out += bytes([0xFF, 0xD0 + ((n - 1) % 8)])
+            out += encode_ac_scan_first(
+                blocks[start : start + restart_interval], ss, se, al
+            )
+        return bytes(out)
     ac_codes = _canonical_codes(_ACP_BITS, _ACP_VALS)
     w = _BitWriter()
     eobrun = 0
@@ -816,7 +828,8 @@ def encode_ac_scan_first(
 
 
 def encode_ac_scan_refine(
-    blocks: np.ndarray, ss: int, se: int, al: int
+    blocks: np.ndarray, ss: int, se: int, al: int,
+    restart_interval: int = 0,
 ) -> bytes:
     """AC refinement scan (ns=1, Ah=Al+1, T.81 G.1.2.3): newly-nonzero
     coefficients (|v|>>Al == 1) are coded run/size with size 1 plus a
@@ -824,6 +837,15 @@ def encode_ac_scan_refine(
     each, buffered and emitted after the next coded symbol (ZRL /
     newly-nonzero / EOBn) in walk order — exactly where the decoder's
     inline reads expect them."""
+    if restart_interval:
+        out = bytearray()
+        for n, start in enumerate(range(0, len(blocks), restart_interval)):
+            if n:
+                out += bytes([0xFF, 0xD0 + ((n - 1) % 8)])
+            out += encode_ac_scan_refine(
+                blocks[start : start + restart_interval], ss, se, al
+            )
+        return bytes(out)
     ac_codes = _canonical_codes(_ACP_BITS, _ACP_VALS)
     w = _BitWriter()
     eobrun = 0
@@ -885,6 +907,7 @@ def encode_progressive_jpeg(
     dc_quant: int = 1,
     scans: list[tuple[tuple[int, ...], int, int, int, int]] | None = None,
     dc_restart_interval: int = 0,
+    ac_restart_interval: int = 0,
 ) -> bytes:
     """Assemble a complete progressive (SOF2) JPEG.  ``comp_coeffs[ci]``
     is the component's zigzag coefficient blocks in RASTER order over the
@@ -946,7 +969,7 @@ def encode_progressive_jpeg(
     out = bytearray(b"\xff\xd8" + dqt + sof + dht)
     cur_dri = 0
     for comp_sel, ss, se, ah, al in scans:
-        want_dri = dc_restart_interval if ss == 0 else 0
+        want_dri = dc_restart_interval if ss == 0 else ac_restart_interval
         if want_dri != cur_dri:
             out += _seg(0xDD, struct.pack(">H", want_dri))
             cur_dri = want_dri
@@ -975,9 +998,9 @@ def encode_progressive_jpeg(
                 raise ValueError("AC scans are single-component")
             blocks = coeffs[comp_sel[0]][_ac_block_indices(geoms[comp_sel[0]])]
             if ah == 0:
-                out += encode_ac_scan_first(blocks, ss, se, al)
+                out += encode_ac_scan_first(blocks, ss, se, al, want_dri)
             else:
-                out += encode_ac_scan_refine(blocks, ss, se, al)
+                out += encode_ac_scan_refine(blocks, ss, se, al, want_dri)
     out += b"\xff\xd9"
     return bytes(out)
 

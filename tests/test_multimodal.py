@@ -1103,3 +1103,41 @@ def test_png_palette_error_paths():
     assert multimodal.decode_image_bytes(payload)["width"] == \
         multimodal._image_dims(3)[0]
     _zlib  # silence unused import in case of refactor
+
+
+def test_jpeg_progressive_ac_scan_restarts_equal_baseline():
+    """RSTn markers INSIDE progressive AC scans (first and refinement):
+    the decoder must resync the reader and reset the EOB run at the DRI
+    cadence — with nonzero AC data the EOB-run reset is load-bearing (an
+    unreset run would swallow the next interval's blocks).  Pixels must
+    equal a baseline transmission of the same coefficients."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import jpeg
+
+    rng = np.random.default_rng(1234)
+    for trial in range(4):
+        w, h = int(rng.integers(24, 60)), int(rng.integers(16, 40))
+        mcux, mcuy, geoms = jpeg._comp_geoms(w, h, [(1, 1)] * 3)
+        comps = []
+        for g in geoms:
+            n = g["pbx"] * g["pby"]
+            arr = np.zeros((n, 64), np.int64)
+            mask = rng.random((n, 64)) < 0.1
+            arr[mask] = rng.integers(-300, 301, mask.sum())
+            comps.append(arr)
+        prog = jpeg.encode_progressive_jpeg(
+            comps,
+            w,
+            h,
+            dc_restart_interval=4,
+            ac_restart_interval=3,
+        )
+        # several RSTn markers actually present in the stream
+        assert sum(prog.count(bytes([0xFF, 0xD0 + k])) for k in range(8)) > 4
+        base = jpeg.encode_baseline_jpeg([list(c) for c in comps], w, h)
+        np.testing.assert_array_equal(
+            jpeg.decode_jpeg_bytes(prog)["vals"],
+            jpeg.decode_jpeg_bytes(base)["vals"],
+            err_msg=f"trial {trial} ({w}x{h})",
+        )
