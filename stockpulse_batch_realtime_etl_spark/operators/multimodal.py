@@ -137,6 +137,21 @@ def encode_bmp(asset_id: int) -> bytes:
     return head + info + data
 
 
+#: Adam7 interlace grid (PNG spec §8.2): per pass, (row_start, col_start,
+#: row_increment, col_increment) — pass p's sub-image holds the pixels at
+#: image[row_start::row_inc, col_start::col_inc], transmitted as its own
+#: independently-filtered scanline run (empty passes transmit nothing).
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (0, 4, 8, 8),
+    (4, 0, 8, 4),
+    (0, 2, 4, 4),
+    (2, 0, 4, 2),
+    (0, 1, 2, 2),
+    (1, 0, 2, 1),
+)
+
+
 def _paeth_predict(a: int, b: int, c: int) -> int:
     """PNG Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left to
     the linear estimate p = a + b − c, ties a → b → c."""
@@ -215,45 +230,23 @@ def encode_png_rgb(rgb, filter_seed: int = 0) -> bytes:
     )
 
 
-def encode_png_palette(asset_id: int) -> bytes:
-    """Real PALETTE (color type 3) PNG of a deterministic indexed image.
-    Bit depth cycles (1, 2, 4, 8) by asset — every sub-byte bit-packing
-    path is exercised across the corpus, with rows padded to whole bytes
-    as the spec requires; scanline r is filtered with type
-    ``(asset_id + r) % 5`` on the PACKED bytes (bpp = 1), so all five
-    unfilter paths run at the palette byte-geometry too.  Pixel model
-    (mirrored arithmetically by the DuckDB oracle): pixel i has index
-    ``(7·id + 13·i) mod 2^depth`` and the palette maps index j to
-    ``((5·id + 11·j) % 256, (id + 7·j) % 256, (3·id + 13·j) % 256)``."""
+def _png_filter_scanlines(px, bpp: int, filter_seed: int) -> bytes:
+    """Filter an (n_rows, stride) int64 byte matrix into PNG scanlines,
+    row r with filter type ``(filter_seed + r) % 5`` — the shared filter
+    arithmetic of every encoder here (one Adam7 pass filters exactly like
+    a whole image: its first row predicts against zeros)."""
     import numpy as np
-    import zlib
 
-    w, h = _image_dims(asset_id)
-    depth = (1, 2, 4, 8)[asset_id % 4]
-    nidx = 1 << depth
-    i = np.arange(w * h, dtype=np.int64)
-    idx = ((7 * asset_id + 13 * i) % nidx).astype(np.uint8).reshape(h, w)
-    if depth == 8:
-        packed = idx
-    else:
-        bits = np.unpackbits(idx[:, :, None], axis=2)[:, :, 8 - depth :]
-        flat = bits.reshape(h, w * depth)
-        pad = (-flat.shape[1]) % 8
-        if pad:
-            flat = np.concatenate(
-                [flat, np.zeros((h, pad), dtype=np.uint8)], axis=1
-            )
-        packed = np.packbits(flat, axis=1)
-    stride = packed.shape[1]
-    px = packed.astype(np.int64)
+    n_rows, stride = px.shape
+    zero = np.zeros(bpp, dtype=np.int64)
     raw = bytearray()
     prev = np.zeros(stride, dtype=np.int64)
-    for r in range(h):
+    for r in range(n_rows):
         row = px[r]
-        ft = (asset_id + r) % 5
-        a = np.concatenate([[0], row[:-1]])
+        ft = (filter_seed + r) % 5
+        a = np.concatenate([zero, row[:-bpp]]) if stride > bpp else row * 0
         b = prev
-        c = np.concatenate([[0], prev[:-1]])
+        c = np.concatenate([zero, prev[:-bpp]]) if stride > bpp else row * 0
         if ft == 0:
             f = row
         elif ft == 1:
@@ -274,6 +267,92 @@ def encode_png_palette(asset_id: int) -> bytes:
         raw.append(ft)
         raw += (f % 256).astype(np.uint8).tobytes()
         prev = row
+    return bytes(raw)
+
+
+def encode_png_rgb_interlaced(rgb, filter_seed: int = 0) -> bytes:
+    """Encode an (h, w, 3) uint8 array as an ADAM7-interlaced 8-bit RGB
+    PNG: seven sub-images, each independently filtered (the filter seed
+    advances by pass height so the type rotation continues across
+    passes); empty passes transmit nothing."""
+    import numpy as np
+    import zlib
+
+    h, w = rgb.shape[0], rgb.shape[1]
+    px = np.asarray(rgb, dtype=np.int64)
+    chunks, seed = [], filter_seed
+    for sr, sc, ri, ci in _ADAM7:
+        sub = px[sr::ri, sc::ci]
+        if sub.size == 0:
+            continue
+        chunks.append(
+            _png_filter_scanlines(
+                sub.reshape(sub.shape[0], sub.shape[1] * 3), 3, seed
+            )
+        )
+        seed += sub.shape[0]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(chunks)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(asset_id: int) -> bytes:
+    """Real PALETTE (color type 3) PNG of a deterministic indexed image.
+    Bit depth cycles (1, 2, 4, 8) by asset — every sub-byte bit-packing
+    path is exercised across the corpus, with rows padded to whole bytes
+    as the spec requires; scanlines are filtered with rotating types on
+    the PACKED bytes (bpp = 1), so all five unfilter paths run at the
+    palette byte-geometry too.  Assets with ``asset_id % 5 == 2`` are
+    additionally ADAM7-INTERLACED — palette indices re-packed per pass
+    sub-image, each pass independently filtered — so the registered
+    query's corpus drives the interlace scatter path combined with every
+    bit depth (the tiny dims make empty and 1-column passes the norm).
+    The decoded pixels are identical either way, so the DuckDB oracle is
+    untouched.  Pixel model: pixel i has index ``(7·id + 13·i) mod
+    2^depth`` and the palette maps index j to ``((5·id + 11·j) % 256,
+    (id + 7·j) % 256, (3·id + 13·j) % 256)``."""
+    import numpy as np
+    import zlib
+
+    w, h = _image_dims(asset_id)
+    depth = (1, 2, 4, 8)[asset_id % 4]
+    nidx = 1 << depth
+    i = np.arange(w * h, dtype=np.int64)
+    idx = ((7 * asset_id + 13 * i) % nidx).astype(np.uint8).reshape(h, w)
+
+    def pack(sub_idx):
+        """(rows, cols) indices → (rows, stride) packed bytes, MSB-first,
+        rows padded to whole bytes."""
+        rows, cols = sub_idx.shape
+        if depth == 8:
+            return sub_idx.astype(np.int64)
+        bits = np.unpackbits(
+            np.ascontiguousarray(sub_idx)[:, :, None], axis=2
+        )[:, :, 8 - depth :]
+        flat = bits.reshape(rows, cols * depth)
+        pad = (-flat.shape[1]) % 8
+        if pad:
+            flat = np.concatenate(
+                [flat, np.zeros((rows, pad), dtype=np.uint8)], axis=1
+            )
+        return np.packbits(flat, axis=1).astype(np.int64)
+
+    interlaced = asset_id % 5 == 2
+    if not interlaced:
+        raw = _png_filter_scanlines(pack(idx), 1, asset_id)
+    else:
+        chunks, seed = [], asset_id
+        for sr, sc, ri, ci in _ADAM7:
+            sub = idx[sr::ri, sc::ci]
+            if sub.size == 0:
+                continue
+            chunks.append(_png_filter_scanlines(pack(sub), 1, seed))
+            seed += sub.shape[0]
+        raw = b"".join(chunks)
     j = np.arange(nidx, dtype=np.int64)
     pal = (
         np.stack(
@@ -287,12 +366,12 @@ def encode_png_palette(asset_id: int) -> bytes:
         .astype(np.uint8)
         .tobytes()
     )
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, int(interlaced))
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"PLTE", pal)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IDAT", zlib.compress(raw))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -336,11 +415,14 @@ def decode_png_bytes(payload: bytes) -> dict:
     """Real PNG decode, dependency-free: chunk walk with CRC verification,
     IHDR parse, IDAT concatenation, stdlib ``zlib`` inflate, then per-row
     unfiltering of all five PNG filter types (None/Sub/Up/Average/Paeth,
-    RFC 2083 §6) for 8-bit RGB.  Palette/alpha/16-bit/interlaced variants
-    raise ``NotImplementedError`` — with baseline AND progressive JPEG
-    real too (operators/jpeg.py), the remaining compressed seams are
-    the palette/alpha PNG variants and the lossy audio/video codec
-    classes."""
+    RFC 2083 §6) for 8-bit RGB (color type 2), PALETTE images (color
+    type 3, bit depths 1/2/4/8, MSB-first sub-byte unpacking + PLTE
+    lookup), and ADAM7 INTERLACED streams of either (seven
+    independently-filtered sub-images scattered back onto the grid).
+    Alpha (tRNS), 16-bit, and grayscale variants raise
+    ``NotImplementedError`` — with baseline AND progressive JPEG real
+    too (operators/jpeg.py), the remaining compressed seams are those
+    plus the lossy audio/video codec classes."""
     import numpy as np
     import zlib
 
@@ -373,12 +455,12 @@ def decode_png_bytes(payload: bytes) -> dict:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if comp or filt or interlace:
+    if comp or filt or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG compression={comp} filter={filt} interlace={interlace}"
         )
     if ctype == 2 and depth == 8:
-        bpp, stride = 3, w * 3
+        bpp = 3
     elif ctype == 3 and depth in (1, 2, 4, 8):
         # palette (indexed) image: scanlines carry bit-packed palette
         # indices (MSB-first within each byte, rows padded to whole
@@ -387,60 +469,100 @@ def decode_png_bytes(payload: bytes) -> dict:
             raise ValueError("PNG palette image missing PLTE")
         if not plte or len(plte) % 3:
             raise ValueError("PNG PLTE length not a multiple of 3")
-        bpp, stride = 1, (w * depth + 7) // 8
+        bpp = 1
     else:
         raise NotImplementedError(
             f"PNG depth={depth} color_type={ctype}"
         )
+    pal = (
+        np.frombuffer(plte, np.uint8).astype(np.int64).reshape(-1, 3)
+        if ctype == 3
+        else None
+    )
     raw = zlib.decompress(idat)
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG scanline data length mismatch")
-    recon = np.zeros((h, stride), dtype=np.int64)
-    for r in range(h):
-        ft = raw[r * (stride + 1)]
-        line = np.frombuffer(
-            raw, np.uint8, stride, r * (stride + 1) + 1
-        ).astype(np.int64)
-        prev = recon[r - 1] if r else np.zeros(stride, dtype=np.int64)
-        if ft == 0:
-            cur = line
-        elif ft == 1:
-            # Sub chain is a prefix sum over each channel column: mod once
-            # at the end (addition commutes with mod; int64 can't overflow)
-            cur = np.cumsum(line.reshape(-1, bpp), axis=0).reshape(-1) % 256
-        elif ft == 2:
-            cur = (line + prev) % 256
-        elif ft in (3, 4):
-            cur = np.zeros(stride, dtype=np.int64)
-            for x in range(stride):
-                a = int(cur[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                pred = (a + b) // 2 if ft == 3 else _paeth_predict(a, b, c)
-                cur[x] = (int(line[x]) + pred) % 256
+
+    def unfilter(offset: int, n_rows: int, stride: int):
+        """Unfilter one scanline run (a whole image, or one Adam7 pass —
+        each pass filters independently, its first row against zeros)."""
+        recon = np.zeros((n_rows, stride), dtype=np.int64)
+        for r in range(n_rows):
+            base = offset + r * (stride + 1)
+            if base + stride + 1 > len(raw):
+                raise ValueError("PNG scanline data length mismatch")
+            ft = raw[base]
+            line = np.frombuffer(raw, np.uint8, stride, base + 1).astype(
+                np.int64
+            )
+            prev = recon[r - 1] if r else np.zeros(stride, dtype=np.int64)
+            if ft == 0:
+                cur = line
+            elif ft == 1:
+                # Sub chain is a prefix sum over each channel column: mod
+                # once at the end (addition commutes with mod; int64
+                # can't overflow)
+                cur = (
+                    np.cumsum(line.reshape(-1, bpp), axis=0).reshape(-1)
+                    % 256
+                )
+            elif ft == 2:
+                cur = (line + prev) % 256
+            elif ft in (3, 4):
+                cur = np.zeros(stride, dtype=np.int64)
+                for x in range(stride):
+                    a = int(cur[x - bpp]) if x >= bpp else 0
+                    b = int(prev[x])
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    pred = (
+                        (a + b) // 2 if ft == 3 else _paeth_predict(a, b, c)
+                    )
+                    cur[x] = (int(line[x]) + pred) % 256
+            else:
+                raise NotImplementedError(f"PNG filter type {ft}")
+            recon[r] = cur
+        return recon, n_rows * (stride + 1)
+
+    def resolve(recon, pw: int):
+        """Reconstructed scanline bytes → (n_rows, pw, 3) RGB pixels."""
+        if ctype == 2:
+            return recon.reshape(recon.shape[0], pw, 3)
+        if depth == 8:
+            idx = recon
         else:
-            raise NotImplementedError(f"PNG filter type {ft}")
-        recon[r] = cur
-    if ctype == 2:
-        return {"width": w, "height": h, "vals": recon.reshape(-1)}
-    pal = np.frombuffer(plte, np.uint8).astype(np.int64).reshape(-1, 3)
-    if depth == 8:
-        idx = recon
-    else:
-        bits = np.unpackbits(recon.astype(np.uint8), axis=1)
-        idx = (
-            bits.reshape(h, -1, depth)
-            .astype(np.int64)
-            .dot(1 << np.arange(depth - 1, -1, -1, dtype=np.int64))
-        )
-    idx = idx[:, :w]  # row padding bits are not pixels
-    if idx.max(initial=0) >= pal.shape[0]:
-        raise ValueError("PNG palette index out of range")
-    return {
-        "width": w,
-        "height": h,
-        "vals": pal[idx.reshape(-1)].reshape(-1),
-    }
+            bits = np.unpackbits(recon.astype(np.uint8), axis=1)
+            idx = (
+                bits.reshape(recon.shape[0], -1, depth)
+                .astype(np.int64)
+                .dot(1 << np.arange(depth - 1, -1, -1, dtype=np.int64))
+            )
+        idx = idx[:, :pw]  # row padding bits are not pixels
+        if idx.max(initial=0) >= pal.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        return pal[idx]
+
+    def pass_stride(pw: int) -> int:
+        return pw * 3 if ctype == 2 else (pw * depth + 7) // 8
+
+    if interlace == 0:
+        recon, used = unfilter(0, h, pass_stride(w))
+        if used != len(raw):
+            raise ValueError("PNG scanline data length mismatch")
+        return {"width": w, "height": h, "vals": resolve(recon, w).reshape(-1)}
+    # Adam7: seven independently-filtered sub-images, scattered back onto
+    # the pixel grid; empty passes (sub-image with zero rows or columns)
+    # transmit nothing
+    out = np.zeros((h, w, 3), dtype=np.int64)
+    offset = 0
+    for sr, sc, ri, ci in _ADAM7:
+        pw = (w - sc + ci - 1) // ci
+        ph = (h - sr + ri - 1) // ri
+        if pw <= 0 or ph <= 0:
+            continue
+        recon, used = unfilter(offset, ph, pass_stride(pw))
+        offset += used
+        out[sr::ri, sc::ci] = resolve(recon, pw)
+    if offset != len(raw):
+        raise ValueError("PNG scanline data length mismatch")
+    return {"width": w, "height": h, "vals": out.reshape(-1)}
 
 
 def encode_wav(asset_id: int) -> bytes:

@@ -1141,3 +1141,48 @@ def test_jpeg_progressive_ac_scan_restarts_equal_baseline():
             jpeg.decode_jpeg_bytes(base)["vals"],
             err_msg=f"trial {trial} ({w}x{h})",
         )
+
+
+def test_png_adam7_interlace_roundtrips():
+    """Adam7: seven independently-filtered sub-images scattered back onto
+    the grid.  RGB random images at awkward dims (1-column, 1-row, sub-8
+    so several passes are EMPTY) decode to exactly the source pixels, and
+    the interlaced palette subset of the corpus (asset_id % 5 == 2, all
+    four bit depths reachable) matches the same arithmetic model as the
+    non-interlaced assets — the oracle cannot tell them apart, which is
+    the point."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    for t, (w, h) in enumerate(
+        [(1, 1), (1, 9), (9, 1), (3, 3), (8, 8), (17, 5), (23, 19)]
+    ):
+        rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        d = multimodal.decode_image_bytes(
+            multimodal.encode_png_rgb_interlaced(rgb, t)
+        )
+        assert (d["width"], d["height"]) == (w, h)
+        np.testing.assert_array_equal(
+            d["vals"], rgb.astype(np.int64).reshape(-1), err_msg=f"{w}x{h}"
+        )
+    # interlaced palette corpus assets: ids ≡ 2 (mod 5) hit depths 1/2/4/8
+    # as id mod 4 cycles 2,3,0,1 over ids 2,7,12,17
+    for aid in (2, 7, 12, 17, 22, 37):
+        payload = multimodal.encode_png_palette(aid)
+        # really interlaced: IHDR interlace byte set
+        ihdr_off = payload.index(b"IHDR") + 4
+        assert payload[ihdr_off + 12] == 1
+        d = multimodal.decode_image_bytes(payload)
+        w, h = multimodal._image_dims(aid)
+        depth = (1, 2, 4, 8)[aid % 4]
+        i = np.arange(w * h, dtype=np.int64)
+        idx = (7 * aid + 13 * i) % (1 << depth)
+        exp = np.stack(
+            [
+                (5 * aid + 11 * idx) % 256,
+                (aid + 7 * idx) % 256,
+                (3 * aid + 13 * idx) % 256,
+            ],
+            axis=1,
+        ).reshape(-1)
+        np.testing.assert_array_equal(d["vals"], exp, err_msg=f"asset {aid}")
