@@ -11,22 +11,27 @@ The idiomatic Spark shape for image/audio/video at 100 TB:
 
 Codec reality has two rungs:
 
-* REAL formats (24-bit BMP, binary PPM, 16-bit PCM WAV, and 8-bit RGB PNG
-  via stdlib ``zlib``) are decoded FOR REAL by the dependency-free parsers
-  below — header parse, row-padding strip, bottom-up flip, BGR→RGB swap,
-  RIFF chunk walk, and full PNG chunk-walk + CRC + inflate + five-filter
-  unfiltering.  ``decoded_stats`` runs them end-to-end inside
-  ``mapInPandas`` and is oracle-checked: the encoded pixel/sample values
-  are a deterministic function of (asset_id, position), so DuckDB replays
-  count/sum/min/max and a position-weighted checksum (which breaks if the
-  decoder misorders rows or channels) arithmetically.
-* BASELINE JPEG (SOF0, grayscale, 4:4:4, or subsampled 4:2:0/4:2:2
-  colour) is decoded FOR REAL too, by the dependency-free entropy decoder
-  in operators/jpeg.py — marker walk, canonical Huffman + byte-unstuffing,
-  DC diff / AC run-length, zigzag, dequant, IDCT, multi-block MCU
-  interleave + chroma upsampling, YCbCr→RGB.  Only the genuinely
-  library-bound remainder (progressive JPEG, MP3, MP4) stays behind
-  ``_try_real_decode``'s import-guard with an honest
+* REAL formats (24-bit BMP, binary PPM, 16-bit PCM WAV, and PNG via
+  stdlib ``zlib`` — 8-bit RGB, palette at bit depths 1/2/4/8, and Adam7
+  interlaced streams of either) are decoded FOR REAL by the
+  dependency-free parsers below — header parse, row-padding strip,
+  bottom-up flip, BGR→RGB swap, RIFF chunk walk, and full PNG
+  chunk-walk + CRC + inflate + five-filter unfiltering + sub-byte
+  unpacking + PLTE lookup + interlace scatter.  ``decoded_stats`` runs
+  them end-to-end inside ``mapInPandas`` and is oracle-checked: the
+  encoded pixel/sample values are a deterministic function of
+  (asset_id, position), so DuckDB replays count/sum/min/max and a
+  position-weighted checksum (which breaks if the decoder misorders
+  rows or channels) arithmetically.
+* JPEG — BASELINE (SOF0, grayscale, 4:4:4, or subsampled
+  4:2:0/4:2:2/4:1:1 colour, with restart markers) AND PROGRESSIVE
+  (SOF2, T.81 Annex G multi-scan successive approximation) — is decoded
+  FOR REAL too, by the dependency-free entropy decoder in
+  operators/jpeg.py — marker walk, canonical Huffman + byte-unstuffing,
+  DC diff / AC run-length / EOB runs, zigzag, dequant, IDCT, multi-block
+  MCU interleave + chroma upsampling, YCbCr→RGB.  Only the genuinely
+  library-bound remainder (MP3, MP4, arithmetic-coded JPEG) stays
+  behind ``_try_real_decode``'s import-guard with an honest
   ``NotImplementedError``.
 
 ``extract_features`` (length + md5 + md5-derived pseudo-dimensions over
@@ -68,11 +73,12 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def _try_real_decode(media_type: str, payload: bytes):
-    """Real codec dispatch.  BMP/PPM/PNG/WAV and baseline JPEG decode here
-    and now with the pure-numpy parsers in this module and operators/jpeg
-    (no external library); the remaining compressed seam — progressive
-    JPEG, MP3, MP4 — is where PIL/soundfile/av plug in and
-    raises an honest ``NotImplementedError`` while those are absent."""
+    """Real codec dispatch.  BMP/PPM/PNG (RGB/palette/Adam7)/WAV and
+    baseline + progressive JPEG decode here and now with the pure-numpy
+    parsers in this module and operators/jpeg (no external library); the
+    remaining compressed seam — MP3, MP4, arithmetic-coded JPEG — is
+    where PIL/soundfile/av plug in and raises an honest
+    ``NotImplementedError`` while those are absent."""
     if payload[:2] in (b"BM", b"P6", b"\xff\xd8") or (
         payload[:8] == b"\x89PNG\r\n\x1a\n"
     ):
@@ -84,7 +90,7 @@ def _try_real_decode(media_type: str, payload: bytes):
             import PIL.Image  # noqa: F401
         except ImportError:
             raise NotImplementedError(
-                "progressive image decode requires Pillow"
+                "unrecognized image container requires Pillow"
             )
     raise NotImplementedError(f"real decode not available for {media_type}")
 
