@@ -371,6 +371,49 @@ def encode_baseline_jpeg(
     return b"\xff\xd8" + dqt + dri + sof + dht + sos + scan + b"\xff\xd9"
 
 
+def encode_baseline_multiscan_jpeg(
+    comp_coeffs: list,
+    w: int,
+    h: int,
+    sampling: list[tuple[int, int]] | None = None,
+) -> bytes:
+    """Assemble a SEQUENTIAL MULTI-SCAN baseline JPEG: one SOS per
+    component, each scan non-interleaved over the component's UNPADDED
+    block grid (T.81 A.2.2) — the legal baseline shape some encoders
+    emit instead of one interleaved scan.  ``comp_coeffs[ci]`` is the
+    component's zigzag blocks in RASTER order over the PADDED grid (the
+    :func:`encode_progressive_jpeg` storage convention); padding blocks
+    are simply not transmitted.  Decoded pixels equal the interleaved
+    transmission of the same coefficients."""
+    ncomp = len(comp_coeffs)
+    samp = sampling or [(1, 1)] * ncomp
+    mcux, mcuy, geoms = _comp_geoms(w, h, samp)
+    coeffs = [
+        np.asarray(c, dtype=np.int64).reshape(-1, 64) for c in comp_coeffs
+    ]
+    dqt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof_comps = b"".join(
+        struct.pack(">BBB", cid + 1, (samp[cid][0] << 4) | samp[cid][1], 0)
+        for cid in range(ncomp)
+    )
+    sof = _seg(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
+    dht = _seg(0xC4, _dht_payload(0x00, _DC_BITS, _DC_VALS)) + _seg(
+        0xC4, _dht_payload(0x10, _AC_BITS, _AC_VALS)
+    )
+    out = bytearray(b"\xff\xd8" + dqt + sof + dht)
+    for ci in range(ncomp):
+        blocks = coeffs[ci][_ac_block_indices(geoms[ci])]
+        out += _seg(
+            0xDA,
+            bytes([1])
+            + struct.pack(">BB", ci + 1, 0x00)
+            + bytes([0, 63, 0]),
+        )
+        out += encode_scan_blocks([list(blocks)], [1])
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _block_constant_coeffs(plane_vals: np.ndarray) -> list[np.ndarray]:
     """Coefficient blocks for a block-constant plane: DC = 8·(v−128)
     (the exact DCT of a constant block), all AC zero.  ``plane_vals`` is
@@ -1070,6 +1113,7 @@ def decode_scan(
     ac_tables: list[dict],
     restart_interval: int = 0,
     mcu_blocks: list[int] | None = None,
+    pos_out: list | None = None,
 ) -> list[list[np.ndarray]]:
     """Entropy-decode ``n_blocks`` interleaved MCUs starting at ``pos``;
     returns per-component lists of zigzag-order coefficient blocks (the
@@ -1129,6 +1173,10 @@ def decode_scan(
                 del out[ci][mark:]
             pred = [0] * ncomp
             r.byte_align()
+    if pos_out is not None:
+        # the multi-scan walker needs to resume the marker walk after
+        # this scan's entropy data
+        pos_out.append(r._pos)
     return out
 
 
@@ -1511,7 +1559,51 @@ def _decode_jpeg_unchecked(payload: bytes) -> dict:
                 scan_tables.append((tdta >> 4, tdta & 0x0F))
             ncomp = len(comps)
             if ns != ncomp:
-                raise NotImplementedError("multi-scan JPEG")
+                # T.81 allows a BASELINE frame to transmit each component
+                # in its own sequential scan (non-interleaved multi-scan).
+                # Decode this scan into the per-component accumulator —
+                # same storage the progressive path uses — and continue
+                # the marker walk; reconstruction happens at EOI.
+                if ns != 1:
+                    raise NotImplementedError(
+                        "baseline partial-interleave scan (1 < ns < Nf)"
+                    )
+                if prog is None:
+                    mcux_, mcuy_, geoms_ = _comp_geoms(
+                        w, h, [(hi, vi) for _, _, hi, vi in comps]
+                    )
+                    prog_geom = (mcux_, mcuy_, geoms_)
+                    prog = [
+                        np.zeros(
+                            (g["pbx"] * g["pby"], 64), dtype=np.int64
+                        )
+                        for g in geoms_
+                    ]
+                cs0 = body[1]
+                by_cid = {c[0]: i for i, c in enumerate(comps)}
+                if cs0 not in by_cid:
+                    raise ValueError(
+                        f"JPEG scan references unknown component {cs0}"
+                    )
+                ci = by_cid[cs0]
+                td, ta = scan_tables[0]
+                idxs = _ac_block_indices(prog_geom[2][ci])
+                pos_out: list[int] = []
+                blocks = decode_scan(
+                    payload,
+                    pos + 2 + seglen,
+                    len(idxs),
+                    1,
+                    [huff[(0, td)]],
+                    [huff[(1, ta)]],
+                    restart,
+                    mcu_blocks=[1],
+                    pos_out=pos_out,
+                )
+                for bi, zz in zip(idxs, blocks[0]):
+                    prog[ci][bi] = zz
+                pos = _skip_to_marker(payload, pos_out[0])
+                continue
             if ns == 1:
                 # T.81 A.2.2: a single-component scan is NON-interleaved —
                 # one data unit per MCU and a ceil(w/8)×ceil(h/8) block
@@ -1551,7 +1643,9 @@ def _decode_jpeg_unchecked(payload: bytes) -> dict:
                 qt, comps, w, h, mcux, mcuy, raster
             )
         pos += 2 + seglen
-    if progressive and prog is not None:
+    if prog is not None:
+        # progressive frame, or a sequential multi-scan baseline frame —
+        # either way the coefficients accumulated per component
         w, h, comps = sof
         mcux, mcuy, _geoms = prog_geom
         return _reconstruct_from_raster(qt, comps, w, h, mcux, mcuy, prog)

@@ -467,6 +467,11 @@ def decode_png_bytes(payload: bytes) -> dict:
         )
     if ctype == 2 and depth == 8:
         bpp = 3
+    elif ctype == 0 and depth in (1, 2, 4, 8):
+        # grayscale: one sample per pixel, sub-byte depths bit-packed
+        # like palette indices; presented at 8-bit via the standard
+        # bit-replication scale (255/(2^d−1) is an integer for d=1/2/4)
+        bpp = 1
     elif ctype == 3 and depth in (1, 2, 4, 8):
         # palette (indexed) image: scanlines carry bit-packed palette
         # indices (MSB-first within each byte, rows padded to whole
@@ -528,7 +533,7 @@ def decode_png_bytes(payload: bytes) -> dict:
         return recon, n_rows * (stride + 1)
 
     def resolve(recon, pw: int):
-        """Reconstructed scanline bytes → (n_rows, pw, 3) RGB pixels."""
+        """Reconstructed scanline bytes → (n_rows, pw, ch) pixels."""
         if ctype == 2:
             return recon.reshape(recon.shape[0], pw, 3)
         if depth == 8:
@@ -541,6 +546,8 @@ def decode_png_bytes(payload: bytes) -> dict:
                 .dot(1 << np.arange(depth - 1, -1, -1, dtype=np.int64))
             )
         idx = idx[:, :pw]  # row padding bits are not pixels
+        if ctype == 0:
+            return (idx * (255 // ((1 << depth) - 1)))[:, :, None]
         if idx.max(initial=0) >= pal.shape[0]:
             raise ValueError("PNG palette index out of range")
         return pal[idx]
@@ -556,7 +563,7 @@ def decode_png_bytes(payload: bytes) -> dict:
     # Adam7: seven independently-filtered sub-images, scattered back onto
     # the pixel grid; empty passes (sub-image with zero rows or columns)
     # transmit nothing
-    out = np.zeros((h, w, 3), dtype=np.int64)
+    out = np.zeros((h, w, 1 if ctype == 0 else 3), dtype=np.int64)
     offset = 0
     for sr, sc, ri, ci in _ADAM7:
         pw = (w - sc + ci - 1) // ci

@@ -1186,3 +1186,128 @@ def test_png_adam7_interlace_roundtrips():
             axis=1,
         ).reshape(-1)
         np.testing.assert_array_equal(d["vals"], exp, err_msg=f"asset {aid}")
+
+
+def test_jpeg_baseline_multiscan_equals_interleaved():
+    """T.81 allows a BASELINE frame to transmit each component as its own
+    sequential non-interleaved scan (ns=1 per SOS) — a legal shape some
+    encoders emit that used to raise 'multi-scan JPEG'.  Decoded pixels
+    must equal the interleaved transmission of the same coefficients,
+    including under 4:2:0 subsampling where each scan walks its
+    component's UNPADDED grid while storage is MCU-padded."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import jpeg
+
+    rng = np.random.default_rng(4242)
+    for trial in range(6):
+        w, h = int(rng.integers(8, 50)), int(rng.integers(8, 40))
+        samp = (
+            [(2, 2), (1, 1), (1, 1)]
+            if trial % 2
+            else [(1, 1), (1, 1), (1, 1)]
+        )
+        mcux, mcuy, geoms = jpeg._comp_geoms(w, h, samp)
+        comps = []
+        for g in geoms:
+            n = g["pbx"] * g["pby"]
+            arr = np.zeros((n, 64), np.int64)
+            mask = rng.random((n, 64)) < 0.15
+            arr[mask] = rng.integers(-500, 501, mask.sum())
+            comps.append(arr)
+        multi = jpeg.encode_baseline_multiscan_jpeg(comps, w, h, sampling=samp)
+        assert multi.count(b"\xff\xda") == 3  # really three scans
+        inter = []
+        for ci, g in enumerate(geoms):
+            lst = []
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                for j in range(g["hi"] * g["vi"]):
+                    jy, jx = divmod(j, g["hi"])
+                    lst.append(
+                        comps[ci][
+                            (my * g["vi"] + jy) * g["pbx"] + mx * g["hi"] + jx
+                        ]
+                    )
+            inter.append(lst)
+        base = jpeg.encode_baseline_jpeg(inter, w, h, sampling=samp)
+        np.testing.assert_array_equal(
+            jpeg.decode_jpeg_bytes(multi)["vals"],
+            jpeg.decode_jpeg_bytes(base)["vals"],
+            err_msg=f"trial {trial} ({w}x{h}, samp={samp})",
+        )
+    # partial interleave (1 < ns < Nf) stays an honest seam
+    i = multi.index(b"\xff\xda")
+    bad = multi[: i + 4] + bytes([2]) + multi[i + 5 :]
+    import pytest as _p
+
+    with _p.raises((ValueError, NotImplementedError)):
+        jpeg.decode_jpeg_bytes(bad)
+
+
+def test_png_grayscale_roundtrips_all_depths():
+    """Grayscale PNG (color type 0) at bit depths 1/2/4/8, plain and
+    Adam7-interlaced: sub-byte samples unpack MSB-first and present at
+    8-bit via the standard bit-replication scale (×255/(2^d−1), an
+    integer for every legal depth) — single-channel output like JPEG
+    grayscale.  The encoder here is test-local: the decoder never sees
+    generator knowledge."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    def encode_gray(gray, depth, seed, interlaced):
+        h, w = gray.shape
+        idx = gray.astype(np.uint8)
+
+        def pack(sub):
+            rows, cols = sub.shape
+            if depth == 8:
+                return sub.astype(np.int64)
+            bits = np.unpackbits(
+                np.ascontiguousarray(sub)[:, :, None], axis=2
+            )[:, :, 8 - depth :]
+            flat = bits.reshape(rows, cols * depth)
+            pad = (-flat.shape[1]) % 8
+            if pad:
+                flat = np.concatenate(
+                    [flat, np.zeros((rows, pad), np.uint8)], axis=1
+                )
+            return np.packbits(flat, axis=1).astype(np.int64)
+
+        if not interlaced:
+            raw = multimodal._png_filter_scanlines(pack(idx), 1, seed)
+        else:
+            chunks, sd = [], seed
+            for sr, sc, ri, ci in multimodal._ADAM7:
+                sub = idx[sr::ri, sc::ci]
+                if sub.size == 0:
+                    continue
+                chunks.append(
+                    multimodal._png_filter_scanlines(pack(sub), 1, sd)
+                )
+                sd += sub.shape[0]
+            raw = b"".join(chunks)
+        ihdr = _struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, int(interlaced))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + multimodal._png_chunk(b"IHDR", ihdr)
+            + multimodal._png_chunk(b"IDAT", _zlib.compress(raw))
+            + multimodal._png_chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(11)
+    for t in range(16):
+        depth = (1, 2, 4, 8)[t % 4]
+        w, h = int(rng.integers(1, 25)), int(rng.integers(1, 20))
+        gray = rng.integers(0, 1 << depth, (h, w))
+        d = multimodal.decode_image_bytes(
+            encode_gray(gray, depth, t, interlaced=(t % 2 == 1))
+        )
+        assert (d["width"], d["height"]) == (w, h)
+        np.testing.assert_array_equal(
+            d["vals"],
+            (gray * (255 // ((1 << depth) - 1))).astype(np.int64).reshape(-1),
+            err_msg=f"trial {t} depth {depth} {w}x{h}",
+        )
