@@ -998,8 +998,9 @@ def encode_y4m(asset_id: int) -> bytes:
 def decode_y4m_bytes(payload: bytes) -> dict:
     """Parse a Y4M stream: header tag walk (W/H/C colourspace), then
     FRAME-marker-delimited raw planes → ``{width, height, frames}`` with
-    ``frames`` a list of int64 value arrays.  Only C444 (all planes full
-    resolution) is implemented; subsampled colourspaces raise
+    ``frames`` a list of int64 value arrays at FULL resolution (C444
+    planes pass through; C420* chroma planes are nearest-neighbor
+    upsampled 2× both axes, siting-agnostic).  Other colourspaces raise
     ``NotImplementedError``, truncated frames raise ``ValueError``."""
     import numpy as np
 
@@ -1022,9 +1023,23 @@ def decode_y4m_bytes(payload: bytes) -> dict:
         # pos = start + fsize would step BACKWARD — an infinite loop on
         # corrupt input (same class as the PPM negative-dimension decode)
         raise ValueError(f"Y4M non-positive dimensions {w}x{h}")
-    if cspace != "C444":
-        raise NotImplementedError(f"Y4M colourspace {cspace} (only C444)")
-    fsize = w * h * 3
+    if cspace == "C444":
+        sub = False
+    elif cspace.startswith("C420"):
+        # C420 / C420jpeg / C420mpeg2 / C420paldv differ only in chroma
+        # SITING, not sample counts — nearest-neighbor replication below
+        # is siting-agnostic.  Decoded frames are presented at FULL
+        # resolution (chroma upsampled 2× both axes, the same convention
+        # as the subsampled JPEG rungs) so C420 and C444 streams of the
+        # same scene decode to comparable value sequences.
+        if w % 2 or h % 2:
+            raise ValueError(f"Y4M C420 requires even dims, got {w}x{h}")
+        sub = True
+    else:
+        raise NotImplementedError(
+            f"Y4M colourspace {cspace} (C444 and C420* only)"
+        )
+    fsize = w * h * 3 if not sub else w * h * 3 // 2
     pos, frames = nl + 1, []
     while pos < len(payload):
         fnl = payload.find(b"\n", pos)
@@ -1033,9 +1048,19 @@ def decode_y4m_bytes(payload: bytes) -> dict:
         start = fnl + 1
         if start + fsize > len(payload):
             raise ValueError("Y4M truncated frame")
-        frames.append(
-            np.frombuffer(payload, np.uint8, fsize, start).astype(np.int64)
-        )
+        raw = np.frombuffer(payload, np.uint8, fsize, start).astype(np.int64)
+        if not sub:
+            frames.append(raw)
+        else:
+            y = raw[: w * h]
+            cw, chh = w // 2, h // 2
+            u = raw[w * h : w * h + cw * chh].reshape(chh, cw)
+            v = raw[w * h + cw * chh :].reshape(chh, cw)
+            up = [
+                np.repeat(np.repeat(c, 2, axis=0), 2, axis=1).reshape(-1)
+                for c in (u, v)
+            ]
+            frames.append(np.concatenate([y, up[0], up[1]]))
         pos = start + fsize
     return {"width": w, "height": h, "frames": frames}
 

@@ -315,8 +315,53 @@ def test_y4m_round_trip_and_errors():
     p = multimodal.encode_y4m(3)
     with pytest.raises(ValueError, match="truncated"):
         multimodal.decode_y4m_bytes(p[:-3])
-    with pytest.raises(NotImplementedError, match="C420"):
+    # C420 now DECODES (see test_y4m_c420_upsamples) — but relabeling a
+    # C444 stream as C420 breaks the frame walk (frame size mismatch) or
+    # the even-dims requirement: a hard ValueError, never silent garbage
+    with pytest.raises(ValueError):
         multimodal.decode_y4m_bytes(p.replace(b"C444", b"C420"))
+    # genuinely unknown colourspaces stay the honest seam
+    with pytest.raises(NotImplementedError, match="colourspace"):
+        multimodal.decode_y4m_bytes(p.replace(b"C444", b"C422"))
+
+
+def test_y4m_c420_upsamples_chroma_to_full_resolution():
+    """C420 Y4M (the dominant real video pixel format, all siting
+    variants): quarter-size chroma planes nearest-neighbor upsample 2×
+    both axes, so decoded frames are full-resolution value sequences
+    comparable with C444; the spec's DEFAULT colourspace (no C tag) is
+    C420jpeg and must decode, and odd dims are a hard error."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    for t, tag in enumerate(["C420jpeg", "C420mpeg2", "C420", "C420paldv"]):
+        w, h = int(rng.integers(1, 12)) * 2, int(rng.integers(1, 10)) * 2
+        cw, ch = w // 2, h // 2
+        y = rng.integers(0, 256, w * h).astype(np.uint8)
+        u = rng.integers(0, 256, (ch, cw)).astype(np.uint8)
+        v = rng.integers(0, 256, (ch, cw)).astype(np.uint8)
+        payload = (
+            f"YUV4MPEG2 W{w} H{h} F25:1 {tag}\n".encode()
+            + b"FRAME\n" + y.tobytes() + u.tobytes() + v.tobytes()
+        )
+        d = multimodal.decode_y4m_bytes(payload)
+        assert (d["width"], d["height"], len(d["frames"])) == (w, h, 1)
+        uu = np.repeat(np.repeat(u.astype(np.int64), 2, 0), 2, 1).reshape(-1)
+        vv = np.repeat(np.repeat(v.astype(np.int64), 2, 0), 2, 1).reshape(-1)
+        np.testing.assert_array_equal(
+            d["frames"][0],
+            np.concatenate([y.astype(np.int64), uu, vv]),
+            err_msg=tag,
+        )
+    # default colourspace when the C tag is absent is C420jpeg (spec)
+    d = multimodal.decode_y4m_bytes(
+        b"YUV4MPEG2 W4 H2\nFRAME\n" + bytes(range(12))
+    )
+    assert len(d["frames"][0]) == 24
+    with pytest.raises(ValueError, match="even dims"):
+        multimodal.decode_y4m_bytes(
+            b"YUV4MPEG2 W3 H2 C420\nFRAME\n" + bytes(9)
+        )
 
 
 def test_sampled_frame_stats_every_second_frame(make_docs):
