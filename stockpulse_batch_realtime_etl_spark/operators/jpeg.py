@@ -376,21 +376,27 @@ def encode_baseline_multiscan_jpeg(
     w: int,
     h: int,
     sampling: list[tuple[int, int]] | None = None,
+    scans: list[tuple[int, ...]] | None = None,
 ) -> bytes:
-    """Assemble a SEQUENTIAL MULTI-SCAN baseline JPEG: one SOS per
-    component, each scan non-interleaved over the component's UNPADDED
-    block grid (T.81 A.2.2) — the legal baseline shape some encoders
-    emit instead of one interleaved scan.  ``comp_coeffs[ci]`` is the
-    component's zigzag blocks in RASTER order over the PADDED grid (the
-    :func:`encode_progressive_jpeg` storage convention); padding blocks
-    are simply not transmitted.  Decoded pixels equal the interleaved
-    transmission of the same coefficients."""
+    """Assemble a SEQUENTIAL MULTI-SCAN baseline JPEG.  ``scans`` is a
+    list of component-index tuples, one per SOS (default: one scan per
+    component).  Single-component scans are non-interleaved over the
+    component's UNPADDED block grid (T.81 A.2.2, padding blocks not
+    transmitted); multi-component scans are PARTIAL INTERLEAVES over the
+    frame's MCU grid (A.2.3 — e.g. luma alone, then both chromas in one
+    interleaved scan).  ``comp_coeffs[ci]`` is the component's zigzag
+    blocks in RASTER order over the PADDED grid (the
+    :func:`encode_progressive_jpeg` storage convention).  Decoded pixels
+    equal the one-scan interleaved transmission of the same
+    coefficients."""
     ncomp = len(comp_coeffs)
     samp = sampling or [(1, 1)] * ncomp
     mcux, mcuy, geoms = _comp_geoms(w, h, samp)
     coeffs = [
         np.asarray(c, dtype=np.int64).reshape(-1, 64) for c in comp_coeffs
     ]
+    if scans is None:
+        scans = [(ci,) for ci in range(ncomp)]
     dqt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
     sof_comps = b"".join(
         struct.pack(">BBB", cid + 1, (samp[cid][0] << 4) | samp[cid][1], 0)
@@ -401,15 +407,26 @@ def encode_baseline_multiscan_jpeg(
         0xC4, _dht_payload(0x10, _AC_BITS, _AC_VALS)
     )
     out = bytearray(b"\xff\xd8" + dqt + sof + dht)
-    for ci in range(ncomp):
-        blocks = coeffs[ci][_ac_block_indices(geoms[ci])]
-        out += _seg(
-            0xDA,
-            bytes([1])
-            + struct.pack(">BB", ci + 1, 0x00)
-            + bytes([0, 63, 0]),
+    for sel in scans:
+        sos_comps = b"".join(
+            struct.pack(">BB", ci + 1, 0x00) for ci in sel
         )
-        out += encode_scan_blocks([list(blocks)], [1])
+        out += _seg(
+            0xDA, bytes([len(sel)]) + sos_comps + bytes([0, 63, 0])
+        )
+        units = _dc_scan_units(tuple(sel), geoms, mcux, mcuy)
+        comp_lists = {ci: [] for ci in sel}
+        for unit in units:
+            for ci, idx in unit:
+                comp_lists[ci].append(coeffs[ci][idx])
+        mcu_blocks = (
+            [geoms[ci]["hi"] * geoms[ci]["vi"] for ci in sel]
+            if len(sel) > 1
+            else [1]
+        )
+        out += encode_scan_blocks(
+            [comp_lists[ci] for ci in sel], mcu_blocks
+        )
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1559,15 +1576,16 @@ def _decode_jpeg_unchecked(payload: bytes) -> dict:
                 scan_tables.append((tdta >> 4, tdta & 0x0F))
             ncomp = len(comps)
             if ns != ncomp:
-                # T.81 allows a BASELINE frame to transmit each component
-                # in its own sequential scan (non-interleaved multi-scan).
-                # Decode this scan into the per-component accumulator —
-                # same storage the progressive path uses — and continue
-                # the marker walk; reconstruction happens at EOI.
-                if ns != 1:
-                    raise NotImplementedError(
-                        "baseline partial-interleave scan (1 < ns < Nf)"
-                    )
+                # T.81 allows a BASELINE frame to spread its components
+                # over SEVERAL sequential scans: one per component
+                # (non-interleaved, A.2.2 — blocks walk the component's
+                # unpadded grid) or any partial interleave (A.2.3 — MCUs
+                # of just the selected components over the frame's MCU
+                # grid).  Decode this scan into the per-component
+                # accumulator — same storage the progressive path uses —
+                # and continue the marker walk; reconstruction happens
+                # at EOI.  The unit walk is shared with progressive DC
+                # scans (_dc_scan_units implements both A.2.2 and A.2.3).
                 if prog is None:
                     mcux_, mcuy_, geoms_ = _comp_geoms(
                         w, h, [(hi, vi) for _, _, hi, vi in comps]
@@ -1579,30 +1597,62 @@ def _decode_jpeg_unchecked(payload: bytes) -> dict:
                         )
                         for g in geoms_
                     ]
-                cs0 = body[1]
                 by_cid = {c[0]: i for i, c in enumerate(comps)}
-                if cs0 not in by_cid:
-                    raise ValueError(
-                        f"JPEG scan references unknown component {cs0}"
-                    )
-                ci = by_cid[cs0]
-                td, ta = scan_tables[0]
-                idxs = _ac_block_indices(prog_geom[2][ci])
-                pos_out: list[int] = []
-                blocks = decode_scan(
-                    payload,
-                    pos + 2 + seglen,
-                    len(idxs),
-                    1,
-                    [huff[(0, td)]],
-                    [huff[(1, ta)]],
-                    restart,
-                    mcu_blocks=[1],
-                    pos_out=pos_out,
+                comp_sel = []
+                for c in range(ns):
+                    cs_c = body[1 + 2 * c]
+                    if cs_c not in by_cid:
+                        raise ValueError(
+                            f"JPEG scan references unknown component {cs_c}"
+                        )
+                    comp_sel.append(by_cid[cs_c])
+                units = _dc_scan_units(
+                    tuple(comp_sel), prog_geom[2], prog_geom[0], prog_geom[1]
                 )
-                for bi, zz in zip(idxs, blocks[0]):
-                    prog[ci][bi] = zz
-                pos = _skip_to_marker(payload, pos_out[0])
+                dc_t = {
+                    ci: huff[(0, scan_tables[k][0])]
+                    for k, ci in enumerate(comp_sel)
+                }
+                ac_t = {
+                    ci: huff[(1, scan_tables[k][1])]
+                    for k, ci in enumerate(comp_sel)
+                }
+                r = _BitReader(payload, pos + 2 + seglen)
+                pred = {ci: 0 for ci in comp_sel}
+                try:
+                    for n_u, unit in enumerate(units):
+                        if restart and n_u and n_u % restart == 0:
+                            r.consume_restart()
+                            pred = {ci: 0 for ci in comp_sel}
+                        for ci, idx in unit:
+                            zz = prog[ci][idx]
+                            size = r.huffman(dc_t[ci])
+                            diff = (
+                                _extend(r.bits(size), size) if size else 0
+                            )
+                            pred[ci] += diff
+                            zz[0] = pred[ci]
+                            k = 1
+                            while k < 64:
+                                rs = r.huffman(ac_t[ci])
+                                if rs == 0x00:  # EOB
+                                    break
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                run, sz = rs >> 4, rs & 0x0F
+                                k += run
+                                if k > 63:
+                                    raise ValueError(
+                                        "JPEG AC coefficient overrun"
+                                    )
+                                zz[k] = _extend(r.bits(sz), sz)
+                                k += 1
+                except _RestartMarker:
+                    raise ValueError(
+                        "JPEG unexpected restart marker in scan"
+                    ) from None
+                pos = _skip_to_marker(payload, r._pos)
                 continue
             if ns == 1:
                 # T.81 A.2.2: a single-component scan is NON-interleaved —

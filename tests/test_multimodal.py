@@ -1281,13 +1281,65 @@ def test_jpeg_baseline_multiscan_equals_interleaved():
             jpeg.decode_jpeg_bytes(base)["vals"],
             err_msg=f"trial {trial} ({w}x{h}, samp={samp})",
         )
-    # partial interleave (1 < ns < Nf) stays an honest seam
+    # a corrupted scan header (ns bumped without component specs) is a
+    # hard error, never silent garbage
     i = multi.index(b"\xff\xda")
     bad = multi[: i + 4] + bytes([2]) + multi[i + 5 :]
     import pytest as _p
 
     with _p.raises((ValueError, NotImplementedError)):
         jpeg.decode_jpeg_bytes(bad)
+
+
+def test_jpeg_baseline_partial_interleave_equals_interleaved():
+    """T.81 A.2.3 PARTIAL interleave: luma in its own non-interleaved
+    scan, then both chromas interleaved in one scan over the frame's MCU
+    grid — must decode identically to the one-scan transmission,
+    including with 4:2:0 sampling where the luma scan walks the unpadded
+    grid while the chroma MCU walk uses frame MCU geometry."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import jpeg
+
+    rng = np.random.default_rng(99)
+    for trial in range(4):
+        w, h = int(rng.integers(8, 50)), int(rng.integers(8, 40))
+        samp = (
+            [(2, 2), (1, 1), (1, 1)]
+            if trial % 2
+            else [(1, 1), (1, 1), (1, 1)]
+        )
+        mcux, mcuy, geoms = jpeg._comp_geoms(w, h, samp)
+        comps = []
+        for g in geoms:
+            n = g["pbx"] * g["pby"]
+            arr = np.zeros((n, 64), np.int64)
+            mask = rng.random((n, 64)) < 0.15
+            arr[mask] = rng.integers(-500, 501, mask.sum())
+            comps.append(arr)
+        multi = jpeg.encode_baseline_multiscan_jpeg(
+            comps, w, h, sampling=samp, scans=[(0,), (1, 2)]
+        )
+        assert multi.count(b"\xff\xda") == 2
+        inter = []
+        for ci, g in enumerate(geoms):
+            lst = []
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                for j in range(g["hi"] * g["vi"]):
+                    jy, jx = divmod(j, g["hi"])
+                    lst.append(
+                        comps[ci][
+                            (my * g["vi"] + jy) * g["pbx"] + mx * g["hi"] + jx
+                        ]
+                    )
+            inter.append(lst)
+        base = jpeg.encode_baseline_jpeg(inter, w, h, sampling=samp)
+        np.testing.assert_array_equal(
+            jpeg.decode_jpeg_bytes(multi)["vals"],
+            jpeg.decode_jpeg_bytes(base)["vals"],
+            err_msg=f"trial {trial} ({w}x{h}, samp={samp})",
+        )
 
 
 def test_png_grayscale_roundtrips_all_depths():
