@@ -671,9 +671,13 @@ def decode_image_bytes(payload: bytes) -> dict:
 
 @_total_on_corrupt
 def decode_wav_bytes(payload: bytes) -> dict:
-    """RIFF chunk walk → ``{sample_rate, vals}`` (int64 PCM samples).
-    Handles chunk word-alignment and fmt/data in any order; non-PCM or
-    non-16-bit raise ``NotImplementedError``."""
+    """RIFF chunk walk → ``{sample_rate, vals}`` (int64 PCM samples,
+    channel-interleaved for multi-channel files — the raw stream order).
+    Handles chunk word-alignment and fmt/data in any order; every
+    integer-PCM width decodes (8-bit unsigned per the WAV convention,
+    16/24/32-bit signed little-endian — 24-bit is the production audio
+    staple).  Non-PCM formats (IEEE float, ADPCM, …) raise
+    ``NotImplementedError``."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -691,12 +695,22 @@ def decode_wav_bytes(payload: bytes) -> dict:
         elif cid == b"data":
             data = payload[pos : pos + size]
         pos += size + (size & 1)  # RIFF chunks are word-aligned
-    if bits != 16 or data is None:
+    if data is None or bits not in (8, 16, 24, 32):
         raise NotImplementedError(f"WAV bits={bits} or missing data chunk")
-    return {
-        "sample_rate": rate,
-        "vals": np.frombuffer(data, "<i2").astype(np.int64),
-    }
+    if bits == 8:  # 8-bit WAV PCM is UNSIGNED by convention
+        vals = np.frombuffer(data, np.uint8).astype(np.int64)
+    elif bits == 16:
+        vals = np.frombuffer(data, "<i2").astype(np.int64)
+    elif bits == 32:
+        vals = np.frombuffer(data, "<i4").astype(np.int64)
+    else:  # 24-bit: 3-byte little-endian two's complement
+        n = len(data) // 3
+        b = np.frombuffer(data, np.uint8, n * 3).reshape(n, 3).astype(
+            np.int64
+        )
+        vals = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        vals -= (vals >> 23) << 24  # sign-extend bit 23
+    return {"sample_rate": rate, "vals": vals}
 
 
 def _encode_jpeg(asset_id: int) -> bytes:

@@ -1408,3 +1408,53 @@ def test_png_grayscale_roundtrips_all_depths():
             (gray * (255 // ((1 << depth) - 1))).astype(np.int64).reshape(-1),
             err_msg=f"trial {t} depth {depth} {w}x{h}",
         )
+
+
+def test_wav_pcm_bit_widths_and_stereo():
+    """Integer-PCM WAV at every width: 8-bit (unsigned by the WAV
+    convention), 24-bit (3-byte little-endian two's complement — the
+    production audio staple, incl. sign extension at the boundaries),
+    32-bit, and stereo interleave (vals keep raw stream order)."""
+    import struct as _struct
+
+    import numpy as np
+
+    def wav(bits, channels, frames):
+        block = channels * bits // 8
+        fmt = _struct.pack(
+            "<4sIHHIIHH",
+            b"fmt ", 16, 1, channels, 8000, 8000 * block, block, bits,
+        )
+        data = _struct.pack("<4sI", b"data", len(frames)) + frames
+        return (
+            _struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+            + fmt
+            + data
+        )
+
+    # 8-bit unsigned
+    d = multimodal.decode_wav_bytes(wav(8, 1, bytes([0, 1, 127, 128, 255])))
+    np.testing.assert_array_equal(d["vals"], [0, 1, 127, 128, 255])
+    # 24-bit signed: boundaries and sign extension
+    samples = [0, 1, -1, 8388607, -8388608, -42]
+    raw = b"".join(
+        int(v & 0xFFFFFF).to_bytes(3, "little") for v in samples
+    )
+    d = multimodal.decode_wav_bytes(wav(24, 1, raw))
+    np.testing.assert_array_equal(d["vals"], samples)
+    # 32-bit signed
+    samples32 = [0, 2**31 - 1, -(2**31), 12345]
+    d = multimodal.decode_wav_bytes(
+        wav(32, 1, _struct.pack("<4i", *samples32))
+    )
+    np.testing.assert_array_equal(d["vals"], samples32)
+    # stereo 16-bit: interleaved L/R preserved in stream order
+    d = multimodal.decode_wav_bytes(
+        wav(16, 2, _struct.pack("<6h", 1, -1, 2, -2, 3, -3))
+    )
+    np.testing.assert_array_equal(d["vals"], [1, -1, 2, -2, 3, -3])
+    # IEEE float stays the honest seam
+    bad = wav(32, 1, _struct.pack("<4i", *samples32))
+    bad = bad.replace(_struct.pack("<H", 1), _struct.pack("<H", 3), 1)
+    with pytest.raises(NotImplementedError, match="non-PCM"):
+        multimodal.decode_wav_bytes(bad)
