@@ -993,6 +993,10 @@ def encode_progressive_jpeg(
                 f"blocks, got {coeffs[ci].shape[0]}"
             )
     if scans is None:
+        # generic default progression for ANY component count (JPEG
+        # allows up to 4 per interleaved scan): interleaved DC first
+        # scan + refinement ladder, then per-component AC band scans
+        # (component 0 split into two spectral bands) + refinements
         allc = tuple(range(ncomp))
         if ncomp == 1:
             scans = [
@@ -1002,19 +1006,17 @@ def encode_progressive_jpeg(
                 ((0,), 1, 63, 1, 0),
             ]
         else:
+            ac_first = [((0,), 1, 5, 0, 1)] + [
+                ((ci,), 1, 63, 0, 1) for ci in range(1, ncomp)
+            ] + [((0,), 6, 63, 0, 1)]
+            ac_refine = [((0,), 1, 5, 1, 0)] + [
+                ((ci,), 1, 63, 1, 0) for ci in range(1, ncomp)
+            ] + [((0,), 6, 63, 1, 0)]
             scans = [
                 (allc, 0, 0, 0, 2),
                 (allc, 0, 0, 2, 1),
                 (allc, 0, 0, 1, 0),
-                ((0,), 1, 5, 0, 1),
-                ((1,), 1, 63, 0, 1),
-                ((2,), 1, 63, 0, 1),
-                ((0,), 6, 63, 0, 1),
-                ((0,), 1, 5, 1, 0),
-                ((1,), 1, 63, 1, 0),
-                ((2,), 1, 63, 1, 0),
-                ((0,), 6, 63, 1, 0),
-            ]
+            ] + ac_first + ac_refine
     qtbl = [1] * 64
     qtbl[0] = dc_quant
     dqt = _seg(0xDB, bytes([0x00]) + bytes(qtbl))
@@ -1130,7 +1132,6 @@ def decode_scan(
     ac_tables: list[dict],
     restart_interval: int = 0,
     mcu_blocks: list[int] | None = None,
-    pos_out: list | None = None,
 ) -> list[list[np.ndarray]]:
     """Entropy-decode ``n_blocks`` interleaved MCUs starting at ``pos``;
     returns per-component lists of zigzag-order coefficient blocks (the
@@ -1190,10 +1191,6 @@ def decode_scan(
                 del out[ci][mark:]
             pred = [0] * ncomp
             r.byte_align()
-    if pos_out is not None:
-        # the multi-scan walker needs to resume the marker walk after
-        # this scan's entropy data
-        pos_out.append(r._pos)
     return out
 
 
@@ -1214,6 +1211,13 @@ def _reconstruct_from_raster(
     hmax = max(c[2] for c in comps)
     vmax = max(c[3] for c in comps)
     ncomp = len(comps)
+    if ncomp not in (1, 3):
+        # 2-component frames have no defined colour semantics and
+        # 4-component ones are CMYK/Adobe-transform territory — an honest
+        # seam, not an unpacking crash in the colour transform below
+        raise NotImplementedError(
+            f"JPEG with {ncomp} components (grayscale and YCbCr only)"
+        )
     planes = []
     for ci, (_cid, tq, hi, vi) in enumerate(comps):
         q = qt[tq]

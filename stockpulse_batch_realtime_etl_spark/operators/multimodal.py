@@ -199,39 +199,13 @@ def encode_png_rgb(rgb, filter_seed: int = 0) -> bytes:
     import zlib
 
     h, w = rgb.shape[0], rgb.shape[1]
-    bpp, stride = 3, w * 3
-    px = np.asarray(rgb, dtype=np.int64).reshape(h, stride)
-    zero = np.zeros(bpp, dtype=np.int64)
-    raw = bytearray()
-    prev = np.zeros(stride, dtype=np.int64)
-    for r in range(h):
-        row = px[r]
-        ft = (filter_seed + r) % 5
-        a = np.concatenate([zero, row[:-bpp]])  # Recon(x-bpp), same line
-        b = prev                                # Recon(x), line above
-        c = np.concatenate([zero, prev[:-bpp]])  # Recon(x-bpp), line above
-        if ft == 0:
-            f = row
-        elif ft == 1:
-            f = row - a
-        elif ft == 2:
-            f = row - b
-        elif ft == 3:
-            f = row - (a + b) // 2
-        else:
-            pred = np.array(
-                [_paeth_predict(int(x), int(y), int(z)) for x, y, z in zip(a, b, c)],
-                dtype=np.int64,
-            )
-            f = row - pred
-        raw.append(ft)
-        raw += (f % 256).astype(np.uint8).tobytes()
-        prev = row
+    px = np.asarray(rgb, dtype=np.int64).reshape(h, w * 3)
+    raw = _png_filter_scanlines(px, 3, filter_seed)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IDAT", zlib.compress(raw))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -704,6 +678,10 @@ def decode_wav_bytes(payload: bytes) -> dict:
     elif bits == 32:
         vals = np.frombuffer(data, "<i4").astype(np.int64)
     else:  # 24-bit: 3-byte little-endian two's complement
+        if len(data) % 3:
+            # every other width dead-letters a misaligned data chunk via
+            # np.frombuffer; 24-bit must not silently drop trailing bytes
+            raise ValueError("WAV 24-bit data chunk not a multiple of 3")
         n = len(data) // 3
         b = np.frombuffer(data, np.uint8, n * 3).reshape(n, 3).astype(
             np.int64

@@ -1458,3 +1458,46 @@ def test_wav_pcm_bit_widths_and_stereo():
     bad = bad.replace(_struct.pack("<H", 1), _struct.pack("<H", 3), 1)
     with pytest.raises(NotImplementedError, match="non-PCM"):
         multimodal.decode_wav_bytes(bad)
+
+
+def test_jpeg_component_count_guard_and_generic_progressive_script():
+    """Round-9 review fix: the default progressive scan script is generic
+    in component count (it used to hard-code components 0-2 and crash on
+    a 2-component frame), and non-1/3-component frames hit an HONEST
+    NotImplementedError at reconstruction (CMYK/Adobe transforms are out
+    of scope) instead of an unpacking crash."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import jpeg
+
+    for ncomp in (2, 4):
+        samp = [(1, 1)] * ncomp
+        _, _, geoms = jpeg._comp_geoms(20, 12, samp)
+        comps = [
+            np.zeros((g["pbx"] * g["pby"], 64), np.int64) for g in geoms
+        ]
+        # script construction + encode must succeed (every component gets
+        # its AC scans), and decode fails HONESTLY at the colour seam
+        payload = jpeg.encode_progressive_jpeg(comps, 20, 12, sampling=samp)
+        assert payload.count(b"\xff\xda") == 3 + 2 * (ncomp + 1)
+        with pytest.raises(NotImplementedError, match="components"):
+            jpeg.decode_jpeg_bytes(payload)
+
+
+def test_wav_24bit_misaligned_data_chunk_dead_letters():
+    """Round-9 review fix: a 24-bit data chunk whose length is not a
+    multiple of 3 dead-letters like every other width instead of silently
+    dropping trailing bytes."""
+    import struct as _struct
+
+    fmt = _struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 8000 * 3, 3, 24
+    )
+    data = _struct.pack("<4sI", b"data", 4) + bytes(4)
+    wav = (
+        _struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+        + fmt
+        + data
+    )
+    with pytest.raises(ValueError, match="multiple of 3"):
+        multimodal.decode_wav_bytes(wav)
