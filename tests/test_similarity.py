@@ -523,3 +523,41 @@ def test_two_level_auto_rule_is_flat_below_threshold(embeddings):
     a = {r.vec_id: r.cell for r in auto.collect()}
     f = {r.vec_id: r.cell for r in forced.collect()}
     assert a == f
+
+
+def test_two_level_full_probe_equals_flat_on_any_corpus(spark):
+    """Multi-probe exhaustiveness law: with nprobe ≥ nsuper the union of
+    probed super-cells' children is EVERY centroid, so the two-level
+    argmax equals the flat assignment EXACTLY — on any corpus, no margin
+    structure required (unlike the structured-corpus equality test).
+    Uses an unstructured random corpus where single-probe routing is
+    noise-driven, i.e. the hardest case."""
+    import math
+    import random
+
+    rng = random.Random(99)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)], 0) for i in range(120)
+    ]
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    ncells = 24
+    cent = similarity.kmeans_centroids(embs, ncells, iters=1)
+    from pyspark.sql import functions as F
+
+    vecs = embs.select(
+        "vec_id", "embedding", similarity._norm(F.col("embedding")).alias("nrm")
+    )
+    flat = {
+        r.vec_id: r.cell
+        for r in similarity._assign_cells(vecs, cent).collect()
+    }
+    nsuper = max(2, math.isqrt(ncells - 1) + 1)
+    full = {
+        r.vec_id: r.cell
+        for r in similarity._assign_cells_two_level(
+            vecs, cent, nsuper, nprobe=nsuper
+        ).collect()
+    }
+    assert flat == full and len(flat) == 120
