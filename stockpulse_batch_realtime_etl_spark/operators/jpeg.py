@@ -997,6 +997,13 @@ def encode_progressive_jpeg(
         # allows up to 4 per interleaved scan): interleaved DC first
         # scan + refinement ladder, then per-component AC band scans
         # (component 0 split into two spectral bands) + refinements
+        if ncomp > 4:
+            # the default script opens with an interleaved DC scan over
+            # all components; T.81 B.2.3 caps Ns at 4 — emitting more
+            # would be a silently invalid stream
+            raise ValueError(
+                "progressive default script supports at most 4 components"
+            )
         allc = tuple(range(ncomp))
         if ncomp == 1:
             scans = [
@@ -1006,17 +1013,23 @@ def encode_progressive_jpeg(
                 ((0,), 1, 63, 1, 0),
             ]
         else:
-            ac_first = [((0,), 1, 5, 0, 1)] + [
-                ((ci,), 1, 63, 0, 1) for ci in range(1, ncomp)
-            ] + [((0,), 6, 63, 0, 1)]
-            ac_refine = [((0,), 1, 5, 1, 0)] + [
-                ((ci,), 1, 63, 1, 0) for ci in range(1, ncomp)
-            ] + [((0,), 6, 63, 1, 0)]
+            # one band list, instantiated for the first scans (Ah=0,
+            # Al=1) and their refinements (Ah=1, Al=0) so the two
+            # ladders can never desync
+            bands = (
+                [((0,), 1, 5)]
+                + [((ci,), 1, 63) for ci in range(1, ncomp)]
+                + [((0,), 6, 63)]
+            )
             scans = [
                 (allc, 0, 0, 0, 2),
                 (allc, 0, 0, 2, 1),
                 (allc, 0, 0, 1, 0),
-            ] + ac_first + ac_refine
+            ] + [
+                (sel, ss, se, ah, al)
+                for ah, al in ((0, 1), (1, 0))
+                for sel, ss, se in bands
+            ]
     qtbl = [1] * 64
     qtbl[0] = dc_quant
     dqt = _seg(0xDB, bytes([0x00]) + bytes(qtbl))
@@ -1310,6 +1323,12 @@ def _parse_sof(body: bytes) -> tuple[int, int, list]:
     prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
     if prec != 8:
         raise NotImplementedError(f"JPEG precision {prec}")
+    if ncomp not in (1, 3):
+        # reject CMYK/2-component frames at the header, BEFORE any scan's
+        # entropy decode — reconstruction has the same guard as defense
+        raise NotImplementedError(
+            f"JPEG with {ncomp} components (grayscale and YCbCr only)"
+        )
     comps = []
     for c in range(ncomp):
         cid, samp, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)

@@ -629,30 +629,38 @@ def _assign_cells_two_level(
         )
     )
     nprobe = TWO_LEVEL_NPROBE if nprobe is None else nprobe
+    # Row-LOCAL top-nprobe routing: the super table collapses to a single
+    # array-of-structs row (nsuper ≈ √ncells entries — broadcastable by
+    # construction, that is this function's premise), cross-joined
+    # broadcast so every vector scores and ranks its supers INSIDE the
+    # row with transform → sort_array → slice.  No groupBy: a
+    # collect_list-based ranking would buffer O(nsuper) structs per
+    # vector through an aggregation exactly at the scale this path
+    # exists for.  Order key is the module-wide (−cos, id) ascending.
+    sup_arr = sup.agg(
+        F.collect_list(F.struct("_sup", "s_emb", "s_norm")).alias("_sups")
+    )
     routed = (
-        vecs.join(F.broadcast(sup))
+        vecs.join(F.broadcast(sup_arr))
         .select(
             "vec_id",
             "embedding",
             "nrm",
-            "_sup",
-            _cos_precomputed(
-                F.col("embedding"),
-                F.col("s_emb"),
-                F.col("nrm"),
-                F.col("s_norm"),
-            ).alias("cos"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.first("embedding").alias("embedding"),
-            F.first("nrm").alias("nrm"),
-            # top-nprobe supers, same order key as every argmax here:
-            # (−cos, id) ascending — deterministic under ties
             F.slice(
                 F.sort_array(
-                    F.collect_list(
-                        F.struct((-F.col("cos")).alias("neg"), F.col("_sup"))
+                    F.transform(
+                        "_sups",
+                        lambda sc: F.struct(
+                            (
+                                -_cos_precomputed(
+                                    F.col("embedding"),
+                                    sc["s_emb"],
+                                    F.col("nrm"),
+                                    sc["s_norm"],
+                                )
+                            ).alias("neg"),
+                            sc["_sup"].alias("_sup"),
+                        ),
                     )
                 ),
                 1,
