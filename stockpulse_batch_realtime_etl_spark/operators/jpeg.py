@@ -1517,12 +1517,21 @@ def _decode_jpeg_unchecked(payload: bytes) -> dict:
     progressive = False
     prog: list[np.ndarray] | None = None  # per-comp (n_padded, 64) zigzag
     prog_geom = None  # (mcux, mcuy, geoms) once the first SOS arrives
-    while pos + 4 <= len(payload):
+    eoi = False  # multi-scan frames reconstruct at EOI — reaching it matters
+    scanned_ids: set[int] = set()  # component ids that received ≥1 scan
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
+            eoi = True
             break
+        if pos + 4 > len(payload):
+            # an incomplete segment header must not silently end the walk:
+            # a multi-scan frame would otherwise reconstruct from a PARTIAL
+            # coefficient accumulator (same silent-lenience class the repo
+            # dead-letters elsewhere — PPM tokens, 24-bit WAV tails)
+            raise ValueError("JPEG truncated segment header")
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT (possibly several tables per segment)
@@ -1583,6 +1592,7 @@ def _decode_jpeg_unchecked(payload: bytes) -> dict:
                     )
                     for g in geoms_
                 ]
+            scanned_ids.update(body[1 + 2 * c] for c in range(body[0]))
             pos = _decode_progressive_scan(
                 payload, pos + 2 + seglen, body, comps, prog_geom, prog,
                 huff, restart,
@@ -1629,6 +1639,7 @@ def _decode_jpeg_unchecked(payload: bytes) -> dict:
                             f"JPEG scan references unknown component {cs_c}"
                         )
                     comp_sel.append(by_cid[cs_c])
+                    scanned_ids.add(cs_c)
                 units = _dc_scan_units(
                     tuple(comp_sel), prog_geom[2], prog_geom[0], prog_geom[1]
                 )
@@ -1718,8 +1729,19 @@ def _decode_jpeg_unchecked(payload: bytes) -> dict:
         pos += 2 + seglen
     if prog is not None:
         # progressive frame, or a sequential multi-scan baseline frame —
-        # either way the coefficients accumulated per component
+        # either way the coefficients accumulated per component.  Both
+        # reconstruct AT EOI, so a walk that ended any other way (payload
+        # exhausted mid-stream) or a frame component that never received a
+        # scan (its plane would silently decode all-zero) is corrupt input,
+        # not a shorter progression.
+        if not eoi:
+            raise ValueError("JPEG multi-scan stream ended without EOI")
         w, h, comps = sof
+        missing = [c[0] for c in comps if c[0] not in scanned_ids]
+        if missing:
+            raise ValueError(
+                f"JPEG frame components with no scan: {missing}"
+            )
         mcux, mcuy, _geoms = prog_geom
         return _reconstruct_from_raster(qt, comps, w, h, mcux, mcuy, prog)
     raise ValueError("JPEG missing SOS scan")

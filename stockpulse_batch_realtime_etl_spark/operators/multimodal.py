@@ -11,9 +11,10 @@ The idiomatic Spark shape for image/audio/video at 100 TB:
 
 Codec reality has two rungs:
 
-* REAL formats (24-bit BMP, binary PPM, 16-bit PCM WAV, and PNG via
-  stdlib ``zlib`` — 8-bit RGB, palette at bit depths 1/2/4/8, and Adam7
-  interlaced streams of either) are decoded FOR REAL by the
+* REAL formats (24-bit BMP, binary PPM, integer-PCM WAV at all widths
+  8/16/24/32-bit, and PNG via stdlib ``zlib`` — 8-bit RGB, grayscale at
+  bit depths 1/2/4/8, palette at bit depths 1/2/4/8, and Adam7
+  interlaced streams of any of those) are decoded FOR REAL by the
   dependency-free parsers below — header parse, row-padding strip,
   bottom-up flip, BGR→RGB swap, RIFF chunk walk, and full PNG
   chunk-walk + CRC + inflate + five-filter unfiltering + sub-byte
@@ -397,12 +398,14 @@ def decode_png_bytes(payload: bytes) -> dict:
     unfiltering of all five PNG filter types (None/Sub/Up/Average/Paeth,
     RFC 2083 §6) for 8-bit RGB (color type 2), PALETTE images (color
     type 3, bit depths 1/2/4/8, MSB-first sub-byte unpacking + PLTE
-    lookup), and ADAM7 INTERLACED streams of either (seven
-    independently-filtered sub-images scattered back onto the grid).
-    Alpha (tRNS), 16-bit, and grayscale variants raise
-    ``NotImplementedError`` — with baseline AND progressive JPEG real
-    too (operators/jpeg.py), the remaining compressed seams are those
-    plus the lossy audio/video codec classes."""
+    lookup), GRAYSCALE images (color type 0, bit depths 1/2/4/8,
+    sub-byte samples presented at 8-bit via bit replication), and ADAM7
+    INTERLACED streams of any of those (seven independently-filtered
+    sub-images scattered back onto the grid).  Alpha (tRNS) and 16-bit
+    variants raise ``NotImplementedError`` — with baseline AND
+    progressive JPEG real too (operators/jpeg.py), the remaining
+    compressed seams are those plus the lossy audio/video codec
+    classes."""
     import numpy as np
     import zlib
 

@@ -514,15 +514,22 @@ def _assign_cells(
     :data:`TWO_LEVEL_CELL_THRESHOLD` cells the centroid table itself is
     past broadcast range and assignment routes through
     :func:`_assign_cells_two_level` instead.  ``two_level`` forces the
-    path explicitly (tests pin the two paths against each other)."""
+    path explicitly (tests pin the two paths against each other) and
+    then REQUIRES ``ncells``: this function is otherwise pure lazy plan
+    building, and sizing the super level by counting ``cent`` would run
+    a hidden Spark job."""
     if two_level is None:
         two_level = ncells is not None and ncells > TWO_LEVEL_CELL_THRESHOLD
     if two_level:
         import math
 
-        n = ncells if ncells is not None else cent.count()
+        if ncells is None:
+            raise ValueError(
+                "two_level=True requires ncells: plan building is lazy, "
+                "so the super-level size cannot come from cent.count()"
+            )
         return _assign_cells_two_level(
-            vecs, cent, max(2, math.isqrt(max(0, n - 1)) + 1)
+            vecs, cent, max(2, math.isqrt(max(0, ncells - 1)) + 1)
         )
     c = cent.select(
         F.col("cell").alias("_cell"),

@@ -753,13 +753,12 @@ def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Vectorized scale path: SAME oracle as ann_brute_force_topk — the numpy
-# matmul formulation must reproduce the per-pair SQL semantics exactly.
-register("ann_brute_force_topk_np", oracle=ORACLES["ann_brute_force_topk"])(
-    lambda spark, sf_dir: similarity.brute_force_topk_np(
-        load_table(spark, sf_dir, "embeddings"), _QUERY_IDS, 5
-    )
-)
+# The vectorized scale path (similarity.brute_force_topk_np) was a
+# registered query through r9; it is bit-identical to ann_brute_force_topk
+# (same oracle, same rows) so the registration was retired in r10 to keep
+# the registry at 150 = a perfect 3-round gate rotation (r9 verdict #5).
+# The equivalence is still pinned as a test (tests/test_similarity.py) and
+# the function remains the ANN-ladder recall-truth engine.
 
 
 _BUCKET_SQL = " + ".join(

@@ -1722,92 +1722,22 @@ from stockpulse_batch_realtime_etl_spark import queries_ext  # noqa: E402,F401
 #: length asserted at import time (the r4 boundary slip put 60 names ahead
 #: of a "50-entry" comment and silently dropped 10 intended rotations).
 #:
-#: ROUND-9 ROTATION (the r8 verdict's #1 directive, adjusted for the
-#: 50-slot arithmetic): the verdict's full wish-list — jpeg411 (never
-#: gated) + the new progressive-JPEG rung + the 8 changed-code r7
-#: queries + the 48 r6-stale names — is 58 candidates for 50 slots.
-#: The binding done-criteria are (a) never-gated queries first and
-#: (b) "no registered query's last driver row older than r7 after r9",
-#: which together FIX the window: the two never-gated rungs + all 48
-#: r6 rows.  The changed-code queries keep their r7 driver rows (not
-#: older than r7), were re-verified by the bare-session parity replica
-#: (tools/check_parity.py --bare) at sf0.01 this round after the code
-#: change, and head _GATE_NEXT so they re-gate in r10.  After this
-#: round the histogram is r9=50, r8=50, r7=50 — maximum freshness a
-#: 50-slot window can give 150 queries.
+#: ROUND-10 ROTATION (the r9 verdict's #1 directive, taken verbatim):
+#: _GATE_NEXT head-first — the never-gated palette-PNG rung, then the
+#: r8-replaced winnowed_fingerprints (deferred once in r9; the verdict:
+#: "it cannot be deferred twice"), then the adaptive-ncells IVF rungs +
+#: ann_recall_report + jpeg420 + streaming_metrics_summary, "then the
+#: r7 tail".  The r7 tail held 43 names for 42 remaining slots; the
+#: verdict's #5 fixed the arithmetic by retiring the bit-identical
+#: ann_brute_force_topk_np registration (still a pinned equivalence
+#: test, tests/test_similarity.py — just no longer a query), returning
+#: the registry to 150 = a perfect 3-round rotation.  After this round
+#: the histogram is r10=50, r9=50, r8=50 and gate_audit's strict
+#: ≤2-rounds-stale invariant holds with zero slack.
 _GATE_HEAD: tuple[str, ...] = (
-    # never driver-gated: the r8 late registration and the round-9
-    # progressive (SOF2) JPEG rung
-    "multimodal_jpeg411_stats",
-    "multimodal_jpeg_progressive_stats",
-    # --- the 48 queries whose last driver row is r6, queue order ---
-    "return_outliers",
-    "events_profile",
-    "missing_minutes",
-    "bollinger_bands",
-    "funnel_counts",
-    "cohort_retention",
-    "kmeans_cell_report",
-    "ticks_asof_next_bar",
-    "video_frame_stats",
-    "audio_decimated_stats",
-    "revenue_cube",
-    "q13_order_counts",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "rsi_ticks",
-    "donchian_breakouts",
-    "obv_ticks",
-    "max_drawdown",
-    "symbol_beta",
-    "event_transitions",
-    "rfm_segments",
-    "minhash_jaccard_estimate",
-    "label_centroid_similarity",
-    "hapax_stats",
-    "streaming_pair_join",
-    "q7_nation_volume",
-    "q22_sales_opportunity",
-    "weekday_hour_profile",
-    "multimodal_jpeg_stats",
-    "lsh_candidate_pairs",
-    "simhash_near_dups",
-    "bigram_counts",
-    "bigram_lm_scores",
-    "repetition_stats",
-    "contamination_overlap",
-    "rolling_fingerprints",
-    "fingerprint_match_pairs",
-    "symbols",
-    "latest_ticks",
-    "latest_tick_per_symbol",
-    "ticks_asof_bars",
-    "streaming_dedup_ticks",
-    "price_deciles",
-    "symbol_correlations",
-    "stats_summary",
-    "json_decode_ticks",
-    "dlq_failed_events",
-    "kafka_roundtrip_ticks",
-)
-
-#: Names queued BEHIND the window, in r10 rotation priority.  HEAD OF
-#: THE QUEUE: the seven r7-gated queries whose code paths changed in r8
-#: (the winnowing pipeline was REPLACED by the vectorized Arrow seam —
-#: identity pinned by the winnowing property test + sf0.01/sf0.1
-#: parity; the three IVF rungs + ann_recall_report went adaptive-ncells;
-#: jpeg420/metrics share changed jpeg.py / daily-corpus code).  Each
-#: holds a green r7 driver row AND a post-change bare-session parity
-#: pass, but a fresh driver row is the signal that counts, so they
-#: re-gate first in r10.  THEN: the 50 r8-gated names in window order.
-#: Every name not listed follows in registration order.  All registered
-#: queries are still verified every round by the local all-queries
-#: parity suite (tests/test_oracle_parity) and tools/check_parity.py.
-_GATE_NEXT: tuple[str, ...] = (
-    # never driver-gated (registered after the r9 window froze): the
-    # palette-PNG rung — ahead even of the changed-code set, same rule
-    # that put jpeg411 first in the r9 window
+    # never driver-gated: registered after the r9 window froze
     "multimodal_png_palette_stats",
+    # r8-changed code paths holding only pre-change r7 driver rows
     "winnowed_fingerprints",
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
@@ -1815,6 +1745,60 @@ _GATE_NEXT: tuple[str, ...] = (
     "ann_recall_report",
     "multimodal_jpeg420_stats",
     "streaming_metrics_summary",
+    # --- the 42 r7-gated tail names, registration order ---
+    "ohlcv_bars",
+    "tick_summary",
+    "bar_summary",
+    "movers",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_customers_by_revenue",
+    "brand_revenue",
+    "order_priority_counts",
+    "q6_forecast_revenue",
+    "revenue_rollup",
+    "customers_without_orders",
+    "text_stats",
+    "token_counts",
+    "language_id",
+    "bpe_token_counts",
+    "bpe_learned_merges",
+    "bpe_compression_stats",
+    "lang_vocab",
+    "doc_fingerprints",
+    "exact_dedup",
+    "dup_groups",
+    "simhash_fingerprints",
+    "ann_brute_force_topk",
+    "ann_lsh_bucketed_topk",
+    "embedding_near_dup_pairs",
+    "streaming_ohlcv_bars",
+    "tfidf_top_terms",
+    "multimodal_decoded_stats",
+    "mover_window_ticks",
+    "temperature_mixture_sample",
+    "packed_sequences",
+    "multimodal_resized_stats",
+    "boilerplate_segments",
+    "segment_dedup_stats",
+    "chunked_windows",
+    "source_kl_divergence",
+    "user_sessions",
+    "streaming_pair_join_outer",
+    "streaming_pair_join_right",
+    "streaming_pair_join_full",
+)
+
+#: Names queued BEHIND the window, in r11 rotation priority: the 50
+#: r8-gated names in their r8 window order — after r10 they are exactly
+#: 2 rounds stale, the rotation maximum, so they take the whole r11
+#: window.  The 50 r9-gated names follow in registration order as the
+#: un-listed tail (1 round stale after r10, windowed again in r12).
+#: Every name not listed follows in registration order.  All registered
+#: queries are still verified every round by the local all-queries
+#: parity suite (tests/test_oracle_parity) and tools/check_parity.py.
+_GATE_NEXT: tuple[str, ...] = (
     "multimodal_jpeg422_stats",
     "streaming_interval_join",
     "semantic_dedup",
@@ -1866,7 +1850,6 @@ _GATE_NEXT: tuple[str, ...] = (
     "version_info",
     "vwap_bars",
 )
-
 assert len(_GATE_HEAD) == 50, (
     f"driver gate window is exactly 50 entries; _GATE_HEAD has "
     f"{len(_GATE_HEAD)} — a miscounted rotation must fail loudly"

@@ -1078,6 +1078,50 @@ def test_jpeg_progressive_error_paths_are_value_errors():
         jpeg.decode_jpeg_bytes(bad)
 
 
+def test_jpeg_multiscan_requires_eoi_and_full_component_coverage():
+    """Multi-scan frames reconstruct AT EOI, so the walk ending any other
+    way — or a frame component that never received a scan (its plane
+    would silently decode all-zero) — is corrupt input, raised as
+    ValueError, never a silently-partial image."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import jpeg
+
+    # progressive stream whose trailing EOI is stripped: the scan decoder
+    # itself catches the hard truncation while hunting the next marker
+    prog = jpeg.encode_jpeg_progressive(3)
+    assert prog.endswith(b"\xff\xd9")
+    with pytest.raises(ValueError, match="truncated after scan data"):
+        jpeg.decode_jpeg_bytes(prog[:-2])
+    # EOI replaced by a complete COM segment: every segment parses, the
+    # walk ends cleanly — but the stream never reached EOI, so the
+    # accumulated coefficients must NOT silently reconstruct
+    with pytest.raises(ValueError, match="without EOI"):
+        jpeg.decode_jpeg_bytes(prog[:-2] + b"\xff\xfe\x00\x02")
+    # EOI replaced by an incomplete segment header (marker + 1 length
+    # byte): must raise, not silently end the walk
+    with pytest.raises(ValueError, match="truncated segment header"):
+        jpeg.decode_jpeg_bytes(prog[:-2] + b"\xff\xdb\x00")
+    # sequential multi-scan baseline transmitting only 2 of 3 frame
+    # components: the Cr plane would reconstruct all-zero
+    coeffs = [
+        jpeg._block_constant_coeffs(
+            np.array([jpeg.block_value(3, c, b) for b in range(4)])
+        )
+        for c in range(3)
+    ]
+    partial = jpeg.encode_baseline_multiscan_jpeg(
+        coeffs, 16, 16, scans=[(0,), (1,)]
+    )
+    with pytest.raises(ValueError, match="no scan"):
+        jpeg.decode_jpeg_bytes(partial)
+    # sanity: the same frame with all three scans decodes fine
+    full = jpeg.encode_baseline_multiscan_jpeg(
+        coeffs, 16, 16, scans=[(0,), (1,), (2,)]
+    )
+    assert jpeg.decode_jpeg_bytes(full)["width"] == 16
+
+
 def test_png_palette_roundtrip_all_depths():
     """Palette (color type 3) PNG: all four bit depths (1/2/4/8), sub-byte
     MSB-first unpacking, row bit-padding stripped, PLTE lookup, and all

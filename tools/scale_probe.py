@@ -537,7 +537,7 @@ def main() -> None:
     queries["ohlcv_bars"](spark, SF01).write.format("noop").mode(
         "overwrite"
     ).save()
-    queries["ann_brute_force_topk_np"](spark, SF01).write.format(
+    queries["ann_brute_force_topk"](spark, SF01).write.format(
         "noop"
     ).mode("overwrite").save()
     results = {}
