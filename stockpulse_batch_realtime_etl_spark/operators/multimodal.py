@@ -823,6 +823,67 @@ def decoded_stats(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(stats, DECODED_SCHEMA)
 
 
+DECODE_DLQ_SCHEMA = (
+    "asset_id long, media_type string, status string, width int, "
+    "height int, sample_rate int, n_vals long, val_sum long, "
+    "error_class string, error string"
+)
+
+
+def decode_or_dlq(media: DataFrame, decoder=None) -> DataFrame:
+    """The DLQ-or-decode seam for opaque media payloads — the media twin
+    of ``sources/dlq.py``'s JSON split: every asset yields exactly one
+    row, either ``status='decoded'`` with typed stats or
+    ``status='dead_letter'`` carrying the exception class and message.
+    The routing contract is BY EXCEPTION TYPE, the codec totality law the
+    fuzz suite pins: ``ValueError`` = corrupt bytes, ``NotImplementedError``
+    = honest format boundary (MP3/MP4/arithmetic JPEG while no media
+    library is present); anything else propagates loudly — a decoder bug,
+    not an input problem.
+
+    ``decoder`` is the ONE dispatch point of the codec stack: the default
+    is :func:`_try_real_decode`, and swapping in a real media library
+    (PIL / soundfile / av) means passing one callable with the same
+    ``(media_type, payload) -> dict`` contract here — nothing else in the
+    Spark plumbing (schema, batching, routing) changes.  Pinned
+    executable by ``test_decode_or_dlq_seam_and_library_swap_in``."""
+    import pandas as pd
+
+    dec = decoder if decoder is not None else _try_real_decode
+    cols = [f.split(" ")[0] for f in DECODE_DLQ_SCHEMA.split(", ")]
+
+    def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for aid, mt, content in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["content"]
+            ):
+                try:
+                    d = dec(mt, bytes(content))
+                except (ValueError, NotImplementedError) as e:
+                    rows.append(
+                        (
+                            int(aid), mt, "dead_letter", None, None, None,
+                            None, None, type(e).__name__, str(e)[:200],
+                        )
+                    )
+                    continue
+                v = np.asarray(d.get("vals", []), dtype=np.int64)
+                rows.append(
+                    (
+                        int(aid), mt, "decoded", d.get("width"),
+                        d.get("height"), d.get("sample_rate"),
+                        int(v.size), int(v.sum()) if v.size else 0,
+                        None, None,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(route, DECODE_DLQ_SCHEMA)
+
+
 def _fake_dims(h: str) -> tuple[int, int]:
     """Deterministic pseudo width/height from the first 4 md5 nibbles."""
     return (

@@ -24,6 +24,8 @@ diverge on float noise.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -521,8 +523,6 @@ def _assign_cells(
     if two_level is None:
         two_level = ncells is not None and ncells > TWO_LEVEL_CELL_THRESHOLD
     if two_level:
-        import math
-
         if ncells is None:
             raise ValueError(
                 "two_level=True requires ncells: plan building is lazy, "
@@ -554,16 +554,41 @@ def _assign_cells(
     )
 
 
-#: How many super-cells each VECTOR probes in the two-level quantizer.
-#: 1 would make routing a single noise-driven argmax on corpora whose
-#: cluster centers are mutually near-orthogonal (high-dim embedding
-#: spaces often are): measured on a 6.4k-vector/800-cluster corpus,
-#: nprobe=1 kept only 49% of near-dup pairs co-located vs the flat
-#: assignment's 100%.  Probing the top-P supers and taking the argmax
-#: over the UNION of their children restores co-location steeply while
-#: per-vector cost stays ~(1+P)·√ncells ≪ ncells (at 4M cells, P=8 is
-#: still ~200× cheaper than flat).
+#: FLOOR on how many super-cells each VECTOR probes in the two-level
+#: quantizer.  1 would make routing a single noise-driven argmax on
+#: corpora whose cluster centers are mutually near-orthogonal (high-dim
+#: embedding spaces often are): measured on a 6.4k-vector/800-cluster
+#: corpus, nprobe=1 kept only 49% of near-dup pairs co-located vs the
+#: flat assignment's 100%.  Probing the top-P supers and taking the
+#: argmax over the UNION of their children restores co-location steeply.
+#: A CONSTANT P does not survive nsuper growth, though: the r10
+#: production-shaped sweep (tools/two_level_coloc_sweep.py, worst-case
+#: random-orthogonal centers at d=64) measured nprobe=8 co-location
+#: falling 0.97 → 0.82 → 0.74 → 0.62 as nsuper grew 29 → 200 → 633 →
+#: 2000, while ~0.99 consistently required nprobe ≈ nsuper^(2/3)
+#: (32 @ 200, 64 @ 633, 128 @ 2000) — hence :func:`two_level_nprobe`.
 TWO_LEVEL_NPROBE = 8
+
+
+def two_level_nprobe(nsuper: int) -> int:
+    """Default probe count for :func:`_assign_cells_two_level` — scales
+    with the super-cell count the way FAISS scales nprobe with nlist,
+    calibrated on the measured worst-case geometry (SCALE.md round-10
+    sweep): ``max(8, ⌈nsuper^(2/3)⌉)`` holds near-dup pair co-location
+    ≥ 0.99 at every measured nsuper decade (29 / 200 / 633 / 2000 —
+    random near-orthogonal centers, the pessimal corpus; realistic
+    super-cluster-structured corpora sit at ≥ 0.999 under the same
+    rule).  Per-vector cost is (1 + nprobe)·√ncells ≈ ncells^(5/6)
+    scores — still ~12× under flat at the 4M-cell engagement point, on
+    top of removing the impossible 2 GB centroid broadcast; callers
+    wanting the old constant-cost behavior pass ``nprobe`` explicitly."""
+    return max(TWO_LEVEL_NPROBE, math.ceil(nsuper ** (2.0 / 3.0)))
+
+#: Salt factor for the children equi-join in the two-level quantizer:
+#: bounds per-reduce-key volume at corpus·nprobe/(nsuper·salt) rows by
+#: replicating each super's ~1 MB children block across salt buckets
+#: (the classic skew-salt: explicit, not AQE-dependent).
+TWO_LEVEL_JOIN_SALT = 16
 
 
 def _assign_cells_two_level(
@@ -586,8 +611,10 @@ def _assign_cells_two_level(
        cluster centers are mutually near-orthogonal (see
        :data:`TWO_LEVEL_NPROBE`),
     4. argmax among the UNION of the probed super-cells' children via an
-       EQUI-JOIN on super-cell id — per-vector work is
-       ~(1+nprobe)·√ncells scores instead of ncells.
+       EQUI-JOIN on (super-cell id, salt) — per-vector work is
+       ~(1+nprobe)·√ncells scores instead of ncells, and the salt
+       (:data:`TWO_LEVEL_JOIN_SALT`) bounds per-reduce-key volume
+       explicitly instead of leaning on AQE skew-split.
 
     Same rounding (6dp cosine) and tie rule (lowest id) as the flat path
     at every level.  Like any hierarchical quantizer this is EXACT
@@ -635,7 +662,7 @@ def _assign_cells_two_level(
             ).alias("_sup"),
         )
     )
-    nprobe = TWO_LEVEL_NPROBE if nprobe is None else nprobe
+    nprobe = two_level_nprobe(nsuper) if nprobe is None else nprobe
     # Row-LOCAL top-nprobe routing: the super table collapses to a single
     # array-of-structs row (nsuper ≈ √ncells entries — broadcastable by
     # construction, that is this function's premise), cross-joined
@@ -683,7 +710,24 @@ def _assign_cells_two_level(
             ),
         )
     )
-    scored = routed.join(children, "_sup").select(
+    # SALTED children equi-join: the reduce key `_sup` has only nsuper ≈
+    # √ncells distinct values, so an unsalted join funnels corpus·nprobe/
+    # nsuper routed rows (≈4M rows ≈ 2 GB at 10⁹ vectors, nsuper=2000,
+    # nprobe=8) through single reduce keys — AQE skew-split CAN subdivide
+    # that, but the bound should be explicit, not adaptive.  Each super's
+    # children block is ~√ncells rows (~1 MB at the engagement point), so
+    # replicating children ×TWO_LEVEL_JOIN_SALT is cheap; the routed side
+    # picks one deterministic salt per vector, cutting per-reduce-key
+    # volume by the salt factor with identical join matches.
+    children_salted = children.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(TWO_LEVEL_JOIN_SALT - 1))),
+    )
+    routed_salted = routed.withColumn(
+        "_salt",
+        F.pmod(F.hash("vec_id"), F.lit(TWO_LEVEL_JOIN_SALT)).cast("int"),
+    )
+    scored = routed_salted.join(children_salted, ["_sup", "_salt"]).select(
         "vec_id",
         "embedding",
         "nrm",

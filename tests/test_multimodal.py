@@ -93,6 +93,54 @@ def test_real_decode_is_stubbed_for_compressed_only():
     )
 
 
+def test_decode_or_dlq_seam_and_library_swap_in(spark):
+    """The library-bound codec tail's swap-in claim, made executable: the
+    decode-or-DLQ seam routes by exception type (ValueError = corrupt,
+    NotImplementedError = format boundary), and swapping in a media
+    library is passing ONE callable at ONE dispatch point — a mock
+    'soundfile' decoder moves a fake MP3 asset from the dead-letter side
+    to the decoded side without touching any other plumbing."""
+    wav = multimodal.encode_wav(2)
+    png = bytearray(multimodal.encode_png(4))
+    png[-10] ^= 0xFF  # corrupt a CRC byte → ValueError
+    mp3 = b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\xff\xfb\x90\x00" * 16
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(wav)), (2, "image", bytes(png)),
+         (3, "audio", mp3)],
+        "asset_id long, media_type string, content binary",
+    )
+    out = {r.asset_id: r for r in multimodal.decode_or_dlq(df).collect()}
+    assert out[1].status == "decoded" and out[1].sample_rate == 10000
+    assert out[1].n_vals > 0
+    assert out[2].status == "dead_letter"
+    assert out[2].error_class == "ValueError"
+    assert out[3].status == "dead_letter"
+    assert out[3].error_class == "NotImplementedError"
+
+    # the swap-in: one callable, same (media_type, payload) -> dict
+    # contract, closed over the mapInPandas batch loop like a real
+    # soundfile/PIL adapter would be
+    def with_mp3_library(media_type, payload):
+        if payload[:3] == b"ID3":
+            import numpy as np
+
+            return {"sample_rate": 44100,
+                    "vals": np.arange(1, 6, dtype=np.int64)}
+        return multimodal._try_real_decode(media_type, payload)
+
+    out2 = {
+        r.asset_id: r
+        for r in multimodal.decode_or_dlq(
+            df, decoder=with_mp3_library
+        ).collect()
+    }
+    assert out2[3].status == "decoded"
+    assert out2[3].sample_rate == 44100
+    assert (out2[3].n_vals, out2[3].val_sum) == (5, 15)
+    # every other asset routes exactly as before
+    assert out2[1].status == "decoded" and out2[2].status == "dead_letter"
+
+
 # --- real codec round trips (pure numpy, no Spark needed) -------------------
 
 def test_bmp_roundtrip_exact_order():

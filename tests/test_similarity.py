@@ -525,6 +525,40 @@ def test_two_level_auto_rule_is_flat_below_threshold(embeddings):
     assert a == f
 
 
+def test_two_level_nprobe_rule():
+    """The default probe count scales as max(8, ⌈nsuper^(2/3)⌉) — the rule
+    calibrated on the r10 worst-case sweep (SCALE.md): a constant 8 decays
+    to 0.62 pair co-location at nsuper=2000 while nsuper^(2/3) holds ≥0.99
+    at every measured decade.  Pin the floor, the measured calibration
+    points, and monotonicity."""
+    f = similarity.two_level_nprobe
+    assert f(2) == 8 and f(29) == 10  # floor + the r9 measurement shape
+    assert f(200) == 35 and f(633) == 74 and f(2000) == 159
+    vals = [f(n) for n in range(2, 5000, 37)]
+    assert vals == sorted(vals)
+    # exactness guarantee is reachable: small supers get full probe
+    assert all(f(n) >= n for n in range(2, 9))
+
+
+def test_two_level_children_join_is_salted(embeddings):
+    """The children equi-join's reduce key would otherwise be `_sup`
+    alone (nsuper ≈ √ncells distinct values — corpus/nsuper rows per
+    reduce key at scale); the salt must appear in the join key so the
+    per-key bound is explicit, not AQE-dependent.  Pinned by plan shape:
+    the optimized plan's join condition carries BOTH _sup and _salt."""
+    from pyspark.sql import functions as F
+
+    cent = similarity.kmeans_centroids(embeddings, ncells=4, iters=1)
+    vecs = embeddings.select(
+        "vec_id", "embedding", similarity._norm(F.col("embedding")).alias("nrm")
+    )
+    two = similarity._assign_cells_two_level(vecs, cent, nsuper=2)
+    plan = two._jdf.queryExecution().optimizedPlan().toString()
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    salted = [ln for ln in join_lines if "_sup" in ln and "_salt" in ln]
+    assert salted, f"children join not salted:\n{plan}"
+
+
 def test_two_level_full_probe_equals_flat_on_any_corpus(spark):
     """Multi-probe exhaustiveness law: with nprobe ≥ nsuper the union of
     probed super-cells' children is EVERY centroid, so the two-level
