@@ -1043,6 +1043,213 @@ def test_jpeg_progressive_equals_baseline_on_arbitrary_coefficients():
         )
 
 
+def _foreign_scan_scripts(ncomp):
+    """Progression shapes deliberately UNLIKE the module's default script
+    (which the rest of the suite — and the shipped corpus — uses), so the
+    decoder is exercised against conventions it didn't co-evolve with:
+    luma-only DC opening at a deeper Al, partial-interleave chroma-pair DC,
+    a three-way luma spectral-band split, chroma AC transmitted directly at
+    Al=0 with no refinement ladder, and Al ladders of non-uniform depth per
+    component (3→0 for luma DC vs 1→0 for chroma DC) — all ending at 0."""
+    if ncomp == 1:
+        return [
+            [
+                ((0,), 0, 0, 0, 3),
+                ((0,), 0, 0, 3, 2),
+                ((0,), 0, 0, 2, 1),
+                ((0,), 0, 0, 1, 0),
+                ((0,), 1, 1, 0, 1),
+                ((0,), 2, 9, 0, 1),
+                ((0,), 10, 63, 0, 1),
+                ((0,), 1, 1, 1, 0),
+                ((0,), 2, 9, 1, 0),
+                ((0,), 10, 63, 1, 0),
+            ]
+        ]
+    luma_deep = [
+        ((0,), 0, 0, 0, 3),
+        ((0,), 0, 0, 3, 2),
+        ((0,), 0, 0, 2, 1),
+        ((0,), 0, 0, 1, 0),
+        ((1, 2), 0, 0, 0, 1),
+        ((1, 2), 0, 0, 1, 0),
+        ((0,), 1, 2, 0, 2),
+        ((0,), 3, 20, 0, 2),
+        ((0,), 21, 63, 0, 2),
+        ((0,), 1, 2, 2, 1),
+        ((0,), 3, 20, 2, 1),
+        ((0,), 21, 63, 2, 1),
+        ((0,), 1, 2, 1, 0),
+        ((0,), 3, 20, 1, 0),
+        ((0,), 21, 63, 1, 0),
+        ((1,), 1, 63, 0, 0),
+        ((2,), 1, 63, 0, 0),
+    ]
+    chroma_first = [
+        ((2, 1), 0, 0, 0, 1),
+        ((2, 1), 0, 0, 1, 0),
+        ((0,), 0, 0, 0, 2),
+        ((0,), 0, 0, 2, 1),
+        ((0,), 0, 0, 1, 0),
+        ((2,), 1, 63, 0, 1),
+        ((1,), 1, 63, 0, 1),
+        ((0,), 1, 63, 0, 1),
+        ((2,), 1, 63, 1, 0),
+        ((1,), 1, 63, 1, 0),
+        ((0,), 1, 63, 1, 0),
+    ]
+    return [luma_deep, chroma_first]
+
+
+def test_jpeg_progressive_foreign_scan_scripts_equal_baseline():
+    """The r9 progressive corpus is self-encoded with one libjpeg-style
+    default script; this pins the decoder against progression SHAPES the
+    encoder's conventions never produce (see _foreign_scan_scripts) —
+    every one must still reconstruct the exact pixels of a baseline
+    transmission of the same coefficients, with and without AC restart
+    markers."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import jpeg
+
+    rng = np.random.default_rng(101)
+    for trial in range(8):
+        ncomp = 1 if trial % 4 == 3 else 3
+        w, h = int(rng.integers(8, 50)), int(rng.integers(8, 40))
+        samp = (
+            [(2, 2), (1, 1), (1, 1)]
+            if ncomp == 3 and trial % 2
+            else [(1, 1)] * ncomp
+        )
+        mcux, mcuy, geoms = jpeg._comp_geoms(w, h, samp)
+        comps = []
+        for g in geoms:
+            n = g["pbx"] * g["pby"]
+            arr = np.zeros((n, 64), np.int64)
+            mask = rng.random((n, 64)) < 0.2
+            arr[mask] = rng.integers(-300, 301, mask.sum())
+            comps.append(arr)
+        inter = []
+        for ci, g in enumerate(geoms):
+            lst = []
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                for j in range(g["hi"] * g["vi"]):
+                    jy, jx = divmod(j, g["hi"])
+                    lst.append(
+                        comps[ci][
+                            (my * g["vi"] + jy) * g["pbx"] + mx * g["hi"] + jx
+                        ]
+                    )
+            inter.append(lst)
+        base = jpeg.decode_jpeg_bytes(
+            jpeg.encode_baseline_jpeg(inter, w, h, sampling=samp)
+        )["vals"]
+        for si, script in enumerate(_foreign_scan_scripts(ncomp)):
+            prog = jpeg.encode_progressive_jpeg(
+                comps,
+                w,
+                h,
+                sampling=samp,
+                scans=script,
+                ac_restart_interval=(2 if trial % 3 == 0 else 0),
+            )
+            np.testing.assert_array_equal(
+                jpeg.decode_jpeg_bytes(prog)["vals"],
+                base,
+                err_msg=f"trial {trial} script {si} ({w}x{h}, samp={samp})",
+            )
+
+
+# Frozen foreign-script progressive assets: encoded ONCE (r10) with the
+# _foreign_scan_scripts shapes and embedded as bytes, so decoder changes
+# are checked against FIXED streams — not against whatever the current
+# encoder happens to emit (a drifting encoder can otherwise mask a
+# decoder regression that its own conventions never reach).
+_PROG_FIXTURE_420_LUMA_DEEP = bytes.fromhex(
+    "ffd8ffdb0043000101010101010101010101010101010101010101010101010101010101"
+    "0101010101010101010101010101010101010101010101010101010101010101010101ff"
+    "c2001108000e001403012200021100031100ffc4001f0000000004000800000000000000"
+    "000000000102030405060708090a0bffc400c31000000000000000b00000000000000000"
+    "00102030405060708090a0b0c0d0e0f00102030405060708090a1112131415161718191a"
+    "2122232425262728292a3132333435363738393a4142434445464748494a515253545556"
+    "5758595a6162636465666768696a7172737475767778797a8182838485868788898a9192"
+    "939495969798999aa1a2a3a4a5a6a7a8a9aab1b2b3b4b5b6b7b8b9bac1c2c3c4c5c6c7c8"
+    "c9cad1d2d3d4d5d6d7d8d9dae1e2e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8f9faffda0008"
+    "01010000000300464650344fffda000801010000003213ffda000801010000002103ffda"
+    "000801010000001007ffda000a02020003000000010000ffda000a02020003000000100f"
+    "ffdd00040002ffda00080101000102020013400fffd0017fffd1017fffda000801010003"
+    "14021094a72ef8998f20ef4f67143942803fffd0aa6000fa63a02831438ad0884f55ffd1"
+    "296c5601f6c4c4cdf1fb07943f20032207b479d1afffda0008010100153f0214b8ec8a7d"
+    "3024850c3ea0fb83d24f84631392cf1ca2804387e613d8d7878452a94dc76028a00fffd0"
+    "6e28a1c4d4a546de1207b7a36c4d052a3de14080210a543d6c4d1b0a815b7803ffd133b8"
+    "c863e80a9e2801d51578a6d754563153ca5b1c666f14bd4002643b6a2e18b19c03ae220f"
+    "7c03ffda0008010100010221017fffd0017fffd1017fffda000801010003142101223fff"
+    "d00170ff00ffd10147a7ffda0008010100153f21013798dd7fffd0017258afffd1011ddb"
+    "acff00ffda0008010100010210017fffd0017fffd11000bfffda0008010100031410010b"
+    "bfffd0013fff00ffd1013597ffda0008010100153f100151ce3aff00ffd0014f92afffd1"
+    "016c8fb2ff00ffda0008010200013f00179e34d453210a9c27953bc14a0a1d9830f3c561"
+    "2adc74c85fc85e49f801bf02b995cfe2b010b68bc18f4926285af1a353360cdc524641b0"
+    "54c00fffda0008010300013f002b9029b05b28ac855a885d0a890b533e006aae65821bc3"
+    "4662c2082d0b1c16dc7c1e1011ae2800ad054a47962b515a495e2a7b0795da0b753f4716"
+    "f29f02f327b4807fffd9"
+)
+_PROG_FIXTURE_GRAY_BANDS = bytes.fromhex(
+    "ffd8ffdb0043000101010101010101010101010101010101010101010101010101010101"
+    "0101010101010101010101010101010101010101010101010101010101010101010101ff"
+    "c2000b08000b001101011100ffc4001f0000000004000800000000000000000000000102"
+    "030405060708090a0bffc400c31000000000000000b00000000000000000001020304050"
+    "60708090a0b0c0d0e0f00102030405060708090a1112131415161718191a212223242526"
+    "2728292a3132333435363738393a4142434445464748494a5152535455565758595a6162"
+    "636465666768696a7172737475767778797a8182838485868788898a9192939495969798"
+    "999aa1a2a3a4a5a6a7a8a9aab1b2b3b4b5b6b7b8b9bac1c2c3c4c5c6c7c8c9cad1d2d3d4"
+    "d5d6d7d8d9dae1e2e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8f9faffda0008010100000003"
+    "000000ffda000801010000003203ffda000801010000002103ffda000801010000001003"
+    "ffdd00040002ffda0008010100010101017fffd013400fffd1017fffda00080101000209"
+    "01209029f20842971f9944b16aff00ffd047dc8190f3803fffd11d345d2a9664300fffda"
+    "00080101000a3f0116484f23e50a80693c8208b3416c22587b02c94d269f5851d481e895"
+    "3c68a289e4f6b1fb09cd1ef16928c1208e40a8cd729a47f348bd1607c7803fffd03e7c50"
+    "e1372731283d614b99352312ba2b28fc250a14e0ad6221813298019e72c42a5c3420a0b6"
+    "994b2a260b562a728a801fffd11f591f41686b24691ab19a3008269960a9e905051044ec"
+    "5229e86752d787f97ab83f90b373e3a2d747fd00ffda0008010100010110017fffd0013f"
+    "ffd1017fffda0008010100020910012dffd0011fffd10117ffda00080101000a3f100107"
+    "e2b3edbfffd0012e1cf72fffd10171998fff00ffd9"
+)
+
+
+def test_jpeg_progressive_frozen_foreign_fixtures():
+    """Byte-exact frozen streams (foreign scripts, AC restarts, partial
+    edge MCUs) decode to their pinned dimensions and pixel checksums —
+    independent of the current encoder."""
+    import hashlib
+
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import jpeg
+
+    for payload, dims, n, total, md5 in [
+        (
+            _PROG_FIXTURE_420_LUMA_DEEP,
+            (20, 14),
+            840,
+            109751,
+            "5ade510e08b51fe4084b0d32e997138d",
+        ),
+        (
+            _PROG_FIXTURE_GRAY_BANDS,
+            (17, 11),
+            187,
+            23648,
+            "6f07313eb541784fb0687504a39051df",
+        ),
+    ]:
+        d = jpeg.decode_jpeg_bytes(payload)
+        v = d["vals"]
+        assert (d["width"], d["height"]) == dims
+        assert (v.size, int(v.sum())) == (n, total)
+        assert hashlib.md5(v.astype(np.int64).tobytes()).hexdigest() == md5
+
+
 def test_jpeg_progressive_refinement_bits_are_load_bearing():
     """Dropping the FINAL DC refinement scan from the corpus progression
     changes the decoded pixels — i.e. the successive-approximation
