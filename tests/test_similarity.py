@@ -559,6 +559,78 @@ def test_two_level_children_join_is_salted(embeddings):
     assert salted, f"children join not salted:\n{plan}"
 
 
+def test_coloc_sweep_mirror_matches_shipped_routing(spark):
+    """The r10 nprobe rule was calibrated by tools/two_level_coloc_sweep.py,
+    a numpy mirror of the shipped two-level routing.  This pins that the
+    mirror measures THE SHIPPED ALGORITHM: on a random corpus (no margin
+    structure, ties measure-zero) the mirror's per-vector assignment must
+    equal _assign_cells_two_level's, at a partial nprobe where the two-level
+    result genuinely differs from flat — so agreement here is evidence the
+    routing math matches, not that both collapsed to exhaustive search."""
+    import importlib.util
+    import pathlib
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    spec = importlib.util.spec_from_file_location(
+        "coloc_sweep",
+        pathlib.Path(__file__).resolve().parents[1]
+        / "tools"
+        / "two_level_coloc_sweep.py",
+    )
+    sweep = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sweep)
+
+    rng = random.Random(4242)
+    d, ncells, nvec, nsuper, nprobe = 12, 30, 90, 6, 2
+    cents_np = np.array(
+        [[rng.uniform(-1, 1) for _ in range(d)] for _ in range(ncells)],
+        dtype=np.float32,
+    )
+    cents_np /= np.linalg.norm(cents_np, axis=1, keepdims=True)
+    vecs_np = np.array(
+        [[rng.uniform(-1, 1) for _ in range(d)] for _ in range(nvec)],
+        dtype=np.float32,
+    )
+    vecs_np /= np.linalg.norm(vecs_np, axis=1, keepdims=True)
+
+    # mirror: children routing + top-nprobe supers + union argmax
+    child_sup = sweep.chunked_argmax(cents_np, cents_np[:nsuper])
+    route_order = np.argsort(
+        -(vecs_np @ cents_np[:nsuper].T), axis=1, kind="stable"
+    )
+    mirror = sweep.two_level_assign(
+        vecs_np, cents_np, child_sup, route_order[:, :nprobe]
+    )
+
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in cents_np[i]]) for i in range(ncells)],
+        "cell long, c_emb array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in vecs_np[i]]) for i in range(nvec)],
+        "vec_id long, embedding array<double>",
+    ).select(
+        "vec_id", "embedding", similarity._norm(F.col("embedding")).alias("nrm")
+    )
+    shipped = {
+        r.vec_id: r.cell
+        for r in similarity._assign_cells_two_level(
+            vecs, cent, nsuper, nprobe=nprobe
+        ).collect()
+    }
+    flat = {
+        r.vec_id: r.cell
+        for r in similarity._assign_cells(vecs, cent).collect()
+    }
+    assert shipped == {i: int(mirror[i]) for i in range(nvec)}
+    # and the partial probe really is partial — otherwise this test would
+    # only pin the exhaustive case the exactness law already covers
+    assert shipped != flat
+
+
 def test_two_level_full_probe_equals_flat_on_any_corpus(spark):
     """Multi-probe exhaustiveness law: with nprobe ≥ nsuper the union of
     probed super-cells' children is EVERY centroid, so the two-level
