@@ -188,6 +188,7 @@ def sweep(ncells: int, nprobes: list[int], geometry: str, seed: int = 0):
 
 
 def main() -> None:
+    global D, SIGMA
     geometry, ncells_list, nprobes = "random", [40000, 400000, 4000000], [
         1,
         8,
@@ -206,6 +207,11 @@ def main() -> None:
             ncells_list = [int(v) for v in args.pop(0).split(",")]
         elif a == "--nprobes":
             nprobes = [int(v) for v in args.pop(0).split(",")]
+        elif a == "--d":
+            # dimension-sensitivity rung: real embedders are 256-1024-dim;
+            # SIGMA rescales so truth pairs stay at cos ≈ 0.8 at any d
+            D = int(args.pop(0))
+            SIGMA = 0.5 / math.sqrt(D)
         else:
             raise SystemExit(f"unknown arg {a}")
     for ncells in ncells_list:
