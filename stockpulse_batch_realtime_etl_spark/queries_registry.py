@@ -1722,83 +1722,15 @@ from stockpulse_batch_realtime_etl_spark import queries_ext  # noqa: E402,F401
 #: length asserted at import time (the r4 boundary slip put 60 names ahead
 #: of a "50-entry" comment and silently dropped 10 intended rotations).
 #:
-#: ROUND-10 ROTATION (the r9 verdict's #1 directive, taken verbatim):
-#: _GATE_NEXT head-first — the never-gated palette-PNG rung, then the
-#: r8-replaced winnowed_fingerprints (deferred once in r9; the verdict:
-#: "it cannot be deferred twice"), then the adaptive-ncells IVF rungs +
-#: ann_recall_report + jpeg420 + streaming_metrics_summary, "then the
-#: r7 tail".  The r7 tail held 43 names for 42 remaining slots; the
-#: verdict's #5 fixed the arithmetic by retiring the bit-identical
-#: ann_brute_force_topk_np registration (still a pinned equivalence
-#: test, tests/test_similarity.py — just no longer a query), returning
-#: the registry to 150 = a perfect 3-round rotation.  After this round
-#: the histogram is r10=50, r9=50, r8=50 and gate_audit's strict
-#: ≤2-rounds-stale invariant holds with zero slack.
+#: ROUND-11 ROTATION (the r10 verdict's #1 directive, taken verbatim):
+#: the 50 r8-gated names — after r10 they are exactly 2 rounds stale,
+#: the rotation maximum, so they take the whole r11 window in their
+#: queued _GATE_NEXT order.  With the registry at exactly 150 the
+#: 3-round rotation has zero slack: after this round the histogram is
+#: r11=50, r10=50, r9=50 and gate_audit's strict ≤2-rounds-stale
+#: invariant holds.  Any new registration this round must be paired
+#: with a retirement.
 _GATE_HEAD: tuple[str, ...] = (
-    # never driver-gated: registered after the r9 window froze
-    "multimodal_png_palette_stats",
-    # r8-changed code paths holding only pre-change r7 driver rows
-    "winnowed_fingerprints",
-    "ann_ivf_topk",
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_multiprobe_topk",
-    "ann_recall_report",
-    "multimodal_jpeg420_stats",
-    "streaming_metrics_summary",
-    # --- the 42 r7-gated tail names, registration order ---
-    "ohlcv_bars",
-    "tick_summary",
-    "bar_summary",
-    "movers",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "top_customers_by_revenue",
-    "brand_revenue",
-    "order_priority_counts",
-    "q6_forecast_revenue",
-    "revenue_rollup",
-    "customers_without_orders",
-    "text_stats",
-    "token_counts",
-    "language_id",
-    "bpe_token_counts",
-    "bpe_learned_merges",
-    "bpe_compression_stats",
-    "lang_vocab",
-    "doc_fingerprints",
-    "exact_dedup",
-    "dup_groups",
-    "simhash_fingerprints",
-    "ann_brute_force_topk",
-    "ann_lsh_bucketed_topk",
-    "embedding_near_dup_pairs",
-    "streaming_ohlcv_bars",
-    "tfidf_top_terms",
-    "multimodal_decoded_stats",
-    "mover_window_ticks",
-    "temperature_mixture_sample",
-    "packed_sequences",
-    "multimodal_resized_stats",
-    "boilerplate_segments",
-    "segment_dedup_stats",
-    "chunked_windows",
-    "source_kl_divergence",
-    "user_sessions",
-    "streaming_pair_join_outer",
-    "streaming_pair_join_right",
-    "streaming_pair_join_full",
-)
-
-#: Names queued BEHIND the window, in r11 rotation priority: the 50
-#: r8-gated names in their r8 window order — after r10 they are exactly
-#: 2 rounds stale, the rotation maximum, so they take the whole r11
-#: window.  The 50 r9-gated names follow in registration order as the
-#: un-listed tail (1 round stale after r10, windowed again in r12).
-#: Every name not listed follows in registration order.  All registered
-#: queries are still verified every round by the local all-queries
-#: parity suite (tests/test_oracle_parity) and tools/check_parity.py.
-_GATE_NEXT: tuple[str, ...] = (
     "multimodal_jpeg422_stats",
     "streaming_interval_join",
     "semantic_dedup",
@@ -1849,6 +1781,67 @@ _GATE_NEXT: tuple[str, ...] = (
     "top_bars_per_day",
     "version_info",
     "vwap_bars",
+)
+
+#: Names queued BEHIND the window, in r12 rotation priority: the 50
+#: r9-gated names in registration order — after r11 they are exactly
+#: 2 rounds stale, the rotation maximum, so they take the whole r12
+#: window.  The 50 r10-gated names follow in registration order as the
+#: un-listed tail (1 round stale after r11, windowed again in r13).
+#: Every name not listed follows in registration order.  All registered
+#: queries are still verified every round by the local all-queries
+#: parity suite (tests/test_oracle_parity) and tools/check_parity.py.
+_GATE_NEXT: tuple[str, ...] = (
+    "symbols",
+    "latest_ticks",
+    "latest_tick_per_symbol",
+    "bollinger_bands",
+    "rsi_ticks",
+    "donchian_breakouts",
+    "obv_ticks",
+    "max_drawdown",
+    "ticks_asof_bars",
+    "ticks_asof_next_bar",
+    "q13_order_counts",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q7_nation_volume",
+    "q22_sales_opportunity",
+    "revenue_cube",
+    "price_deciles",
+    "symbol_correlations",
+    "symbol_beta",
+    "event_transitions",
+    "rfm_segments",
+    "weekday_hour_profile",
+    "stats_summary",
+    "kafka_roundtrip_ticks",
+    "hapax_stats",
+    "lsh_candidate_pairs",
+    "minhash_jaccard_estimate",
+    "simhash_near_dups",
+    "label_centroid_similarity",
+    "json_decode_ticks",
+    "dlq_failed_events",
+    "bigram_counts",
+    "streaming_dedup_ticks",
+    "multimodal_jpeg_stats",
+    "multimodal_jpeg411_stats",
+    "multimodal_jpeg_progressive_stats",
+    "rolling_fingerprints",
+    "fingerprint_match_pairs",
+    "contamination_overlap",
+    "bigram_lm_scores",
+    "repetition_stats",
+    "streaming_pair_join",
+    "events_profile",
+    "missing_minutes",
+    "funnel_counts",
+    "cohort_retention",
+    "kmeans_cell_report",
+    "return_outliers",
+    "video_frame_stats",
+    "audio_decimated_stats",
 )
 assert len(_GATE_HEAD) == 50, (
     f"driver gate window is exactly 50 entries; _GATE_HEAD has "
