@@ -1519,6 +1519,14 @@ def _decode_jpeg_unchecked(payload: bytes) -> dict:
     prog_geom = None  # (mcux, mcuy, geoms) once the first SOS arrives
     eoi = False  # multi-scan frames reconstruct at EOI — reaching it matters
     scanned_ids: set[int] = set()  # component ids that received ≥1 scan
+    # component ids whose DC coefficient received ≥1 scan (Ss == 0).  Per
+    # T.81 G.1.1.1.1 a component's FIRST progressive scan must be its DC
+    # scan, so a component that only ever appeared in AC scans would
+    # reconstruct with a silent all-zero DC plane — the same
+    # silent-partial class as the any-scan check below, tracked
+    # separately.  AC scans are NOT required: a DC-only progression is a
+    # valid (low-detail) complete stream.
+    dc_scanned_ids: set[int] = set()
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -1593,6 +1601,10 @@ def _decode_jpeg_unchecked(payload: bytes) -> dict:
                     for g in geoms_
                 ]
             scanned_ids.update(body[1 + 2 * c] for c in range(body[0]))
+            if body[1 + 2 * body[0]] == 0:  # Ss == 0: a DC scan
+                dc_scanned_ids.update(
+                    body[1 + 2 * c] for c in range(body[0])
+                )
             pos = _decode_progressive_scan(
                 payload, pos + 2 + seglen, body, comps, prog_geom, prog,
                 huff, restart,
@@ -1640,6 +1652,7 @@ def _decode_jpeg_unchecked(payload: bytes) -> dict:
                         )
                     comp_sel.append(by_cid[cs_c])
                     scanned_ids.add(cs_c)
+                    dc_scanned_ids.add(cs_c)  # sequential scans carry DC+AC
                 units = _dc_scan_units(
                     tuple(comp_sel), prog_geom[2], prog_geom[0], prog_geom[1]
                 )
@@ -1741,6 +1754,12 @@ def _decode_jpeg_unchecked(payload: bytes) -> dict:
         if missing:
             raise ValueError(
                 f"JPEG frame components with no scan: {missing}"
+            )
+        missing_dc = [c[0] for c in comps if c[0] not in dc_scanned_ids]
+        if missing_dc:
+            raise ValueError(
+                "JPEG frame components with AC scans but no DC scan "
+                f"(T.81 G.1.1.1.1): {missing_dc}"
             )
         mcux, mcuy, _geoms = prog_geom
         return _reconstruct_from_raster(qt, comps, w, h, mcux, mcuy, prog)

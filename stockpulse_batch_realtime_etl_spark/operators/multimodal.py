@@ -846,7 +846,12 @@ def decode_or_dlq(media: DataFrame, decoder=None) -> DataFrame:
     (PIL / soundfile / av) means passing one callable with the same
     ``(media_type, payload) -> dict`` contract here — nothing else in the
     Spark plumbing (schema, batching, routing) changes.  Pinned
-    executable by ``test_decode_or_dlq_seam_and_library_swap_in``."""
+    executable by ``test_decode_or_dlq_seam_and_library_swap_in``.
+
+    A null ``asset_id`` is a pipeline contract violation, not a decode
+    failure — the one-row-per-asset guarantee is keyed on it — so it is
+    rejected up front with a loud batch-level error rather than routed
+    to the DLQ (which would emit an unjoinable null-keyed row)."""
     import pandas as pd
 
     dec = decoder if decoder is not None else _try_real_decode
@@ -856,6 +861,12 @@ def decode_or_dlq(media: DataFrame, decoder=None) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
+            if pdf["asset_id"].isna().any():
+                raise ValueError(
+                    "decode_or_dlq: null asset_id — the one-row-per-asset "
+                    "contract requires a non-null key; fix the upstream "
+                    "asset table, do not DLQ-route unkeyed rows"
+                )
             rows = []
             for aid, mt, content in zip(
                 pdf["asset_id"], pdf["media_type"], pdf["content"]

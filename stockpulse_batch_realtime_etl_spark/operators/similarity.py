@@ -712,9 +712,14 @@ def _assign_cells_two_level(
     )
     # SALTED children equi-join: the reduce key `_sup` has only nsuper ≈
     # √ncells distinct values, so an unsalted join funnels corpus·nprobe/
-    # nsuper routed rows (≈4M rows ≈ 2 GB at 10⁹ vectors, nsuper=2000,
-    # nprobe=8) through single reduce keys — AQE skew-split CAN subdivide
-    # that, but the bound should be explicit, not adaptive.  Each super's
+    # nsuper routed rows through single reduce keys — at the 4M-cell
+    # engagement point (10⁹ vectors, nsuper=2000) the rule-scaled default
+    # nprobe = two_level_nprobe(2000) = 159 makes that ≈80M rows ≈ 40 GB
+    # per key, far past any single task.  AQE skew-split CAN subdivide
+    # that, but the bound should be explicit, not adaptive: /16 salt cuts
+    # it to ≈5M rows ≈ 2.5 GB per reduce key — one task's comfort zone.
+    # (Raise TWO_LEVEL_JOIN_SALT alongside nprobe if the rule ever grows
+    # past ~2.5 GB/key again; salt cost is children-side only.)  Each super's
     # children block is ~√ncells rows (~1 MB at the engagement point), so
     # replicating children ×TWO_LEVEL_JOIN_SALT is cheap; the routed side
     # picks one deterministic salt per vector, cutting per-reduce-key

@@ -140,6 +140,17 @@ def test_decode_or_dlq_seam_and_library_swap_in(spark):
     # every other asset routes exactly as before
     assert out2[1].status == "decoded" and out2[2].status == "dead_letter"
 
+    # a null asset_id is a pipeline contract violation, NOT a decode
+    # failure: the one-row-per-asset guarantee is keyed on it, so the
+    # batch fails loudly instead of emitting an unjoinable null-keyed
+    # DLQ row
+    nulled = spark.createDataFrame(
+        [(None, "audio", bytearray(wav))],
+        "asset_id long, media_type string, content binary",
+    )
+    with pytest.raises(Exception, match="null asset_id"):
+        multimodal.decode_or_dlq(nulled).collect()
+
 
 # --- real codec round trips (pure numpy, no Spark needed) -------------------
 
@@ -1375,6 +1386,57 @@ def test_jpeg_multiscan_requires_eoi_and_full_component_coverage():
         coeffs, 16, 16, scans=[(0,), (1,), (2,)]
     )
     assert jpeg.decode_jpeg_bytes(full)["width"] == 16
+
+
+def test_jpeg_progressive_component_requires_dc_scan():
+    """DC coverage is tracked separately from any-scan coverage (the r10
+    advice's silent-partial gap): a component that appears ONLY in AC
+    scans would reconstruct with an all-zero DC plane — T.81 G.1.1.1.1
+    requires a component's first scan to be its DC scan, so that stream
+    is corrupt input, raised as ValueError.  A DC-only progression with
+    no AC scans remains a valid (low-detail) complete stream."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import jpeg
+
+    rng = np.random.default_rng(7)
+    mcux, mcuy, geoms = jpeg._comp_geoms(16, 16, [(1, 1)] * 3)
+    comps = []
+    for g in geoms:
+        arr = np.zeros((g["pbx"] * g["pby"], 64), np.int64)
+        arr[:, :8] = rng.integers(-100, 101, (arr.shape[0], 8))
+        comps.append(arr)
+    # comp 2 transmitted only as an AC band: decoder must refuse
+    ac_only = jpeg.encode_progressive_jpeg(
+        comps,
+        16,
+        16,
+        scans=[
+            ((0, 1), 0, 0, 0, 0),
+            ((0,), 1, 63, 0, 0),
+            ((1,), 1, 63, 0, 0),
+            ((2,), 1, 63, 0, 0),
+        ],
+    )
+    with pytest.raises(ValueError, match="no DC scan"):
+        jpeg.decode_jpeg_bytes(ac_only)
+    # DC-only progression (no AC scans at all) is complete: every AC
+    # coefficient is legitimately zero, never a coverage error
+    dc_only = jpeg.encode_progressive_jpeg(
+        comps, 16, 16, scans=[((0, 1, 2), 0, 0, 0, 1), ((0, 1, 2), 0, 0, 1, 0)]
+    )
+    d = jpeg.decode_jpeg_bytes(dc_only)
+    assert (d["width"], d["height"]) == (16, 16)
+    # and the DC planes match a baseline transmission of DC-only blocks
+    dc_coeffs = [np.zeros_like(c) for c in comps]
+    for ci in range(3):
+        dc_coeffs[ci][:, 0] = comps[ci][:, 0]
+    base = jpeg.encode_baseline_multiscan_jpeg(
+        dc_coeffs, 16, 16, scans=[(0,), (1,), (2,)]
+    )
+    np.testing.assert_array_equal(
+        d["vals"], jpeg.decode_jpeg_bytes(base)["vals"]
+    )
 
 
 def test_png_palette_roundtrip_all_depths():

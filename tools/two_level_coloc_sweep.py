@@ -33,7 +33,16 @@ down-scaled except the number of vectors measured.
 
 Cosines here use float32 BLAS without the engine's 6-decimal tie rounding:
 rounding only arbitrates exact ties and cannot move aggregate quality
-rates.
+rates.  One further tie-rule divergence from the engine: when a vector's
+best-cosine child appears under MORE THAN ONE probed super at exactly equal
+cosine (a cross-super tie), this mirror keeps the child from the
+earliest-iterated super's block, while the engine's `min_by` resolves to
+the globally lowest cell id.  Like the rounding caveat, exact float32
+cosine ties between distinct centroids are measure-zero on the random
+corpora swept here, so neither divergence can move the reported rates; the
+vector-for-vector mirror↔Spark equivalence test
+(test_coloc_sweep_mirror_matches_shipped_routing) runs on tie-free
+geometry by construction.
 
 Run:  python tools/two_level_coloc_sweep.py [--geometry random|hier]
           [--ncells 40000,400000,4000000] [--nprobes 1,8,16,32,64,128]
