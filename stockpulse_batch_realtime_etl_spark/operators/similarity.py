@@ -506,6 +506,7 @@ def _assign_cells(
     cent: DataFrame,
     ncells: int | None = None,
     two_level: bool | None = None,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment: broadcast the dimension-sized centroid
     table, score cosine per (vector, centroid), fold to argmax per vector
@@ -519,7 +520,10 @@ def _assign_cells(
     path explicitly (tests pin the two paths against each other) and
     then REQUIRES ``ncells``: this function is otherwise pure lazy plan
     building, and sizing the super level by counting ``cent`` would run
-    a hidden Spark job."""
+    a hidden Spark job.  ``nprobe`` overrides the two-level probe count
+    (default: the measured :func:`two_level_nprobe` rule) — the forced-
+    routing recall rung uses it to compare the rule against the retired
+    constant on the SAME corpus; ignored on the flat path."""
     if two_level is None:
         two_level = ncells is not None and ncells > TWO_LEVEL_CELL_THRESHOLD
     if two_level:
@@ -529,7 +533,10 @@ def _assign_cells(
                 "so the super-level size cannot come from cent.count()"
             )
         return _assign_cells_two_level(
-            vecs, cent, max(2, math.isqrt(max(0, ncells - 1)) + 1)
+            vecs,
+            cent,
+            max(2, math.isqrt(max(0, ncells - 1)) + 1),
+            nprobe=nprobe,
         )
     c = cent.select(
         F.col("cell").alias("_cell"),
@@ -634,7 +641,13 @@ def _assign_cells_two_level(
         )
         .localCheckpoint(eager=False)
     )
-    c = cent.select(
+    # fan_out before the ncells × nsuper scoring pass: a narrow centroid
+    # source (single-row-group parquet, collapsed agg output) would
+    # otherwise score EVERY child in one task — ncells·nsuper ≈
+    # ncells^1.5 dots is the biggest fixed cost of this path (8×10⁹ at
+    # the 4M-cell engagement point) and must parallelize; guarded no-op
+    # when cent is already wide.
+    c = fan_out(cent).select(
         F.col("cell").alias("_cell"),
         "c_emb",
         _norm(F.col("c_emb")).alias("c_norm"),
@@ -710,20 +723,46 @@ def _assign_cells_two_level(
             ),
         )
     )
-    # SALTED children equi-join: the reduce key `_sup` has only nsuper ≈
-    # √ncells distinct values, so an unsalted join funnels corpus·nprobe/
-    # nsuper routed rows through single reduce keys — at the 4M-cell
-    # engagement point (10⁹ vectors, nsuper=2000) the rule-scaled default
-    # nprobe = two_level_nprobe(2000) = 159 makes that ≈80M rows ≈ 40 GB
-    # per key, far past any single task.  AQE skew-split CAN subdivide
-    # that, but the bound should be explicit, not adaptive: /16 salt cuts
-    # it to ≈5M rows ≈ 2.5 GB per reduce key — one task's comfort zone.
-    # (Raise TWO_LEVEL_JOIN_SALT alongside nprobe if the rule ever grows
-    # past ~2.5 GB/key again; salt cost is children-side only.)  Each super's
-    # children block is ~√ncells rows (~1 MB at the engagement point), so
-    # replicating children ×TWO_LEVEL_JOIN_SALT is cheap; the routed side
-    # picks one deterministic salt per vector, cutting per-reduce-key
-    # volume by the salt factor with identical join matches.
+    # SALTED children COGROUP, Arrow-batch BLAS inner loop.  Two stacked
+    # bounds:
+    #
+    # 1. Per-reduce-key volume (the salt): the cogroup key `_sup` has
+    #    only nsuper ≈ √ncells distinct values, so unsalted grouping
+    #    funnels corpus·nprobe/nsuper routed rows into single groups —
+    #    at the 4M-cell engagement point (10⁹ vectors, nsuper=2000) the
+    #    rule-scaled default nprobe = two_level_nprobe(2000) = 159 makes
+    #    that ≈80M rows ≈ 40 GB per group, far past any single task.
+    #    The /16 salt cuts it to ≈5M rows ≈ 2.5 GB — one task's comfort
+    #    zone, bounded explicitly rather than via AQE skew-split.  (Raise
+    #    TWO_LEVEL_JOIN_SALT alongside nprobe if the rule ever grows past
+    #    ~2.5 GB/key; salt cost is children-side only: each super's
+    #    ~√ncells-row ≈ 1 MB block replicates ×salt.)
+    #
+    # 2. Per-scored-pair byte volume (the cogroup): an equi-JOIN on
+    #    (_sup, _salt) emits corpus·nprobe·√ncells rows, each copying a
+    #    ~0.5 KB embedding or children payload — ~160 MB of row traffic
+    #    PER VECTOR at the engagement point, and the measured wall at the
+    #    r11 rung geometry (8k vectors × 40k cells) was 60 s with the
+    #    join stage pinned on array copies, not FLOPs.  Cogrouping the
+    #    SAME salted keys instead hands each (super, salt) group's routed
+    #    block (m×d) and children block (k×d) to one Arrow batch and
+    #    scores them as a single m×k BLAS product — identical shuffle
+    #    volume and per-task bound, but ~8 output bytes per scored pair
+    #    instead of a ~1 KB row copy, and the per-probe argmin happens
+    #    in-batch so only corpus·nprobe best-rows leave the stage.  Same
+    #    device as the ANN ladder's per-Arrow-batch BLAS (brute_force /
+    #    IVF above).  Measured at the rung geometry: 60.6 s → ~3 s for
+    #    the same assignment, bit-identical output.
+    #
+    #    Numerics match the SQL flat path: cosine in float64, rounded
+    #    HALF_UP to 6dp (Spark's ROUND semantics — NOT numpy's
+    #    half-even np.round), ties to the lowest cell id (children
+    #    columns sorted by cell id; first argmin occurrence wins).
+    #    Non-finite cosines (zero-norm vectors, NULL under the SQL
+    #    try_divide) rank worst rather than replicating SQL's
+    #    nulls-first struct order — embeddings are unit-normed upstream,
+    #    so the case is a corpus-contract violation, and ranking it
+    #    worst is the defensible reading.
     children_salted = children.withColumn(
         "_salt",
         F.explode(F.sequence(F.lit(0), F.lit(TWO_LEVEL_JOIN_SALT - 1))),
@@ -732,21 +771,62 @@ def _assign_cells_two_level(
         "_salt",
         F.pmod(F.hash("vec_id"), F.lit(TWO_LEVEL_JOIN_SALT)).cast("int"),
     )
-    scored = routed_salted.join(children_salted, ["_sup", "_salt"]).select(
-        "vec_id",
-        "embedding",
-        "nrm",
-        "_cell",
-        _cos_precomputed(
-            F.col("embedding"), F.col("c_emb"), F.col("nrm"), F.col("c_norm")
-        ).alias("cos"),
+
+    def _score_group(left, right):
+        import numpy as np
+        import pandas as pd
+
+        if len(left) == 0 or len(right) == 0:
+            # inner-join semantics: a probed super with no children (or a
+            # children block no vector probed at this salt) contributes
+            # nothing
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "embedding": pd.Series([], dtype="object"),
+                    "nrm": pd.Series([], dtype="float64"),
+                    "neg": pd.Series([], dtype="float64"),
+                    "_cell": pd.Series([], dtype="int64"),
+                }
+            )
+        order = np.argsort(right["_cell"].to_numpy(), kind="stable")
+        cells = right["_cell"].to_numpy()[order]
+        C = np.asarray([np.asarray(e) for e in right["c_emb"]], dtype=np.float64)[order]
+        cn = right["c_norm"].to_numpy(dtype=np.float64)[order]
+        V = np.asarray([np.asarray(e) for e in left["embedding"]], dtype=np.float64)
+        vn = left["nrm"].to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (V @ C.T) / np.outer(vn, cn)
+        # Spark ROUND = HALF_UP (away from zero), 6dp
+        cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+        neg = -cos
+        neg[~np.isfinite(neg)] = np.inf
+        j = np.argmin(neg, axis=1)  # first hit = lowest cell id
+        return pd.DataFrame(
+            {
+                "vec_id": left["vec_id"].to_numpy(),
+                "embedding": left["embedding"],
+                "nrm": vn,
+                "neg": neg[np.arange(len(j)), j],
+                "_cell": cells[j],
+            }
+        )
+
+    per_probe = (
+        routed_salted.groupBy("_sup", "_salt")
+        .cogroup(children_salted.groupBy("_sup", "_salt"))
+        .applyInPandas(
+            _score_group,
+            schema=(
+                "vec_id long, embedding array<double>, nrm double, "
+                "neg double, _cell long"
+            ),
+        )
     )
-    return scored.groupBy("vec_id").agg(
+    return per_probe.groupBy("vec_id").agg(
         F.first("embedding").alias("embedding"),
         F.first("nrm").alias("nrm"),
-        F.min_by(
-            "_cell", F.struct((-F.col("cos")).alias("neg"), F.col("_cell"))
-        ).alias("cell"),
+        F.min(F.struct("neg", "_cell")).getField("_cell").alias("cell"),
     )
 
 
@@ -1147,6 +1227,9 @@ def semantic_dedup(
     ncells: int | None = 8,
     iters: int = 2,
     threshold: float = 0.9,
+    centroids: DataFrame | None = None,
+    two_level: bool | None = None,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
     embedding space, then within each cluster drop every vector that is
@@ -1175,16 +1258,27 @@ def semantic_dedup(
     grows, keeping the pair space linear — the production form.  The
     adaptive rule resolves to the historical 8 at every driver sf, so
     gate hashes are unchanged.
+
+    ``centroids`` injects a precomputed (cell, c_emb) table in place of
+    the k-means training pass, and ``two_level``/``nprobe`` force the
+    assignment routing — the seams the forced-routing recall rung
+    (tools/semdedup_two_level_rung.py) uses to measure the production
+    two-level path end-to-end at ≥40k cells without a 40k-cell training
+    job.  Defaults leave every gate plan byte-identical.
     """
     if ncells is None:
         ncells = adaptive_ncells(embeddings.count())
-    cent = kmeans_centroids(embeddings, ncells, iters)
+    cent = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(embeddings, ncells, iters)
+    )
     vecs = fan_out(embeddings).select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
-    assigned = _assign_cells(vecs, cent, ncells=ncells).localCheckpoint(
-        eager=False
-    )
+    assigned = _assign_cells(
+        vecs, cent, ncells=ncells, two_level=two_level, nprobe=nprobe
+    ).localCheckpoint(eager=False)
     a, b = assigned.alias("a"), assigned.alias("b")
     dups = (
         a.join(
@@ -1228,6 +1322,9 @@ def semdedup_recall_report(
     iters: int = 2,
     threshold: float = 0.9,
     truth_cap: int | None = SEMDEDUP_TRUTH_CAP,
+    centroids: DataFrame | None = None,
+    two_level: bool | None = None,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """Measured recall of SemDeDup's cell-restricted duplicate-pair search
     against the brute-force all-pairs ground truth at the same cosine
@@ -1263,15 +1360,27 @@ def semdedup_recall_report(
     aggregates once — nothing beyond the (bounded) truth scan is
     super-linear.  ``ncells=None`` → :func:`adaptive_ncells`, measuring
     recall for the production cell sizing.
+
+    ``centroids``/``two_level``/``nprobe`` are the same injection seams
+    as :func:`semantic_dedup` — the forced-routing rung measures THIS
+    report with assignment forced two-level at production-shaped ncells
+    and compares against the flat path on the identical corpus and
+    centroid table.  Defaults leave gate plans byte-identical.
     """
     n = embeddings.count() if ncells is None or truth_cap is not None else 0
     if ncells is None:
         ncells = adaptive_ncells(n)
-    cent = kmeans_centroids(embeddings, ncells, iters)
+    cent = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(embeddings, ncells, iters)
+    )
     vecs = fan_out(embeddings).select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
-    cells = _assign_cells(vecs, cent, ncells=ncells).select("vec_id", "cell")
+    cells = _assign_cells(
+        vecs, cent, ncells=ncells, two_level=two_level, nprobe=nprobe
+    ).select("vec_id", "cell")
     if truth_cap is not None and n > truth_cap:
         # deterministic truth sample: the cap smallest md5(vec_id).  The
         # global row_number is a single-partition sort of (vec_id, hash)

@@ -541,11 +541,12 @@ def test_two_level_nprobe_rule():
 
 
 def test_two_level_children_join_is_salted(embeddings):
-    """The children equi-join's reduce key would otherwise be `_sup`
-    alone (nsuper ≈ √ncells distinct values — corpus/nsuper rows per
-    reduce key at scale); the salt must appear in the join key so the
-    per-key bound is explicit, not AQE-dependent.  Pinned by plan shape:
-    the optimized plan's join condition carries BOTH _sup and _salt."""
+    """The children cogroup's reduce key would otherwise be `_sup`
+    alone (nsuper ≈ √ncells distinct values — corpus·nprobe/nsuper rows
+    per group at scale); the salt must appear in the grouping key so the
+    per-task bound is explicit, not AQE-dependent.  Pinned by plan
+    shape: the optimized plan's FlatMapCoGroupsInPandas groups BOTH
+    sides on (_sup, _salt)."""
     from pyspark.sql import functions as F
 
     cent = similarity.kmeans_centroids(embeddings, ncells=4, iters=1)
@@ -554,9 +555,14 @@ def test_two_level_children_join_is_salted(embeddings):
     )
     two = similarity._assign_cells_two_level(vecs, cent, nsuper=2)
     plan = two._jdf.queryExecution().optimizedPlan().toString()
-    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
-    salted = [ln for ln in join_lines if "_sup" in ln and "_salt" in ln]
-    assert salted, f"children join not salted:\n{plan}"
+    cg = [ln for ln in plan.splitlines() if "FlatMapCoGroupsInPandas" in ln]
+    assert cg, f"two-level scoring is no longer a cogroup:\n{plan}"
+    salted = [
+        ln
+        for ln in cg
+        if ln.count("_sup") >= 2 and ln.count("_salt") >= 2
+    ]
+    assert salted, f"cogroup key not salted on both sides:\n{plan}"
 
 
 def test_coloc_sweep_mirror_matches_shipped_routing(spark):
