@@ -357,6 +357,57 @@ def encode_png_palette(asset_id: int) -> bytes:
     )
 
 
+def encode_png16(asset_id: int) -> bytes:
+    """Real 16-BIT PNG of a deterministic image — the scientific/medical
+    asset shape (CT/microscopy exports).  Color type alternates by id
+    (even → grayscale 0, odd → RGB 2); samples are big-endian 16-bit per
+    the spec, filtering runs on the RAW BYTES with bpp = 2·channels (so
+    the Sub/Average/Paeth distance spans a whole pixel), rows rotate all
+    five filter types, and assets with ``asset_id % 5 == 2`` are
+    additionally ADAM7-interlaced (each pass independently filtered at
+    the 16-bit byte geometry).  Pixel model: sample j (row-major, channel
+    minor) is ``(1237·id + 4099·j) mod 65536``."""
+    import numpy as np
+    import zlib
+
+    w, h = _image_dims(asset_id)
+    ctype = 0 if asset_id % 2 == 0 else 2
+    ch = 1 if ctype == 0 else 3
+    j = np.arange(w * h * ch, dtype=np.int64)
+    samples = ((1237 * asset_id + 4099 * j) % 65536).reshape(h, w * ch)
+
+    def to_bytes(sub):
+        """(rows, cols) 16-bit samples → (rows, cols*2) big-endian bytes."""
+        rows = sub.shape[0]
+        be = np.stack([sub >> 8, sub & 0xFF], axis=2)
+        return be.reshape(rows, -1)
+
+    grid = samples.reshape(h, w, ch)
+    interlaced = asset_id % 5 == 2
+    if not interlaced:
+        raw = _png_filter_scanlines(to_bytes(samples), 2 * ch, asset_id)
+    else:
+        chunks, seed = [], asset_id
+        for sr, sc, ri, ci in _ADAM7:
+            sub = grid[sr::ri, sc::ci]
+            if sub.size == 0:
+                continue
+            chunks.append(
+                _png_filter_scanlines(
+                    to_bytes(sub.reshape(sub.shape[0], -1)), 2 * ch, seed
+                )
+            )
+            seed += sub.shape[0]
+        raw = b"".join(chunks)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, int(interlaced))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _total_on_corrupt(fn):
     """Corrupt-input totality boundary for the byte-level codecs: every
     decoder failure on untrusted bytes surfaces as the unified
@@ -399,12 +450,15 @@ def decode_png_bytes(payload: bytes) -> dict:
     RFC 2083 §6) for 8-bit RGB (color type 2), PALETTE images (color
     type 3, bit depths 1/2/4/8, MSB-first sub-byte unpacking + PLTE
     lookup), GRAYSCALE images (color type 0, bit depths 1/2/4/8,
-    sub-byte samples presented at 8-bit via bit replication), and ADAM7
-    INTERLACED streams of any of those (seven independently-filtered
-    sub-images scattered back onto the grid).  Alpha (tRNS) and 16-bit
-    variants raise ``NotImplementedError`` — with baseline AND
+    sub-byte samples presented at 8-bit via bit replication), 16-BIT
+    grayscale and RGB (color types 0/2 at depth 16 — the
+    scientific/medical shape; big-endian sample pairs, filtering at
+    bpp = 2·channels, vals carry the FULL 0..65535 sample values, never
+    narrowed), and ADAM7 INTERLACED streams of any of those (seven
+    independently-filtered sub-images scattered back onto the grid).
+    Alpha (tRNS) raises ``NotImplementedError`` — with baseline AND
     progressive JPEG real too (operators/jpeg.py), the remaining
-    compressed seams are those plus the lossy audio/video codec
+    compressed seams are that plus the lossy audio/video codec
     classes."""
     import numpy as np
     import zlib
@@ -442,13 +496,16 @@ def decode_png_bytes(payload: bytes) -> dict:
         raise NotImplementedError(
             f"PNG compression={comp} filter={filt} interlace={interlace}"
         )
-    if ctype == 2 and depth == 8:
-        bpp = 3
-    elif ctype == 0 and depth in (1, 2, 4, 8):
-        # grayscale: one sample per pixel, sub-byte depths bit-packed
-        # like palette indices; presented at 8-bit via the standard
-        # bit-replication scale (255/(2^d−1) is an integer for d=1/2/4)
-        bpp = 1
+    if ctype == 2 and depth in (8, 16):
+        # RGB: filter distance spans a whole pixel — 3 bytes at depth 8,
+        # 6 at depth 16 (big-endian sample pairs)
+        bpp = 3 * (depth // 8)
+    elif ctype == 0 and depth in (1, 2, 4, 8, 16):
+        # grayscale: one sample per pixel; sub-byte depths bit-packed
+        # like palette indices and presented at 8-bit via the standard
+        # bit-replication scale (255/(2^d−1) is an integer for d=1/2/4);
+        # depth 16 filters at bpp=2 and presents full 16-bit values
+        bpp = 2 if depth == 16 else 1
     elif ctype == 3 and depth in (1, 2, 4, 8):
         # palette (indexed) image: scanlines carry bit-packed palette
         # indices (MSB-first within each byte, rows padded to whole
@@ -511,6 +568,10 @@ def decode_png_bytes(payload: bytes) -> dict:
 
     def resolve(recon, pw: int):
         """Reconstructed scanline bytes → (n_rows, pw, ch) pixels."""
+        if depth == 16:
+            ch = 3 if ctype == 2 else 1
+            s = recon.reshape(recon.shape[0], pw, ch, 2)
+            return s[..., 0] * 256 + s[..., 1]  # big-endian sample pairs
         if ctype == 2:
             return recon.reshape(recon.shape[0], pw, 3)
         if depth == 8:
@@ -530,7 +591,9 @@ def decode_png_bytes(payload: bytes) -> dict:
         return pal[idx]
 
     def pass_stride(pw: int) -> int:
-        return pw * 3 if ctype == 2 else (pw * depth + 7) // 8
+        if ctype == 2:
+            return pw * 3 * (depth // 8)
+        return pw * 2 if depth == 16 else (pw * depth + 7) // 8
 
     if interlace == 0:
         recon, used = unfilter(0, h, pass_stride(w))
@@ -565,6 +628,40 @@ def encode_wav(asset_id: int) -> bytes:
     samples = (((31 * asset_id + 17 * i) % 65536) - 32768).astype("<i2")
     data = samples.tobytes()
     fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def encode_wav_float(asset_id: int) -> bytes:
+    """Mono IEEE-float WAV (fmt tag 3) carrying the SAME deterministic
+    sample series as :func:`encode_wav`, scaled by 1/2¹⁵ — float32 for
+    even ids, float64 for odd, so both widths roundtrip bit-exactly to
+    the integer series (s/2¹⁵ is exactly representable: a 16-bit
+    significand fits both formats)."""
+    import numpy as np
+
+    n = 64 + asset_id % 101
+    rate = 8000 + (asset_id % 5) * 1000
+    i = np.arange(n, dtype=np.int64)
+    samples = ((31 * asset_id + 17 * i) % 65536) - 32768
+    x = samples.astype(np.float64) / WAV_FLOAT_SCALE
+    bits = 32 if asset_id % 2 == 0 else 64
+    data = x.astype("<f4" if bits == 32 else "<f8").tobytes()
+    fmt = struct.pack(
+        "<4sIHHIIHH",
+        b"fmt ",
+        16,
+        3,
+        1,
+        rate,
+        rate * (bits // 8),
+        bits // 8,
+        bits,
+    )
     return (
         struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
         + fmt
@@ -646,20 +743,33 @@ def decode_image_bytes(payload: bytes) -> dict:
     raise NotImplementedError("unknown image format")
 
 
+#: Fixed-point scale for IEEE-float WAV samples: normalized float audio
+#: maps onto the 16-bit PCM grid (the libsndfile/librosa convention
+#: ``int16 = float · 2¹⁵``), so a float file written from int16 material
+#: roundtrips to the exact integers.  Samples outside [-1, 1) — legal in
+#: float WAV, where headroom is the format's point — are NOT clipped;
+#: they decode to values past the int16 range.
+WAV_FLOAT_SCALE = 32768
+
+
 @_total_on_corrupt
 def decode_wav_bytes(payload: bytes) -> dict:
-    """RIFF chunk walk → ``{sample_rate, vals}`` (int64 PCM samples,
+    """RIFF chunk walk → ``{sample_rate, vals}`` (int64 samples,
     channel-interleaved for multi-channel files — the raw stream order).
     Handles chunk word-alignment and fmt/data in any order; every
     integer-PCM width decodes (8-bit unsigned per the WAV convention,
     16/24/32-bit signed little-endian — 24-bit is the production audio
-    staple).  Non-PCM formats (IEEE float, ADPCM, …) raise
+    staple), plus IEEE-float (fmt tag 3, float32/float64 — the
+    librosa/DAW default export), scaled onto the 16-bit grid by
+    :data:`WAV_FLOAT_SCALE` and rounded half-even, never clipped.  A
+    non-finite float sample (NaN/Inf) is corrupt input → ``ValueError``.
+    Remaining non-PCM formats (ADPCM, µ-law, EXTENSIBLE, …) raise
     ``NotImplementedError``."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError("not a RIFF/WAVE payload")
-    pos, rate, bits, data = 12, None, None, None
+    pos, audio_fmt, rate, bits, data = 12, None, None, None, None
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
         pos += 8
@@ -667,11 +777,23 @@ def decode_wav_bytes(payload: bytes) -> dict:
             audio_fmt, _, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", payload, pos
             )
-            if audio_fmt != 1:
+            if audio_fmt not in (1, 3):
                 raise NotImplementedError(f"non-PCM WAV (format {audio_fmt})")
         elif cid == b"data":
             data = payload[pos : pos + size]
         pos += size + (size & 1)  # RIFF chunks are word-aligned
+    if audio_fmt == 3:  # IEEE float
+        if data is None or bits not in (32, 64):
+            raise NotImplementedError(
+                f"float WAV bits={bits} or missing data chunk"
+            )
+        x = np.frombuffer(data, "<f4" if bits == 32 else "<f8")
+        if not np.isfinite(x).all():
+            raise ValueError("float WAV with non-finite samples")
+        vals = np.rint(x.astype(np.float64) * WAV_FLOAT_SCALE).astype(
+            np.int64
+        )
+        return {"sample_rate": rate, "vals": vals}
     if data is None or bits not in (8, 16, 24, 32):
         raise NotImplementedError(f"WAV bits={bits} or missing data chunk")
     if bits == 8:  # 8-bit WAV PCM is UNSIGNED by convention

@@ -337,8 +337,21 @@ def test_png_unsupported_variants_raise():
     import struct as _struct
     import pytest as _pytest
 
-    # 16-bit depth IHDR → NotImplementedError, not silent garbage
-    ihdr = _struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    # alpha color types (4 = gray+alpha, 6 = RGBA) → NotImplementedError,
+    # not silent garbage (16-bit depth decodes for color types 0/2 as of
+    # r11 — see test_png_16bit_roundtrip_all_shapes)
+    for ctype in (4, 6):
+        ihdr = _struct.pack(">IIBBBBB", 4, 4, 8, ctype, 0, 0, 0)
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + multimodal._png_chunk(b"IHDR", ihdr)
+            + multimodal._png_chunk(b"IEND", b"")
+        )
+        with _pytest.raises(NotImplementedError, match="color_type"):
+            multimodal.decode_png_bytes(payload)
+    # 16-bit PALETTE is not a legal PNG shape (PLTE indices are ≤ 8-bit);
+    # the guard must refuse it rather than misread the packed bytes
+    ihdr = _struct.pack(">IIBBBBB", 4, 4, 16, 3, 0, 0, 0)
     payload = (
         b"\x89PNG\r\n\x1a\n"
         + multimodal._png_chunk(b"IHDR", ihdr)
@@ -346,6 +359,27 @@ def test_png_unsupported_variants_raise():
     )
     with _pytest.raises(NotImplementedError, match="depth=16"):
         multimodal.decode_png_bytes(payload)
+
+
+def test_png_16bit_roundtrip_all_shapes():
+    """16-bit PNG (bit depth 16, color types 0 and 2 — the
+    scientific/medical asset shape): big-endian sample pairs, filtering
+    at bpp = 2·channels so Sub/Average/Paeth span whole pixels, vals
+    carry the FULL 0..65535 sample range (never narrowed to 8-bit), and
+    the Adam7 interaction (ids % 5 == 2) re-packs per pass sub-image.
+    The id range covers gray/RGB × interlaced/plain × all five filter
+    rotations."""
+    import numpy as np
+
+    for aid in range(14):
+        d = multimodal.decode_png_bytes(multimodal.encode_png16(aid))
+        w, h = multimodal._image_dims(aid)
+        ch = 1 if aid % 2 == 0 else 3
+        j = np.arange(w * h * ch, dtype=np.int64)
+        exp = (1237 * aid + 4099 * j) % 65536
+        assert (d["width"], d["height"]) == (w, h)
+        np.testing.assert_array_equal(d["vals"], exp, err_msg=f"id {aid}")
+        assert d["vals"].max() > 255  # genuinely 16-bit, not narrowed
 
 
 def test_png_truncated_chunk_raises_value_error():
@@ -1814,9 +1848,10 @@ def test_wav_pcm_bit_widths_and_stereo():
         wav(16, 2, _struct.pack("<6h", 1, -1, 2, -2, 3, -3))
     )
     np.testing.assert_array_equal(d["vals"], [1, -1, 2, -2, 3, -3])
-    # IEEE float stays the honest seam
+    # IEEE float (fmt 3) is implemented as of r11 — the honest seam moved
+    # to the remaining non-PCM tags (ADPCM here; µ-law, EXTENSIBLE, …)
     bad = wav(32, 1, _struct.pack("<4i", *samples32))
-    bad = bad.replace(_struct.pack("<H", 1), _struct.pack("<H", 3), 1)
+    bad = bad.replace(_struct.pack("<H", 1), _struct.pack("<H", 2), 1)
     with pytest.raises(NotImplementedError, match="non-PCM"):
         multimodal.decode_wav_bytes(bad)
 
@@ -1843,6 +1878,57 @@ def test_jpeg_component_count_guard_and_generic_progressive_script():
         assert payload.count(b"\xff\xda") == 3 + 2 * (ncomp + 1)
         with pytest.raises(NotImplementedError, match="components"):
             jpeg.decode_jpeg_bytes(payload)
+
+
+def test_wav_ieee_float_roundtrip_and_semantics():
+    """IEEE-float WAV (fmt tag 3 — the librosa/DAW default export):
+    float32 AND float64 files written from 16-bit material decode to the
+    exact integer series (s/2^15 is exactly representable in both
+    widths); stereo interleave is preserved; out-of-range peaks — the
+    format's point — are NOT clipped; non-finite samples dead-letter as
+    corrupt input; unknown float widths stay an honest format boundary."""
+    import struct as _struct
+
+    import numpy as np
+
+    for aid in (2, 5, 100, 101):  # both float widths, several lengths
+        d = multimodal.decode_wav_bytes(multimodal.encode_wav_float(aid))
+        ref = multimodal.decode_wav_bytes(multimodal.encode_wav(aid))
+        assert d["sample_rate"] == ref["sample_rate"]
+        assert np.array_equal(d["vals"], ref["vals"])
+
+    def wav_f(bits, channels, data, fmt_tag=3):
+        fmt = _struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, fmt_tag, channels, 8000,
+            8000 * channels * (bits // 8), channels * (bits // 8), bits,
+        )
+        data = _struct.pack("<4sI", b"data", len(data)) + data
+        return (
+            _struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+            + fmt + data
+        )
+
+    # stereo float32: raw interleaved stream order, like the PCM widths
+    x = np.array([0.5, -0.5, 0.25, -0.25], dtype="<f4")
+    d = multimodal.decode_wav_bytes(wav_f(32, 2, x.tobytes()))
+    assert list(d["vals"]) == [16384, -16384, 8192, -8192]
+    # headroom peak at 1.5 decodes past int16 range, unclipped
+    d = multimodal.decode_wav_bytes(
+        wav_f(64, 1, np.array([1.5], dtype="<f8").tobytes())
+    )
+    assert list(d["vals"]) == [49152]
+    # NaN/Inf samples are corrupt input, not a format boundary
+    with pytest.raises(ValueError, match="non-finite"):
+        multimodal.decode_wav_bytes(
+            wav_f(32, 1, np.array([0.1, np.nan], dtype="<f4").tobytes())
+        )
+    with pytest.raises(ValueError, match="non-finite"):
+        multimodal.decode_wav_bytes(
+            wav_f(64, 1, np.array([np.inf], dtype="<f8").tobytes())
+        )
+    # fmt 3 with a non-float width: honest NotImplementedError
+    with pytest.raises(NotImplementedError, match="float WAV bits=16"):
+        multimodal.decode_wav_bytes(wav_f(16, 1, b"\x00\x00"))
 
 
 def test_wav_24bit_misaligned_data_chunk_dead_letters():

@@ -233,7 +233,7 @@ def test_jpeg_decoder_total_on_corrupt_inputs(asset_id, variant, mode, seed):
 @settings(max_examples=150, deadline=None)
 @given(
     st.integers(0, 499),
-    st.sampled_from(["png", "pngpal", "wav", "y4m", "ppm", "bmp"]),
+    st.sampled_from(["png", "pngpal", "png16", "wav", "wavf", "y4m", "ppm", "bmp"]),
     st.sampled_from(["truncate", "flip", "insert"]),
     st.integers(0, 2**32 - 1),
 )
@@ -250,7 +250,9 @@ def test_codec_decoders_total_on_corrupt_inputs(asset_id, codec, mode, seed):
     enc = {
         "png": mm.encode_png,
         "pngpal": mm.encode_png_palette,
+        "png16": mm.encode_png16,
         "wav": mm.encode_wav,
+        "wavf": mm.encode_wav_float,
         "y4m": mm.encode_y4m,
         "ppm": mm.encode_ppm,
         "bmp": mm.encode_bmp,
@@ -258,7 +260,9 @@ def test_codec_decoders_total_on_corrupt_inputs(asset_id, codec, mode, seed):
     dec = {
         "png": mm.decode_png_bytes,
         "pngpal": mm.decode_image_bytes,
+        "png16": mm.decode_png_bytes,
         "wav": mm.decode_wav_bytes,
+        "wavf": mm.decode_wav_bytes,
         "y4m": mm.decode_y4m_bytes,
         "ppm": mm.decode_image_bytes,
         "bmp": mm.decode_image_bytes,
@@ -269,7 +273,7 @@ def test_codec_decoders_total_on_corrupt_inputs(asset_id, codec, mode, seed):
         d = dec(payload)
     except (ValueError, NotImplementedError):
         return
-    if codec == "wav":
+    if codec in ("wav", "wavf"):
         assert d["sample_rate"] is not None and len(d["vals"]) >= 0
     elif codec == "y4m":
         assert d["width"] > 0 and d["height"] > 0
