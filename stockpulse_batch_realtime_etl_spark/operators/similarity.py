@@ -1378,9 +1378,19 @@ def semdedup_recall_report(
     vecs = fan_out(embeddings).select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
-    cells = _assign_cells(
-        vecs, cent, ncells=ncells, two_level=two_level, nprobe=nprobe
-    ).select("vec_id", "cell")
+    # localCheckpoint (lazy) because TWO plan references follow (the
+    # cell_a and cell_b join sides): without the cut the assignment —
+    # the corpus × ncells scoring pass, the report's dominant cost at
+    # production cell counts — is computed once per reference unless
+    # exchange reuse happens to fire.  Same device and caveat as
+    # semantic_dedup's assignment table.
+    cells = (
+        _assign_cells(
+            vecs, cent, ncells=ncells, two_level=two_level, nprobe=nprobe
+        )
+        .select("vec_id", "cell")
+        .localCheckpoint(eager=False)
+    )
     if truth_cap is not None and n > truth_cap:
         # deterministic truth sample: the cap smallest md5(vec_id).  The
         # global row_number is a single-partition sort of (vec_id, hash)
