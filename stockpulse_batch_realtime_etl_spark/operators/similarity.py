@@ -543,21 +543,37 @@ def _assign_cells(
         F.col("c_emb"),
         _norm(F.col("c_emb")).alias("c_norm"),
     )
+    # The argmax aggregates ONLY (vec_id → cell) — a fixed-width
+    # min(struct) buffer that stays on whole-stage-codegen HashAggregate
+    # — and the embedding/nrm columns are joined back per vector
+    # afterwards.  Carrying them THROUGH the aggregate (the r10 design:
+    # first(embedding) beside the min_by) put an array-typed buffer in
+    # the plan, which HashAggregate cannot hold → the whole argmax fell
+    # to SortAggregate, i.e. a full sort of the corpus × ncells scored
+    # stream WITH ~0.5 KB payloads per row.  At gate geometry (ncells=8)
+    # that sort is invisible; at the r11 forced-routing rung (120k × 40k)
+    # it spilled >74 GB of /tmp and killed the job — and at 10⁹ × 4M it
+    # is ~2 EB of sort, not a plan at all.  The join-back costs one
+    # corpus-sized vec_id equi-join instead.
     scored = vecs.join(F.broadcast(c)).select(
         "vec_id",
-        "embedding",
-        "nrm",
-        "_cell",
-        _cos_precomputed(
-            F.col("embedding"), F.col("c_emb"), F.col("nrm"), F.col("c_norm")
-        ).alias("cos"),
+        F.struct(
+            (
+                -_cos_precomputed(
+                    F.col("embedding"),
+                    F.col("c_emb"),
+                    F.col("nrm"),
+                    F.col("c_norm"),
+                )
+            ).alias("neg"),
+            F.col("_cell").alias("_cell"),
+        ).alias("_scored"),
     )
-    return scored.groupBy("vec_id").agg(
-        F.first("embedding").alias("embedding"),
-        F.first("nrm").alias("nrm"),
-        F.min_by(
-            "_cell", F.struct((-F.col("cos")).alias("neg"), F.col("_cell"))
-        ).alias("cell"),
+    best = scored.groupBy("vec_id").agg(
+        F.min("_scored").getField("_cell").alias("cell")
+    )
+    return vecs.join(best, "vec_id").select(
+        "vec_id", "embedding", "nrm", "cell"
     )
 
 
@@ -783,8 +799,6 @@ def _assign_cells_two_level(
             return pd.DataFrame(
                 {
                     "vec_id": pd.Series([], dtype="int64"),
-                    "embedding": pd.Series([], dtype="object"),
-                    "nrm": pd.Series([], dtype="float64"),
                     "neg": pd.Series([], dtype="float64"),
                     "_cell": pd.Series([], dtype="int64"),
                 }
@@ -805,8 +819,6 @@ def _assign_cells_two_level(
         return pd.DataFrame(
             {
                 "vec_id": left["vec_id"].to_numpy(),
-                "embedding": left["embedding"],
-                "nrm": vn,
                 "neg": neg[np.arange(len(j)), j],
                 "_cell": cells[j],
             }
@@ -816,17 +828,20 @@ def _assign_cells_two_level(
         routed_salted.groupBy("_sup", "_salt")
         .cogroup(children_salted.groupBy("_sup", "_salt"))
         .applyInPandas(
-            _score_group,
-            schema=(
-                "vec_id long, embedding array<double>, nrm double, "
-                "neg double, _cell long"
-            ),
+            _score_group, schema="vec_id long, neg double, _cell long"
         )
     )
-    return per_probe.groupBy("vec_id").agg(
-        F.first("embedding").alias("embedding"),
-        F.first("nrm").alias("nrm"),
-        F.min(F.struct("neg", "_cell")).getField("_cell").alias("cell"),
+    # Same aggregate-then-join-back shape as the flat path (and for the
+    # same reason: an array-typed first(embedding) buffer would drop the
+    # cross-probe argmin to SortAggregate over corpus·nprobe wide rows);
+    # the cogroup output is 24 B/row, the final agg is fixed-width
+    # HashAggregate, and the per-vector embedding travels exactly once
+    # through the join-back.
+    best = per_probe.groupBy("vec_id").agg(
+        F.min(F.struct("neg", "_cell")).getField("_cell").alias("cell")
+    )
+    return vecs.join(best, "vec_id").select(
+        "vec_id", "embedding", "nrm", "cell"
     )
 
 
