@@ -312,22 +312,30 @@ def _score_against_seeds(vecs: DataFrame, cent: DataFrame) -> DataFrame:
     """Broadcast-score ``vecs`` against the centroid table and fold to the
     argmax cell per vector — the one assignment kernel, shared by the
     corpus side and the k-row query side so the tie-break contract cannot
-    drift."""
+    drift.  Aggregate-then-join-back shape (not first(embedding) beside
+    the min: an array-typed aggregation buffer drops the whole argmax to
+    SortAggregate, a full sort of the corpus × ncells scored stream —
+    the r11 rung measured that sort spilling >74 GB at 120k × 40k; see
+    ``_assign_cells``)."""
     scored = vecs.join(F.broadcast(cent)).select(
         "vec_id",
-        "embedding",
-        "nrm",
-        "cent_id",
-        _cos_precomputed(
-            F.col("embedding"), F.col("c_emb"), F.col("nrm"), F.col("c_norm")
-        ).alias("cos"),
+        F.struct(
+            (
+                -_cos_precomputed(
+                    F.col("embedding"),
+                    F.col("c_emb"),
+                    F.col("nrm"),
+                    F.col("c_norm"),
+                )
+            ).alias("neg"),
+            F.col("cent_id").alias("cent_id"),
+        ).alias("_scored"),
     )
-    return scored.groupBy("vec_id").agg(
-        F.first("embedding").alias("embedding"),
-        F.first("nrm").alias("nrm"),
-        F.min_by(
-            "cent_id", F.struct((-F.col("cos")).alias("neg"), F.col("cent_id"))
-        ).alias("cell"),
+    best = scored.groupBy("vec_id").agg(
+        F.min("_scored").getField("cent_id").alias("cell")
+    )
+    return vecs.join(best, "vec_id").select(
+        "vec_id", "embedding", "nrm", "cell"
     )
 
 
@@ -668,29 +676,31 @@ def _assign_cells_two_level(
         "c_emb",
         _norm(F.col("c_emb")).alias("c_norm"),
     )
-    children = (
+    # aggregate-then-join-back, same reason as _assign_cells: carrying
+    # first(c_emb) through this argmax would SortAggregate the
+    # ncells × nsuper ≈ ncells^1.5 scored stream (8×10⁹ wide rows at the
+    # engagement point); the min(struct) buffer stays on HashAggregate
+    # and each centroid's embedding travels once through the join-back
+    best_sup = (
         c.join(F.broadcast(sup))
         .select(
             "_cell",
-            "c_emb",
-            "c_norm",
-            "_sup",
-            _cos_precomputed(
-                F.col("c_emb"),
-                F.col("s_emb"),
-                F.col("c_norm"),
-                F.col("s_norm"),
-            ).alias("cos"),
+            F.struct(
+                (
+                    -_cos_precomputed(
+                        F.col("c_emb"),
+                        F.col("s_emb"),
+                        F.col("c_norm"),
+                        F.col("s_norm"),
+                    )
+                ).alias("neg"),
+                F.col("_sup").alias("_sup"),
+            ).alias("_scored"),
         )
         .groupBy("_cell")
-        .agg(
-            F.first("c_emb").alias("c_emb"),
-            F.first("c_norm").alias("c_norm"),
-            F.min_by(
-                "_sup", F.struct((-F.col("cos")).alias("neg"), F.col("_sup"))
-            ).alias("_sup"),
-        )
+        .agg(F.min("_scored").getField("_sup").alias("_sup"))
     )
+    children = c.join(best_sup, "_cell")
     nprobe = two_level_nprobe(nsuper) if nprobe is None else nprobe
     # Row-LOCAL top-nprobe routing: the super table collapses to a single
     # array-of-structs row (nsuper ≈ √ncells entries — broadcastable by
