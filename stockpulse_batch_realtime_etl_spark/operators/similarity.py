@@ -615,8 +615,8 @@ def two_level_nprobe(nsuper: int) -> int:
     wanting the old constant-cost behavior pass ``nprobe`` explicitly."""
     return max(TWO_LEVEL_NPROBE, math.ceil(nsuper ** (2.0 / 3.0)))
 
-#: Salt factor for the children equi-join in the two-level quantizer:
-#: bounds per-reduce-key volume at corpus·nprobe/(nsuper·salt) rows by
+#: Salt factor for the children COGROUP in the two-level quantizer:
+#: bounds per-group volume at corpus·nprobe/(nsuper·salt) rows by
 #: replicating each super's ~1 MB children block across salt buckets
 #: (the classic skew-salt: explicit, not AQE-dependent).
 TWO_LEVEL_JOIN_SALT = 16
@@ -641,11 +641,13 @@ def _assign_cells_two_level(
        FAISS convention, because a single probe is noise-driven when
        cluster centers are mutually near-orthogonal (see
        :data:`TWO_LEVEL_NPROBE`),
-    4. argmax among the UNION of the probed super-cells' children via an
-       EQUI-JOIN on (super-cell id, salt) — per-vector work is
-       ~(1+nprobe)·√ncells scores instead of ncells, and the salt
-       (:data:`TWO_LEVEL_JOIN_SALT`) bounds per-reduce-key volume
-       explicitly instead of leaning on AQE skew-split.
+    4. argmax among the UNION of the probed super-cells' children via a
+       salted COGROUP on (super-cell id, salt) whose inner loop is one
+       m×k Arrow-batch BLAS product per group — per-vector work is
+       ~(1+nprobe)·√ncells scores instead of ncells, the salt
+       (:data:`TWO_LEVEL_JOIN_SALT`) bounds per-group volume explicitly
+       instead of leaning on AQE skew-split, and only the per-probe
+       best rows (~24 B each) leave the stage.
 
     Same rounding (6dp cosine) and tie rule (lowest id) as the flat path
     at every level.  Like any hierarchical quantizer this is EXACT
