@@ -1722,76 +1722,15 @@ from stockpulse_batch_realtime_etl_spark import queries_ext  # noqa: E402,F401
 #: length asserted at import time (the r4 boundary slip put 60 names ahead
 #: of a "50-entry" comment and silently dropped 10 intended rotations).
 #:
-#: ROUND-11 ROTATION (the r10 verdict's #1 directive, taken verbatim):
-#: the 50 r8-gated names — after r10 they are exactly 2 rounds stale,
-#: the rotation maximum, so they take the whole r11 window in their
+#: ROUND-12 ROTATION (the r11 verdict's #1 directive, taken verbatim):
+#: the 50 r9-gated names — after r11 they are exactly 2 rounds stale,
+#: the rotation maximum, so they take the whole r12 window in their
 #: queued _GATE_NEXT order.  With the registry at exactly 150 the
 #: 3-round rotation has zero slack: after this round the histogram is
-#: r11=50, r10=50, r9=50 and gate_audit's strict ≤2-rounds-stale
+#: r12=50, r11=50, r10=50 and gate_audit's strict ≤2-rounds-stale
 #: invariant holds.  Any new registration this round must be paired
 #: with a retirement.
 _GATE_HEAD: tuple[str, ...] = (
-    "multimodal_jpeg422_stats",
-    "streaming_interval_join",
-    "semantic_dedup",
-    "semdedup_recall_report",
-    "ann_ivfpq_topk",
-    "ann_pq_adc_topk",
-    "bm25_scores",
-    "curation_funnel",
-    "dataset_splits",
-    "dedup_survivors",
-    "dup_groups_star",
-    "ema_ticks",
-    "frame_samples",
-    "gapfill_bars",
-    "health_counts",
-    "hourly_bars_rollup",
-    "hourly_symbol_pivot",
-    "incremental_dedup",
-    "jaccard_top_pairs",
-    "latest_bars",
-    "minhash_signatures",
-    "mixture_sample",
-    "multimodal_features",
-    "multimodal_png_stats",
-    "ngram_novelty",
-    "notable_days",
-    "orders_profile",
-    "packing_stats",
-    "pii_redact",
-    "pii_scan",
-    "price_cardinality",
-    "price_histogram",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "quality_length_filter",
-    "quality_score",
-    "rolling_stats",
-    "session_bars",
-    "simulated_ticks",
-    "sliding_bars",
-    "source_token_stats",
-    "storage_roundtrip",
-    "stratified_sample",
-    "streaming_running_bars",
-    "streaming_sector_rollup",
-    "streaming_session_bars",
-    "time_range_stats",
-    "top_bars_per_day",
-    "version_info",
-    "vwap_bars",
-)
-
-#: Names queued BEHIND the window, in r12 rotation priority: the 50
-#: r9-gated names in registration order — after r11 they are exactly
-#: 2 rounds stale, the rotation maximum, so they take the whole r12
-#: window.  The 50 r10-gated names follow in registration order as the
-#: un-listed tail (1 round stale after r11, windowed again in r13).
-#: Every name not listed follows in registration order.  All registered
-#: queries are still verified every round by the local all-queries
-#: parity suite (tests/test_oracle_parity) and tools/check_parity.py.
-_GATE_NEXT: tuple[str, ...] = (
     "symbols",
     "latest_ticks",
     "latest_tick_per_symbol",
@@ -1842,6 +1781,67 @@ _GATE_NEXT: tuple[str, ...] = (
     "return_outliers",
     "video_frame_stats",
     "audio_decimated_stats",
+)
+
+#: Names queued BEHIND the window, in r13 rotation priority: the 50
+#: r10-gated names in registration order — after r12 they are exactly
+#: 2 rounds stale, the rotation maximum, so they take the whole r13
+#: window.  The 50 r11-gated names follow in registration order as the
+#: un-listed tail (1 round stale after r12, windowed again in r14).
+#: Every name not listed follows in registration order.  All registered
+#: queries are still verified every round by the local all-queries
+#: parity suite (tests/test_oracle_parity) and tools/check_parity.py.
+_GATE_NEXT: tuple[str, ...] = (
+    "ohlcv_bars",
+    "tick_summary",
+    "bar_summary",
+    "movers",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_customers_by_revenue",
+    "brand_revenue",
+    "order_priority_counts",
+    "q6_forecast_revenue",
+    "revenue_rollup",
+    "customers_without_orders",
+    "text_stats",
+    "token_counts",
+    "language_id",
+    "bpe_token_counts",
+    "bpe_learned_merges",
+    "bpe_compression_stats",
+    "lang_vocab",
+    "doc_fingerprints",
+    "exact_dedup",
+    "dup_groups",
+    "simhash_fingerprints",
+    "ann_brute_force_topk",
+    "ann_lsh_bucketed_topk",
+    "embedding_near_dup_pairs",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "streaming_ohlcv_bars",
+    "tfidf_top_terms",
+    "multimodal_decoded_stats",
+    "multimodal_jpeg420_stats",
+    "multimodal_png_palette_stats",
+    "ann_ivf_multiprobe_topk",
+    "mover_window_ticks",
+    "temperature_mixture_sample",
+    "packed_sequences",
+    "winnowed_fingerprints",
+    "ann_recall_report",
+    "streaming_metrics_summary",
+    "multimodal_resized_stats",
+    "boilerplate_segments",
+    "segment_dedup_stats",
+    "chunked_windows",
+    "source_kl_divergence",
+    "user_sessions",
+    "streaming_pair_join_outer",
+    "streaming_pair_join_right",
+    "streaming_pair_join_full",
 )
 assert len(_GATE_HEAD) == 50, (
     f"driver gate window is exactly 50 entries; _GATE_HEAD has "
