@@ -1601,7 +1601,16 @@ def _decode_jpeg_unchecked(payload: bytes) -> dict:
                     for g in geoms_
                 ]
             scanned_ids.update(body[1 + 2 * c] for c in range(body[0]))
-            if body[1 + 2 * body[0]] == 0:  # Ss == 0: a DC scan
+            # Only an INITIAL DC scan (Ss == 0 AND Ah == 0) establishes a
+            # component's DC plane; a DC *refinement* scan (Ss == 0,
+            # Ah != 0) only appends low-order bits, so a stream whose sole
+            # DC scan for a component is a refinement violates T.81
+            # G.1.1.1.1 just like AC-before-DC does — it would otherwise
+            # "refine" an all-zero base and pass the coverage check.
+            if (
+                body[1 + 2 * body[0]] == 0  # Ss == 0: a DC scan
+                and body[3 + 2 * body[0]] >> 4 == 0  # Ah == 0: initial
+            ):
                 dc_scanned_ids.update(
                     body[1 + 2 * c] for c in range(body[0])
                 )

@@ -640,7 +640,11 @@ def _assign_cells_two_level(
        (broadcast, corpus never shuffles for routing) — multi-probe, the
        FAISS convention, because a single probe is noise-driven when
        cluster centers are mutually near-orthogonal (see
-       :data:`TWO_LEVEL_NPROBE`),
+       :data:`TWO_LEVEL_NPROBE`); only supers that own ≥1 child are
+       ranked, so the step-4 join-back is TOTAL — every input vector
+       gets a cell for any nprobe ≥ 1 (a childless super is possible
+       when 6dp rounding ties near-duplicate centroids at step 2, and
+       probing it would otherwise silently drop the vector),
     4. argmax among the UNION of the probed super-cells' children via a
        salted COGROUP on (super-cell id, salt) whose inner loop is one
        m×k Arrow-batch BLAS product per group — per-vector work is
@@ -704,6 +708,20 @@ def _assign_cells_two_level(
     )
     children = c.join(best_sup, "_cell")
     nprobe = two_level_nprobe(nsuper) if nprobe is None else nprobe
+    # Vectors rank ONLY supers that own at least one child.  A super can
+    # end up childless when 6dp rounding ties a near-duplicate centroid
+    # pair at the children argmax (ties go to the lowest super id, so the
+    # higher-id twin keeps nothing — not even itself); a vector whose
+    # probed supers were ALL childless would then vanish through the
+    # inner join-back below, violating the quantizer's contract that
+    # every vector gets a cell (the flat path always assigns).  Filtering
+    # the probe list to live supers makes every probe productive and the
+    # join-back total for any nprobe ≥ 1.  Cost: one ≤nsuper-row distinct
+    # over the already-computed best_sup, joined to the nsuper-row sup
+    # table — noise at any scale.
+    sup_live = sup.join(
+        best_sup.select("_sup").distinct(), "_sup"
+    )
     # Row-LOCAL top-nprobe routing: the super table collapses to a single
     # array-of-structs row (nsuper ≈ √ncells entries — broadcastable by
     # construction, that is this function's premise), cross-joined
@@ -712,7 +730,7 @@ def _assign_cells_two_level(
     # collect_list-based ranking would buffer O(nsuper) structs per
     # vector through an aggregation exactly at the scale this path
     # exists for.  Order key is the module-wide (−cos, id) ascending.
-    sup_arr = sup.agg(
+    sup_arr = sup_live.agg(
         F.collect_list(F.struct("_sup", "s_emb", "s_norm")).alias("_sups")
     )
     routed = (
@@ -782,10 +800,20 @@ def _assign_cells_two_level(
     #    IVF above).  Measured at the rung geometry: 60.6 s → ~3 s for
     #    the same assignment, bit-identical output.
     #
-    #    Numerics match the SQL flat path: cosine in float64, rounded
+    #    Numerics mirror the SQL flat path: cosine in float64, rounded
     #    HALF_UP to 6dp (Spark's ROUND semantics — NOT numpy's
     #    half-even np.round), ties to the lowest cell id (children
     #    columns sorted by cell id; first argmin occurrence wins).
+    #    Two last-ulp caveats keep this "mirror", not "bit-exact for
+    #    every adversarial input": Spark ROUND goes through
+    #    BigDecimal.valueOf (shortest-decimal repr — a double that
+    #    PRINTS as an exact 6dp half rounds up even when its binary
+    #    value sits a hair below, while abs*1e6+0.5 sees the binary
+    #    value), and the BLAS dot accumulates in a different order
+    #    than the sequential _dot, so a cosine within one ulp of a
+    #    6dp boundary can flip.  The mirror-equivalence tests pin
+    #    typical corpora; unit-normed real embeddings don't land on
+    #    exact 6dp halves.
     #    Non-finite cosines (zero-norm vectors, NULL under the SQL
     #    try_divide) rank worst rather than replicating SQL's
     #    nulls-first struct order — embeddings are unit-normed upstream,

@@ -1454,6 +1454,22 @@ def test_jpeg_progressive_component_requires_dc_scan():
     )
     with pytest.raises(ValueError, match="no DC scan"):
         jpeg.decode_jpeg_bytes(ac_only)
+    # comp 2's ONLY DC scan is a REFINEMENT (Ah != 0): refinement bits
+    # over an all-zero base are not DC coverage — G.1.1.1.1 requires an
+    # INITIAL DC scan (Ah == 0), so this stream is rejected even though
+    # comp 2 appears in both a DC-shaped and an AC scan
+    dc_refine_only = jpeg.encode_progressive_jpeg(
+        comps,
+        16,
+        16,
+        scans=[
+            ((0, 1), 0, 0, 0, 1),
+            ((0, 1, 2), 0, 0, 1, 0),
+            ((2,), 1, 63, 0, 0),
+        ],
+    )
+    with pytest.raises(ValueError, match="no DC scan"):
+        jpeg.decode_jpeg_bytes(dc_refine_only)
     # DC-only progression (no AC scans at all) is complete: every AC
     # coefficient is legitimately zero, never a coverage error
     dc_only = jpeg.encode_progressive_jpeg(

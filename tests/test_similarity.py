@@ -565,6 +565,76 @@ def test_two_level_children_join_is_salted(embeddings):
     assert salted, f"cogroup key not salted on both sides:\n{plan}"
 
 
+def test_two_level_join_back_is_total_with_childless_super(spark):
+    """A super-centroid can end up CHILDLESS when 6dp rounding ties a
+    near-duplicate centroid pair at the children argmax (ties go to the
+    lowest super id, so the higher-id near-twin keeps nothing — not even
+    itself).  Before r12, a vector whose forced single probe picked that
+    super vanished through the inner join-back (the r11 advice finding);
+    the probe ranking now covers only supers owning ≥1 child, so
+    assignment is TOTAL for any nprobe ≥ 1 and the recovered vector
+    lands on its globally-nearest (flat) cell.
+
+    Geometry: super 1 sits eps=4e-4 off super 0, so cos(c1, s0) ≈
+    1 − eps²/2 = 0.99999992 rounds to 1.000000 — a rounded TIE with
+    cos(c1, s1) = 1, routing cell 1 (super 1's own cell) to super 0 and
+    leaving super 1 childless.  Probe vector v sits delta=0.01 off, far
+    enough that its rounded super cosines do NOT tie (0.999954 vs
+    0.999950), so its raw top-1 probe is exactly the childless super."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    eps, delta = 4e-4, 1e-2
+    c1 = np.array([1.0, eps, 0.0, 0.0])
+    c1 = (c1 / np.linalg.norm(c1)).astype(np.float32)
+    v = np.array([1.0, delta, 0.0, 0.0])
+    v = (v / np.linalg.norm(v)).astype(np.float32)
+
+    def r6(x):  # Spark ROUND: HALF_UP, 6dp
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    def cos(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return r6(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    s0 = [1.0, 0.0, 0.0, 0.0]
+    # the adversarial premise, asserted so drift in the rounding rule or
+    # float32 storage can't silently neuter this test:
+    assert cos(c1, s0) == 1.0  # rounded tie → cell 1 routes to super 0
+    assert cos(v, c1) > cos(v, s0)  # v's raw top probe = super 1
+
+    cent = spark.createDataFrame(
+        [
+            (0, s0),
+            (1, [float(x) for x in c1]),
+            (2, [0.0, 0.0, 1.0, 0.0]),
+            (3, [0.0, 0.0, 0.0, 1.0]),
+        ],
+        "cell long, c_emb array<float>",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (100, [float(x) for x in v]),
+            (101, [0.0, 0.0, 1.0, 0.0]),
+            (102, [1.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    ).select(
+        "vec_id", "embedding", similarity._norm(F.col("embedding")).alias("nrm")
+    )
+    two = {
+        r.vec_id: r.cell
+        for r in similarity._assign_cells_two_level(
+            vecs, cent, nsuper=2, nprobe=1
+        ).collect()
+    }
+    assert len(two) == 3, f"join-back dropped a vector: {two}"
+    flat = {
+        r.vec_id: r.cell for r in similarity._assign_cells(vecs, cent).collect()
+    }
+    assert two == flat == {100: 1, 101: 2, 102: 0}
+
+
 def test_coloc_sweep_mirror_matches_shipped_routing(spark):
     """The r10 nprobe rule was calibrated by tools/two_level_coloc_sweep.py,
     a numpy mirror of the shipped two-level routing.  This pins that the
