@@ -281,7 +281,7 @@ def encode_png_rgb_interlaced(rgb, filter_seed: int = 0) -> bytes:
     )
 
 
-def encode_png_palette(asset_id: int) -> bytes:
+def encode_png_palette(asset_id: int, trns: bytes | None = None) -> bytes:
     """Real PALETTE (color type 3) PNG of a deterministic indexed image.
     Bit depth cycles (1, 2, 4, 8) by asset — every sub-byte bit-packing
     path is exercised across the corpus, with rows padded to whole bytes
@@ -295,7 +295,9 @@ def encode_png_palette(asset_id: int) -> bytes:
     The decoded pixels are identical either way, so the DuckDB oracle is
     untouched.  Pixel model: pixel i has index ``(7·id + 13·i) mod
     2^depth`` and the palette maps index j to ``((5·id + 11·j) % 256,
-    (id + 7·j) % 256, (3·id + 13·j) % 256)``."""
+    (id + 7·j) % 256, (3·id + 13·j) % 256)``.  ``trns`` (optional) is
+    emitted verbatim as a tRNS chunk between PLTE and IDAT — the
+    per-index alpha table of :func:`encode_png_trns`'s palette kind."""
     import numpy as np
     import zlib
 
@@ -352,6 +354,7 @@ def encode_png_palette(asset_id: int) -> bytes:
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"PLTE", pal)
+        + (_png_chunk(b"tRNS", trns) if trns is not None else b"")
         + _png_chunk(b"IDAT", zlib.compress(raw))
         + _png_chunk(b"IEND", b"")
     )
@@ -408,6 +411,120 @@ def encode_png16(asset_id: int) -> bytes:
     )
 
 
+def _png_body(samples, w, h, ch, depth, ctype, asset_id, extra=b""):
+    """Shared ALPHA-family assembly: (h, w, ch) samples → complete PNG
+    bytes at the given depth/color type, rows filtered with the rotating
+    types at bpp = ch·depth/8 (so Sub/Average/Paeth span a whole pixel),
+    ADAM7-interlaced when ``asset_id % 5 == 2`` (each pass independently
+    filtered, the seed advancing by pass height — same convention as
+    every encoder here); ``extra`` chunks (tRNS) go between IHDR and
+    IDAT."""
+    import numpy as np
+    import zlib
+
+    bpp = ch * (depth // 8)
+
+    def to_bytes(sub):
+        flat = sub.reshape(sub.shape[0], -1)
+        if depth == 8:
+            return flat
+        be = np.stack([flat >> 8, flat & 0xFF], axis=2)
+        return be.reshape(sub.shape[0], -1)
+
+    interlaced = asset_id % 5 == 2
+    if not interlaced:
+        raw = _png_filter_scanlines(to_bytes(samples), bpp, asset_id)
+    else:
+        chunks, seed = [], asset_id
+        for sr, sc, ri, ci in _ADAM7:
+            sub = samples[sr::ri, sc::ci]
+            if sub.size == 0:
+                continue
+            chunks.append(_png_filter_scanlines(to_bytes(sub), bpp, seed))
+            seed += sub.shape[0]
+        raw = b"".join(chunks)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, int(interlaced))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + extra
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_alpha(asset_id: int) -> bytes:
+    """Real ALPHA PNG — the dominant web/screenshot shape.  Color type and
+    depth cycle by ``asset_id % 4``: (6 RGBA, 8-bit), (4 gray+alpha,
+    8-bit), (6, 16-bit), (4, 16-bit); assets with ``asset_id % 5 == 2``
+    are additionally ADAM7-interlaced, so across a corpus every
+    alpha-geometry filter/interlace path runs.  Sample model (row-major,
+    channel-minor, alpha LAST): sample j is ``(7·id + 13·j) mod 256`` at
+    depth 8 and ``(1237·id + 4099·j) mod 65536`` at depth 16 — the same
+    generators as the RGB and 16-bit rungs, so the DuckDB oracle replays
+    the whole corpus arithmetically."""
+    import numpy as np
+
+    w, h = _image_dims(asset_id)
+    ctype = 6 if asset_id % 2 == 0 else 4
+    ch = 4 if ctype == 6 else 2
+    depth = 8 if asset_id % 4 < 2 else 16
+    j = np.arange(w * h * ch, dtype=np.int64)
+    if depth == 8:
+        samples = (7 * asset_id + 13 * j) % 256
+    else:
+        samples = (1237 * asset_id + 4099 * j) % 65536
+    return _png_body(
+        samples.reshape(h, w, ch), w, h, ch, depth, ctype, asset_id
+    )
+
+
+def encode_png_trns(asset_id: int) -> bytes:
+    """Real tRNS-TRANSPARENCY PNG.  Kind cycles on ``(asset_id // 3) % 3``
+    (decoupled from the corpus round-robin's ``asset_id % 3`` so every
+    kind appears in an all-tRNS corpus):
+
+    - kind 0 — PALETTE alpha: the :func:`encode_png_palette` image (bit
+      depths 1/2/4/8, Adam7 on ``id % 5 == 2``) plus a tRNS table of
+      ``2^depth // 2 + 1`` entries ``a_j = (11·id + 29·j) mod 256`` —
+      shorter than the palette, so the spec's implicit-255 tail is
+      genuinely exercised.
+    - kind 1 — GRAY key (color type 0, depth 8): pixels
+      ``(7·id + 13·i) mod 256``, key = pixel 0's value → ≥1 transparent
+      pixel per asset by construction.
+    - kind 2 — RGB key (color type 2, depth 8): the
+      :func:`encode_png` pixel model, key = pixel 0's (r, g, b).
+
+    Decoded ``vals`` carry the expanded alpha as the trailing channel
+    (0 where the raw sample matches the key, else 255)."""
+    import numpy as np
+
+    kind = (asset_id // 3) % 3
+    w, h = _image_dims(asset_id)
+    if kind == 0:
+        depth = (1, 2, 4, 8)[asset_id % 4]
+        ntr = (1 << depth) // 2 + 1
+        j = np.arange(ntr, dtype=np.int64)
+        alpha = ((11 * asset_id + 29 * j) % 256).astype(np.uint8)
+        return encode_png_palette(asset_id, trns=alpha.tobytes())
+    if kind == 1:
+        i = np.arange(w * h, dtype=np.int64)
+        v = ((7 * asset_id + 13 * i) % 256).reshape(h, w, 1)
+        key = struct.pack(">H", (7 * asset_id) % 256)
+        return _png_body(
+            v, w, h, 1, 8, 0, asset_id, extra=_png_chunk(b"tRNS", key)
+        )
+    rgb = (
+        _synth_image_vals(asset_id, w, h).astype(np.int64).reshape(h, w, 3)
+    )
+    key = struct.pack(
+        ">HHH", *(int(rgb[0, 0, c]) for c in range(3))
+    )
+    return _png_body(
+        rgb, w, h, 3, 8, 2, asset_id, extra=_png_chunk(b"tRNS", key)
+    )
+
+
 def _total_on_corrupt(fn):
     """Corrupt-input totality boundary for the byte-level codecs: every
     decoder failure on untrusted bytes surfaces as the unified
@@ -454,18 +571,27 @@ def decode_png_bytes(payload: bytes) -> dict:
     grayscale and RGB (color types 0/2 at depth 16 — the
     scientific/medical shape; big-endian sample pairs, filtering at
     bpp = 2·channels, vals carry the FULL 0..65535 sample values, never
-    narrowed), and ADAM7 INTERLACED streams of any of those (seven
-    independently-filtered sub-images scattered back onto the grid).
-    Alpha (tRNS) raises ``NotImplementedError`` — with baseline AND
-    progressive JPEG real too (operators/jpeg.py), the remaining
-    compressed seams are that plus the lossy audio/video codec
-    classes."""
+    narrowed), ALPHA images (color types 6 RGBA and 4 gray+alpha at
+    depths 8/16 — the dominant web/screenshot PNG shape), tRNS
+    TRANSPARENCY (palette alpha table with the implicit-255 tail,
+    gray/RGB key color matched at the RAW sample depth), and ADAM7
+    INTERLACED streams of any of those (seven independently-filtered
+    sub-images scattered back onto the grid).
+
+    Alpha PRESENTATION (pinned contract): the alpha channel is KEPT as
+    the trailing per-pixel channel in ``vals`` — stored samples for
+    color types 4/6, the expanded 0-or-max per-pixel value for tRNS
+    (max = 65535 at depth 16, else 255) — never silently composited
+    onto a background; compositing is a presentation policy that
+    belongs to the consumer.  With baseline AND progressive JPEG real
+    too (operators/jpeg.py), the remaining compressed seams are the
+    lossy audio/video codec classes."""
     import numpy as np
     import zlib
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise NotImplementedError("not a PNG payload")
-    pos, ihdr, idat, plte = 8, None, b"", None
+    pos, ihdr, idat, plte, trns = 8, None, b"", None, None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4 : pos + 8]
@@ -482,8 +608,7 @@ def decode_png_bytes(payload: bytes) -> dict:
         elif tag == b"PLTE":
             plte = data
         elif tag == b"tRNS":
-            # palette alpha would silently drop if ignored — honest seam
-            raise NotImplementedError("PNG tRNS transparency")
+            trns = data
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -496,10 +621,11 @@ def decode_png_bytes(payload: bytes) -> dict:
         raise NotImplementedError(
             f"PNG compression={comp} filter={filt} interlace={interlace}"
         )
-    if ctype == 2 and depth in (8, 16):
-        # RGB: filter distance spans a whole pixel — 3 bytes at depth 8,
-        # 6 at depth 16 (big-endian sample pairs)
-        bpp = 3 * (depth // 8)
+    if ctype in (2, 4, 6) and depth in (8, 16):
+        # multi-byte-pixel types: filter distance spans a whole pixel —
+        # channels × 1 byte at depth 8, channels × 2 (big-endian sample
+        # pairs) at depth 16.  RGB=3 / gray+alpha=2 / RGBA=4 channels.
+        bpp = {2: 3, 4: 2, 6: 4}[ctype] * (depth // 8)
     elif ctype == 0 and depth in (1, 2, 4, 8, 16):
         # grayscale: one sample per pixel; sub-byte depths bit-packed
         # like palette indices and presented at 8-bit via the standard
@@ -524,6 +650,32 @@ def decode_png_bytes(payload: bytes) -> dict:
         if ctype == 3
         else None
     )
+    # tRNS validation (PNG spec 11.3.2): a palette alpha table (≤ one
+    # entry per PLTE entry — missing tail entries are implicitly opaque
+    # 255), a single 2-byte gray key, or a 6-byte RGB key; FORBIDDEN for
+    # the alpha color types 4/6 (they already carry a full channel).
+    # Key samples are stored as 16-bit fields at every depth and match
+    # against the RAW (pre-bit-replication) sample values.
+    tval, pal_alpha = None, None
+    if trns is not None:
+        if ctype in (4, 6):
+            raise ValueError("PNG tRNS forbidden for alpha color types")
+        if ctype == 0:
+            if len(trns) != 2:
+                raise ValueError("PNG gray tRNS must be 2 bytes")
+            tval = int.from_bytes(trns, "big")
+        elif ctype == 2:
+            if len(trns) != 6:
+                raise ValueError("PNG RGB tRNS must be 6 bytes")
+            tval = tuple(
+                int.from_bytes(trns[k : k + 2], "big") for k in (0, 2, 4)
+            )
+        else:  # ctype == 3
+            if len(trns) > pal.shape[0]:
+                raise ValueError("PNG tRNS longer than palette")
+            pal_alpha = np.full(pal.shape[0], 255, dtype=np.int64)
+            pal_alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
+    alpha_max = 65535 if depth == 16 else 255
     raw = zlib.decompress(idat)
 
     def unfilter(offset: int, n_rows: int, stride: int):
@@ -567,13 +719,24 @@ def decode_png_bytes(payload: bytes) -> dict:
         return recon, n_rows * (stride + 1)
 
     def resolve(recon, pw: int):
-        """Reconstructed scanline bytes → (n_rows, pw, ch) pixels."""
-        if depth == 16:
-            ch = 3 if ctype == 2 else 1
-            s = recon.reshape(recon.shape[0], pw, ch, 2)
-            return s[..., 0] * 256 + s[..., 1]  # big-endian sample pairs
-        if ctype == 2:
-            return recon.reshape(recon.shape[0], pw, 3)
+        """Reconstructed scanline bytes → (n_rows, pw, ch_out) pixels;
+        alpha (when present) is the trailing channel — stored samples
+        for color types 4/6, tRNS-expanded 0-or-max otherwise."""
+        if ctype in (2, 4, 6) or (ctype == 0 and depth == 16):
+            nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+            if depth == 16:
+                s = recon.reshape(recon.shape[0], pw, nch, 2)
+                px = s[..., 0] * 256 + s[..., 1]  # big-endian pairs
+            else:
+                px = recon.reshape(recon.shape[0], pw, nch)
+            if tval is None:
+                return px
+            if ctype == 2:
+                match = (px == np.array(tval, dtype=np.int64)).all(axis=2)
+            else:  # 16-bit gray key
+                match = px[..., 0] == tval
+            alpha = np.where(match, 0, alpha_max)
+            return np.concatenate([px, alpha[..., None]], axis=2)
         if depth == 8:
             idx = recon
         else:
@@ -585,14 +748,23 @@ def decode_png_bytes(payload: bytes) -> dict:
             )
         idx = idx[:, :pw]  # row padding bits are not pixels
         if ctype == 0:
-            return (idx * (255 // ((1 << depth) - 1)))[:, :, None]
+            v = (idx * (255 // ((1 << depth) - 1)))[:, :, None]
+            if tval is None:
+                return v
+            # gray key matches the RAW sample (the index scale at
+            # sub-byte depths), alpha presented at the 8-bit scale
+            alpha = np.where(idx == tval, 0, 255)
+            return np.concatenate([v, alpha[:, :, None]], axis=2)
         if idx.max(initial=0) >= pal.shape[0]:
             raise ValueError("PNG palette index out of range")
-        return pal[idx]
+        rgb = pal[idx]
+        if pal_alpha is None:
+            return rgb
+        return np.concatenate([rgb, pal_alpha[idx][..., None]], axis=2)
 
     def pass_stride(pw: int) -> int:
-        if ctype == 2:
-            return pw * 3 * (depth // 8)
+        if ctype in (2, 4, 6):
+            return pw * {2: 3, 4: 2, 6: 4}[ctype] * (depth // 8)
         return pw * 2 if depth == 16 else (pw * depth + 7) // 8
 
     if interlace == 0:
@@ -603,7 +775,10 @@ def decode_png_bytes(payload: bytes) -> dict:
     # Adam7: seven independently-filtered sub-images, scattered back onto
     # the pixel grid; empty passes (sub-image with zero rows or columns)
     # transmit nothing
-    out = np.zeros((h, w, 1 if ctype == 0 else 3), dtype=np.int64)
+    ch_out = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}[ctype] + (
+        1 if trns is not None else 0
+    )
+    out = np.zeros((h, w, ch_out), dtype=np.int64)
     offset = 0
     for sr, sc, ri, ci in _ADAM7:
         pw = (w - sc + ci - 1) // ci
@@ -865,6 +1040,8 @@ _ENCODERS = {
     "jpeg411": _encode_jpeg_411,
     "jpegprog": _encode_jpeg_progressive,
     "pngpal": encode_png_palette,
+    "pngalpha": encode_png_alpha,
+    "pngtrns": encode_png_trns,
 }
 
 DECODED_SCHEMA = (

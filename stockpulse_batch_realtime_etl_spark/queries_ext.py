@@ -1321,27 +1321,84 @@ def q_multimodal_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decoded_stats(assets)
 
 
-#: PNG rung: every document encoded as a REAL 8-bit RGB PNG (stdlib-zlib
-#: deflate, per-row filter type (asset_id + row) % 5 → all five PNG filters
-#: exercised across the corpus), then chunk-walked, CRC-checked, inflated
-#: and unfiltered back.  The oracle replays the SAME (7·id+13·i) mod 256
-#: pixel arithmetic — identical stats prove the decode inverted deflate +
-#: filtering exactly; the weighted checksum breaks on any ordering slip.
+#: PNG rung — EXTENDED in round 12 to the alpha family: the corpus
+#: round-robins doc_id % 3 over plain 8-bit RGB ("png"), stored-ALPHA
+#: images ("pngalpha": color types 6 RGBA / 4 gray+alpha × depths 8/16,
+#: Adam7 on id % 5 == 2), and tRNS TRANSPARENCY ("pngtrns": palette
+#: alpha table with the implicit-255 tail, gray key, RGB key).  Every
+#: payload is REAL PNG bytes (stdlib-zlib deflate, rotating per-row
+#: filter types), chunk-walked, CRC-checked, inflated and unfiltered
+#: back; decoded vals KEEP the alpha as the trailing channel (the
+#: pinned presentation contract — never composited).  The oracle
+#: replays the full per-(id, i) sample arithmetic of all three shapes —
+#: identical stats prove the decode inverted deflate + filtering +
+#: alpha expansion exactly; the weighted checksum breaks on any
+#: ordering or alpha-placement slip.
 @register(
     "multimodal_png_stats",
     oracle="""
 WITH base AS (
   SELECT doc_id AS asset_id,
          CAST(4 + doc_id % 13 AS INT) AS w,
-         CAST(4 + doc_id % 11 AS INT) AS h
+         CAST(4 + doc_id % 11 AS INT) AS h,
+         CAST(doc_id % 3 AS INT) AS f,
+         CAST((doc_id // 3) % 3 AS INT) AS kind,
+         CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 4
+                         WHEN 2 THEN 16 ELSE 256 END AS nidx
   FROM documents
 ),
+sized AS (
+  SELECT *,
+         CASE f
+           WHEN 0 THEN w * h * 3
+           WHEN 1 THEN w * h * (CASE WHEN asset_id % 2 = 0 THEN 4 ELSE 2 END)
+           ELSE w * h * (CASE WHEN kind = 1 THEN 2 ELSE 4 END)
+         END AS n_values
+  FROM base
+),
 v AS (
-  SELECT asset_id, w, h, w * h * 3 AS n_values, i,
-         (7 * asset_id + 13 * i) % 256 AS val
-  FROM (SELECT *, unnest(generate_series(0, w * h * 3 - 1)) AS i FROM base)
+  SELECT asset_id, f, w, h, n_values, i,
+    CASE
+      WHEN f = 0 THEN (7 * asset_id + 13 * i) % 256
+      WHEN f = 1 THEN CASE WHEN asset_id % 4 < 2
+                           THEN (7 * asset_id + 13 * i) % 256
+                           ELSE (1237 * asset_id + 4099 * i) % 65536 END
+      WHEN kind = 0 THEN
+        CASE i % 4
+          WHEN 0 THEN (5 * asset_id
+                       + 11 * ((7 * asset_id + 13 * (i // 4)) % nidx)) % 256
+          WHEN 1 THEN (asset_id
+                       + 7 * ((7 * asset_id + 13 * (i // 4)) % nidx)) % 256
+          WHEN 2 THEN (3 * asset_id
+                       + 13 * ((7 * asset_id + 13 * (i // 4)) % nidx)) % 256
+          ELSE CASE WHEN ((7 * asset_id + 13 * (i // 4)) % nidx)
+                         < nidx // 2 + 1
+                    THEN (11 * asset_id
+                          + 29 * ((7 * asset_id + 13 * (i // 4)) % nidx)) % 256
+                    ELSE 255 END
+        END
+      WHEN kind = 1 THEN
+        CASE WHEN i % 2 = 0 THEN (7 * asset_id + 13 * (i // 2)) % 256
+             WHEN (7 * asset_id + 13 * (i // 2)) % 256
+                  = (7 * asset_id) % 256 THEN 0
+             ELSE 255 END
+      ELSE
+        CASE WHEN i % 4 < 3
+             THEN (7 * asset_id + 13 * (3 * (i // 4) + i % 4)) % 256
+             WHEN (7 * asset_id + 13 * (3 * (i // 4))) % 256
+                  = (7 * asset_id) % 256
+              AND (7 * asset_id + 13 * (3 * (i // 4) + 1)) % 256
+                  = (7 * asset_id + 13) % 256
+              AND (7 * asset_id + 13 * (3 * (i // 4) + 2)) % 256
+                  = (7 * asset_id + 26) % 256
+             THEN 0 ELSE 255 END
+    END AS val
+  FROM (SELECT *, unnest(generate_series(0, n_values - 1)) AS i FROM sized)
 )
-SELECT asset_id, 'png' AS format, w AS width, h AS height,
+SELECT asset_id,
+       CASE f WHEN 0 THEN 'png' WHEN 1 THEN 'pngalpha'
+              ELSE 'pngtrns' END AS format,
+       w AS width, h AS height,
        CAST(NULL AS INT) AS sample_rate,
        CAST(max(n_values) AS BIGINT) AS n_values,
        CAST(sum(val) AS BIGINT) AS value_sum,
@@ -1349,13 +1406,15 @@ SELECT asset_id, 'png' AS format, w AS width, h AS height,
        CAST(max(val) AS BIGINT) AS value_max,
        CAST(sum(val * (i + 1)) AS BIGINT) AS weighted_sum
 FROM v
-GROUP BY asset_id, w, h
+GROUP BY asset_id, f, w, h
 """,
 )
 def q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """encode-as-PNG → real inflate+unfilter decode → per-asset stats."""
+    """encode as PNG / alpha-PNG / tRNS-PNG (doc_id % 3 round-robin) →
+    real inflate+unfilter+alpha decode → per-asset stats."""
     assets = multimodal.encode_assets(
-        load_table(spark, sf_dir, "documents"), fmts=("png",)
+        load_table(spark, sf_dir, "documents"),
+        fmts=("png", "pngalpha", "pngtrns"),
     )
     return multimodal.decoded_stats(assets)
 

@@ -337,11 +337,11 @@ def test_png_unsupported_variants_raise():
     import struct as _struct
     import pytest as _pytest
 
-    # alpha color types (4 = gray+alpha, 6 = RGBA) → NotImplementedError,
-    # not silent garbage (16-bit depth decodes for color types 0/2 as of
-    # r11 — see test_png_16bit_roundtrip_all_shapes)
+    # alpha color types decode as of r12 (test_png_alpha_roundtrip_all_
+    # shapes), but only at the spec-legal depths 8/16 — sub-byte alpha
+    # is not a PNG shape and must refuse, not misread the packed bytes
     for ctype in (4, 6):
-        ihdr = _struct.pack(">IIBBBBB", 4, 4, 8, ctype, 0, 0, 0)
+        ihdr = _struct.pack(">IIBBBBB", 4, 4, 4, ctype, 0, 0, 0)
         payload = (
             b"\x89PNG\r\n\x1a\n"
             + multimodal._png_chunk(b"IHDR", ihdr)
@@ -390,6 +390,146 @@ def test_png_truncated_chunk_raises_value_error():
     # now overruns the payload → the documented ValueError, not struct.error
     with _pytest.raises(ValueError, match="truncated chunk"):
         multimodal.decode_png_bytes(p[:-17])
+
+
+def test_png_alpha_roundtrip_all_shapes():
+    """ALPHA PNG (color types 6 RGBA / 4 gray+alpha — the dominant
+    web/screenshot shape): stored alpha is KEPT as the trailing channel
+    (never composited), filtering spans whole pixels (bpp = ch·depth/8),
+    both depths 8 and 16 (big-endian pairs) decode, and the Adam7
+    interaction (ids % 5 == 2) re-packs per pass sub-image.  The id
+    range covers all four (ctype, depth) combos × interlaced/plain ×
+    all five filter rotations."""
+    import numpy as np
+
+    shapes = set()
+    for aid in range(20):
+        d = multimodal.decode_png_bytes(multimodal.encode_png_alpha(aid))
+        w, h = multimodal._image_dims(aid)
+        ctype = 6 if aid % 2 == 0 else 4
+        ch = 4 if ctype == 6 else 2
+        depth = 8 if aid % 4 < 2 else 16
+        shapes.add((ctype, depth, aid % 5 == 2))
+        j = np.arange(w * h * ch, dtype=np.int64)
+        exp = (
+            (7 * aid + 13 * j) % 256
+            if depth == 8
+            else (1237 * aid + 4099 * j) % 65536
+        )
+        assert (d["width"], d["height"]) == (w, h)
+        np.testing.assert_array_equal(d["vals"], exp, err_msg=f"id {aid}")
+    assert len(shapes) >= 8  # 4 combos, interlaced AND plain each reached
+
+
+def test_png_trns_roundtrip_all_kinds():
+    """tRNS transparency: palette alpha table (with the implicit-255
+    tail beyond the transmitted entries), gray key and RGB key (matched
+    at the RAW sample depth; expanded alpha 0-or-255 appended as the
+    trailing channel).  The key is pixel 0's value by construction, so
+    every asset has ≥1 transparent pixel — a decoder that ignores tRNS
+    cannot reproduce the alpha column."""
+    import numpy as np
+
+    kinds = set()
+    for aid in range(18):
+        d = multimodal.decode_png_bytes(multimodal.encode_png_trns(aid))
+        w, h = multimodal._image_dims(aid)
+        kind = (aid // 3) % 3
+        kinds.add((kind, aid % 5 == 2))
+        i = np.arange(w * h, dtype=np.int64)
+        if kind == 0:
+            depth = (1, 2, 4, 8)[aid % 4]
+            nidx = 1 << depth
+            idx = (7 * aid + 13 * i) % nidx
+            ntr = nidx // 2 + 1
+            exp = np.stack(
+                [
+                    (5 * aid + 11 * idx) % 256,
+                    (aid + 7 * idx) % 256,
+                    (3 * aid + 13 * idx) % 256,
+                    np.where(idx < ntr, (11 * aid + 29 * idx) % 256, 255),
+                ],
+                axis=1,
+            ).reshape(-1)
+        elif kind == 1:
+            v = (7 * aid + 13 * i) % 256
+            exp = np.stack(
+                [v, np.where(v == (7 * aid) % 256, 0, 255)], axis=1
+            ).reshape(-1)
+        else:
+            j = np.arange(w * h * 3, dtype=np.int64)
+            rgb = ((7 * aid + 13 * j) % 256).reshape(-1, 3)
+            a = np.where((rgb == rgb[0]).all(axis=1), 0, 255)
+            exp = np.concatenate([rgb, a[:, None]], axis=1).reshape(-1)
+        assert (d["width"], d["height"]) == (w, h)
+        np.testing.assert_array_equal(d["vals"], exp, err_msg=f"id {aid}")
+        assert (
+            d["vals"].reshape(w * h, -1)[:, -1] != 255
+        ).any(), f"id {aid}: no transparent pixel — tRNS silently dropped"
+    assert len(kinds) >= 5  # all 3 kinds, Adam7 reached
+
+
+def test_png_16bit_trns_key_matches_full_range():
+    """16-bit gray/RGB key transparency: the tRNS key is a 16-bit sample
+    and must match at the FULL 0..65535 scale (a decoder comparing only
+    low bytes would mis-key); expanded alpha is 0 or 65535."""
+    import struct as _struct
+
+    import numpy as np
+
+    aid = 9
+    w, h = multimodal._image_dims(aid)
+    i = np.arange(w * h, dtype=np.int64)
+    v16 = (1237 * aid + 4099 * i) % 65536
+    key = int(v16[0])
+    assert key > 255  # the full-range premise
+    png = multimodal._png_body(
+        v16.reshape(h, w, 1), w, h, 1, 16, 0, aid,
+        extra=multimodal._png_chunk(b"tRNS", _struct.pack(">H", key)),
+    )
+    d = multimodal.decode_png_bytes(png)
+    exp = np.stack([v16, np.where(v16 == key, 0, 65535)], axis=1).reshape(-1)
+    np.testing.assert_array_equal(d["vals"], exp)
+    # low-byte-only keying would also zero this pixel; full-16-bit must not
+    j = np.arange(w * h * 3, dtype=np.int64)
+    rgb16 = ((1237 * aid + 4099 * j) % 65536).reshape(-1, 3)
+    keyt = tuple(int(x) for x in rgb16[0])
+    png = multimodal._png_body(
+        rgb16.reshape(h, w, 3), w, h, 3, 16, 2, aid,
+        extra=multimodal._png_chunk(b"tRNS", _struct.pack(">HHH", *keyt)),
+    )
+    d = multimodal.decode_png_bytes(png)
+    a = np.where((rgb16 == np.array(keyt)).all(axis=1), 0, 65535)
+    exp = np.concatenate([rgb16, a[:, None]], axis=1).reshape(-1)
+    np.testing.assert_array_equal(d["vals"], exp)
+
+
+def test_png_trns_validation_errors():
+    """tRNS shape contract (PNG spec 11.3.2): forbidden alongside the
+    alpha color types, fixed 2-/6-byte keys for gray/RGB, table length
+    bounded by the palette — each violation a loud ValueError, never a
+    silently mis-sized alpha."""
+    import numpy as np
+    import pytest as _pytest
+
+    w, h = multimodal._image_dims(0)
+    cases = [
+        (4, 8, 2, b"\x00\x00", "forbidden"),
+        (6, 8, 4, b"\x00\x00", "forbidden"),
+        (0, 8, 1, b"\x00", "2 bytes"),
+        (2, 8, 3, b"\x00" * 4, "6 bytes"),
+    ]
+    for ctype, depth, ch, trns, msg in cases:
+        png = multimodal._png_body(
+            np.zeros((h, w, ch), np.int64), w, h, ch, depth, ctype, 0,
+            extra=multimodal._png_chunk(b"tRNS", trns),
+        )
+        with _pytest.raises(ValueError, match=msg):
+            multimodal.decode_png_bytes(png)
+    with _pytest.raises(ValueError, match="longer than palette"):
+        multimodal.decode_png_bytes(
+            multimodal.encode_png_palette(3, trns=b"\xff" * 300)
+        )
 
 
 # --- Y4M video codec ---------------------------------------------------------
@@ -1548,13 +1688,20 @@ def test_png_palette_error_paths():
         multimodal.decode_image_bytes(
             replace_chunk(payload, b"PLTE", bytes(6))
         )
-    # tRNS present → honest seam, not silent alpha drop
+    # tRNS present → decodes WITH the alpha column as of r12 (the r11
+    # honest seam is closed): a 4-entry all-zero table makes indices 0-3
+    # transparent and the implicit tail opaque
+    import numpy as np
+
     i = payload.index(b"IDAT") - 4
     with_trns = (
         payload[:i] + multimodal._png_chunk(b"tRNS", bytes(4)) + payload[i:]
     )
-    with pytest.raises(NotImplementedError, match="tRNS"):
-        multimodal.decode_image_bytes(with_trns)
+    d = multimodal.decode_image_bytes(with_trns)
+    w3, h3 = multimodal._image_dims(3)
+    px = d["vals"].reshape(w3 * h3, 4)
+    idx = (7 * 3 + 13 * np.arange(w3 * h3, dtype=np.int64)) % 256
+    np.testing.assert_array_equal(px[:, 3], np.where(idx < 4, 0, 255))
     # unchanged payload still decodes (the splicing helpers are sound)
     assert multimodal.decode_image_bytes(payload)["width"] == \
         multimodal._image_dims(3)[0]

@@ -190,7 +190,10 @@ def _sane_image(d: dict) -> None:
     once passed the bare isinstance check — fuzz-caught)."""
     assert d["width"] >= 0 and d["height"] >= 0, d
     n = d["width"] * d["height"]
-    assert len(d["vals"]) in (n, n * 3), (d["width"], d["height"], len(d["vals"]))
+    # 1=gray, 2=gray+alpha, 3=RGB, 4=RGBA channels
+    assert len(d["vals"]) in (n, n * 2, n * 3, n * 4), (
+        d["width"], d["height"], len(d["vals"]),
+    )
 
 
 @settings(max_examples=150, deadline=None)
@@ -233,7 +236,10 @@ def test_jpeg_decoder_total_on_corrupt_inputs(asset_id, variant, mode, seed):
 @settings(max_examples=150, deadline=None)
 @given(
     st.integers(0, 499),
-    st.sampled_from(["png", "pngpal", "png16", "wav", "wavf", "y4m", "ppm", "bmp"]),
+    st.sampled_from(
+        ["png", "pngpal", "png16", "pngalpha", "pngtrns", "wav", "wavf",
+         "y4m", "ppm", "bmp"]
+    ),
     st.sampled_from(["truncate", "flip", "insert"]),
     st.integers(0, 2**32 - 1),
 )
@@ -251,6 +257,8 @@ def test_codec_decoders_total_on_corrupt_inputs(asset_id, codec, mode, seed):
         "png": mm.encode_png,
         "pngpal": mm.encode_png_palette,
         "png16": mm.encode_png16,
+        "pngalpha": mm.encode_png_alpha,
+        "pngtrns": mm.encode_png_trns,
         "wav": mm.encode_wav,
         "wavf": mm.encode_wav_float,
         "y4m": mm.encode_y4m,
@@ -261,6 +269,8 @@ def test_codec_decoders_total_on_corrupt_inputs(asset_id, codec, mode, seed):
         "png": mm.decode_png_bytes,
         "pngpal": mm.decode_image_bytes,
         "png16": mm.decode_png_bytes,
+        "pngalpha": mm.decode_png_bytes,
+        "pngtrns": mm.decode_image_bytes,
         "wav": mm.decode_wav_bytes,
         "wavf": mm.decode_wav_bytes,
         "y4m": mm.decode_y4m_bytes,
