@@ -845,6 +845,96 @@ def encode_wav_float(asset_id: int) -> bytes:
     )
 
 
+def _riff_wav(fmt_chunk: bytes, data: bytes, fact_n: int | None = None) -> bytes:
+    """Assemble a RIFF/WAVE container from a packed fmt chunk body, raw
+    data bytes, and an optional ``fact`` per-channel sample count (spec-
+    mandatory for the compressed formats)."""
+    fmt = struct.pack("<4sI", b"fmt ", len(fmt_chunk)) + fmt_chunk
+    fact = (
+        struct.pack("<4sII", b"fact", 4, fact_n) if fact_n is not None else b""
+    )
+    body = fmt + fact + struct.pack("<4sI", b"data", len(data)) + data
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+
+
+def encode_wav_ulaw(asset_id: int) -> bytes:
+    """Mono G.711 µ-law WAV (fmt tag 7): byte_k = (13·id + 7·k) mod 256 —
+    the BYTES are the deterministic primitive, so an oracle replays the
+    decoded values by applying the public µ-law expansion formula."""
+    import numpy as np
+
+    n = 64 + asset_id % 101
+    rate = 8000 + (asset_id % 5) * 1000
+    data = ((13 * asset_id + 7 * np.arange(n)) % 256).astype(np.uint8)
+    fmt = struct.pack("<HHIIHHH", 7, 1, rate, rate, 1, 8, 0)
+    return _riff_wav(fmt, data.tobytes(), n)
+
+
+def encode_wav_alaw(asset_id: int) -> bytes:
+    """Mono G.711 A-law WAV (fmt tag 6): byte_k = (11·id + 5·k) mod 256."""
+    import numpy as np
+
+    n = 64 + asset_id % 101
+    rate = 8000 + (asset_id % 5) * 1000
+    data = ((11 * asset_id + 5 * np.arange(n)) % 256).astype(np.uint8)
+    fmt = struct.pack("<HHIIHHH", 6, 1, rate, rate, 1, 8, 0)
+    return _riff_wav(fmt, data.tobytes(), n)
+
+
+def encode_wav_adpcm(asset_id: int) -> bytes:
+    """Mono IMA/DVI ADPCM WAV (fmt tag 17), one block: header sample
+    s₀ = ((31·id) mod 65536) − 32768 with step index id mod 89, then
+    n−1 deterministic 4-bit codes nib_k = (7·id + 3·k) mod 16 packed low
+    nibble first (odd counts pad one zero nibble; the ``fact`` chunk
+    pins the true sample count n = 64 + id mod 101 so the pad trims on
+    decode).  The decoded series is the IMA recurrence over those codes
+    — replayable by a recursive oracle, not a closed form."""
+    import numpy as np
+
+    n = 64 + asset_id % 101
+    rate = 8000 + (asset_id % 5) * 1000
+    pred0 = ((31 * asset_id) % 65536) - 32768
+    idx0 = asset_id % 89
+    nibs = (7 * asset_id + 3 * np.arange(n - 1)) % 16
+    if len(nibs) % 2:
+        nibs = np.append(nibs, 0)
+    codes = (nibs[0::2] | (nibs[1::2] << 4)).astype(np.uint8)
+    block = struct.pack("<hBB", pred0, idx0, 0) + codes.tobytes()
+    spb = n  # samples per block (header sample + one per code nibble)
+    fmt = struct.pack(
+        "<HHIIHHHH", 17, 1, rate, rate * len(block) // spb, len(block), 4,
+        2, spb,
+    )
+    return _riff_wav(fmt, block, n)
+
+
+def encode_wav_extensible(asset_id: int) -> bytes:
+    """WAVE_FORMAT_EXTENSIBLE (fmt tag 0xFFFE) wrapping the standard
+    deterministic series — PCM16 SubFormat for even ids, IEEE-float32
+    SubFormat for odd — so EXTENSIBLE files decode identically to their
+    plain-tag twins."""
+    import numpy as np
+
+    n = 64 + asset_id % 101
+    rate = 8000 + (asset_id % 5) * 1000
+    samples = ((31 * asset_id + 17 * np.arange(n, dtype=np.int64)) % 65536
+               ) - 32768
+    if asset_id % 2 == 0:
+        sub, bits = 1, 16
+        data = samples.astype("<i2").tobytes()
+    else:
+        sub, bits = 3, 32
+        data = (samples.astype(np.float64) / WAV_FLOAT_SCALE).astype(
+            "<f4"
+        ).tobytes()
+    guid = struct.pack("<H", sub) + _WAVE_EXT_GUID_TAIL
+    fmt = struct.pack(
+        "<HHIIHHHHI", 0xFFFE, 1, rate, rate * bits // 8, bits // 8, bits,
+        22, bits, 0x4,
+    ) + guid
+    return _riff_wav(fmt, data)
+
+
 @_total_on_corrupt
 def decode_image_bytes(payload: bytes) -> dict:
     """Parse BMP (24-bit BI_RGB) or PPM (P6) into
@@ -926,6 +1016,86 @@ def decode_image_bytes(payload: bytes) -> dict:
 #: they decode to values past the int16 range.
 WAV_FLOAT_SCALE = 32768
 
+#: G.711 decode tables (ulaw_byte → linear, alaw_byte → linear), built
+#: lazily from the published companding formulas (ITU-T G.711; the
+#: classic public ``g711.c`` ulaw2linear/alaw2linear shapes).  Values
+#: live on the int16 grid: µ-law spans ±32124, A-law ±32256.
+_G711_TABLES = None
+
+
+def _g711_tables():
+    global _G711_TABLES
+    if _G711_TABLES is None:
+        import numpy as np
+
+        b = np.arange(256, dtype=np.int64)
+        u = ~b & 0xFF  # µ-law bytes are stored complemented
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        ulaw = np.where(u & 0x80, 0x84 - t, t - 0x84)
+        a = b ^ 0x55  # A-law bytes are stored with even bits inverted
+        seg = (a & 0x70) >> 4
+        t = (a & 0x0F) << 4
+        t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+        alaw = np.where(a & 0x80, t, -t)
+        _G711_TABLES = (ulaw, alaw)
+    return _G711_TABLES
+
+
+#: IMA/DVI ADPCM quantizer tables (IMA ADPCM reference algorithm; the
+#: step-size table has 89 entries, the index-adjust table is keyed by
+#: the 4-bit code with the sign bit ignored for the magnitude part).
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8) * 2
+
+
+def _decode_ima_block(block: bytes) -> "np.ndarray":
+    """Decode ONE mono IMA ADPCM block: 4-byte header (int16 predictor —
+    emitted as the block's first sample — uint8 step index, reserved
+    byte), then 4-bit codes packed two per byte, LOW nibble first.  The
+    recurrence is inherently sequential (each step's quantizer state
+    feeds the next — same stream-shaped reality as the JPEG Huffman
+    walk); parallelism lives one level up, across assets inside the
+    Arrow batch."""
+    import numpy as np
+
+    pred, idx = struct.unpack_from("<hB", block, 0)
+    if idx > 88:
+        raise ValueError(f"ADPCM step index {idx} out of range")
+    nb = np.frombuffer(block, np.uint8, len(block) - 4, 4)
+    nibs = np.stack([nb & 0x0F, nb >> 4], axis=1).ravel()
+    out = np.empty(1 + len(nibs), dtype=np.int64)
+    out[0] = pred
+    for i, nib in enumerate(nibs):
+        step = _IMA_STEPS[idx]
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + _IMA_INDEX[nib]))
+        out[1 + i] = pred
+    return out
+
+
+#: WAVE_FORMAT_EXTENSIBLE SubFormat GUIDs are the 16-bit format tag in
+#: the first two bytes followed by this fixed 14-byte tail
+#: (KSDATAFORMAT_SUBTYPE_* from the public ksmedia.h layout).
+_WAVE_EXT_GUID_TAIL = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
 
 @_total_on_corrupt
 def decode_wav_bytes(payload: bytes) -> dict:
@@ -936,27 +1106,86 @@ def decode_wav_bytes(payload: bytes) -> dict:
     16/24/32-bit signed little-endian — 24-bit is the production audio
     staple), plus IEEE-float (fmt tag 3, float32/float64 — the
     librosa/DAW default export), scaled onto the 16-bit grid by
-    :data:`WAV_FLOAT_SCALE` and rounded half-even, never clipped.  A
-    non-finite float sample (NaN/Inf) is corrupt input → ``ValueError``.
-    Remaining non-PCM formats (ADPCM, µ-law, EXTENSIBLE, …) raise
+    :data:`WAV_FLOAT_SCALE` and rounded half-even, never clipped (a
+    non-finite float sample is corrupt input → ``ValueError``), plus the
+    telephony codecs A-law (tag 6) and µ-law (tag 7) via the exact G.711
+    tables, mono IMA/DVI ADPCM (tag 17; block-structured 4-bit codes,
+    ``fact``-chunk sample-count trim for the padding nibble), and
+    WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) unwrapped to its PCM/float
+    SubFormat.  Remaining non-PCM formats (MS-ADPCM tag 2, MP3, stereo
+    IMA, unknown EXTENSIBLE SubFormats, …) raise
     ``NotImplementedError``."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError("not a RIFF/WAVE payload")
     pos, audio_fmt, rate, bits, data = 12, None, None, None, None
+    channels, block_align, fact_n = None, None, None
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
         pos += 8
         if cid == b"fmt ":
-            audio_fmt, _, rate, _, _, bits = struct.unpack_from(
-                "<HHIIHH", payload, pos
+            audio_fmt, channels, rate, _, block_align, bits = (
+                struct.unpack_from("<HHIIHH", payload, pos)
             )
-            if audio_fmt not in (1, 3):
+            if audio_fmt == 0xFFFE:  # EXTENSIBLE: tag lives in SubFormat
+                if size < 40:
+                    raise ValueError("EXTENSIBLE fmt chunk truncated")
+                guid = payload[pos + 24 : pos + 40]
+                if guid[2:] != _WAVE_EXT_GUID_TAIL:
+                    raise NotImplementedError(
+                        "EXTENSIBLE WAV with non-KSDATAFORMAT SubFormat"
+                    )
+                (audio_fmt,) = struct.unpack_from("<H", guid, 0)
+                if audio_fmt not in (1, 3):
+                    raise NotImplementedError(
+                        f"EXTENSIBLE WAV SubFormat {audio_fmt}"
+                    )
+            elif audio_fmt not in (1, 3, 6, 7, 17):
                 raise NotImplementedError(f"non-PCM WAV (format {audio_fmt})")
+        elif cid == b"fact":
+            (fact_n,) = struct.unpack_from("<I", payload, pos)
         elif cid == b"data":
             data = payload[pos : pos + size]
         pos += size + (size & 1)  # RIFF chunks are word-aligned
+    if audio_fmt in (6, 7):  # G.711 A-law / µ-law: one byte per sample
+        if data is None or bits != 8:
+            raise NotImplementedError(
+                f"G.711 WAV bits={bits} or missing data chunk"
+            )
+        ulaw, alaw = _g711_tables()
+        table = ulaw if audio_fmt == 7 else alaw
+        return {
+            "sample_rate": rate,
+            "vals": table[np.frombuffer(data, np.uint8)],
+        }
+    if audio_fmt == 17:  # IMA/DVI ADPCM
+        if channels != 1:
+            raise NotImplementedError(f"IMA ADPCM channels={channels}")
+        if data is None or bits != 4:
+            raise NotImplementedError(
+                f"IMA ADPCM bits={bits} or missing data chunk"
+            )
+        if block_align < 5:
+            raise ValueError(f"IMA ADPCM block_align={block_align}")
+        blocks = []
+        for off in range(0, len(data), block_align):
+            block = data[off : off + block_align]
+            if len(block) < 5:  # header + at least one code byte
+                raise ValueError("ADPCM trailing block truncated")
+            blocks.append(_decode_ima_block(block))
+        vals = np.concatenate(blocks) if blocks else np.empty(0, np.int64)
+        if fact_n is not None:
+            # the fact chunk (mandatory for compressed formats) carries
+            # the true per-channel sample count — it trims the final
+            # block's padding nibble; claiming MORE samples than the
+            # data decodes to is corrupt input
+            if fact_n > len(vals):
+                raise ValueError(
+                    f"ADPCM fact={fact_n} exceeds decoded {len(vals)}"
+                )
+            vals = vals[:fact_n]
+        return {"sample_rate": rate, "vals": vals}
     if audio_fmt == 3:  # IEEE float
         if data is None or bits not in (32, 64):
             raise NotImplementedError(
@@ -1042,7 +1271,15 @@ _ENCODERS = {
     "pngpal": encode_png_palette,
     "pngalpha": encode_png_alpha,
     "pngtrns": encode_png_trns,
+    "ulaw": encode_wav_ulaw,
+    "alaw": encode_wav_alaw,
+    "adpcm": encode_wav_adpcm,
+    "wavext": encode_wav_extensible,
 }
+
+#: Formats whose payload is a RIFF/WAVE container (all decode through
+#: :func:`decode_wav_bytes`; the audio pipeline stages match on these).
+AUDIO_FORMATS = frozenset({"wav", "ulaw", "alaw", "adpcm", "wavext"})
 
 DECODED_SCHEMA = (
     "asset_id long, format string, width int, height int, sample_rate int, "
@@ -1102,7 +1339,7 @@ def decoded_stats(assets: DataFrame) -> DataFrame:
                 pdf["asset_id"], pdf["format"], pdf["content"]
             ):
                 b = bytes(content)
-                if fmt == "wav":
+                if fmt in AUDIO_FORMATS:
                     d = decode_wav_bytes(b)
                     w = h = None
                     rate = d["sample_rate"]
@@ -1298,7 +1535,7 @@ def resize_decoded(media: DataFrame, max_px: int = 16) -> DataFrame:
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            imgs = pdf[pdf["format"] != "wav"]
+            imgs = pdf[~pdf["format"].isin(AUDIO_FORMATS)]
             yield pd.DataFrame(
                 {
                     "asset_id": imgs["asset_id"],
@@ -1502,11 +1739,14 @@ def decimate_audio(media: DataFrame, factor: int = 2) -> DataFrame:
 
     def run(batches):
         for pdf in batches:
-            wavs = pdf[pdf["format"] == "wav"]
+            wavs = pdf[pdf["format"].isin(AUDIO_FORMATS)]
             yield pd.DataFrame(
                 {
                     "asset_id": wavs["asset_id"],
-                    "format": "wav",
+                    # the SOURCE codec label survives the re-encode (the
+                    # payload itself is plain PCM16 after resampling) so
+                    # downstream stats stay attributable per codec path
+                    "format": wavs["format"],
                     "content": [
                         resample_audio_bytes(bytes(b), factor)
                         for b in wavs["content"]

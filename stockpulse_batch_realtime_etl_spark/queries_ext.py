@@ -4230,28 +4230,89 @@ def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sampled_frame_stats(assets, every=2)
 
 
-#: REAL audio processing rung: every document encoded as PCM WAV, then
-#: decoded → every-2nd-sample decimation → re-encoded at half the rate →
-#: decoded again for stats.  The oracle replays the decimated sample
-#: arithmetic ((31·id + 17·(2j)) mod 65536 − 32768) and the halved rate.
+#: IMA/DVI ADPCM quantizer tables rendered as SQL VALUES lists — the
+#: oracle replays the decode RECURRENCE (predictor/step-index state per
+#: 4-bit code) with a recursive CTE, joined against these 89-step /
+#: 16-code lookup tables.
+_IMA_STEP_VALUES = ",".join(
+    f"({i},{s})" for i, s in enumerate(multimodal._IMA_STEPS)
+)
+_IMA_INDEX_VALUES = ",".join(
+    f"({n},{d})" for n, d in enumerate(multimodal._IMA_INDEX)
+)
+
+#: REAL audio processing rung — EXTENDED in round 12 from the single
+#: PCM corpus to the telephony/codec family: documents round-robin
+#: doc_id % 4 over PCM WAV, G.711 µ-law (fmt 7), G.711 A-law (fmt 6)
+#: and mono IMA/DVI ADPCM (fmt 17).  Each payload is REAL bytes for its
+#: codec; the pipeline decodes → decimates every-2nd-sample →
+#: re-encodes PCM at half rate → decodes again for stats.  The oracle
+#: replays the decoded values exactly: the PCM closed form, the G.711
+#: expansion formulas applied to the deterministic byte series, and the
+#: ADPCM recurrence via a recursive CTE over the deterministic nibble
+#: series (the one decoded series here with genuine cross-sample state).
 @register(
     "audio_decimated_stats",
-    oracle="""
-WITH base AS (
-  SELECT doc_id AS asset_id,
-         64 + doc_id % 101 AS n0,
-         8000 + (doc_id % 5) * 1000 AS rate0
+    oracle=f"""
+WITH RECURSIVE
+base AS (
+  SELECT doc_id AS a, 64 + doc_id % 101 AS n0,
+         8000 + (doc_id % 5) * 1000 AS rate0,
+         CAST(doc_id % 4 AS INT) AS fi
   FROM documents
 ),
+st(si, ss) AS (VALUES {_IMA_STEP_VALUES}),
+it(ni, dd) AS (VALUES {_IMA_INDEX_VALUES}),
+rec AS (
+  SELECT a, n0, 0 AS k, ((31 * a) % 65536) - 32768 AS pred,
+         CAST(a % 89 AS INT) AS idx
+  FROM base WHERE fi = 3
+  UNION ALL
+  SELECT a, n0, k + 1,
+         GREATEST(-32768, LEAST(32767, pred + sdlt)) AS pred,
+         CAST(GREATEST(0, LEAST(88, idx + dd)) AS INT) AS idx
+  FROM (
+    SELECT r.a, r.n0, r.k, r.pred, r.idx, it.dd,
+           (ss // 8 + (nib % 2) * (ss // 4) + ((nib // 2) % 2) * (ss // 2)
+            + ((nib // 4) % 2) * ss) * (1 - 2 * (nib // 8)) AS sdlt
+    FROM (SELECT *, CAST((7 * a + 3 * k) % 16 AS INT) AS nib
+          FROM rec WHERE k < n0 - 1) r
+    JOIN st ON st.si = r.idx
+    JOIN it ON it.ni = r.nib
+  )
+),
 v AS (
-  SELECT asset_id,
+  SELECT a AS asset_id,
+         CASE fi WHEN 0 THEN 'wav' WHEN 1 THEN 'ulaw' ELSE 'alaw'
+              END AS format,
          CAST((n0 + 1) // 2 AS BIGINT) AS n_values,
-         CAST(rate0 // 2 AS INT) AS sample_rate,
-         j,
-         ((31 * asset_id + 17 * (2 * j)) % 65536) - 32768 AS val
-  FROM (SELECT *, unnest(range(0, (n0 + 1) // 2)) AS j FROM base)
+         CAST(rate0 // 2 AS INT) AS sample_rate, j,
+         CASE fi
+           WHEN 0 THEN ((31 * a + 17 * (2 * j)) % 65536) - 32768
+           WHEN 1 THEN (
+             SELECT CASE WHEN u >= 128 THEN 132 - t ELSE t - 132 END
+             FROM (SELECT 255 - ((13 * a + 7 * (2 * j)) % 256) AS u),
+                  (SELECT ((u % 16) * 8 + 132)
+                          * (1 << CAST((u // 16) % 8 AS INT)) AS t)
+           )
+           ELSE (
+             SELECT CASE WHEN x >= 128 THEN t ELSE -t END
+             FROM (SELECT xor((11 * a + 5 * (2 * j)) % 256, 85) AS x),
+                  (SELECT CASE WHEN (x % 128) // 16 = 0
+                               THEN (x % 16) * 16 + 8
+                          ELSE ((x % 16) * 16 + 264)
+                               * (1 << CAST((x % 128) // 16 - 1 AS INT))
+                          END AS t)
+           )
+         END AS val
+  FROM (SELECT *, unnest(range(0, (n0 + 1) // 2)) AS j
+        FROM base WHERE fi < 3)
+  UNION ALL
+  SELECT a, 'adpcm', CAST((n0 + 1) // 2 AS BIGINT),
+         CAST(rate0 // 2 AS INT), k // 2, pred
+  FROM rec JOIN base USING (a, n0) WHERE k % 2 = 0
 )
-SELECT asset_id, 'wav' AS format,
+SELECT asset_id, format,
        CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
        sample_rate,
        CAST(max(n_values) AS BIGINT) AS n_values,
@@ -4260,12 +4321,14 @@ SELECT asset_id, 'wav' AS format,
        CAST(max(val) AS BIGINT) AS value_max,
        CAST(sum(val * (j + 1)) AS BIGINT) AS weighted_sum
 FROM v
-GROUP BY asset_id, sample_rate
+GROUP BY asset_id, format, sample_rate
 """,
 )
 def q_audio_decimated_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WAV decode → 2x decimation → re-encode → decode, stats-verified."""
+    """Audio decode → 2x decimation → re-encode → decode over the
+    PCM/µ-law/A-law/ADPCM corpus, stats-verified per codec path."""
     assets = multimodal.encode_assets(
-        load_table(spark, sf_dir, "documents"), fmts=("wav",)
+        load_table(spark, sf_dir, "documents"),
+        fmts=("wav", "ulaw", "alaw", "adpcm"),
     )
     return multimodal.decoded_stats(multimodal.decimate_audio(assets, 2))

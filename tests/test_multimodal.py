@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import pytest
 
@@ -2111,3 +2112,192 @@ def test_wav_24bit_misaligned_data_chunk_dead_letters():
     )
     with pytest.raises(ValueError, match="multiple of 3"):
         multimodal.decode_wav_bytes(wav)
+
+
+def test_g711_tables_match_published_formulas():
+    """The µ-law/A-law decode tables equal an INDEPENDENT scalar
+    evaluation of the published G.711 expansion formulas for all 256
+    bytes, and hit the known landmark values: µ-law 0xFF and 0x7F both
+    decode to 0 (positive and negative zero codes), extremes ±32124;
+    A-law 0x55/0xD5 are ∓8 (the quietest codes), extremes ±32256."""
+
+    def ulaw2linear(b):
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+    def alaw2linear(b):
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        return t if (a & 0x80) else -t
+
+    ul, al = multimodal._g711_tables()
+    assert [ulaw2linear(b) for b in range(256)] == list(ul)
+    assert [alaw2linear(b) for b in range(256)] == list(al)
+    assert ul[0xFF] == 0 and ul[0x7F] == 0
+    assert ul[0x80] == 32124 and ul[0x00] == -32124
+    assert al[0xD5] == 8 and al[0x55] == -8
+    assert max(al) == 32256 and min(al) == -32256
+
+
+def test_g711_wav_decode_and_decimation_chain():
+    """G.711 WAV files (fmt tags 7/6) decode to the exact table lookup of
+    their deterministic byte series, and compose with the decimation
+    re-encode chain (the ``audio_decimated_stats`` pipeline shape)."""
+    import numpy as np
+
+    ul, al = multimodal._g711_tables()
+    for aid in (0, 1, 5, 42, 100, 101):
+        n = 64 + aid % 101
+        d = multimodal.decode_wav_bytes(multimodal.encode_wav_ulaw(aid))
+        assert d["sample_rate"] == 8000 + (aid % 5) * 1000
+        np.testing.assert_array_equal(
+            d["vals"], ul[(13 * aid + 7 * np.arange(n)) % 256]
+        )
+        d = multimodal.decode_wav_bytes(multimodal.encode_wav_alaw(aid))
+        np.testing.assert_array_equal(
+            d["vals"], al[(11 * aid + 5 * np.arange(n)) % 256]
+        )
+        half = multimodal.decode_wav_bytes(
+            multimodal.resample_audio_bytes(multimodal.encode_wav_alaw(aid))
+        )
+        np.testing.assert_array_equal(half["vals"], d["vals"][::2])
+        assert half["sample_rate"] == d["sample_rate"] // 2
+    # G.711 at a non-8-bit width is an honest format boundary
+    bad = multimodal.encode_wav_ulaw(3).replace(
+        struct.pack("<HH", 1, 8), struct.pack("<HH", 1, 16), 1
+    )
+    with pytest.raises(NotImplementedError, match="G.711"):
+        multimodal.decode_wav_bytes(bad)
+
+
+def _ima_mirror(pred, idx, nibs):
+    """Independent scalar transcription of the IMA ADPCM decode step."""
+    out = [pred]
+    for nib in nibs:
+        step = multimodal._IMA_STEPS[idx]
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + multimodal._IMA_INDEX[nib]))
+        out.append(pred)
+    return out
+
+
+def test_ima_adpcm_decode_matches_scalar_mirror():
+    """The production IMA ADPCM block decoder equals the independent
+    scalar mirror on the deterministic corpus series (both saturation
+    rails get exercised: step-index clamping at 0/88 and predictor
+    clamping at ±32768/32767), and the ``fact`` chunk trims the packing
+    pad so odd sample counts roundtrip exactly."""
+    import numpy as np
+
+    for aid in (0, 1, 5, 42, 88, 89, 100, 101, 107):
+        n = 64 + aid % 101
+        d = multimodal.decode_wav_bytes(multimodal.encode_wav_adpcm(aid))
+        assert len(d["vals"]) == n  # fact trimmed the pad nibble if odd
+        exp = _ima_mirror(
+            ((31 * aid) % 65536) - 32768,
+            aid % 89,
+            [(7 * aid + 3 * k) % 16 for k in range(n - 1)],
+        )
+        np.testing.assert_array_equal(d["vals"], exp)
+    # saturation rails, pinned explicitly: a full-magnitude code (nib 15
+    # = sign+7, diff ≈ 1.875·step) at the widest step clamps the
+    # predictor to -32768; its unsigned twin (nib 7) clamps to +32767;
+    # zero codes at index 0 pin the index's low clamp (idx stays 0)
+    blocks = (
+        struct.pack("<hBB", -30000, 88, 0) + bytes([0x0F]),  # nibs 15,0
+        struct.pack("<hBB", 30000, 88, 0) + bytes([0x07]),  # nibs 7,0
+        struct.pack("<hBB", 5, 0, 0) + bytes([0x00]),  # nibs 0,0
+    )
+    fmt = struct.pack("<HHIIHHHH", 17, 1, 8000, 4096, 5, 4, 2, 3)
+    d = multimodal.decode_wav_bytes(multimodal._riff_wav(fmt, b"".join(blocks)))
+    exp = (
+        _ima_mirror(-30000, 88, [15, 0])
+        + _ima_mirror(30000, 88, [7, 0])
+        + _ima_mirror(5, 0, [0, 0])
+    )
+    np.testing.assert_array_equal(d["vals"], exp)
+    assert d["vals"].min() == -32768 and d["vals"].max() == 32767
+
+
+def test_ima_adpcm_multiblock_and_error_paths():
+    """Multi-block streams decode block-independently (each header
+    restarts the predictor/index state); corrupt shapes dead-letter:
+    out-of-range step index, truncated trailing block, fact exceeding
+    the decoded data, undersized block_align; stereo IMA stays an honest
+    format boundary."""
+    import numpy as np
+
+    blk1 = struct.pack("<hBB", 100, 5, 0) + bytes([0x21, 0x43])
+    blk2 = struct.pack("<hBB", -200, 30, 0) + bytes([0x65, 0x87])
+    fmt = struct.pack("<HHIIHHHH", 17, 1, 8000, 4096, len(blk1), 4, 2, 5)
+    d = multimodal.decode_wav_bytes(multimodal._riff_wav(fmt, blk1 + blk2))
+    exp = _ima_mirror(100, 5, [1, 2, 3, 4]) + _ima_mirror(
+        -200, 30, [5, 6, 7, 8]
+    )
+    np.testing.assert_array_equal(d["vals"], exp)
+    with pytest.raises(ValueError, match="step index"):
+        multimodal.decode_wav_bytes(
+            multimodal._riff_wav(
+                fmt, struct.pack("<hBB", 0, 89, 0) + bytes(2)
+            )
+        )
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_wav_bytes(
+            multimodal._riff_wav(fmt, blk1 + blk2[:4])
+        )
+    with pytest.raises(ValueError, match="fact=99"):
+        multimodal.decode_wav_bytes(multimodal._riff_wav(fmt, blk1, 99))
+    bad_align = struct.pack("<HHIIHHHH", 17, 1, 8000, 4096, 4, 4, 2, 1)
+    with pytest.raises(ValueError, match="block_align"):
+        multimodal.decode_wav_bytes(multimodal._riff_wav(bad_align, blk1))
+    stereo = struct.pack(
+        "<HHIIHHHH", 17, 2, 8000, 4096, len(blk1), 4, 2, 5
+    )
+    with pytest.raises(NotImplementedError, match="channels=2"):
+        multimodal.decode_wav_bytes(multimodal._riff_wav(stereo, blk1))
+
+
+def test_wav_extensible_unwraps_to_plain_twins():
+    """WAVE_FORMAT_EXTENSIBLE files decode identically to their plain
+    fmt-tag twins (PCM16 SubFormat for even ids, float32 for odd); an
+    unknown SubFormat tag and a non-KSDATAFORMAT GUID tail are honest
+    format boundaries; a truncated EXTENSIBLE fmt chunk dead-letters."""
+    import numpy as np
+
+    for aid in (2, 5, 100, 101):
+        d = multimodal.decode_wav_bytes(multimodal.encode_wav_extensible(aid))
+        ref = multimodal.decode_wav_bytes(multimodal.encode_wav(aid))
+        assert d["sample_rate"] == ref["sample_rate"]
+        np.testing.assert_array_equal(d["vals"], ref["vals"])
+    good = multimodal.encode_wav_extensible(2)
+    guid = struct.pack("<H", 1) + multimodal._WAVE_EXT_GUID_TAIL
+    with pytest.raises(NotImplementedError, match="SubFormat 17"):
+        multimodal.decode_wav_bytes(
+            good.replace(guid, struct.pack("<H", 17)
+                         + multimodal._WAVE_EXT_GUID_TAIL)
+        )
+    with pytest.raises(NotImplementedError, match="non-KSDATAFORMAT"):
+        multimodal.decode_wav_bytes(
+            good.replace(guid, guid[:4] + b"\xde\xad" + guid[6:])
+        )
+    fmt36 = struct.pack(
+        "<HHIIHHHH", 0xFFFE, 1, 8000, 16000, 2, 16, 22, 16
+    )  # declares EXTENSIBLE but the chunk stops before the GUID
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_wav_bytes(multimodal._riff_wav(fmt36, b"\x00\x00"))
