@@ -100,21 +100,51 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 # --- minhash + LSH ----------------------------------------------------------
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 12, n: int = 3) -> DataFrame:
-    """k-minhash signature per doc: ``mh_i = min(md5(i || ':' || shingle))``.
+    """k-minhash signature per doc:
+    ``mh_i = min(md5(i || ':' || shingle)[:15])`` — the 60-bit (15 hex
+    char) prefix of each salted md5.
 
     One groupBy over the shingle table computes all k mins in a single
-    partial→final hash aggregate: the k salted md5s are evaluated once per
-    shingle inside codegen, map-side combine reduces state to k hex strings
-    per (partition, doc), and the exchange is independent of document
-    length.  (An array-side ``array_min(transform(...))`` variant benched
-    ~8× slower — see the perf note on ``shingles``.)
+    partial→final aggregate, and the 60-bit prefix is what makes that
+    aggregate a real HASH aggregate: the prefix packs into a signed
+    BIGINT (``conv(hex, 16, 10)``), and only flat primitive buffers are
+    UnsafeRow-mutable — a ``min(<hex string>)`` buffer demotes the whole
+    groupBy to SortAggregate, i.e. a per-partition sort of the exploded
+    SHINGLE stream (≈ corpus token scale, the widest stream in this
+    module — measured in round 12; the r11 array-buffer lesson, string
+    edition).  Map-side combine reduces state to k longs per (partition,
+    doc) and the exchange is independent of document length; the hex
+    presentation is rebuilt per doc AFTER the aggregate.  Estimator
+    quality is unchanged: a 60-bit minhash collides two distinct
+    shingles with p ≈ n²/2⁶¹ — negligible at any corpus size vs the
+    1/k estimator noise.  (An array-side ``array_min(transform(...))``
+    variant benched ~8× slower — see the perf note on ``shingles``.)
     """
     sh = shingles(docs, n)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+        ).alias(f"_m{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    packed = sh.groupBy("doc_id").agg(*aggs)
+    return packed.select(
+        "doc_id",
+        *[
+            F.lpad(
+                F.lower(F.conv(F.col(f"_m{i}").cast("string"), 10, 16)),
+                15,
+                "0",
+            ).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ],
+    )
 
 
 def lsh_bands(

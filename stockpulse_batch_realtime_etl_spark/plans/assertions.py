@@ -82,6 +82,19 @@ def assert_no_cartesian(df: DataFrame) -> None:
         raise AssertionError(f"CartesianProduct in plan:\n{plan}")
 
 
+def assert_hash_aggregate_only(df: DataFrame) -> None:
+    """Every aggregate in the plan is hash-based (HashAggregate /
+    ObjectHashAggregate) — no SortAggregate demotion.  Only flat
+    primitive buffers are UnsafeRow-mutable, so a string / struct /
+    array-typed aggregation buffer silently drops the groupBy to
+    SortAggregate: a per-partition sort of the aggregate's INPUT stream,
+    which is the scale trap when that stream is corpus-wide (the r11
+    array-buffer lesson; measured again for string buffers in r12)."""
+    plan = simple_plan(df)
+    if "SortAggregate" in plan:
+        raise AssertionError(f"SortAggregate demotion in plan:\n{plan}")
+
+
 def assert_whole_stage_codegen(df: DataFrame) -> None:
     """The plan must contain at least one WholeStageCodegen span (the hot
     path is compiled, not interpreted).

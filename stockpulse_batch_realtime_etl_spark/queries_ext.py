@@ -52,8 +52,12 @@ shingles AS (
 NUM_HASHES = 12
 BAND_SIZE = 2
 
+#: 60-bit minhash: min over the 15-hex-char md5 prefix — mirrors the
+#: Spark side, where the prefix packs into a BIGINT so the shingle-stream
+#: aggregate stays a HashAggregate (see dedup.minhash_signatures).
 _MH_COLS = ",\n  ".join(
-    f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(NUM_HASHES)
+    f"min(substr(md5('{i}:' || shingle), 1, 15)) AS mh{i}"
+    for i in range(NUM_HASHES)
 )
 SIGS_CTE = (
     SHINGLES_CTE

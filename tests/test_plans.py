@@ -719,3 +719,17 @@ def test_rolling_frame_aggregates_not_duplicated(spark, ticks):
     assert frame_aggs(rolling.rsi(ticks)) == 3
     # 2 = channel max, channel min
     assert frame_aggs(rolling.donchian_breakouts(ticks)) == 2
+
+
+def test_minhash_signature_aggregate_stays_hash_based(spark):
+    """Round-12: the k-minhash groupBy packs each salted-md5 PREFIX into
+    a BIGINT so all k ``min`` buffers are flat primitives — the aggregate
+    over the exploded shingle stream (the widest stream in the dedup
+    module) must be a HashAggregate, never a SortAggregate (a
+    ``min(<hex string>)`` buffer demotes it to a per-partition sort of
+    that stream)."""
+    from stockpulse_batch_realtime_etl_spark.operators import dedup
+
+    docs = load_table(spark, SF, "documents")
+    df = dedup.minhash_signatures(docs)
+    P.assert_hash_aggregate_only(df)
