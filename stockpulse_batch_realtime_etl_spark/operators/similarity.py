@@ -65,6 +65,43 @@ def _cos_precomputed(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return F.round(F.try_divide(_dot(a, b), na * nb), 6)
 
 
+#: Fixed-point packing for the argmax aggregates.  The scored side of
+#: every assignment argmax is a 6dp-ROUNDED cosine (``_cos_precomputed``
+#: / the cogroup's HALF_UP numpy mirror), so ``round(neg·10⁶)`` is an
+#: EXACT integer in [−10⁶, 10⁶]; packed = scaled·2⁴⁰ + id folds the
+#: (score, lowest-id) lexicographic tie rule into ONE signed BIGINT whose
+#: plain ``min`` is the argmax.  Why bother: only flat primitive buffers
+#: are UnsafeRow-mutable in Spark 4.x — ``min(struct(...))`` (the r11
+#: shape; measured in round 12) demotes the groupBy to SortAggregate, a
+#: per-partition sort of the corpus × ncells scored stream.  The packed
+#: BIGINT keeps the whole argmax on whole-stage-codegen HashAggregate.
+#: Ranges: |scaled| ≤ 10⁶ (sentinel 2·10⁶+1), ids < 2⁴⁰ ≈ 10¹² ≫ the 4M
+#: cells at the engagement point, |packed| < 2.3·10¹⁸ < 2⁶³.
+_ARGMAX_BASE = 1 << 40
+#: A NULL cosine (zero-norm vector) sorts FIRST in the retired struct-min
+#: (Spark orders a NULL struct field before any value), winning the
+#: argmax with the lowest id.  The sentinel sits below every real scaled
+#: score so packed NULL rows keep exactly that behavior.
+_ARGMAX_NULL_SENTINEL = -2_000_001
+
+
+def _pack_argmin(neg: Column, ident: Column) -> Column:
+    """(6dp neg-score, id) → one BIGINT whose ``min`` is the argmax with
+    ties to the lowest id (see ``_ARGMAX_BASE``)."""
+    scaled = F.round(neg * F.lit(1_000_000.0), 0).cast("bigint")
+    return (
+        F.coalesce(scaled, F.lit(_ARGMAX_NULL_SENTINEL))
+        * F.lit(_ARGMAX_BASE)
+        + ident
+    )
+
+
+def _unpack_argmin_id(packed: Column) -> Column:
+    """Recover the id from a packed argmax key: ``pmod`` (floored mod)
+    strips the scaled-score limb for positive AND negative keys."""
+    return F.pmod(packed, F.lit(_ARGMAX_BASE))
+
+
 def brute_force_topk(
     embeddings: DataFrame, query_ids: list[int], k: int = 5
 ) -> DataFrame:
@@ -316,23 +353,24 @@ def _score_against_seeds(vecs: DataFrame, cent: DataFrame) -> DataFrame:
     the min: an array-typed aggregation buffer drops the whole argmax to
     SortAggregate, a full sort of the corpus × ncells scored stream —
     the r11 rung measured that sort spilling >74 GB at 120k × 40k; see
-    ``_assign_cells``)."""
+    ``_assign_cells``), with the (score, id) pair PACKED into one BIGINT
+    (``_pack_argmin``) so the buffer is a flat primitive and the argmax
+    stays a codegen HashAggregate — a struct buffer is not
+    UnsafeRow-mutable and demotes to SortAggregate too (round 12)."""
     scored = vecs.join(F.broadcast(cent)).select(
         "vec_id",
-        F.struct(
-            (
-                -_cos_precomputed(
-                    F.col("embedding"),
-                    F.col("c_emb"),
-                    F.col("nrm"),
-                    F.col("c_norm"),
-                )
-            ).alias("neg"),
-            F.col("cent_id").alias("cent_id"),
+        _pack_argmin(
+            -_cos_precomputed(
+                F.col("embedding"),
+                F.col("c_emb"),
+                F.col("nrm"),
+                F.col("c_norm"),
+            ),
+            F.col("cent_id"),
         ).alias("_scored"),
     )
     best = scored.groupBy("vec_id").agg(
-        F.min("_scored").getField("cent_id").alias("cell")
+        _unpack_argmin_id(F.min("_scored")).alias("cell")
     )
     return vecs.join(best, "vec_id").select(
         "vec_id", "embedding", "nrm", "cell"
@@ -551,34 +589,35 @@ def _assign_cells(
         F.col("c_emb"),
         _norm(F.col("c_emb")).alias("c_norm"),
     )
-    # The argmax aggregates ONLY (vec_id → cell) — a fixed-width
-    # min(struct) buffer that stays on whole-stage-codegen HashAggregate
-    # — and the embedding/nrm columns are joined back per vector
-    # afterwards.  Carrying them THROUGH the aggregate (the r10 design:
+    # The argmax aggregates ONLY (vec_id → cell), as ONE packed BIGINT
+    # per scored row (_pack_argmin) whose plain min IS the argmax — a
+    # flat primitive buffer that stays on whole-stage-codegen
+    # HashAggregate — and the embedding/nrm columns are joined back per
+    # vector afterwards.  Two demotion traps live here, both measured:
+    # carrying the wide columns THROUGH the aggregate (the r10 design:
     # first(embedding) beside the min_by) put an array-typed buffer in
-    # the plan, which HashAggregate cannot hold → the whole argmax fell
-    # to SortAggregate, i.e. a full sort of the corpus × ncells scored
-    # stream WITH ~0.5 KB payloads per row.  At gate geometry (ncells=8)
-    # that sort is invisible; at the r11 forced-routing rung (120k × 40k)
-    # it spilled >74 GB of /tmp and killed the job — and at 10⁹ × 4M it
-    # is ~2 EB of sort, not a plan at all.  The join-back costs one
-    # corpus-sized vec_id equi-join instead.
+    # the plan → the whole argmax fell to SortAggregate, a full sort of
+    # the corpus × ncells scored stream WITH ~0.5 KB payloads per row
+    # (invisible at gate ncells=8; spilled >74 GB and killed the r11
+    # 120k × 40k rung; ~2 EB of sort at 10⁹ × 4M).  And the r11 fix's
+    # min(struct(neg, cell)) buffer is not UnsafeRow-mutable either —
+    # still SortAggregate, just over 24 B rows (round-12 probe); the
+    # packed BIGINT removes that residual per-partition sort too.  The
+    # join-back costs one corpus-sized vec_id equi-join instead.
     scored = vecs.join(F.broadcast(c)).select(
         "vec_id",
-        F.struct(
-            (
-                -_cos_precomputed(
-                    F.col("embedding"),
-                    F.col("c_emb"),
-                    F.col("nrm"),
-                    F.col("c_norm"),
-                )
-            ).alias("neg"),
-            F.col("_cell").alias("_cell"),
+        _pack_argmin(
+            -_cos_precomputed(
+                F.col("embedding"),
+                F.col("c_emb"),
+                F.col("nrm"),
+                F.col("c_norm"),
+            ),
+            F.col("_cell"),
         ).alias("_scored"),
     )
     best = scored.groupBy("vec_id").agg(
-        F.min("_scored").getField("_cell").alias("cell")
+        _unpack_argmin_id(F.min("_scored")).alias("cell")
     )
     return vecs.join(best, "vec_id").select(
         "vec_id", "embedding", "nrm", "cell"
@@ -685,26 +724,25 @@ def _assign_cells_two_level(
     # aggregate-then-join-back, same reason as _assign_cells: carrying
     # first(c_emb) through this argmax would SortAggregate the
     # ncells × nsuper ≈ ncells^1.5 scored stream (8×10⁹ wide rows at the
-    # engagement point); the min(struct) buffer stays on HashAggregate
+    # engagement point); the packed-BIGINT buffer (_pack_argmin) keeps
+    # the argmax on HashAggregate (a struct buffer would demote it too)
     # and each centroid's embedding travels once through the join-back
     best_sup = (
         c.join(F.broadcast(sup))
         .select(
             "_cell",
-            F.struct(
-                (
-                    -_cos_precomputed(
-                        F.col("c_emb"),
-                        F.col("s_emb"),
-                        F.col("c_norm"),
-                        F.col("s_norm"),
-                    )
-                ).alias("neg"),
-                F.col("_sup").alias("_sup"),
+            _pack_argmin(
+                -_cos_precomputed(
+                    F.col("c_emb"),
+                    F.col("s_emb"),
+                    F.col("c_norm"),
+                    F.col("s_norm"),
+                ),
+                F.col("_sup"),
             ).alias("_scored"),
         )
         .groupBy("_cell")
-        .agg(F.min("_scored").getField("_sup").alias("_sup"))
+        .agg(_unpack_argmin_id(F.min("_scored")).alias("_sup"))
     )
     children = c.join(best_sup, "_cell")
     nprobe = two_level_nprobe(nsuper) if nprobe is None else nprobe
@@ -874,11 +912,15 @@ def _assign_cells_two_level(
     # Same aggregate-then-join-back shape as the flat path (and for the
     # same reason: an array-typed first(embedding) buffer would drop the
     # cross-probe argmin to SortAggregate over corpus·nprobe wide rows);
-    # the cogroup output is 24 B/row, the final agg is fixed-width
-    # HashAggregate, and the per-vector embedding travels exactly once
-    # through the join-back.
+    # the cogroup output is 24 B/row, the final agg packs (neg, cell)
+    # into one BIGINT so it runs as a flat-primitive HashAggregate (the
+    # numpy side emits the same HALF_UP 6dp grid _pack_argmin expects),
+    # and the per-vector embedding travels exactly once through the
+    # join-back.
     best = per_probe.groupBy("vec_id").agg(
-        F.min(F.struct("neg", "_cell")).getField("_cell").alias("cell")
+        _unpack_argmin_id(
+            F.min(_pack_argmin(F.col("neg"), F.col("_cell")))
+        ).alias("cell")
     )
     return vecs.join(best, "vec_id").select(
         "vec_id", "embedding", "nrm", "cell"

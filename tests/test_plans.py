@@ -733,3 +733,24 @@ def test_minhash_signature_aggregate_stays_hash_based(spark):
     docs = load_table(spark, SF, "documents")
     df = dedup.minhash_signatures(docs)
     P.assert_hash_aggregate_only(df)
+
+
+def test_assignment_argmax_stays_hash_based(spark):
+    """Round-12: every nearest-centroid argmax packs its (6dp score, id)
+    pair into one BIGINT (similarity._pack_argmin) so the aggregate
+    buffer is a flat primitive — the flat assignment AND the two-level
+    routed assignment must plan zero SortAggregates (the r11 min(struct)
+    buffer was still sort-demoted, just over narrow rows)."""
+    from stockpulse_batch_realtime_etl_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF, "embeddings")
+    vecs = emb.select(
+        "vec_id", "embedding", sim._norm(F.col("embedding")).alias("nrm")
+    )
+    cent = emb.filter("vec_id < 8").select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    P.assert_hash_aggregate_only(sim._assign_cells(vecs, cent, ncells=8))
+    P.assert_hash_aggregate_only(
+        sim._assign_cells_two_level(vecs, cent, 3, nprobe=2)
+    )
