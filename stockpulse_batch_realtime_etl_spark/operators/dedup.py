@@ -626,8 +626,16 @@ def dedup_survivors(
 
     Composes :func:`dup_groups` (minhash-LSH + connected components) with
     the quality scorer, then reduces each group in ONE map-side-combinable
-    aggregate: ``max_by(doc_id, (quality, -doc_id))`` — no window sort, no
-    per-group row shuffle beyond the single groupBy exchange.
+    aggregate: ``max_by(doc_id, <packed (quality, -doc_id)>)`` — no window
+    sort, no per-group row shuffle beyond the single groupBy exchange.
+    The ordering key is ONE BIGINT, not a struct: quality sits on the 6dp
+    grid (``quality_score`` rounds), so ``round(quality·10⁶)·2⁴² − doc_id``
+    is exact and orders (quality DESC-equivalently max, then lowest
+    doc_id) — a struct ordering key puts a non-mutable buffer in the
+    aggregate and demotes the whole groupBy to SortAggregate, a
+    per-partition sort of the (candidate-docs × quality) stream (round 12;
+    2⁴² headroom covers doc_ids past 10¹², a NULL quality packs below
+    every real score and ties exactly like the NULL-first struct did).
     """
     from stockpulse_batch_realtime_etl_spark.operators.text import (
         quality_score,
@@ -638,8 +646,13 @@ def dedup_survivors(
     )
     q = quality_score(docs).select("doc_id", "quality")
     j = groups.join(q, "doc_id")
-    ordkey = F.struct(
-        F.col("quality").alias("q"), (-F.col("doc_id")).alias("nd")
+    ordkey = (
+        F.coalesce(
+            F.round(F.col("quality") * F.lit(1_000_000.0), 0).cast("bigint"),
+            F.lit(-1),
+        )
+        * F.lit(1 << 42)
+        - F.col("doc_id")
     )
     return j.groupBy("group_id").agg(
         F.max_by("doc_id", ordkey).alias("survivor_doc_id"),

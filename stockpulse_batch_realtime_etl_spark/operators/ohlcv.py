@@ -278,18 +278,22 @@ def gapfill_bars(
         .orderBy("bucket_start")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # per-day summary: close of the LAST real minute that day (struct-max →
-    # unambiguous null handling), then LOCF over days per symbol — the
-    # sequential window touches day COUNTS, not minutes.
+    # per-day summary: close of the LAST real minute that day, then LOCF
+    # over days per symbol — the sequential window touches day COUNTS,
+    # not minutes.  max_by(close, <null-masked bucket_start>) rather than
+    # max(when(... struct)): max_by skips null ordering keys (silent
+    # minutes) exactly like the null-masked struct-max did, but its
+    # buffer is two flat primitives, so this aggregate over the DENSE
+    # GRID (the widest stream in the query) stays a HashAggregate — a
+    # struct buffer is not UnsafeRow-mutable and demoted it to
+    # SortAggregate, a per-partition sort of the grid (round 12).
     day_last = (
         g.groupBy("symbol", frames.BUCKET_COL)
         .agg(
-            F.max(
-                F.when(
-                    F.col("close").isNotNull(),
-                    F.struct("bucket_start", "close"),
-                )
-            )["close"].alias("day_close")
+            F.max_by(
+                "close",
+                F.when(F.col("close").isNotNull(), F.col("bucket_start")),
+            ).alias("day_close")
         )
     )
     w_days = (

@@ -754,3 +754,20 @@ def test_assignment_argmax_stays_hash_based(spark):
     P.assert_hash_aggregate_only(
         sim._assign_cells_two_level(vecs, cent, 3, nprobe=2)
     )
+
+
+def test_gapfill_and_survivor_aggregates_stay_hash_based(spark, ticks):
+    """Round-12: gapfill's per-day last-close aggregate (max_by with a
+    null-masked primitive ordering instead of a struct-max) runs over the
+    DENSE minute grid, and the survivor pick (quality packed with doc_id
+    into one BIGINT ordering) runs over the candidate-doc stream — both
+    must stay hash-based end to end."""
+    from stockpulse_batch_realtime_etl_spark.operators import dedup
+    from stockpulse_batch_realtime_etl_spark.operators.ohlcv import (
+        gapfill_bars,
+        ohlcv_bars,
+    )
+
+    P.assert_hash_aggregate_only(gapfill_bars(ohlcv_bars(ticks)))
+    docs = load_table(spark, SF, "documents")
+    P.assert_hash_aggregate_only(dedup.dedup_survivors(docs))
