@@ -1050,10 +1050,22 @@ def _pq_explode(embeddings: DataFrame, sub_dim: int) -> DataFrame:
     )
 
 
+#: Loud ceiling for the PQ argmin's fixed-point packing: 6dp-scaled
+#: distances must leave 9 bits of code headroom inside a signed 64-bit
+#: key (10¹⁰·10⁶·2⁹ < 2⁶³).  Squared sub-vector L2 above 10¹⁰ means
+#: components ~10⁴ — far past any normalized-embedding reality — and the
+#: guard RAISES rather than silently wrapping the ranking.
+_PQ_DIST_CAP = 1e10
+
+
 def _pq_assign(e: DataFrame, codebooks: DataFrame) -> DataFrame:
     """Nearest codebook entry per (vector, subspace) by squared L2,
     rounded to 6dp before the argmin (ties → lowest code) so summation-
-    order noise can never flip an assignment between engines."""
+    order noise can never flip an assignment between engines.  The
+    argmin runs on a packed BIGINT (scaled dist · 2⁹ + code) — a
+    ``min_by`` with a struct ordering key demotes this corpus × n_sub ×
+    kpq aggregate to SortAggregate (round 12); distances past
+    :data:`_PQ_DIST_CAP` raise instead of overflowing the key."""
     dists = (
         e.join(F.broadcast(codebooks), ["s", "d"])
         .groupBy("vec_id", "s", "code")
@@ -1064,8 +1076,18 @@ def _pq_assign(e: DataFrame, codebooks: DataFrame) -> DataFrame:
             ).alias("dist")
         )
     )
+    packed = F.when(
+        F.col("dist") <= F.lit(_PQ_DIST_CAP),
+        F.round(F.col("dist") * F.lit(1_000_000.0), 0).cast("bigint")
+        * F.lit(1 << 9)
+        + F.col("code"),
+    ).otherwise(
+        F.raise_error(
+            F.lit("PQ distance exceeds the fixed-point packing domain")
+        )
+    )
     return dists.groupBy("vec_id", "s").agg(
-        F.min_by("code", F.struct("dist", "code")).alias("code")
+        F.pmod(F.min(packed), F.lit(1 << 9)).cast("int").alias("code")
     )
 
 
@@ -1087,6 +1109,10 @@ def pq_codebooks(
     SAME aggregate passes (s is just a group key), so cost does not grow
     with n_sub.
     """
+    if kpq > (1 << 9):
+        raise ValueError(
+            f"kpq={kpq} exceeds the argmin packing's 9-bit code limb"
+        )
     sub_dim = dim // n_sub
     e = _pq_explode(embeddings, sub_dim)
     c = e.filter(F.col("vec_id") < kpq).select(
@@ -1582,9 +1608,13 @@ def kmeans_cell_report(
             F.col("embedding"), F.col("c_emb"), F.col("nrm"), F.col("c_norm")
         ).alias("cos"),
     )
+    # packed-BIGINT argmax (see _pack_argmin): a min_by with a struct
+    # ordering key demotes this corpus × ncells aggregate to
+    # SortAggregate; max(cos) rides alongside as its own flat buffer so
+    # the NULL-cosine semantics (max ignores NULLs) stay exact
     best = scored.groupBy("vec_id").agg(
-        F.min_by(
-            "_cell", F.struct((-F.col("cos")).alias("neg"), F.col("_cell"))
+        _unpack_argmin_id(
+            F.min(_pack_argmin(-F.col("cos"), F.col("_cell")))
         ).alias("cell"),
         F.max("cos").alias("best_cos"),
     )

@@ -267,25 +267,41 @@ def language_id(docs: DataFrame) -> DataFrame:
     lang); docs with zero hits → 'und'.  The keyword table is lit-inlined
     (broadcast by construction); the only shuffle is the per-doc re-group.
     """
+    # langs carry their LEXICOGRAPHIC index through the pipeline so the
+    # per-doc argmax can run on a packed BIGINT: min_by with a string
+    # value (or a struct key) is not UnsafeRow-mutable and demotes the
+    # groupBy to SortAggregate — a per-partition sort of the doc × lang
+    # hits stream, corpus-row scale (round 12).  packed =
+    # (−hits)·2⁶ + lang_idx; min = (max hits, lexicographically first
+    # lang); the string comes back from a literal array lookup.
+    langs = sorted(LANG_KEYWORDS)
+    assert len(langs) < (1 << 6), "lang index must fit the 6-bit limb"
     kw_rows = [
-        (lang, word) for lang, words in sorted(LANG_KEYWORDS.items()) for word in words
+        (i, word)
+        for i, lang in enumerate(langs)
+        for word in LANG_KEYWORDS[lang]
     ]
     spark = docs.sparkSession
-    kws = spark.createDataFrame(kw_rows, ["kw_lang", "kw"])
+    kws = spark.createDataFrame(kw_rows, ["kw_li", "kw"])
 
     toks = fan_out(docs).select("doc_id", F.explode(_tokens()).alias("token"))
     hits = (
         toks.join(F.broadcast(kws), F.lower(F.col("token")) == F.col("kw"))
-        .groupBy("doc_id", "kw_lang")
+        .groupBy("doc_id", "kw_li")
         .agg(F.count(F.lit(1)).alias("hits"))
     )
-    # argmax(hits) with lexicographic tie-break = min_by over (-hits, lang)
-    best = hits.groupBy("doc_id").agg(
-        F.min_by(
-            "kw_lang",
-            F.struct((-F.col("hits")).alias("neg_hits"), F.col("kw_lang")),
-        ).alias("pred_lang"),
-        F.max("hits").alias("lang_hits"),
+    packed = (-F.col("hits")) * F.lit(1 << 6) + F.col("kw_li")
+    best = (
+        hits.groupBy("doc_id")
+        .agg(F.min(packed).alias("_p"))
+        .select(
+            "doc_id",
+            F.element_at(
+                F.array(*[F.lit(lang) for lang in langs]),
+                (F.pmod(F.col("_p"), F.lit(1 << 6)) + 1).cast("int"),
+            ).alias("pred_lang"),
+            (-F.shiftright(F.col("_p"), 6)).alias("lang_hits"),
+        )
     )
     return (
         docs.select("doc_id", "lang")

@@ -771,3 +771,20 @@ def test_gapfill_and_survivor_aggregates_stay_hash_based(spark, ticks):
     P.assert_hash_aggregate_only(gapfill_bars(ohlcv_bars(ticks)))
     docs = load_table(spark, SF, "documents")
     P.assert_hash_aggregate_only(dedup.dedup_survivors(docs))
+
+
+def test_pq_kmeans_report_and_language_id_argmaxes_stay_hash_based(spark):
+    """Round-12 second audit pass: the PQ code argmin (packed BIGINT with
+    the _PQ_DIST_CAP guard), kmeans_cell_report's argmax+max(cos), and
+    language_id's packed lang-index vote all plan without SortAggregate
+    (their min_by forms sorted corpus-scale streams)."""
+    from stockpulse_batch_realtime_etl_spark.operators import (
+        similarity as sim,
+        text,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    docs = load_table(spark, SF, "documents")
+    P.assert_hash_aggregate_only(sim.pq_codebooks(emb))
+    P.assert_hash_aggregate_only(sim.kmeans_cell_report(emb, ncells=8))
+    P.assert_hash_aggregate_only(text.language_id(docs))
