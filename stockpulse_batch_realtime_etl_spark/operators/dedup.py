@@ -652,7 +652,16 @@ def dedup_survivors(
             F.lit(-1),
         )
         * F.lit(1 << 42)
-        - F.col("doc_id")
+        - F.when(
+            F.col("doc_id") < F.lit(1 << 42), F.col("doc_id")
+        ).otherwise(
+            # a doc_id past the 42-bit limb would silently bleed into the
+            # quality ordering — corpora with synthetic/hashed 64-bit ids
+            # must fail LOUDLY, not misrank survivors
+            F.raise_error(
+                F.lit("doc_id exceeds the survivor ordering's 42-bit limb")
+            )
+        )
     )
     return j.groupBy("group_id").agg(
         F.max_by("doc_id", ordkey).alias("survivor_doc_id"),
