@@ -663,10 +663,12 @@ def dedup_survivors(
             )
         )
     )
-    return j.groupBy("group_id").agg(
-        F.max_by("doc_id", ordkey).alias("survivor_doc_id"),
+    # project the key once: both max_by's reference the same column, so
+    # the pack expression evaluates once per row instead of twice
+    return j.withColumn("_ord", ordkey).groupBy("group_id").agg(
+        F.max_by("doc_id", F.col("_ord")).alias("survivor_doc_id"),
         F.count(F.lit(1)).alias("group_size"),
-        F.max_by("quality", ordkey).alias("survivor_quality"),
+        F.max_by("quality", F.col("_ord")).alias("survivor_quality"),
     )
 
 
