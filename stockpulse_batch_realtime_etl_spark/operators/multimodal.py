@@ -908,6 +908,41 @@ def encode_wav_adpcm(asset_id: int) -> bytes:
     return _riff_wav(fmt, block, n)
 
 
+def encode_wav_adpcm_stereo(asset_id: int) -> bytes:
+    """STEREO IMA/DVI ADPCM WAV (fmt tag 17, channels=2), one block in
+    the word-interleaved layout: two consecutive 4-byte channel headers
+    (L: s₀=((31·id) mod 65536)−32768, idx=id mod 89; R: s₀=((17·id) mod
+    65536)−32768, idx=(7·id) mod 89), then 4-byte code words alternating
+    L/R, each word carrying 8 of its channel's codes (L codes
+    (7·id+3·k) mod 16, R codes (5·id+11·k) mod 16, zero-padded to full
+    words; ``fact`` = n = 64 + id mod 101 trims the pads per channel)."""
+    import numpy as np
+
+    n = 64 + asset_id % 101
+    rate = 8000 + (asset_id % 5) * 1000
+    chans = (
+        (((31 * asset_id) % 65536) - 32768, asset_id % 89, 7, 3),
+        (((17 * asset_id) % 65536) - 32768, (7 * asset_id) % 89, 5, 11),
+    )
+    pad = (-(n - 1)) % 8  # full 4-byte words per channel
+    words = []
+    headers = b""
+    for pred0, idx0, m, s in chans:
+        nibs = (m * asset_id + s * np.arange(n - 1)) % 16
+        nibs = np.append(nibs, np.zeros(pad, dtype=nibs.dtype))
+        codes = (nibs[0::2] | (nibs[1::2] << 4)).astype(np.uint8)
+        words.append(codes.reshape(-1, 4))
+        headers += struct.pack("<hBB", pred0, idx0, 0)
+    inter = np.stack(words, axis=1).reshape(-1)  # L-word, R-word, ...
+    block = headers + inter.tobytes()
+    spb = 1 + (n - 1 + pad)
+    fmt = struct.pack(
+        "<HHIIHHHH", 17, 2, rate, rate * len(block) // spb, len(block), 4,
+        2, spb,
+    )
+    return _riff_wav(fmt, block, n)
+
+
 def encode_wav_extensible(asset_id: int) -> bytes:
     """WAVE_FORMAT_EXTENSIBLE (fmt tag 0xFFFE) wrapping the standard
     deterministic series — PCM16 SubFormat for even ids, IEEE-float32
@@ -1058,21 +1093,16 @@ _IMA_STEPS = (
 _IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8) * 2
 
 
-def _decode_ima_block(block: bytes) -> "np.ndarray":
-    """Decode ONE mono IMA ADPCM block: 4-byte header (int16 predictor —
-    emitted as the block's first sample — uint8 step index, reserved
-    byte), then 4-bit codes packed two per byte, LOW nibble first.  The
-    recurrence is inherently sequential (each step's quantizer state
+def _ima_run(pred: int, idx: int, nibs: "np.ndarray") -> "np.ndarray":
+    """One channel's IMA recurrence: the header sample, then one output
+    per 4-bit code.  Inherently sequential (each step's quantizer state
     feeds the next — same stream-shaped reality as the JPEG Huffman
     walk); parallelism lives one level up, across assets inside the
     Arrow batch."""
     import numpy as np
 
-    pred, idx = struct.unpack_from("<hB", block, 0)
     if idx > 88:
         raise ValueError(f"ADPCM step index {idx} out of range")
-    nb = np.frombuffer(block, np.uint8, len(block) - 4, 4)
-    nibs = np.stack([nb & 0x0F, nb >> 4], axis=1).ravel()
     out = np.empty(1 + len(nibs), dtype=np.int64)
     out[0] = pred
     for i, nib in enumerate(nibs):
@@ -1088,6 +1118,46 @@ def _decode_ima_block(block: bytes) -> "np.ndarray":
         pred = max(-32768, min(32767, pred))
         idx = max(0, min(88, idx + _IMA_INDEX[nib]))
         out[1 + i] = pred
+    return out
+
+
+def _byte_nibbles(nb: "np.ndarray") -> "np.ndarray":
+    """4-bit codes from packed bytes, LOW nibble first (the IMA order)."""
+    import numpy as np
+
+    return np.stack([nb & 0x0F, nb >> 4], axis=1).ravel()
+
+
+def _decode_ima_block(block: bytes) -> "np.ndarray":
+    """Decode ONE mono IMA ADPCM block: 4-byte header (int16 predictor —
+    emitted as the block's first sample — uint8 step index, reserved
+    byte), then a CONTIGUOUS 4-bit code stream (mono has no word
+    interleave)."""
+    import numpy as np
+
+    pred, idx = struct.unpack_from("<hB", block, 0)
+    return _ima_run(
+        pred, idx, _byte_nibbles(np.frombuffer(block, np.uint8, len(block) - 4, 4))
+    )
+
+
+def _decode_ima_block_multi(block: bytes, channels: int) -> list:
+    """Decode ONE multi-channel IMA ADPCM block into per-channel sample
+    arrays: ``channels`` consecutive 4-byte headers, then the code
+    stream in 4-BYTE WORDS alternating per channel (the IMA/DVI WAV
+    layout — each word carries 8 of its channel's codes); every
+    channel's recurrence is the same mirror-pinned mono state machine."""
+    import numpy as np
+
+    hdr = 4 * channels
+    body = block[hdr:]
+    if len(body) % (4 * channels):
+        raise ValueError("ADPCM data words not channel-aligned")
+    words = np.frombuffer(body, np.uint8).reshape(-1, channels, 4)
+    out = []
+    for c in range(channels):
+        pred, idx = struct.unpack_from("<hB", block, 4 * c)
+        out.append(_ima_run(pred, idx, _byte_nibbles(words[:, c, :].ravel())))
     return out
 
 
@@ -1109,12 +1179,12 @@ def decode_wav_bytes(payload: bytes) -> dict:
     :data:`WAV_FLOAT_SCALE` and rounded half-even, never clipped (a
     non-finite float sample is corrupt input → ``ValueError``), plus the
     telephony codecs A-law (tag 6) and µ-law (tag 7) via the exact G.711
-    tables, mono IMA/DVI ADPCM (tag 17; block-structured 4-bit codes,
-    ``fact``-chunk sample-count trim for the padding nibble), and
-    WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) unwrapped to its PCM/float
-    SubFormat.  Remaining non-PCM formats (MS-ADPCM tag 2, MP3, stereo
-    IMA, unknown EXTENSIBLE SubFormats, …) raise
-    ``NotImplementedError``."""
+    tables, IMA/DVI ADPCM (tag 17; block-structured 4-bit codes — mono
+    contiguous, multi-channel via the 4-byte-word interleave — with the
+    ``fact``-chunk per-channel sample-count trim for padding nibbles),
+    and WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) unwrapped to its PCM/float
+    SubFormat.  Remaining non-PCM formats (MS-ADPCM tag 2, MP3, unknown
+    EXTENSIBLE SubFormats, …) raise ``NotImplementedError``."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -1159,32 +1229,45 @@ def decode_wav_bytes(payload: bytes) -> dict:
             "sample_rate": rate,
             "vals": table[np.frombuffer(data, np.uint8)],
         }
-    if audio_fmt == 17:  # IMA/DVI ADPCM
-        if channels != 1:
-            raise NotImplementedError(f"IMA ADPCM channels={channels}")
+    if audio_fmt == 17:  # IMA/DVI ADPCM (mono contiguous; N-channel via
+        # 4-byte-word interleave — see _decode_ima_block_multi)
         if data is None or bits != 4:
             raise NotImplementedError(
                 f"IMA ADPCM bits={bits} or missing data chunk"
             )
-        if block_align < 5:
+        if channels < 1:
+            raise ValueError("IMA ADPCM with zero channels")
+        min_block = 5 if channels == 1 else 8 * channels
+        if block_align < min_block:
             raise ValueError(f"IMA ADPCM block_align={block_align}")
-        blocks = []
+        parts: list = [[] for _ in range(channels)]
         for off in range(0, len(data), block_align):
             block = data[off : off + block_align]
-            if len(block) < 5:  # header + at least one code byte
+            if len(block) < min_block:  # header + ≥1 code byte/word-group
                 raise ValueError("ADPCM trailing block truncated")
-            blocks.append(_decode_ima_block(block))
-        vals = np.concatenate(blocks) if blocks else np.empty(0, np.int64)
+            if channels == 1:
+                parts[0].append(_decode_ima_block(block))
+            else:
+                for c, series in enumerate(
+                    _decode_ima_block_multi(block, channels)
+                ):
+                    parts[c].append(series)
+        streams = [
+            np.concatenate(p) if p else np.empty(0, np.int64) for p in parts
+        ]
         if fact_n is not None:
             # the fact chunk (mandatory for compressed formats) carries
-            # the true per-channel sample count — it trims the final
-            # block's padding nibble; claiming MORE samples than the
+            # the true PER-CHANNEL sample count — it trims the final
+            # block's padding nibbles; claiming MORE samples than the
             # data decodes to is corrupt input
-            if fact_n > len(vals):
+            if fact_n > len(streams[0]):
                 raise ValueError(
-                    f"ADPCM fact={fact_n} exceeds decoded {len(vals)}"
+                    f"ADPCM fact={fact_n} exceeds decoded {len(streams[0])}"
                 )
-            vals = vals[:fact_n]
+            streams = [s[:fact_n] for s in streams]
+        vals = np.empty(len(streams[0]) * channels, dtype=np.int64)
+        for c, s in enumerate(streams):
+            vals[c::channels] = s  # raw interleaved stream order
         return {"sample_rate": rate, "vals": vals}
     if audio_fmt == 3:  # IEEE float
         if data is None or bits not in (32, 64):

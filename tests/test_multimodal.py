@@ -2239,8 +2239,8 @@ def test_ima_adpcm_multiblock_and_error_paths():
     """Multi-block streams decode block-independently (each header
     restarts the predictor/index state); corrupt shapes dead-letter:
     out-of-range step index, truncated trailing block, fact exceeding
-    the decoded data, undersized block_align; stereo IMA stays an honest
-    format boundary."""
+    the decoded data, undersized block_align, and a stereo data section
+    that is not 4-byte-word channel-aligned."""
     import numpy as np
 
     blk1 = struct.pack("<hBB", 100, 5, 0) + bytes([0x21, 0x43])
@@ -2266,11 +2266,63 @@ def test_ima_adpcm_multiblock_and_error_paths():
     bad_align = struct.pack("<HHIIHHHH", 17, 1, 8000, 4096, 4, 4, 2, 1)
     with pytest.raises(ValueError, match="block_align"):
         multimodal.decode_wav_bytes(multimodal._riff_wav(bad_align, blk1))
-    stereo = struct.pack(
-        "<HHIIHHHH", 17, 2, 8000, 4096, len(blk1), 4, 2, 5
+    # stereo: data section must be whole 4-byte words per channel
+    sblk = (
+        struct.pack("<hBB", 100, 5, 0)
+        + struct.pack("<hBB", -200, 30, 0)
+        + bytes(12)  # 12 % (4*2) != 0
     )
-    with pytest.raises(NotImplementedError, match="channels=2"):
-        multimodal.decode_wav_bytes(multimodal._riff_wav(stereo, blk1))
+    stereo = struct.pack(
+        "<HHIIHHHH", 17, 2, 8000, 4096, len(sblk), 4, 2, 13
+    )
+    with pytest.raises(ValueError, match="channel-aligned"):
+        multimodal.decode_wav_bytes(multimodal._riff_wav(stereo, sblk))
+
+
+def test_ima_adpcm_stereo_word_interleave():
+    """Stereo IMA ADPCM (the word-interleaved layout: two consecutive
+    channel headers, then 4-byte code words alternating L/R): each
+    channel decodes through the SAME mirror-pinned mono recurrence from
+    its own header state, output is raw L/R-interleaved stream order,
+    and fact trims the word-padding per channel.  A hand-built
+    two-group block pins the word→channel routing byte for byte."""
+    import numpy as np
+
+    for aid in (0, 1, 5, 42, 100, 101, 107):
+        n = 64 + aid % 101
+        d = multimodal.decode_wav_bytes(
+            multimodal.encode_wav_adpcm_stereo(aid)
+        )
+        assert len(d["vals"]) == 2 * n
+        left = _ima_mirror(
+            ((31 * aid) % 65536) - 32768,
+            aid % 89,
+            [(7 * aid + 3 * k) % 16 for k in range(n - 1)],
+        )
+        right = _ima_mirror(
+            ((17 * aid) % 65536) - 32768,
+            (7 * aid) % 89,
+            [(5 * aid + 11 * k) % 16 for k in range(n - 1)],
+        )
+        np.testing.assert_array_equal(d["vals"][0::2], left)
+        np.testing.assert_array_equal(d["vals"][1::2], right)
+    # hand-built: L word = codes 1..8, R word = codes 9,10,11,12,0,0,0,0
+    lw = bytes([0x21, 0x43, 0x65, 0x87])
+    rw = bytes([0xA9, 0xCB, 0x00, 0x00])
+    blk = (
+        struct.pack("<hBB", 100, 5, 0)
+        + struct.pack("<hBB", -200, 30, 0)
+        + lw + rw
+    )
+    fmt = struct.pack("<HHIIHHHH", 17, 2, 8000, 4096, len(blk), 4, 2, 9)
+    d = multimodal.decode_wav_bytes(multimodal._riff_wav(fmt, blk))
+    np.testing.assert_array_equal(
+        d["vals"][0::2], _ima_mirror(100, 5, [1, 2, 3, 4, 5, 6, 7, 8])
+    )
+    np.testing.assert_array_equal(
+        d["vals"][1::2],
+        _ima_mirror(-200, 30, [9, 10, 11, 12, 0, 0, 0, 0]),
+    )
 
 
 def test_wav_extensible_unwraps_to_plain_twins():
