@@ -11,12 +11,15 @@ The idiomatic Spark shape for image/audio/video at 100 TB:
 
 Codec reality has two rungs:
 
-* REAL formats (24-bit BMP, binary PPM, integer-PCM WAV at all widths
-  8/16/24/32-bit, and PNG via stdlib ``zlib`` — 8-bit RGB, grayscale at
-  bit depths 1/2/4/8, palette at bit depths 1/2/4/8, and Adam7
-  interlaced streams of any of those) are decoded FOR REAL by the
-  dependency-free parsers below — header parse, row-padding strip,
-  bottom-up flip, BGR→RGB swap, RIFF chunk walk, and full PNG
+* REAL formats (24-bit BMP, binary PPM, WAV — integer PCM at all widths
+  8/16/24/32-bit, IEEE-float 32/64, G.711 µ-law/A-law, IMA/DVI ADPCM
+  mono and word-interleaved multi-channel, and WAVE_FORMAT_EXTENSIBLE —
+  and PNG via stdlib ``zlib`` — 8-bit RGB, grayscale at bit depths
+  1/2/4/8, 16-bit gray/RGB, palette at bit depths 1/2/4/8, alpha color
+  types 4/6, tRNS transparency, and Adam7 interlaced streams of any of
+  those) are decoded FOR REAL by the dependency-free parsers below —
+  header parse, row-padding strip, bottom-up flip, BGR→RGB swap, RIFF
+  chunk walk + companding tables + the ADPCM recurrence, and full PNG
   chunk-walk + CRC + inflate + five-filter unfiltering + sub-byte
   unpacking + PLTE lookup + interlace scatter.  ``decoded_stats`` runs
   them end-to-end inside ``mapInPandas`` and is oracle-checked: the
