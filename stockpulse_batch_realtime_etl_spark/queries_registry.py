@@ -1722,76 +1722,17 @@ from stockpulse_batch_realtime_etl_spark import queries_ext  # noqa: E402,F401
 #: length asserted at import time (the r4 boundary slip put 60 names ahead
 #: of a "50-entry" comment and silently dropped 10 intended rotations).
 #:
-#: ROUND-12 ROTATION (the r11 verdict's #1 directive, taken verbatim):
-#: the 50 r9-gated names — after r11 they are exactly 2 rounds stale,
-#: the rotation maximum, so they take the whole r12 window in their
+#: ROUND-13 ROTATION (the r12 verdict's #1 directive, taken verbatim):
+#: the 50 r10-gated names — after r12 they are exactly 2 rounds stale,
+#: the rotation maximum, so they take the whole r13 window in their
 #: queued _GATE_NEXT order.  With the registry at exactly 150 the
 #: 3-round rotation has zero slack: after this round the histogram is
-#: r12=50, r11=50, r10=50 and gate_audit's strict ≤2-rounds-stale
+#: r13=50, r12=50, r11=50 and gate_audit's strict ≤2-rounds-stale
 #: invariant holds.  Any new registration this round must be paired
-#: with a retirement.
+#: with a retirement.  This window also delivers the first driver-side
+#: regate of the r12-repacked consumers (`exact_dedup`, `dup_groups`,
+#: `doc_fingerprints`, `ann_ivf_kmeans_topk`) on driver hardware.
 _GATE_HEAD: tuple[str, ...] = (
-    "symbols",
-    "latest_ticks",
-    "latest_tick_per_symbol",
-    "bollinger_bands",
-    "rsi_ticks",
-    "donchian_breakouts",
-    "obv_ticks",
-    "max_drawdown",
-    "ticks_asof_bars",
-    "ticks_asof_next_bar",
-    "q13_order_counts",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q7_nation_volume",
-    "q22_sales_opportunity",
-    "revenue_cube",
-    "price_deciles",
-    "symbol_correlations",
-    "symbol_beta",
-    "event_transitions",
-    "rfm_segments",
-    "weekday_hour_profile",
-    "stats_summary",
-    "kafka_roundtrip_ticks",
-    "hapax_stats",
-    "lsh_candidate_pairs",
-    "minhash_jaccard_estimate",
-    "simhash_near_dups",
-    "label_centroid_similarity",
-    "json_decode_ticks",
-    "dlq_failed_events",
-    "bigram_counts",
-    "streaming_dedup_ticks",
-    "multimodal_jpeg_stats",
-    "multimodal_jpeg411_stats",
-    "multimodal_jpeg_progressive_stats",
-    "rolling_fingerprints",
-    "fingerprint_match_pairs",
-    "contamination_overlap",
-    "bigram_lm_scores",
-    "repetition_stats",
-    "streaming_pair_join",
-    "events_profile",
-    "missing_minutes",
-    "funnel_counts",
-    "cohort_retention",
-    "kmeans_cell_report",
-    "return_outliers",
-    "video_frame_stats",
-    "audio_decimated_stats",
-)
-
-#: Names queued BEHIND the window, in r13 rotation priority: the 50
-#: r10-gated names in registration order — after r12 they are exactly
-#: 2 rounds stale, the rotation maximum, so they take the whole r13
-#: window.  The 50 r11-gated names follow in registration order as the
-#: un-listed tail (1 round stale after r12, windowed again in r14).
-#: Every name not listed follows in registration order.  All registered
-#: queries are still verified every round by the local all-queries
-#: parity suite (tests/test_oracle_parity) and tools/check_parity.py.
-_GATE_NEXT: tuple[str, ...] = (
     "ohlcv_bars",
     "tick_summary",
     "bar_summary",
@@ -1842,6 +1783,67 @@ _GATE_NEXT: tuple[str, ...] = (
     "streaming_pair_join_outer",
     "streaming_pair_join_right",
     "streaming_pair_join_full",
+)
+
+#: Names queued BEHIND the window, in r14 rotation priority: the 50
+#: r11-gated names in their r11 window order — after r13 they are
+#: exactly 2 rounds stale, the rotation maximum, so they take the whole
+#: r14 window.  The 50 r12-gated names follow in registration order as
+#: the un-listed tail (1 round stale after r13, windowed again in r15).
+#: Every name not listed follows in registration order.  All registered
+#: queries are still verified every round by the local all-queries
+#: parity suite (tests/test_oracle_parity) and tools/check_parity.py.
+_GATE_NEXT: tuple[str, ...] = (
+    "multimodal_jpeg422_stats",
+    "streaming_interval_join",
+    "semantic_dedup",
+    "semdedup_recall_report",
+    "ann_ivfpq_topk",
+    "ann_pq_adc_topk",
+    "bm25_scores",
+    "curation_funnel",
+    "dataset_splits",
+    "dedup_survivors",
+    "dup_groups_star",
+    "ema_ticks",
+    "frame_samples",
+    "gapfill_bars",
+    "health_counts",
+    "hourly_bars_rollup",
+    "hourly_symbol_pivot",
+    "incremental_dedup",
+    "jaccard_top_pairs",
+    "latest_bars",
+    "minhash_signatures",
+    "mixture_sample",
+    "multimodal_features",
+    "multimodal_png_stats",
+    "ngram_novelty",
+    "notable_days",
+    "orders_profile",
+    "packing_stats",
+    "pii_redact",
+    "pii_scan",
+    "price_cardinality",
+    "price_histogram",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "quality_length_filter",
+    "quality_score",
+    "rolling_stats",
+    "session_bars",
+    "simulated_ticks",
+    "sliding_bars",
+    "source_token_stats",
+    "storage_roundtrip",
+    "stratified_sample",
+    "streaming_running_bars",
+    "streaming_sector_rollup",
+    "streaming_session_bars",
+    "time_range_stats",
+    "top_bars_per_day",
+    "version_info",
+    "vwap_bars",
 )
 assert len(_GATE_HEAD) == 50, (
     f"driver gate window is exactly 50 entries; _GATE_HEAD has "
