@@ -1202,7 +1202,11 @@ def decode_wav_bytes(payload: bytes) -> dict:
                 struct.unpack_from("<HHIIHH", payload, pos)
             )
             if audio_fmt == 0xFFFE:  # EXTENSIBLE: tag lives in SubFormat
-                if size < 40:
+                # a declared size >= 40 with physically-truncated bytes
+                # would slice a short GUID, fail the tail compare, and be
+                # misfiled as NotImplementedError (format boundary) rather
+                # than ValueError (corrupt) in the DLQ taxonomy
+                if size < 40 or pos + 40 > len(payload):
                     raise ValueError("EXTENSIBLE fmt chunk truncated")
                 guid = payload[pos + 24 : pos + 40]
                 if guid[2:] != _WAVE_EXT_GUID_TAIL:

@@ -1051,11 +1051,14 @@ def _pq_explode(embeddings: DataFrame, sub_dim: int) -> DataFrame:
 
 
 #: Loud ceiling for the PQ argmin's fixed-point packing: 6dp-scaled
-#: distances must leave 9 bits of code headroom inside a signed 64-bit
-#: key (10¹⁰·10⁶·2⁹ < 2⁶³).  Squared sub-vector L2 above 10¹⁰ means
-#: components ~10⁴ — far past any normalized-embedding reality — and the
-#: guard RAISES rather than silently wrapping the ranking.
-_PQ_DIST_CAP = 1e10
+#: distances must be EXACT integers in a double (≤ 2⁵³) and leave 9 bits
+#: of code headroom inside a signed 64-bit key (2⁵³·2⁹ < 2⁶³).  The cap
+#: is 2⁵³/10⁶ ≈ 9.0e9 — admitting up to 1e10 would let scaled keys reach
+#: 1e16, past double's exact-integer range, where adjacent 6dp distances
+#: can collide.  Squared sub-vector L2 above 9e9 means components ~10⁴ —
+#: far past any normalized-embedding reality — and the guard RAISES
+#: rather than silently wrapping the ranking.
+_PQ_DIST_CAP = float(1 << 53) / 1e6
 
 
 def _pq_assign(e: DataFrame, codebooks: DataFrame) -> DataFrame:
@@ -1076,14 +1079,26 @@ def _pq_assign(e: DataFrame, codebooks: DataFrame) -> DataFrame:
             ).alias("dist")
         )
     )
-    packed = F.when(
-        F.col("dist") <= F.lit(_PQ_DIST_CAP),
-        F.round(F.col("dist") * F.lit(1_000_000.0), 0).cast("bigint")
-        * F.lit(1 << 9)
-        + F.col("code"),
-    ).otherwise(
-        F.raise_error(
-            F.lit("PQ distance exceeds the fixed-point packing domain")
+    # a NULL dist (null embedding component) must get its OWN error: in a
+    # bare when/otherwise the NULL comparison falls through to otherwise
+    # and masquerades as a domain overflow
+    packed = (
+        F.when(
+            F.col("dist").isNull(),
+            F.raise_error(
+                F.lit("PQ distance is NULL — null embedding component")
+            ),
+        )
+        .when(
+            F.col("dist") <= F.lit(_PQ_DIST_CAP),
+            F.round(F.col("dist") * F.lit(1_000_000.0), 0).cast("bigint")
+            * F.lit(1 << 9)
+            + F.col("code"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit("PQ distance exceeds the fixed-point packing domain")
+            )
         )
     )
     return dists.groupBy("vec_id", "s").agg(

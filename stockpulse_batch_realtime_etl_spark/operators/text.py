@@ -275,7 +275,13 @@ def language_id(docs: DataFrame) -> DataFrame:
     # (−hits)·2⁶ + lang_idx; min = (max hits, lexicographically first
     # lang); the string comes back from a literal array lookup.
     langs = sorted(LANG_KEYWORDS)
-    assert len(langs) < (1 << 6), "lang index must fit the 6-bit limb"
+    if len(langs) >= (1 << 6):
+        # not an assert: stripped under -O, and an overflowing index
+        # bleeds into the hits limb and silently corrupts the vote
+        raise ValueError(
+            f"{len(langs)} languages exceed the packed vote's 6-bit "
+            "lang-index limb"
+        )
     kw_rows = [
         (i, word)
         for i, lang in enumerate(langs)

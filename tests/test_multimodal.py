@@ -2353,3 +2353,8 @@ def test_wav_extensible_unwraps_to_plain_twins():
     )  # declares EXTENSIBLE but the chunk stops before the GUID
     with pytest.raises(ValueError, match="truncated"):
         multimodal.decode_wav_bytes(multimodal._riff_wav(fmt36, b"\x00\x00"))
+    # declared size 40 but the payload physically ends inside the GUID:
+    # corrupt input (ValueError), not a format boundary — a short GUID
+    # slice must not fail the tail compare into NotImplementedError
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_wav_bytes(good[:50])

@@ -208,6 +208,35 @@ def test_ann_pq_adc_prefers_near_cluster(spark):
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
 
 
+def test_pq_assign_guards_null_and_overflow_distances(spark):
+    """The PQ argmin's packed BIGINT has two loud failure modes that must
+    stay DISTINCT: a NULL distance (null embedding component) raises its
+    own error rather than falling through when/otherwise into the
+    domain-overflow branch, and a distance past _PQ_DIST_CAP raises the
+    overflow error.  The cap itself is 2⁵³/10⁶ so every admitted scaled
+    key is an exact integer in a double."""
+    assert similarity._PQ_DIST_CAP == float(1 << 53) / 1e6
+
+    codebooks = spark.createDataFrame(
+        [(0, 0, 0, 0.0), (0, 0, 1, 0.0)], "s int, code int, d int, cx double"
+    )
+
+    def exploded(x0):
+        # both components carry x0 so the NULL case nulls the whole
+        # sum (Spark's sum skips nulls; a lone null would yield 0.0)
+        return spark.createDataFrame(
+            [(7, 0, 0, x0), (7, 1, 0, x0)],
+            "vec_id long, d int, s int, x double",
+        )
+
+    with pytest.raises(Exception, match="NULL"):
+        similarity._pq_assign(exploded(None), codebooks).collect()
+    with pytest.raises(Exception, match="packing domain"):
+        similarity._pq_assign(exploded(1e6), codebooks).collect()
+    ok = similarity._pq_assign(exploded(1.0), codebooks).collect()
+    assert [(r.vec_id, r.s, r.code) for r in ok] == [(7, 0, 0)]
+
+
 def test_ann_ivfpq_subset_of_cell_with_adc_order(spark):
     """IVF-PQ candidates must come from the query's IVF cell and rank by
     the same ADC distances the pure-PQ scorer computes."""

@@ -62,6 +62,20 @@ def test_language_id_hit_counts(docs):
     assert out[2].lang_hits == 4
 
 
+def test_language_id_lang_limb_guard_raises(docs, monkeypatch):
+    """More than 64 languages must raise loudly at plan-build time: the
+    packed vote gives the lang index a 6-bit limb, and an overflowing
+    index would bleed into the hits limb and silently corrupt the
+    argmax (a bare assert is stripped under -O)."""
+    monkeypatch.setattr(
+        text,
+        "LANG_KEYWORDS",
+        {f"l{i:02d}": ["the"] for i in range(64)},
+    )
+    with pytest.raises(ValueError, match="6-bit"):
+        text.language_id(docs)
+
+
 def test_lang_vocab_distinct_counts(make_docs):
     d = make_docs(
         [
