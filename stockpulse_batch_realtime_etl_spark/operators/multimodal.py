@@ -946,6 +946,86 @@ def encode_wav_adpcm_stereo(asset_id: int) -> bytes:
     return _riff_wav(fmt, block, n)
 
 
+def encode_wav_ms_adpcm(asset_id: int) -> bytes:
+    """Mono Microsoft ADPCM WAV (fmt tag 2), one block: predictor index
+    id mod 7 into the standard 7-pair coefficient table (shipped in the
+    fmt chunk per spec), idelta = 16 + (13·id) mod 1000, header samples
+    sample2 = ((17·id) mod 65536) − 32768 (emitted FIRST — it is the
+    older tap) and sample1 = ((29·id) mod 65536) − 32768, then n−2
+    deterministic codes :data:`_MS_NIB_MAP`[(9·id + 5·j) mod 8] packed
+    HIGH nibble first (odd counts pad one zero nibble; ``fact`` pins
+    the true n = 64 + id mod 101).  The map keeps the stream on
+    low-adaptation codes so delta hovers near its 16 floor and the
+    TWO-TAP PREDICTOR drives the waveform (an unmapped 0–15 sweep
+    grows delta geometrically and rail-saturates ~80% of samples —
+    exact but signal-free).  The decoded series is the MS recurrence
+    over those codes — replayed by a recursive oracle."""
+    import numpy as np
+
+    n = 64 + asset_id % 101
+    rate = 8000 + (asset_id % 5) * 1000
+    bpred = asset_id % 7
+    idelta = 16 + (13 * asset_id) % 1000
+    s2 = ((17 * asset_id) % 65536) - 32768
+    s1 = ((29 * asset_id) % 65536) - 32768
+    nibs = np.asarray(_MS_NIB_MAP, np.int64)[
+        (9 * asset_id + 5 * np.arange(n - 2)) % 8
+    ]
+    if len(nibs) % 2:
+        nibs = np.append(nibs, 0)
+    codes = ((nibs[0::2] << 4) | nibs[1::2]).astype(np.uint8)
+    block = struct.pack("<Bhhh", bpred, idelta, s1, s2) + codes.tobytes()
+    spb = 2 + 2 * len(codes)  # full nibble capacity; fact trims the pad
+    fmt = struct.pack(
+        "<HHIIHHHHH", 2, 1, rate, rate * len(block) // spb, len(block), 4,
+        32, spb, len(_MS_COEFS),
+    ) + b"".join(struct.pack("<hh", c1, c2) for c1, c2 in _MS_COEFS)
+    return _riff_wav(fmt, block, n)
+
+
+def encode_wav_ms_adpcm_stereo(asset_id: int) -> bytes:
+    """STEREO MS ADPCM WAV (fmt tag 2, channels=2), one block in the
+    per-nibble channel interleave: headers grouped field-by-field
+    (both predictor indexes, both ideltas, both sample1s, both
+    sample2s), then each code byte carries one L code (high nibble) and
+    one R code (low nibble).  L replays the mono series; R uses its own
+    deterministic parameters (predictor (3·id) mod 7, idelta
+    16 + (7·id) mod 1000, taps 23·id/19·id, codes
+    _MS_NIB_MAP[(11·id + 3·j) mod 8]); ``fact`` = n trims nothing here
+    (n−2 codes per channel fill exactly n−2 bytes)."""
+    import numpy as np
+
+    n = 64 + asset_id % 101
+    rate = 8000 + (asset_id % 5) * 1000
+    chans = (
+        (asset_id % 7, 16 + (13 * asset_id) % 1000,
+         ((29 * asset_id) % 65536) - 32768,
+         ((17 * asset_id) % 65536) - 32768, 9, 5),
+        ((3 * asset_id) % 7, 16 + (7 * asset_id) % 1000,
+         ((19 * asset_id) % 65536) - 32768,
+         ((23 * asset_id) % 65536) - 32768, 11, 3),
+    )
+    nmap = np.asarray(_MS_NIB_MAP, np.int64)
+    nibs = [
+        nmap[(m * asset_id + s * np.arange(n - 2)) % 8]
+        for _, _, _, _, m, s in chans
+    ]
+    codes = ((nibs[0] << 4) | nibs[1]).astype(np.uint8)
+    hdr = (
+        bytes([c[0] for c in chans])
+        + struct.pack("<2h", *[c[1] for c in chans])
+        + struct.pack("<2h", *[c[2] for c in chans])
+        + struct.pack("<2h", *[c[3] for c in chans])
+    )
+    block = hdr + codes.tobytes()
+    spb = 2 + len(codes)  # per channel
+    fmt = struct.pack(
+        "<HHIIHHHHH", 2, 2, rate, rate * len(block) // spb, len(block), 4,
+        32, spb, len(_MS_COEFS),
+    ) + b"".join(struct.pack("<hh", c1, c2) for c1, c2 in _MS_COEFS)
+    return _riff_wav(fmt, block, n)
+
+
 def encode_wav_extensible(asset_id: int) -> bytes:
     """WAVE_FORMAT_EXTENSIBLE (fmt tag 0xFFFE) wrapping the standard
     deterministic series — PCM16 SubFormat for even ids, IEEE-float32
@@ -1164,6 +1244,105 @@ def _decode_ima_block_multi(block: bytes, channels: int) -> list:
     return out
 
 
+#: Microsoft ADPCM (WAV fmt tag 2) quantizer tables from the published
+#: MS algorithm (the Win-3.1 Multimedia DDK C listing; same tables ship
+#: in ffmpeg/libsndfile): 16-entry step-size adaptation and the 7
+#: standard predictor-coefficient pairs.  Files may append CUSTOM pairs
+#: after the standard 7 in the fmt chunk — the decoder reads the table
+#: from the bytes, the constant is only the encoder's default.
+_MS_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+_MS_COEFS = (
+    (256, 0), (512, -256), (0, 0), (192, 64),
+    (240, 0), (460, -208), (392, -232),
+)
+
+#: Encoder-side code alphabet for the deterministic MS ADPCM corpus:
+#: signed codes {0,+1,+2,+3,−1,−2,−3,+4} whose adaptation entries are
+#: seven 230s and one 307 — geometric mean < 256, so delta DECAYS
+#: toward its 16 floor instead of exploding, and the decoded waveform
+#: stays off the ±32767 rails (the two-tap predictor, not saturation,
+#: shapes it).
+_MS_NIB_MAP = (0, 1, 2, 3, 15, 14, 13, 4)
+
+#: The MS spec listing clamps delta only from BELOW (>= 16); a code
+#: stream that keeps hitting high-adaptation nibbles grows delta
+#: geometrically (the 16-entry table's product exceeds 256^16) until a
+#: C ``int`` overflows.  The public convention for that hole is
+#: ffmpeg's: cap delta at INT_MAX/768 so the next ``adapt * delta``
+#: stays inside 32 bits.  The oracle replays the same cap.
+_MS_DELTA_CAP = 0x7FFFFFFF // 768
+
+
+def _ms_run(
+    c1: int, c2: int, delta: int, s2: int, s1: int, nibs: "np.ndarray"
+) -> "np.ndarray":
+    """One channel's MS ADPCM recurrence: the two header samples (s2 is
+    the OLDER, emitted first), then one output per 4-bit code.  The
+    predictor division is C ``/ 256`` — truncation toward zero, the
+    spec listing's semantics — not an arithmetic shift; the two differ
+    on negative two-tap sums and the oracle replays this exact choice.
+    Inherently sequential like the IMA twin (each step's predictor pair
+    + delta feed the next); parallelism lives across assets."""
+    import numpy as np
+
+    out = np.empty(2 + len(nibs), dtype=np.int64)
+    out[0], out[1] = s2, s1
+    for i, nib in enumerate(nibs):
+        nib = int(nib)
+        two_tap = s1 * c1 + s2 * c2
+        pred = two_tap // 256 if two_tap >= 0 else -((-two_tap) // 256)
+        pred += (nib - 16 if nib & 8 else nib) * delta
+        pred = max(-32768, min(32767, pred))
+        s2, s1 = s1, pred
+        delta = max(16, min(_MS_DELTA_CAP, (_MS_ADAPT[nib] * delta) // 256))
+        out[2 + i] = pred
+    return out
+
+
+def _byte_nibbles_high(nb: "np.ndarray") -> "np.ndarray":
+    """4-bit codes from packed bytes, HIGH nibble first (the MS ADPCM
+    order — opposite of IMA's low-first)."""
+    import numpy as np
+
+    return np.stack([nb >> 4, nb & 0x0F], axis=1).ravel()
+
+
+def _decode_ms_block(block: bytes, channels: int, coefs: list) -> list:
+    """Decode ONE MS ADPCM block into per-channel sample arrays.  The
+    header interleaves per channel: ``channels`` predictor-index bytes,
+    then int16 ideltas, sample1s, sample2s (7 bytes/channel total); the
+    code stream then alternates channels PER NIBBLE, high nibble first
+    (stereo: one L and one R code per byte)."""
+    import numpy as np
+
+    hdr = 7 * channels
+    pairs = []
+    for c in range(channels):
+        bp = block[c]
+        if bp >= len(coefs):
+            raise ValueError(
+                f"MS ADPCM predictor index {bp} outside the "
+                f"{len(coefs)}-entry coefficient table"
+            )
+        pairs.append(coefs[bp])
+    deltas = struct.unpack_from(f"<{channels}h", block, channels)
+    s1s = struct.unpack_from(f"<{channels}h", block, 3 * channels)
+    s2s = struct.unpack_from(f"<{channels}h", block, 5 * channels)
+    nibs = _byte_nibbles_high(
+        np.frombuffer(block, np.uint8, len(block) - hdr, hdr)
+    )
+    return [
+        _ms_run(
+            pairs[c][0], pairs[c][1], deltas[c], s2s[c], s1s[c],
+            nibs[c::channels],
+        )
+        for c in range(channels)
+    ]
+
+
 #: WAVE_FORMAT_EXTENSIBLE SubFormat GUIDs are the 16-bit format tag in
 #: the first two bytes followed by this fixed 14-byte tail
 #: (KSDATAFORMAT_SUBTYPE_* from the public ksmedia.h layout).
@@ -1185,19 +1364,22 @@ def decode_wav_bytes(payload: bytes) -> dict:
     tables, IMA/DVI ADPCM (tag 17; block-structured 4-bit codes — mono
     contiguous, multi-channel via the 4-byte-word interleave — with the
     ``fact``-chunk per-channel sample-count trim for padding nibbles),
+    Microsoft ADPCM (tag 2; two-tap predictor from the fmt chunk's own
+    coefficient table, per-nibble channel interleave high-nibble-first),
     and WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) unwrapped to its PCM/float
-    SubFormat.  Remaining non-PCM formats (MS-ADPCM tag 2, MP3, unknown
-    EXTENSIBLE SubFormats, …) raise ``NotImplementedError``."""
+    SubFormat.  Remaining non-PCM formats (MP3, unknown EXTENSIBLE
+    SubFormats, …) raise ``NotImplementedError``."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError("not a RIFF/WAVE payload")
     pos, audio_fmt, rate, bits, data = 12, None, None, None, None
-    channels, block_align, fact_n = None, None, None
+    channels, block_align, fact_n, fmt_body = None, None, None, b""
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
         pos += 8
         if cid == b"fmt ":
+            fmt_body = payload[pos : pos + size]
             audio_fmt, channels, rate, _, block_align, bits = (
                 struct.unpack_from("<HHIIHH", payload, pos)
             )
@@ -1218,7 +1400,7 @@ def decode_wav_bytes(payload: bytes) -> dict:
                     raise NotImplementedError(
                         f"EXTENSIBLE WAV SubFormat {audio_fmt}"
                     )
-            elif audio_fmt not in (1, 3, 6, 7, 17):
+            elif audio_fmt not in (1, 2, 3, 6, 7, 17):
                 raise NotImplementedError(f"non-PCM WAV (format {audio_fmt})")
         elif cid == b"fact":
             (fact_n,) = struct.unpack_from("<I", payload, pos)
@@ -1236,6 +1418,56 @@ def decode_wav_bytes(payload: bytes) -> dict:
             "sample_rate": rate,
             "vals": table[np.frombuffer(data, np.uint8)],
         }
+    if audio_fmt == 2:  # Microsoft ADPCM: per spec the decoder reads
+        # the predictor-coefficient table from the fmt chunk (files may
+        # append custom pairs after the standard 7)
+        if data is None or bits != 4:
+            raise NotImplementedError(
+                f"MS ADPCM bits={bits} or missing data chunk"
+            )
+        if channels < 1:
+            raise ValueError("MS ADPCM with zero channels")
+        # WAVEFORMATEX extra: cbSize @16, wSamplesPerBlock @18,
+        # wNumCoef @20, int16 coefficient pairs from @22
+        if len(fmt_body) < 22:
+            raise ValueError("MS ADPCM fmt chunk truncated")
+        (ncoef,) = struct.unpack_from("<H", fmt_body, 20)
+        if ncoef < 1 or len(fmt_body) < 22 + 4 * ncoef:
+            raise ValueError("MS ADPCM coefficient table truncated")
+        coefs = [
+            struct.unpack_from("<hh", fmt_body, 22 + 4 * i)
+            for i in range(ncoef)
+        ]
+        min_block = 7 * channels
+        if block_align < min_block:
+            raise ValueError(f"MS ADPCM block_align={block_align}")
+        parts = [[] for _ in range(channels)]
+        for off in range(0, len(data), block_align):
+            block = data[off : off + block_align]
+            if len(block) < min_block:
+                raise ValueError("ADPCM trailing block truncated")
+            for c, series in enumerate(
+                _decode_ms_block(block, channels, coefs)
+            ):
+                parts[c].append(series)
+        streams = [
+            np.concatenate(p) if p else np.empty(0, np.int64) for p in parts
+        ]
+        # the per-nibble interleave can leave channels one code apart
+        # when the final byte splits unevenly (channels ∤ nibble count);
+        # the common stream length is the shortest channel's
+        n = min(len(s) for s in streams)
+        if fact_n is not None:
+            if fact_n > n:
+                raise ValueError(
+                    f"ADPCM fact={fact_n} exceeds decoded {n}"
+                )
+            n = fact_n
+        streams = [s[:n] for s in streams]
+        vals = np.empty(n * channels, dtype=np.int64)
+        for c, s in enumerate(streams):
+            vals[c::channels] = s
+        return {"sample_rate": rate, "vals": vals}
     if audio_fmt == 17:  # IMA/DVI ADPCM (mono contiguous; N-channel via
         # 4-byte-word interleave — see _decode_ima_block_multi)
         if data is None or bits != 4:
@@ -1364,12 +1596,15 @@ _ENCODERS = {
     "ulaw": encode_wav_ulaw,
     "alaw": encode_wav_alaw,
     "adpcm": encode_wav_adpcm,
+    "msadpcm": encode_wav_ms_adpcm,
     "wavext": encode_wav_extensible,
 }
 
 #: Formats whose payload is a RIFF/WAVE container (all decode through
 #: :func:`decode_wav_bytes`; the audio pipeline stages match on these).
-AUDIO_FORMATS = frozenset({"wav", "ulaw", "alaw", "adpcm", "wavext"})
+AUDIO_FORMATS = frozenset(
+    {"wav", "ulaw", "alaw", "adpcm", "msadpcm", "wavext"}
+)
 
 DECODED_SCHEMA = (
     "asset_id long, format string, width int, height int, sample_rate int, "

@@ -4245,16 +4245,31 @@ _IMA_INDEX_VALUES = ",".join(
     f"({n},{d})" for n, d in enumerate(multimodal._IMA_INDEX)
 )
 
-#: REAL audio processing rung — EXTENDED in round 12 from the single
-#: PCM corpus to the telephony/codec family: documents round-robin
-#: doc_id % 4 over PCM WAV, G.711 µ-law (fmt 7), G.711 A-law (fmt 6)
-#: and mono IMA/DVI ADPCM (fmt 17).  Each payload is REAL bytes for its
-#: codec; the pipeline decodes → decimates every-2nd-sample →
-#: re-encodes PCM at half rate → decodes again for stats.  The oracle
-#: replays the decoded values exactly: the PCM closed form, the G.711
-#: expansion formulas applied to the deterministic byte series, and the
-#: ADPCM recurrence via a recursive CTE over the deterministic nibble
-#: series (the one decoded series here with genuine cross-sample state).
+#: Microsoft ADPCM tables for the oracle's second recursive replay:
+#: 7 standard predictor-coefficient pairs and the 16-entry delta
+#: adaptation table.
+_MS_COEF_VALUES = ",".join(
+    f"({i},{c1},{c2})" for i, (c1, c2) in enumerate(multimodal._MS_COEFS)
+)
+_MS_ADAPT_VALUES = ",".join(
+    f"({i},{v})" for i, v in enumerate(multimodal._MS_ADAPT)
+)
+_MS_NIB_MAP_VALUES = ",".join(
+    f"({i},{v})" for i, v in enumerate(multimodal._MS_NIB_MAP)
+)
+
+#: REAL audio processing rung — EXTENDED in round 12 to the
+#: telephony/codec family and in round 13 to Microsoft ADPCM: documents
+#: round-robin doc_id % 5 over PCM WAV, G.711 µ-law (fmt 7), G.711
+#: A-law (fmt 6), mono IMA/DVI ADPCM (fmt 17) and mono MS ADPCM
+#: (fmt 2).  Each payload is REAL bytes for its codec; the pipeline
+#: decodes → decimates every-2nd-sample → re-encodes PCM at half rate →
+#: decodes again for stats.  The oracle replays the decoded values
+#: exactly: the PCM closed form, the G.711 expansion formulas applied
+#: to the deterministic byte series, and BOTH ADPCM recurrences via
+#: recursive CTEs over the deterministic nibble series (IMA carries
+#: (pred, step-index) state; MS carries the two-tap (s1, s2, delta)
+#: state with the spec's trunc-toward-zero predictor division).
 @register(
     "audio_decimated_stats",
     oracle=f"""
@@ -4262,11 +4277,14 @@ WITH RECURSIVE
 base AS (
   SELECT doc_id AS a, 64 + doc_id % 101 AS n0,
          8000 + (doc_id % 5) * 1000 AS rate0,
-         CAST(doc_id % 4 AS INT) AS fi
+         CAST(doc_id % 5 AS INT) AS fi
   FROM documents
 ),
 st(si, ss) AS (VALUES {_IMA_STEP_VALUES}),
 it(ni, dd) AS (VALUES {_IMA_INDEX_VALUES}),
+msct(ci, mc1, mc2) AS (VALUES {_MS_COEF_VALUES}),
+mat(mni, mav) AS (VALUES {_MS_ADAPT_VALUES}),
+mnp(ti, mn) AS (VALUES {_MS_NIB_MAP_VALUES}),
 rec AS (
   SELECT a, n0, 0 AS k, ((31 * a) % 65536) - 32768 AS pred,
          CAST(a % 89 AS INT) AS idx
@@ -4284,6 +4302,33 @@ rec AS (
     JOIN st ON st.si = r.idx
     JOIN it ON it.ni = r.nib
   )
+),
+msrec AS (
+  -- MS ADPCM state after emitting index k: s1 = sample[k], s2 =
+  -- sample[k-1], delta = current step.  k=1 seeds from the block
+  -- header (s2 is emitted at index 0, s1 at index 1); each step
+  -- consumes nibble j = k-1 and emits index k+1.  The predictor
+  -- division is trunc-toward-zero (the spec listing's C `/ 256`),
+  -- hence trunc() over an exact double, not integer floor division.
+  SELECT a, n0, 1 AS k,
+         ((29 * a) % 65536) - 32768 AS s1,
+         ((17 * a) % 65536) - 32768 AS s2,
+         16 + (13 * a) % 1000 AS delta
+  FROM base WHERE fi = 4
+  UNION ALL
+  SELECT a, n0, k + 1,
+         GREATEST(-32768, LEAST(32767,
+           CAST(trunc(CAST(s1 * mc1 + s2 * mc2 AS DOUBLE) / 256) AS BIGINT)
+           + (CASE WHEN mn >= 8 THEN mn - 16 ELSE mn END) * delta)
+         ) AS s1,
+         s1 AS s2,
+         GREATEST(16, LEAST({multimodal._MS_DELTA_CAP},
+                            (mav * delta) // 256)) AS delta
+  FROM (SELECT *, CAST((9 * a + 5 * (k - 1)) % 8 AS INT) AS ti
+        FROM msrec WHERE k < n0 - 1) r
+  JOIN mnp ON mnp.ti = r.ti
+  JOIN msct ON msct.ci = CAST(r.a % 7 AS INT)
+  JOIN mat ON mat.mni = mnp.mn
 ),
 v AS (
   SELECT a AS asset_id,
@@ -4315,6 +4360,16 @@ v AS (
   SELECT a, 'adpcm', CAST((n0 + 1) // 2 AS BIGINT),
          CAST(rate0 // 2 AS INT), k // 2, pred
   FROM rec JOIN base USING (a, n0) WHERE k % 2 = 0
+  UNION ALL
+  -- MS ADPCM decimated stream: index 0 is the header's OLDER tap (the
+  -- s2 of the k=1 seed row); even indexes k >= 2 read s1 at state k
+  SELECT a, 'msadpcm', CAST((n0 + 1) // 2 AS BIGINT),
+         CAST(rate0 // 2 AS INT), 0, s2
+  FROM msrec JOIN base USING (a, n0) WHERE k = 1
+  UNION ALL
+  SELECT a, 'msadpcm', CAST((n0 + 1) // 2 AS BIGINT),
+         CAST(rate0 // 2 AS INT), k // 2, s1
+  FROM msrec JOIN base USING (a, n0) WHERE k % 2 = 0
 )
 SELECT asset_id, format,
        CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
@@ -4330,9 +4385,10 @@ GROUP BY asset_id, format, sample_rate
 )
 def q_audio_decimated_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio decode → 2x decimation → re-encode → decode over the
-    PCM/µ-law/A-law/ADPCM corpus, stats-verified per codec path."""
+    PCM/µ-law/A-law/IMA-ADPCM/MS-ADPCM corpus, stats-verified per
+    codec path."""
     assets = multimodal.encode_assets(
         load_table(spark, sf_dir, "documents"),
-        fmts=("wav", "ulaw", "alaw", "adpcm"),
+        fmts=("wav", "ulaw", "alaw", "adpcm", "msadpcm"),
     )
     return multimodal.decoded_stats(multimodal.decimate_audio(assets, 2))

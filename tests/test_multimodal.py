@@ -2012,10 +2012,10 @@ def test_wav_pcm_bit_widths_and_stereo():
         wav(16, 2, _struct.pack("<6h", 1, -1, 2, -2, 3, -3))
     )
     np.testing.assert_array_equal(d["vals"], [1, -1, 2, -2, 3, -3])
-    # IEEE float (fmt 3) is implemented as of r11 — the honest seam moved
-    # to the remaining non-PCM tags (ADPCM here; µ-law, EXTENSIBLE, …)
+    # float/G.711/IMA/MS-ADPCM all decode as of r13 — the honest seam
+    # moved to the genuinely library-bound tags (MPEG Layer 3 here)
     bad = wav(32, 1, _struct.pack("<4i", *samples32))
-    bad = bad.replace(_struct.pack("<H", 1), _struct.pack("<H", 2), 1)
+    bad = bad.replace(_struct.pack("<H", 1), _struct.pack("<H", 85), 1)
     with pytest.raises(NotImplementedError, match="non-PCM"):
         multimodal.decode_wav_bytes(bad)
 
@@ -2323,6 +2323,190 @@ def test_ima_adpcm_stereo_word_interleave():
         d["vals"][1::2],
         _ima_mirror(-200, 30, [9, 10, 11, 12, 0, 0, 0, 0]),
     )
+
+
+def _ms_mirror(c1, c2, delta, s2, s1, nibs):
+    """Independent scalar transcription of the MS ADPCM decode step
+    (trunc-toward-zero predictor division, ffmpeg-convention delta
+    cap)."""
+    out = [s2, s1]
+    for nib in nibs:
+        tt = s1 * c1 + s2 * c2
+        pred = abs(tt) // 256 * (1 if tt >= 0 else -1)
+        pred += (nib - 16 if nib >= 8 else nib) * delta
+        pred = max(-32768, min(32767, pred))
+        s2, s1 = s1, pred
+        delta = max(
+            16,
+            min(
+                multimodal._MS_DELTA_CAP,
+                (multimodal._MS_ADAPT[nib] * delta) // 256,
+            ),
+        )
+        out.append(pred)
+    return out
+
+
+def _ms_fmt(channels, block_align, spb, coefs):
+    return struct.pack(
+        "<HHIIHHHHH", 2, channels, 8000, 4096, block_align, 4,
+        4 + 4 * len(coefs), spb, len(coefs),
+    ) + b"".join(struct.pack("<hh", *c) for c in coefs)
+
+
+def test_ms_adpcm_decode_matches_scalar_mirror():
+    """The production MS ADPCM block decoder equals the independent
+    scalar mirror on the deterministic corpus series, the two header
+    taps come out in s2-then-s1 order, and the ``fact`` chunk trims
+    the packing pad so odd code counts roundtrip exactly."""
+    import numpy as np
+
+    for aid in (0, 1, 5, 7, 13, 42, 88, 100, 101, 107):
+        n = 64 + aid % 101
+        d = multimodal.decode_wav_bytes(multimodal.encode_wav_ms_adpcm(aid))
+        assert len(d["vals"]) == n  # fact trimmed the pad nibble if odd
+        assert d["sample_rate"] == 8000 + (aid % 5) * 1000
+        c1, c2 = multimodal._MS_COEFS[aid % 7]
+        exp = _ms_mirror(
+            c1, c2,
+            16 + (13 * aid) % 1000,
+            ((17 * aid) % 65536) - 32768,
+            ((29 * aid) % 65536) - 32768,
+            [multimodal._MS_NIB_MAP[(9 * aid + 5 * j) % 8]
+             for j in range(n - 2)],
+        )
+        np.testing.assert_array_equal(d["vals"], exp)
+
+
+def test_ms_adpcm_trunc_division_and_delta_cap():
+    """Two recurrence subtleties pinned by hand-built blocks: the
+    predictor division is C trunc-toward-zero (taps −1/−1 with coef
+    pair (460,−208) give trunc(−252/256) = 0, where an arithmetic
+    shift would give −1), and delta saturates at the ffmpeg-convention
+    INT_MAX/768 cap (a growth-then-decay code stream decodes to
+    different values with and without the cap — the decoder must match
+    the capped mirror)."""
+    import numpy as np
+
+    # trunc: bpred 5 → (460, -208); sample1 = sample2 = -1; one code 0
+    blk = struct.pack("<Bhhh", 5, 16, -1, -1) + bytes([0x00])
+    d = multimodal.decode_wav_bytes(
+        multimodal._riff_wav(
+            _ms_fmt(1, len(blk), 4, multimodal._MS_COEFS), blk, 3
+        )
+    )
+    np.testing.assert_array_equal(d["vals"], [-1, -1, 0])
+
+    # cap: grow delta 3x/step past INT_MAX/768 via code 8 (adapt 768),
+    # decay it back through the observable range via code 0, then emit
+    # +1 codes whose step size reveals which delta path was taken
+    nibs = [8] * 5 + [0] * 60 + [1] * 3
+    codes = bytes(
+        (nibs[i] << 4) | nibs[i + 1] for i in range(0, len(nibs), 2)
+    )
+    blk = struct.pack("<Bhhh", 0, 30000, 1000, 0) + codes
+    d = multimodal.decode_wav_bytes(
+        multimodal._riff_wav(
+            _ms_fmt(1, len(blk), 2 + len(nibs), multimodal._MS_COEFS),
+            blk, 2 + len(nibs),
+        )
+    )
+    capped = _ms_mirror(256, 0, 30000, 0, 1000, nibs)
+    np.testing.assert_array_equal(d["vals"], capped)
+    uncapped, s2, s1, delta = [0, 1000], 0, 1000, 30000
+    for nib in nibs:
+        tt = s1 * 256 + s2 * 0
+        pred = abs(tt) // 256 * (1 if tt >= 0 else -1)
+        pred += (nib - 16 if nib >= 8 else nib) * delta
+        pred = max(-32768, min(32767, pred))
+        s2, s1 = s1, pred
+        delta = max(16, (multimodal._MS_ADAPT[nib] * delta) // 256)
+        uncapped.append(pred)
+    assert capped != uncapped  # the stream genuinely discriminates
+
+
+def test_ms_adpcm_stereo_nibble_interleave():
+    """Stereo MS ADPCM (per-nibble channel interleave: field-grouped
+    headers, then one L code per high nibble and one R code per low
+    nibble): each channel decodes through the mirror-pinned mono
+    recurrence from its own header state, output is raw
+    L/R-interleaved stream order."""
+    import numpy as np
+
+    for aid in (0, 1, 5, 42, 100, 101, 107):
+        n = 64 + aid % 101
+        d = multimodal.decode_wav_bytes(
+            multimodal.encode_wav_ms_adpcm_stereo(aid)
+        )
+        assert len(d["vals"]) == 2 * n
+        lc1, lc2 = multimodal._MS_COEFS[aid % 7]
+        rc1, rc2 = multimodal._MS_COEFS[(3 * aid) % 7]
+        left = _ms_mirror(
+            lc1, lc2, 16 + (13 * aid) % 1000,
+            ((17 * aid) % 65536) - 32768,
+            ((29 * aid) % 65536) - 32768,
+            [multimodal._MS_NIB_MAP[(9 * aid + 5 * j) % 8]
+             for j in range(n - 2)],
+        )
+        right = _ms_mirror(
+            rc1, rc2, 16 + (7 * aid) % 1000,
+            ((23 * aid) % 65536) - 32768,
+            ((19 * aid) % 65536) - 32768,
+            [multimodal._MS_NIB_MAP[(11 * aid + 3 * j) % 8]
+             for j in range(n - 2)],
+        )
+        np.testing.assert_array_equal(d["vals"][0::2], left)
+        np.testing.assert_array_equal(d["vals"][1::2], right)
+
+
+def test_ms_adpcm_custom_coefficients_and_error_paths():
+    """The decoder reads the coefficient table from the fmt chunk per
+    spec — a file shipping an 8th custom pair decodes with it; corrupt
+    shapes dead-letter: predictor index past the table, truncated
+    coefficient table, truncated fmt chunk, undersized block_align,
+    truncated trailing block, and fact exceeding the decoded data."""
+    import numpy as np
+
+    coefs8 = tuple(multimodal._MS_COEFS) + ((100, -50),)
+    blk = struct.pack("<Bhhh", 7, 16, 300, 200) + bytes([0x10])
+    d = multimodal.decode_wav_bytes(
+        multimodal._riff_wav(_ms_fmt(1, len(blk), 4, coefs8), blk, 4)
+    )
+    np.testing.assert_array_equal(
+        d["vals"], _ms_mirror(100, -50, 16, 200, 300, [1, 0])
+    )
+    # predictor index 7 with only the standard 7-pair table: corrupt
+    with pytest.raises(ValueError, match="predictor index"):
+        multimodal.decode_wav_bytes(
+            multimodal._riff_wav(
+                _ms_fmt(1, len(blk), 4, multimodal._MS_COEFS), blk, 4
+            )
+        )
+    # fmt declares 7 pairs but ships 3: coefficient table truncated
+    short = _ms_fmt(1, len(blk), 4, multimodal._MS_COEFS)[: 22 + 12]
+    with pytest.raises(ValueError, match="coefficient table"):
+        multimodal.decode_wav_bytes(multimodal._riff_wav(short, blk))
+    # fmt chunk stops before wNumCoef
+    with pytest.raises(ValueError, match="fmt chunk truncated"):
+        multimodal.decode_wav_bytes(
+            multimodal._riff_wav(
+                struct.pack("<HHIIHH", 2, 1, 8000, 4096, 8, 4), blk
+            )
+        )
+    with pytest.raises(ValueError, match="block_align"):
+        multimodal.decode_wav_bytes(
+            multimodal._riff_wav(
+                _ms_fmt(1, 6, 4, multimodal._MS_COEFS), blk
+            )
+        )
+    blk_ok = struct.pack("<Bhhh", 1, 16, 300, 200) + bytes([0x10])
+    ok = _ms_fmt(1, len(blk_ok), 4, multimodal._MS_COEFS)
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_wav_bytes(
+            multimodal._riff_wav(ok, blk_ok + blk_ok[:5])
+        )
+    with pytest.raises(ValueError, match="fact=99"):
+        multimodal.decode_wav_bytes(multimodal._riff_wav(ok, blk_ok, 99))
 
 
 def test_wav_extensible_unwraps_to_plain_twins():

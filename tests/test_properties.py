@@ -238,7 +238,8 @@ def test_jpeg_decoder_total_on_corrupt_inputs(asset_id, variant, mode, seed):
     st.integers(0, 499),
     st.sampled_from(
         ["png", "pngpal", "png16", "pngalpha", "pngtrns", "wav", "wavf",
-         "ulaw", "alaw", "adpcm", "adpcm2", "wavext", "y4m", "ppm", "bmp"]
+         "ulaw", "alaw", "adpcm", "adpcm2", "msadpcm", "msadpcm2",
+         "wavext", "y4m", "ppm", "bmp"]
     ),
     st.sampled_from(["truncate", "flip", "insert"]),
     st.integers(0, 2**32 - 1),
@@ -265,6 +266,8 @@ def test_codec_decoders_total_on_corrupt_inputs(asset_id, codec, mode, seed):
         "alaw": mm.encode_wav_alaw,
         "adpcm": mm.encode_wav_adpcm,
         "adpcm2": mm.encode_wav_adpcm_stereo,
+        "msadpcm": mm.encode_wav_ms_adpcm,
+        "msadpcm2": mm.encode_wav_ms_adpcm_stereo,
         "wavext": mm.encode_wav_extensible,
         "y4m": mm.encode_y4m,
         "ppm": mm.encode_ppm,
@@ -282,6 +285,8 @@ def test_codec_decoders_total_on_corrupt_inputs(asset_id, codec, mode, seed):
         "alaw": mm.decode_wav_bytes,
         "adpcm": mm.decode_wav_bytes,
         "adpcm2": mm.decode_wav_bytes,
+        "msadpcm": mm.decode_wav_bytes,
+        "msadpcm2": mm.decode_wav_bytes,
         "wavext": mm.decode_wav_bytes,
         "y4m": mm.decode_y4m_bytes,
         "ppm": mm.decode_image_bytes,
@@ -293,7 +298,8 @@ def test_codec_decoders_total_on_corrupt_inputs(asset_id, codec, mode, seed):
         d = dec(payload)
     except (ValueError, NotImplementedError):
         return
-    if codec in ("wav", "wavf", "ulaw", "alaw", "adpcm", "adpcm2", "wavext"):
+    if codec in ("wav", "wavf", "ulaw", "alaw", "adpcm", "adpcm2",
+                 "msadpcm", "msadpcm2", "wavext"):
         assert d["sample_rate"] is not None and len(d["vals"]) >= 0
     elif codec == "y4m":
         assert d["width"] > 0 and d["height"] > 0
