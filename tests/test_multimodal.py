@@ -2425,6 +2425,24 @@ def test_ms_adpcm_trunc_division_and_delta_cap():
     assert capped != uncapped  # the stream genuinely discriminates
 
 
+def test_ms_nib_map_keeps_delta_bounded():
+    """The corpus code alphabet must keep the per-cycle adaptation
+    product below 256^len — otherwise delta grows geometrically, the
+    decoded corpus rail-saturates (~80% of samples at an unmapped 0–15
+    sweep) and the parity signal collapses to clamp checks.  A future
+    map edit that reintroduces a high-adaptation code must fail here."""
+    import math
+
+    prod = math.prod(
+        multimodal._MS_ADAPT[n] for n in multimodal._MS_NIB_MAP
+    )
+    assert prod < 256 ** len(multimodal._MS_NIB_MAP)
+    for n in multimodal._MS_NIB_MAP:
+        assert 0 <= n <= 15
+        snib = n - 16 if n >= 8 else n
+        assert abs(snib) <= 4  # small-step codes: predictor-shaped waveform
+
+
 def test_ms_adpcm_stereo_nibble_interleave():
     """Stereo MS ADPCM (per-nibble channel interleave: field-grouped
     headers, then one L code per high nibble and one R code per low

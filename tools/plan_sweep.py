@@ -10,6 +10,10 @@ it builds all ~150 registered DataFrames, extracts the formatted
 physical plan of each, and fails loudly on
 
   * any CartesianProduct (never acceptable),
+  * any BatchEvalPython (a row-at-a-time Python UDF in a plan — every
+    Python seam in this repo is Arrow-batched: ArrowEvalPython /
+    MapInPandas / FlatMapGroupsInPandas / FlatMapCoGroupsInPandas;
+    no allowlist, zero tolerance),
   * any SortAggregate or BroadcastNestedLoopJoin outside the explicit
     KEEPS allowlists below — each keep carries the reason the shape is
     intended (string min/max has no mutable buffer; a BNLJ over a
@@ -128,10 +132,17 @@ def main() -> int:
         n_sort = len(re.findall(r"\bSortAggregate\b", plan))
         n_cart = len(re.findall(r"\bCartesianProduct\b", plan))
         n_bnlj = len(re.findall(r"\bBroadcastNestedLoopJoin\b", plan))
+        n_rowudf = len(re.findall(r"\bBatchEvalPython\b", plan))
         flags = []
         if n_cart:
             bad.append(f"{name}: {n_cart} CartesianProduct node(s)")
             flags.append(f"CARTESIAN={n_cart}")
+        if n_rowudf:
+            bad.append(
+                f"{name}: {n_rowudf} BatchEvalPython node(s) — "
+                "row-at-a-time Python UDF in the plan"
+            )
+            flags.append(f"ROWUDF={n_rowudf}")
         if n_bnlj:
             cap, why = BNLJ_KEEPS.get(name, (0, ""))
             if n_bnlj > cap:
@@ -163,8 +174,9 @@ def main() -> int:
         for b in bad:
             print(f"  - {b}")
         return 1
-    print("\nplan sweep OK: no cartesian products, no SortAggregate or "
-          "BroadcastNestedLoopJoin outside the documented keeps")
+    print("\nplan sweep OK: no cartesian products, no row-at-a-time "
+          "Python UDFs, no SortAggregate or BroadcastNestedLoopJoin "
+          "outside the documented keeps")
     return 0
 
 
