@@ -2519,6 +2519,16 @@ def test_ms_adpcm_custom_coefficients_and_error_paths():
         )
     blk_ok = struct.pack("<Bhhh", 1, 16, 300, 200) + bytes([0x10])
     ok = _ms_fmt(1, len(blk_ok), 4, multimodal._MS_COEFS)
+    # multi-block: each block header RESTARTS the (s1, s2, delta) state
+    blk_b = struct.pack("<Bhhh", 0, 99, -5, 5) + bytes([0x2F])
+    d = multimodal.decode_wav_bytes(
+        multimodal._riff_wav(ok, blk_ok + blk_b)
+    )
+    np.testing.assert_array_equal(
+        d["vals"],
+        _ms_mirror(512, -256, 16, 200, 300, [1, 0])
+        + _ms_mirror(256, 0, 99, 5, -5, [2, 15]),
+    )
     with pytest.raises(ValueError, match="truncated"):
         multimodal.decode_wav_bytes(
             multimodal._riff_wav(ok, blk_ok + blk_ok[:5])
