@@ -147,6 +147,133 @@ def encode_bmp(asset_id: int) -> bytes:
     return head + info + data
 
 
+def _gif_palette(asset_id: int, ncolors: int):
+    """Deterministic GIF color table: entry j = ((7j+id) mod 256,
+    (11j+2id) mod 256, (13j+3id) mod 256) — all three channels
+    closed-form so the oracle replays palette lookups arithmetically."""
+    import numpy as np
+
+    j = np.arange(ncolors, dtype=np.int64)
+    return np.stack(
+        [
+            (7 * j + asset_id) % 256,
+            (11 * j + 2 * asset_id) % 256,
+            (13 * j + 3 * asset_id) % 256,
+        ],
+        axis=1,
+    ).astype(np.uint8)
+
+
+#: GIF interlace row schedule (GIF89a spec appendix E): four passes,
+#: rows 0::8, 4::8, 2::4, 1::2 in transmission order.
+def _gif_interlace_order(h: int) -> list:
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
+def _lzw_encode(indexes, min_code_size: int) -> bytes:
+    """REAL GIF-flavor LZW compression (variable 3-12 bit codes packed
+    LSB-first): CLEAR, greedy longest-match emission growing the string
+    table, code width stepping when the table's next value would not
+    fit, CLEAR-and-reset at the 4096-entry ceiling, EOI.  The width
+    rule is the encoder half of the canonical pair (encoder grows at
+    next == 2^width + 1, decoder at next == 2^width — the decoder's
+    table trails one entry behind); the boundary-crossing roundtrip
+    tests pin the pairing."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    buf = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    next_code = eoi + 1
+    table: dict = {}
+    emit(clear, width)
+    prefix = int(indexes[0])
+    for s in map(int, indexes[1:]):
+        key = (prefix, s)
+        if key in table:
+            prefix = table[key]
+            continue
+        emit(prefix, width)
+        if next_code < 4096:
+            table[key] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table.clear()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prefix = s
+    emit(prefix, width)
+    emit(eoi, width)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _gif_data_subblocks(stream: bytes) -> bytes:
+    """Chunk a byte stream into GIF's <=255-byte length-prefixed
+    sub-blocks, with the 0x00 terminator."""
+    parts = [
+        bytes([len(stream[i : i + 255])]) + stream[i : i + 255]
+        for i in range(0, len(stream), 255)
+    ]
+    return b"".join(parts) + b"\x00"
+
+
+def encode_gif(asset_id: int) -> bytes:
+    """GIF89a still image: global color table of 2^(2 + id mod 7)
+    entries (:func:`_gif_palette`), pixel index at row-major position k
+    = (3·id + 5·k) mod ncolors, REAL LZW-compressed (variable-width
+    codes, string-table growth); odd ids transmit INTERLACED (the
+    4-pass row schedule).  A comment extension and a non-transparent
+    Graphic Control Extension precede the image so decoders must
+    genuinely skip extension blocks."""
+    import numpy as np
+
+    w, h = _image_dims(asset_id)
+    bits = 2 + asset_id % 7
+    ncolors = 1 << bits
+    pal = _gif_palette(asset_id, ncolors)
+    k = np.arange(w * h, dtype=np.int64)
+    idx = ((3 * asset_id + 5 * k) % ncolors).reshape(h, w)
+    interlaced = asset_id % 2 == 1
+    rows = idx[_gif_interlace_order(h), :] if interlaced else idx
+    stream = _lzw_encode(rows.reshape(-1), bits)
+    lsd_flags = 0x80 | ((bits - 1) << 4) | (bits - 1)  # global table, size
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # no transparency, no delay
+    comment = b"\x21\xfe" + _gif_data_subblocks(b"synthetic still corpus")
+    img = struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlaced else 0
+    )
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, lsd_flags, 0, 0)
+        + pal.tobytes()
+        + gce
+        + comment
+        + img
+        + bytes([bits])
+        + _gif_data_subblocks(stream)
+        + b"\x3b"
+    )
+
+
 #: Adam7 interlace grid (PNG spec §8.2): per pass, (row_start, col_start,
 #: row_increment, col_increment) — pass p's sub-image holds the pixels at
 #: image[row_start::row_inc, col_start::col_inc], transmitted as its own
@@ -1053,12 +1180,175 @@ def encode_wav_extensible(asset_id: int) -> bytes:
     return _riff_wav(fmt, data)
 
 
+def _gif_read_subblocks(payload: bytes, pos: int) -> tuple:
+    """Collect a GIF sub-block chain (length-prefixed, 0x00-terminated)
+    starting at ``pos``; returns (joined bytes, position after the
+    terminator).  Truncation anywhere dead-letters."""
+    parts = []
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF sub-block chain truncated")
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(parts), pos
+        if pos + n > len(payload):
+            raise ValueError("GIF sub-block truncated")
+        parts.append(payload[pos : pos + n])
+        pos += n
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list:
+    """GIF LZW decompression: LSB-first variable-width codes, CLEAR /
+    EOI handling, KwKwK special case, width stepping at next == 2^width,
+    table frozen at the 4096-entry ceiling until the next CLEAR.
+    Returns the index sequence; any malformed code dead-letters."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    roots = {i: bytes([i]) for i in range(clear)}
+    nbytes = len(data)
+    bitpos = 0
+    width = min_code_size + 1
+    table = dict(roots)
+    next_code = eoi + 1
+    prev = None
+    out = bytearray()
+    while True:
+        byte0 = bitpos >> 3
+        if byte0 + ((bitpos & 7) + width + 7) // 8 > nbytes:
+            raise ValueError("GIF LZW stream truncated (no EOI)")
+        code = (
+            int.from_bytes(data[byte0 : byte0 + 3], "little")
+            >> (bitpos & 7)
+        ) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = dict(roots)
+            next_code = eoi + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return list(out)
+        if prev is None:
+            if code >= clear:
+                raise ValueError(
+                    "GIF LZW first code after CLEAR is not a literal"
+                )
+            out += table[code]
+            prev = code
+            continue
+        if code < next_code and code not in (clear, eoi):
+            seq = table[code]
+        elif code == next_code and next_code < 4096:
+            seq = table[prev] + table[prev][:1]  # KwKwK
+        else:
+            raise ValueError(f"GIF LZW code {code} outside the table")
+        out += seq
+        if next_code < 4096:
+            table[next_code] = table[prev] + seq[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = code
+
+
+@_total_on_corrupt
+def decode_gif_bytes(payload: bytes) -> dict:
+    """Parse a still GIF into ``{width, height, vals}`` with ``vals``
+    the palette-mapped int64 RGB values in row-major top-down order —
+    LZW decompressed for real, interlace rows re-sequenced, extension
+    blocks skipped.  Honest format boundaries raise
+    ``NotImplementedError``: animation (a second image descriptor),
+    transparency (a GCE with the transparent-color flag), and frames
+    that do not cover the canvas (their meaning needs composition
+    state); corrupt shapes raise ``ValueError``."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF payload")
+    w, h, flags, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    if w == 0 or h == 0:
+        raise ValueError(f"GIF zero dimensions {w}x{h}")
+    pos = 13
+    gpal = None
+    if flags & 0x80:
+        gsize = 2 << (flags & 7)
+        if pos + gsize * 3 > len(payload):
+            raise ValueError("GIF global color table truncated")
+        gpal = np.frombuffer(payload, np.uint8, gsize * 3, pos).reshape(
+            gsize, 3
+        )
+        pos += gsize * 3
+    vals = None
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF stream truncated (no trailer)")
+        marker = payload[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer
+            break
+        if marker == 0x21:  # extension: label byte + sub-block chain
+            if pos >= len(payload):
+                raise ValueError("GIF extension truncated")
+            label = payload[pos]
+            pos += 1
+            body, pos = _gif_read_subblocks(payload, pos)
+            if label == 0xF9 and len(body) >= 1 and body[0] & 0x01:
+                raise NotImplementedError("GIF transparency")
+            continue
+        if marker != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{marker:02x}")
+        if vals is not None:
+            raise NotImplementedError("multi-frame GIF (animation)")
+        left, top, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if (left, top, iw, ih) != (0, 0, w, h):
+            raise NotImplementedError(
+                "partial-canvas GIF frame (needs composition state)"
+            )
+        pal = gpal
+        if iflags & 0x80:  # local color table overrides
+            lsize = 2 << (iflags & 7)
+            if pos + lsize * 3 > len(payload):
+                raise ValueError("GIF local color table truncated")
+            pal = np.frombuffer(payload, np.uint8, lsize * 3, pos).reshape(
+                lsize, 3
+            )
+            pos += lsize * 3
+        if pal is None:
+            raise ValueError("GIF image with no color table")
+        if pos >= len(payload):
+            raise ValueError("GIF image data truncated")
+        min_code = payload[pos]
+        pos += 1
+        if not 2 <= min_code <= 8:
+            raise ValueError(f"GIF LZW minimum code size {min_code}")
+        stream, pos = _gif_read_subblocks(payload, pos)
+        idx = _lzw_decode(stream, min_code)
+        if len(idx) < iw * ih:
+            raise ValueError(
+                f"GIF pixel data short: {len(idx)} < {iw * ih}"
+            )
+        grid = np.asarray(idx[: iw * ih], np.int64).reshape(ih, iw)
+        if iflags & 0x40:  # interlace: transmitted rows → display rows
+            display = np.empty_like(grid)
+            display[_gif_interlace_order(ih), :] = grid
+            grid = display
+        if int(grid.max()) >= len(pal):
+            raise ValueError("GIF pixel index outside the color table")
+        vals = pal[grid.reshape(-1)].astype(np.int64).reshape(-1)
+    if vals is None:
+        raise ValueError("GIF with no image data")
+    return {"width": int(w), "height": int(h), "vals": vals}
+
+
 @_total_on_corrupt
 def decode_image_bytes(payload: bytes) -> dict:
-    """Parse BMP (24-bit BI_RGB) or PPM (P6) into
+    """Parse BMP (24-bit BI_RGB), PPM (P6), GIF (signature dispatch to
+    :func:`decode_gif_bytes` — real LZW), PNG or JPEG into
     ``{width, height, vals}`` with ``vals`` the int64 RGB values in
     row-major top-down order — padding stripped, rows un-flipped, channels
-    un-swapped.  Compressed formats raise ``NotImplementedError``."""
+    un-swapped.  Unknown formats raise ``NotImplementedError``."""
     import numpy as np
 
     if payload[:2] == b"BM":
@@ -1115,6 +1405,8 @@ def decode_image_bytes(payload: bytes) -> dict:
         pos += 1  # single whitespace byte after maxval, then raw RGB
         vals = np.frombuffer(payload, np.uint8, w * h * 3, pos).astype(np.int64)
         return {"width": w, "height": h, "vals": vals}
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_bytes(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_bytes(payload)
     if payload[:2] == b"\xff\xd8":
@@ -1583,6 +1875,7 @@ def _encode_jpeg_progressive(asset_id: int) -> bytes:
 _ENCODERS = {
     "bmp": encode_bmp,
     "ppm": encode_ppm,
+    "gif": encode_gif,
     "wav": encode_wav,
     "png": encode_png,
     "jpeg": _encode_jpeg,

@@ -1273,28 +1273,33 @@ def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: REAL codec round trip: per-doc payloads are genuine 24-bit BMP / binary
-#: PPM / 16-bit PCM WAV bytes (numpy encoders), decoded back by independent
-#: pure-numpy parsers inside mapInPandas — header parse, BMP row-padding
-#: strip + bottom-up flip + BGR→RGB swap, RIFF chunk walk.  Because the
-#: encoded values are (7·id+13·i) mod 256 / ((31·id+17·i) mod 65536)−32768
-#: at logical position i, DuckDB replays every output — including the
-#: position-weighted checksum that breaks on any ordering bug — without
-#: ever touching the binary.  Width/height/sample_rate come from the parsed
-#: HEADERS on the Spark side and from the generator arithmetic on the
-#: oracle side, so header round-tripping is value-checked too.
+#: PPM / 16-bit PCM WAV / LZW-compressed GIF bytes (numpy encoders),
+#: decoded back by independent pure-numpy parsers inside mapInPandas —
+#: header parse, BMP row-padding strip + bottom-up flip + BGR→RGB swap,
+#: RIFF chunk walk, and (r13) the full GIF path: variable-width LSB-first
+#: LZW decompression, extension-block skipping, interlace row
+#: re-sequencing, palette mapping.  Because the encoded values are
+#: (7·id+13·i) mod 256 / ((31·id+17·i) mod 65536)−32768 / the GIF
+#: palette closed form at logical position i, DuckDB replays every
+#: output — including the position-weighted checksum that breaks on any
+#: ordering bug — without ever touching the binary.  Width/height/
+#: sample_rate come from the parsed HEADERS on the Spark side and from
+#: the generator arithmetic on the oracle side, so header round-tripping
+#: is value-checked too.
 @register(
     "multimodal_decoded_stats",
     oracle="""
 WITH base AS (
   SELECT doc_id AS asset_id,
-         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
-              ELSE 'wav' END AS format,
+         CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+              WHEN 2 THEN 'wav' ELSE 'gif' END AS format,
          CAST(4 + doc_id % 13 AS INT) AS w,
-         CAST(4 + doc_id % 11 AS INT) AS h
+         CAST(4 + doc_id % 11 AS INT) AS h,
+         (1 << CAST(2 + doc_id % 7 AS INT)) AS pc
   FROM documents
 ),
 sized AS (
-  SELECT asset_id, format, w, h,
+  SELECT asset_id, format, w, h, pc,
          CASE WHEN format = 'wav' THEN 64 + asset_id % 101
               ELSE w * h * 3 END AS n_values
   FROM base
@@ -1303,6 +1308,17 @@ v AS (
   SELECT asset_id, format, w, h, n_values, i,
          CASE WHEN format = 'wav'
               THEN ((31 * asset_id + 17 * i) % 65536) - 32768
+              WHEN format = 'gif'
+              -- palette-mapped: pixel k = i//3 has index j = (3a+5k) mod
+              -- pc; channel i%3 reads the (7j+a / 11j+2a / 13j+3a) mod
+              -- 256 palette closed form
+              THEN (CASE CAST(i % 3 AS INT)
+                    WHEN 0 THEN 7 * ((3 * asset_id + 5 * (i // 3)) % pc)
+                                + asset_id
+                    WHEN 1 THEN 11 * ((3 * asset_id + 5 * (i // 3)) % pc)
+                                + 2 * asset_id
+                    ELSE 13 * ((3 * asset_id + 5 * (i // 3)) % pc)
+                         + 3 * asset_id END) % 256
               ELSE (7 * asset_id + 13 * i) % 256 END AS val
   FROM (SELECT *, unnest(generate_series(0, n_values - 1)) AS i FROM sized)
 )
@@ -1321,7 +1337,10 @@ GROUP BY asset_id, format, w, h
 """,
 )
 def q_multimodal_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assets = multimodal.encode_assets(load_table(spark, sf_dir, "documents"))
+    assets = multimodal.encode_assets(
+        load_table(spark, sf_dir, "documents"),
+        fmts=("bmp", "ppm", "wav", "gif"),
+    )
     return multimodal.decoded_stats(assets)
 
 

@@ -214,6 +214,118 @@ def test_wav_roundtrip_and_chunk_alignment():
     assert np.array_equal(multimodal.decode_wav_bytes(wav2)["vals"], d["vals"])
 
 
+def test_gif_lzw_hand_traced_bytes():
+    """Byte-level pin of the LZW bit packing: indexes [1,1,1] at min
+    code size 2 encode as codes CLEAR(4), 1, 6, EOI(5), all width 3,
+    LSB-first → bit stream 001 100 011 101 → bytes 0x8C 0x0B (traced
+    by hand, independent of both implementations)."""
+    assert multimodal._lzw_encode([1, 1, 1], 2) == bytes([0x8C, 0x0B])
+    assert multimodal._lzw_decode(bytes([0x8C, 0x0B]), 2) == [1, 1, 1]
+
+
+def test_gif_lzw_roundtrip_width_boundaries_and_table_clear():
+    """Seeded random index streams long enough to step the code width
+    repeatedly and to FILL the 4096-entry table (forcing the encoder's
+    mid-stream CLEAR and the decoder's reset) roundtrip exactly —
+    this pins the canonical encoder/decoder width-rule pairing
+    (encoder grows at next == 2^w + 1, decoder at next == 2^w) which a
+    one-entry misalignment would break immediately."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for bits in (2, 3, 8):
+        for n in (1, 2, 5, 300, 5000, 30000):
+            seq = list(rng.integers(0, 1 << bits, n))
+            enc = multimodal._lzw_encode(seq, max(2, bits))
+            assert multimodal._lzw_decode(enc, max(2, bits)) == seq
+    # KwKwK: aaa...a forces code == next_code on the decode side
+    seq = [3] * 50
+    assert multimodal._lzw_decode(multimodal._lzw_encode(seq, 2), 2) == seq
+
+
+def test_gif_decode_matches_closed_form():
+    """Full-container roundtrip for both interlace parities and every
+    palette size 4..256: decoded RGB equals the palette closed form at
+    every position (position-weighted by construction of the check)."""
+    import numpy as np
+
+    for aid in range(24):  # covers ids mod 2 (interlace) and mod 7 (bits)
+        d = multimodal.decode_gif_bytes(multimodal.encode_gif(aid))
+        w, h = multimodal._image_dims(aid)
+        nc = 1 << (2 + aid % 7)
+        k = np.arange(w * h, dtype=np.int64)
+        j = (3 * aid + 5 * k) % nc
+        jj = np.arange(nc, dtype=np.int64)
+        pal = np.stack(
+            [(7 * jj + aid) % 256, (11 * jj + 2 * aid) % 256,
+             (13 * jj + 3 * aid) % 256],
+            axis=1,
+        )
+        assert (d["width"], d["height"]) == (w, h)
+        np.testing.assert_array_equal(d["vals"], pal[j].reshape(-1))
+    # decode_image_bytes dispatches on the GIF signature
+    d = multimodal.decode_image_bytes(multimodal.encode_gif(5))
+    assert d["width"], d["height"] == multimodal._image_dims(5)
+
+
+def test_gif_error_paths_and_format_boundaries():
+    """Corrupt shapes dead-letter (ValueError) and the honest format
+    boundaries stay NotImplementedError: transparency, animation, and
+    partial-canvas frames need composition state the still-image
+    contract does not carry."""
+    good = multimodal.encode_gif(4)  # even id: non-interlaced
+
+    # transparency flag inside the GCE
+    gce_at = good.index(b"\x21\xf9\x04\x00")
+    t = bytearray(good)
+    t[gce_at + 3] |= 0x01
+    with pytest.raises(NotImplementedError, match="transparency"):
+        multimodal.decode_gif_bytes(bytes(t))
+    # a second image descriptor = animation
+    img_at = good.index(b"\x2c\x00\x00\x00\x00")
+    frame = good[img_at:-1]  # descriptor..data, sans trailer
+    with pytest.raises(NotImplementedError, match="multi-frame"):
+        multimodal.decode_gif_bytes(good[:-1] + frame + b"\x3b")
+    # partial-canvas frame (left offset 1)
+    p = bytearray(good)
+    p[img_at + 1] = 1
+    with pytest.raises(NotImplementedError, match="partial-canvas"):
+        multimodal.decode_gif_bytes(bytes(p))
+    # unknown block marker
+    u = bytearray(good)
+    u[img_at] = 0x7E
+    with pytest.raises(ValueError, match="unknown GIF block"):
+        multimodal.decode_gif_bytes(bytes(u))
+    # truncation inside the sub-block chain
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_gif_bytes(good[:-8])
+    # LZW minimum code size out of range
+    m = bytearray(good)
+    lzw_at = img_at + 10  # descriptor is 10 bytes incl. marker
+    assert m[lzw_at] == 2 + 4 % 7
+    m[lzw_at] = 12
+    with pytest.raises(ValueError, match="minimum code size"):
+        multimodal.decode_gif_bytes(bytes(m))
+    # no color table anywhere: clear the global-table flag
+    n = bytearray(good)
+    n[10] &= 0x7F
+    del n[13 : 13 + (2 << (good[10] & 7)) * 3]
+    with pytest.raises(ValueError, match="no color table"):
+        multimodal.decode_gif_bytes(bytes(n))
+    # zero canvas dims
+    z = bytearray(good)
+    z[6] = z[7] = 0
+    with pytest.raises(ValueError, match="zero dimensions"):
+        multimodal.decode_gif_bytes(bytes(z))
+    # first LZW code after CLEAR not a literal: craft codes CLEAR,6
+    bad = multimodal._lzw_encode([1, 1, 1], 2)
+    with pytest.raises(ValueError, match="not a literal"):
+        # width-3 stream: CLEAR(4)=001, then 6=011 -> bits 001011 ->
+        # byte 0b00110100 = 0x34
+        multimodal._lzw_decode(bytes([0x34]), 2)
+    assert multimodal._lzw_decode(bad, 2) == [1, 1, 1]  # sanity
+
+
 def test_decoded_stats_end_to_end(make_docs):
     """encode_assets → decoded_stats through mapInPandas: header fields and
     the position-weighted checksum match the generator arithmetic."""

@@ -239,7 +239,7 @@ def test_jpeg_decoder_total_on_corrupt_inputs(asset_id, variant, mode, seed):
     st.sampled_from(
         ["png", "pngpal", "png16", "pngalpha", "pngtrns", "wav", "wavf",
          "ulaw", "alaw", "adpcm", "adpcm2", "msadpcm", "msadpcm2",
-         "wavext", "y4m", "ppm", "bmp"]
+         "wavext", "y4m", "ppm", "bmp", "gif"]
     ),
     st.sampled_from(["truncate", "flip", "insert"]),
     st.integers(0, 2**32 - 1),
@@ -272,6 +272,7 @@ def test_codec_decoders_total_on_corrupt_inputs(asset_id, codec, mode, seed):
         "y4m": mm.encode_y4m,
         "ppm": mm.encode_ppm,
         "bmp": mm.encode_bmp,
+        "gif": mm.encode_gif,
     }[codec]
     dec = {
         "png": mm.decode_png_bytes,
@@ -291,6 +292,7 @@ def test_codec_decoders_total_on_corrupt_inputs(asset_id, codec, mode, seed):
         "y4m": mm.decode_y4m_bytes,
         "ppm": mm.decode_image_bytes,
         "bmp": mm.decode_image_bytes,
+        "gif": mm.decode_image_bytes,
     }[codec]
     rng = np.random.default_rng(seed)
     payload = _mutate(bytearray(enc(asset_id)), mode, rng)
