@@ -220,6 +220,14 @@ def _lzw_encode(indexes, min_code_size: int) -> bytes:
             width = min_code_size + 1
         prefix = s
     emit(prefix, width)
+    # the DECODER adds one more entry for that final data code and
+    # grows its width at next == 2^w BEFORE reading the next code —
+    # when the threshold lands exactly on the last data code, EOI must
+    # be emitted one bit wider (missing this desyncs the tail: the
+    # decoder reads past the buffer and dead-letters with "no EOI";
+    # first corpus hit was asset 364's 4-symbol cycle)
+    if next_code == (1 << width) and width < 12:
+        width += 1
     emit(eoi, width)
     if nbits:
         out.append(buf & 0xFF)

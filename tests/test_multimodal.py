@@ -241,6 +241,16 @@ def test_gif_lzw_roundtrip_width_boundaries_and_table_clear():
     # KwKwK: aaa...a forces code == next_code on the decode side
     seq = [3] * 50
     assert multimodal._lzw_decode(multimodal._lzw_encode(seq, 2), 2) == seq
+    # tail-width regression (sf0.1-caught, asset 364): the decoder adds
+    # an entry for the FINAL data code and may step the width before
+    # reading EOI — every cycle length crosses each threshold at some n,
+    # so this sweep pins the flush-side check exhaustively at 4 colors
+    for n in range(1, 600):
+        seq = [k % 4 for k in range(n)]
+        assert multimodal._lzw_decode(
+            multimodal._lzw_encode(seq, 2), 2
+        ) == seq
+    multimodal.decode_gif_bytes(multimodal.encode_gif(364))  # the finder
 
 
 def test_gif_decode_matches_closed_form():
