@@ -147,6 +147,73 @@ def encode_bmp(asset_id: int) -> bytes:
     return head + info + data
 
 
+def encode_tiff(asset_id: int) -> bytes:
+    """Baseline uncompressed TIFF 6.0: 8-bit RGB, MULTI-STRIP
+    (RowsPerStrip 4, so most corpus images span several strips and the
+    strip walk is genuinely exercised), little-endian ("II") for even
+    ids and big-endian ("MM") for odd.  Pixel values are the shared
+    (7·id + 13·i) mod 256 closed form, so the oracle branch is the
+    BMP/PPM one.  Layout: 8-byte header → strip data → off-line
+    StripOffsets/StripByteCounts arrays (when more than one strip) →
+    IFD."""
+    import numpy as np
+
+    w, h = _image_dims(asset_id)
+    e = "<" if asset_id % 2 == 0 else ">"
+    px = _synth_image_vals(asset_id, w, h)
+    rps = 4
+    strips = [
+        px[r * w * 3 : (r + rps) * w * 3].tobytes() for r in range(0, h, rps)
+    ]
+    n = len(strips)
+    data_off = 8
+    offs, cur = [], data_off
+    for s in strips:
+        offs.append(cur)
+        cur += len(s)
+    # off-line value arrays (only needed when they exceed the 4 inline
+    # bytes, i.e. n > 1; n == 1 keeps both inline)
+    arr_off_offsets = arr_off_counts = 0
+    extra = b""
+    if n > 1:
+        arr_off_offsets = cur
+        extra += struct.pack(f"{e}{n}I", *offs)
+        cur += 4 * n
+        arr_off_counts = cur
+        extra += struct.pack(f"{e}{n}I", *[len(s) for s in strips])
+        cur += 4 * n
+    # BitsPerSample is 3 SHORTs = 6 bytes, always off-line
+    bps_off = cur
+    extra += struct.pack(f"{e}3H", 8, 8, 8)
+    cur += 6
+    ifd_off = cur
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        if typ == 3 and count == 1:  # SHORT packs left-justified
+            return struct.pack(f"{e}HHIHH", tag, typ, count, value, 0)
+        return struct.pack(f"{e}HHII", tag, typ, count, value)
+
+    entries = [
+        entry(256, 4, 1, w),                       # ImageWidth
+        entry(257, 4, 1, h),                       # ImageLength
+        entry(258, 3, 3, bps_off),                 # BitsPerSample [8,8,8]
+        entry(259, 3, 1, 1),                       # Compression: none
+        entry(262, 3, 1, 2),                       # Photometric: RGB
+        entry(273, 4, n, offs[0] if n == 1 else arr_off_offsets),
+        entry(277, 3, 1, 3),                       # SamplesPerPixel
+        entry(278, 3, 1, rps),                     # RowsPerStrip
+        entry(279, 4, n,
+              len(strips[0]) if n == 1 else arr_off_counts),
+    ]
+    ifd = struct.pack(f"{e}H", len(entries)) + b"".join(entries) + struct.pack(
+        f"{e}I", 0
+    )
+    head = struct.pack(
+        f"{e}2sHI", b"II" if e == "<" else b"MM", 42, ifd_off
+    )
+    return head + b"".join(strips) + extra + ifd
+
+
 def _gif_palette(asset_id: int, ncolors: int):
     """Deterministic GIF color table: entry j = ((7j+id) mod 256,
     (11j+2id) mod 256, (13j+3id) mod 256) — all three channels
@@ -1188,6 +1255,100 @@ def encode_wav_extensible(asset_id: int) -> bytes:
     return _riff_wav(fmt, data)
 
 
+@_total_on_corrupt
+def decode_tiff_bytes(payload: bytes) -> dict:
+    """Parse baseline TIFF (both byte orders) into ``{width, height,
+    vals}``: header magic, IFD walk, SHORT/LONG tag reads with the
+    inline-vs-offset rule, multi-strip assembly in order.  Honest
+    boundaries raise ``NotImplementedError``: any compression other
+    than none, non-RGB photometric, bit depths other than 8/8/8,
+    non-default orientation, tiled files, and multi-IFD (multi-page)
+    files; corrupt shapes raise ``ValueError``."""
+    import numpy as np
+
+    if payload[:4] == b"II*\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise NotImplementedError("not a TIFF payload")
+    (ifd_off,) = struct.unpack_from(f"{e}I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("TIFF IFD offset past the payload")
+    (n_entries,) = struct.unpack_from(f"{e}H", payload, ifd_off)
+    if ifd_off + 2 + 12 * n_entries + 4 > len(payload):
+        raise ValueError("TIFF IFD truncated")
+    tags: dict = {}
+    for i in range(n_entries):
+        tag, typ, count = struct.unpack_from(
+            f"{e}HHI", payload, ifd_off + 2 + 12 * i
+        )
+        vpos = ifd_off + 2 + 12 * i + 8
+        if typ == 3:  # SHORT: 2 bytes each
+            if count <= 2:
+                vals = struct.unpack_from(f"{e}{count}H", payload, vpos)
+            else:
+                (off,) = struct.unpack_from(f"{e}I", payload, vpos)
+                if off + 2 * count > len(payload):
+                    raise ValueError(f"TIFF tag {tag} values truncated")
+                vals = struct.unpack_from(f"{e}{count}H", payload, off)
+        elif typ == 4:  # LONG: 4 bytes each
+            if count <= 1:
+                vals = struct.unpack_from(f"{e}I", payload, vpos)
+            else:
+                (off,) = struct.unpack_from(f"{e}I", payload, vpos)
+                if off + 4 * count > len(payload):
+                    raise ValueError(f"TIFF tag {tag} values truncated")
+                vals = struct.unpack_from(f"{e}{count}I", payload, off)
+        else:
+            continue  # RATIONAL/ASCII metadata: not needed for pixels
+        tags[tag] = vals
+    (next_ifd,) = struct.unpack_from(
+        f"{e}I", payload, ifd_off + 2 + 12 * n_entries
+    )
+    if next_ifd:
+        raise NotImplementedError("multi-page TIFF")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF")
+    comp = tags.get(259, (1,))[0]
+    if comp != 1:
+        raise NotImplementedError(f"TIFF compression {comp}")
+    photo = tags.get(262, (None,))[0]
+    if photo != 2:
+        raise NotImplementedError(f"TIFF photometric {photo} (non-RGB)")
+    if tags.get(274, (1,))[0] != 1:
+        raise NotImplementedError("TIFF non-default orientation")
+    if tags.get(277, (3,))[0] != 3 or tuple(tags.get(258, ())) != (8, 8, 8):
+        raise NotImplementedError(
+            f"TIFF spp={tags.get(277)} bits={tags.get(258)}"
+        )
+    if 256 not in tags or 257 not in tags:
+        raise ValueError("TIFF missing dimensions")
+    w, h = tags[256][0], tags[257][0]
+    if w == 0 or h == 0:
+        raise ValueError(f"TIFF zero dimensions {w}x{h}")
+    if 273 not in tags or 279 not in tags:
+        raise ValueError("TIFF missing strip layout")
+    offs, counts = tags[273], tags[279]
+    if len(offs) != len(counts):
+        raise ValueError("TIFF strip offset/count length mismatch")
+    parts = []
+    for off, cnt in zip(offs, counts):
+        if off + cnt > len(payload):
+            raise ValueError("TIFF strip past the payload")
+        parts.append(payload[off : off + cnt])
+    raw = b"".join(parts)
+    if len(raw) != w * h * 3:
+        raise ValueError(
+            f"TIFF strip data {len(raw)} != {w}x{h}x3"
+        )
+    return {
+        "width": int(w),
+        "height": int(h),
+        "vals": np.frombuffer(raw, np.uint8).astype(np.int64),
+    }
+
+
 def _gif_read_subblocks(payload: bytes, pos: int) -> tuple:
     """Collect a GIF sub-block chain (length-prefixed, 0x00-terminated)
     starting at ``pos``; returns (joined bytes, position after the
@@ -1415,6 +1576,8 @@ def decode_image_bytes(payload: bytes) -> dict:
         return {"width": w, "height": h, "vals": vals}
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_bytes(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff_bytes(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_bytes(payload)
     if payload[:2] == b"\xff\xd8":
@@ -1884,6 +2047,7 @@ _ENCODERS = {
     "bmp": encode_bmp,
     "ppm": encode_ppm,
     "gif": encode_gif,
+    "tiff": encode_tiff,
     "wav": encode_wav,
     "png": encode_png,
     "jpeg": _encode_jpeg,

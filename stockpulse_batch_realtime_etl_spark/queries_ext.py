@@ -1273,12 +1273,14 @@ def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: REAL codec round trip: per-doc payloads are genuine 24-bit BMP / binary
-#: PPM / 16-bit PCM WAV / LZW-compressed GIF bytes (numpy encoders),
-#: decoded back by independent pure-numpy parsers inside mapInPandas —
-#: header parse, BMP row-padding strip + bottom-up flip + BGR→RGB swap,
-#: RIFF chunk walk, and (r13) the full GIF path: variable-width LSB-first
-#: LZW decompression, extension-block skipping, interlace row
-#: re-sequencing, palette mapping.  Because the encoded values are
+#: PPM / 16-bit PCM WAV / LZW-compressed GIF / baseline TIFF bytes
+#: (numpy encoders), decoded back by independent pure-numpy parsers
+#: inside mapInPandas — header parse, BMP row-padding strip + bottom-up
+#: flip + BGR→RGB swap, RIFF chunk walk, and (r13) the full GIF path
+#: (variable-width LSB-first LZW decompression, extension-block
+#: skipping, interlace row re-sequencing, palette mapping) plus the
+#: TIFF IFD walk (both byte orders, inline-vs-offset tag values,
+#: multi-strip assembly).  Because the encoded values are
 #: (7·id+13·i) mod 256 / ((31·id+17·i) mod 65536)−32768 / the GIF
 #: palette closed form at logical position i, DuckDB replays every
 #: output — including the position-weighted checksum that breaks on any
@@ -1291,8 +1293,9 @@ def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH base AS (
   SELECT doc_id AS asset_id,
-         CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
-              WHEN 2 THEN 'wav' ELSE 'gif' END AS format,
+         CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+              WHEN 2 THEN 'wav' WHEN 3 THEN 'gif' ELSE 'tiff'
+              END AS format,
          CAST(4 + doc_id % 13 AS INT) AS w,
          CAST(4 + doc_id % 11 AS INT) AS h,
          (1 << CAST(2 + doc_id % 7 AS INT)) AS pc
@@ -1339,7 +1342,7 @@ GROUP BY asset_id, format, w, h
 def q_multimodal_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = multimodal.encode_assets(
         load_table(spark, sf_dir, "documents"),
-        fmts=("bmp", "ppm", "wav", "gif"),
+        fmts=("bmp", "ppm", "wav", "gif", "tiff"),
     )
     return multimodal.decoded_stats(assets)
 

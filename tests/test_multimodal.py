@@ -336,6 +336,88 @@ def test_gif_error_paths_and_format_boundaries():
     assert multimodal._lzw_decode(bad, 2) == [1, 1, 1]  # sanity
 
 
+def test_tiff_roundtrip_both_endians_multistrip():
+    """Baseline TIFF roundtrips exactly for both byte orders (even ids
+    II, odd MM) across the corpus dims — multi-strip assembly in strip
+    order (RowsPerStrip 4 splits most images), off-line StripOffsets /
+    StripByteCounts / BitsPerSample arrays read through the
+    inline-vs-offset rule — and the signature dispatches through
+    decode_image_bytes."""
+    import numpy as np
+
+    for aid in range(30):
+        d = multimodal.decode_tiff_bytes(multimodal.encode_tiff(aid))
+        w, h = multimodal._image_dims(aid)
+        assert (d["width"], d["height"]) == (w, h)
+        np.testing.assert_array_equal(
+            d["vals"],
+            multimodal._synth_image_vals(aid, w, h).astype(np.int64),
+        )
+    d = multimodal.decode_image_bytes(multimodal.encode_tiff(7))
+    assert (d["width"], d["height"]) == multimodal._image_dims(7)
+
+
+def test_tiff_error_paths_and_format_boundaries():
+    """Honest boundaries raise NotImplementedError (compression,
+    non-RGB photometric, exotic bit depths, orientation, multi-page,
+    tiled); corrupt shapes dead-letter with ValueError."""
+    import struct as _struct
+
+    good = multimodal.encode_tiff(2)  # even: little-endian
+
+    def patch_tag(buf, tag, value):
+        """Rewrite the inline SHORT value of an IFD entry in-place."""
+        (ifd_off,) = _struct.unpack_from("<I", buf, 4)
+        (n,) = _struct.unpack_from("<H", buf, ifd_off)
+        for i in range(n):
+            pos = ifd_off + 2 + 12 * i
+            (t,) = _struct.unpack_from("<H", buf, pos)
+            if t == tag:
+                _struct.pack_into("<H", buf, pos + 8, value)
+                return buf
+        raise AssertionError(f"tag {tag} not found")
+
+    with pytest.raises(NotImplementedError, match="compression 5"):
+        multimodal.decode_tiff_bytes(
+            bytes(patch_tag(bytearray(good), 259, 5))
+        )
+    with pytest.raises(NotImplementedError, match="photometric 3"):
+        multimodal.decode_tiff_bytes(
+            bytes(patch_tag(bytearray(good), 262, 3))
+        )
+    with pytest.raises(NotImplementedError, match="spp"):
+        multimodal.decode_tiff_bytes(
+            bytes(patch_tag(bytearray(good), 277, 1))
+        )
+    with pytest.raises(NotImplementedError, match="not a TIFF"):
+        multimodal.decode_tiff_bytes(b"II+\x00" + good[4:])
+    # multi-page: point the next-IFD pointer back at the IFD itself
+    (ifd_off,) = _struct.unpack_from("<I", good, 4)
+    (n,) = _struct.unpack_from("<H", good, ifd_off)
+    mp = bytearray(good)
+    _struct.pack_into("<I", mp, ifd_off + 2 + 12 * n, ifd_off)
+    with pytest.raises(NotImplementedError, match="multi-page"):
+        multimodal.decode_tiff_bytes(bytes(mp))
+    # IFD offset past the payload
+    bad_off = bytearray(good)
+    _struct.pack_into("<I", bad_off, 4, len(good) + 100)
+    with pytest.raises(ValueError, match="IFD offset"):
+        multimodal.decode_tiff_bytes(bytes(bad_off))
+    # IFD truncated mid-entry
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_tiff_bytes(good[: ifd_off + 10])
+    # zero dims
+    with pytest.raises(ValueError, match="zero dimensions"):
+        multimodal.decode_tiff_bytes(
+            bytes(patch_tag(bytearray(good), 256, 0))
+        )
+    # strip data length no longer matches w*h*3
+    with pytest.raises(ValueError, match="!="):
+        multimodal.decode_tiff_bytes(
+            bytes(patch_tag(bytearray(good), 257, 3))
+        )
+
+
 def test_decoded_stats_end_to_end(make_docs):
     """encode_assets → decoded_stats through mapInPandas: header fields and
     the position-weighted checksum match the generator arithmetic."""

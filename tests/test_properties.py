@@ -239,7 +239,7 @@ def test_jpeg_decoder_total_on_corrupt_inputs(asset_id, variant, mode, seed):
     st.sampled_from(
         ["png", "pngpal", "png16", "pngalpha", "pngtrns", "wav", "wavf",
          "ulaw", "alaw", "adpcm", "adpcm2", "msadpcm", "msadpcm2",
-         "wavext", "y4m", "ppm", "bmp", "gif"]
+         "wavext", "y4m", "ppm", "bmp", "gif", "tiff"]
     ),
     st.sampled_from(["truncate", "flip", "insert"]),
     st.integers(0, 2**32 - 1),
@@ -273,6 +273,7 @@ def test_codec_decoders_total_on_corrupt_inputs(asset_id, codec, mode, seed):
         "ppm": mm.encode_ppm,
         "bmp": mm.encode_bmp,
         "gif": mm.encode_gif,
+        "tiff": mm.encode_tiff,
     }[codec]
     dec = {
         "png": mm.decode_png_bytes,
@@ -293,6 +294,7 @@ def test_codec_decoders_total_on_corrupt_inputs(asset_id, codec, mode, seed):
         "ppm": mm.decode_image_bytes,
         "bmp": mm.decode_image_bytes,
         "gif": mm.decode_image_bytes,
+        "tiff": mm.decode_image_bytes,
     }[codec]
     rng = np.random.default_rng(seed)
     payload = _mutate(bytearray(enc(asset_id)), mode, rng)
