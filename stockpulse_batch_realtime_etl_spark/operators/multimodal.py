@@ -153,15 +153,24 @@ def encode_tiff(asset_id: int) -> bytes:
     strip walk is genuinely exercised), little-endian ("II") for even
     ids and big-endian ("MM") for odd.  Pixel values are the shared
     (7·id + 13·i) mod 256 closed form, so the oracle branch is the
-    BMP/PPM one.  Layout: 8-byte header → strip data → off-line
-    StripOffsets/StripByteCounts arrays (when more than one strip) →
-    IFD."""
+    BMP/PPM one."""
+    w, h = _image_dims(asset_id)
+    return _encode_tiff_rgb(
+        _synth_image_vals(asset_id, w, h).reshape(h, w, 3),
+        "<" if asset_id % 2 == 0 else ">",
+        4,
+    )
+
+
+def _encode_tiff_rgb(px, e: str, rps: int) -> bytes:
+    """Assemble a baseline RGB TIFF from an (h, w, 3) uint8 array with
+    byte order ``e`` ("<"/">") and the given RowsPerStrip.  Layout:
+    8-byte header → strip data → off-line StripOffsets/StripByteCounts
+    arrays (when more than one strip) → IFD."""
     import numpy as np
 
-    w, h = _image_dims(asset_id)
-    e = "<" if asset_id % 2 == 0 else ">"
-    px = _synth_image_vals(asset_id, w, h)
-    rps = 4
+    h, w = px.shape[0], px.shape[1]
+    px = px.reshape(-1)
     strips = [
         px[r * w * 3 : (r + rps) * w * 3].tobytes() for r in range(0, h, rps)
     ]
@@ -324,10 +333,18 @@ def encode_gif(asset_id: int) -> bytes:
     w, h = _image_dims(asset_id)
     bits = 2 + asset_id % 7
     ncolors = 1 << bits
-    pal = _gif_palette(asset_id, ncolors)
     k = np.arange(w * h, dtype=np.int64)
     idx = ((3 * asset_id + 5 * k) % ncolors).reshape(h, w)
-    interlaced = asset_id % 2 == 1
+    return _encode_gif_frame(
+        idx, _gif_palette(asset_id, ncolors), asset_id % 2 == 1, bits
+    )
+
+
+def _encode_gif_frame(idx, pal, interlaced: bool, bits: int) -> bytes:
+    """Assemble a GIF89a still from an (h, w) index grid and an
+    (2^bits, 3) palette: LSD + global table + GCE + comment extension +
+    image descriptor + LZW-compressed data sub-blocks + trailer."""
+    h, w = idx.shape
     rows = idx[_gif_interlace_order(h), :] if interlaced else idx
     stream = _lzw_encode(rows.reshape(-1), bits)
     lsd_flags = 0x80 | ((bits - 1) << 4) | (bits - 1)  # global table, size
@@ -339,7 +356,7 @@ def encode_gif(asset_id: int) -> bytes:
     return (
         b"GIF89a"
         + struct.pack("<HHBBB", w, h, lsd_flags, 0, 0)
-        + pal.tobytes()
+        + pal.astype("uint8").tobytes()
         + gce
         + comment
         + img

@@ -94,6 +94,66 @@ def test_png_round_trip_random_images(w, h, filter_seed, pix_seed):
     )
 
 
+# --- GIF / TIFF container round trips (pure Python — cheap examples) --------
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.integers(2, 8),
+    st.booleans(),
+    st.integers(0, 2**32 - 1),
+)
+def test_gif_round_trip_random_images(w, h, bits, interlaced, seed):
+    """decode(encode(idx, pal)) reproduces pal[idx] for ARBITRARY index
+    grids, RANDOM palettes, any dims >= 1, both interlace flags — the
+    container-level generalization of the corpus closed-form check (the
+    sf0.1 tail-width bug class lived exactly in alignments the fixed
+    corpus ids did not hit)."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import multimodal
+
+    rng = np.random.default_rng(seed)
+    nc = 1 << bits
+    idx = rng.integers(0, nc, size=(h, w)).astype(np.int64)
+    pal = rng.integers(0, 256, size=(nc, 3)).astype(np.uint8)
+    d = multimodal.decode_gif_bytes(
+        multimodal._encode_gif_frame(idx, pal, interlaced, bits)
+    )
+    assert (d["width"], d["height"]) == (w, h)
+    np.testing.assert_array_equal(
+        d["vals"].reshape(h, w, 3), pal[idx].astype(np.int64)
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.integers(1, 15),
+    st.booleans(),
+    st.integers(0, 2**32 - 1),
+)
+def test_tiff_round_trip_random_images(w, h, rps, big_endian, seed):
+    """decode(encode(px)) == px for arbitrary pixels, any dims >= 1,
+    ANY RowsPerStrip (1 = one strip per row through rps > h = single
+    strip), both byte orders."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import multimodal
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    d = multimodal.decode_tiff_bytes(
+        multimodal._encode_tiff_rgb(px, ">" if big_endian else "<", rps)
+    )
+    assert (d["width"], d["height"]) == (w, h)
+    np.testing.assert_array_equal(
+        d["vals"].reshape(h, w, 3), px.astype(np.int64)
+    )
+
+
 # --- JPEG entropy layer (pure Python — no Spark, examples are cheap) --------
 
 #: every baseline MCU-interleave shape the decoder supports: grayscale,
