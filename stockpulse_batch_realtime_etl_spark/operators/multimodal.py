@@ -1335,7 +1335,13 @@ def decode_tiff_bytes(payload: bytes) -> dict:
         raise NotImplementedError(f"TIFF photometric {photo} (non-RGB)")
     if tags.get(274, (1,))[0] != 1:
         raise NotImplementedError("TIFF non-default orientation")
-    if tags.get(277, (3,))[0] != 3 or tuple(tags.get(258, ())) != (8, 8, 8):
+    if tags.get(284, (1,))[0] != 1:
+        # planar (RRR..GGG..BBB) strips would silently decode as
+        # chunky garbage if this tag were ignored
+        raise NotImplementedError("TIFF planar configuration")
+    bits = tuple(tags.get(258, ()))
+    # count-1 BitsPerSample=8 with spp=3 is a common valid writer shape
+    if tags.get(277, (3,))[0] != 3 or bits not in ((8, 8, 8), (8,)):
         raise NotImplementedError(
             f"TIFF spp={tags.get(277)} bits={tags.get(258)}"
         )

@@ -416,6 +416,65 @@ def test_tiff_error_paths_and_format_boundaries():
         multimodal.decode_tiff_bytes(
             bytes(patch_tag(bytearray(good), 257, 3))
         )
+    # planar configuration would silently misread as chunky if ignored
+    import numpy as np
+    planar = bytearray(good)
+    (ifd_off2,) = _struct.unpack_from("<I", planar, 4)
+    (n2,) = _struct.unpack_from("<H", planar, ifd_off2)
+    # retag the SamplesPerPixel entry as PlanarConfiguration=2 (spp
+    # then defaults to 3, and the planar check precedes the spp check)
+    for i in range(n2):
+        pos = ifd_off2 + 2 + 12 * i
+        (t,) = _struct.unpack_from("<H", planar, pos)
+        if t == 277:
+            _struct.pack_into("<H", planar, pos, 284)
+            _struct.pack_into("<H", planar, pos + 8, 2)
+    with pytest.raises(NotImplementedError, match="planar"):
+        multimodal.decode_tiff_bytes(bytes(planar))
+    # count-1 BitsPerSample=8 (a common writer shape) must DECODE: build
+    # a file whose 258 entry is inline count 1
+    single = bytearray(good)
+    for i in range(n2):
+        pos = ifd_off2 + 2 + 12 * i
+        (t,) = _struct.unpack_from("<H", single, pos)
+        if t == 258:
+            _struct.pack_into("<I", single, pos + 4, 1)   # count = 1
+            _struct.pack_into("<HH", single, pos + 8, 8, 0)  # inline 8
+    d = multimodal.decode_tiff_bytes(bytes(single))
+    w2, h2 = multimodal._image_dims(2)
+    np.testing.assert_array_equal(
+        d["vals"],
+        multimodal._synth_image_vals(2, w2, h2).astype(np.int64),
+    )
+
+
+def test_gif_local_color_table_overrides_global():
+    """A frame-local color table takes precedence over the global one:
+    rewrite a corpus GIF so the image descriptor carries its own
+    (shifted) palette — decoded values must follow the LOCAL table."""
+    import struct as _struct
+
+    import numpy as np
+
+    aid = 8  # even: non-interlaced; bits = 2 + 8 % 7 = 3 -> 8 colors
+    good = multimodal.encode_gif(aid)
+    bits = 2 + aid % 7
+    nc = 1 << bits
+    img_at = good.index(b"\x2c\x00\x00\x00\x00")
+    local_pal = (multimodal._gif_palette(aid, nc) + 1) % 256
+    patched = (
+        good[: img_at + 9]
+        + bytes([good[img_at + 9] | 0x80 | (bits - 1)])  # local table flag
+        + local_pal.astype("uint8").tobytes()
+        + good[img_at + 10 :]
+    )
+    d = multimodal.decode_gif_bytes(patched)
+    w, h = multimodal._image_dims(aid)
+    k = np.arange(w * h, dtype=np.int64)
+    j = (3 * aid + 5 * k) % nc
+    np.testing.assert_array_equal(
+        d["vals"], local_pal.astype(np.int64)[j].reshape(-1)
+    )
 
 
 def test_decoded_stats_end_to_end(make_docs):
