@@ -167,8 +167,6 @@ def _encode_tiff_rgb(px, e: str, rps: int) -> bytes:
     byte order ``e`` ("<"/">") and the given RowsPerStrip.  Layout:
     8-byte header → strip data → off-line StripOffsets/StripByteCounts
     arrays (when more than one strip) → IFD."""
-    import numpy as np
-
     h, w = px.shape[0], px.shape[1]
     px = px.reshape(-1)
     strips = [
@@ -1944,6 +1942,11 @@ def decode_wav_bytes(payload: bytes) -> dict:
         # the common stream length is the shortest channel's
         n = min(len(s) for s in streams)
         if fact_n is not None:
+            # fact trims pad nibbles from the FINAL block only — real
+            # encoders fill every non-final block completely, so the
+            # trim is applied once at the concatenated-stream tail
+            # (mirrors the IMA branch's convention below); a file with
+            # mid-stream pad samples is outside the spec's shape
             if fact_n > n:
                 raise ValueError(
                     f"ADPCM fact={fact_n} exceeds decoded {n}"
@@ -2002,9 +2005,14 @@ def decode_wav_bytes(payload: bytes) -> dict:
         x = np.frombuffer(data, "<f4" if bits == 32 else "<f8")
         if not np.isfinite(x).all():
             raise ValueError("float WAV with non-finite samples")
-        vals = np.rint(x.astype(np.float64) * WAV_FLOAT_SCALE).astype(
-            np.int64
-        )
+        scaled = x.astype(np.float64) * WAV_FLOAT_SCALE
+        # exact-or-dead-letter: a finite sample far outside the nominal
+        # [-1, 1] range (corrupt input) would make the int64 cast below
+        # platform-undefined; cap at 2**53 so every surviving value is
+        # an exactly-representable float64 integer after rint
+        if len(scaled) and np.abs(scaled).max() > float(2**53):
+            raise ValueError("float WAV sample out of range")
+        vals = np.rint(scaled).astype(np.int64)
         return {"sample_rate": rate, "vals": vals}
     if data is None or bits not in (8, 16, 24, 32):
         raise NotImplementedError(f"WAV bits={bits} or missing data chunk")

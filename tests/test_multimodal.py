@@ -2353,6 +2353,23 @@ def test_wav_ieee_float_roundtrip_and_semantics():
         multimodal.decode_wav_bytes(
             wav_f(64, 1, np.array([np.inf], dtype="<f8").tobytes())
         )
+    # r13 verdict hole: a FINITE sample far outside [-1, 1] (1e30) would
+    # overflow the int64 cast into platform-defined garbage — it must
+    # dead-letter, and well inside the cap must still decode unclipped
+    for bits, dt in ((32, "<f4"), (64, "<f8")):
+        with pytest.raises(ValueError, match="out of range"):
+            multimodal.decode_wav_bytes(
+                wav_f(bits, 1, np.array([0.1, 1e30], dtype=dt).tobytes())
+            )
+    with pytest.raises(ValueError, match="out of range"):
+        # just past the 2^53 exact-integer cap after the 2^15 scale
+        multimodal.decode_wav_bytes(
+            wav_f(64, 1, np.array([2.0**39], dtype="<f8").tobytes())
+        )
+    d = multimodal.decode_wav_bytes(  # at the cap: exact, defined
+        wav_f(64, 1, np.array([-1.0, 2.0**38], dtype="<f8").tobytes())
+    )
+    assert list(d["vals"]) == [-32768, 2**53]
     # fmt 3 with a non-float width: honest NotImplementedError
     with pytest.raises(NotImplementedError, match="float WAV bits=16"):
         multimodal.decode_wav_bytes(wav_f(16, 1, b"\x00\x00"))
