@@ -148,30 +148,265 @@ def encode_bmp(asset_id: int) -> bytes:
 
 
 def encode_tiff(asset_id: int) -> bytes:
-    """Baseline uncompressed TIFF 6.0: 8-bit RGB, MULTI-STRIP
-    (RowsPerStrip 4, so most corpus images span several strips and the
-    strip walk is genuinely exercised), little-endian ("II") for even
-    ids and big-endian ("MM") for odd.  Pixel values are the shared
-    (7·id + 13·i) mod 256 closed form, so the oracle branch is the
-    BMP/PPM one."""
+    """TIFF 6.0 corpus encoder, sub-round-robin ``(id // 5) % 6`` (the
+    decoded_stats slot is ``doc_id % 5 == 4``, so ``id // 5`` cycles the
+    variant across the corpus):
+
+    - 0: baseline chunky 8-bit RGB, uncompressed (the r13 shape);
+    - 1: 8-bit GRAYSCALE (spp=1), uncompressed;
+    - 2: RGB + PackBits (compression 32773) — the closed form steps by
+      13 per byte so the stream is ALL literal packets (and > 128-byte
+      literals get chunked);
+    - 3: grayscale + PackBits with the run-friendly closed form
+      (7·id + 13·(i//5)) mod 256 — runs of 5, so replicate packets are
+      genuinely emitted;
+    - 4: RGB + LZW (compression 5) + horizontal PREDICTOR 2 — the
+      scanned-corpus default shape (MSB-first EarlyChange codes over
+      row-differenced bytes; the 13-step closed form differences to a
+      CONSTANT delta per row, so the string table genuinely grows);
+    - 5: grayscale + Deflate (compression 8, zlib per strip).
+
+    Grayscale alternates photometric 1 (BlackIsZero, ``(id//10)`` even)
+    and 0 (WhiteIsZero, stored INVERTED so decoded intensity still
+    equals the closed form — a decoder that ignores the tag fails the
+    oracle).  MULTI-STRIP (RowsPerStrip 4); little-endian ("II") for
+    even ids, big-endian ("MM") for odd."""
+    import numpy as np
+
     w, h = _image_dims(asset_id)
-    return _encode_tiff_rgb(
-        _synth_image_vals(asset_id, w, h).reshape(h, w, 3),
-        "<" if asset_id % 2 == 0 else ">",
-        4,
+    e = "<" if asset_id % 2 == 0 else ">"
+    variant = (asset_id // 5) % 6
+    comp = {0: 1, 1: 1, 2: 32773, 3: 32773, 4: 5, 5: 8}[variant]
+    pred = 2 if variant == 4 else 1
+    if variant % 2 == 0:  # chunky RGB
+        return _encode_tiff(
+            _synth_image_vals(asset_id, w, h).reshape(h, w, 3),
+            e, 4, photometric=2, compression=comp, predictor=pred,
+        )
+    i = np.arange(w * h, dtype=np.int64)
+    step = (i // 5) if variant == 3 else i
+    gray = ((7 * asset_id + 13 * step) % 256).reshape(h, w)
+    photo = 1 if (asset_id // 10) % 2 == 0 else 0
+    stored = gray if photo == 1 else 255 - gray
+    return _encode_tiff(
+        stored.astype(np.uint8), e, 4, photometric=photo, compression=comp
     )
 
 
+def _packbits_encode(data: bytes) -> bytes:
+    """TIFF PackBits (Apple RLE): replicate packets ``(257-run, byte)``
+    for runs >= 2, literal packets ``(len-1, bytes...)`` otherwise, both
+    capped at 128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes((257 - run, data[i]))
+            i += run
+        else:
+            j = i + 1
+            while (
+                j < n
+                and j - i < 128
+                and not (j + 1 < n and data[j] == data[j + 1])
+            ):
+                j += 1
+            out += bytes((j - i - 1,)) + data[i:j]
+            i = j
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Expand one PackBits-compressed strip to EXACTLY ``expected``
+    bytes (rows never pack across strip boundaries, so the strip's
+    decompressed size is fixed by the geometry); 0x80 is a no-op per
+    spec.  Truncation, overrun, or trailing packets dead-letter."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while len(out) < expected:
+        if i >= n:
+            raise ValueError("TIFF PackBits strip truncated")
+        c = data[i]
+        i += 1
+        if c == 128:
+            continue
+        if c < 128:
+            if i + c + 1 > n:
+                raise ValueError("TIFF PackBits literal truncated")
+            out += data[i : i + c + 1]
+            i += c + 1
+        else:
+            if i >= n:
+                raise ValueError("TIFF PackBits replicate truncated")
+            out += bytes((data[i],)) * (257 - c)
+            i += 1
+    if len(out) != expected:
+        raise ValueError("TIFF PackBits packet overruns the strip")
+    while i < n and data[i] == 128:  # trailing no-ops are legal padding
+        i += 1
+    if i != n:
+        raise ValueError("TIFF PackBits trailing data after the strip")
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """REAL TIFF-flavor LZW (compression 5): byte-oriented alphabet,
+    variable 9-12 bit codes packed MSB-FIRST, CLEAR=256 / EOI=257, and
+    the spec's EarlyChange width rule — one entry EARLIER than the GIF
+    pair: this encoder grows at next == 2^width, the decoder at
+    next == 2^width − 1 (the decoder's table trails one entry behind,
+    exactly as in :func:`_lzw_encode`'s documented pairing)."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    buf = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal buf, nbits
+        buf = (buf << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((buf >> nbits) & 0xFF)
+
+    width = 9
+    next_code = 258
+    table: dict = {}
+    emit(clear, width)
+    if data:
+        prefix = data[0]
+        for s in data[1:]:
+            key = (prefix, s)
+            if key in table:
+                prefix = table[key]
+                continue
+            emit(prefix, width)
+            if next_code < 4094:  # libtiff's reset margin
+                table[key] = next_code
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            else:
+                emit(clear, width)
+                table.clear()
+                next_code = 258
+                width = 9
+            prefix = s
+        emit(prefix, width)
+    # the decoder adds one more entry for the final data code and grows
+    # its width at next == 2^w - 1 BEFORE reading EOI — mirror it
+    if next_code == (1 << width) - 1 and width < 12:
+        width += 1
+    emit(eoi, width)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF LZW decompression of one strip to EXACTLY ``expected``
+    bytes: MSB-first variable-width codes, CLEAR/EOI, KwKwK, EarlyChange
+    width stepping (next == 2^width − 1), table frozen at 4096 until the
+    next CLEAR.  Any malformed code, truncation, or size mismatch
+    dead-letters."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    total_bits = len(data) * 8
+    bitpos = 0
+    width = 9
+    table: dict | None = None  # spec: the stream must start with CLEAR
+    next_code = 258
+    prev = None
+    while True:
+        if bitpos + width > total_bits:
+            raise ValueError("TIFF LZW stream truncated (no EOI)")
+        byte0 = bitpos >> 3
+        window = int.from_bytes(
+            data[byte0 : byte0 + 3].ljust(3, b"\x00"), "big"
+        )
+        code = (window >> (24 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = {i: bytes((i,)) for i in range(256)}
+            next_code = 258
+            width = 9
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if table is None:
+            raise ValueError("TIFF LZW stream does not start with CLEAR")
+        if prev is None:
+            if code > 255:
+                raise ValueError(
+                    "TIFF LZW first code after CLEAR not a literal"
+                )
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError("TIFF LZW code outside the string table")
+        out += entry
+        if len(out) > expected:
+            raise ValueError("TIFF LZW strip overruns the geometry")
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+    if len(out) != expected:
+        raise ValueError(f"TIFF LZW strip decoded {len(out)} != {expected}")
+    return bytes(out)
+
+
 def _encode_tiff_rgb(px, e: str, rps: int) -> bytes:
-    """Assemble a baseline RGB TIFF from an (h, w, 3) uint8 array with
-    byte order ``e`` ("<"/">") and the given RowsPerStrip.  Layout:
+    """Baseline chunky-RGB wrapper over :func:`_encode_tiff` (kept for
+    the container-level round-trip properties)."""
+    return _encode_tiff(px, e, rps, photometric=2, compression=1)
+
+
+def _encode_tiff(
+    px, e: str, rps: int, photometric: int = 2, compression: int = 1,
+    predictor: int = 1,
+) -> bytes:
+    """Assemble a TIFF from an ``(h, w, 3)`` uint8 array (photometric 2,
+    chunky RGB) or an ``(h, w)`` uint8 array (photometric 0/1, 8-bit
+    gray — stored bytes are written VERBATIM; WhiteIsZero inversion is
+    the decoder's job), byte order ``e`` ("<"/">"), the given
+    RowsPerStrip, compression 1 (none), 32773 (PackBits), 5 (LZW) or
+    8 (Deflate) — each applied per strip — and predictor 1 (none) or
+    2 (horizontal differencing per row per channel, tag 317).  Layout:
     8-byte header → strip data → off-line StripOffsets/StripByteCounts
-    arrays (when more than one strip) → IFD."""
+    arrays (when more than one strip) → off-line BitsPerSample (RGB
+    only; gray's single SHORT is inline) → IFD."""
+    import numpy as np
+
+    spp = 3 if photometric == 2 else 1
     h, w = px.shape[0], px.shape[1]
+    if predictor == 2:
+        # stored[x] = orig[x] - orig[x-1] (mod 256) along each row, per
+        # channel; the first pixel of every row is stored verbatim
+        arr = px.reshape(h, w, spp).astype(np.int64)
+        arr[:, 1:, :] = (arr[:, 1:, :] - arr[:, :-1, :]) % 256
+        px = arr.astype(np.uint8)
     px = px.reshape(-1)
+    row = w * spp
     strips = [
-        px[r * w * 3 : (r + rps) * w * 3].tobytes() for r in range(0, h, rps)
+        px[r * row : (r + rps) * row].tobytes() for r in range(0, h, rps)
     ]
+    if compression == 32773:
+        strips = [_packbits_encode(s) for s in strips]
+    elif compression == 5:
+        strips = [_tiff_lzw_encode(s) for s in strips]
+    elif compression == 8:
+        import zlib
+
+        strips = [zlib.compress(s) for s in strips]
     n = len(strips)
     data_off = 8
     offs, cur = [], data_off
@@ -189,10 +424,12 @@ def _encode_tiff_rgb(px, e: str, rps: int) -> bytes:
         arr_off_counts = cur
         extra += struct.pack(f"{e}{n}I", *[len(s) for s in strips])
         cur += 4 * n
-    # BitsPerSample is 3 SHORTs = 6 bytes, always off-line
+    # RGB BitsPerSample is 3 SHORTs = 6 bytes, always off-line; gray's
+    # single SHORT packs inline (count-1 path)
     bps_off = cur
-    extra += struct.pack(f"{e}3H", 8, 8, 8)
-    cur += 6
+    if spp == 3:
+        extra += struct.pack(f"{e}3H", 8, 8, 8)
+        cur += 6
     ifd_off = cur
 
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
@@ -203,15 +440,17 @@ def _encode_tiff_rgb(px, e: str, rps: int) -> bytes:
     entries = [
         entry(256, 4, 1, w),                       # ImageWidth
         entry(257, 4, 1, h),                       # ImageLength
-        entry(258, 3, 3, bps_off),                 # BitsPerSample [8,8,8]
-        entry(259, 3, 1, 1),                       # Compression: none
-        entry(262, 3, 1, 2),                       # Photometric: RGB
+        entry(258, 3, spp, bps_off if spp == 3 else 8),
+        entry(259, 3, 1, compression),
+        entry(262, 3, 1, photometric),
         entry(273, 4, n, offs[0] if n == 1 else arr_off_offsets),
-        entry(277, 3, 1, 3),                       # SamplesPerPixel
+        entry(277, 3, 1, spp),                     # SamplesPerPixel
         entry(278, 3, 1, rps),                     # RowsPerStrip
         entry(279, 4, n,
               len(strips[0]) if n == 1 else arr_off_counts),
     ]
+    if predictor != 1:
+        entries.append(entry(317, 3, 1, predictor))  # ascending tag order
     ifd = struct.pack(f"{e}H", len(entries)) + b"".join(entries) + struct.pack(
         f"{e}I", 0
     )
@@ -323,9 +562,13 @@ def encode_gif(asset_id: int) -> bytes:
     entries (:func:`_gif_palette`), pixel index at row-major position k
     = (3·id + 5·k) mod ncolors, REAL LZW-compressed (variable-width
     codes, string-table growth); odd ids transmit INTERLACED (the
-    4-pass row schedule).  A comment extension and a non-transparent
-    Graphic Control Extension precede the image so decoders must
-    genuinely skip extension blocks."""
+    4-pass row schedule).  A comment extension and a Graphic Control
+    Extension precede the image so decoders must genuinely skip
+    extension blocks.  Ids with ``(id // 10) % 2 == 1`` (r14) set the
+    GCE TRANSPARENT flag on index (3·id) mod nc with LSD background
+    index (3·id + 7) mod nc — decoded stills must compose transparent
+    pixels to the background color, so the oracle's effective-index
+    substitution pins the composition path."""
     import numpy as np
 
     w, h = _image_dims(asset_id)
@@ -333,27 +576,41 @@ def encode_gif(asset_id: int) -> bytes:
     ncolors = 1 << bits
     k = np.arange(w * h, dtype=np.int64)
     idx = ((3 * asset_id + 5 * k) % ncolors).reshape(h, w)
+    transparent = (asset_id // 10) % 2 == 1
     return _encode_gif_frame(
-        idx, _gif_palette(asset_id, ncolors), asset_id % 2 == 1, bits
+        idx,
+        _gif_palette(asset_id, ncolors),
+        asset_id % 2 == 1,
+        bits,
+        transparent_idx=(3 * asset_id) % ncolors if transparent else None,
+        background=(3 * asset_id + 7) % ncolors if transparent else 0,
     )
 
 
-def _encode_gif_frame(idx, pal, interlaced: bool, bits: int) -> bytes:
+def _encode_gif_frame(
+    idx, pal, interlaced: bool, bits: int,
+    transparent_idx: int | None = None, background: int = 0,
+) -> bytes:
     """Assemble a GIF89a still from an (h, w) index grid and an
     (2^bits, 3) palette: LSD + global table + GCE + comment extension +
-    image descriptor + LZW-compressed data sub-blocks + trailer."""
+    image descriptor + LZW-compressed data sub-blocks + trailer.  With
+    ``transparent_idx`` the GCE carries the transparent-color flag and
+    index, and ``background`` becomes the LSD background color index."""
     h, w = idx.shape
     rows = idx[_gif_interlace_order(h), :] if interlaced else idx
     stream = _lzw_encode(rows.reshape(-1), bits)
     lsd_flags = 0x80 | ((bits - 1) << 4) | (bits - 1)  # global table, size
-    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # no transparency, no delay
+    if transparent_idx is None:
+        gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # no transparency/delay
+    else:
+        gce = b"\x21\xf9\x04\x01\x00\x00" + bytes((transparent_idx, 0))
     comment = b"\x21\xfe" + _gif_data_subblocks(b"synthetic still corpus")
     img = struct.pack(
         "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlaced else 0
     )
     return (
         b"GIF89a"
-        + struct.pack("<HHBBB", w, h, lsd_flags, 0, 0)
+        + struct.pack("<HHBBB", w, h, lsd_flags, background, 0)
         + pal.astype("uint8").tobytes()
         + gce
         + comment
@@ -1272,13 +1529,17 @@ def encode_wav_extensible(asset_id: int) -> bytes:
 
 @_total_on_corrupt
 def decode_tiff_bytes(payload: bytes) -> dict:
-    """Parse baseline TIFF (both byte orders) into ``{width, height,
-    vals}``: header magic, IFD walk, SHORT/LONG tag reads with the
-    inline-vs-offset rule, multi-strip assembly in order.  Honest
-    boundaries raise ``NotImplementedError``: any compression other
-    than none, non-RGB photometric, bit depths other than 8/8/8,
-    non-default orientation, tiled files, and multi-IFD (multi-page)
-    files; corrupt shapes raise ``ValueError``."""
+    """Parse TIFF (both byte orders) into ``{width, height, vals}``:
+    header magic, IFD walk, SHORT/LONG tag reads with the
+    inline-vs-offset rule, multi-strip assembly in order, per-strip
+    decompression for PackBits (32773), LZW (5, MSB-first EarlyChange)
+    and Deflate (8/32946), horizontal predictor 2 un-differencing, and
+    8-bit grayscale (photometric 0/1; WhiteIsZero decodes INVERTED to
+    intensity).  Honest boundaries raise ``NotImplementedError``:
+    other compressions (CCITT/JPEG), palette/CMYK/YCbCr photometrics,
+    bit depths other than 8-per-sample, the floating-point predictor,
+    non-default orientation, planar configuration, tiled files, and
+    multi-IFD (multi-page) files; corrupt shapes raise ``ValueError``."""
     import numpy as np
 
     if payload[:4] == b"II*\x00":
@@ -1326,11 +1587,17 @@ def decode_tiff_bytes(payload: bytes) -> dict:
     if 322 in tags or 323 in tags:
         raise NotImplementedError("tiled TIFF")
     comp = tags.get(259, (1,))[0]
-    if comp != 1:
+    if comp not in (1, 32773, 5, 8, 32946):
+        # old-JPEG=6 / JPEG=7 / CCITT remain honest boundaries
+        # (32946 is the pre-standard Deflate code — same codec as 8)
         raise NotImplementedError(f"TIFF compression {comp}")
+    predictor = tags.get(317, (1,))[0]
+    if predictor not in (1, 2):
+        # 3 = floating-point horizontal differencing
+        raise NotImplementedError(f"TIFF predictor {predictor}")
     photo = tags.get(262, (None,))[0]
-    if photo != 2:
-        raise NotImplementedError(f"TIFF photometric {photo} (non-RGB)")
+    if photo not in (0, 1, 2):
+        raise NotImplementedError(f"TIFF photometric {photo}")
     if tags.get(274, (1,))[0] != 1:
         raise NotImplementedError("TIFF non-default orientation")
     if tags.get(284, (1,))[0] != 1:
@@ -1338,10 +1605,15 @@ def decode_tiff_bytes(payload: bytes) -> dict:
         # chunky garbage if this tag were ignored
         raise NotImplementedError("TIFF planar configuration")
     bits = tuple(tags.get(258, ()))
-    # count-1 BitsPerSample=8 with spp=3 is a common valid writer shape
-    if tags.get(277, (3,))[0] != 3 or bits not in ((8, 8, 8), (8,)):
+    spp = 3 if photo == 2 else 1
+    # count-1 BitsPerSample=8 with spp=3 is a common valid writer shape;
+    # grayscale with NO BitsPerSample tag defaults to 1 (bilevel) — an
+    # honest boundary, not 8-bit
+    ok_bits = ((8, 8, 8), (8,)) if photo == 2 else ((8,),)
+    if tags.get(277, (spp,))[0] != spp or bits not in ok_bits:
         raise NotImplementedError(
-            f"TIFF spp={tags.get(277)} bits={tags.get(258)}"
+            f"TIFF photometric {photo} spp={tags.get(277)} "
+            f"bits={tags.get(258)}"
         )
     if 256 not in tags or 257 not in tags:
         raise ValueError("TIFF missing dimensions")
@@ -1353,20 +1625,56 @@ def decode_tiff_bytes(payload: bytes) -> dict:
     offs, counts = tags[273], tags[279]
     if len(offs) != len(counts):
         raise ValueError("TIFF strip offset/count length mismatch")
+    rps = tags.get(278, (h,))[0]
+    if rps == 0:
+        raise ValueError("TIFF RowsPerStrip 0")
     parts = []
-    for off, cnt in zip(offs, counts):
+    for s_i, (off, cnt) in enumerate(zip(offs, counts)):
         if off + cnt > len(payload):
             raise ValueError("TIFF strip past the payload")
-        parts.append(payload[off : off + cnt])
+        chunk = payload[off : off + cnt]
+        if comp != 1:
+            # compression never crosses strips, so each strip's expanded
+            # size is fixed by the geometry — decode to exactly that
+            strip_rows = min(rps, h - s_i * rps)
+            if strip_rows <= 0:
+                raise ValueError("TIFF more strips than image rows")
+            expected = strip_rows * w * spp
+            if comp == 32773:
+                chunk = _packbits_decode(chunk, expected)
+            elif comp == 5:
+                chunk = _tiff_lzw_decode(chunk, expected)
+            else:  # 8 / 32946: zlib Deflate
+                import zlib
+
+                try:
+                    chunk = zlib.decompress(chunk)
+                except zlib.error as exc:
+                    raise ValueError(f"TIFF Deflate strip: {exc}") from exc
+                if len(chunk) != expected:
+                    raise ValueError(
+                        f"TIFF Deflate strip {len(chunk)} != {expected}"
+                    )
+        parts.append(chunk)
     raw = b"".join(parts)
-    if len(raw) != w * h * 3:
+    if len(raw) != w * h * spp:
         raise ValueError(
-            f"TIFF strip data {len(raw)} != {w}x{h}x3"
+            f"TIFF strip data {len(raw)} != {w}x{h}x{spp}"
         )
+    vals = np.frombuffer(raw, np.uint8).astype(np.int64)
+    if predictor == 2:
+        # horizontal differencing: un-delta along each row per channel
+        vals = (
+            np.cumsum(vals.reshape(h, w, spp), axis=1) % 256
+        ).reshape(-1)
+    if photo == 0:
+        # WhiteIsZero: stored 0 is white — normalize to intensity so
+        # downstream stats are luminance-consistent across photometrics
+        vals = 255 - vals
     return {
         "width": int(w),
         "height": int(h),
-        "vals": np.frombuffer(raw, np.uint8).astype(np.int64),
+        "vals": vals,
     }
 
 
@@ -1447,11 +1755,14 @@ def decode_gif_bytes(payload: bytes) -> dict:
     """Parse a still GIF into ``{width, height, vals}`` with ``vals``
     the palette-mapped int64 RGB values in row-major top-down order —
     LZW decompressed for real, interlace rows re-sequenced, extension
-    blocks skipped.  Honest format boundaries raise
-    ``NotImplementedError``: animation (a second image descriptor),
-    transparency (a GCE with the transparent-color flag), and frames
-    that do not cover the canvas (their meaning needs composition
-    state); corrupt shapes raise ``ValueError``."""
+    blocks skipped.  A GCE transparent-color flag (r14) composes the
+    transparent index to the LSD background color out of the GLOBAL
+    table — well-defined for a full-canvas still.  Honest format
+    boundaries raise ``NotImplementedError``: animation (a second image
+    descriptor), frames that do not cover the canvas (their meaning
+    needs composition state), and a transparent frame with no global
+    table (no defined background color); corrupt shapes raise
+    ``ValueError``."""
     import numpy as np
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -1470,6 +1781,7 @@ def decode_gif_bytes(payload: bytes) -> dict:
         )
         pos += gsize * 3
     vals = None
+    transp = None
     while True:
         if pos >= len(payload):
             raise ValueError("GIF stream truncated (no trailer)")
@@ -1483,8 +1795,15 @@ def decode_gif_bytes(payload: bytes) -> dict:
             label = payload[pos]
             pos += 1
             body, pos = _gif_read_subblocks(payload, pos)
-            if label == 0xF9 and len(body) >= 1 and body[0] & 0x01:
-                raise NotImplementedError("GIF transparency")
+            if label == 0xF9:  # Graphic Control: applies to next image
+                if len(body) >= 1 and body[0] & 0x01:
+                    if len(body) < 4:
+                        raise ValueError(
+                            "GIF graphic control extension truncated"
+                        )
+                    transp = body[3]
+                else:
+                    transp = None
             continue
         if marker != 0x2C:
             raise ValueError(f"unknown GIF block 0x{marker:02x}")
@@ -1524,9 +1843,27 @@ def decode_gif_bytes(payload: bytes) -> dict:
             display = np.empty_like(grid)
             display[_gif_interlace_order(ih), :] = grid
             grid = display
-        if int(grid.max()) >= len(pal):
+        flat = grid.reshape(-1)
+        tmask = (flat == transp) if transp is not None else None
+        visible = flat if tmask is None else flat[~tmask]
+        if visible.size and int(visible.max()) >= len(pal):
             raise ValueError("GIF pixel index outside the color table")
-        vals = pal[grid.reshape(-1)].astype(np.int64).reshape(-1)
+        # transparent pixels may carry an index past the table; clamp
+        # for the gather — they are overwritten by the background below
+        rgb = pal[np.minimum(flat, len(pal) - 1)].astype(np.int64)
+        if tmask is not None and bool(tmask.any()):
+            # composition target for a full-canvas still: the logical
+            # screen's background color, defined only in the GLOBAL table
+            if gpal is None:
+                raise NotImplementedError(
+                    "GIF transparency without a global color table"
+                )
+            if _bg >= len(gpal):
+                raise ValueError(
+                    "GIF background index outside the global color table"
+                )
+            rgb[tmask] = gpal[_bg].astype(np.int64)
+        vals = rgb.reshape(-1)
     if vals is None:
         raise ValueError("GIF with no image data")
     return {"width": int(w), "height": int(h), "vals": vals}

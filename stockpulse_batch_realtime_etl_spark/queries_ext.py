@@ -1280,7 +1280,10 @@ def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (variable-width LSB-first LZW decompression, extension-block
 #: skipping, interlace row re-sequencing, palette mapping) plus the
 #: TIFF IFD walk (both byte orders, inline-vs-offset tag values,
-#: multi-strip assembly).  Because the encoded values are
+#: multi-strip assembly — and, r14, the four-way TIFF sub-robin:
+#: chunky RGB / 8-bit grayscale × uncompressed / PackBits, with
+#: WhiteIsZero files stored inverted so the photometric-0
+#: normalization is oracle-pinned).  Because the encoded values are
 #: (7·id+13·i) mod 256 / ((31·id+17·i) mod 65536)−32768 / the GIF
 #: palette closed form at logical position i, DuckDB replays every
 #: output — including the position-weighted checksum that breaks on any
@@ -1304,26 +1307,49 @@ WITH base AS (
 sized AS (
   SELECT asset_id, format, w, h, pc,
          CASE WHEN format = 'wav' THEN 64 + asset_id % 101
+              -- TIFF sub-variants (asset_id // 5) % 6: odd = GRAYSCALE
+              -- (one channel), even = chunky RGB
+              WHEN format = 'tiff' AND (asset_id // 5) % 2 = 1
+              THEN w * h
               ELSE w * h * 3 END AS n_values
   FROM base
+),
+vi AS (
+  SELECT *, unnest(generate_series(0, n_values - 1)) AS i FROM sized
+),
+vj AS (
+  -- GIF effective palette index: pixel k = i//3 transmits j = (3a+5k)
+  -- mod pc; transparent ids ((a//10)%2=1) declare index (3a) mod pc
+  -- transparent, composed to the LSD background (3a+7) mod pc — the
+  -- substitution below pins the decoder's composition path
+  SELECT *, CASE WHEN format = 'gif' THEN
+         CASE WHEN (asset_id // 10) % 2 = 1
+                   AND (3 * asset_id + 5 * (i // 3)) % pc
+                       = (3 * asset_id) % pc
+              THEN (3 * asset_id + 7) % pc
+              ELSE (3 * asset_id + 5 * (i // 3)) % pc END
+         END AS j
+  FROM vi
 ),
 v AS (
   SELECT asset_id, format, w, h, n_values, i,
          CASE WHEN format = 'wav'
               THEN ((31 * asset_id + 17 * i) % 65536) - 32768
               WHEN format = 'gif'
-              -- palette-mapped: pixel k = i//3 has index j = (3a+5k) mod
-              -- pc; channel i%3 reads the (7j+a / 11j+2a / 13j+3a) mod
-              -- 256 palette closed form
+              -- palette-mapped: channel i%3 reads the (7j+a / 11j+2a /
+              -- 13j+3a) mod 256 palette closed form at effective index j
               THEN (CASE CAST(i % 3 AS INT)
-                    WHEN 0 THEN 7 * ((3 * asset_id + 5 * (i // 3)) % pc)
-                                + asset_id
-                    WHEN 1 THEN 11 * ((3 * asset_id + 5 * (i // 3)) % pc)
-                                + 2 * asset_id
-                    ELSE 13 * ((3 * asset_id + 5 * (i // 3)) % pc)
-                         + 3 * asset_id END) % 256
+                    WHEN 0 THEN 7 * j + asset_id
+                    WHEN 1 THEN 11 * j + 2 * asset_id
+                    ELSE 13 * j + 3 * asset_id END) % 256
+              -- grayscale + PackBits variant: run-friendly closed form
+              -- (runs of 5 so replicate packets are really emitted);
+              -- WhiteIsZero ids store INVERTED bytes, so matching this
+              -- form pins the decoder's photometric-0 normalization
+              WHEN format = 'tiff' AND (asset_id // 5) % 6 = 3
+              THEN (7 * asset_id + 13 * (i // 5)) % 256
               ELSE (7 * asset_id + 13 * i) % 256 END AS val
-  FROM (SELECT *, unnest(generate_series(0, n_values - 1)) AS i FROM sized)
+  FROM vj
 )
 SELECT asset_id, format,
        CASE WHEN format <> 'wav' THEN w END AS width,

@@ -254,17 +254,23 @@ def test_gif_lzw_roundtrip_width_boundaries_and_table_clear():
 
 
 def test_gif_decode_matches_closed_form():
-    """Full-container roundtrip for both interlace parities and every
-    palette size 4..256: decoded RGB equals the palette closed form at
-    every position (position-weighted by construction of the check)."""
+    """Full-container roundtrip for both interlace parities, every
+    palette size 4..256, and both transparency parities ((aid//10)%2):
+    decoded RGB equals the palette closed form at every position, with
+    transparent pixels composed to the LSD background color."""
     import numpy as np
 
+    saw_transparent = 0
     for aid in range(24):  # covers ids mod 2 (interlace) and mod 7 (bits)
         d = multimodal.decode_gif_bytes(multimodal.encode_gif(aid))
         w, h = multimodal._image_dims(aid)
         nc = 1 << (2 + aid % 7)
         k = np.arange(w * h, dtype=np.int64)
         j = (3 * aid + 5 * k) % nc
+        if (aid // 10) % 2 == 1:  # transparent corpus ids: composed
+            t_idx, bg = (3 * aid) % nc, (3 * aid + 7) % nc
+            saw_transparent += int((j == t_idx).sum() > 0)
+            j = np.where(j == t_idx, bg, j)
         jj = np.arange(nc, dtype=np.int64)
         pal = np.stack(
             [(7 * jj + aid) % 256, (11 * jj + 2 * aid) % 256,
@@ -273,6 +279,7 @@ def test_gif_decode_matches_closed_form():
         )
         assert (d["width"], d["height"]) == (w, h)
         np.testing.assert_array_equal(d["vals"], pal[j].reshape(-1))
+    assert saw_transparent >= 5  # composition genuinely exercised
     # decode_image_bytes dispatches on the GIF signature
     d = multimodal.decode_image_bytes(multimodal.encode_gif(5))
     assert d["width"], d["height"] == multimodal._image_dims(5)
@@ -280,17 +287,39 @@ def test_gif_decode_matches_closed_form():
 
 def test_gif_error_paths_and_format_boundaries():
     """Corrupt shapes dead-letter (ValueError) and the honest format
-    boundaries stay NotImplementedError: transparency, animation, and
-    partial-canvas frames need composition state the still-image
-    contract does not carry."""
-    good = multimodal.encode_gif(4)  # even id: non-interlaced
+    boundaries stay NotImplementedError: animation and partial-canvas
+    frames need composition state the still-image contract does not
+    carry; still transparency (r14) is implemented, so its EDGES are
+    pinned instead — truncated GCE, background outside the global
+    table, transparency with no global table."""
+    import numpy as np
 
-    # transparency flag inside the GCE
+    good = multimodal.encode_gif(4)  # even id: non-interlaced, opaque
+
+    # flipping the GCE transparent flag on an opaque corpus file makes a
+    # VALID transparent GIF: transparent index = GCE byte 6 (= 0 here),
+    # background index = LSD byte 11 (= 0) -> index-0 pixels still map
+    # to palette[0]; decode must succeed and equal the opaque decode
     gce_at = good.index(b"\x21\xf9\x04\x00")
     t = bytearray(good)
     t[gce_at + 3] |= 0x01
-    with pytest.raises(NotImplementedError, match="transparency"):
-        multimodal.decode_gif_bytes(bytes(t))
+    np.testing.assert_array_equal(
+        multimodal.decode_gif_bytes(bytes(t))["vals"],
+        multimodal.decode_gif_bytes(good)["vals"],
+    )
+    # ... but a background index past the global table dead-letters
+    # (table has 2^(2 + 4%7) = 64 entries)
+    tb = bytearray(t)
+    tb[11] = 64
+    with pytest.raises(ValueError, match="background index"):
+        multimodal.decode_gif_bytes(bytes(tb))
+    # truncated GCE body with the transparent flag set
+    tg = bytearray(good)
+    tg[gce_at + 2] = 1          # block size 1
+    tg[gce_at + 3] = 0x01       # transparent flag
+    del tg[gce_at + 4 : gce_at + 7]  # drop delay+index bytes
+    with pytest.raises(ValueError, match="graphic control"):
+        multimodal.decode_gif_bytes(bytes(tg))
     # a second image descriptor = animation
     img_at = good.index(b"\x2c\x00\x00\x00\x00")
     frame = good[img_at:-1]  # descriptor..data, sans trailer
@@ -337,24 +366,48 @@ def test_gif_error_paths_and_format_boundaries():
 
 
 def test_tiff_roundtrip_both_endians_multistrip():
-    """Baseline TIFF roundtrips exactly for both byte orders (even ids
-    II, odd MM) across the corpus dims — multi-strip assembly in strip
+    """Corpus TIFF roundtrips exactly for both byte orders (even ids
+    II, odd MM) across the corpus dims and ALL SIX sub-variants
+    (chunky RGB / 8-bit grayscale × uncompressed / PackBits, RGB +
+    LZW + predictor 2, gray + Deflate) — multi-strip assembly in strip
     order (RowsPerStrip 4 splits most images), off-line StripOffsets /
     StripByteCounts / BitsPerSample arrays read through the
-    inline-vs-offset rule — and the signature dispatches through
+    inline-vs-offset rule, grayscale's count-1 inline BitsPerSample,
+    WhiteIsZero inversion — and the signature dispatches through
     decode_image_bytes."""
     import numpy as np
 
-    for aid in range(30):
+    for aid in range(120):  # covers every (variant, endian, photometric)
         d = multimodal.decode_tiff_bytes(multimodal.encode_tiff(aid))
         w, h = multimodal._image_dims(aid)
         assert (d["width"], d["height"]) == (w, h)
-        np.testing.assert_array_equal(
-            d["vals"],
-            multimodal._synth_image_vals(aid, w, h).astype(np.int64),
-        )
+        variant = (aid // 5) % 6
+        if variant % 2 == 0:  # chunky RGB
+            exp = multimodal._synth_image_vals(aid, w, h).astype(np.int64)
+        else:  # grayscale (variant 3 = run-friendly PackBits form)
+            i = np.arange(w * h, dtype=np.int64)
+            step = (i // 5) if variant == 3 else i
+            exp = (7 * aid + 13 * step) % 256
+        np.testing.assert_array_equal(d["vals"], exp)
     d = multimodal.decode_image_bytes(multimodal.encode_tiff(7))
     assert (d["width"], d["height"]) == multimodal._image_dims(7)
+    # photometric-0 semantics pinned directly: id 59 is gray WhiteIsZero
+    # ((59//10)%2 == 1) — rewriting the tag to 1 (BlackIsZero) must flip
+    # every decoded value, i.e. the inversion really comes from the tag
+    import struct as _struct
+
+    aid = 59  # odd → big-endian
+    assert (aid // 5) % 2 == 1 and (aid // 10) % 2 == 1
+    payload = bytearray(multimodal.encode_tiff(aid))
+    (ifd_off,) = _struct.unpack_from(">I", payload, 4)
+    (n,) = _struct.unpack_from(">H", payload, ifd_off)
+    for k in range(n):
+        pos = ifd_off + 2 + 12 * k
+        if _struct.unpack_from(">H", payload, pos)[0] == 262:
+            _struct.pack_into(">H", payload, pos + 8, 1)
+    d = multimodal.decode_tiff_bytes(multimodal.encode_tiff(aid))
+    flipped = multimodal.decode_tiff_bytes(bytes(payload))
+    np.testing.assert_array_equal(d["vals"], 255 - flipped["vals"])
 
 
 def test_tiff_error_paths_and_format_boundaries():
@@ -377,9 +430,10 @@ def test_tiff_error_paths_and_format_boundaries():
                 return buf
         raise AssertionError(f"tag {tag} not found")
 
-    with pytest.raises(NotImplementedError, match="compression 5"):
+    with pytest.raises(NotImplementedError, match="compression 7"):
+        # 7 = TIFF-JPEG stays a boundary (5/8/32773/32946 are real now)
         multimodal.decode_tiff_bytes(
-            bytes(patch_tag(bytearray(good), 259, 5))
+            bytes(patch_tag(bytearray(good), 259, 7))
         )
     with pytest.raises(NotImplementedError, match="photometric 3"):
         multimodal.decode_tiff_bytes(
@@ -446,6 +500,156 @@ def test_tiff_error_paths_and_format_boundaries():
         d["vals"],
         multimodal._synth_image_vals(2, w2, h2).astype(np.int64),
     )
+
+
+def test_tiff_grayscale_and_packbits_boundaries():
+    """r14 extension edges: grayscale with NO BitsPerSample tag is
+    bilevel by TIFF default — an honest NotImplementedError, not 8-bit;
+    grayscale with spp=3 is inconsistent; PackBits corrupt streams
+    (truncated replicate/literal, packet overrun, trailing bytes,
+    strip-count mismatch) all dead-letter with ValueError."""
+    import struct as _struct
+
+    import numpy as np
+
+    # --- PackBits stream-level corruption -------------------------------
+    with pytest.raises(ValueError, match="replicate truncated"):
+        multimodal._packbits_decode(b"\xfe", 3)
+    with pytest.raises(ValueError, match="literal truncated"):
+        multimodal._packbits_decode(b"\x05abc", 6)
+    with pytest.raises(ValueError, match="overruns"):
+        multimodal._packbits_decode(b"\xfbx", 4)  # 6-byte run into 4
+    with pytest.raises(ValueError, match="strip truncated"):
+        multimodal._packbits_decode(b"\x00a", 3)  # stream ends early
+    with pytest.raises(ValueError, match="trailing data"):
+        multimodal._packbits_decode(b"\x00a\x00b", 1)
+    # trailing 0x80 no-ops are legal padding
+    assert multimodal._packbits_decode(b"\x00a\x80\x80", 1) == b"a"
+
+    # --- container-level: a PackBits corpus file with a damaged strip ---
+    aid = 14  # variant (14//5)%4 = 2: RGB + PackBits, little-endian
+    good = multimodal.encode_tiff(aid)
+    (ifd_off,) = _struct.unpack_from("<I", good, 4)
+    (n,) = _struct.unpack_from("<H", good, ifd_off)
+    tags = {}
+    for k in range(n):
+        pos = ifd_off + 2 + 12 * k
+        t, typ, cnt = _struct.unpack_from("<HHI", good, pos)
+        tags[t] = (pos, typ, cnt)
+    # truncate the FIRST strip's byte count: the packet walk runs dry
+    pos, typ, cnt = tags[279]
+    assert cnt > 1  # multi-strip: counts live off-line
+    (arr_off,) = _struct.unpack_from("<I", good, pos + 8)
+    (c0,) = _struct.unpack_from("<I", good, arr_off)
+    damaged = bytearray(good)
+    _struct.pack_into("<I", damaged, arr_off, c0 - 1)
+    with pytest.raises(ValueError, match="PackBits"):
+        multimodal.decode_tiff_bytes(bytes(damaged))
+
+    # --- grayscale tag-consistency seams --------------------------------
+    gray = bytearray(multimodal.encode_tiff(9))  # variant 1, big-endian
+    (g_ifd,) = _struct.unpack_from(">I", gray, 4)
+    (gn,) = _struct.unpack_from(">H", gray, g_ifd)
+
+    def g_patch(buf, tag, fn):
+        for k in range(gn):
+            pos = g_ifd + 2 + 12 * k
+            if _struct.unpack_from(">H", buf, pos)[0] == tag:
+                fn(buf, pos)
+        return bytes(buf)
+
+    # BitsPerSample entry retagged away -> default 1 bit (bilevel seam)
+    nobits = g_patch(
+        bytearray(gray), 258,
+        lambda b, p: _struct.pack_into(">H", b, p, 0xFFFF),
+    )
+    with pytest.raises(NotImplementedError, match="bits"):
+        multimodal.decode_tiff_bytes(nobits)
+    # grayscale claiming spp=3 is inconsistent with photometric 0/1
+    spp3 = g_patch(
+        bytearray(gray), 277,
+        lambda b, p: _struct.pack_into(">H", b, p + 8, 3),
+    )
+    with pytest.raises(NotImplementedError, match="spp"):
+        multimodal.decode_tiff_bytes(spp3)
+    # RowsPerStrip=0 with PackBits would divide the geometry by zero
+    pb = bytearray(multimodal.encode_tiff(19))  # variant 3: gray+PackBits
+    (p_ifd,) = _struct.unpack_from(">I", pb, 4)
+    (pn,) = _struct.unpack_from(">H", pb, p_ifd)
+    for k in range(pn):
+        pos = p_ifd + 2 + 12 * k
+        if _struct.unpack_from(">H", pb, pos)[0] == 278:
+            _struct.pack_into(">H", pb, pos + 8, 0)
+    with pytest.raises(ValueError, match="RowsPerStrip 0"):
+        multimodal.decode_tiff_bytes(bytes(pb))
+    # sanity: the undamaged grayscale corpus files still decode
+    for a in (9, 19):
+        d = multimodal.decode_tiff_bytes(multimodal.encode_tiff(a))
+        w, h = multimodal._image_dims(a)
+        assert len(d["vals"]) == w * h and d["vals"].dtype == np.int64
+
+
+def test_tiff_lzw_deflate_predictor_boundaries():
+    """r14 LZW/Deflate/predictor edges: every malformed LZW stream
+    shape dead-letters with ValueError (truncation, missing leading
+    CLEAR, non-literal first code, out-of-table code, geometry overrun
+    and shortfall), a corrupt Deflate strip dead-letters, and the
+    floating-point predictor stays an honest NotImplementedError."""
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+
+    lzw = multimodal._tiff_lzw_decode
+    enc = multimodal._tiff_lzw_encode
+    good = enc(b"abcabcabc")
+    assert lzw(good, 9) == b"abcabcabc"
+    with pytest.raises(ValueError, match="truncated"):
+        lzw(good[:-2], 9)  # EOI sheared off
+    with pytest.raises(ValueError, match="start with CLEAR"):
+        # width-9 first code 0x61 ('a'): not the CLEAR code
+        lzw(bytes([0x30, 0x80]) + good, 9)
+    with pytest.raises(ValueError, match="not a literal"):
+        # CLEAR (256) then 258: a dynamic code right after the reset
+        bits = (256 << 9) | 258  # 18 bits, MSB-first, pad to 3 bytes
+        lzw((bits << 6).to_bytes(3, "big"), 9)
+    with pytest.raises(ValueError, match="outside the string table"):
+        # CLEAR, 'a', then 300 (> next_code 258)
+        bits = (256 << 18) | (0x61 << 9) | 300
+        lzw((bits << 5).to_bytes(4, "big"), 9)
+    with pytest.raises(ValueError, match="overruns"):
+        lzw(good, 5)  # stream decodes 9 bytes into a 5-byte geometry
+    with pytest.raises(ValueError, match="!="):
+        lzw(enc(b"abc"), 9)  # decodes short of the geometry
+
+    # container level: corrupt Deflate strip on a corpus variant-5 file
+    aid = 29  # (29//5)%6 = 5: gray + Deflate, big-endian
+    good_tiff = multimodal.encode_tiff(aid)
+    (ifd_off,) = _struct.unpack_from(">I", good_tiff, 4)
+    (n,) = _struct.unpack_from(">H", good_tiff, ifd_off)
+    offs = None
+    for k in range(n):
+        pos = ifd_off + 2 + 12 * k
+        t, typ, cnt = _struct.unpack_from(">HHI", good_tiff, pos)
+        if t == 273:
+            (v,) = _struct.unpack_from(">I", good_tiff, pos + 8)
+            # multi-strip: v is the off-line array's offset
+            offs = _struct.unpack_from(">I", good_tiff, v)[0] if cnt > 1 else v
+    assert offs is not None
+    damaged = bytearray(good_tiff)
+    damaged[offs] ^= 0xFF  # break the zlib header of strip 0
+    with pytest.raises(ValueError, match="Deflate"):
+        multimodal.decode_tiff_bytes(bytes(damaged))
+    # predictor 3 (floating-point differencing) is an honest boundary
+    pred_tiff = bytearray(multimodal.encode_tiff(20))  # variant 4: LZW+pred2
+    (p_ifd,) = _struct.unpack_from("<I", pred_tiff, 4)
+    (pn,) = _struct.unpack_from("<H", pred_tiff, p_ifd)
+    for k in range(pn):
+        pos = p_ifd + 2 + 12 * k
+        if _struct.unpack_from("<H", pred_tiff, pos)[0] == 317:
+            _struct.pack_into("<H", pred_tiff, pos + 8, 3)
+    with pytest.raises(NotImplementedError, match="predictor 3"):
+        multimodal.decode_tiff_bytes(bytes(pred_tiff))
 
 
 def test_gif_local_color_table_overrides_global():

@@ -109,7 +109,8 @@ def test_gif_round_trip_random_images(w, h, bits, interlaced, seed):
     grids, RANDOM palettes, any dims >= 1, both interlace flags — the
     container-level generalization of the corpus closed-form check (the
     sf0.1 tail-width bug class lived exactly in alignments the fixed
-    corpus ids did not hit)."""
+    corpus ids did not hit).  A random transparent index + background
+    (r14) must compose to pal[bg] at exactly the transparent pixels."""
     import numpy as np
 
     from stockpulse_batch_realtime_etl_spark.operators import multimodal
@@ -125,33 +126,61 @@ def test_gif_round_trip_random_images(w, h, bits, interlaced, seed):
     np.testing.assert_array_equal(
         d["vals"].reshape(h, w, 3), pal[idx].astype(np.int64)
     )
+    t_idx = int(rng.integers(0, nc))
+    bg = int(rng.integers(0, nc))
+    d = multimodal.decode_gif_bytes(
+        multimodal._encode_gif_frame(
+            idx, pal, interlaced, bits, transparent_idx=t_idx, background=bg
+        )
+    )
+    exp = pal[np.where(idx == t_idx, bg, idx)].astype(np.int64)
+    np.testing.assert_array_equal(d["vals"].reshape(h, w, 3), exp)
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=200, deadline=None)
 @given(
     st.integers(1, 12),
     st.integers(1, 12),
     st.integers(1, 15),
     st.booleans(),
+    st.sampled_from([0, 1, 2]),
+    st.sampled_from([1, 32773, 5, 8]),
+    st.sampled_from([1, 2]),
+    st.booleans(),
     st.integers(0, 2**32 - 1),
 )
-def test_tiff_round_trip_random_images(w, h, rps, big_endian, seed):
+def test_tiff_round_trip_random_images(
+    w, h, rps, big_endian, photometric, compression, predictor, runs, seed
+):
     """decode(encode(px)) == px for arbitrary pixels, any dims >= 1,
     ANY RowsPerStrip (1 = one strip per row through rps > h = single
-    strip), both byte orders."""
+    strip), both byte orders, ALL THREE photometrics (0 = WhiteIsZero
+    decodes INVERTED), all FOUR compressions (none / PackBits / LZW /
+    Deflate over both run-heavy and run-free pixel fields), and both
+    predictors."""
     import numpy as np
 
     from stockpulse_batch_realtime_etl_spark.operators import multimodal
 
     rng = np.random.default_rng(seed)
-    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    shape = (h, w, 3) if photometric == 2 else (h, w)
+    if runs:  # tiny alphabet → long runs → replicate packets dominate
+        px = rng.integers(0, 3, size=shape, dtype=np.uint8)
+    else:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
     d = multimodal.decode_tiff_bytes(
-        multimodal._encode_tiff_rgb(px, ">" if big_endian else "<", rps)
+        multimodal._encode_tiff(
+            px,
+            ">" if big_endian else "<",
+            rps,
+            photometric=photometric,
+            compression=compression,
+            predictor=predictor,
+        )
     )
     assert (d["width"], d["height"]) == (w, h)
-    np.testing.assert_array_equal(
-        d["vals"].reshape(h, w, 3), px.astype(np.int64)
-    )
+    exp = px.astype(np.int64) if photometric != 0 else 255 - px
+    np.testing.assert_array_equal(d["vals"].reshape(shape), exp)
 
 
 # --- JPEG entropy layer (pure Python — no Spark, examples are cheap) --------
