@@ -148,7 +148,7 @@ def encode_bmp(asset_id: int) -> bytes:
 
 
 def encode_tiff(asset_id: int) -> bytes:
-    """TIFF 6.0 corpus encoder, sub-round-robin ``(id // 5) % 6`` (the
+    """TIFF 6.0 corpus encoder, sub-round-robin ``(id // 5) % 8`` (the
     decoded_stats slot is ``doc_id % 5 == 4``, so ``id // 5`` cycles the
     variant across the corpus):
 
@@ -164,7 +164,10 @@ def encode_tiff(asset_id: int) -> bytes:
       scanned-corpus default shape (MSB-first EarlyChange codes over
       row-differenced bytes; the 13-step closed form differences to a
       CONSTANT delta per row, so the string table genuinely grows);
-    - 5: grayscale + Deflate (compression 8, zlib per strip).
+    - 5: grayscale + Deflate (compression 8, zlib per strip);
+    - 6: RGB TILED (16×16 tiles, tags 322-325) + Deflate — corpus dims
+      are < the tile, so edge-padding crop is exercised on every file;
+    - 7: grayscale TILED + LZW.
 
     Grayscale alternates photometric 1 (BlackIsZero, ``(id//10)`` even)
     and 0 (WhiteIsZero, stored INVERTED so decoded intensity still
@@ -175,13 +178,15 @@ def encode_tiff(asset_id: int) -> bytes:
 
     w, h = _image_dims(asset_id)
     e = "<" if asset_id % 2 == 0 else ">"
-    variant = (asset_id // 5) % 6
-    comp = {0: 1, 1: 1, 2: 32773, 3: 32773, 4: 5, 5: 8}[variant]
+    variant = (asset_id // 5) % 8
+    comp = {0: 1, 1: 1, 2: 32773, 3: 32773, 4: 5, 5: 8, 6: 8, 7: 5}[variant]
     pred = 2 if variant == 4 else 1
+    tile = (16, 16) if variant >= 6 else None
     if variant % 2 == 0:  # chunky RGB
         return _encode_tiff(
             _synth_image_vals(asset_id, w, h).reshape(h, w, 3),
             e, 4, photometric=2, compression=comp, predictor=pred,
+            tile=tile,
         )
     i = np.arange(w * h, dtype=np.int64)
     step = (i // 5) if variant == 3 else i
@@ -189,7 +194,8 @@ def encode_tiff(asset_id: int) -> bytes:
     photo = 1 if (asset_id // 10) % 2 == 0 else 0
     stored = gray if photo == 1 else 255 - gray
     return _encode_tiff(
-        stored.astype(np.uint8), e, 4, photometric=photo, compression=comp
+        stored.astype(np.uint8), e, 4, photometric=photo, compression=comp,
+        tile=tile,
     )
 
 
@@ -364,6 +370,31 @@ def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+def _tiff_expand(chunk: bytes, comp: int, expected: int) -> bytes:
+    """Decompress one TIFF strip/tile to EXACTLY ``expected`` bytes
+    (compression never crosses strip/tile boundaries, so the expanded
+    size is fixed by the geometry)."""
+    if comp == 1:
+        if len(chunk) != expected:
+            raise ValueError(
+                f"TIFF uncompressed segment {len(chunk)} != {expected}"
+            )
+        return chunk
+    if comp == 32773:
+        return _packbits_decode(chunk, expected)
+    if comp == 5:
+        return _tiff_lzw_decode(chunk, expected)
+    import zlib  # 8 / 32946
+
+    try:
+        out = zlib.decompress(chunk)
+    except zlib.error as exc:
+        raise ValueError(f"TIFF Deflate strip: {exc}") from exc
+    if len(out) != expected:
+        raise ValueError(f"TIFF Deflate strip {len(out)} != {expected}")
+    return out
+
+
 def _encode_tiff_rgb(px, e: str, rps: int) -> bytes:
     """Baseline chunky-RGB wrapper over :func:`_encode_tiff` (kept for
     the container-level round-trip properties)."""
@@ -372,33 +403,53 @@ def _encode_tiff_rgb(px, e: str, rps: int) -> bytes:
 
 def _encode_tiff(
     px, e: str, rps: int, photometric: int = 2, compression: int = 1,
-    predictor: int = 1,
+    predictor: int = 1, tile: tuple | None = None,
 ) -> bytes:
     """Assemble a TIFF from an ``(h, w, 3)`` uint8 array (photometric 2,
     chunky RGB) or an ``(h, w)`` uint8 array (photometric 0/1, 8-bit
     gray — stored bytes are written VERBATIM; WhiteIsZero inversion is
     the decoder's job), byte order ``e`` ("<"/">"), the given
     RowsPerStrip, compression 1 (none), 32773 (PackBits), 5 (LZW) or
-    8 (Deflate) — each applied per strip — and predictor 1 (none) or
-    2 (horizontal differencing per row per channel, tag 317).  Layout:
-    8-byte header → strip data → off-line StripOffsets/StripByteCounts
-    arrays (when more than one strip) → off-line BitsPerSample (RGB
-    only; gray's single SHORT is inline) → IFD."""
+    8 (Deflate) — each applied per strip/tile — and predictor 1 (none)
+    or 2 (horizontal differencing per row per channel, tag 317).  With
+    ``tile=(tw, tl)`` (multiples of 16) the file is TILED (tags
+    322/323/324/325, zero-padded edge tiles, predictor restarting at
+    each TILE row) instead of stripped.  Layout: 8-byte header →
+    segment data → off-line offset/count arrays (when more than one
+    segment) → off-line BitsPerSample (RGB only; gray's single SHORT is
+    inline) → IFD."""
     import numpy as np
 
     spp = 3 if photometric == 2 else 1
     h, w = px.shape[0], px.shape[1]
-    if predictor == 2:
-        # stored[x] = orig[x] - orig[x-1] (mod 256) along each row, per
-        # channel; the first pixel of every row is stored verbatim
-        arr = px.reshape(h, w, spp).astype(np.int64)
-        arr[:, 1:, :] = (arr[:, 1:, :] - arr[:, :-1, :]) % 256
-        px = arr.astype(np.uint8)
-    px = px.reshape(-1)
-    row = w * spp
-    strips = [
-        px[r * row : (r + rps) * row].tobytes() for r in range(0, h, rps)
-    ]
+    if tile is not None:
+        tw, tl = tile
+        arr = px.reshape(h, w, spp)
+        ph, pw = -(-h // tl) * tl, -(-w // tw) * tw
+        padded = np.zeros((ph, pw, spp), np.uint8)
+        padded[:h, :w] = arr
+        strips = []
+        for ty in range(ph // tl):
+            for tx in range(pw // tw):
+                t = padded[
+                    ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw
+                ].astype(np.int64)
+                if predictor == 2:
+                    t[:, 1:, :] = (t[:, 1:, :] - t[:, :-1, :]) % 256
+                strips.append(t.astype(np.uint8).tobytes())
+    else:
+        if predictor == 2:
+            # stored[x] = orig[x] - orig[x-1] (mod 256) along each row,
+            # per channel; a row's first pixel is stored verbatim
+            arr = px.reshape(h, w, spp).astype(np.int64)
+            arr[:, 1:, :] = (arr[:, 1:, :] - arr[:, :-1, :]) % 256
+            px = arr.astype(np.uint8)
+        px = px.reshape(-1)
+        row = w * spp
+        strips = [
+            px[r * row : (r + rps) * row].tobytes()
+            for r in range(0, h, rps)
+        ]
     if compression == 32773:
         strips = [_packbits_encode(s) for s in strips]
     elif compression == 5:
@@ -443,14 +494,30 @@ def _encode_tiff(
         entry(258, 3, spp, bps_off if spp == 3 else 8),
         entry(259, 3, 1, compression),
         entry(262, 3, 1, photometric),
-        entry(273, 4, n, offs[0] if n == 1 else arr_off_offsets),
-        entry(277, 3, 1, spp),                     # SamplesPerPixel
-        entry(278, 3, 1, rps),                     # RowsPerStrip
-        entry(279, 4, n,
-              len(strips[0]) if n == 1 else arr_off_counts),
     ]
+    if tile is None:
+        entries.append(
+            entry(273, 4, n, offs[0] if n == 1 else arr_off_offsets)
+        )
+    entries.append(entry(277, 3, 1, spp))          # SamplesPerPixel
+    if tile is None:
+        entries.append(entry(278, 3, 1, rps))      # RowsPerStrip
+        entries.append(
+            entry(279, 4, n,
+                  len(strips[0]) if n == 1 else arr_off_counts)
+        )
     if predictor != 1:
         entries.append(entry(317, 3, 1, predictor))  # ascending tag order
+    if tile is not None:
+        entries.append(entry(322, 3, 1, tile[0]))  # TileWidth
+        entries.append(entry(323, 3, 1, tile[1]))  # TileLength
+        entries.append(
+            entry(324, 4, n, offs[0] if n == 1 else arr_off_offsets)
+        )
+        entries.append(
+            entry(325, 4, n,
+                  len(strips[0]) if n == 1 else arr_off_counts)
+        )
     ifd = struct.pack(f"{e}H", len(entries)) + b"".join(entries) + struct.pack(
         f"{e}I", 0
     )
@@ -1584,8 +1651,6 @@ def decode_tiff_bytes(payload: bytes) -> dict:
     )
     if next_ifd:
         raise NotImplementedError("multi-page TIFF")
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF")
     comp = tags.get(259, (1,))[0]
     if comp not in (1, 32773, 5, 8, 32946):
         # old-JPEG=6 / JPEG=7 / CCITT remain honest boundaries
@@ -1620,6 +1685,45 @@ def decode_tiff_bytes(payload: bytes) -> dict:
     w, h = tags[256][0], tags[257][0]
     if w == 0 or h == 0:
         raise ValueError(f"TIFF zero dimensions {w}x{h}")
+    if 322 in tags or 323 in tags:  # tiled organization (r14)
+        if not all(t in tags for t in (322, 323, 324, 325)):
+            raise ValueError("TIFF tiled file missing tile layout tags")
+        tw, tl = tags[322][0], tags[323][0]
+        # spec: tile dims are non-zero multiples of 16
+        if tw == 0 or tl == 0 or tw % 16 or tl % 16:
+            raise ValueError(f"TIFF tile size {tw}x{tl}")
+        toffs, tcounts = tags[324], tags[325]
+        if len(toffs) != len(tcounts):
+            raise ValueError("TIFF tile offset/count length mismatch")
+        across, down = -(-w // tw), -(-h // tl)
+        if len(toffs) != across * down:
+            raise ValueError(
+                f"TIFF tile count {len(toffs)} != {across}x{down}"
+            )
+        tile_bytes = tw * tl * spp
+        img = np.zeros((h, w, spp), np.uint8)
+        for t_i, (off, cnt) in enumerate(zip(toffs, tcounts)):
+            if off + cnt > len(payload):
+                raise ValueError("TIFF tile past the payload")
+            chunk = _tiff_expand(payload[off : off + cnt], comp, tile_bytes)
+            tile = np.frombuffer(chunk, np.uint8).reshape(tl, tw, spp)
+            if predictor == 2:
+                # un-difference per tile row (padding included — the
+                # encoder differenced over it too)
+                tile = (
+                    np.cumsum(tile.astype(np.int64), axis=1) % 256
+                ).astype(np.uint8)
+            ty, tx = divmod(t_i, across)
+            y0, x0 = ty * tl, tx * tw
+            # edge tiles carry right/bottom padding out to the tile
+            # grid — crop it away
+            img[y0 : y0 + tl, x0 : x0 + tw] = tile[
+                : min(tl, h - y0), : min(tw, w - x0)
+            ]
+        vals = img.reshape(-1).astype(np.int64)
+        if photo == 0:
+            vals = 255 - vals
+        return {"width": int(w), "height": int(h), "vals": vals}
     if 273 not in tags or 279 not in tags:
         raise ValueError("TIFF missing strip layout")
     offs, counts = tags[273], tags[279]
@@ -1634,27 +1738,10 @@ def decode_tiff_bytes(payload: bytes) -> dict:
             raise ValueError("TIFF strip past the payload")
         chunk = payload[off : off + cnt]
         if comp != 1:
-            # compression never crosses strips, so each strip's expanded
-            # size is fixed by the geometry — decode to exactly that
             strip_rows = min(rps, h - s_i * rps)
             if strip_rows <= 0:
                 raise ValueError("TIFF more strips than image rows")
-            expected = strip_rows * w * spp
-            if comp == 32773:
-                chunk = _packbits_decode(chunk, expected)
-            elif comp == 5:
-                chunk = _tiff_lzw_decode(chunk, expected)
-            else:  # 8 / 32946: zlib Deflate
-                import zlib
-
-                try:
-                    chunk = zlib.decompress(chunk)
-                except zlib.error as exc:
-                    raise ValueError(f"TIFF Deflate strip: {exc}") from exc
-                if len(chunk) != expected:
-                    raise ValueError(
-                        f"TIFF Deflate strip {len(chunk)} != {expected}"
-                    )
+            chunk = _tiff_expand(chunk, comp, strip_rows * w * spp)
         parts.append(chunk)
     raw = b"".join(parts)
     if len(raw) != w * h * spp:

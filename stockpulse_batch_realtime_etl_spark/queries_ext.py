@@ -1307,7 +1307,7 @@ WITH base AS (
 sized AS (
   SELECT asset_id, format, w, h, pc,
          CASE WHEN format = 'wav' THEN 64 + asset_id % 101
-              -- TIFF sub-variants (asset_id // 5) % 6: odd = GRAYSCALE
+              -- TIFF sub-variants (asset_id // 5) % 8: odd = GRAYSCALE
               -- (one channel), even = chunky RGB
               WHEN format = 'tiff' AND (asset_id // 5) % 2 = 1
               THEN w * h
@@ -1346,7 +1346,7 @@ v AS (
               -- (runs of 5 so replicate packets are really emitted);
               -- WhiteIsZero ids store INVERTED bytes, so matching this
               -- form pins the decoder's photometric-0 normalization
-              WHEN format = 'tiff' AND (asset_id // 5) % 6 = 3
+              WHEN format = 'tiff' AND (asset_id // 5) % 8 = 3
               THEN (7 * asset_id + 13 * (i // 5)) % 256
               ELSE (7 * asset_id + 13 * i) % 256 END AS val
   FROM vj

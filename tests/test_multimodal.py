@@ -367,9 +367,10 @@ def test_gif_error_paths_and_format_boundaries():
 
 def test_tiff_roundtrip_both_endians_multistrip():
     """Corpus TIFF roundtrips exactly for both byte orders (even ids
-    II, odd MM) across the corpus dims and ALL SIX sub-variants
+    II, odd MM) across the corpus dims and ALL EIGHT sub-variants
     (chunky RGB / 8-bit grayscale × uncompressed / PackBits, RGB +
-    LZW + predictor 2, gray + Deflate) — multi-strip assembly in strip
+    LZW + predictor 2, gray + Deflate, RGB tiled + Deflate, gray
+    tiled + LZW) — multi-strip assembly in strip
     order (RowsPerStrip 4 splits most images), off-line StripOffsets /
     StripByteCounts / BitsPerSample arrays read through the
     inline-vs-offset rule, grayscale's count-1 inline BitsPerSample,
@@ -377,11 +378,11 @@ def test_tiff_roundtrip_both_endians_multistrip():
     decode_image_bytes."""
     import numpy as np
 
-    for aid in range(120):  # covers every (variant, endian, photometric)
+    for aid in range(160):  # covers every (variant, endian, photometric)
         d = multimodal.decode_tiff_bytes(multimodal.encode_tiff(aid))
         w, h = multimodal._image_dims(aid)
         assert (d["width"], d["height"]) == (w, h)
-        variant = (aid // 5) % 6
+        variant = (aid // 5) % 8
         if variant % 2 == 0:  # chunky RGB
             exp = multimodal._synth_image_vals(aid, w, h).astype(np.int64)
         else:  # grayscale (variant 3 = run-friendly PackBits form)
@@ -623,7 +624,7 @@ def test_tiff_lzw_deflate_predictor_boundaries():
         lzw(enc(b"abc"), 9)  # decodes short of the geometry
 
     # container level: corrupt Deflate strip on a corpus variant-5 file
-    aid = 29  # (29//5)%6 = 5: gray + Deflate, big-endian
+    aid = 29  # (29//5)%8 = 5: gray + Deflate, big-endian
     good_tiff = multimodal.encode_tiff(aid)
     (ifd_off,) = _struct.unpack_from(">I", good_tiff, 4)
     (n,) = _struct.unpack_from(">H", good_tiff, ifd_off)
@@ -650,6 +651,54 @@ def test_tiff_lzw_deflate_predictor_boundaries():
             _struct.pack_into("<H", pred_tiff, pos + 8, 3)
     with pytest.raises(NotImplementedError, match="predictor 3"):
         multimodal.decode_tiff_bytes(bytes(pred_tiff))
+
+
+def test_tiff_tiled_corrupt_shapes_dead_letter():
+    """r14 tiled-path corrupt shapes: tile size not a multiple of 16,
+    missing layout tags, tile-count/grid mismatch, tile past payload —
+    all ValueError; the undamaged tiled corpus variants decode."""
+    import struct as _struct
+
+    import numpy as np
+
+    aid = 34  # (34//5)%8 = 6: RGB tiled + Deflate, little-endian
+    good = multimodal.encode_tiff(aid)
+    (ifd_off,) = _struct.unpack_from("<I", good, 4)
+    (n,) = _struct.unpack_from("<H", good, ifd_off)
+
+    def patch(tag, value, buf=None):
+        buf = bytearray(good if buf is None else buf)
+        for k in range(n):
+            pos = ifd_off + 2 + 12 * k
+            if _struct.unpack_from("<H", buf, pos)[0] == tag:
+                _struct.pack_into("<H", buf, pos + 8, value)
+        return bytes(buf)
+
+    with pytest.raises(ValueError, match="tile size"):
+        multimodal.decode_tiff_bytes(patch(322, 17))
+    with pytest.raises(ValueError, match="tile size"):
+        multimodal.decode_tiff_bytes(patch(323, 0))
+    # widen the image so the 16x16 grid needs 2 tiles but only 1 exists
+    with pytest.raises(ValueError, match="tile count"):
+        multimodal.decode_tiff_bytes(patch(256, 17))
+    # retag TileByteCounts away -> missing layout tag
+    missing = bytearray(good)
+    for k in range(n):
+        pos = ifd_off + 2 + 12 * k
+        if _struct.unpack_from("<H", missing, pos)[0] == 325:
+            _struct.pack_into("<H", missing, pos, 0xFFF0)
+    with pytest.raises(ValueError, match="tile layout"):
+        multimodal.decode_tiff_bytes(bytes(missing))
+    # tile data sheared off the end of the payload
+    with pytest.raises(ValueError, match="past the payload|Deflate"):
+        multimodal.decode_tiff_bytes(good[:40] + good[-20:])
+    # sanity: both tiled corpus variants decode to the closed form
+    for a in (34, 39):  # 39 -> variant 7: gray tiled + LZW, big-endian
+        d = multimodal.decode_tiff_bytes(multimodal.encode_tiff(a))
+        w, h = multimodal._image_dims(a)
+        spp = 3 if (a // 5) % 2 == 0 else 1
+        i = np.arange(w * h * spp, dtype=np.int64)
+        np.testing.assert_array_equal(d["vals"], (7 * a + 13 * i) % 256)
 
 
 def test_gif_local_color_table_overrides_global():

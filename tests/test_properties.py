@@ -183,6 +183,49 @@ def test_tiff_round_trip_random_images(
     np.testing.assert_array_equal(d["vals"].reshape(shape), exp)
 
 
+@settings(max_examples=120, deadline=None)
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.sampled_from([16, 32]),
+    st.sampled_from([16, 32]),
+    st.booleans(),
+    st.sampled_from([0, 1, 2]),
+    st.sampled_from([1, 32773, 5, 8]),
+    st.sampled_from([1, 2]),
+    st.integers(0, 2**32 - 1),
+)
+def test_tiff_tiled_round_trip_random_images(
+    w, h, tw, tl, big_endian, photometric, compression, predictor, seed
+):
+    """TILED TIFF (tags 322-325) roundtrips for arbitrary pixels across
+    single- and multi-tile grids (dims to 40 px so 16-px tiles span
+    up to 3×3), all photometrics/compressions/predictors, both byte
+    orders — edge-tile padding must be cropped, and the predictor must
+    restart at each TILE row (not each image row)."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import multimodal
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if photometric == 2 else (h, w)
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    d = multimodal.decode_tiff_bytes(
+        multimodal._encode_tiff(
+            px,
+            ">" if big_endian else "<",
+            4,
+            photometric=photometric,
+            compression=compression,
+            predictor=predictor,
+            tile=(tw, tl),
+        )
+    )
+    assert (d["width"], d["height"]) == (w, h)
+    exp = px.astype(np.int64) if photometric != 0 else 255 - px
+    np.testing.assert_array_equal(d["vals"].reshape(shape), exp)
+
+
 # --- JPEG entropy layer (pure Python — no Spark, examples are cheap) --------
 
 #: every baseline MCU-interleave shape the decoder supports: grayscale,
