@@ -2921,12 +2921,211 @@ SAMPLED_FRAME_SCHEMA = (
 )
 
 
+def encode_gif_anim(asset_id: int) -> bytes:
+    """ANIMATED GIF89a corpus encoder (r14): NETSCAPE2.0 loop app
+    extension, then ``_video_frames(id)`` full-canvas frames.  Frame f's
+    transmitted index at row-major k is (3·id + 5·k + 11·f) mod nc; odd
+    frames are INTERLACED (per-frame interlace flags).  Every frame's
+    GCE sets TRANSPARENCY on index (3·id) mod nc and disposal 1
+    ("leave", ``(id//7)`` even) or 2 ("restore to background", odd) —
+    with the LSD background (3·id + 7) mod nc.  Because consecutive
+    frames' indices at a pixel differ by 11 (≢ 0 mod any corpus nc),
+    a transparent pixel always resolves in ONE step: to frame f−1's
+    index under disposal 1, to the background under disposal 2 or at
+    f = 0 — so the composed frames stay oracle-replayable in closed
+    form while genuinely exercising multi-frame composition."""
+    import numpy as np
+
+    w, h = _image_dims(asset_id)
+    bits = 2 + asset_id % 7
+    nc = 1 << bits
+    pal = _gif_palette(asset_id, nc)
+    t_idx = (3 * asset_id) % nc
+    bg = (3 * asset_id + 7) % nc
+    disposal = 1 if (asset_id // 7) % 2 == 0 else 2
+    k = np.arange(w * h, dtype=np.int64)
+    lsd_flags = 0x80 | ((bits - 1) << 4) | (bits - 1)
+    parts = [
+        b"GIF89a",
+        struct.pack("<HHBBB", w, h, lsd_flags, bg, 0),
+        pal.astype("uint8").tobytes(),
+        # NETSCAPE2.0 loop-forever application extension (real writers
+        # emit it; the decoder must walk it as a generic extension)
+        b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00",
+    ]
+    for f in range(_video_frames(asset_id)):
+        idx = ((3 * asset_id + 5 * k + 11 * f) % nc).reshape(h, w)
+        interlaced = f % 2 == 1
+        rows = idx[_gif_interlace_order(h), :] if interlaced else idx
+        parts.append(
+            b"\x21\xf9\x04"
+            + bytes(((disposal << 2) | 0x01, 0, 0, t_idx))
+            + b"\x00"
+        )
+        parts.append(
+            struct.pack(
+                "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlaced else 0
+            )
+        )
+        parts.append(bytes((bits,)))
+        parts.append(_gif_data_subblocks(_lzw_encode(rows.reshape(-1), bits)))
+    parts.append(b"\x3b")
+    return b"".join(parts)
+
+
+@_total_on_corrupt
+def decode_gif_frames(payload: bytes) -> dict:
+    """Decode an animated (or still) GIF into ``{width, height,
+    frames}`` — ``frames`` is one COMPOSED int64 RGB canvas per image
+    descriptor, applying the full GIF89a composition model: frames
+    drawn at their (left, top) rect, GCE transparency leaving the
+    underlying canvas visible, and disposal methods 0/1 (leave),
+    2 (restore the frame's rect to the background color) and 3 (restore
+    the rect to its pre-draw contents).  The canvas starts as the LSD
+    background color, so a GLOBAL color table is required (honest
+    ``NotImplementedError`` otherwise — without it the composition base
+    is undefined); reserved disposal methods 4-7 and out-of-canvas
+    frame rects dead-letter as corrupt."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF payload")
+    w, h, flags, bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    if w == 0 or h == 0:
+        raise ValueError(f"GIF zero dimensions {w}x{h}")
+    pos = 13
+    gpal = None
+    if flags & 0x80:
+        gsize = 2 << (flags & 7)
+        if pos + gsize * 3 > len(payload):
+            raise ValueError("GIF global color table truncated")
+        gpal = np.frombuffer(payload, np.uint8, gsize * 3, pos).reshape(
+            gsize, 3
+        )
+        pos += gsize * 3
+    if gpal is None:
+        raise NotImplementedError(
+            "GIF animation without a global color table"
+        )
+    if bg >= len(gpal):
+        raise ValueError("GIF background index outside the global color table")
+    canvas = np.tile(gpal[bg].astype(np.int64), (h, w, 1))
+    frames: list = []
+    transp = None
+    disposal = 0
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF stream truncated (no trailer)")
+        marker = payload[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer
+            break
+        if marker == 0x21:  # extension
+            if pos >= len(payload):
+                raise ValueError("GIF extension truncated")
+            label = payload[pos]
+            pos += 1
+            body, pos = _gif_read_subblocks(payload, pos)
+            if label == 0xF9:
+                if len(body) < 1:
+                    raise ValueError("GIF graphic control extension empty")
+                disposal = (body[0] >> 2) & 0x07
+                if disposal > 3:
+                    raise ValueError(
+                        f"GIF reserved disposal method {disposal}"
+                    )
+                if body[0] & 0x01:
+                    if len(body) < 4:
+                        raise ValueError(
+                            "GIF graphic control extension truncated"
+                        )
+                    transp = body[3]
+                else:
+                    transp = None
+            continue
+        if marker != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{marker:02x}")
+        left, top, iw, ih, iflags = struct.unpack_from(
+            "<HHHHB", payload, pos
+        )
+        pos += 9
+        if iw == 0 or ih == 0 or left + iw > w or top + ih > h:
+            raise ValueError(
+                f"GIF frame rect {iw}x{ih}@({left},{top}) outside "
+                f"the {w}x{h} canvas"
+            )
+        pal = gpal
+        if iflags & 0x80:
+            lsize = 2 << (iflags & 7)
+            if pos + lsize * 3 > len(payload):
+                raise ValueError("GIF local color table truncated")
+            pal = np.frombuffer(payload, np.uint8, lsize * 3, pos).reshape(
+                lsize, 3
+            )
+            pos += lsize * 3
+        if pos >= len(payload):
+            raise ValueError("GIF image data truncated")
+        min_code = payload[pos]
+        pos += 1
+        if not 2 <= min_code <= 8:
+            raise ValueError(f"GIF LZW minimum code size {min_code}")
+        stream, pos = _gif_read_subblocks(payload, pos)
+        idx = _lzw_decode(stream, min_code)
+        if len(idx) < iw * ih:
+            raise ValueError(
+                f"GIF pixel data short: {len(idx)} < {iw * ih}"
+            )
+        grid = np.asarray(idx[: iw * ih], np.int64).reshape(ih, iw)
+        if iflags & 0x40:
+            display = np.empty_like(grid)
+            display[_gif_interlace_order(ih), :] = grid
+            grid = display
+        tmask = (grid == transp) if transp is not None else None
+        visible = grid if tmask is None else grid[~tmask]
+        if visible.size and int(visible.max()) >= len(pal):
+            raise ValueError("GIF pixel index outside the color table")
+        region = canvas[top : top + ih, left : left + iw]
+        if disposal == 3:
+            saved = region.copy()
+        rgb = pal[np.minimum(grid, len(pal) - 1)].astype(np.int64)
+        if tmask is not None:
+            rgb = np.where(tmask[:, :, None], region, rgb)
+        canvas[top : top + ih, left : left + iw] = rgb
+        frames.append(canvas.reshape(-1).copy())
+        if disposal == 2:
+            canvas[top : top + ih, left : left + iw] = gpal[bg].astype(
+                np.int64
+            )
+        elif disposal == 3:
+            canvas[top : top + ih, left : left + iw] = saved
+        transp = None
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF with no image data")
+    return {"width": int(w), "height": int(h), "frames": frames}
+
+
+def decode_video_bytes(payload: bytes) -> dict:
+    """Signature dispatch for multi-frame media: Y4M streams or
+    animated GIFs → ``{width, height, frames}``."""
+    if payload[:9] == b"YUV4MPEG2":
+        return decode_y4m_bytes(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_frames(payload)
+    raise NotImplementedError("unknown video container")
+
+
+_ENCODERS["gifanim"] = encode_gif_anim
+
+
 def sampled_frame_stats(assets: DataFrame, every: int = 2) -> DataFrame:
-    """REAL frame sampling: parse each Y4M payload, keep every
-    ``every``-th frame, reduce each kept frame to stats (the
-    position-weighted checksum again pins plane ORDER).  Same Arrow
-    ``mapInPandas`` 1→N shape as the byte-slice stub, now over an actual
-    container parse — the video seam closes the way PNG closed images."""
+    """REAL frame sampling: parse each multi-frame payload (Y4M stream
+    or animated GIF, by signature), keep every ``every``-th frame,
+    reduce each kept frame to stats (the position-weighted checksum
+    again pins plane ORDER — and, for GIF, the composed-canvas
+    semantics).  Same Arrow ``mapInPandas`` 1→N shape as the byte-slice
+    stub, now over actual container parses — the video seam closes the
+    way PNG closed images."""
     import pandas as pd
 
     cols = [f.split(" ")[0] for f in SAMPLED_FRAME_SCHEMA.split(", ")]
@@ -2937,7 +3136,7 @@ def sampled_frame_stats(assets: DataFrame, every: int = 2) -> DataFrame:
         for pdf in batches:
             rows = []
             for aid, content in zip(pdf["asset_id"], pdf["content"]):
-                d = decode_y4m_bytes(bytes(content))
+                d = decode_video_bytes(bytes(content))
                 for idx, v in enumerate(d["frames"]):
                     if idx % every:
                         continue

@@ -4253,18 +4253,46 @@ WITH base AS (
   SELECT doc_id AS asset_id,
          CAST(4 + doc_id % 13 AS INT) AS w,
          CAST(4 + doc_id % 11 AS INT) AS h,
-         CAST(2 + doc_id % 5 AS INT) AS nf
+         CAST(2 + doc_id % 5 AS INT) AS nf,
+         (1 << CAST(2 + doc_id % 7 AS INT)) AS pc
   FROM documents
 ),
 fr AS (
-  SELECT asset_id, w, h, CAST(f AS INT) AS frame_idx
+  SELECT asset_id, w, h, pc, CAST(f AS INT) AS frame_idx
   FROM (SELECT *, unnest(range(0, nf)) AS f FROM base)
   WHERE f % 2 = 0
 ),
+pos AS (
+  SELECT *, unnest(generate_series(0, w * h * 3 - 1)) AS i FROM fr
+),
+eff AS (
+  -- odd assets are ANIMATED GIFs: composed-canvas palette index at
+  -- pixel k = i//3 of frame f.  Transmitted j = (3a+5k+11f) mod pc;
+  -- the transparent index (3a) mod pc resolves in ONE step (adjacent
+  -- frames differ by 11 mod pc != 0): to the background (3a+7) mod pc
+  -- under disposal 2 ((a//7)%2=1) or at f=0, else to frame f-1's
+  -- index — replaying the decoder's full composition model
+  SELECT asset_id, frame_idx, w, h, i,
+         CASE WHEN asset_id % 2 = 1 THEN
+           CASE WHEN (3*asset_id + 5*(i//3) + 11*frame_idx) % pc
+                     <> (3*asset_id) % pc
+                THEN (3*asset_id + 5*(i//3) + 11*frame_idx) % pc
+                WHEN (asset_id // 7) % 2 = 1 OR frame_idx = 0
+                THEN (3*asset_id + 7) % pc
+                ELSE (3*asset_id + 5*(i//3) + 11*(frame_idx-1)) % pc
+                END
+         END AS j
+  FROM pos
+),
 v AS (
   SELECT asset_id, frame_idx, w, h, w * h * 3 AS n_values, i,
-         (11 * asset_id + 5 * frame_idx + 13 * i) % 256 AS val
-  FROM (SELECT *, unnest(generate_series(0, w * h * 3 - 1)) AS i FROM fr)
+         CASE WHEN asset_id % 2 = 0
+              THEN (11 * asset_id + 5 * frame_idx + 13 * i) % 256
+              ELSE (CASE CAST(i % 3 AS INT)
+                    WHEN 0 THEN 7 * j + asset_id
+                    WHEN 1 THEN 11 * j + 2 * asset_id
+                    ELSE 13 * j + 3 * asset_id END) % 256 END AS val
+  FROM eff
 )
 SELECT asset_id, frame_idx, w AS width, h AS height,
        CAST(max(n_values) AS BIGINT) AS n_values,
@@ -4275,9 +4303,11 @@ GROUP BY asset_id, frame_idx, w, h
 """,
 )
 def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Y4M container parse + every-2nd-frame sampling + per-frame stats."""
+    """Multi-frame container parse (even assets: Y4M streams; odd:
+    ANIMATED GIFs with transparency + disposal composition, r14) +
+    every-2nd-frame sampling + per-composed-frame stats."""
     assets = multimodal.encode_assets(
-        load_table(spark, sf_dir, "documents"), fmts=("y4m",)
+        load_table(spark, sf_dir, "documents"), fmts=("y4m", "gifanim")
     )
     return multimodal.sampled_frame_stats(assets, every=2)
 

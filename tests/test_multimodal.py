@@ -1051,6 +1051,164 @@ def test_png_trns_validation_errors():
 
 # --- Y4M video codec ---------------------------------------------------------
 
+def test_gif_anim_corpus_composition_closed_form():
+    """Animated-GIF corpus (r14): the composed frames equal the
+    one-step transparency-resolution closed form the oracle replays —
+    frame f's transparent pixels show frame f-1 under disposal 1 and
+    the background under disposal 2 or at f = 0 — across both disposal
+    parities ((id//7)%2), alternating per-frame interlace, and every
+    palette size."""
+    import numpy as np
+
+    for aid in range(30):
+        d = multimodal.decode_gif_frames(multimodal.encode_gif_anim(aid))
+        w, h = multimodal._image_dims(aid)
+        nc = 1 << (2 + aid % 7)
+        t, bg = (3 * aid) % nc, (3 * aid + 7) % nc
+        disp = 1 if (aid // 7) % 2 == 0 else 2
+        jj = np.arange(nc, dtype=np.int64)
+        pal = np.stack(
+            [(7 * jj + aid) % 256, (11 * jj + 2 * aid) % 256,
+             (13 * jj + 3 * aid) % 256],
+            axis=1,
+        )
+        k = np.arange(w * h, dtype=np.int64)
+        nf = multimodal._video_frames(aid)
+        assert (d["width"], d["height"], len(d["frames"])) == (w, h, nf)
+        for f in range(nf):
+            j = (3 * aid + 5 * k + 11 * f) % nc
+            if disp == 2 or f == 0:
+                eff = np.where(j == t, bg, j)
+            else:
+                eff = np.where(
+                    j == t, (3 * aid + 5 * k + 11 * (f - 1)) % nc, j
+                )
+            np.testing.assert_array_equal(
+                d["frames"][f], pal[eff].reshape(-1)
+            )
+    # the video dispatcher routes GIF payloads here, Y4M to the stream
+    # parser, and anything else to the honest seam
+    assert len(
+        multimodal.decode_video_bytes(multimodal.encode_gif_anim(2))["frames"]
+    ) == multimodal._video_frames(2)
+    assert len(
+        multimodal.decode_video_bytes(multimodal.encode_y4m(2))["frames"]
+    ) == multimodal._video_frames(2)
+    with pytest.raises(NotImplementedError, match="video container"):
+        multimodal.decode_video_bytes(b"RIFF....AVI ")
+
+
+def test_gif_anim_composition_general_and_errors():
+    """General composition semantics against an independent numpy
+    reference: partial-canvas frames at offsets, local palettes,
+    disposal 0/1/2/3 (incl. restore-to-previous), per-frame transparency
+    on/off — plus the corrupt seams: reserved disposal, out-of-canvas
+    rect, no global table, truncation mid-stream."""
+    import struct as _struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    for trial in range(40):
+        w, h = int(rng.integers(2, 14)), int(rng.integers(2, 14))
+        bits = int(rng.integers(2, 6))
+        nc = 1 << bits
+        gpal = rng.integers(0, 256, (nc, 3)).astype(np.uint8)
+        bg = int(rng.integers(0, nc))
+        lsd_flags = 0x80 | ((bits - 1) << 4) | (bits - 1)
+        parts = [
+            b"GIF89a",
+            _struct.pack("<HHBBB", w, h, lsd_flags, bg, 0),
+            gpal.tobytes(),
+        ]
+        # independent reference composition
+        canvas = np.tile(gpal[bg].astype(np.int64), (h, w, 1))
+        expect = []
+        for f in range(int(rng.integers(1, 5))):
+            iw = int(rng.integers(1, w + 1))
+            ih = int(rng.integers(1, h + 1))
+            left = int(rng.integers(0, w - iw + 1))
+            top = int(rng.integers(0, h - ih + 1))
+            disposal = int(rng.integers(0, 4))
+            use_t = bool(rng.integers(0, 2))
+            t_idx = int(rng.integers(0, nc))
+            local = bool(rng.integers(0, 2))
+            pal = (
+                rng.integers(0, 256, (nc, 3)).astype(np.uint8)
+                if local else gpal
+            )
+            idx = rng.integers(0, nc, (ih, iw)).astype(np.int64)
+            interlaced = bool(rng.integers(0, 2))
+            gce_flags = (disposal << 2) | (1 if use_t else 0)
+            parts.append(
+                b"\x21\xf9\x04"
+                + bytes((gce_flags, 0, 0, t_idx))
+                + b"\x00"
+            )
+            iflags = (0x40 if interlaced else 0) | (
+                (0x80 | (bits - 1)) if local else 0
+            )
+            parts.append(
+                _struct.pack("<BHHHHB", 0x2C, left, top, iw, ih, iflags)
+            )
+            if local:
+                parts.append(pal.tobytes())
+            rows = (
+                idx[multimodal._gif_interlace_order(ih), :]
+                if interlaced else idx
+            )
+            parts.append(bytes((max(2, bits),)))
+            parts.append(
+                multimodal._gif_data_subblocks(
+                    multimodal._lzw_encode(rows.reshape(-1), max(2, bits))
+                )
+            )
+            # reference: draw, snapshot, dispose
+            region = canvas[top : top + ih, left : left + iw]
+            saved = region.copy()
+            drawn = pal[idx].astype(np.int64)
+            if use_t:
+                m = idx == t_idx
+                drawn = np.where(m[:, :, None], region, drawn)
+            canvas[top : top + ih, left : left + iw] = drawn
+            expect.append(canvas.reshape(-1).copy())
+            if disposal == 2:
+                canvas[top : top + ih, left : left + iw] = gpal[bg].astype(
+                    np.int64
+                )
+            elif disposal == 3:
+                canvas[top : top + ih, left : left + iw] = saved
+        parts.append(b"\x3b")
+        d = multimodal.decode_gif_frames(b"".join(parts))
+        assert len(d["frames"]) == len(expect), trial
+        for f, (got, exp) in enumerate(zip(d["frames"], expect)):
+            np.testing.assert_array_equal(got, exp, err_msg=f"{trial}/{f}")
+
+    # corrupt seams on a corpus file
+    good = multimodal.encode_gif_anim(8)
+    gce_at = good.index(b"\x21\xf9\x04")
+    r = bytearray(good)
+    r[gce_at + 3] = (r[gce_at + 3] & ~0x1C) | (5 << 2)  # disposal 5
+    with pytest.raises(ValueError, match="reserved disposal"):
+        multimodal.decode_gif_frames(bytes(r))
+    img_at = good.index(b"\x2c", gce_at)  # first descriptor, post-GCE
+    o = bytearray(good)
+    _struct.pack_into("<H", o, img_at + 1, 1)  # left=1 pushes rect out
+    with pytest.raises(ValueError, match="outside"):
+        multimodal.decode_gif_frames(bytes(o))
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_gif_frames(good[:-6])
+    # animation requires a global table (composition base undefined)
+    n = bytearray(good)
+    n[10] &= 0x7F
+    del n[13 : 13 + (2 << (good[10] & 7)) * 3]
+    with pytest.raises(NotImplementedError, match="global color table"):
+        multimodal.decode_gif_frames(bytes(n))
+    # the stills contract still treats a second descriptor as a seam
+    with pytest.raises(NotImplementedError, match="multi-frame"):
+        multimodal.decode_gif_bytes(good)
+
+
 def test_y4m_round_trip_and_errors():
     import numpy as np
 

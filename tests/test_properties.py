@@ -371,7 +371,7 @@ def test_jpeg_decoder_total_on_corrupt_inputs(asset_id, variant, mode, seed):
     st.sampled_from(
         ["png", "pngpal", "png16", "pngalpha", "pngtrns", "wav", "wavf",
          "ulaw", "alaw", "adpcm", "adpcm2", "msadpcm", "msadpcm2",
-         "wavext", "y4m", "ppm", "bmp", "gif", "tiff"]
+         "wavext", "y4m", "ppm", "bmp", "gif", "tiff", "gifanim"]
     ),
     st.sampled_from(["truncate", "flip", "insert"]),
     st.integers(0, 2**32 - 1),
@@ -406,6 +406,7 @@ def test_codec_decoders_total_on_corrupt_inputs(asset_id, codec, mode, seed):
         "bmp": mm.encode_bmp,
         "gif": mm.encode_gif,
         "tiff": mm.encode_tiff,
+        "gifanim": mm.encode_gif_anim,
     }[codec]
     dec = {
         "png": mm.decode_png_bytes,
@@ -427,6 +428,7 @@ def test_codec_decoders_total_on_corrupt_inputs(asset_id, codec, mode, seed):
         "bmp": mm.decode_image_bytes,
         "gif": mm.decode_image_bytes,
         "tiff": mm.decode_image_bytes,
+        "gifanim": mm.decode_gif_frames,
     }[codec]
     rng = np.random.default_rng(seed)
     payload = _mutate(bytearray(enc(asset_id)), mode, rng)
@@ -437,7 +439,7 @@ def test_codec_decoders_total_on_corrupt_inputs(asset_id, codec, mode, seed):
     if codec in ("wav", "wavf", "ulaw", "alaw", "adpcm", "adpcm2",
                  "msadpcm", "msadpcm2", "wavext"):
         assert d["sample_rate"] is not None and len(d["vals"]) >= 0
-    elif codec == "y4m":
+    elif codec in ("y4m", "gifanim"):
         assert d["width"] > 0 and d["height"] > 0
         for f in d["frames"]:
             assert len(f) == d["width"] * d["height"] * 3
