@@ -128,23 +128,138 @@ def encode_ppm(asset_id: int) -> bytes:
 
 
 def encode_bmp(asset_id: int) -> bytes:
-    """24-bit uncompressed (BI_RGB) BMP: BITMAPFILEHEADER +
-    BITMAPINFOHEADER + bottom-up, BGR, 4-byte-padded pixel rows."""
+    """BMP corpus encoder, sub-round-robin ``(id // 5) % 3`` (the
+    decoded_stats slot is ``doc_id % 5 == 0``, so ``id // 5`` cycles the
+    variant):
+
+    - 0: 24-bit uncompressed BI_RGB (the original shape): bottom-up,
+      BGR, 4-byte-padded pixel rows;
+    - 1: 8-bit PALETTED BI_RGB — BGRX color table of 2^(2 + id mod 7)
+      entries (the shared :func:`_gif_palette` closed form), index at
+      row-major k = (3·id + 5·k) mod npal, 4-byte-padded index rows;
+    - 2: 8-bit paletted BI_RLE8 — the run-length codec over the
+      run-friendly index form (3·id + 5·(k//6)) mod npal (runs of 6,
+      cut at row boundaries), encoded as run packets + EOL/EOB."""
     import numpy as np
 
     w, h = _image_dims(asset_id)
-    rgb = _synth_image_vals(asset_id, w, h).reshape(h, w, 3)
-    bgr_bottom_up = rgb[::-1, :, ::-1]
-    row = w * 3
-    stride = row + ((-row) % 4)
-    rows = np.zeros((h, stride), dtype=np.uint8)
-    rows[:, :row] = bgr_bottom_up.reshape(h, row)
-    data = rows.tobytes()
-    info = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    variant = (asset_id // 5) % 3
+    if variant == 0:
+        rgb = _synth_image_vals(asset_id, w, h).reshape(h, w, 3)
+        bgr_bottom_up = rgb[::-1, :, ::-1]
+        row = w * 3
+        stride = row + ((-row) % 4)
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, :row] = bgr_bottom_up.reshape(h, row)
+        data = rows.tobytes()
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+        )
+        head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 54)
+        return head + info + data
+    npal = 1 << (2 + asset_id % 7)
+    k = np.arange(w * h, dtype=np.int64)
+    kk = (k // 6) if variant == 2 else k
+    idx = ((3 * asset_id + 5 * kk) % npal).reshape(h, w)
+    return _encode_bmp8(
+        idx, _gif_palette(asset_id, npal), rle=(variant == 2)
     )
-    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 54)
-    return head + info + data
+
+
+def _encode_bmp8(idx, pal, rle: bool) -> bytes:
+    """Assemble an 8-bit paletted BMP from an (h, w) index grid and an
+    (n, 3) RGB palette: BITMAPFILEHEADER + BITMAPINFOHEADER + BGRX
+    color table + bottom-up index rows, either 4-byte-padded raw
+    (BI_RGB) or BI_RLE8 run packets (runs capped at 255, rows
+    terminated by EOL 00 00, the stream by EOB 00 01)."""
+    import numpy as np
+
+    h, w = idx.shape
+    npal = len(pal)
+    quads = np.zeros((npal, 4), np.uint8)
+    quads[:, 0] = pal[:, 2]
+    quads[:, 1] = pal[:, 1]
+    quads[:, 2] = pal[:, 0]
+    rows = idx[::-1].astype(np.uint8)  # stored bottom-up
+    if not rle:
+        stride = w + ((-w) % 4)
+        buf = np.zeros((h, stride), np.uint8)
+        buf[:, :w] = rows
+        data = buf.tobytes()
+        comp = 0
+    else:
+        out = bytearray()
+        for r in range(h):
+            row = rows[r]
+            i = 0
+            while i < w:
+                run = 1
+                while i + run < w and run < 255 and row[i + run] == row[i]:
+                    run += 1
+                out += bytes((run, int(row[i])))
+                i += run
+            out += b"\x00\x00"  # end of line
+        out[-2:] = b"\x00\x01"  # final EOL becomes end of bitmap
+        data = bytes(out)
+        comp = 1
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, comp, len(data), 2835, 2835,
+        npal, 0,
+    )
+    off = 14 + 40 + npal * 4
+    head = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    return head + info + quads.tobytes() + data
+
+
+def _bmp_rle8_decode(data: bytes, w: int, h: int):
+    """BI_RLE8 decompression to an (h, w) int64 index grid in STORED
+    (bottom-up) row order: run packets, absolute mode (word-aligned),
+    EOL/EOB escapes, and delta moves (skipped pixels take index 0, the
+    common convention).  Row overruns, out-of-grid moves, and
+    truncation dead-letter."""
+    import numpy as np
+
+    grid = np.zeros((h, w), np.int64)
+    x = y = 0
+    i, n = 0, len(data)
+    while True:
+        if i + 2 > n:
+            raise ValueError("BMP RLE8 stream truncated (no EOB)")
+        c, v = data[i], data[i + 1]
+        i += 2
+        if c > 0:  # run packet
+            if y >= h or x + c > w:
+                raise ValueError("BMP RLE8 run overruns the row")
+            grid[y, x : x + c] = v
+            x += c
+            continue
+        if v == 0:  # end of line
+            x, y = 0, y + 1
+            if y > h:
+                raise ValueError("BMP RLE8 line past the bitmap")
+            continue
+        if v == 1:  # end of bitmap (early EOB zero-fills the rest)
+            return grid
+        if v == 2:  # delta
+            if i + 2 > n:
+                raise ValueError("BMP RLE8 delta truncated")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if x > w or y >= h:
+                raise ValueError("BMP RLE8 delta outside the bitmap")
+            continue
+        # absolute mode: v literal bytes, padded to a word boundary
+        pad = v & 1
+        if i + v + pad > n:
+            raise ValueError("BMP RLE8 absolute run truncated")
+        if y >= h or x + v > w:
+            raise ValueError("BMP RLE8 absolute run overruns the row")
+        grid[y, x : x + v] = np.frombuffer(data, np.uint8, v, i).astype(
+            np.int64
+        )
+        x += v
+        i += v + pad
 
 
 def encode_tiff(asset_id: int) -> bytes:
@@ -1967,20 +2082,55 @@ def decode_image_bytes(payload: bytes) -> dict:
 
     if payload[:2] == b"BM":
         (data_off,) = struct.unpack_from("<I", payload, 10)
-        _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
-        if bpp != 24 or comp != 0:
+        bi_size, w, h, _, bpp, comp = struct.unpack_from(
+            "<IiiHHI", payload, 14
+        )
+        if (bpp, comp) not in ((24, 0), (8, 0), (8, 1)):
+            # 1/4-bit, RLE4, BITFIELDS, embedded PNG/JPEG stay seams
             raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
+        if bi_size < 40:
+            raise NotImplementedError(f"BMP pre-BITMAPINFO header {bi_size}")
         bottom_up, h = h > 0, abs(h)
         if w <= 0 or h == 0:
             raise ValueError(f"BMP non-positive dimensions {w}x{h}")
-        row = w * 3
-        stride = row + ((-row) % 4)
-        px = np.frombuffer(payload, np.uint8, h * stride, data_off).reshape(
-            h, stride
-        )[:, :row]
-        if bottom_up:
-            px = px[::-1]
-        vals = px.reshape(h, w, 3)[:, :, ::-1].reshape(-1).astype(np.int64)
+        if bpp == 24:
+            row = w * 3
+            stride = row + ((-row) % 4)
+            px = np.frombuffer(
+                payload, np.uint8, h * stride, data_off
+            ).reshape(h, stride)[:, :row]
+            if bottom_up:
+                px = px[::-1]
+            vals = (
+                px.reshape(h, w, 3)[:, :, ::-1].reshape(-1).astype(np.int64)
+            )
+            return {"width": w, "height": h, "vals": vals}
+        # 8-bit palette: BGRX quads follow the info header (biClrUsed
+        # entries; 0 means the full 256)
+        (clr_used,) = struct.unpack_from("<I", payload, 46)
+        npal = clr_used or 256
+        pal_off = 14 + bi_size
+        if pal_off + npal * 4 > len(payload):
+            raise ValueError("BMP color table truncated")
+        quads = np.frombuffer(payload, np.uint8, npal * 4, pal_off).reshape(
+            npal, 4
+        )
+        pal = quads[:, 2::-1].astype(np.int64)  # BGRX -> RGB
+        if comp == 0:
+            stride = w + ((-w) % 4)
+            idx = np.frombuffer(
+                payload, np.uint8, h * stride, data_off
+            ).reshape(h, stride)[:, :w]
+            if bottom_up:
+                idx = idx[::-1]
+            idx = idx.astype(np.int64)
+        else:  # BI_RLE8 — bottom-up by definition
+            if not bottom_up:
+                raise ValueError("BMP RLE8 with top-down height")
+            idx = _bmp_rle8_decode(payload[data_off:], w, h)[::-1]
+        if int(idx.max()) >= npal:
+            raise ValueError("BMP pixel index outside the color table")
+        vals = pal[idx.reshape(-1)].reshape(-1)
         return {"width": w, "height": h, "vals": vals}
     if payload[:2] == b"P6":
         pos, fields = 2, []

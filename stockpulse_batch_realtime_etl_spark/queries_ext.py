@@ -1318,16 +1318,24 @@ vi AS (
   SELECT *, unnest(generate_series(0, n_values - 1)) AS i FROM sized
 ),
 vj AS (
-  -- GIF effective palette index: pixel k = i//3 transmits j = (3a+5k)
-  -- mod pc; transparent ids ((a//10)%2=1) declare index (3a) mod pc
-  -- transparent, composed to the LSD background (3a+7) mod pc — the
-  -- substitution below pins the decoder's composition path
+  -- Effective palette index for the palette-mapped formats.  GIF:
+  -- pixel k = i//3 transmits j = (3a+5k) mod pc; transparent ids
+  -- ((a//10)%2=1) declare index (3a) mod pc transparent, composed to
+  -- the LSD background (3a+7) mod pc — the substitution pins the
+  -- decoder's composition path.  BMP sub-variants (a//5)%3: 1 = 8-bit
+  -- paletted (j = (3a+5k) mod pc), 2 = 8-bit RLE8 over the
+  -- run-friendly (3a+5*(k//6)) mod pc form (runs of 6 so the RLE run
+  -- packets genuinely fire).
   SELECT *, CASE WHEN format = 'gif' THEN
          CASE WHEN (asset_id // 10) % 2 = 1
                    AND (3 * asset_id + 5 * (i // 3)) % pc
                        = (3 * asset_id) % pc
               THEN (3 * asset_id + 7) % pc
               ELSE (3 * asset_id + 5 * (i // 3)) % pc END
+         WHEN format = 'bmp' AND (asset_id // 5) % 3 = 1
+         THEN (3 * asset_id + 5 * (i // 3)) % pc
+         WHEN format = 'bmp' AND (asset_id // 5) % 3 = 2
+         THEN (3 * asset_id + 5 * ((i // 3) // 6)) % pc
          END AS j
   FROM vi
 ),
@@ -1335,7 +1343,7 @@ v AS (
   SELECT asset_id, format, w, h, n_values, i,
          CASE WHEN format = 'wav'
               THEN ((31 * asset_id + 17 * i) % 65536) - 32768
-              WHEN format = 'gif'
+              WHEN j IS NOT NULL
               -- palette-mapped: channel i%3 reads the (7j+a / 11j+2a /
               -- 13j+3a) mod 256 palette closed form at effective index j
               THEN (CASE CAST(i % 3 AS INT)
@@ -3031,14 +3039,38 @@ pos AS (
          unnest(generate_series(0, nw * nh * 3 - 1)) AS p
   FROM dims
 ),
-v AS (
+src AS (
+  -- nearest-neighbor source: resized position p reads SOURCE flat
+  -- position srci (pixel k = srci//3, channel p%3)
   SELECT asset_id, nw, nh, p,
-         (7 * asset_id + 13 * (
-            ((p // (nw * 3)) * h // nh) * w * 3
-            + (((p % (nw * 3)) // 3) * w // nw) * 3
-            + p % 3
-         )) % 256 AS val
+         ((p // (nw * 3)) * h // nh) * w * 3
+           + (((p % (nw * 3)) // 3) * w // nw) * 3
+           + p % 3 AS srci,
+         (1 << CAST(2 + asset_id % 7 AS INT)) AS pc
   FROM pos
+),
+v AS (
+  -- bmp assets (asset_id%3=0) with (a//5)%3>0 are the r14 PALETTED
+  -- sub-variants: the source pixel reads the palette closed form at
+  -- index (3a+5k) mod pc (variant 1) / (3a+5*(k//6)) mod pc (RLE8,
+  -- variant 2); everything else is the direct (7a+13*srci) form
+  SELECT asset_id, nw, nh, p,
+         CASE WHEN asset_id % 3 = 0 AND (asset_id // 5) % 3 > 0
+              THEN (CASE CAST(p % 3 AS INT)
+                    WHEN 0 THEN 7 * ((3 * asset_id + 5 * (CASE
+                         WHEN (asset_id // 5) % 3 = 2
+                         THEN (srci // 3) // 6 ELSE srci // 3 END)) % pc)
+                         + asset_id
+                    WHEN 1 THEN 11 * ((3 * asset_id + 5 * (CASE
+                         WHEN (asset_id // 5) % 3 = 2
+                         THEN (srci // 3) // 6 ELSE srci // 3 END)) % pc)
+                         + 2 * asset_id
+                    ELSE 13 * ((3 * asset_id + 5 * (CASE
+                         WHEN (asset_id // 5) % 3 = 2
+                         THEN (srci // 3) // 6 ELSE srci // 3 END)) % pc)
+                         + 3 * asset_id END) % 256
+              ELSE (7 * asset_id + 13 * srci) % 256 END AS val
+  FROM src
 )
 SELECT asset_id,
        'ppm' AS format,

@@ -156,16 +156,84 @@ def test_decode_or_dlq_seam_and_library_swap_in(spark):
 # --- real codec round trips (pure numpy, no Spark needed) -------------------
 
 def test_bmp_roundtrip_exact_order():
+    """Exact ORDER equality across the r14 three-way sub-robin — proves
+    padding stripped, rows re-flipped top-down, BGR swapped back (24-bit)
+    and BGRX palette mapping / RLE8 expansion (8-bit variants)."""
     import numpy as np
 
-    for aid in (0, 3, 9, 12):  # several padding widths: w*3 % 4 varies
+    for aid in range(60):  # covers all variants x padding widths
         d = multimodal.decode_image_bytes(multimodal.encode_bmp(aid))
         w, h = multimodal._image_dims(aid)
-        exp = multimodal._synth_image_vals(aid, w, h).astype(np.int64)
+        variant = (aid // 5) % 3
+        if variant == 0:  # 24-bit BI_RGB
+            exp = multimodal._synth_image_vals(aid, w, h).astype(np.int64)
+        else:  # 8-bit paletted (variant 2: run-friendly RLE8 form)
+            npal = 1 << (2 + aid % 7)
+            k = np.arange(w * h, dtype=np.int64)
+            kk = (k // 6) if variant == 2 else k
+            j = (3 * aid + 5 * kk) % npal
+            jj = np.arange(npal, dtype=np.int64)
+            pal = np.stack(
+                [(7 * jj + aid) % 256, (11 * jj + 2 * aid) % 256,
+                 (13 * jj + 3 * aid) % 256],
+                axis=1,
+            )
+            exp = pal[j].reshape(-1)
         assert (d["width"], d["height"]) == (w, h)
-        # exact ORDER equality: proves padding stripped, rows re-flipped
-        # top-down, BGR swapped back to RGB
-        assert np.array_equal(d["vals"], exp)
+        assert np.array_equal(d["vals"], exp), aid
+
+
+def test_bmp_rle8_absolute_delta_and_corrupt_shapes():
+    """RLE8 decode semantics beyond the corpus encoder: absolute mode
+    (word-aligned), delta moves (skipped pixels = index 0), early EOB
+    zero-fill; corrupt shapes (row overrun, out-of-grid delta, missing
+    EOB, truncated packets, index past the color table, top-down RLE)
+    dead-letter."""
+    import struct as _struct
+
+    import numpy as np
+
+    # handcrafted stream on a 6x4 grid (stored bottom-up)
+    g = multimodal._bmp_rle8_decode(
+        bytes([0, 5, 1, 2, 3, 4, 5, 0,   # absolute: 5 bytes + pad
+               0, 0,                      # end of line
+               3, 9,                      # run of 3 nines
+               0, 2, 1, 1,                # delta +1 x, +1 y
+               2, 7,                      # run of 2 sevens
+               0, 1]),                    # early EOB -> zero fill
+        6, 4,
+    )
+    exp = np.zeros((4, 6), np.int64)
+    exp[0, :5] = [1, 2, 3, 4, 5]
+    exp[1, :3] = 9
+    exp[2, 4:6] = 7
+    np.testing.assert_array_equal(g, exp)
+    for bad in (
+        bytes([7, 1]),            # run overruns the 3-wide row
+        bytes([0, 0] * 10),       # EOL walks past the bitmap
+        bytes([0, 3, 1]),         # absolute run truncated
+        bytes([0, 2, 9, 9]),      # delta outside the grid
+        bytes([2, 1]),            # stream ends without EOB
+    ):
+        with pytest.raises(ValueError):
+            multimodal._bmp_rle8_decode(bad, 3, 2)
+    # container level: an RLE8 file claiming top-down height is corrupt
+    good = multimodal.encode_bmp(12)  # (12//5)%3 = 2: RLE8
+    flipped = bytearray(good)
+    (h,) = _struct.unpack_from("<i", flipped, 22)
+    _struct.pack_into("<i", flipped, 22, -h)
+    with pytest.raises(ValueError, match="top-down"):
+        multimodal.decode_image_bytes(bytes(flipped))
+    # pixel index past a truncated color table claim
+    shrunk = bytearray(good)
+    _struct.pack_into("<I", shrunk, 46, 2)  # biClrUsed = 2
+    with pytest.raises(ValueError, match="color table"):
+        multimodal.decode_image_bytes(bytes(shrunk))
+    # 4-bit / RLE4 stay honest seams
+    four = bytearray(good)
+    _struct.pack_into("<H", four, 28, 4)
+    with pytest.raises(NotImplementedError, match="bpp=4"):
+        multimodal.decode_image_bytes(bytes(four))
 
 
 def test_ppm_roundtrip_and_comment_header():
@@ -754,7 +822,20 @@ def test_decoded_stats_end_to_end(make_docs):
             assert r.format == ("bmp" if aid % 3 == 0 else "ppm")
             w, h = multimodal._image_dims(aid)
             assert (r.width, r.height) == (w, h) and r.sample_rate is None
-            v = multimodal._synth_image_vals(aid, w, h).astype(np.int64)
+            if aid % 3 == 0 and (aid // 5) % 3 > 0:  # r14 paletted BMPs
+                npal = 1 << (2 + aid % 7)
+                k = np.arange(w * h, dtype=np.int64)
+                kk = (k // 6) if (aid // 5) % 3 == 2 else k
+                j = (3 * aid + 5 * kk) % npal
+                jj = np.arange(npal, dtype=np.int64)
+                pal = np.stack(
+                    [(7 * jj + aid) % 256, (11 * jj + 2 * aid) % 256,
+                     (13 * jj + 3 * aid) % 256],
+                    axis=1,
+                )
+                v = pal[j].reshape(-1)
+            else:
+                v = multimodal._synth_image_vals(aid, w, h).astype(np.int64)
         assert r.n_values == len(v)
         assert r.value_sum == int(v.sum())
         assert (r.value_min, r.value_max) == (int(v.min()), int(v.max()))

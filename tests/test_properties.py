@@ -137,6 +137,34 @@ def test_gif_round_trip_random_images(w, h, bits, interlaced, seed):
     np.testing.assert_array_equal(d["vals"].reshape(h, w, 3), exp)
 
 
+@settings(max_examples=120, deadline=None)
+@given(
+    st.integers(1, 18),
+    st.integers(1, 18),
+    st.integers(1, 8),
+    st.booleans(),
+    st.booleans(),
+    st.integers(0, 2**32 - 1),
+)
+def test_bmp8_round_trip_random_images(w, h, palbits, rle, runs, seed):
+    """8-bit paletted BMP (r14) roundtrips for arbitrary index grids and
+    RANDOM palettes, raw and RLE8, over run-heavy and run-free fields —
+    the BGRX quad order, bottom-up flip, 4-byte index padding, and the
+    RLE row/EOL/EOB walk all pinned by exact order equality."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import multimodal
+
+    rng = np.random.default_rng(seed)
+    npal = 1 << palbits
+    pal = rng.integers(0, 256, size=(npal, 3)).astype(np.int64)
+    hi = min(3, npal) if runs else npal
+    idx = rng.integers(0, hi, size=(h, w)).astype(np.int64)
+    d = multimodal.decode_image_bytes(multimodal._encode_bmp8(idx, pal, rle))
+    assert (d["width"], d["height"]) == (w, h)
+    np.testing.assert_array_equal(d["vals"].reshape(h, w, 3), pal[idx])
+
+
 @settings(max_examples=200, deadline=None)
 @given(
     st.integers(1, 12),
