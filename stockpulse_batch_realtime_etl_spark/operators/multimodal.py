@@ -122,9 +122,21 @@ def _synth_image_vals(asset_id: int, w: int, h: int):
 
 
 def encode_ppm(asset_id: int) -> bytes:
-    """Binary PPM (P6), maxval 255: ASCII header + raw RGB."""
+    """Binary netpbm corpus encoder, sub-round-robin ``(id // 5) % 2``:
+    even → PPM (P6, raw RGB), odd → PGM (P5, raw GRAYSCALE over the
+    same (7·id + 13·i) closed form, one byte per pixel).  Maxval 255,
+    ASCII header."""
+    import numpy as np
+
     w, h = _image_dims(asset_id)
-    return b"P6\n%d %d\n255\n" % (w, h) + _synth_image_vals(asset_id, w, h).tobytes()
+    if (asset_id // 5) % 2 == 0:
+        return (
+            b"P6\n%d %d\n255\n" % (w, h)
+            + _synth_image_vals(asset_id, w, h).tobytes()
+        )
+    i = np.arange(w * h, dtype=np.int64)
+    gray = ((7 * asset_id + 13 * i) % 256).astype(np.uint8)
+    return b"P5\n%d %d\n255\n" % (w, h) + gray.tobytes()
 
 
 def encode_bmp(asset_id: int) -> bytes:
@@ -2132,7 +2144,8 @@ def decode_image_bytes(payload: bytes) -> dict:
             raise ValueError("BMP pixel index outside the color table")
         vals = pal[idx.reshape(-1)].reshape(-1)
         return {"width": w, "height": h, "vals": vals}
-    if payload[:2] == b"P6":
+    if payload[:2] in (b"P6", b"P5"):
+        nch = 3 if payload[:2] == b"P6" else 1  # P5 = grayscale PGM
         pos, fields = 2, []
         while len(fields) < 3:
             c = payload[pos : pos + 1]
@@ -2166,8 +2179,10 @@ def decode_image_bytes(payload: bytes) -> dict:
             raise ValueError(f"PPM non-positive dimensions {w}x{h}")
         if maxval != 255:
             raise NotImplementedError(f"PPM maxval={maxval}")
-        pos += 1  # single whitespace byte after maxval, then raw RGB
-        vals = np.frombuffer(payload, np.uint8, w * h * 3, pos).astype(np.int64)
+        pos += 1  # single whitespace byte after maxval, then raw samples
+        vals = np.frombuffer(payload, np.uint8, w * h * nch, pos).astype(
+            np.int64
+        )
         return {"width": w, "height": h, "vals": vals}
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_bytes(payload)
@@ -2891,9 +2906,10 @@ def resize_images(media: DataFrame, max_px: int = 256) -> DataFrame:
 
 
 def resize_image_bytes(payload: bytes, max_px: int) -> bytes:
-    """REAL thumbnail of an uncompressed image: decode (BMP or PPM),
-    nearest-neighbor subsample so the longer edge is ≤ ``max_px``
-    (aspect-preserving, PIL.thumbnail semantics), re-encode as PPM.
+    """REAL thumbnail of an uncompressed image: decode (BMP or
+    PPM/PGM), nearest-neighbor subsample so the longer edge is ≤
+    ``max_px`` (aspect-preserving, PIL.thumbnail semantics), re-encode
+    as PPM (RGB inputs) or PGM (grayscale, r14).
 
     Nearest-neighbor source index = ``floor(dst * src_dim / dst_dim)`` —
     pure integer arithmetic, so a downstream consumer (or the DuckDB
@@ -2903,6 +2919,9 @@ def resize_image_bytes(payload: bytes, max_px: int) -> bytes:
 
     d = decode_image_bytes(payload)
     w, h = d["width"], d["height"]
+    nch = len(d["vals"]) // (w * h)
+    if nch not in (1, 3):
+        raise NotImplementedError(f"resize of {nch}-channel image")
     # pure INTEGER arithmetic (no float scale): (w·max_px) // longer_edge —
     # bit-identical to the SQL oracle's replay at any parameterization
     edge = max(w, h)
@@ -2911,11 +2930,12 @@ def resize_image_bytes(payload: bytes, max_px: int) -> bytes:
     else:
         nw = max(1, (w * max_px) // edge)
         nh = max(1, (h * max_px) // edge)
-    px = d["vals"].reshape(h, w, 3)
+    px = d["vals"].reshape(h, w, nch)
     rows = (np.arange(nh, dtype=np.int64) * h) // nh
     cols = (np.arange(nw, dtype=np.int64) * w) // nw
     out = px[rows][:, cols].astype(np.uint8)
-    return b"P6\n%d %d\n255\n" % (nw, nh) + out.tobytes()
+    magic = b"P6" if nch == 3 else b"P5"
+    return magic + b"\n%d %d\n255\n" % (nw, nh) + out.tobytes()
 
 
 def resize_decoded(media: DataFrame, max_px: int = 16) -> DataFrame:

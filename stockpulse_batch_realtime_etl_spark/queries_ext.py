@@ -1308,8 +1308,9 @@ sized AS (
   SELECT asset_id, format, w, h, pc,
          CASE WHEN format = 'wav' THEN 64 + asset_id % 101
               -- TIFF sub-variants (asset_id // 5) % 8: odd = GRAYSCALE
-              -- (one channel), even = chunky RGB
-              WHEN format = 'tiff' AND (asset_id // 5) % 2 = 1
+              -- (one channel), even = chunky RGB; the netpbm slot's odd
+              -- sub-variants are P5 grayscale PGMs (r14)
+              WHEN format IN ('tiff', 'ppm') AND (asset_id // 5) % 2 = 1
               THEN w * h
               ELSE w * h * 3 END AS n_values
   FROM base
@@ -3027,7 +3028,11 @@ WITH imgs AS (
   FROM documents WHERE doc_id % 3 != 2
 ),
 dims AS (
+  -- the netpbm slot's odd sub-variants are P5 GRAYSCALE (r14): one
+  -- channel through the whole resize chain
   SELECT asset_id, w, h,
+         CASE WHEN asset_id % 3 = 1 AND (asset_id // 5) % 2 = 1
+              THEN 1 ELSE 3 END AS nch,
          CASE WHEN greatest(w, h) <= 8 THEN w
               ELSE greatest(1, (w * 8) // greatest(w, h)) END AS nw,
          CASE WHEN greatest(w, h) <= 8 THEN h
@@ -3035,17 +3040,19 @@ dims AS (
   FROM imgs
 ),
 pos AS (
-  SELECT asset_id, w, h, nw, nh,
-         unnest(generate_series(0, nw * nh * 3 - 1)) AS p
+  SELECT asset_id, w, h, nch, nw, nh,
+         unnest(generate_series(0, nw * nh * nch - 1)) AS p
   FROM dims
 ),
 src AS (
   -- nearest-neighbor source: resized position p reads SOURCE flat
-  -- position srci (pixel k = srci//3, channel p%3)
+  -- position srci (pixel k = srci//nch, channel p%nch)
   SELECT asset_id, nw, nh, p,
-         ((p // (nw * 3)) * h // nh) * w * 3
-           + (((p % (nw * 3)) // 3) * w // nw) * 3
-           + p % 3 AS srci,
+         CASE WHEN nch = 1
+              THEN ((p // nw) * h // nh) * w + (p % nw) * w // nw
+              ELSE ((p // (nw * 3)) * h // nh) * w * 3
+                   + (((p % (nw * 3)) // 3) * w // nw) * 3
+                   + p % 3 END AS srci,
          (1 << CAST(2 + asset_id % 7 AS INT)) AS pc
   FROM pos
 ),

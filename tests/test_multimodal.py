@@ -239,13 +239,13 @@ def test_bmp_rle8_absolute_delta_and_corrupt_shapes():
 def test_ppm_roundtrip_and_comment_header():
     import numpy as np
 
-    for aid in (1, 4, 7):
+    for aid in (1, 4, 7, 13):  # 7, 13: odd (id//5) -> P5 grayscale
         d = multimodal.decode_image_bytes(multimodal.encode_ppm(aid))
         w, h = multimodal._image_dims(aid)
         assert (d["width"], d["height"]) == (w, h)
-        assert np.array_equal(
-            d["vals"], multimodal._synth_image_vals(aid, w, h).astype(np.int64)
-        )
+        n = w * h if (aid // 5) % 2 == 1 else w * h * 3
+        i = np.arange(n, dtype=np.int64)
+        assert np.array_equal(d["vals"], (7 * aid + 13 * i) % 256)
     ppm = b"P6\n# a comment\n4 5\n255\n" + bytes(range(60))
     d = multimodal.decode_image_bytes(ppm)
     assert (d["width"], d["height"]) == (4, 5)
@@ -834,6 +834,9 @@ def test_decoded_stats_end_to_end(make_docs):
                     axis=1,
                 )
                 v = pal[j].reshape(-1)
+            elif aid % 3 == 1 and (aid // 5) % 2 == 1:  # r14 P5 PGMs
+                i = np.arange(w * h, dtype=np.int64)
+                v = (7 * aid + 13 * i) % 256
             else:
                 v = multimodal._synth_image_vals(aid, w, h).astype(np.int64)
         assert r.n_values == len(v)
