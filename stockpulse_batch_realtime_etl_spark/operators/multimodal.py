@@ -532,7 +532,43 @@ def _encode_tiff(
     px, e: str, rps: int, photometric: int = 2, compression: int = 1,
     predictor: int = 1, tile: tuple | None = None,
 ) -> bytes:
-    """Assemble a TIFF from an ``(h, w, 3)`` uint8 array (photometric 2,
+    """Single-page wrapper over :func:`_encode_tiff_page` — 8-byte
+    header + one page."""
+    body, ifd_abs = _encode_tiff_page(
+        px, e, rps, photometric, compression, predictor, tile, base=8
+    )
+    head = struct.pack(f"{e}2sHI", b"II" if e == "<" else b"MM", 42, ifd_abs)
+    return head + body
+
+
+def _encode_tiff_multipage(pages, e: str, rps: int) -> bytes:
+    """Multi-page TIFF (r14): chain one IFD per ``(px, photometric,
+    compression)`` tuple — each page independently stripped and
+    compressed, the previous page's next-IFD pointer patched to the
+    following page's IFD."""
+    out = bytearray(
+        struct.pack(f"{e}2sHI", b"II" if e == "<" else b"MM", 42, 0)
+    )
+    prev_ptr = 4  # header's first-IFD pointer
+    for px, photometric, compression in pages:
+        body, ifd_abs = _encode_tiff_page(
+            px, e, rps, photometric, compression, 1, None, base=len(out)
+        )
+        struct.pack_into(f"{e}I", out, prev_ptr, ifd_abs)
+        out += body
+        prev_ptr = len(out) - 4  # this page's next-IFD pointer (zeroed)
+    return bytes(out)
+
+
+def _encode_tiff_page(
+    px, e: str, rps: int, photometric: int = 2, compression: int = 1,
+    predictor: int = 1, tile: tuple | None = None, base: int = 8,
+) -> tuple:
+    """Assemble ONE TIFF page's bytes (segment data + off-line arrays +
+    IFD with a zeroed next pointer), all offsets absolute assuming the
+    page starts at file offset ``base``; returns ``(body_bytes,
+    absolute_ifd_offset)``.  Page content: an ``(h, w, 3)`` uint8 array
+    (photometric 2,
     chunky RGB) or an ``(h, w)`` uint8 array (photometric 0/1, 8-bit
     gray — stored bytes are written VERBATIM; WhiteIsZero inversion is
     the decoder's job), byte order ``e`` ("<"/">"), the given
@@ -586,8 +622,7 @@ def _encode_tiff(
 
         strips = [zlib.compress(s) for s in strips]
     n = len(strips)
-    data_off = 8
-    offs, cur = [], data_off
+    offs, cur = [], base
     for s in strips:
         offs.append(cur)
         cur += len(s)
@@ -648,10 +683,7 @@ def _encode_tiff(
     ifd = struct.pack(f"{e}H", len(entries)) + b"".join(entries) + struct.pack(
         f"{e}I", 0
     )
-    head = struct.pack(
-        f"{e}2sHI", b"II" if e == "<" else b"MM", 42, ifd_off
-    )
-    return head + b"".join(strips) + extra + ifd
+    return b"".join(strips) + extra + ifd, ifd_off
 
 
 def _gif_palette(asset_id: int, ncolors: int):
@@ -1721,28 +1753,67 @@ def encode_wav_extensible(asset_id: int) -> bytes:
     return _riff_wav(fmt, data)
 
 
+def _tiff_byte_order(payload: bytes) -> str:
+    if payload[:4] == b"II*\x00":
+        return "<"
+    if payload[:4] == b"MM\x00*":
+        return ">"
+    raise NotImplementedError("not a TIFF payload")
+
+
 @_total_on_corrupt
 def decode_tiff_bytes(payload: bytes) -> dict:
-    """Parse TIFF (both byte orders) into ``{width, height, vals}``:
-    header magic, IFD walk, SHORT/LONG tag reads with the
-    inline-vs-offset rule, multi-strip assembly in order, per-strip
-    decompression for PackBits (32773), LZW (5, MSB-first EarlyChange)
-    and Deflate (8/32946), horizontal predictor 2 un-differencing, and
-    8-bit grayscale (photometric 0/1; WhiteIsZero decodes INVERTED to
-    intensity).  Honest boundaries raise ``NotImplementedError``:
-    other compressions (CCITT/JPEG), palette/CMYK/YCbCr photometrics,
-    bit depths other than 8-per-sample, the floating-point predictor,
-    non-default orientation, planar configuration, tiled files, and
-    multi-IFD (multi-page) files; corrupt shapes raise ``ValueError``."""
+    """Parse a single-page TIFF (both byte orders) into ``{width,
+    height, vals}``: header magic, IFD walk, SHORT/LONG tag reads with
+    the inline-vs-offset rule, multi-strip or TILED assembly in order,
+    per-segment decompression for PackBits (32773), LZW (5, MSB-first
+    EarlyChange) and Deflate (8/32946), horizontal predictor 2
+    un-differencing, and 8-bit grayscale (photometric 0/1; WhiteIsZero
+    decodes INVERTED to intensity).  Honest boundaries raise
+    ``NotImplementedError``: other compressions (CCITT/JPEG),
+    palette/CMYK/YCbCr photometrics, bit depths other than
+    8-per-sample, the floating-point predictor, non-default
+    orientation, and planar configuration; multi-IFD files keep the
+    stills contract's seam here — :func:`decode_tiff_pages` walks the
+    full page chain; corrupt shapes raise ``ValueError``."""
+    e = _tiff_byte_order(payload)
+    (ifd_off,) = struct.unpack_from(f"{e}I", payload, 4)
+    page, next_ifd = _decode_tiff_ifd(payload, e, ifd_off)
+    if next_ifd:
+        raise NotImplementedError("multi-page TIFF")
+    return page
+
+
+@_total_on_corrupt
+def decode_tiff_pages(payload: bytes) -> dict:
+    """Walk a multi-page TIFF's full IFD chain (r14 — the
+    scanned-document corpus shape) into ``{width, height, frames}``:
+    one decoded value array per page, each page independently
+    stripped/tiled/compressed/predicted, with the FIRST page's
+    dimensions reported at the top level (pages may differ; per-page
+    dims are ``len(frame) // ...`` derivable by the consumer from the
+    frame stats schema).  Chain cycles and out-of-bounds IFD offsets
+    dead-letter."""
+    e = _tiff_byte_order(payload)
+    (ifd_off,) = struct.unpack_from(f"{e}I", payload, 4)
+    frames, dims, seen = [], [], set()
+    while ifd_off:
+        if ifd_off in seen:
+            raise ValueError("TIFF IFD chain cycle")
+        seen.add(ifd_off)
+        page, ifd_off = _decode_tiff_ifd(payload, e, ifd_off)
+        frames.append(page["vals"])
+        dims.append((page["width"], page["height"]))
+    if not frames:
+        raise ValueError("TIFF with no pages")
+    return {"width": dims[0][0], "height": dims[0][1], "frames": frames}
+
+
+def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
+    """Decode ONE IFD (page) at ``ifd_off``; returns ``({width, height,
+    vals}, next_ifd_offset)``."""
     import numpy as np
 
-    if payload[:4] == b"II*\x00":
-        e = "<"
-    elif payload[:4] == b"MM\x00*":
-        e = ">"
-    else:
-        raise NotImplementedError("not a TIFF payload")
-    (ifd_off,) = struct.unpack_from(f"{e}I", payload, 4)
     if ifd_off + 2 > len(payload):
         raise ValueError("TIFF IFD offset past the payload")
     (n_entries,) = struct.unpack_from(f"{e}H", payload, ifd_off)
@@ -1776,8 +1847,6 @@ def decode_tiff_bytes(payload: bytes) -> dict:
     (next_ifd,) = struct.unpack_from(
         f"{e}I", payload, ifd_off + 2 + 12 * n_entries
     )
-    if next_ifd:
-        raise NotImplementedError("multi-page TIFF")
     comp = tags.get(259, (1,))[0]
     if comp not in (1, 32773, 5, 8, 32946):
         # old-JPEG=6 / JPEG=7 / CCITT remain honest boundaries
@@ -1850,7 +1919,7 @@ def decode_tiff_bytes(payload: bytes) -> dict:
         vals = img.reshape(-1).astype(np.int64)
         if photo == 0:
             vals = 255 - vals
-        return {"width": int(w), "height": int(h), "vals": vals}
+        return {"width": int(w), "height": int(h), "vals": vals}, next_ifd
     if 273 not in tags or 279 not in tags:
         raise ValueError("TIFF missing strip layout")
     offs, counts = tags[273], tags[279]
@@ -1885,11 +1954,7 @@ def decode_tiff_bytes(payload: bytes) -> dict:
         # WhiteIsZero: stored 0 is white — normalize to intensity so
         # downstream stats are luminance-consistent across photometrics
         vals = 255 - vals
-    return {
-        "width": int(w),
-        "height": int(h),
-        "vals": vals,
-    }
+    return {"width": int(w), "height": int(h), "vals": vals}, next_ifd
 
 
 def _gif_read_subblocks(payload: bytes, pos: int) -> tuple:
@@ -3275,17 +3340,41 @@ def decode_gif_frames(payload: bytes) -> dict:
     return {"width": int(w), "height": int(h), "frames": frames}
 
 
+def encode_tiff_pages(asset_id: int) -> bytes:
+    """MULTI-PAGE TIFF corpus encoder (r14 — the scanned-document
+    shape): ``_video_frames(id)`` chained IFDs, page f's RGB values
+    (7·id + 13·i + 17·f) mod 256 with the compression cycling
+    none/PackBits/LZW/Deflate by page — per-page codec independence is
+    exercised inside every single asset.  Byte order by id parity."""
+    import numpy as np
+
+    w, h = _image_dims(asset_id)
+    i = np.arange(w * h * 3, dtype=np.int64)
+    pages = []
+    for f in range(_video_frames(asset_id)):
+        px = ((7 * asset_id + 13 * i + 17 * f) % 256).astype(
+            np.uint8
+        ).reshape(h, w, 3)
+        pages.append((px, 2, (1, 32773, 5, 8)[f % 4]))
+    return _encode_tiff_multipage(
+        pages, "<" if asset_id % 2 == 0 else ">", 4
+    )
+
+
 def decode_video_bytes(payload: bytes) -> dict:
-    """Signature dispatch for multi-frame media: Y4M streams or
-    animated GIFs → ``{width, height, frames}``."""
+    """Signature dispatch for multi-frame media: Y4M streams, animated
+    GIFs, or multi-page TIFFs → ``{width, height, frames}``."""
     if payload[:9] == b"YUV4MPEG2":
         return decode_y4m_bytes(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_frames(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff_pages(payload)
     raise NotImplementedError("unknown video container")
 
 
 _ENCODERS["gifanim"] = encode_gif_anim
+_ENCODERS["tiffpages"] = encode_tiff_pages
 
 
 def sampled_frame_stats(assets: DataFrame, every: int = 2) -> DataFrame:

@@ -4305,14 +4305,14 @@ pos AS (
   SELECT *, unnest(generate_series(0, w * h * 3 - 1)) AS i FROM fr
 ),
 eff AS (
-  -- odd assets are ANIMATED GIFs: composed-canvas palette index at
+  -- assets 1 mod 3 are ANIMATED GIFs: composed-canvas palette index at
   -- pixel k = i//3 of frame f.  Transmitted j = (3a+5k+11f) mod pc;
   -- the transparent index (3a) mod pc resolves in ONE step (adjacent
   -- frames differ by 11 mod pc != 0): to the background (3a+7) mod pc
   -- under disposal 2 ((a//7)%2=1) or at f=0, else to frame f-1's
   -- index — replaying the decoder's full composition model
   SELECT asset_id, frame_idx, w, h, i,
-         CASE WHEN asset_id % 2 = 1 THEN
+         CASE WHEN asset_id % 3 = 1 THEN
            CASE WHEN (3*asset_id + 5*(i//3) + 11*frame_idx) % pc
                      <> (3*asset_id) % pc
                 THEN (3*asset_id + 5*(i//3) + 11*frame_idx) % pc
@@ -4324,9 +4324,13 @@ eff AS (
   FROM pos
 ),
 v AS (
+  -- 0 mod 3: Y4M stream planes; 1 mod 3: composed GIF frames; 2 mod 3:
+  -- MULTI-PAGE TIFF pages (7a+13i+17f, compression cycling per page)
   SELECT asset_id, frame_idx, w, h, w * h * 3 AS n_values, i,
-         CASE WHEN asset_id % 2 = 0
+         CASE WHEN asset_id % 3 = 0
               THEN (11 * asset_id + 5 * frame_idx + 13 * i) % 256
+              WHEN asset_id % 3 = 2
+              THEN (7 * asset_id + 13 * i + 17 * frame_idx) % 256
               ELSE (CASE CAST(i % 3 AS INT)
                     WHEN 0 THEN 7 * j + asset_id
                     WHEN 1 THEN 11 * j + 2 * asset_id
@@ -4342,11 +4346,13 @@ GROUP BY asset_id, frame_idx, w, h
 """,
 )
 def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-frame container parse (even assets: Y4M streams; odd:
-    ANIMATED GIFs with transparency + disposal composition, r14) +
+    """Multi-frame container parse (assets 0 mod 3: Y4M streams;
+    1 mod 3: ANIMATED GIFs with transparency + disposal composition;
+    2 mod 3: MULTI-PAGE TIFFs with per-page compression, r14) +
     every-2nd-frame sampling + per-composed-frame stats."""
     assets = multimodal.encode_assets(
-        load_table(spark, sf_dir, "documents"), fmts=("y4m", "gifanim")
+        load_table(spark, sf_dir, "documents"),
+        fmts=("y4m", "gifanim", "tiffpages"),
     )
     return multimodal.sampled_frame_stats(assets, every=2)
 

@@ -1171,15 +1171,53 @@ def test_gif_anim_corpus_composition_closed_form():
                 d["frames"][f], pal[eff].reshape(-1)
             )
     # the video dispatcher routes GIF payloads here, Y4M to the stream
-    # parser, and anything else to the honest seam
+    # parser, TIFF to the page walker, and anything else to the seam
     assert len(
         multimodal.decode_video_bytes(multimodal.encode_gif_anim(2))["frames"]
     ) == multimodal._video_frames(2)
     assert len(
         multimodal.decode_video_bytes(multimodal.encode_y4m(2))["frames"]
     ) == multimodal._video_frames(2)
+    assert len(
+        multimodal.decode_video_bytes(multimodal.encode_tiff_pages(2))["frames"]
+    ) == multimodal._video_frames(2)
     with pytest.raises(NotImplementedError, match="video container"):
         multimodal.decode_video_bytes(b"RIFF....AVI ")
+
+
+def test_tiff_multipage_corpus_and_chain_seams():
+    """Multi-page TIFF corpus (r14): every page decodes to its
+    (7a+13i+17f) closed form with compression CYCLING per page
+    (none/PackBits/LZW/Deflate inside one asset); the stills decoder
+    keeps its single-image seam; chain cycles and zero-page files
+    dead-letter."""
+    import struct as _struct
+
+    import numpy as np
+
+    for aid in range(16):
+        payload = multimodal.encode_tiff_pages(aid)
+        d = multimodal.decode_tiff_pages(payload)
+        w, h = multimodal._image_dims(aid)
+        nf = multimodal._video_frames(aid)
+        assert (d["width"], d["height"], len(d["frames"])) == (w, h, nf)
+        i = np.arange(w * h * 3, dtype=np.int64)
+        for f, v in enumerate(d["frames"]):
+            np.testing.assert_array_equal(v, (7 * aid + 13 * i + 17 * f) % 256)
+        if nf > 1:
+            with pytest.raises(NotImplementedError, match="multi-page"):
+                multimodal.decode_tiff_bytes(payload)
+    # chain cycle: point the FIRST page's next-IFD pointer at itself
+    good = multimodal.encode_tiff_pages(4)  # even -> little-endian
+    (first_ifd,) = _struct.unpack_from("<I", good, 4)
+    (n,) = _struct.unpack_from("<H", good, first_ifd)
+    cyc = bytearray(good)
+    _struct.pack_into("<I", cyc, first_ifd + 2 + 12 * n, first_ifd)
+    with pytest.raises(ValueError, match="cycle"):
+        multimodal.decode_tiff_pages(bytes(cyc))
+    # single-page files also walk through the pages API
+    one = multimodal.decode_tiff_pages(multimodal.encode_tiff(2))
+    assert len(one["frames"]) == 1
 
 
 def test_gif_anim_composition_general_and_errors():

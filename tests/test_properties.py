@@ -399,7 +399,8 @@ def test_jpeg_decoder_total_on_corrupt_inputs(asset_id, variant, mode, seed):
     st.sampled_from(
         ["png", "pngpal", "png16", "pngalpha", "pngtrns", "wav", "wavf",
          "ulaw", "alaw", "adpcm", "adpcm2", "msadpcm", "msadpcm2",
-         "wavext", "y4m", "ppm", "bmp", "gif", "tiff", "gifanim"]
+         "wavext", "y4m", "ppm", "bmp", "gif", "tiff", "gifanim",
+         "tiffpages"]
     ),
     st.sampled_from(["truncate", "flip", "insert"]),
     st.integers(0, 2**32 - 1),
@@ -435,6 +436,7 @@ def test_codec_decoders_total_on_corrupt_inputs(asset_id, codec, mode, seed):
         "gif": mm.encode_gif,
         "tiff": mm.encode_tiff,
         "gifanim": mm.encode_gif_anim,
+        "tiffpages": mm.encode_tiff_pages,
     }[codec]
     dec = {
         "png": mm.decode_png_bytes,
@@ -457,6 +459,7 @@ def test_codec_decoders_total_on_corrupt_inputs(asset_id, codec, mode, seed):
         "gif": mm.decode_image_bytes,
         "tiff": mm.decode_image_bytes,
         "gifanim": mm.decode_gif_frames,
+        "tiffpages": mm.decode_tiff_pages,
     }[codec]
     rng = np.random.default_rng(seed)
     payload = _mutate(bytearray(enc(asset_id)), mode, rng)
@@ -471,6 +474,11 @@ def test_codec_decoders_total_on_corrupt_inputs(asset_id, codec, mode, seed):
         assert d["width"] > 0 and d["height"] > 0
         for f in d["frames"]:
             assert len(f) == d["width"] * d["height"] * 3
+    elif codec == "tiffpages":
+        # pages may legitimately differ in dims/channels after mutation
+        assert d["width"] > 0 and d["height"] > 0 and len(d["frames"]) >= 1
+        for f in d["frames"]:
+            assert len(f) > 0
     else:
         _sane_image(d)
 
@@ -848,3 +856,41 @@ def test_incremental_dedup_consistent_with_exact_and_lsh(spark, texts):
         assert r.exact_dup == (fps[d] in base_fps)
         assert r.near_dup == (d in cross)
         assert r.is_kept == (not r.exact_dup and not r.near_dup)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(1, 5),
+    st.booleans(),
+    st.integers(0, 2**32 - 1),
+)
+def test_tiff_multipage_round_trip_random_pages(n_pages, big_endian, seed):
+    """Multi-page TIFF chain roundtrips with per-page INDEPENDENT dims,
+    photometrics, and compressions — each page's decode equals its own
+    pixels (WhiteIsZero pages inverted), in chain order."""
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators import multimodal
+
+    rng = np.random.default_rng(seed)
+    pages = []
+    for _ in range(n_pages):
+        w, h = int(rng.integers(1, 15)), int(rng.integers(1, 15))
+        photo = int(rng.choice([0, 1, 2]))
+        comp = int(rng.choice([1, 32773, 5, 8]))
+        shape = (h, w, 3) if photo == 2 else (h, w)
+        pages.append(
+            (rng.integers(0, 256, shape).astype(np.uint8), photo, comp)
+        )
+    d = multimodal.decode_tiff_pages(
+        multimodal._encode_tiff_multipage(
+            pages, ">" if big_endian else "<", 4
+        )
+    )
+    assert len(d["frames"]) == n_pages
+    assert (d["width"], d["height"]) == (
+        pages[0][0].shape[1], pages[0][0].shape[0]
+    )
+    for f, (px, photo, comp) in enumerate(pages):
+        exp = px.astype(np.int64) if photo != 0 else 255 - px.astype(np.int64)
+        np.testing.assert_array_equal(d["frames"][f], exp.reshape(-1))
