@@ -275,7 +275,7 @@ def _bmp_rle8_decode(data: bytes, w: int, h: int):
 
 
 def encode_tiff(asset_id: int) -> bytes:
-    """TIFF 6.0 corpus encoder, sub-round-robin ``(id // 5) % 8`` (the
+    """TIFF 6.0 corpus encoder, sub-round-robin ``(id // 5) % 10`` (the
     decoded_stats slot is ``doc_id % 5 == 4``, so ``id // 5`` cycles the
     variant across the corpus):
 
@@ -294,22 +294,41 @@ def encode_tiff(asset_id: int) -> bytes:
     - 5: grayscale + Deflate (compression 8, zlib per strip);
     - 6: RGB TILED (16×16 tiles, tags 322-325) + Deflate — corpus dims
       are < the tile, so edge-padding crop is exercised on every file;
-    - 7: grayscale TILED + LZW.
+    - 7: grayscale TILED + LZW;
+    - 8: RGB 16-BIT samples + Deflate (the scientific/scanned depth;
+      values (1237·id + 4099·i) mod 65536, the PNG16 closed form);
+    - 9: grayscale 16-BIT + LZW + predictor 2 (mod-65536 differencing).
 
     Grayscale alternates photometric 1 (BlackIsZero, ``(id//10)`` even)
-    and 0 (WhiteIsZero, stored INVERTED so decoded intensity still
-    equals the closed form — a decoder that ignores the tag fails the
-    oracle).  MULTI-STRIP (RowsPerStrip 4); little-endian ("II") for
-    even ids, big-endian ("MM") for odd."""
+    and 0 (WhiteIsZero, stored INVERTED at the sample depth so decoded
+    intensity still equals the closed form — a decoder that ignores the
+    tag fails the oracle).  MULTI-STRIP (RowsPerStrip 4); little-endian
+    ("II") for even ids, big-endian ("MM") for odd."""
     import numpy as np
 
     w, h = _image_dims(asset_id)
     e = "<" if asset_id % 2 == 0 else ">"
-    variant = (asset_id // 5) % 8
-    comp = {0: 1, 1: 1, 2: 32773, 3: 32773, 4: 5, 5: 8, 6: 8, 7: 5}[variant]
-    pred = 2 if variant == 4 else 1
-    tile = (16, 16) if variant >= 6 else None
-    if variant % 2 == 0:  # chunky RGB
+    variant = (asset_id // 5) % 10
+    comp = {0: 1, 1: 1, 2: 32773, 3: 32773, 4: 5, 5: 8, 6: 8, 7: 5,
+            8: 8, 9: 5}[variant]
+    pred = 2 if variant in (4, 9) else 1
+    tile = (16, 16) if variant in (6, 7) else None
+    if variant == 8:  # 16-bit RGB
+        i = np.arange(w * h * 3, dtype=np.int64)
+        px = ((1237 * asset_id + 4099 * i) % 65536).astype(
+            np.uint16
+        ).reshape(h, w, 3)
+        return _encode_tiff(px, e, 4, photometric=2, compression=comp)
+    if variant == 9:  # 16-bit grayscale (+ predictor 2)
+        i = np.arange(w * h, dtype=np.int64)
+        gray16 = ((1237 * asset_id + 4099 * i) % 65536).reshape(h, w)
+        photo = 1 if (asset_id // 10) % 2 == 0 else 0
+        stored = gray16 if photo == 1 else 65535 - gray16
+        return _encode_tiff(
+            stored.astype(np.uint16), e, 4, photometric=photo,
+            compression=comp, predictor=pred,
+        )
+    if variant % 2 == 0:  # chunky 8-bit RGB
         return _encode_tiff(
             _synth_image_vals(asset_id, w, h).reshape(h, w, 3),
             e, 4, photometric=2, compression=comp, predictor=pred,
@@ -584,12 +603,17 @@ def _encode_tiff_page(
     import numpy as np
 
     spp = 3 if photometric == 2 else 1
+    # 16-BIT samples (r14): a uint16 input array writes depth-16 pages
+    # in the file's byte order; predictor differencing runs mod 2^depth
+    depth = 16 if px.dtype == np.uint16 else 8
+    mod = 1 << depth
+    sdt = np.dtype(f"{e}u2") if depth == 16 else np.dtype(np.uint8)
     h, w = px.shape[0], px.shape[1]
     if tile is not None:
         tw, tl = tile
         arr = px.reshape(h, w, spp)
         ph, pw = -(-h // tl) * tl, -(-w // tw) * tw
-        padded = np.zeros((ph, pw, spp), np.uint8)
+        padded = np.zeros((ph, pw, spp), arr.dtype)
         padded[:h, :w] = arr
         strips = []
         for ty in range(ph // tl):
@@ -598,20 +622,18 @@ def _encode_tiff_page(
                     ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw
                 ].astype(np.int64)
                 if predictor == 2:
-                    t[:, 1:, :] = (t[:, 1:, :] - t[:, :-1, :]) % 256
-                strips.append(t.astype(np.uint8).tobytes())
+                    t[:, 1:, :] = (t[:, 1:, :] - t[:, :-1, :]) % mod
+                strips.append(t.astype(sdt).tobytes())
     else:
         if predictor == 2:
-            # stored[x] = orig[x] - orig[x-1] (mod 256) along each row,
-            # per channel; a row's first pixel is stored verbatim
+            # stored[x] = orig[x] - orig[x-1] (mod 2^depth) along each
+            # row, per channel; a row's first pixel is stored verbatim
             arr = px.reshape(h, w, spp).astype(np.int64)
-            arr[:, 1:, :] = (arr[:, 1:, :] - arr[:, :-1, :]) % 256
-            px = arr.astype(np.uint8)
-        px = px.reshape(-1)
-        row = w * spp
+            arr[:, 1:, :] = (arr[:, 1:, :] - arr[:, :-1, :]) % mod
+            px = arr
+        px = px.reshape(h, w * spp).astype(sdt)
         strips = [
-            px[r * row : (r + rps) * row].tobytes()
-            for r in range(0, h, rps)
+            px[r : r + rps].tobytes() for r in range(0, h, rps)
         ]
     if compression == 32773:
         strips = [_packbits_encode(s) for s in strips]
@@ -641,7 +663,7 @@ def _encode_tiff_page(
     # single SHORT packs inline (count-1 path)
     bps_off = cur
     if spp == 3:
-        extra += struct.pack(f"{e}3H", 8, 8, 8)
+        extra += struct.pack(f"{e}3H", depth, depth, depth)
         cur += 6
     ifd_off = cur
 
@@ -653,7 +675,7 @@ def _encode_tiff_page(
     entries = [
         entry(256, 4, 1, w),                       # ImageWidth
         entry(257, 4, 1, h),                       # ImageLength
-        entry(258, 3, spp, bps_off if spp == 3 else 8),
+        entry(258, 3, spp, bps_off if spp == 3 else depth),
         entry(259, 3, 1, compression),
         entry(262, 3, 1, photometric),
     ]
@@ -1869,13 +1891,22 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
     spp = 3 if photo == 2 else 1
     # count-1 BitsPerSample=8 with spp=3 is a common valid writer shape;
     # grayscale with NO BitsPerSample tag defaults to 1 (bilevel) — an
-    # honest boundary, not 8-bit
-    ok_bits = ((8, 8, 8), (8,)) if photo == 2 else ((8,),)
+    # honest boundary, not 8-bit.  16-bit samples (r14) decode with the
+    # file's byte order; mixed per-channel depths stay a seam.
+    if photo == 2:
+        ok_bits = ((8, 8, 8), (8,), (16, 16, 16), (16,))
+    else:
+        ok_bits = ((8,), (16,))
     if tags.get(277, (spp,))[0] != spp or bits not in ok_bits:
         raise NotImplementedError(
             f"TIFF photometric {photo} spp={tags.get(277)} "
             f"bits={tags.get(258)}"
         )
+    depth = bits[0]
+    bstep = depth // 8
+    if any(v != 1 for v in tags.get(339, (1,))):
+        # SampleFormat: 2 = signed int, 3 = IEEE float
+        raise NotImplementedError(f"TIFF sample format {tags.get(339)}")
     if 256 not in tags or 257 not in tags:
         raise ValueError("TIFF missing dimensions")
     w, h = tags[256][0], tags[257][0]
@@ -1896,19 +1927,20 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
             raise ValueError(
                 f"TIFF tile count {len(toffs)} != {across}x{down}"
             )
-        tile_bytes = tw * tl * spp
-        img = np.zeros((h, w, spp), np.uint8)
+        tile_bytes = tw * tl * spp * bstep
+        sdt = np.dtype(f"{e}u2") if depth == 16 else np.dtype(np.uint8)
+        img = np.zeros((h, w, spp), np.int64)
         for t_i, (off, cnt) in enumerate(zip(toffs, tcounts)):
             if off + cnt > len(payload):
                 raise ValueError("TIFF tile past the payload")
             chunk = _tiff_expand(payload[off : off + cnt], comp, tile_bytes)
-            tile = np.frombuffer(chunk, np.uint8).reshape(tl, tw, spp)
+            tile = np.frombuffer(chunk, sdt).astype(np.int64).reshape(
+                tl, tw, spp
+            )
             if predictor == 2:
                 # un-difference per tile row (padding included — the
                 # encoder differenced over it too)
-                tile = (
-                    np.cumsum(tile.astype(np.int64), axis=1) % 256
-                ).astype(np.uint8)
+                tile = np.cumsum(tile, axis=1) % (1 << depth)
             ty, tx = divmod(t_i, across)
             y0, x0 = ty * tl, tx * tw
             # edge tiles carry right/bottom padding out to the tile
@@ -1916,9 +1948,9 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
             img[y0 : y0 + tl, x0 : x0 + tw] = tile[
                 : min(tl, h - y0), : min(tw, w - x0)
             ]
-        vals = img.reshape(-1).astype(np.int64)
+        vals = img.reshape(-1)
         if photo == 0:
-            vals = 255 - vals
+            vals = ((1 << depth) - 1) - vals
         return {"width": int(w), "height": int(h), "vals": vals}, next_ifd
     if 273 not in tags or 279 not in tags:
         raise ValueError("TIFF missing strip layout")
@@ -1937,23 +1969,26 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
             strip_rows = min(rps, h - s_i * rps)
             if strip_rows <= 0:
                 raise ValueError("TIFF more strips than image rows")
-            chunk = _tiff_expand(chunk, comp, strip_rows * w * spp)
+            chunk = _tiff_expand(chunk, comp, strip_rows * w * spp * bstep)
         parts.append(chunk)
     raw = b"".join(parts)
-    if len(raw) != w * h * spp:
+    if len(raw) != w * h * spp * bstep:
         raise ValueError(
-            f"TIFF strip data {len(raw)} != {w}x{h}x{spp}"
+            f"TIFF strip data {len(raw)} != {w}x{h}x{spp}x{bstep}B"
         )
-    vals = np.frombuffer(raw, np.uint8).astype(np.int64)
+    sdt = np.dtype(f"{e}u2") if depth == 16 else np.dtype(np.uint8)
+    vals = np.frombuffer(raw, sdt).astype(np.int64)
     if predictor == 2:
-        # horizontal differencing: un-delta along each row per channel
+        # horizontal differencing: un-delta along each row per channel,
+        # mod 2^depth
         vals = (
-            np.cumsum(vals.reshape(h, w, spp), axis=1) % 256
+            np.cumsum(vals.reshape(h, w, spp), axis=1) % (1 << depth)
         ).reshape(-1)
     if photo == 0:
         # WhiteIsZero: stored 0 is white — normalize to intensity so
         # downstream stats are luminance-consistent across photometrics
-        vals = 255 - vals
+        # (full-range inversion at the sample depth)
+        vals = ((1 << depth) - 1) - vals
     return {"width": int(w), "height": int(h), "vals": vals}, next_ifd
 
 

@@ -1307,10 +1307,12 @@ WITH base AS (
 sized AS (
   SELECT asset_id, format, w, h, pc,
          CASE WHEN format = 'wav' THEN 64 + asset_id % 101
-              -- TIFF sub-variants (asset_id // 5) % 8: odd = GRAYSCALE
+              -- TIFF sub-variants (asset_id // 5) % 10: odd = GRAY
               -- (one channel), even = chunky RGB; the netpbm slot's odd
               -- sub-variants are P5 grayscale PGMs (r14)
-              WHEN format IN ('tiff', 'ppm') AND (asset_id // 5) % 2 = 1
+              WHEN format = 'tiff' AND (asset_id // 5) % 2 = 1
+              THEN w * h
+              WHEN format = 'ppm' AND (asset_id // 5) % 2 = 1
               THEN w * h
               ELSE w * h * 3 END AS n_values
   FROM base
@@ -1355,8 +1357,12 @@ v AS (
               -- (runs of 5 so replicate packets are really emitted);
               -- WhiteIsZero ids store INVERTED bytes, so matching this
               -- form pins the decoder's photometric-0 normalization
-              WHEN format = 'tiff' AND (asset_id // 5) % 8 = 3
+              WHEN format = 'tiff' AND (asset_id // 5) % 10 = 3
               THEN (7 * asset_id + 13 * (i // 5)) % 256
+              -- 16-BIT sub-variants (r14): the PNG16 closed form at
+              -- full 0..65535 range (RGB over 3wh positions, gray wh)
+              WHEN format = 'tiff' AND (asset_id // 5) % 10 >= 8
+              THEN (1237 * asset_id + 4099 * i) % 65536
               ELSE (7 * asset_id + 13 * i) % 256 END AS val
   FROM vj
 )

@@ -435,10 +435,10 @@ def test_gif_error_paths_and_format_boundaries():
 
 def test_tiff_roundtrip_both_endians_multistrip():
     """Corpus TIFF roundtrips exactly for both byte orders (even ids
-    II, odd MM) across the corpus dims and ALL EIGHT sub-variants
+    II, odd MM) across the corpus dims and ALL TEN sub-variants
     (chunky RGB / 8-bit grayscale × uncompressed / PackBits, RGB +
     LZW + predictor 2, gray + Deflate, RGB tiled + Deflate, gray
-    tiled + LZW) — multi-strip assembly in strip
+    tiled + LZW, 16-bit RGB + Deflate, 16-bit gray + LZW + pred 2) — multi-strip assembly in strip
     order (RowsPerStrip 4 splits most images), off-line StripOffsets /
     StripByteCounts / BitsPerSample arrays read through the
     inline-vs-offset rule, grayscale's count-1 inline BitsPerSample,
@@ -446,12 +446,16 @@ def test_tiff_roundtrip_both_endians_multistrip():
     decode_image_bytes."""
     import numpy as np
 
-    for aid in range(160):  # covers every (variant, endian, photometric)
+    for aid in range(200):  # covers every (variant, endian, photometric)
         d = multimodal.decode_tiff_bytes(multimodal.encode_tiff(aid))
         w, h = multimodal._image_dims(aid)
         assert (d["width"], d["height"]) == (w, h)
-        variant = (aid // 5) % 8
-        if variant % 2 == 0:  # chunky RGB
+        variant = (aid // 5) % 10
+        if variant >= 8:  # 16-bit sub-variants: PNG16 closed form
+            n = w * h * 3 if variant == 8 else w * h
+            i = np.arange(n, dtype=np.int64)
+            exp = (1237 * aid + 4099 * i) % 65536
+        elif variant % 2 == 0:  # chunky 8-bit RGB
             exp = multimodal._synth_image_vals(aid, w, h).astype(np.int64)
         else:  # grayscale (variant 3 = run-friendly PackBits form)
             i = np.arange(w * h, dtype=np.int64)
@@ -692,7 +696,7 @@ def test_tiff_lzw_deflate_predictor_boundaries():
         lzw(enc(b"abc"), 9)  # decodes short of the geometry
 
     # container level: corrupt Deflate strip on a corpus variant-5 file
-    aid = 29  # (29//5)%8 = 5: gray + Deflate, big-endian
+    aid = 29  # (29//5)%10 = 5: gray + Deflate, big-endian
     good_tiff = multimodal.encode_tiff(aid)
     (ifd_off,) = _struct.unpack_from(">I", good_tiff, 4)
     (n,) = _struct.unpack_from(">H", good_tiff, ifd_off)
@@ -721,6 +725,50 @@ def test_tiff_lzw_deflate_predictor_boundaries():
         multimodal.decode_tiff_bytes(bytes(pred_tiff))
 
 
+def test_tiff_16bit_sample_format_and_depth_seams():
+    """16-bit edges (r14): SampleFormat 2 (signed) / 3 (float) stay
+    honest seams; mixed per-channel depths raise; corpus 16-bit
+    variants round-trip with WhiteIsZero inverting at FULL 16-bit
+    range."""
+    import struct as _struct
+
+    import numpy as np
+
+    aid = 59  # (59//5)%10 = 1? -> need a 16-bit gray id: variant 9
+    aid = 45  # (45//5)%10 = 9: 16-bit gray + LZW + pred2, big-endian
+    assert (aid // 5) % 10 == 9
+    d = multimodal.decode_tiff_bytes(multimodal.encode_tiff(aid))
+    assert int(d["vals"].max()) > 255  # genuinely 16-bit range
+    # SampleFormat = 3 (IEEE float) must raise, not decode garbage:
+    # append the tag by patching an existing SHORT entry (276 unused;
+    # rewrite the Predictor entry 317 into SampleFormat 339 value 3)
+    buf = bytearray(multimodal.encode_tiff(aid))
+    (ifd,) = _struct.unpack_from(">I", buf, 4)
+    (n,) = _struct.unpack_from(">H", buf, ifd)
+    hit = False
+    for k in range(n):
+        pos = ifd + 2 + 12 * k
+        if _struct.unpack_from(">H", buf, pos)[0] == 317:
+            _struct.pack_into(">H", buf, pos, 339)
+            _struct.pack_into(">H", buf, pos + 8, 3)
+            hit = True
+    assert hit
+    with pytest.raises(NotImplementedError, match="sample format"):
+        multimodal.decode_tiff_bytes(bytes(buf))
+    # mixed per-channel depths (16,16,8) are a seam, not silent garbage
+    rgb16 = multimodal.encode_tiff(40)  # (40//5)%10 = 8: 16-bit RGB, "<"
+    mixed = bytearray(rgb16)
+    (ifd2,) = _struct.unpack_from("<I", mixed, 4)
+    (n2,) = _struct.unpack_from("<H", mixed, ifd2)
+    for k in range(n2):
+        pos = ifd2 + 2 + 12 * k
+        if _struct.unpack_from("<H", mixed, pos)[0] == 258:
+            (off,) = _struct.unpack_from("<I", mixed, pos + 8)
+            _struct.pack_into("<H", mixed, off + 4, 8)  # third sample 8
+    with pytest.raises(NotImplementedError, match="bits"):
+        multimodal.decode_tiff_bytes(bytes(mixed))
+
+
 def test_tiff_tiled_corrupt_shapes_dead_letter():
     """r14 tiled-path corrupt shapes: tile size not a multiple of 16,
     missing layout tags, tile-count/grid mismatch, tile past payload —
@@ -729,7 +777,7 @@ def test_tiff_tiled_corrupt_shapes_dead_letter():
 
     import numpy as np
 
-    aid = 34  # (34//5)%8 = 6: RGB tiled + Deflate, little-endian
+    aid = 34  # (34//5)%10 = 6: RGB tiled + Deflate, little-endian
     good = multimodal.encode_tiff(aid)
     (ifd_off,) = _struct.unpack_from("<I", good, 4)
     (n,) = _struct.unpack_from("<H", good, ifd_off)

@@ -174,28 +174,33 @@ def test_bmp8_round_trip_random_images(w, h, palbits, rle, runs, seed):
     st.sampled_from([0, 1, 2]),
     st.sampled_from([1, 32773, 5, 8]),
     st.sampled_from([1, 2]),
+    st.sampled_from([8, 16]),
     st.booleans(),
     st.integers(0, 2**32 - 1),
 )
 def test_tiff_round_trip_random_images(
-    w, h, rps, big_endian, photometric, compression, predictor, runs, seed
+    w, h, rps, big_endian, photometric, compression, predictor, depth,
+    runs, seed,
 ):
     """decode(encode(px)) == px for arbitrary pixels, any dims >= 1,
     ANY RowsPerStrip (1 = one strip per row through rps > h = single
     strip), both byte orders, ALL THREE photometrics (0 = WhiteIsZero
-    decodes INVERTED), all FOUR compressions (none / PackBits / LZW /
-    Deflate over both run-heavy and run-free pixel fields), and both
-    predictors."""
+    decodes INVERTED at the sample depth), all FOUR compressions
+    (none / PackBits / LZW / Deflate over both run-heavy and run-free
+    pixel fields), both predictors (mod-2^depth differencing), and BOTH
+    sample depths (8/16-bit, r14)."""
     import numpy as np
 
     from stockpulse_batch_realtime_etl_spark.operators import multimodal
 
     rng = np.random.default_rng(seed)
     shape = (h, w, 3) if photometric == 2 else (h, w)
+    maxv = (1 << depth) - 1
+    dt = np.uint8 if depth == 8 else np.uint16
     if runs:  # tiny alphabet → long runs → replicate packets dominate
-        px = rng.integers(0, 3, size=shape, dtype=np.uint8)
+        px = rng.integers(0, 3, size=shape).astype(dt)
     else:
-        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        px = rng.integers(0, maxv + 1, size=shape).astype(dt)
     d = multimodal.decode_tiff_bytes(
         multimodal._encode_tiff(
             px,
@@ -207,7 +212,7 @@ def test_tiff_round_trip_random_images(
         )
     )
     assert (d["width"], d["height"]) == (w, h)
-    exp = px.astype(np.int64) if photometric != 0 else 255 - px
+    exp = px.astype(np.int64) if photometric != 0 else maxv - px
     np.testing.assert_array_equal(d["vals"].reshape(shape), exp)
 
 
