@@ -1722,15 +1722,15 @@ from stockpulse_batch_realtime_etl_spark import queries_ext  # noqa: E402,F401
 #: length asserted at import time (the r4 boundary slip put 60 names ahead
 #: of a "50-entry" comment and silently dropped 10 intended rotations).
 #:
-#: ROUND-14 ROTATION (the r13 verdict's #1 directive, taken verbatim):
-#: the 50 r11-gated names — after r13 they are exactly 2 rounds stale,
-#: the rotation maximum, so they take the whole r14 window in their
-#: queued _GATE_NEXT order.  After this round the histogram is r14=50,
-#: r13=50, r12=50 and gate_audit's strict ≤2-rounds-stale invariant
-#: holds.  This window regates the r13 load-watch items on driver
-#: hardware (`semdedup_recall_report`, `semantic_dedup`,
-#: `ann_ivfpq_topk`) and the r12-repacked `minhash_signatures` /
-#: `dedup_survivors` / `gapfill_bars`.
+#: ROUND-15 ROTATION (the r14 verdict's #1 directive, taken verbatim):
+#: the 50 r12-gated names — after r14 they are exactly 2 rounds stale,
+#: the rotation maximum, so they take the whole r15 window in their
+#: queued _GATE_NEXT order.  After this round the histogram is r15=50,
+#: r14=50, r13=50 and gate_audit's strict ≤2-rounds-stale invariant
+#: holds.  This window regates the two corpus-changed audit-continuity
+#: items on driver hardware (`video_frame_stats` with its three
+#: containers, `audio_decimated_stats` with five codecs) plus the
+#: r12-era minhash/simhash/contamination names.
 #:
 #: STANDING RULE — paired retire-on-register: the registry holds
 #: EXACTLY 150 names so the 3-round / 50-per-round rotation has zero
@@ -1741,67 +1741,6 @@ from stockpulse_batch_realtime_etl_spark import queries_ext  # noqa: E402,F401
 #: registration is truly needed, an old name must be retired in the
 #: same commit so the count stays at 150.
 _GATE_HEAD: tuple[str, ...] = (
-    "multimodal_jpeg422_stats",
-    "streaming_interval_join",
-    "semantic_dedup",
-    "semdedup_recall_report",
-    "ann_ivfpq_topk",
-    "ann_pq_adc_topk",
-    "bm25_scores",
-    "curation_funnel",
-    "dataset_splits",
-    "dedup_survivors",
-    "dup_groups_star",
-    "ema_ticks",
-    "frame_samples",
-    "gapfill_bars",
-    "health_counts",
-    "hourly_bars_rollup",
-    "hourly_symbol_pivot",
-    "incremental_dedup",
-    "jaccard_top_pairs",
-    "latest_bars",
-    "minhash_signatures",
-    "mixture_sample",
-    "multimodal_features",
-    "multimodal_png_stats",
-    "ngram_novelty",
-    "notable_days",
-    "orders_profile",
-    "packing_stats",
-    "pii_redact",
-    "pii_scan",
-    "price_cardinality",
-    "price_histogram",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "quality_length_filter",
-    "quality_score",
-    "rolling_stats",
-    "session_bars",
-    "simulated_ticks",
-    "sliding_bars",
-    "source_token_stats",
-    "storage_roundtrip",
-    "stratified_sample",
-    "streaming_running_bars",
-    "streaming_sector_rollup",
-    "streaming_session_bars",
-    "time_range_stats",
-    "top_bars_per_day",
-    "version_info",
-    "vwap_bars",
-)
-
-#: Names queued BEHIND the window, in r15 rotation priority: the 50
-#: r12-gated names in their r12 window order — after r14 they are
-#: exactly 2 rounds stale, the rotation maximum, so they take the whole
-#: r15 window.  The 50 r13-gated names follow in registration order as
-#: the un-listed tail (1 round stale after r14, windowed again in r16).
-#: Every name not listed follows in registration order.  All registered
-#: queries are still verified every round by the local all-queries
-#: parity suite (tests/test_oracle_parity) and tools/check_parity.py.
-_GATE_NEXT: tuple[str, ...] = (
     "symbols",
     "latest_ticks",
     "latest_tick_per_symbol",
@@ -1852,6 +1791,67 @@ _GATE_NEXT: tuple[str, ...] = (
     "return_outliers",
     "video_frame_stats",
     "audio_decimated_stats",
+)
+
+#: Names queued BEHIND the window, in r16 rotation priority: the 50
+#: r13-gated names in their r13 window order — after r15 they are
+#: exactly 2 rounds stale, the rotation maximum, so they take the whole
+#: r16 window.  The 50 r14-gated names follow in registration order as
+#: the un-listed tail (1 round stale after r15, windowed again in r17).
+#: Every name not listed follows in registration order.  All registered
+#: queries are still verified every round by the local all-queries
+#: parity suite (tests/test_oracle_parity) and tools/check_parity.py.
+_GATE_NEXT: tuple[str, ...] = (
+    "ohlcv_bars",
+    "tick_summary",
+    "bar_summary",
+    "movers",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_customers_by_revenue",
+    "brand_revenue",
+    "order_priority_counts",
+    "q6_forecast_revenue",
+    "revenue_rollup",
+    "customers_without_orders",
+    "text_stats",
+    "token_counts",
+    "language_id",
+    "bpe_token_counts",
+    "bpe_learned_merges",
+    "bpe_compression_stats",
+    "lang_vocab",
+    "doc_fingerprints",
+    "exact_dedup",
+    "dup_groups",
+    "simhash_fingerprints",
+    "ann_brute_force_topk",
+    "ann_lsh_bucketed_topk",
+    "embedding_near_dup_pairs",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "streaming_ohlcv_bars",
+    "tfidf_top_terms",
+    "multimodal_decoded_stats",
+    "multimodal_jpeg420_stats",
+    "multimodal_png_palette_stats",
+    "ann_ivf_multiprobe_topk",
+    "mover_window_ticks",
+    "temperature_mixture_sample",
+    "packed_sequences",
+    "winnowed_fingerprints",
+    "ann_recall_report",
+    "streaming_metrics_summary",
+    "multimodal_resized_stats",
+    "boilerplate_segments",
+    "segment_dedup_stats",
+    "chunked_windows",
+    "source_kl_divergence",
+    "user_sessions",
+    "streaming_pair_join_outer",
+    "streaming_pair_join_right",
+    "streaming_pair_join_full",
 )
 assert len(_GATE_HEAD) == 50, (
     f"driver gate window is exactly 50 entries; _GATE_HEAD has "
