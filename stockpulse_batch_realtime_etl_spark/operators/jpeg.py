@@ -1323,6 +1323,15 @@ def _parse_sof(body: bytes) -> tuple[int, int, list]:
     prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
     if prec != 8:
         raise NotImplementedError(f"JPEG precision {prec}")
+    # corrupt-header plausibility cap (shared with the other containers):
+    # SOF dims drive the MCU-grid coefficient allocations, and a flipped
+    # dims field would demand gigabytes before any scan decodes —
+    # MemoryError is outside the DLQ taxonomy, ValueError dead-letters
+    from stockpulse_batch_realtime_etl_spark.operators.multimodal import (
+        _check_pixel_budget,
+    )
+
+    _check_pixel_budget(w * h, "JPEG SOF header")
     if ncomp not in (1, 3):
         # reject CMYK/2-component frames at the header, BEFORE any scan's
         # entropy decode — reconstruction has the same guard as defense

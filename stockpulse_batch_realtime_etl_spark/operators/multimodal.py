@@ -223,6 +223,40 @@ def _encode_bmp8(idx, pal, rle: bool) -> bytes:
     return head + info + quads.tobytes() + data
 
 
+#: Plausibility cap on header-declared pixel counts, applied right
+#: after each container's header parse and BEFORE any dims-driven
+#: allocation: 2^26 px (~8192x8192) comfortably covers every real
+#: still/frame shape while bounding what a corrupt header can demand.
+#: Without the cap, a flipped dims field declaring ~1e9 pixels makes
+#: the decoder attempt multi-GB numpy allocations per asset, and the
+#: resulting ``MemoryError`` is OUTSIDE the decode DLQ taxonomy
+#: (``_total_on_corrupt`` / ``decode_or_dlq`` route only ValueError /
+#: NotImplementedError) — an executor-OOM/denial vector instead of a
+#: dead-letter row.  Raising ``ValueError`` here keeps the totality
+#: contract: exact decode or dead-letter.
+PIXEL_BUDGET = 1 << 26
+
+#: Same cap summed ACROSS a container's frames/pages (animated GIF
+#: canvases are retained per composed frame; multi-page TIFF retains
+#: one value array per page): 2^28 px total bounds the retained-frames
+#: memory even when every individual frame is under ``PIXEL_BUDGET``.
+FRAME_PIXEL_BUDGET = 1 << 28
+
+
+def _check_pixel_budget(npixels: int, what: str, budget: int = 0) -> None:
+    """Raise ``ValueError`` (the DLQ-routable corrupt-input signal)
+    when a header-declared pixel count exceeds the plausibility budget.
+    Reads the module-level caps at call time (``budget=0`` means
+    ``PIXEL_BUDGET``) so tests can shrink them via monkeypatch without
+    crafting genuinely huge payloads."""
+    cap = budget or PIXEL_BUDGET
+    if npixels > cap:
+        raise ValueError(
+            f"{what} declares {npixels} pixels, past the {cap} "
+            f"plausibility budget"
+        )
+
+
 def _bmp_rle8_decode(data: bytes, w: int, h: int):
     """BI_RLE8 decompression to an (h, w) int64 index grid in STORED
     (bottom-up) row order: run packets, absolute mode (word-aligned),
@@ -1346,6 +1380,9 @@ def decode_png_bytes(payload: bytes) -> dict:
         raise NotImplementedError(
             f"PNG compression={comp} filter={filt} interlace={interlace}"
         )
+    # same corrupt-header class as the BMP/TIFF/GIF caps: IHDR dims
+    # drive every downstream allocation (recon grids, Adam7 scatter)
+    _check_pixel_budget(w * h, "PNG IHDR")
     if ctype in (2, 4, 6) and depth in (8, 16):
         # multi-byte-pixel types: filter distance spans a whole pixel —
         # channels × 1 byte at depth 8, channels × 2 (big-endian sample
@@ -1401,7 +1438,22 @@ def decode_png_bytes(payload: bytes) -> dict:
             pal_alpha = np.full(pal.shape[0], 255, dtype=np.int64)
             pal_alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
     alpha_max = 65535 if depth == 16 else 255
-    raw = zlib.decompress(idat)
+    # bounded inflate: deflate expands up to ~1032×, so a small crafted
+    # IDAT could otherwise demand gigabytes independent of the (already
+    # budget-capped) IHDR dims.  Geometry upper bound: pixel bytes
+    # (w·h·bpp) + one filter byte per scanline row — Adam7 splits the
+    # image into 7 independently-filtered passes whose row count sums
+    # to ≤ 2h+7 with ≤ bpp per-row ceil padding each.
+    max_raw = w * h * bpp + (bpp + 1) * (2 * h + 8)
+    dco = zlib.decompressobj()
+    raw = dco.decompress(idat, max_raw + 1)
+    if len(raw) > max_raw:
+        raise ValueError("PNG inflate output overruns the geometry")
+    raw += dco.flush()
+    if not dco.eof:
+        # plain zlib.decompress raised on truncation; decompressobj
+        # returns partial output instead — keep the strict contract
+        raise ValueError("PNG IDAT deflate stream truncated")
 
     def unfilter(offset: int, n_rows: int, stride: int):
         """Unfilter one scanline run (a whole image, or one Adam7 pass —
@@ -1819,6 +1871,7 @@ def decode_tiff_pages(payload: bytes) -> dict:
     e = _tiff_byte_order(payload)
     (ifd_off,) = struct.unpack_from(f"{e}I", payload, 4)
     frames, dims, seen = [], [], set()
+    total_px = 0
     while ifd_off:
         if ifd_off in seen:
             raise ValueError("TIFF IFD chain cycle")
@@ -1826,6 +1879,13 @@ def decode_tiff_pages(payload: bytes) -> dict:
         page, ifd_off = _decode_tiff_ifd(payload, e, ifd_off)
         frames.append(page["vals"])
         dims.append((page["width"], page["height"]))
+        # retained-pages budget: each page is individually capped by
+        # _decode_tiff_ifd, but a long IFD chain accumulates one value
+        # array per page — cap the SUM too (≤ one-page overshoot)
+        total_px += page["width"] * page["height"]
+        _check_pixel_budget(
+            total_px, "TIFF IFD chain total", FRAME_PIXEL_BUDGET
+        )
     if not frames:
         raise ValueError("TIFF with no pages")
     return {"width": dims[0][0], "height": dims[0][1], "frames": frames}
@@ -1912,6 +1972,8 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
     w, h = tags[256][0], tags[257][0]
     if w == 0 or h == 0:
         raise ValueError(f"TIFF zero dimensions {w}x{h}")
+    # before the strip expected-size targets and the tile canvas below
+    _check_pixel_budget(w * h, "TIFF page header")
     if 322 in tags or 323 in tags:  # tiled organization (r14)
         if not all(t in tags for t in (322, 323, 324, 325)):
             raise ValueError("TIFF tiled file missing tile layout tags")
@@ -1919,6 +1981,9 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
         # spec: tile dims are non-zero multiples of 16
         if tw == 0 or tl == 0 or tw % 16 or tl % 16:
             raise ValueError(f"TIFF tile size {tw}x{tl}")
+        # a small-image/huge-tile header would otherwise size
+        # tile_bytes past the image's own (already-capped) budget
+        _check_pixel_budget(tw * tl, "TIFF tile size")
         toffs, tcounts = tags[324], tags[325]
         if len(toffs) != len(tcounts):
             raise ValueError("TIFF tile offset/count length mismatch")
@@ -2010,11 +2075,20 @@ def _gif_read_subblocks(payload: bytes, pos: int) -> tuple:
         pos += n
 
 
-def _lzw_decode(data: bytes, min_code_size: int) -> list:
+def _lzw_decode(
+    data: bytes, min_code_size: int, limit: int | None = None
+) -> list:
     """GIF LZW decompression: LSB-first variable-width codes, CLEAR /
     EOI handling, KwKwK special case, width stepping at next == 2^width,
     table frozen at the 4096-entry ceiling until the next CLEAR.
-    Returns the index sequence; any malformed code dead-letters."""
+    Returns the index sequence; any malformed code dead-letters.
+
+    ``limit`` bounds the decoded output (callers pass the frame's pixel
+    count plus one max-entry of slack): LZW expands up to ~4096× the
+    compressed stream, so without the in-loop cap a small crafted
+    payload could demand gigabytes BEFORE the caller's post-hoc length
+    check ever runs — same corrupt-header-allocation class as
+    ``_check_pixel_budget``."""
     clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
     roots = {i: bytes([i]) for i in range(clear)}
     nbytes = len(data)
@@ -2056,6 +2130,10 @@ def _lzw_decode(data: bytes, min_code_size: int) -> list:
         else:
             raise ValueError(f"GIF LZW code {code} outside the table")
         out += seq
+        if limit is not None and len(out) > limit:
+            raise ValueError(
+                f"GIF LZW output overruns the frame ({len(out)} > {limit})"
+            )
         if next_code < 4096:
             table[next_code] = table[prev] + seq[:1]
             next_code += 1
@@ -2084,6 +2162,7 @@ def decode_gif_bytes(payload: bytes) -> dict:
     w, h, flags, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
     if w == 0 or h == 0:
         raise ValueError(f"GIF zero dimensions {w}x{h}")
+    _check_pixel_budget(w * h, "GIF logical screen")
     pos = 13
     gpal = None
     if flags & 0x80:
@@ -2147,7 +2226,10 @@ def decode_gif_bytes(payload: bytes) -> dict:
         if not 2 <= min_code <= 8:
             raise ValueError(f"GIF LZW minimum code size {min_code}")
         stream, pos = _gif_read_subblocks(payload, pos)
-        idx = _lzw_decode(stream, min_code)
+        # one max-table-entry (4096 px) of slack past the declared
+        # frame keeps any spec-tolerable trailing output decodable
+        # while bounding LZW expansion
+        idx = _lzw_decode(stream, min_code, limit=iw * ih + 4096)
         if len(idx) < iw * ih:
             raise ValueError(
                 f"GIF pixel data short: {len(idx)} < {iw * ih}"
@@ -2205,6 +2287,8 @@ def decode_image_bytes(payload: bytes) -> dict:
         bottom_up, h = h > 0, abs(h)
         if w <= 0 or h == 0:
             raise ValueError(f"BMP non-positive dimensions {w}x{h}")
+        # before the row-grid / RLE8 index-grid allocations below
+        _check_pixel_budget(w * h, "BMP header")
         if bpp == 24:
             row = w * 3
             stride = row + ((-row) % 4)
@@ -2277,6 +2361,7 @@ def decode_image_bytes(payload: bytes) -> dict:
             # count w*h*3 would then silently read ALL trailing bytes and
             # return a garbage dict instead of dead-lettering (fuzz-caught)
             raise ValueError(f"PPM non-positive dimensions {w}x{h}")
+        _check_pixel_budget(w * h, "PPM/PGM header")
         if maxval != 255:
             raise NotImplementedError(f"PPM maxval={maxval}")
         pos += 1  # single whitespace byte after maxval, then raw samples
@@ -3141,6 +3226,7 @@ def decode_y4m_bytes(payload: bytes) -> dict:
         # pos = start + fsize would step BACKWARD — an infinite loop on
         # corrupt input (same class as the PPM negative-dimension decode)
         raise ValueError(f"Y4M non-positive dimensions {w}x{h}")
+    _check_pixel_budget(w * h, "Y4M header")
     if cspace == "C444":
         sub = False
     elif cspace.startswith("C420"):
@@ -3263,6 +3349,7 @@ def decode_gif_frames(payload: bytes) -> dict:
     w, h, flags, bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
     if w == 0 or h == 0:
         raise ValueError(f"GIF zero dimensions {w}x{h}")
+    _check_pixel_budget(w * h, "GIF logical screen")
     pos = 13
     gpal = None
     if flags & 0x80:
@@ -3281,6 +3368,7 @@ def decode_gif_frames(payload: bytes) -> dict:
         raise ValueError("GIF background index outside the global color table")
     canvas = np.tile(gpal[bg].astype(np.int64), (h, w, 1))
     frames: list = []
+    total_px = 0
     transp = None
     disposal = 0
     while True:
@@ -3340,7 +3428,10 @@ def decode_gif_frames(payload: bytes) -> dict:
         if not 2 <= min_code <= 8:
             raise ValueError(f"GIF LZW minimum code size {min_code}")
         stream, pos = _gif_read_subblocks(payload, pos)
-        idx = _lzw_decode(stream, min_code)
+        # one max-table-entry (4096 px) of slack past the declared
+        # frame keeps any spec-tolerable trailing output decodable
+        # while bounding LZW expansion
+        idx = _lzw_decode(stream, min_code, limit=iw * ih + 4096)
         if len(idx) < iw * ih:
             raise ValueError(
                 f"GIF pixel data short: {len(idx)} < {iw * ih}"
@@ -3360,6 +3451,13 @@ def decode_gif_frames(payload: bytes) -> dict:
         rgb = pal[np.minimum(grid, len(pal) - 1)].astype(np.int64)
         if tmask is not None:
             rgb = np.where(tmask[:, :, None], region, rgb)
+        # retained-frames budget: one composed w×h canvas is kept per
+        # image descriptor, so a tiny payload with many descriptors
+        # would otherwise accumulate unboundedly — cap the SUM
+        total_px += w * h
+        _check_pixel_budget(
+            total_px, "GIF animation frames total", FRAME_PIXEL_BUDGET
+        )
         canvas[top : top + ih, left : left + iw] = rgb
         frames.append(canvas.reshape(-1).copy())
         if disposal == 2:

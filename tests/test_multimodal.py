@@ -3431,3 +3431,139 @@ def test_wav_extensible_unwraps_to_plain_twins():
     # slice must not fail the tail compare into NotImplementedError
     with pytest.raises(ValueError, match="truncated"):
         multimodal.decode_wav_bytes(good[:50])
+
+
+def test_pixel_budget_caps_corrupt_dims_dead_letter():
+    """Corrupt headers declaring ~1e9+ pixels must dead-letter as
+    ValueError BEFORE any dims-driven allocation — without the
+    plausibility cap each of these demanded multi-GB numpy buffers and
+    died with MemoryError, which is outside the decode DLQ taxonomy
+    (the r14 verdict's one remaining totality hole)."""
+    import zlib
+
+    # BMP: patch biWidth/biHeight (offsets 18/22) of a real corpus file
+    for aid in (0, 5, 10):  # 24-bit, palette, RLE8 variants
+        good = multimodal.encode_bmp(aid)
+        bad = good[:18] + struct.pack("<ii", 60_000, 60_000) + good[26:]
+        with pytest.raises(ValueError, match="plausibility budget"):
+            multimodal.decode_image_bytes(bad)
+
+    # PPM/PGM: huge ASCII dims ahead of a tiny sample section
+    with pytest.raises(ValueError, match="plausibility budget"):
+        multimodal.decode_image_bytes(b"P6\n99999 99999\n255\n\x00\x00")
+    with pytest.raises(ValueError, match="plausibility budget"):
+        multimodal.decode_image_bytes(b"P5\n99999 99999\n255\n\x00\x00")
+
+    # GIF: patch the logical-screen dims (offset 6) — still AND frames
+    good = multimodal.encode_gif(4)
+    bad = good[:6] + struct.pack("<HH", 60_000, 60_000) + good[10:]
+    with pytest.raises(ValueError, match="plausibility budget"):
+        multimodal.decode_gif_bytes(bad)
+    with pytest.raises(ValueError, match="plausibility budget"):
+        multimodal.decode_gif_frames(bad)
+
+    # TIFF: minimal little-endian IFD declaring huge ImageWidth/Length —
+    # the cap must fire before the strip-layout walk sizes anything
+    entries = [
+        (256, 4, 1, 100_000), (257, 4, 1, 100_000), (258, 3, 1, 8),
+        (259, 3, 1, 1), (262, 3, 1, 1), (277, 3, 1, 1),
+    ]
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        ifd += struct.pack("<HHII", tag, typ, cnt, val)
+    ifd += struct.pack("<I", 0)
+    tiff = b"II*\x00" + struct.pack("<I", 8) + ifd
+    with pytest.raises(ValueError, match="plausibility budget"):
+        multimodal.decode_tiff_bytes(tiff)
+
+    # TIFF tiled: small image, huge declared tile geometry
+    entries = [
+        (256, 4, 1, 8), (257, 4, 1, 8), (258, 3, 1, 8),
+        (259, 3, 1, 1), (262, 3, 1, 1), (277, 3, 1, 1),
+        (322, 4, 1, 1 << 16), (323, 4, 1, 1 << 16),
+        (324, 4, 1, 8), (325, 4, 1, 8),
+    ]
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        ifd += struct.pack("<HHII", tag, typ, cnt, val)
+    ifd += struct.pack("<I", 0)
+    tiff = b"II*\x00" + struct.pack("<I", 8) + ifd
+    with pytest.raises(ValueError, match="plausibility budget"):
+        multimodal.decode_tiff_bytes(tiff)
+
+    # PNG: IHDR with huge dims and a VALID CRC (the CRC gate must not
+    # mask the budget path)
+    ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 2, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="plausibility budget"):
+        multimodal.decode_png_bytes(b"\x89PNG\r\n\x1a\n" + chunk)
+
+    # JPEG: SOI + SOF0 declaring huge dims
+    sof_body = struct.pack(">BHHB", 8, 60_000, 60_000, 1) + bytes(
+        (1, 0x11, 0)
+    )
+    sof = b"\xff\xc0" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+    with pytest.raises(ValueError, match="plausibility budget"):
+        multimodal.decode_image_bytes(b"\xff\xd8" + sof)
+
+    # Y4M: huge header dims ahead of a tiny frame
+    with pytest.raises(ValueError, match="plausibility budget"):
+        multimodal.decode_y4m_bytes(
+            b"YUV4MPEG2 W99999 H99998 C444\nFRAME\n\x00"
+        )
+
+
+def test_frame_pixel_budget_caps_retained_frames(monkeypatch):
+    """The SUMMED frames/pages budget: every individual frame fits, but
+    the retained-canvas accumulation crosses the (test-shrunk) total
+    cap — animated GIF and multi-page TIFF both dead-letter."""
+    aid = 3  # _video_frames(3) = 5 frames/pages
+    w, h = multimodal._image_dims(aid)
+
+    gif = multimodal.encode_gif_anim(aid)
+    tiff = multimodal.encode_tiff_pages(aid)
+    # sanity: both decode fine under the real budgets
+    assert len(multimodal.decode_gif_frames(gif)["frames"]) == 5
+    assert len(multimodal.decode_tiff_pages(tiff)["frames"]) == 5
+
+    monkeypatch.setattr(multimodal, "FRAME_PIXEL_BUDGET", 2 * w * h)
+    with pytest.raises(ValueError, match="plausibility budget"):
+        multimodal.decode_gif_frames(gif)
+    with pytest.raises(ValueError, match="plausibility budget"):
+        multimodal.decode_tiff_pages(tiff)
+
+
+def test_gif_lzw_output_limit_bounds_expansion():
+    """LZW expands up to ~4096x a crafted stream; the in-loop limit
+    (frame pixels + one max-entry slack) must stop the bomb mid-decode
+    instead of letting the post-hoc length check see gigabytes."""
+    idx = bytes(i % 4 for i in range(500))
+    enc = multimodal._lzw_encode(list(idx), 2)
+    assert bytes(multimodal._lzw_decode(enc, 2)) == idx
+    assert bytes(multimodal._lzw_decode(enc, 2, limit=500)) == idx
+    with pytest.raises(ValueError, match="overruns the frame"):
+        multimodal._lzw_decode(enc, 2, limit=100)
+
+    # integration: shrink BOTH the logical screen and the image
+    # descriptor of a real GIF to 1x1 — its (larger) pixel stream now
+    # overruns 1 + 4096... so grow the stream first: a corpus asset
+    # with > 4097 pixels makes the shrunken declaration overrun
+    aid = 364  # dims (4+364%13, 4+364%11) = (16, 7): too small — tile it
+    # craft a single-frame GIF with 5000 px via the corpus LZW encoder
+    pal = bytes(range(12))  # 4-entry RGB table
+    stream = multimodal._lzw_encode([i % 4 for i in range(5000)], 2)
+    sub = b""
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        sub += bytes((len(chunk),)) + chunk
+    sub += b"\x00"
+    gif = (
+        b"GIF89a" + struct.pack("<HHBBB", 1, 1, 0x81, 0, 0) + pal
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0)
+        + bytes((2,)) + sub + b"\x3b"
+    )
+    with pytest.raises(ValueError, match="overruns the frame"):
+        multimodal.decode_gif_bytes(gif)
