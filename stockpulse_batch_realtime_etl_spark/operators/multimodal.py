@@ -1863,11 +1863,13 @@ def decode_tiff_pages(payload: bytes) -> dict:
     """Walk a multi-page TIFF's full IFD chain (r14 — the
     scanned-document corpus shape) into ``{width, height, frames}``:
     one decoded value array per page, each page independently
-    stripped/tiled/compressed/predicted, with the FIRST page's
-    dimensions reported at the top level (pages may differ; per-page
-    dims are ``len(frame) // ...`` derivable by the consumer from the
-    frame stats schema).  Chain cycles and out-of-bounds IFD offsets
-    dead-letter."""
+    stripped/tiled/compressed/predicted.  The contract reports ONE
+    (width, height) at the top level and consumers stamp it on every
+    frame row, so pages that disagree on dimensions — spec-valid TIFF,
+    but unrepresentable in that shape — raise ``NotImplementedError``
+    (dead-letter) rather than silently mislabeling pages 2+ with page
+    1's dims (r14 ADVICE).  Chain cycles and out-of-bounds IFD offsets
+    dead-letter as corrupt."""
     e = _tiff_byte_order(payload)
     (ifd_off,) = struct.unpack_from(f"{e}I", payload, 4)
     frames, dims, seen = [], [], set()
@@ -1879,6 +1881,13 @@ def decode_tiff_pages(payload: bytes) -> dict:
         page, ifd_off = _decode_tiff_ifd(payload, e, ifd_off)
         frames.append(page["vals"])
         dims.append((page["width"], page["height"]))
+        if dims[-1] != dims[0]:
+            raise NotImplementedError(
+                f"TIFF pages disagree on dimensions ({dims[0][0]}x"
+                f"{dims[0][1]} vs {dims[-1][0]}x{dims[-1][1]}): the "
+                "one-(width,height)-per-asset frames contract cannot "
+                "represent mixed-dims chains"
+            )
         # retained-pages budget: each page is individually capped by
         # _decode_tiff_ifd, but a long IFD chain accumulates one value
         # array per page — cap the SUM too (≤ one-page overshoot)
@@ -3341,7 +3350,17 @@ def decode_gif_frames(payload: bytes) -> dict:
     background color, so a GLOBAL color table is required (honest
     ``NotImplementedError`` otherwise — without it the composition base
     is undefined); reserved disposal methods 4-7 and out-of-canvas
-    frame rects dead-letter as corrupt."""
+    frame rects dead-letter as corrupt.
+
+    DOCUMENTED DIVERGENCE from renderer behavior (r14 ADVICE): real
+    renderers treat the pre-first-frame canvas as TRANSPARENT and
+    ignore the LSD background color, so first-frame transparent pixels
+    (and disposal-2 restores) here show the background color where a
+    browser would show the page behind the image.  The convention is
+    deterministic, oracle-consistent, and the only self-contained
+    choice for an engine that must emit concrete RGB for every pixel —
+    but it is a composition-policy convention, not external pixel
+    fidelity."""
     import numpy as np
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):

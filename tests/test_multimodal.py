@@ -1266,6 +1266,15 @@ def test_tiff_multipage_corpus_and_chain_seams():
     # single-page files also walk through the pages API
     one = multimodal.decode_tiff_pages(multimodal.encode_tiff(2))
     assert len(one["frames"]) == 1
+    # pages disagreeing on dims: spec-valid TIFF, but the one-dims-per-
+    # asset frames contract can't represent it — dead-letter, never
+    # silently stamp page 1's dims on page 2 (r14 ADVICE)
+    i = np.arange(8 * 8 * 3, dtype=np.int64)
+    p1 = ((13 * i) % 256).astype(np.uint8).reshape(8, 8, 3)
+    p2 = ((13 * i[: 4 * 8 * 3]) % 256).astype(np.uint8).reshape(4, 8, 3)
+    mixed = multimodal._encode_tiff_multipage([(p1, 2, 1), (p2, 2, 1)], "<", 4)
+    with pytest.raises(NotImplementedError, match="disagree on dimensions"):
+        multimodal.decode_tiff_pages(mixed)
 
 
 def test_gif_anim_composition_general_and_errors():
