@@ -850,7 +850,13 @@ def encode_gif(asset_id: int) -> bytes:
     GCE TRANSPARENT flag on index (3·id) mod nc with LSD background
     index (3·id + 7) mod nc — decoded stills must compose transparent
     pixels to the background color, so the oracle's effective-index
-    substitution pins the composition path."""
+    substitution pins the composition path.
+
+    Ids with ``(id // 5) % 3 == 2`` (r15) are ANIMATED: a second
+    partial-canvas frame follows the full-canvas first.  The stills
+    contract returns COMPOSED FRAME 0 — identical values to the plain
+    still — so the decoded-stats oracle is unchanged while the corpus
+    permanently exercises the stills→frames delegation path."""
     import numpy as np
 
     w, h = _image_dims(asset_id)
@@ -859,13 +865,29 @@ def encode_gif(asset_id: int) -> bytes:
     k = np.arange(w * h, dtype=np.int64)
     idx = ((3 * asset_id + 5 * k) % ncolors).reshape(h, w)
     transparent = (asset_id // 10) % 2 == 1
-    return _encode_gif_frame(
+    still = _encode_gif_frame(
         idx,
         _gif_palette(asset_id, ncolors),
         asset_id % 2 == 1,
         bits,
         transparent_idx=(3 * asset_id) % ncolors if transparent else None,
         background=(3 * asset_id + 7) % ncolors if transparent else 0,
+    )
+    if (asset_id // 5) % 3 != 2:
+        return still
+    # animated variant: append a second (w-2)x(h-2) frame at (1, 1)
+    # before the trailer; frame 0 is untouched, so the still decode
+    # (frame 0 of the composition) matches the plain closed form
+    iw, ih = w - 2, h - 2
+    k2 = np.arange(iw * ih, dtype=np.int64)
+    idx2 = (3 * asset_id + 5 * k2 + 11) % ncolors
+    return (
+        still[:-1]
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        + struct.pack("<BHHHHB", 0x2C, 1, 1, iw, ih, 0)
+        + bytes([bits])
+        + _gif_data_subblocks(_lzw_encode(idx2, bits))
+        + b"\x3b"
     )
 
 
@@ -2158,12 +2180,13 @@ def decode_gif_bytes(payload: bytes) -> dict:
     LZW decompressed for real, interlace rows re-sequenced, extension
     blocks skipped.  A GCE transparent-color flag (r14) composes the
     transparent index to the LSD background color out of the GLOBAL
-    table — well-defined for a full-canvas still.  Honest format
-    boundaries raise ``NotImplementedError``: animation (a second image
-    descriptor), frames that do not cover the canvas (their meaning
-    needs composition state), and a transparent frame with no global
-    table (no defined background color); corrupt shapes raise
-    ``ValueError``."""
+    table — well-defined for a full-canvas still.  Animation (a second
+    image descriptor) and partial-canvas first frames delegate to
+    :func:`decode_gif_frames` and return COMPOSED FRAME 0 (r15 — the
+    stills contract for multi-frame media); the remaining honest
+    boundary is a transparent or partial-canvas frame with no global
+    table (no defined composition base, ``NotImplementedError``);
+    corrupt shapes raise ``ValueError``."""
     import numpy as np
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -2210,13 +2233,26 @@ def decode_gif_bytes(payload: bytes) -> dict:
         if marker != 0x2C:
             raise ValueError(f"unknown GIF block 0x{marker:02x}")
         if vals is not None:
-            raise NotImplementedError("multi-frame GIF (animation)")
+            # a second image descriptor = animation: the stills
+            # contract is frame 0 of the COMPOSED animation — delegate
+            # to the frames decoder (r15, cheap now that the full
+            # composition model exists) instead of raising
+            d = decode_gif_frames(payload)
+            return {
+                "width": d["width"], "height": d["height"],
+                "vals": d["frames"][0],
+            }
         left, top, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
         if (left, top, iw, ih) != (0, 0, w, h):
-            raise NotImplementedError(
-                "partial-canvas GIF frame (needs composition state)"
-            )
+            # a partial-canvas first frame needs the composition
+            # model's background base — same delegation (r15); its
+            # global-table requirement and rect validation apply
+            d = decode_gif_frames(payload)
+            return {
+                "width": d["width"], "height": d["height"],
+                "vals": d["frames"][0],
+            }
         pal = gpal
         if iflags & 0x80:  # local color table overrides
             lsize = 2 << (iflags & 7)

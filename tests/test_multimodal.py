@@ -388,15 +388,31 @@ def test_gif_error_paths_and_format_boundaries():
     del tg[gce_at + 4 : gce_at + 7]  # drop delay+index bytes
     with pytest.raises(ValueError, match="graphic control"):
         multimodal.decode_gif_bytes(bytes(tg))
-    # a second image descriptor = animation
+    # a second image descriptor = animation: the still decode is now
+    # COMPOSED FRAME 0 via the frames path (r15) — duplicating the
+    # full-canvas frame leaves frame 0 identical to the plain still
     img_at = good.index(b"\x2c\x00\x00\x00\x00")
     frame = good[img_at:-1]  # descriptor..data, sans trailer
-    with pytest.raises(NotImplementedError, match="multi-frame"):
-        multimodal.decode_gif_bytes(good[:-1] + frame + b"\x3b")
-    # partial-canvas frame (left offset 1)
+    np.testing.assert_array_equal(
+        multimodal.decode_gif_bytes(good[:-1] + frame + b"\x3b")["vals"],
+        multimodal.decode_gif_bytes(good)["vals"],
+    )
+    # partial-canvas first frame: composed onto the background canvas
+    # (1x1 frame at (1, 0) of a 2x1 canvas, 4-entry global table)
+    pal = bytes((10, 11, 12, 20, 21, 22, 30, 31, 32, 40, 41, 42))
+    part = (
+        b"GIF89a" + struct.pack("<HHBBB", 2, 1, 0x81, 3, 0) + pal
+        + b"\x2c" + struct.pack("<HHHHB", 1, 0, 1, 1, 0)
+        + bytes((2,))
+        + multimodal._gif_data_subblocks(multimodal._lzw_encode([1], 2))
+        + b"\x3b"
+    )
+    d = multimodal.decode_image_bytes(part)
+    assert list(d["vals"]) == [40, 41, 42, 20, 21, 22]
+    # ... but a frame rect past the canvas is corrupt, not a seam
     p = bytearray(good)
-    p[img_at + 1] = 1
-    with pytest.raises(NotImplementedError, match="partial-canvas"):
+    p[img_at + 1] = 1  # left=1 with full-canvas width overruns
+    with pytest.raises(ValueError, match="outside"):
         multimodal.decode_gif_bytes(bytes(p))
     # unknown block marker
     u = bytearray(good)
@@ -1383,9 +1399,12 @@ def test_gif_anim_composition_general_and_errors():
     del n[13 : 13 + (2 << (good[10] & 7)) * 3]
     with pytest.raises(NotImplementedError, match="global color table"):
         multimodal.decode_gif_frames(bytes(n))
-    # the stills contract still treats a second descriptor as a seam
-    with pytest.raises(NotImplementedError, match="multi-frame"):
-        multimodal.decode_gif_bytes(good)
+    # the stills contract now returns COMPOSED FRAME 0 for an
+    # animation (r15) — identical to the frames decoder's first frame
+    np.testing.assert_array_equal(
+        multimodal.decode_gif_bytes(good)["vals"],
+        multimodal.decode_gif_frames(good)["frames"][0],
+    )
 
 
 def test_y4m_round_trip_and_errors():
