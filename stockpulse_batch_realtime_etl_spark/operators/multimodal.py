@@ -333,6 +333,18 @@ def encode_tiff(asset_id: int) -> bytes:
       values (1237·id + 4099·i) mod 65536, the PNG16 closed form);
     - 9: grayscale 16-BIT + LZW + predictor 2 (mod-65536 differencing).
 
+    SAMPLEFORMAT overlay on variants 8/9 (r15, the scientific/geo
+    shapes): ``(id // 50) % 3`` rotates 0 = unsigned (the r14 form),
+    1 = SIGNED INT (tag 339 = 2: variant 8 int16 ``n − 32768``,
+    variant 9 int32 ``(n − 32768)·65536`` — full 32-bit range), 2 =
+    IEEE FLOAT (tag 339 = 3: variant 8 float32, variant 9 float64,
+    both storing ``(n − 32768)/65536`` so the 16.16 grid decode
+    (:data:`TIFF_FLOAT_SCALE`) recovers exactly ``n − 32768``), with
+    ``n = (1237·id + 4099·i) mod 65536``.  Signed keeps each
+    variant's compression/predictor; float drops the (integer-only)
+    predictor and keeps photometric 1 (WhiteIsZero inversion is
+    unsigned-only).
+
     Grayscale alternates photometric 1 (BlackIsZero, ``(id//10)`` even)
     and 0 (WhiteIsZero, stored INVERTED at the sample depth so decoded
     intensity still equals the closed form — a decoder that ignores the
@@ -347,15 +359,33 @@ def encode_tiff(asset_id: int) -> bytes:
             8: 8, 9: 5}[variant]
     pred = 2 if variant in (4, 9) else 1
     tile = (16, 16) if variant in (6, 7) else None
-    if variant == 8:  # 16-bit RGB
+    sfmt = (asset_id // 50) % 3  # 0 unsigned / 1 signed / 2 float
+    if variant == 8:  # 16-bit RGB (unsigned/signed/float by overlay)
         i = np.arange(w * h * 3, dtype=np.int64)
-        px = ((1237 * asset_id + 4099 * i) % 65536).astype(
-            np.uint16
-        ).reshape(h, w, 3)
+        n16 = (1237 * asset_id + 4099 * i) % 65536
+        if sfmt == 1:
+            px = (n16 - 32768).astype(np.int16).reshape(h, w, 3)
+        elif sfmt == 2:
+            px = ((n16 - 32768) / 65536.0).astype(np.float32).reshape(
+                h, w, 3
+            )
+        else:
+            px = n16.astype(np.uint16).reshape(h, w, 3)
         return _encode_tiff(px, e, 4, photometric=2, compression=comp)
-    if variant == 9:  # 16-bit grayscale (+ predictor 2)
+    if variant == 9:  # 16-bit grayscale (+ predictor 2) / 32-bit overlay
         i = np.arange(w * h, dtype=np.int64)
-        gray16 = ((1237 * asset_id + 4099 * i) % 65536).reshape(h, w)
+        n16 = (1237 * asset_id + 4099 * i) % 65536
+        if sfmt == 1:  # int32, full range, predictor kept
+            return _encode_tiff(
+                ((n16 - 32768) * 65536).astype(np.int32).reshape(h, w),
+                e, 4, photometric=1, compression=comp, predictor=pred,
+            )
+        if sfmt == 2:  # float64, no (integer) predictor
+            return _encode_tiff(
+                ((n16 - 32768) / 65536.0).reshape(h, w),
+                e, 4, photometric=1, compression=comp,
+            )
+        gray16 = n16.reshape(h, w)
         photo = 1 if (asset_id // 10) % 2 == 0 else 0
         stored = gray16 if photo == 1 else 65535 - gray16
         return _encode_tiff(
@@ -575,6 +605,29 @@ def _tiff_expand(chunk: bytes, comp: int, expected: int) -> bytes:
     return out
 
 
+#: Fixed-point scale for IEEE-float TIFF samples (SampleFormat 3, the
+#: scientific/geo shape — reflectance/elevation grids): decoded values
+#: map onto a 16.16 grid, ``val = rint(float · 2¹⁶)``, mirroring the
+#: float-WAV convention (:data:`WAV_FLOAT_SCALE`) so integer stats
+#: pipelines see exact integers for corpus data written on the grid.
+#: Samples are NOT clipped; non-finite samples and values whose scaled
+#: magnitude exceeds 2⁵³ (the exact-integer float64 range) dead-letter.
+TIFF_FLOAT_SCALE = 65536
+
+
+def _tiff_float_vals(x):
+    """Map raw IEEE-float TIFF samples onto the 16.16 integer grid with
+    the exact-or-dead-letter checks shared with the float-WAV path."""
+    import numpy as np
+
+    if not np.isfinite(x).all():
+        raise ValueError("TIFF float with non-finite samples")
+    scaled = x.astype(np.float64) * TIFF_FLOAT_SCALE
+    if scaled.size and np.abs(scaled).max() > float(2**53):
+        raise ValueError("TIFF float sample out of range")
+    return np.rint(scaled).astype(np.int64)
+
+
 def _encode_tiff_rgb(px, e: str, rps: int) -> bytes:
     """Baseline chunky-RGB wrapper over :func:`_encode_tiff` (kept for
     the container-level round-trip properties)."""
@@ -637,11 +690,19 @@ def _encode_tiff_page(
     import numpy as np
 
     spp = 3 if photometric == 2 else 1
-    # 16-BIT samples (r14): a uint16 input array writes depth-16 pages
-    # in the file's byte order; predictor differencing runs mod 2^depth
-    depth = 16 if px.dtype == np.uint16 else 8
+    # Sample depth/format from the input dtype (r14/r15): uint8/uint16
+    # write SampleFormat-1 pages, int16/int32 SampleFormat-2,
+    # float32/float64 SampleFormat-3 — all in the file's byte order;
+    # integer predictor differencing runs mod 2^depth (signed data
+    # differences as its two's-complement words in the same ring)
+    depth = px.dtype.itemsize * 8
+    sample_format = {"u": 1, "i": 2, "f": 3}[px.dtype.kind]
+    if sample_format == 3 and predictor == 2:
+        raise ValueError("predictor 2 is undefined for float samples")
     mod = 1 << depth
-    sdt = np.dtype(f"{e}u2") if depth == 16 else np.dtype(np.uint8)
+    sdt = np.dtype(f"{e}{'f' if sample_format == 3 else 'u'}{depth // 8}")
+    if sample_format == 2:
+        px = px.astype(np.int64) % mod  # store two's-complement words
     h, w = px.shape[0], px.shape[1]
     if tile is not None:
         tw, tl = tile
@@ -654,8 +715,9 @@ def _encode_tiff_page(
             for tx in range(pw // tw):
                 t = padded[
                     ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw
-                ].astype(np.int64)
+                ]
                 if predictor == 2:
+                    t = t.astype(np.int64)
                     t[:, 1:, :] = (t[:, 1:, :] - t[:, :-1, :]) % mod
                 strips.append(t.astype(sdt).tobytes())
     else:
@@ -699,6 +761,11 @@ def _encode_tiff_page(
     if spp == 3:
         extra += struct.pack(f"{e}3H", depth, depth, depth)
         cur += 6
+    # RGB SampleFormat is 3 SHORTs, off-line like BitsPerSample
+    sf_off = cur
+    if sample_format != 1 and spp == 3:
+        extra += struct.pack(f"{e}3H", *([sample_format] * 3))
+        cur += 6
     ifd_off = cur
 
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
@@ -735,6 +802,10 @@ def _encode_tiff_page(
         entries.append(
             entry(325, 4, n,
                   len(strips[0]) if n == 1 else arr_off_counts)
+        )
+    if sample_format != 1:
+        entries.append(
+            entry(339, 3, spp, sf_off if spp == 3 else sample_format)
         )
     ifd = struct.pack(f"{e}H", len(entries)) + b"".join(entries) + struct.pack(
         f"{e}I", 0
@@ -1864,14 +1935,19 @@ def decode_tiff_bytes(payload: bytes) -> dict:
     the inline-vs-offset rule, multi-strip or TILED assembly in order,
     per-segment decompression for PackBits (32773), LZW (5, MSB-first
     EarlyChange) and Deflate (8/32946), horizontal predictor 2
-    un-differencing, and 8-bit grayscale (photometric 0/1; WhiteIsZero
-    decodes INVERTED to intensity).  Honest boundaries raise
+    un-differencing, 8-bit grayscale (photometric 0/1; WhiteIsZero
+    decodes INVERTED to intensity), and SampleFormat 2/3 (r15): signed
+    int 16/32 via the two's-complement mod-2^depth word ring, IEEE
+    float 32/64 mapped onto the 16.16 grid
+    (:data:`TIFF_FLOAT_SCALE`).  Honest boundaries raise
     ``NotImplementedError``: other compressions (CCITT/JPEG),
-    palette/CMYK/YCbCr photometrics, bit depths other than
-    8-per-sample, the floating-point predictor, non-default
-    orientation, and planar configuration; multi-IFD files keep the
-    stills contract's seam here — :func:`decode_tiff_pages` walks the
-    full page chain; corrupt shapes raise ``ValueError``."""
+    palette/CMYK/YCbCr photometrics, depths outside each format's
+    8/16 ∪ signed 16/32 ∪ float 32/64 set, the floating-point
+    predictor 3 (and predictor 2 on float), WhiteIsZero on
+    signed/float, mixed per-channel formats, non-default orientation,
+    and planar configuration; multi-IFD files keep the stills
+    contract's seam here — :func:`decode_tiff_pages` walks the full
+    page chain; corrupt shapes raise ``ValueError``."""
     e = _tiff_byte_order(payload)
     (ifd_off,) = struct.unpack_from(f"{e}I", payload, 4)
     page, next_ifd = _decode_tiff_ifd(payload, e, ifd_off)
@@ -1980,24 +2056,47 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
         raise NotImplementedError("TIFF planar configuration")
     bits = tuple(tags.get(258, ()))
     spp = 3 if photo == 2 else 1
+    # SampleFormat (tag 339, r15): 1 = unsigned int (default), 2 =
+    # signed int, 3 = IEEE float — the scientific/geo-TIFF shapes.
+    # 4 (undefined) and 5/6 (complex) stay honest seams; per-channel
+    # mixed formats too.
+    sfv = tuple(tags.get(339, ()))
+    if sfv and len(set(sfv)) != 1:
+        raise NotImplementedError(f"TIFF mixed sample formats {sfv}")
+    sfmt = sfv[0] if sfv else 1
+    if sfmt not in (1, 2, 3):
+        raise NotImplementedError(f"TIFF sample format {sfmt}")
     # count-1 BitsPerSample=8 with spp=3 is a common valid writer shape;
     # grayscale with NO BitsPerSample tag defaults to 1 (bilevel) — an
     # honest boundary, not 8-bit.  16-bit samples (r14) decode with the
-    # file's byte order; mixed per-channel depths stay a seam.
-    if photo == 2:
-        ok_bits = ((8, 8, 8), (8,), (16, 16, 16), (16,))
-    else:
-        ok_bits = ((8,), (16,))
-    if tags.get(277, (spp,))[0] != spp or bits not in ok_bits:
+    # file's byte order; mixed per-channel depths stay a seam.  Depths
+    # by format: unsigned 8/16, signed 16/32, float 32/64.
+    ok_depths = {1: (8, 16), 2: (16, 32), 3: (32, 64)}[sfmt]
+    if (
+        tags.get(277, (spp,))[0] != spp
+        or not bits
+        or any(b != bits[0] for b in bits)
+        or bits[0] not in ok_depths
+        or len(bits) not in (1, spp)
+    ):
         raise NotImplementedError(
             f"TIFF photometric {photo} spp={tags.get(277)} "
-            f"bits={tags.get(258)}"
+            f"bits={tags.get(258)} sample format {sfmt}"
         )
     depth = bits[0]
     bstep = depth // 8
-    if any(v != 1 for v in tags.get(339, (1,))):
-        # SampleFormat: 2 = signed int, 3 = IEEE float
-        raise NotImplementedError(f"TIFF sample format {tags.get(339)}")
+    if sfmt != 1 and photo == 0:
+        # WhiteIsZero's full-range inversion is only defined on the
+        # unsigned grid
+        raise NotImplementedError(
+            f"TIFF WhiteIsZero with sample format {sfmt}"
+        )
+    if sfmt == 3 and predictor == 2:
+        # predictor 2 is integer horizontal differencing; the float
+        # predictor is 3 (already a seam above)
+        raise NotImplementedError(
+            "TIFF integer predictor 2 on floating-point samples"
+        )
     if 256 not in tags or 257 not in tags:
         raise ValueError("TIFF missing dimensions")
     w, h = tags[256][0], tags[257][0]
@@ -2024,18 +2123,19 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
                 f"TIFF tile count {len(toffs)} != {across}x{down}"
             )
         tile_bytes = tw * tl * spp * bstep
-        sdt = np.dtype(f"{e}u2") if depth == 16 else np.dtype(np.uint8)
-        img = np.zeros((h, w, spp), np.int64)
+        sdt = np.dtype(f"{e}{'f' if sfmt == 3 else 'u'}{bstep}")
+        img = np.zeros((h, w, spp), np.float64 if sfmt == 3 else np.int64)
         for t_i, (off, cnt) in enumerate(zip(toffs, tcounts)):
             if off + cnt > len(payload):
                 raise ValueError("TIFF tile past the payload")
             chunk = _tiff_expand(payload[off : off + cnt], comp, tile_bytes)
-            tile = np.frombuffer(chunk, sdt).astype(np.int64).reshape(
+            tile = np.frombuffer(chunk, sdt).astype(img.dtype).reshape(
                 tl, tw, spp
             )
             if predictor == 2:
                 # un-difference per tile row (padding included — the
-                # encoder differenced over it too)
+                # encoder differenced over it too); integer-only (the
+                # float+predictor-2 combination is rejected above)
                 tile = np.cumsum(tile, axis=1) % (1 << depth)
             ty, tx = divmod(t_i, across)
             y0, x0 = ty * tl, tx * tw
@@ -2045,8 +2145,16 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
                 : min(tl, h - y0), : min(tw, w - x0)
             ]
         vals = img.reshape(-1)
-        if photo == 0:
-            vals = ((1 << depth) - 1) - vals
+        if sfmt == 3:
+            vals = _tiff_float_vals(vals)
+        else:
+            if photo == 0:
+                vals = ((1 << depth) - 1) - vals
+            if sfmt == 2:
+                # stored unsigned mod-2^depth words → two's complement
+                vals = vals - (
+                    (vals >= (1 << (depth - 1))).astype(np.int64) << depth
+                )
         return {"width": int(w), "height": int(h), "vals": vals}, next_ifd
     if 273 not in tags or 279 not in tags:
         raise ValueError("TIFF missing strip layout")
@@ -2072,11 +2180,14 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
         raise ValueError(
             f"TIFF strip data {len(raw)} != {w}x{h}x{spp}x{bstep}B"
         )
-    sdt = np.dtype(f"{e}u2") if depth == 16 else np.dtype(np.uint8)
-    vals = np.frombuffer(raw, sdt).astype(np.int64)
+    if sfmt == 3:
+        vals = _tiff_float_vals(np.frombuffer(raw, f"{e}f{bstep}"))
+        return {"width": int(w), "height": int(h), "vals": vals}, next_ifd
+    vals = np.frombuffer(raw, f"{e}u{bstep}").astype(np.int64)
     if predictor == 2:
         # horizontal differencing: un-delta along each row per channel,
-        # mod 2^depth
+        # mod 2^depth (two's-complement words difference in the same
+        # mod-2^depth ring, so signed data reuses this path unchanged)
         vals = (
             np.cumsum(vals.reshape(h, w, spp), axis=1) % (1 << depth)
         ).reshape(-1)
@@ -2085,6 +2196,9 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
         # downstream stats are luminance-consistent across photometrics
         # (full-range inversion at the sample depth)
         vals = ((1 << depth) - 1) - vals
+    if sfmt == 2:
+        # stored unsigned mod-2^depth words → two's complement
+        vals = vals - ((vals >= (1 << (depth - 1))).astype(np.int64) << depth)
     return {"width": int(w), "height": int(h), "vals": vals}, next_ifd
 
 

@@ -1360,9 +1360,23 @@ v AS (
               WHEN format = 'tiff' AND (asset_id // 5) % 10 = 3
               THEN (7 * asset_id + 13 * (i // 5)) % 256
               -- 16-BIT sub-variants (r14): the PNG16 closed form at
-              -- full 0..65535 range (RGB over 3wh positions, gray wh)
+              -- full 0..65535 range (RGB over 3wh positions, gray wh),
+              -- with the r15 SAMPLEFORMAT overlay (a//50)%3: 0 =
+              -- unsigned n, 1 = SIGNED (variant 8 int16 n-32768;
+              -- variant 9 int32 (n-32768)*65536), 2 = IEEE FLOAT on
+              -- the 16.16 grid — the fixed-point decode recovers
+              -- exactly n-32768 for both variants
               WHEN format = 'tiff' AND (asset_id // 5) % 10 >= 8
-              THEN (1237 * asset_id + 4099 * i) % 65536
+              THEN CASE CAST((asset_id // 50) % 3 AS INT)
+                   WHEN 0 THEN (1237 * asset_id + 4099 * i) % 65536
+                   WHEN 2 THEN ((1237 * asset_id + 4099 * i) % 65536)
+                               - 32768
+                   ELSE CASE WHEN (asset_id // 5) % 10 = 8
+                        THEN ((1237 * asset_id + 4099 * i) % 65536)
+                             - 32768
+                        ELSE (((1237 * asset_id + 4099 * i) % 65536)
+                              - 32768) * 65536 END
+                   END
               ELSE (7 * asset_id + 13 * i) % 256 END AS val
   FROM vj
 )

@@ -467,10 +467,16 @@ def test_tiff_roundtrip_both_endians_multistrip():
         w, h = multimodal._image_dims(aid)
         assert (d["width"], d["height"]) == (w, h)
         variant = (aid // 5) % 10
-        if variant >= 8:  # 16-bit sub-variants: PNG16 closed form
+        if variant >= 8:  # 16-bit sub-variants: PNG16 closed form,
+            # with the r15 SampleFormat overlay (aid//50)%3
             n = w * h * 3 if variant == 8 else w * h
             i = np.arange(n, dtype=np.int64)
             exp = (1237 * aid + 4099 * i) % 65536
+            overlay = (aid // 50) % 3
+            if overlay == 2:  # float: 16.16 grid recovers n - 32768
+                exp = exp - 32768
+            elif overlay == 1:  # signed: int16 / full-range int32
+                exp = (exp - 32768) * (1 if variant == 8 else 65536)
         elif variant % 2 == 0:  # chunky 8-bit RGB
             exp = multimodal._synth_image_vals(aid, w, h).astype(np.int64)
         else:  # grayscale (variant 3 = run-friendly PackBits form)
@@ -742,10 +748,10 @@ def test_tiff_lzw_deflate_predictor_boundaries():
 
 
 def test_tiff_16bit_sample_format_and_depth_seams():
-    """16-bit edges (r14): SampleFormat 2 (signed) / 3 (float) stay
-    honest seams; mixed per-channel depths raise; corpus 16-bit
-    variants round-trip with WhiteIsZero inverting at FULL 16-bit
-    range."""
+    """16-bit edges (r14): SampleFormat at an UNSUPPORTED DEPTH (float
+    at 16 bits here — 32/64 decode for real since r15) stays an honest
+    seam; mixed per-channel depths raise; corpus 16-bit variants
+    round-trip with WhiteIsZero inverting at FULL 16-bit range."""
     import struct as _struct
 
     import numpy as np
@@ -3595,3 +3601,103 @@ def test_gif_lzw_output_limit_bounds_expansion():
     )
     with pytest.raises(ValueError, match="overruns the frame"):
         multimodal.decode_gif_bytes(gif)
+
+
+def test_tiff_sample_format_signed_and_float():
+    """SampleFormat 2 (signed int 16/32) and 3 (IEEE float 32/64)
+    decode for real (r15 — the scientific/geo corpus shapes): corpus
+    overlay slots hit their closed forms at negative/full range, both
+    endians and the tiled path round-trip, and the new seams/corrupt
+    edges dead-letter correctly."""
+    import struct as _struct
+
+    import numpy as np
+
+    # corpus overlay: (a//5)%10 in {8,9} x (a//50)%3 in {1,2}
+    for aid, var, sf in ((94, 8, 1), (99, 9, 1), (144, 8, 2), (149, 9, 2)):
+        assert ((aid // 5) % 10, (aid // 50) % 3) == (var, sf)
+        d = multimodal.decode_tiff_bytes(multimodal.encode_tiff(aid))
+        w, h = multimodal._image_dims(aid)
+        npx = w * h * (3 if var == 8 else 1)
+        n = (1237 * aid + 4099 * np.arange(npx, dtype=np.int64)) % 65536
+        exp = n - 32768
+        if var == 9 and sf == 1:
+            exp = exp * 65536  # int32 full range
+        np.testing.assert_array_equal(d["vals"], exp, err_msg=str(aid))
+        assert int(d["vals"].min()) < 0  # genuinely signed range
+    # direct round-trips: int16 RGB tiled + predictor, float32 gray
+    # tiled, float64 gray strips — both endians
+    w, h = 9, 7
+    n = (1237 * 3 + 4099 * np.arange(w * h * 3, dtype=np.int64)) % 65536
+    for e in ("<", ">"):
+        px = (n - 32768).astype(np.int16).reshape(h, w, 3)
+        d = multimodal.decode_tiff_bytes(multimodal._encode_tiff(
+            px, e, 4, photometric=2, compression=8, predictor=2,
+            tile=(16, 16),
+        ))
+        np.testing.assert_array_equal(d["vals"], n - 32768)
+        f32 = ((n[: w * h] - 32768) / 65536.0).astype(np.float32)
+        d = multimodal.decode_tiff_bytes(multimodal._encode_tiff(
+            f32.reshape(h, w), e, 4, photometric=1, compression=32773,
+            tile=(16, 16),
+        ))
+        np.testing.assert_array_equal(d["vals"], n[: w * h] - 32768)
+        f64 = ((n[: w * h] - 32768) / 65536.0).reshape(h, w)
+        d = multimodal.decode_tiff_bytes(multimodal._encode_tiff(
+            f64, e, 4, photometric=1, compression=5,
+        ))
+        np.testing.assert_array_equal(d["vals"], n[: w * h] - 32768)
+    # non-finite float samples are corrupt, not silently decoded
+    bad = f64.copy()
+    bad[0, 0] = float("nan")
+    nan_pay = multimodal._encode_tiff(bad, "<", 4, photometric=1)
+    with pytest.raises(ValueError, match="non-finite"):
+        multimodal.decode_tiff_bytes(nan_pay)
+    # finite but past the 2^53 exact-integer range dead-letters
+    big = f64.copy()
+    big[0, 0] = 1e300
+    with pytest.raises(ValueError, match="out of range"):
+        multimodal.decode_tiff_bytes(
+            multimodal._encode_tiff(big, "<", 4, photometric=1)
+        )
+    # WhiteIsZero + signed: inversion is unsigned-only — honest seam
+    with pytest.raises(NotImplementedError, match="WhiteIsZero"):
+        multimodal.decode_tiff_bytes(multimodal._encode_tiff(
+            (n[: w * h] - 32768).astype(np.int16).reshape(h, w),
+            "<", 4, photometric=0,
+        ))
+    # integer predictor 2 on float samples: encoder refuses outright,
+    # and a patched file (predictor tag forced to 2) dead-letters
+    with pytest.raises(ValueError, match="predictor 2"):
+        multimodal._encode_tiff(
+            f64, "<", 4, photometric=1, predictor=2
+        )
+    buf = bytearray(multimodal._encode_tiff(f64, "<", 4, photometric=1))
+    (ifd,) = _struct.unpack_from("<I", buf, 4)
+    (cnt,) = _struct.unpack_from("<H", buf, ifd)
+    patched = False
+    for k in range(cnt):
+        pos = ifd + 2 + 12 * k
+        if _struct.unpack_from("<H", buf, pos)[0] == 259:
+            # rewrite Compression (=1 none) into Predictor 317 value 2:
+            # compression then defaults to 1, predictor becomes 2
+            _struct.pack_into("<H", buf, pos, 317)
+            _struct.pack_into("<H", buf, pos + 8, 2)
+            patched = True
+    assert patched
+    with pytest.raises(NotImplementedError, match="predictor 2 on float"):
+        multimodal.decode_tiff_bytes(bytes(buf))
+    # mixed per-channel sample formats are a seam
+    rgb = bytearray(multimodal._encode_tiff(
+        (n - 32768).astype(np.int16).reshape(h, w, 3), "<", 4,
+        photometric=2,
+    ))
+    (ifd,) = _struct.unpack_from("<I", rgb, 4)
+    (cnt,) = _struct.unpack_from("<H", rgb, ifd)
+    for k in range(cnt):
+        pos = ifd + 2 + 12 * k
+        if _struct.unpack_from("<H", rgb, pos)[0] == 339:
+            (off,) = _struct.unpack_from("<I", rgb, pos + 8)
+            _struct.pack_into("<H", rgb, off + 4, 3)  # third channel float
+    with pytest.raises(NotImplementedError, match="mixed sample formats"):
+        multimodal.decode_tiff_bytes(bytes(rgb))
