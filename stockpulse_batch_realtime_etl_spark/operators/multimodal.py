@@ -333,6 +333,17 @@ def encode_tiff(asset_id: int) -> bytes:
       values (1237·id + 4099·i) mod 65536, the PNG16 closed form);
     - 9: grayscale 16-BIT + LZW + predictor 2 (mod-65536 differencing).
 
+    BILEVEL overlay on variants 1/3 (r15, the scanned-document
+    shapes): ``(id // 50) % 3`` rotates variant 1 through 0 = the
+    8-bit gray above, 1 = BILEVEL uncompressed (depth 1, packed
+    byte-padded rows), 2 = BILEVEL GROUP 4 (CCITT T.6, compression 4);
+    variant 3's overlay 1 is BILEVEL MODIFIED HUFFMAN (T.4 1D,
+    compression 2).  Bilevel intensity at position k is
+    ``1 if (3·id + k//4) mod 7 < 3 else 0`` (runs of 4-12 px, so
+    terminating codes, vertical/horizontal/pass modes, and row
+    phase shifts are all genuinely exercised); files are photometric
+    0 (WhiteIsZero — the fax grid), storing ``1 − intensity``.
+
     SAMPLEFORMAT overlay on variants 8/9 (r15, the scientific/geo
     shapes): ``(id // 50) % 3`` rotates 0 = unsigned (the r14 form),
     1 = SIGNED INT (tag 339 = 2: variant 8 int16 ``n − 32768``,
@@ -399,6 +410,13 @@ def encode_tiff(asset_id: int) -> bytes:
             tile=tile,
         )
     i = np.arange(w * h, dtype=np.int64)
+    if (variant == 1 and sfmt != 0) or (variant == 3 and sfmt == 1):
+        # bilevel overlay: photometric 0 stores 1 - intensity
+        intensity = ((3 * asset_id + i // 4) % 7 < 3).reshape(h, w)
+        bcomp = {1: {1: 1, 2: 4}[sfmt], 3: 2}[variant]
+        return _encode_tiff(
+            ~intensity, e, 4, photometric=0, compression=bcomp
+        )
     step = (i // 5) if variant == 3 else i
     gray = ((7 * asset_id + 13 * step) % 256).reshape(h, w)
     photo = 1 if (asset_id // 10) % 2 == 0 else 0
@@ -666,79 +684,14 @@ def _encode_tiff_multipage(pages, e: str, rps: int) -> bytes:
     return bytes(out)
 
 
-def _encode_tiff_page(
-    px, e: str, rps: int, photometric: int = 2, compression: int = 1,
-    predictor: int = 1, tile: tuple | None = None, base: int = 8,
-) -> tuple:
-    """Assemble ONE TIFF page's bytes (segment data + off-line arrays +
-    IFD with a zeroed next pointer), all offsets absolute assuming the
-    page starts at file offset ``base``; returns ``(body_bytes,
-    absolute_ifd_offset)``.  Page content: an ``(h, w, 3)`` uint8 array
-    (photometric 2,
-    chunky RGB) or an ``(h, w)`` uint8 array (photometric 0/1, 8-bit
-    gray — stored bytes are written VERBATIM; WhiteIsZero inversion is
-    the decoder's job), byte order ``e`` ("<"/">"), the given
-    RowsPerStrip, compression 1 (none), 32773 (PackBits), 5 (LZW) or
-    8 (Deflate) — each applied per strip/tile — and predictor 1 (none)
-    or 2 (horizontal differencing per row per channel, tag 317).  With
-    ``tile=(tw, tl)`` (multiples of 16) the file is TILED (tags
-    322/323/324/325, zero-padded edge tiles, predictor restarting at
-    each TILE row) instead of stripped.  Layout: 8-byte header →
-    segment data → off-line offset/count arrays (when more than one
-    segment) → off-line BitsPerSample (RGB only; gray's single SHORT is
-    inline) → IFD."""
-    import numpy as np
-
-    spp = 3 if photometric == 2 else 1
-    # Sample depth/format from the input dtype (r14/r15): uint8/uint16
-    # write SampleFormat-1 pages, int16/int32 SampleFormat-2,
-    # float32/float64 SampleFormat-3 — all in the file's byte order;
-    # integer predictor differencing runs mod 2^depth (signed data
-    # differences as its two's-complement words in the same ring)
-    depth = px.dtype.itemsize * 8
-    sample_format = {"u": 1, "i": 2, "f": 3}[px.dtype.kind]
-    if sample_format == 3 and predictor == 2:
-        raise ValueError("predictor 2 is undefined for float samples")
-    mod = 1 << depth
-    sdt = np.dtype(f"{e}{'f' if sample_format == 3 else 'u'}{depth // 8}")
-    if sample_format == 2:
-        px = px.astype(np.int64) % mod  # store two's-complement words
-    h, w = px.shape[0], px.shape[1]
-    if tile is not None:
-        tw, tl = tile
-        arr = px.reshape(h, w, spp)
-        ph, pw = -(-h // tl) * tl, -(-w // tw) * tw
-        padded = np.zeros((ph, pw, spp), arr.dtype)
-        padded[:h, :w] = arr
-        strips = []
-        for ty in range(ph // tl):
-            for tx in range(pw // tw):
-                t = padded[
-                    ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw
-                ]
-                if predictor == 2:
-                    t = t.astype(np.int64)
-                    t[:, 1:, :] = (t[:, 1:, :] - t[:, :-1, :]) % mod
-                strips.append(t.astype(sdt).tobytes())
-    else:
-        if predictor == 2:
-            # stored[x] = orig[x] - orig[x-1] (mod 2^depth) along each
-            # row, per channel; a row's first pixel is stored verbatim
-            arr = px.reshape(h, w, spp).astype(np.int64)
-            arr[:, 1:, :] = (arr[:, 1:, :] - arr[:, :-1, :]) % mod
-            px = arr
-        px = px.reshape(h, w * spp).astype(sdt)
-        strips = [
-            px[r : r + rps].tobytes() for r in range(0, h, rps)
-        ]
-    if compression == 32773:
-        strips = [_packbits_encode(s) for s in strips]
-    elif compression == 5:
-        strips = [_tiff_lzw_encode(s) for s in strips]
-    elif compression == 8:
-        import zlib
-
-        strips = [zlib.compress(s) for s in strips]
+def _assemble_tiff_ifd(
+    strips, e, w, h, spp, depth, compression, photometric, rps,
+    sample_format, tile, base, predictor=1,
+):
+    """Shared IFD assembly for :func:`_encode_tiff_page`: lay out the
+    segment data, off-line offset/count/BitsPerSample/SampleFormat
+    arrays, and the IFD itself; returns ``(body_bytes,
+    absolute_ifd_offset)``."""
     n = len(strips)
     offs, cur = [], base
     for s in strips:
@@ -811,6 +764,117 @@ def _encode_tiff_page(
         f"{e}I", 0
     )
     return b"".join(strips) + extra + ifd, ifd_off
+
+
+def _encode_tiff_page(
+    px, e: str, rps: int, photometric: int = 2, compression: int = 1,
+    predictor: int = 1, tile: tuple | None = None, base: int = 8,
+) -> tuple:
+    """Assemble ONE TIFF page's bytes (segment data + off-line arrays +
+    IFD with a zeroed next pointer), all offsets absolute assuming the
+    page starts at file offset ``base``; returns ``(body_bytes,
+    absolute_ifd_offset)``.  Page content: an ``(h, w, 3)`` uint8 array
+    (photometric 2,
+    chunky RGB) or an ``(h, w)`` uint8 array (photometric 0/1, 8-bit
+    gray — stored bytes are written VERBATIM; WhiteIsZero inversion is
+    the decoder's job), byte order ``e`` ("<"/">"), the given
+    RowsPerStrip, compression 1 (none), 32773 (PackBits), 5 (LZW) or
+    8 (Deflate) — each applied per strip/tile — and predictor 1 (none)
+    or 2 (horizontal differencing per row per channel, tag 317).  With
+    ``tile=(tw, tl)`` (multiples of 16) the file is TILED (tags
+    322/323/324/325, zero-padded edge tiles, predictor restarting at
+    each TILE row) instead of stripped.  Layout: 8-byte header →
+    segment data → off-line offset/count arrays (when more than one
+    segment) → off-line BitsPerSample (RGB only; gray's single SHORT is
+    inline) → IFD."""
+    import numpy as np
+
+    spp = 3 if photometric == 2 else 1
+    # Sample depth/format from the input dtype (r14/r15): uint8/uint16
+    # write SampleFormat-1 pages, int16/int32 SampleFormat-2,
+    # float32/float64 SampleFormat-3 — all in the file's byte order;
+    # integer predictor differencing runs mod 2^depth (signed data
+    # differences as its two's-complement words in the same ring).
+    # A BOOL array writes a BILEVEL page (depth 1, r15): packed
+    # MSB-first byte-padded rows (compression 1), or CCITT Modified
+    # Huffman (2) / Group 4 (4) fax streams per strip.
+    if px.dtype == np.bool_:
+        if photometric not in (0, 1) or predictor != 1 or tile is not None:
+            raise ValueError("bilevel TIFF: photometric 0/1, strips only")
+        if compression not in (1, 2, 4):
+            raise ValueError(f"bilevel TIFF compression {compression}")
+        from stockpulse_batch_realtime_etl_spark.operators import ccitt
+
+        rows = px.astype(np.uint8)
+        h, w = rows.shape
+        if compression == 2:
+            strips = [
+                ccitt.mh_encode(rows[r : r + rps])
+                for r in range(0, h, rps)
+            ]
+        elif compression == 4:
+            strips = [
+                ccitt.g4_encode(rows[r : r + rps])
+                for r in range(0, h, rps)
+            ]
+        else:
+            strips = [
+                np.packbits(rows[r : r + rps], axis=1).tobytes()
+                for r in range(0, h, rps)
+            ]
+        return _assemble_tiff_ifd(
+            strips, e, w, h, spp=1, depth=1, compression=compression,
+            photometric=photometric, rps=rps, sample_format=1,
+            tile=None, base=base,
+        )
+    depth = px.dtype.itemsize * 8
+    sample_format = {"u": 1, "i": 2, "f": 3}[px.dtype.kind]
+    if sample_format == 3 and predictor == 2:
+        raise ValueError("predictor 2 is undefined for float samples")
+    mod = 1 << depth
+    sdt = np.dtype(f"{e}{'f' if sample_format == 3 else 'u'}{depth // 8}")
+    if sample_format == 2:
+        px = px.astype(np.int64) % mod  # store two's-complement words
+    h, w = px.shape[0], px.shape[1]
+    if tile is not None:
+        tw, tl = tile
+        arr = px.reshape(h, w, spp)
+        ph, pw = -(-h // tl) * tl, -(-w // tw) * tw
+        padded = np.zeros((ph, pw, spp), arr.dtype)
+        padded[:h, :w] = arr
+        strips = []
+        for ty in range(ph // tl):
+            for tx in range(pw // tw):
+                t = padded[
+                    ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw
+                ]
+                if predictor == 2:
+                    t = t.astype(np.int64)
+                    t[:, 1:, :] = (t[:, 1:, :] - t[:, :-1, :]) % mod
+                strips.append(t.astype(sdt).tobytes())
+    else:
+        if predictor == 2:
+            # stored[x] = orig[x] - orig[x-1] (mod 2^depth) along each
+            # row, per channel; a row's first pixel is stored verbatim
+            arr = px.reshape(h, w, spp).astype(np.int64)
+            arr[:, 1:, :] = (arr[:, 1:, :] - arr[:, :-1, :]) % mod
+            px = arr
+        px = px.reshape(h, w * spp).astype(sdt)
+        strips = [
+            px[r : r + rps].tobytes() for r in range(0, h, rps)
+        ]
+    if compression == 32773:
+        strips = [_packbits_encode(s) for s in strips]
+    elif compression == 5:
+        strips = [_tiff_lzw_encode(s) for s in strips]
+    elif compression == 8:
+        import zlib
+
+        strips = [zlib.compress(s) for s in strips]
+    return _assemble_tiff_ifd(
+        strips, e, w, h, spp, depth, compression, photometric, rps,
+        sample_format, tile, base, predictor,
+    )
 
 
 def _gif_palette(asset_id: int, ncolors: int):
@@ -2037,9 +2101,11 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
         f"{e}I", payload, ifd_off + 2 + 12 * n_entries
     )
     comp = tags.get(259, (1,))[0]
-    if comp not in (1, 32773, 5, 8, 32946):
-        # old-JPEG=6 / JPEG=7 / CCITT remain honest boundaries
-        # (32946 is the pre-standard Deflate code — same codec as 8)
+    if comp not in (1, 32773, 5, 8, 32946, 2, 4):
+        # old-JPEG=6 / JPEG=7 / G3-with-EOLs=3 remain honest boundaries
+        # (32946 is the pre-standard Deflate code — same codec as 8;
+        # 2 = CCITT Modified Huffman and 4 = Group 4 decode for real
+        # since r15 on bilevel pages)
         raise NotImplementedError(f"TIFF compression {comp}")
     predictor = tags.get(317, (1,))[0]
     if predictor not in (1, 2):
@@ -2067,11 +2133,14 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
     if sfmt not in (1, 2, 3):
         raise NotImplementedError(f"TIFF sample format {sfmt}")
     # count-1 BitsPerSample=8 with spp=3 is a common valid writer shape;
-    # grayscale with NO BitsPerSample tag defaults to 1 (bilevel) — an
-    # honest boundary, not 8-bit.  16-bit samples (r14) decode with the
-    # file's byte order; mixed per-channel depths stay a seam.  Depths
-    # by format: unsigned 8/16, signed 16/32, float 32/64.
-    ok_depths = {1: (8, 16), 2: (16, 32), 3: (32, 64)}[sfmt]
+    # grayscale with NO BitsPerSample tag defaults to 1 (BILEVEL —
+    # decoded for real since r15, including the CCITT fax
+    # compressions).  16-bit samples (r14) decode with the file's byte
+    # order; mixed per-channel depths stay a seam.  Depths by format:
+    # unsigned 1/8/16, signed 16/32, float 32/64.
+    if not bits and photo in (0, 1):
+        bits = (1,)  # TIFF 6.0 §4: bilevel default when the tag is absent
+    ok_depths = {1: (1, 8, 16), 2: (16, 32), 3: (32, 64)}[sfmt]
     if (
         tags.get(277, (spp,))[0] != spp
         or not bits
@@ -2104,6 +2173,64 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
         raise ValueError(f"TIFF zero dimensions {w}x{h}")
     # before the strip expected-size targets and the tile canvas below
     _check_pixel_budget(w * h, "TIFF page header")
+    if depth == 1:  # BILEVEL (r15): packed rows or CCITT fax strips
+        if 322 in tags or 323 in tags:
+            raise NotImplementedError("tiled bilevel TIFF")
+        if predictor != 1:
+            raise NotImplementedError("TIFF predictor on bilevel samples")
+        if comp in (2, 4) and photo != 0:
+            # the fax codecs define white/black runs on the WhiteIsZero
+            # grid (TIFF 6.0 §10-11); photometric 1 fax is a seam
+            raise NotImplementedError(
+                f"CCITT compression with photometric {photo}"
+            )
+        if comp not in (1, 2, 4):
+            # byte codecs over packed bilevel rows are legal TIFF but
+            # not a corpus shape — honest boundary
+            raise NotImplementedError(f"TIFF bilevel compression {comp}")
+        if 273 not in tags or 279 not in tags:
+            raise ValueError("TIFF missing strip layout")
+        offs, counts = tags[273], tags[279]
+        if len(offs) != len(counts):
+            raise ValueError("TIFF strip offset/count length mismatch")
+        rps = tags.get(278, (h,))[0]
+        if rps == 0:
+            raise ValueError("TIFF RowsPerStrip 0")
+        from stockpulse_batch_realtime_etl_spark.operators import ccitt
+
+        rows_parts = []
+        stride = (w + 7) // 8
+        for s_i, (off, cnt) in enumerate(zip(offs, counts)):
+            if off + cnt > len(payload):
+                raise ValueError("TIFF strip past the payload")
+            chunk = payload[off : off + cnt]
+            strip_rows = min(rps, h - s_i * rps)
+            if strip_rows <= 0:
+                raise ValueError("TIFF more strips than image rows")
+            if comp == 2:
+                grid = ccitt.mh_decode(chunk, w, strip_rows)
+            elif comp == 4:
+                grid = ccitt.g4_decode(chunk, w, strip_rows)
+            else:  # packed MSB-first bits, rows byte-padded
+                if len(chunk) != strip_rows * stride:
+                    raise ValueError(
+                        f"TIFF bilevel strip {len(chunk)} != "
+                        f"{strip_rows}x{stride}B"
+                    )
+                grid = np.unpackbits(
+                    np.frombuffer(chunk, np.uint8).reshape(
+                        strip_rows, stride
+                    ),
+                    axis=1,
+                )[:, :w].astype(np.int64)
+            rows_parts.append(grid)
+        vals = np.concatenate(rows_parts).reshape(-1)
+        if len(vals) != w * h:
+            raise ValueError("TIFF bilevel strip rows != image rows")
+        if photo == 0:
+            # WhiteIsZero: stored/fax 1 = black — normalize to intensity
+            vals = 1 - vals
+        return {"width": int(w), "height": int(h), "vals": vals}, next_ifd
     if 322 in tags or 323 in tags:  # tiled organization (r14)
         if not all(t in tags for t in (322, 323, 324, 325)):
             raise ValueError("TIFF tiled file missing tile layout tags")

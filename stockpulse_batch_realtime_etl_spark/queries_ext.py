@@ -1353,6 +1353,17 @@ v AS (
                     WHEN 0 THEN 7 * j + asset_id
                     WHEN 1 THEN 11 * j + 2 * asset_id
                     ELSE 13 * j + 3 * asset_id END) % 256
+              -- BILEVEL overlays (r15, the scanned-document shapes):
+              -- variant 1 overlay 1/2 (uncompressed packed rows /
+              -- CCITT Group 4) and variant 3 overlay 1 (CCITT Modified
+              -- Huffman) decode 0/1 intensities from WhiteIsZero fax
+              -- files storing 1-intensity — runs of 4-12 px exercise
+              -- the fax run codes and 2D modes for real
+              WHEN format = 'tiff' AND (
+                   ((asset_id // 5) % 10 = 1 AND (asset_id // 50) % 3 >= 1)
+                OR ((asset_id // 5) % 10 = 3 AND (asset_id // 50) % 3 = 1))
+              THEN CASE WHEN (3 * asset_id + i // 4) % 7 < 3
+                        THEN 1 ELSE 0 END
               -- grayscale + PackBits variant: run-friendly closed form
               -- (runs of 5 so replicate packets are really emitted);
               -- WhiteIsZero ids store INVERTED bytes, so matching this

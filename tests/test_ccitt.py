@@ -1,0 +1,216 @@
+"""CCITT fax codecs (T.4 Modified Huffman / T.6 Group 4) + bilevel TIFF."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from stockpulse_batch_realtime_etl_spark.operators import ccitt, multimodal
+
+
+def test_fax_tables_self_check():
+    """Cardinalities and prefix-freeness — both directions are built
+    from the same tables, so the import-time audit is the transcription
+    guard; re-run it explicitly."""
+    ccitt._check_tables()
+    assert len(ccitt._WHITE_DEC) == 64 + 27 + 13
+    assert len(ccitt._BLACK_DEC) == 64 + 27 + 13
+
+
+def test_mh_known_vectors():
+    """Published T.4 codes pin external fidelity (not just round-trip):
+    an all-white 1728 row is makeup-1728 + white-terminating-0; a
+    single black pixel row is white-0, black-1."""
+    enc = ccitt.mh_encode(np.zeros((1, 1728), np.int64))
+    bits = "".join(f"{b:08b}" for b in enc)
+    assert bits.startswith("010011011" + "00110101")
+    enc = ccitt.mh_encode(np.array([[1]], np.int64))
+    bits = "".join(f"{b:08b}" for b in enc)
+    # white run 0 = 00110101, black run 1 = 010
+    assert bits.startswith("00110101" + "010")
+
+
+def test_g4_known_vectors():
+    """All-white rows code as one V0 bit each (the classic G4
+    property); EOFB is two EOLs."""
+    enc = ccitt.g4_encode(np.zeros((4, 64), np.int64), eofb=True)
+    bits = "".join(f"{b:08b}" for b in enc)
+    assert bits.startswith("1111" + "000000000001" + "000000000001")
+
+
+def test_mh_round_trip_fuzz():
+    rng = np.random.default_rng(3)
+    for trial in range(60):
+        w = int(rng.integers(1, 260))
+        n = int(rng.integers(1, 7))
+        rows = (rng.random((n, w)) < rng.random()).astype(np.int64)
+        dec = ccitt.mh_decode(ccitt.mh_encode(rows), w, n)
+        np.testing.assert_array_equal(dec, rows, err_msg=f"trial {trial}")
+    # makeup + extended-makeup widths, both solid colors and stripes
+    for w in (64, 1728, 1729, 1791, 1792, 2560, 2623, 2624, 6000):
+        for rows in (
+            np.zeros((2, w), np.int64),
+            np.ones((2, w), np.int64),
+            (np.arange(2 * w).reshape(2, w) // 7 % 2).astype(np.int64),
+        ):
+            np.testing.assert_array_equal(
+                ccitt.mh_decode(ccitt.mh_encode(rows), w, 2), rows,
+                err_msg=str(w),
+            )
+
+
+def test_g4_round_trip_fuzz():
+    rng = np.random.default_rng(5)
+    for trial in range(120):
+        w = int(rng.integers(1, 200))
+        n = int(rng.integers(1, 9))
+        rows = (rng.random((n, w)) < rng.random()).astype(np.int64)
+        dec = ccitt.g4_decode(ccitt.g4_encode(rows, eofb=bool(trial % 2)), w, n)
+        np.testing.assert_array_equal(dec, rows, err_msg=f"trial {trial}")
+    for w in (1, 5, 64, 1729, 2700):
+        k = np.arange(4 * w).reshape(4, w)
+        rows = ((k // 4 + k // w) % 3 == 0).astype(np.int64)
+        np.testing.assert_array_equal(
+            ccitt.g4_decode(ccitt.g4_encode(rows), w, 4), rows, err_msg=str(w)
+        )
+
+
+def test_fax_corrupt_streams_dead_letter():
+    """Truncation, invalid codes, row overruns, and trailing garbage
+    all raise ValueError — never hang or return short grids."""
+    rows = (np.arange(60).reshape(3, 20) % 3 == 0).astype(np.int64)
+    mh, g4 = ccitt.mh_encode(rows), ccitt.g4_encode(rows)
+    with pytest.raises(ValueError):
+        ccitt.mh_decode(mh[:2], 20, 3)
+    with pytest.raises(ValueError):
+        ccitt.g4_decode(g4[: max(1, len(g4) // 2)], 20, 3)
+    # wrong declared width makes runs overrun the row
+    with pytest.raises(ValueError):
+        ccitt.mh_decode(mh, 10, 3)
+    with pytest.raises(ValueError):
+        ccitt.g4_decode(g4, 10, 3)
+    # trailing garbage after the last row
+    with pytest.raises(ValueError, match="trailing"):
+        ccitt.mh_decode(mh + b"\xff", 20, 3)
+    with pytest.raises(ValueError):
+        ccitt.g4_decode(g4 + b"\xff\xff\xff\xff", 20, 3)
+    # an invalid (all-ones) stream hits an invalid code, not a loop
+    with pytest.raises(ValueError):
+        ccitt.mh_decode(b"\xff" * 8, 64, 1)
+
+
+def test_bilevel_tiff_round_trip_and_corpus():
+    """Bilevel TIFF end-to-end: packed rows + both fax compressions,
+    both endians, multi-strip; corpus overlay slots decode to the
+    closed form through the generic image decoder."""
+    rng = np.random.default_rng(9)
+    for trial in range(10):
+        w = int(rng.integers(1, 70))
+        h = int(rng.integers(1, 20))
+        stored = rng.random((h, w)) < rng.random()  # 1 = black
+        for e in ("<", ">"):
+            for comp in (1, 2, 4):
+                d = multimodal.decode_tiff_bytes(multimodal._encode_tiff(
+                    stored, e, 4, photometric=0, compression=comp
+                ))
+                np.testing.assert_array_equal(
+                    d["vals"], 1 - stored.astype(np.int64).reshape(-1),
+                    err_msg=f"{trial}/{e}/{comp}",
+                )
+    # photometric 1: stored bit IS the intensity
+    stored = np.arange(40).reshape(5, 8) % 3 == 0
+    d = multimodal.decode_tiff_bytes(
+        multimodal._encode_tiff(stored, "<", 2, photometric=1, compression=1)
+    )
+    np.testing.assert_array_equal(d["vals"], stored.astype(np.int64).reshape(-1))
+    # corpus overlays: uncompressed (59), G4 (109), MH (69)
+    for aid, comp in ((59, 1), (109, 4), (69, 2)):
+        payload = multimodal.encode_tiff(aid)
+        d = multimodal.decode_image_bytes(payload)
+        w, h = multimodal._image_dims(aid)
+        i = np.arange(w * h, dtype=np.int64)
+        np.testing.assert_array_equal(
+            d["vals"], ((3 * aid + i // 4) % 7 < 3).astype(np.int64),
+            err_msg=str(aid),
+        )
+        # the compression tag really is the fax code claimed
+        e = "<" if aid % 2 == 0 else ">"
+        (ifd,) = struct.unpack_from(f"{e}I", payload, 4)
+        (n,) = struct.unpack_from(f"{e}H", payload, ifd)
+        tags = {}
+        for k in range(n):
+            tag, typ, cnt, = struct.unpack_from(f"{e}HHI", payload, ifd + 2 + 12 * k)
+            (val,) = struct.unpack_from(f"{e}H", payload, ifd + 2 + 12 * k + 8)
+            tags[tag] = val
+        assert tags[259] == comp and tags[258] == 1 and tags[262] == 0
+
+
+def test_bilevel_tiff_seams_and_corrupt_shapes():
+    """Honest boundaries and corrupt edges of the bilevel path."""
+    stored = np.arange(48).reshape(6, 8) % 3 == 0
+    good = multimodal._encode_tiff(stored, "<", 2, photometric=0, compression=4)
+    # missing BitsPerSample defaults to bilevel (TIFF 6.0 §4) — strip
+    # the tag from an uncompressed file and it must still decode
+    packed = multimodal._encode_tiff(stored, "<", 2, photometric=0, compression=1)
+    buf = bytearray(packed)
+    (ifd,) = struct.unpack_from("<I", buf, 4)
+    (n,) = struct.unpack_from("<H", buf, ifd)
+    for k in range(n):
+        pos = ifd + 2 + 12 * k
+        if struct.unpack_from("<H", buf, pos)[0] == 258:
+            struct.pack_into("<H", buf, pos, 32767)  # unknown private tag
+    d = multimodal.decode_tiff_bytes(bytes(buf))
+    np.testing.assert_array_equal(
+        d["vals"], 1 - stored.astype(np.int64).reshape(-1)
+    )
+    # CCITT with photometric 1 is a seam
+    buf = bytearray(good)
+    (ifd,) = struct.unpack_from("<I", buf, 4)
+    (n,) = struct.unpack_from("<H", buf, ifd)
+    for k in range(n):
+        pos = ifd + 2 + 12 * k
+        if struct.unpack_from("<H", buf, pos)[0] == 262:
+            struct.pack_into("<H", buf, pos + 8, 1)
+    with pytest.raises(NotImplementedError, match="CCITT compression with"):
+        multimodal.decode_tiff_bytes(bytes(buf))
+    # CCITT on a non-bilevel page is a seam (depth 8 + compression 4)
+    gray = ((7 + 13 * np.arange(48, dtype=np.int64)) % 256).reshape(6, 8)
+    buf = bytearray(multimodal._encode_tiff(
+        gray.astype(np.uint8), "<", 2, photometric=1, compression=1
+    ))
+    (ifd,) = struct.unpack_from("<I", buf, 4)
+    (n,) = struct.unpack_from("<H", buf, ifd)
+    for k in range(n):
+        pos = ifd + 2 + 12 * k
+        if struct.unpack_from("<H", buf, pos)[0] == 259:
+            struct.pack_into("<H", buf, pos + 8, 4)
+    with pytest.raises((NotImplementedError, ValueError)):
+        multimodal.decode_tiff_bytes(bytes(buf))
+    # encoder guards
+    with pytest.raises(ValueError, match="bilevel TIFF compression"):
+        multimodal._encode_tiff(stored, "<", 2, photometric=0, compression=5)
+    with pytest.raises(ValueError, match="strips only"):
+        multimodal._encode_tiff(
+            stored, "<", 2, photometric=0, compression=4, tile=(16, 16)
+        )
+    # truncated fax strip dead-letters through the TIFF walk: shrink
+    # the first StripByteCounts entry so the G4 reader runs dry
+    buf = bytearray(good)
+    (ifd,) = struct.unpack_from("<I", buf, 4)
+    (n,) = struct.unpack_from("<H", buf, ifd)
+    hit = False
+    for k in range(n):
+        pos = ifd + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from("<HHI", buf, pos)
+        if tag == 279 and cnt == 1:
+            struct.pack_into("<I", buf, pos + 8, 1)
+            hit = True
+        elif tag == 279:
+            (off,) = struct.unpack_from("<I", buf, pos + 8)
+            struct.pack_into("<I", buf, off, 1)
+            hit = True
+    assert hit
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_tiff_bytes(bytes(buf))

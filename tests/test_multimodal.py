@@ -479,6 +479,11 @@ def test_tiff_roundtrip_both_endians_multistrip():
                 exp = (exp - 32768) * (1 if variant == 8 else 65536)
         elif variant % 2 == 0:  # chunky 8-bit RGB
             exp = multimodal._synth_image_vals(aid, w, h).astype(np.int64)
+        elif (variant == 1 and (aid // 50) % 3 >= 1) or (
+            variant == 3 and (aid // 50) % 3 == 1
+        ):  # r15 bilevel overlays (uncompressed / G4 / MH)
+            i = np.arange(w * h, dtype=np.int64)
+            exp = ((3 * aid + i // 4) % 7 < 3).astype(np.int64)
         else:  # grayscale (variant 3 = run-friendly PackBits form)
             i = np.arange(w * h, dtype=np.int64)
             step = (i // 5) if variant == 3 else i
@@ -486,13 +491,16 @@ def test_tiff_roundtrip_both_endians_multistrip():
         np.testing.assert_array_equal(d["vals"], exp)
     d = multimodal.decode_image_bytes(multimodal.encode_tiff(7))
     assert (d["width"], d["height"]) == multimodal._image_dims(7)
-    # photometric-0 semantics pinned directly: id 59 is gray WhiteIsZero
-    # ((59//10)%2 == 1) — rewriting the tag to 1 (BlackIsZero) must flip
-    # every decoded value, i.e. the inversion really comes from the tag
+    # photometric-0 semantics pinned directly: id 159 is gray
+    # WhiteIsZero ((159//10)%2 == 1; overlay (159//50)%3 == 0 keeps it
+    # 8-bit gray — 59 became an r15 bilevel slot) — rewriting the tag
+    # to 1 (BlackIsZero) must flip every decoded value, i.e. the
+    # inversion really comes from the tag
     import struct as _struct
 
-    aid = 59  # odd → big-endian
+    aid = 159  # odd → big-endian
     assert (aid // 5) % 2 == 1 and (aid // 10) % 2 == 1
+    assert (aid // 50) % 3 == 0  # not a bilevel overlay slot
     payload = bytearray(multimodal.encode_tiff(aid))
     (ifd_off,) = _struct.unpack_from(">I", payload, 4)
     (n,) = _struct.unpack_from(">H", payload, ifd_off)
@@ -599,8 +607,9 @@ def test_tiff_error_paths_and_format_boundaries():
 
 def test_tiff_grayscale_and_packbits_boundaries():
     """r14 extension edges: grayscale with NO BitsPerSample tag is
-    bilevel by TIFF default — an honest NotImplementedError, not 8-bit;
-    grayscale with spp=3 is inconsistent; PackBits corrupt streams
+    bilevel by TIFF default (decoded for real since r15 — an 8-bit
+    file stripped of the tag dead-letters on geometry, never decodes
+    garbage); grayscale with spp=3 is inconsistent; PackBits corrupt streams
     (truncated replicate/literal, packet overrun, trailing bytes,
     strip-count mismatch) all dead-letter with ValueError."""
     import struct as _struct
@@ -653,12 +662,15 @@ def test_tiff_grayscale_and_packbits_boundaries():
                 fn(buf, pos)
         return bytes(buf)
 
-    # BitsPerSample entry retagged away -> default 1 bit (bilevel seam)
+    # BitsPerSample entry retagged away -> default 1 bit (TIFF 6.0 §4;
+    # REAL bilevel decode since r15) — this 8-bit file's strips no
+    # longer match the bilevel geometry, so it dead-letters as corrupt
+    # instead of decoding garbage
     nobits = g_patch(
         bytearray(gray), 258,
         lambda b, p: _struct.pack_into(">H", b, p, 0xFFFF),
     )
-    with pytest.raises(NotImplementedError, match="bits"):
+    with pytest.raises(ValueError, match="bilevel strip"):
         multimodal.decode_tiff_bytes(nobits)
     # grayscale claiming spp=3 is inconsistent with photometric 0/1
     spp3 = g_patch(

@@ -6,6 +6,7 @@ example; example counts are kept low because a Spark round-trip is ~0.5 s.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from stockpulse_batch_realtime_etl_spark.operators import pii, text
@@ -870,17 +871,19 @@ def test_incremental_dedup_consistent_with_exact_and_lsh(spark, texts):
     st.integers(0, 2**32 - 1),
 )
 def test_tiff_multipage_round_trip_random_pages(n_pages, big_endian, seed):
-    """Multi-page TIFF chain roundtrips with per-page INDEPENDENT dims,
-    photometrics, and compressions — each page's decode equals its own
-    pixels (WhiteIsZero pages inverted), in chain order."""
+    """Multi-page TIFF chain roundtrips with per-page INDEPENDENT
+    photometrics and compressions (dims uniform across the chain — a
+    mixed-dims chain dead-letters per the r15 one-dims-per-asset
+    contract, pinned below) — each page's decode equals its own pixels
+    (WhiteIsZero pages inverted), in chain order."""
     import numpy as np
 
     from stockpulse_batch_realtime_etl_spark.operators import multimodal
 
     rng = np.random.default_rng(seed)
+    w, h = int(rng.integers(1, 15)), int(rng.integers(1, 15))
     pages = []
     for _ in range(n_pages):
-        w, h = int(rng.integers(1, 15)), int(rng.integers(1, 15))
         photo = int(rng.choice([0, 1, 2]))
         comp = int(rng.choice([1, 32773, 5, 8]))
         shape = (h, w, 3) if photo == 2 else (h, w)
@@ -899,3 +902,16 @@ def test_tiff_multipage_round_trip_random_pages(n_pages, big_endian, seed):
     for f, (px, photo, comp) in enumerate(pages):
         exp = px.astype(np.int64) if photo != 0 else 255 - px.astype(np.int64)
         np.testing.assert_array_equal(d["frames"][f], exp.reshape(-1))
+    # mixed-dims chains dead-letter (spec-valid TIFF the one-dims
+    # frames contract cannot represent — r15)
+    if n_pages >= 2:
+        mixed = list(pages)
+        px0, photo0, comp0 = mixed[0]
+        grown = np.concatenate([px0, px0[-1:]], axis=0)
+        mixed[0] = (grown, photo0, comp0)
+        with pytest.raises(NotImplementedError, match="disagree"):
+            multimodal.decode_tiff_pages(
+                multimodal._encode_tiff_multipage(
+                    mixed, ">" if big_endian else "<", 4
+                )
+            )
