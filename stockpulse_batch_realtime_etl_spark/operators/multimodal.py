@@ -404,10 +404,18 @@ def encode_tiff(asset_id: int) -> bytes:
             compression=comp, predictor=pred,
         )
     if variant % 2 == 0:  # chunky 8-bit RGB
+        # PLANAR overlay on variant 0 (r15, tag 284=2): overlay 1 =
+        # plane-separated uncompressed, overlay 2 = plane-separated +
+        # Deflate + predictor 2.  Pixel VALUES are unchanged, so the
+        # oracle stays put — a decoder that ignores the tag misorders
+        # every channel and fails the weighted checksum
+        planar = variant == 0 and sfmt != 0
+        if planar:
+            comp, pred = (1, 1) if sfmt == 1 else (8, 2)
         return _encode_tiff(
             _synth_image_vals(asset_id, w, h).reshape(h, w, 3),
             e, 4, photometric=2, compression=comp, predictor=pred,
-            tile=tile,
+            tile=tile, planar=planar,
         )
     i = np.arange(w * h, dtype=np.int64)
     if (variant == 1 and sfmt != 0) or (variant == 3 and sfmt == 1):
@@ -654,12 +662,13 @@ def _encode_tiff_rgb(px, e: str, rps: int) -> bytes:
 
 def _encode_tiff(
     px, e: str, rps: int, photometric: int = 2, compression: int = 1,
-    predictor: int = 1, tile: tuple | None = None,
+    predictor: int = 1, tile: tuple | None = None, planar: bool = False,
 ) -> bytes:
     """Single-page wrapper over :func:`_encode_tiff_page` — 8-byte
     header + one page."""
     body, ifd_abs = _encode_tiff_page(
-        px, e, rps, photometric, compression, predictor, tile, base=8
+        px, e, rps, photometric, compression, predictor, tile, base=8,
+        planar=planar,
     )
     head = struct.pack(f"{e}2sHI", b"II" if e == "<" else b"MM", 42, ifd_abs)
     return head + body
@@ -686,7 +695,7 @@ def _encode_tiff_multipage(pages, e: str, rps: int) -> bytes:
 
 def _assemble_tiff_ifd(
     strips, e, w, h, spp, depth, compression, photometric, rps,
-    sample_format, tile, base, predictor=1,
+    sample_format, tile, base, predictor=1, planar=False,
 ):
     """Shared IFD assembly for :func:`_encode_tiff_page`: lay out the
     segment data, off-line offset/count/BitsPerSample/SampleFormat
@@ -744,6 +753,8 @@ def _assemble_tiff_ifd(
             entry(279, 4, n,
                   len(strips[0]) if n == 1 else arr_off_counts)
         )
+    if planar:
+        entries.append(entry(284, 3, 1, 2))  # PlanarConfiguration
     if predictor != 1:
         entries.append(entry(317, 3, 1, predictor))  # ascending tag order
     if tile is not None:
@@ -769,6 +780,7 @@ def _assemble_tiff_ifd(
 def _encode_tiff_page(
     px, e: str, rps: int, photometric: int = 2, compression: int = 1,
     predictor: int = 1, tile: tuple | None = None, base: int = 8,
+    planar: bool = False,
 ) -> tuple:
     """Assemble ONE TIFF page's bytes (segment data + off-line arrays +
     IFD with a zeroed next pointer), all offsets absolute assuming the
@@ -852,6 +864,19 @@ def _encode_tiff_page(
                     t = t.astype(np.int64)
                     t[:, 1:, :] = (t[:, 1:, :] - t[:, :-1, :]) % mod
                 strips.append(t.astype(sdt).tobytes())
+    elif planar and spp == 3:
+        # plane-separated strips (tag 284=2): plane 0's strips first,
+        # then plane 1's, then plane 2's; predictor per plane row
+        arr = px.reshape(h, w, spp)
+        if predictor == 2:
+            arr = arr.astype(np.int64).copy()
+            arr[:, 1:, :] = (arr[:, 1:, :] - arr[:, :-1, :]) % mod
+        strips = []
+        for p in range(spp):
+            plane = np.ascontiguousarray(arr[:, :, p]).astype(sdt)
+            strips += [
+                plane[r : r + rps].tobytes() for r in range(0, h, rps)
+            ]
     else:
         if predictor == 2:
             # stored[x] = orig[x] - orig[x-1] (mod 2^depth) along each
@@ -873,7 +898,7 @@ def _encode_tiff_page(
         strips = [zlib.compress(s) for s in strips]
     return _assemble_tiff_ifd(
         strips, e, w, h, spp, depth, compression, photometric, rps,
-        sample_format, tile, base, predictor,
+        sample_format, tile, base, predictor, planar=planar and spp == 3,
     )
 
 
@@ -2116,10 +2141,12 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
         raise NotImplementedError(f"TIFF photometric {photo}")
     if tags.get(274, (1,))[0] != 1:
         raise NotImplementedError("TIFF non-default orientation")
-    if tags.get(284, (1,))[0] != 1:
-        # planar (RRR..GGG..BBB) strips would silently decode as
-        # chunky garbage if this tag were ignored
-        raise NotImplementedError("TIFF planar configuration")
+    planar = tags.get(284, (1,))[0]
+    if planar not in (1, 2):
+        # ignoring this tag would silently decode plane-separated
+        # (RRR..GGG..BBB) strips as chunky garbage; planar=2 strips
+        # decode for real since r15, tiled planar stays a seam
+        raise NotImplementedError(f"TIFF planar configuration {planar}")
     bits = tuple(tags.get(258, ()))
     spp = 3 if photo == 2 else 1
     # SampleFormat (tag 339, r15): 1 = unsigned int (default), 2 =
@@ -2232,6 +2259,8 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
             vals = 1 - vals
         return {"width": int(w), "height": int(h), "vals": vals}, next_ifd
     if 322 in tags or 323 in tags:  # tiled organization (r14)
+        if planar == 2 and spp > 1:
+            raise NotImplementedError("TIFF tiled planar configuration")
         if not all(t in tags for t in (322, 323, 324, 325)):
             raise ValueError("TIFF tiled file missing tile layout tags")
         tw, tl = tags[322][0], tags[323][0]
@@ -2291,6 +2320,53 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
     rps = tags.get(278, (h,))[0]
     if rps == 0:
         raise ValueError("TIFF RowsPerStrip 0")
+    if planar == 2 and spp > 1:
+        # plane-separated strips (TIFF 6.0 tag 284=2): all of plane
+        # 0's strips, then plane 1's, then plane 2's — each strip
+        # carries ONE sample per pixel; predictor runs per plane row
+        per_plane = -(-h // rps)
+        if len(offs) != spp * per_plane:
+            raise ValueError(
+                f"TIFF planar strip count {len(offs)} != "
+                f"{spp}x{per_plane}"
+            )
+        planes = []
+        for p in range(spp):
+            parts = []
+            for s_i in range(per_plane):
+                off, cnt = offs[p * per_plane + s_i], counts[p * per_plane + s_i]
+                if off + cnt > len(payload):
+                    raise ValueError("TIFF strip past the payload")
+                chunk = payload[off : off + cnt]
+                strip_rows = min(rps, h - s_i * rps)
+                if comp != 1:
+                    chunk = _tiff_expand(chunk, comp, strip_rows * w * bstep)
+                parts.append(chunk)
+            raw = b"".join(parts)
+            if len(raw) != w * h * bstep:
+                raise ValueError(
+                    f"TIFF planar plane data {len(raw)} != "
+                    f"{w}x{h}x{bstep}B"
+                )
+            if sfmt == 3:
+                planes.append(
+                    np.frombuffer(raw, f"{e}f{bstep}").astype(np.float64)
+                )
+                continue
+            pv = np.frombuffer(raw, f"{e}u{bstep}").astype(np.int64)
+            if predictor == 2:
+                pv = (
+                    np.cumsum(pv.reshape(h, w), axis=1) % (1 << depth)
+                ).reshape(-1)
+            planes.append(pv)
+        vals = np.stack(planes, axis=1).reshape(-1)
+        if sfmt == 3:
+            vals = _tiff_float_vals(vals)
+        elif sfmt == 2:
+            vals = vals - (
+                (vals >= (1 << (depth - 1))).astype(np.int64) << depth
+            )
+        return {"width": int(w), "height": int(h), "vals": vals}, next_ifd
     parts = []
     for s_i, (off, cnt) in enumerate(zip(offs, counts)):
         if off + cnt > len(payload):

@@ -573,21 +573,47 @@ def test_tiff_error_paths_and_format_boundaries():
         multimodal.decode_tiff_bytes(
             bytes(patch_tag(bytearray(good), 257, 3))
         )
-    # planar configuration would silently misread as chunky if ignored
+    # planar configuration would silently misread as chunky if ignored;
+    # planar=2 DECODES for real since r15, so a chunky file retagged as
+    # planar dead-letters on the strip-count geometry instead
     import numpy as np
     planar = bytearray(good)
     (ifd_off2,) = _struct.unpack_from("<I", planar, 4)
     (n2,) = _struct.unpack_from("<H", planar, ifd_off2)
     # retag the SamplesPerPixel entry as PlanarConfiguration=2 (spp
-    # then defaults to 3, and the planar check precedes the spp check)
+    # then defaults to 3, and the planar routing precedes the spp check)
     for i in range(n2):
         pos = ifd_off2 + 2 + 12 * i
         (t,) = _struct.unpack_from("<H", planar, pos)
         if t == 277:
             _struct.pack_into("<H", planar, pos, 284)
             _struct.pack_into("<H", planar, pos + 8, 2)
-    with pytest.raises(NotImplementedError, match="planar"):
+    with pytest.raises(ValueError, match="planar strip count"):
         multimodal.decode_tiff_bytes(bytes(planar))
+    # ... and a REAL planar file round-trips: same pixels, separated
+    # planes — a decoder ignoring the tag would misorder every channel
+    w0, h0 = multimodal._image_dims(2)
+    px0 = multimodal._synth_image_vals(2, w0, h0).reshape(h0, w0, 3)
+    d0 = multimodal.decode_tiff_bytes(multimodal._encode_tiff(
+        px0, "<", 4, photometric=2, compression=8, predictor=2,
+        planar=True,
+    ))
+    np.testing.assert_array_equal(
+        d0["vals"], px0.reshape(-1).astype(np.int64)
+    )
+    # tiled planar stays a seam
+    with pytest.raises(NotImplementedError, match="tiled planar"):
+        tp = bytearray(multimodal._encode_tiff(
+            px0, "<", 4, photometric=2, tile=(16, 16)
+        ))
+        (t_ifd,) = _struct.unpack_from("<I", tp, 4)
+        (t_n,) = _struct.unpack_from("<H", tp, t_ifd)
+        for i in range(t_n):
+            pos = t_ifd + 2 + 12 * i
+            if _struct.unpack_from("<H", tp, pos)[0] == 277:
+                _struct.pack_into("<H", tp, pos, 284)
+                _struct.pack_into("<H", tp, pos + 8, 2)
+        multimodal.decode_tiff_bytes(bytes(tp))
     # count-1 BitsPerSample=8 (a common writer shape) must DECODE: build
     # a file whose 258 entry is inline count 1
     single = bytearray(good)
