@@ -333,6 +333,16 @@ def encode_tiff(asset_id: int) -> bytes:
       values (1237·id + 4099·i) mod 65536, the PNG16 closed form);
     - 9: grayscale 16-BIT + LZW + predictor 2 (mod-65536 differencing).
 
+    PLANAR overlay on variant 0 (r15): ``(id // 50) % 3`` rotates the
+    chunky shape through 1 = plane-separated uncompressed (tag 284=2)
+    and 2 = plane-separated + Deflate + predictor 2 — same pixel
+    values, so a decoder ignoring the tag fails the weighted checksum.
+
+    JPEG-IN-TIFF overlay on variant 2 (r15): overlay 1 wraps the id's
+    block-constant baseline JPEG interchange stream as a single
+    compression-7 / photometric-6 strip (exact by DC-only + unit
+    quant, replayed by the jpeg_stats BT.601 closed form).
+
     BILEVEL overlay on variants 1/3 (r15, the scanned-document
     shapes): ``(id // 50) % 3`` rotates variant 1 through 0 = the
     8-bit gray above, 1 = BILEVEL uncompressed (depth 1, packed
@@ -403,6 +413,17 @@ def encode_tiff(asset_id: int) -> bytes:
             stored.astype(np.uint16), e, 4, photometric=photo,
             compression=comp, predictor=pred,
         )
+    if variant == 2 and sfmt == 1:
+        # JPEG-IN-TIFF overlay (r15, compression 7 / photometric 6):
+        # the strip bytes ARE the id's block-constant baseline JPEG
+        # interchange stream, so the decode replays the jpeg_stats
+        # closed form (BT.601 + floor(x+0.5), exact by DC-only + unit
+        # quant) inside the TIFF container
+        from stockpulse_batch_realtime_etl_spark.operators.jpeg import (
+            encode_jpeg,
+        )
+
+        return _encode_tiff_jpeg(encode_jpeg(asset_id), e, w, h)
     if variant % 2 == 0:  # chunky 8-bit RGB
         # PLANAR overlay on variant 0 (r15, tag 284=2): overlay 1 =
         # plane-separated uncompressed, overlay 2 = plane-separated +
@@ -900,6 +921,17 @@ def _encode_tiff_page(
         strips, e, w, h, spp, depth, compression, photometric, rps,
         sample_format, tile, base, predictor, planar=planar and spp == 3,
     )
+
+
+def _encode_tiff_jpeg(stream: bytes, e: str, w: int, h: int) -> bytes:
+    """Single-strip new-style JPEG-in-TIFF (compression 7, photometric
+    6/YCbCr): the strip bytes ARE a complete JPEG interchange stream."""
+    body, ifd_abs = _assemble_tiff_ifd(
+        [stream], e, w, h, spp=3, depth=8, compression=7, photometric=6,
+        rps=h, sample_format=1, tile=None, base=8,
+    )
+    head = struct.pack(f"{e}2sHI", b"II" if e == "<" else b"MM", 42, ifd_abs)
+    return head + body
 
 
 def _gif_palette(asset_id: int, ncolors: int):
@@ -2126,18 +2158,23 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
         f"{e}I", payload, ifd_off + 2 + 12 * n_entries
     )
     comp = tags.get(259, (1,))[0]
-    if comp not in (1, 32773, 5, 8, 32946, 2, 4):
-        # old-JPEG=6 / JPEG=7 / G3-with-EOLs=3 remain honest boundaries
+    if comp not in (1, 32773, 5, 8, 32946, 2, 4, 7):
+        # old-JPEG=6 / G3-with-EOLs=3 remain honest boundaries
         # (32946 is the pre-standard Deflate code — same codec as 8;
         # 2 = CCITT Modified Huffman and 4 = Group 4 decode for real
-        # since r15 on bilevel pages)
+        # since r15 on bilevel pages; 7 = new-style JPEG strips via
+        # the from-scratch JPEG decoder)
         raise NotImplementedError(f"TIFF compression {comp}")
     predictor = tags.get(317, (1,))[0]
     if predictor not in (1, 2):
         # 3 = floating-point horizontal differencing
         raise NotImplementedError(f"TIFF predictor {predictor}")
     photo = tags.get(262, (None,))[0]
-    if photo not in (0, 1, 2):
+    if photo == 6 and comp != 7:
+        # YCbCr sample storage outside the JPEG codec (subsampled raw
+        # chroma planes) stays a seam
+        raise NotImplementedError("TIFF YCbCr photometric without JPEG")
+    if photo not in (0, 1, 2, 6):
         raise NotImplementedError(f"TIFF photometric {photo}")
     if tags.get(274, (1,))[0] != 1:
         raise NotImplementedError("TIFF non-default orientation")
@@ -2148,7 +2185,7 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
         # decode for real since r15, tiled planar stays a seam
         raise NotImplementedError(f"TIFF planar configuration {planar}")
     bits = tuple(tags.get(258, ()))
-    spp = 3 if photo == 2 else 1
+    spp = 3 if photo in (2, 6) else 1
     # SampleFormat (tag 339, r15): 1 = unsigned int (default), 2 =
     # signed int, 3 = IEEE float — the scientific/geo-TIFF shapes.
     # 4 (undefined) and 5/6 (complex) stay honest seams; per-channel
@@ -2200,6 +2237,48 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
         raise ValueError(f"TIFF zero dimensions {w}x{h}")
     # before the strip expected-size targets and the tile canvas below
     _check_pixel_budget(w * h, "TIFF page header")
+    if comp == 7:  # new-style JPEG-in-TIFF (r15): strips ARE JPEG
+        # interchange streams — the from-scratch baseline/progressive
+        # decoder handles them; the TIFF layer only concatenates rows
+        if photo != 6:
+            raise NotImplementedError(
+                f"TIFF JPEG compression with photometric {photo}"
+            )
+        if 347 in tags:
+            # abbreviated streams sharing tables via JPEGTables
+            raise NotImplementedError("TIFF abbreviated JPEG (JPEGTables)")
+        if 322 in tags or 323 in tags:
+            raise NotImplementedError("tiled JPEG TIFF")
+        if depth != 8:
+            raise NotImplementedError(f"TIFF JPEG depth {depth}")
+        if 273 not in tags or 279 not in tags:
+            raise ValueError("TIFF missing strip layout")
+        offs, counts = tags[273], tags[279]
+        if len(offs) != len(counts):
+            raise ValueError("TIFF strip offset/count length mismatch")
+        rps = tags.get(278, (h,))[0]
+        if rps == 0:
+            raise ValueError("TIFF RowsPerStrip 0")
+        from stockpulse_batch_realtime_etl_spark.operators.jpeg import (
+            decode_jpeg_bytes,
+        )
+
+        parts = []
+        for s_i, (off, cnt) in enumerate(zip(offs, counts)):
+            if off + cnt > len(payload):
+                raise ValueError("TIFF strip past the payload")
+            strip_rows = min(rps, h - s_i * rps)
+            if strip_rows <= 0:
+                raise ValueError("TIFF more strips than image rows")
+            d = decode_jpeg_bytes(payload[off : off + cnt])
+            if (d["width"], d["height"]) != (w, strip_rows):
+                raise ValueError(
+                    f"TIFF JPEG strip {d['width']}x{d['height']} != "
+                    f"{w}x{strip_rows}"
+                )
+            parts.append(np.asarray(d["vals"], np.int64))
+        vals = np.concatenate(parts)
+        return {"width": int(w), "height": int(h), "vals": vals}, next_ifd
     if depth == 1:  # BILEVEL (r15): packed rows or CCITT fax strips
         if 322 in tags or 323 in tags:
             raise NotImplementedError("tiled bilevel TIFF")

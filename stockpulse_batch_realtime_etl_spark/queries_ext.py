@@ -1339,7 +1339,11 @@ vj AS (
          THEN (3 * asset_id + 5 * (i // 3)) % pc
          WHEN format = 'bmp' AND (asset_id // 5) % 3 = 2
          THEN (3 * asset_id + 5 * ((i // 3) // 6)) % pc
-         END AS j
+         END AS j,
+         -- 8x8 block index of pixel i//3 (JPEG-in-TIFF overlay, r15)
+         CASE WHEN format = 'tiff'
+              THEN (((i // 3) // w) // 8) * ((w + 7) // 8)
+                   + (((i // 3) % w) // 8) END AS blk
   FROM vi
 ),
 v AS (
@@ -1353,6 +1357,29 @@ v AS (
                     WHEN 0 THEN 7 * j + asset_id
                     WHEN 1 THEN 11 * j + 2 * asset_id
                     ELSE 13 * j + 3 * asset_id END) % 256
+              -- JPEG-IN-TIFF overlay (r15, compression 7): variant 2
+              -- overlay 1 embeds the id's block-constant baseline
+              -- JPEG stream — replay the jpeg_stats closed form
+              -- (BT.601, floor(x+0.5), same evaluation order) with
+              -- yv/cb/cr = (7a+13b / 11a+5b / 3a+17b) mod 256 at
+              -- block index blk
+              WHEN format = 'tiff' AND (asset_id // 5) % 10 = 2
+                   AND (asset_id // 50) % 3 = 1
+              THEN CAST(CASE CAST(i % 3 AS INT)
+                   WHEN 0 THEN least(255, greatest(0, floor(
+                     (7 * asset_id + 13 * blk) % 256
+                     + 1.402 * ((3 * asset_id + 17 * blk) % 256 - 128)
+                     + 0.5)))
+                   WHEN 1 THEN least(255, greatest(0, floor(
+                     (7 * asset_id + 13 * blk) % 256
+                     - 0.344136 * ((11 * asset_id + 5 * blk) % 256 - 128)
+                     - 0.714136 * ((3 * asset_id + 17 * blk) % 256 - 128)
+                     + 0.5)))
+                   ELSE least(255, greatest(0, floor(
+                     (7 * asset_id + 13 * blk) % 256
+                     + 1.772 * ((11 * asset_id + 5 * blk) % 256 - 128)
+                     + 0.5)))
+                   END AS BIGINT)
               -- BILEVEL overlays (r15, the scanned-document shapes):
               -- variant 1 overlay 1/2 (uncompressed packed rows /
               -- CCITT Group 4) and variant 3 overlay 1 (CCITT Modified

@@ -214,3 +214,68 @@ def test_bilevel_tiff_seams_and_corrupt_shapes():
     assert hit
     with pytest.raises(ValueError, match="truncated"):
         multimodal.decode_tiff_bytes(bytes(buf))
+
+
+def test_jpeg_in_tiff_and_seams():
+    """New-style JPEG-in-TIFF (compression 7, photometric 6): strips
+    are JPEG interchange streams decoded by the from-scratch JPEG
+    decoder; corpus overlay ids round-trip to the jpeg closed form;
+    abbreviated streams / wrong photometric / tiling stay seams."""
+    from stockpulse_batch_realtime_etl_spark.operators.jpeg import (
+        decode_jpeg_bytes, encode_jpeg,
+    )
+
+    for aid in (64, 214):  # variant 2, overlay 1 corpus slots
+        assert ((aid // 5) % 10, (aid // 50) % 3) == (2, 1)
+        payload = multimodal.encode_tiff(aid)
+        d = multimodal.decode_image_bytes(payload)
+        ref = decode_jpeg_bytes(encode_jpeg(aid))
+        np.testing.assert_array_equal(
+            d["vals"], np.asarray(ref["vals"], np.int64), err_msg=str(aid)
+        )
+        e = "<" if aid % 2 == 0 else ">"
+        (ifd,) = struct.unpack_from(f"{e}I", payload, 4)
+        (n,) = struct.unpack_from(f"{e}H", payload, ifd)
+        tags = {}
+        for k in range(n):
+            tag = struct.unpack_from(f"{e}H", payload, ifd + 2 + 12 * k)[0]
+            tags[tag] = struct.unpack_from(
+                f"{e}H", payload, ifd + 2 + 12 * k + 8
+            )[0]
+        assert tags[259] == 7 and tags[262] == 6
+    # seams: JPEGTables (347), YCbCr without JPEG, photometric-2 JPEG
+    w, h = multimodal._image_dims(64)
+    good = bytearray(multimodal._encode_tiff_jpeg(encode_jpeg(64), "<", w, h))
+    (ifd,) = struct.unpack_from("<I", good, 4)
+    (n,) = struct.unpack_from("<H", good, ifd)
+
+    def patch(buf, tag, val):
+        hit = False
+        for k in range(n):
+            pos = ifd + 2 + 12 * k
+            if struct.unpack_from("<H", buf, pos)[0] == tag:
+                struct.pack_into("<H", buf, pos + 8, val)
+                hit = True
+        assert hit
+        return bytes(buf)
+
+    with pytest.raises(NotImplementedError, match="photometric 2"):
+        multimodal.decode_tiff_bytes(patch(bytearray(good), 262, 2))
+    with pytest.raises(NotImplementedError, match="YCbCr.*without JPEG"):
+        # compression back to none, photometric stays 6
+        multimodal.decode_tiff_bytes(patch(bytearray(good), 259, 1))
+    retag = bytearray(good)
+    for k in range(n):  # rewrite RowsPerStrip entry into JPEGTables
+        pos = ifd + 2 + 12 * k
+        if struct.unpack_from("<H", retag, pos)[0] == 278:
+            struct.pack_into("<H", retag, pos, 347)
+    with pytest.raises(NotImplementedError, match="JPEGTables"):
+        multimodal.decode_tiff_bytes(bytes(retag))
+    # a corrupt JPEG stream inside the strip dead-letters as ValueError
+    bad = bytearray(good)
+    (strip_off,) = (struct.unpack_from("<I", good, ifd + 2 + 12 * k + 8)
+                    for k in range(n)
+                    if struct.unpack_from("<H", good, ifd + 2 + 12 * k)[0] == 273).__next__()
+    bad[strip_off + 2 : strip_off + 4] = b"\x00\x00"  # break the marker walk
+    with pytest.raises(ValueError):
+        multimodal.decode_tiff_bytes(bytes(bad))

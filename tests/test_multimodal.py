@@ -477,6 +477,15 @@ def test_tiff_roundtrip_both_endians_multistrip():
                 exp = exp - 32768
             elif overlay == 1:  # signed: int16 / full-range int32
                 exp = (exp - 32768) * (1 if variant == 8 else 65536)
+        elif variant == 2 and (aid // 50) % 3 == 1:
+            # r15 JPEG-in-TIFF overlay: block-constant baseline JPEG
+            from stockpulse_batch_realtime_etl_spark.operators.jpeg import (
+                decode_jpeg_bytes, encode_jpeg,
+            )
+
+            exp = np.asarray(
+                decode_jpeg_bytes(encode_jpeg(aid))["vals"], np.int64
+            )
         elif variant % 2 == 0:  # chunky 8-bit RGB
             exp = multimodal._synth_image_vals(aid, w, h).astype(np.int64)
         elif (variant == 1 and (aid // 50) % 3 >= 1) or (
@@ -533,10 +542,16 @@ def test_tiff_error_paths_and_format_boundaries():
                 return buf
         raise AssertionError(f"tag {tag} not found")
 
-    with pytest.raises(NotImplementedError, match="compression 7"):
-        # 7 = TIFF-JPEG stays a boundary (5/8/32773/32946 are real now)
+    with pytest.raises(NotImplementedError, match="JPEG compression with"):
+        # 7 = TIFF-JPEG decodes for real since r15, but only on
+        # photometric-6 files — retagging an RGB file stays a boundary
         multimodal.decode_tiff_bytes(
             bytes(patch_tag(bytearray(good), 259, 7))
+        )
+    with pytest.raises(NotImplementedError, match="compression 6"):
+        # old-style JPEG stays a boundary
+        multimodal.decode_tiff_bytes(
+            bytes(patch_tag(bytearray(good), 259, 6))
         )
     with pytest.raises(NotImplementedError, match="photometric 3"):
         multimodal.decode_tiff_bytes(
