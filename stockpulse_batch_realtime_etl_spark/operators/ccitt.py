@@ -510,3 +510,76 @@ def g4_decode(data: bytes, w: int, nrows: int):
         if r.read_bit():
             raise ValueError("CCITT G4 nonzero padding after the strip")
     return out
+
+
+# --- Group 3 one-dimensional with EOLs (TIFF Compression 3) ------------------
+
+
+def g3_encode(rows, fill: bool = False) -> bytes:
+    """T.4 Group 3 one-dimensional coding, TIFF flavor (compression 3,
+    T4Options 2D bit clear): an EOL precedes EVERY row, rows are
+    MH-coded with NO per-row byte alignment (the bit stream runs
+    continuously), no RTC at the end (TIFF 6.0 §11).  With ``fill``
+    (T4Options bit 2) zero fill bits pad each EOL so the EOL's trailing
+    1 lands on a byte boundary — i.e. row data always starts
+    byte-aligned."""
+    wtr = _BitWriter()
+    for row in rows:
+        if fill:
+            # pad with zeros so that after the 12 EOL bits the position
+            # is a byte multiple
+            pos = len(wtr.out) * 8 + wtr.nbits
+            pad = (-(pos + 12)) % 8
+            wtr.write("0" * pad)
+        wtr.write(_EOL)
+        color = 0
+        for run in _row_to_runs(row):
+            _write_run(wtr, run, white=(color == 0))
+            color ^= 1
+    return wtr.bytes()
+
+
+def _g3_read_eol(r: _BitReader) -> None:
+    """Consume fill zeros + one EOL (>= 11 zeros then a 1)."""
+    zeros = 0
+    while True:
+        if r.read_bit():
+            if zeros < 11:
+                raise ValueError("CCITT G3 missing EOL")
+            return
+        zeros += 1
+        if zeros > 64 * 8:
+            raise ValueError("CCITT G3 runaway EOL fill")
+
+
+def g3_decode(data: bytes, w: int, nrows: int):
+    """Decode a TIFF Compression-3 (1D, EOL-prefixed) strip into an
+    (nrows, w) 0/1 array; trailing RTC EOLs and zero padding are
+    accepted, anything else dead-letters."""
+    import numpy as np
+
+    r = _BitReader(data)
+    out = np.zeros((nrows, w), np.int64)
+    for y in range(nrows):
+        _g3_read_eol(r)
+        pos = 0
+        white = True
+        while pos < w:
+            run = _read_run(r, white)
+            if pos + run > w:
+                raise ValueError("CCITT G3 run overruns the row")
+            if not white:
+                out[y, pos : pos + run] = 1
+            pos += run
+            white = not white
+    # tail: optional RTC (EOLs) and zero fill bits only — every 1-bit
+    # after the last row must terminate a full EOL (>= 11 zeros first)
+    zeros = 0
+    while r.pos < len(data) * 8:
+        if r.read_bit():
+            if zeros < 11:
+                raise ValueError("CCITT G3 trailing data after the strip")
+            zeros = 0
+        else:
+            zeros += 1
+    return out

@@ -439,12 +439,16 @@ def encode_tiff(asset_id: int) -> bytes:
             tile=tile, planar=planar,
         )
     i = np.arange(w * h, dtype=np.int64)
-    if (variant == 1 and sfmt != 0) or (variant == 3 and sfmt == 1):
-        # bilevel overlay: photometric 0 stores 1 - intensity
+    if (variant == 1 or variant == 3) and sfmt != 0:
+        # bilevel overlay: photometric 0 stores 1 - intensity.
+        # Compression map — variant 1: uncompressed / Group 4;
+        # variant 3: Modified Huffman / Group 3 1D-with-EOLs (fill
+        # bits alternating by (id//10) parity)
         intensity = ((3 * asset_id + i // 4) % 7 < 3).reshape(h, w)
-        bcomp = {1: {1: 1, 2: 4}[sfmt], 3: 2}[variant]
+        bcomp = {1: {1: 1, 2: 4}[sfmt], 3: {1: 2, 2: 3}[sfmt]}[variant]
         return _encode_tiff(
-            ~intensity, e, 4, photometric=0, compression=bcomp
+            ~intensity, e, 4, photometric=0, compression=bcomp,
+            g3_fill=(asset_id // 10) % 2 == 1,
         )
     step = (i // 5) if variant == 3 else i
     gray = ((7 * asset_id + 13 * step) % 256).reshape(h, w)
@@ -684,12 +688,13 @@ def _encode_tiff_rgb(px, e: str, rps: int) -> bytes:
 def _encode_tiff(
     px, e: str, rps: int, photometric: int = 2, compression: int = 1,
     predictor: int = 1, tile: tuple | None = None, planar: bool = False,
+    g3_fill: bool = False,
 ) -> bytes:
     """Single-page wrapper over :func:`_encode_tiff_page` — 8-byte
     header + one page."""
     body, ifd_abs = _encode_tiff_page(
         px, e, rps, photometric, compression, predictor, tile, base=8,
-        planar=planar,
+        planar=planar, g3_fill=g3_fill,
     )
     head = struct.pack(f"{e}2sHI", b"II" if e == "<" else b"MM", 42, ifd_abs)
     return head + body
@@ -717,6 +722,7 @@ def _encode_tiff_multipage(pages, e: str, rps: int) -> bytes:
 def _assemble_tiff_ifd(
     strips, e, w, h, spp, depth, compression, photometric, rps,
     sample_format, tile, base, predictor=1, planar=False,
+    t4_options=None,
 ):
     """Shared IFD assembly for :func:`_encode_tiff_page`: lay out the
     segment data, off-line offset/count/BitsPerSample/SampleFormat
@@ -776,6 +782,8 @@ def _assemble_tiff_ifd(
         )
     if planar:
         entries.append(entry(284, 3, 1, 2))  # PlanarConfiguration
+    if t4_options is not None:
+        entries.append(entry(292, 4, 1, t4_options))  # T4Options
     if predictor != 1:
         entries.append(entry(317, 3, 1, predictor))  # ascending tag order
     if tile is not None:
@@ -801,7 +809,7 @@ def _assemble_tiff_ifd(
 def _encode_tiff_page(
     px, e: str, rps: int, photometric: int = 2, compression: int = 1,
     predictor: int = 1, tile: tuple | None = None, base: int = 8,
-    planar: bool = False,
+    planar: bool = False, g3_fill: bool = False,
 ) -> tuple:
     """Assemble ONE TIFF page's bytes (segment data + off-line arrays +
     IFD with a zeroed next pointer), all offsets absolute assuming the
@@ -834,7 +842,7 @@ def _encode_tiff_page(
     if px.dtype == np.bool_:
         if photometric not in (0, 1) or predictor != 1 or tile is not None:
             raise ValueError("bilevel TIFF: photometric 0/1, strips only")
-        if compression not in (1, 2, 4):
+        if compression not in (1, 2, 3, 4):
             raise ValueError(f"bilevel TIFF compression {compression}")
         from stockpulse_batch_realtime_etl_spark.operators import ccitt
 
@@ -843,6 +851,11 @@ def _encode_tiff_page(
         if compression == 2:
             strips = [
                 ccitt.mh_encode(rows[r : r + rps])
+                for r in range(0, h, rps)
+            ]
+        elif compression == 3:
+            strips = [
+                ccitt.g3_encode(rows[r : r + rps], fill=g3_fill)
                 for r in range(0, h, rps)
             ]
         elif compression == 4:
@@ -859,6 +872,7 @@ def _encode_tiff_page(
             strips, e, w, h, spp=1, depth=1, compression=compression,
             photometric=photometric, rps=rps, sample_format=1,
             tile=None, base=base,
+            t4_options=(4 if g3_fill else 0) if compression == 3 else None,
         )
     depth = px.dtype.itemsize * 8
     sample_format = {"u": 1, "i": 2, "f": 3}[px.dtype.kind]
@@ -2158,12 +2172,12 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
         f"{e}I", payload, ifd_off + 2 + 12 * n_entries
     )
     comp = tags.get(259, (1,))[0]
-    if comp not in (1, 32773, 5, 8, 32946, 2, 4, 7):
-        # old-JPEG=6 / G3-with-EOLs=3 remain honest boundaries
-        # (32946 is the pre-standard Deflate code — same codec as 8;
-        # 2 = CCITT Modified Huffman and 4 = Group 4 decode for real
-        # since r15 on bilevel pages; 7 = new-style JPEG strips via
-        # the from-scratch JPEG decoder)
+    if comp not in (1, 32773, 5, 8, 32946, 2, 3, 4, 7):
+        # old-JPEG=6 remains an honest boundary (32946 is the
+        # pre-standard Deflate code — same codec as 8; 2 = CCITT
+        # Modified Huffman, 3 = Group 3 1D-with-EOLs, and 4 = Group 4
+        # decode for real since r15 on bilevel pages; 7 = new-style
+        # JPEG strips via the from-scratch JPEG decoder)
         raise NotImplementedError(f"TIFF compression {comp}")
     predictor = tags.get(317, (1,))[0]
     if predictor not in (1, 2):
@@ -2218,6 +2232,12 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
         )
     depth = bits[0]
     bstep = depth // 8
+    if comp in (2, 3, 4) and depth != 1:
+        # the fax codecs are defined on bilevel pels only; without this
+        # guard an 8-bit page tagged fax would hit the byte codecs
+        raise NotImplementedError(
+            f"TIFF fax compression {comp} on {depth}-bit samples"
+        )
     if sfmt != 1 and photo == 0:
         # WhiteIsZero's full-range inversion is only defined on the
         # unsigned grid
@@ -2284,13 +2304,22 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
             raise NotImplementedError("tiled bilevel TIFF")
         if predictor != 1:
             raise NotImplementedError("TIFF predictor on bilevel samples")
-        if comp in (2, 4) and photo != 0:
+        if comp in (2, 3, 4) and photo != 0:
             # the fax codecs define white/black runs on the WhiteIsZero
             # grid (TIFF 6.0 §10-11); photometric 1 fax is a seam
             raise NotImplementedError(
                 f"CCITT compression with photometric {photo}"
             )
-        if comp not in (1, 2, 4):
+        if comp == 3:
+            t4 = tags.get(292, (0,))[0]
+            if t4 & 1:
+                # MR: per-row 1D/2D tag bits against the previous row
+                raise NotImplementedError("TIFF G3 two-dimensional (MR)")
+            if t4 & 2:
+                raise NotImplementedError("TIFF G3 uncompressed mode")
+            # bit 2 (fill bits before EOL) needs no flag: the EOL
+            # scanner consumes fill zeros either way
+        if comp not in (1, 2, 3, 4):
             # byte codecs over packed bilevel rows are legal TIFF but
             # not a corpus shape — honest boundary
             raise NotImplementedError(f"TIFF bilevel compression {comp}")
@@ -2315,6 +2344,8 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
                 raise ValueError("TIFF more strips than image rows")
             if comp == 2:
                 grid = ccitt.mh_decode(chunk, w, strip_rows)
+            elif comp == 3:
+                grid = ccitt.g3_decode(chunk, w, strip_rows)
             elif comp == 4:
                 grid = ccitt.g4_decode(chunk, w, strip_rows)
             else:  # packed MSB-first bits, rows byte-padded

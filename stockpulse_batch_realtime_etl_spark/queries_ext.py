@@ -1382,13 +1382,13 @@ v AS (
                    END AS BIGINT)
               -- BILEVEL overlays (r15, the scanned-document shapes):
               -- variant 1 overlay 1/2 (uncompressed packed rows /
-              -- CCITT Group 4) and variant 3 overlay 1 (CCITT Modified
-              -- Huffman) decode 0/1 intensities from WhiteIsZero fax
-              -- files storing 1-intensity — runs of 4-12 px exercise
-              -- the fax run codes and 2D modes for real
-              WHEN format = 'tiff' AND (
-                   ((asset_id // 5) % 10 = 1 AND (asset_id // 50) % 3 >= 1)
-                OR ((asset_id // 5) % 10 = 3 AND (asset_id // 50) % 3 = 1))
+              -- CCITT Group 4) and variant 3 overlay 1/2 (CCITT
+              -- Modified Huffman / Group 3 1D-with-EOLs) decode 0/1
+              -- intensities from WhiteIsZero fax files storing
+              -- 1-intensity — runs of 4-12 px exercise the fax run
+              -- codes and 2D modes for real
+              WHEN format = 'tiff' AND (asset_id // 5) % 10 IN (1, 3)
+                   AND (asset_id // 50) % 3 >= 1
               THEN CASE WHEN (3 * asset_id + i // 4) % 7 < 3
                         THEN 1 ELSE 0 END
               -- grayscale + PackBits variant: run-friendly closed form

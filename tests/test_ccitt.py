@@ -279,3 +279,62 @@ def test_jpeg_in_tiff_and_seams():
     bad[strip_off + 2 : strip_off + 4] = b"\x00\x00"  # break the marker walk
     with pytest.raises(ValueError):
         multimodal.decode_tiff_bytes(bytes(bad))
+
+
+def test_g3_with_eols_round_trip_and_seams():
+    """Group 3 1D-with-EOLs (TIFF compression 3): EOL before every row,
+    continuous bit stream, fill bits (T4Options bit 2) byte-align row
+    starts; corpus slots decode to the bilevel closed form; the MR (2D)
+    and uncompressed-mode T4Options bits stay seams."""
+    rng = np.random.default_rng(21)
+    for trial in range(30):
+        w = int(rng.integers(1, 120))
+        n = int(rng.integers(1, 7))
+        rows = (rng.random((n, w)) < rng.random()).astype(np.int64)
+        for fill in (False, True):
+            np.testing.assert_array_equal(
+                ccitt.g3_decode(ccitt.g3_encode(rows, fill=fill), w, n),
+                rows, err_msg=f"{trial}/{fill}",
+            )
+    # fill really byte-aligns each row's data start
+    rows = (np.arange(3 * 17).reshape(3, 17) % 5 < 2).astype(np.int64)
+    r = ccitt._BitReader(ccitt.g3_encode(rows, fill=True))
+    for _ in range(3):
+        ccitt._g3_read_eol(r)
+        assert r.pos % 8 == 0
+        pos, white = 0, True
+        while pos < 17:
+            pos += ccitt._read_run(r, white)
+            white = not white
+    # corpus: variant 3 overlay 2 ids are compression-3 files
+    for aid in (119, 269):
+        assert ((aid // 5) % 10, (aid // 50) % 3) == (3, 2)
+        d = multimodal.decode_image_bytes(multimodal.encode_tiff(aid))
+        w, h = multimodal._image_dims(aid)
+        i = np.arange(w * h, dtype=np.int64)
+        np.testing.assert_array_equal(
+            d["vals"], ((3 * aid + i // 4) % 7 < 3).astype(np.int64)
+        )
+    # T4Options seams: 2D (bit 0) and uncompressed mode (bit 1)
+    stored = np.arange(48).reshape(6, 8) % 3 == 0
+    good = multimodal._encode_tiff(
+        stored, "<", 2, photometric=0, compression=3, g3_fill=True
+    )
+    (ifd,) = struct.unpack_from("<I", good, 4)
+    (n,) = struct.unpack_from("<H", good, ifd)
+    for bit, msg in ((1, "two-dimensional"), (2, "uncompressed mode")):
+        buf = bytearray(good)
+        hit = False
+        for k in range(n):
+            pos = ifd + 2 + 12 * k
+            if struct.unpack_from("<H", buf, pos)[0] == 292:
+                struct.pack_into("<I", buf, pos + 8, bit)
+                hit = True
+        assert hit
+        with pytest.raises(NotImplementedError, match=msg):
+            multimodal.decode_tiff_bytes(bytes(buf))
+    # missing EOL and truncation dead-letter
+    with pytest.raises(ValueError):
+        ccitt.g3_decode(b"\xff\x00", 8, 1)
+    with pytest.raises(ValueError):
+        ccitt.g3_decode(ccitt.g3_encode(rows)[:3], 17, 3)

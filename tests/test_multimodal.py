@@ -488,9 +488,8 @@ def test_tiff_roundtrip_both_endians_multistrip():
             )
         elif variant % 2 == 0:  # chunky 8-bit RGB
             exp = multimodal._synth_image_vals(aid, w, h).astype(np.int64)
-        elif (variant == 1 and (aid // 50) % 3 >= 1) or (
-            variant == 3 and (aid // 50) % 3 == 1
-        ):  # r15 bilevel overlays (uncompressed / G4 / MH)
+        elif variant in (1, 3) and (aid // 50) % 3 >= 1:
+            # r15 bilevel overlays (uncompressed / G4 / MH / G3)
             i = np.arange(w * h, dtype=np.int64)
             exp = ((3 * aid + i // 4) % 7 < 3).astype(np.int64)
         else:  # grayscale (variant 3 = run-friendly PackBits form)
