@@ -257,6 +257,12 @@ def _check_pixel_budget(npixels: int, what: str, budget: int = 0) -> None:
         )
 
 
+#: Per-byte bit reversal for TIFF FillOrder 2 (tag 266, LSB-first —
+#: the fax-modem byte order): translate() with this table flips every
+#: byte's bit order in one pass.
+_BITREV = bytes(int(f"{b:08b}"[::-1], 2) for b in range(256))
+
+
 def _bmp_rle8_decode(data: bytes, w: int, h: int):
     """BI_RLE8 decompression to an (h, w) int64 index grid in STORED
     (bottom-up) row order: run packets, absolute mode (word-aligned),
@@ -449,6 +455,9 @@ def encode_tiff(asset_id: int) -> bytes:
         return _encode_tiff(
             ~intensity, e, 4, photometric=0, compression=bcomp,
             g3_fill=(asset_id // 10) % 2 == 1,
+            # FillOrder 2 (LSB-first fax bytes) on an independent lane;
+            # values unchanged, so the oracle pins the bit reversal
+            fill_order=2 if (asset_id // 20) % 2 == 1 else 1,
         )
     step = (i // 5) if variant == 3 else i
     gray = ((7 * asset_id + 13 * step) % 256).reshape(h, w)
@@ -688,13 +697,13 @@ def _encode_tiff_rgb(px, e: str, rps: int) -> bytes:
 def _encode_tiff(
     px, e: str, rps: int, photometric: int = 2, compression: int = 1,
     predictor: int = 1, tile: tuple | None = None, planar: bool = False,
-    g3_fill: bool = False,
+    g3_fill: bool = False, fill_order: int = 1,
 ) -> bytes:
     """Single-page wrapper over :func:`_encode_tiff_page` — 8-byte
     header + one page."""
     body, ifd_abs = _encode_tiff_page(
         px, e, rps, photometric, compression, predictor, tile, base=8,
-        planar=planar, g3_fill=g3_fill,
+        planar=planar, g3_fill=g3_fill, fill_order=fill_order,
     )
     head = struct.pack(f"{e}2sHI", b"II" if e == "<" else b"MM", 42, ifd_abs)
     return head + body
@@ -722,7 +731,7 @@ def _encode_tiff_multipage(pages, e: str, rps: int) -> bytes:
 def _assemble_tiff_ifd(
     strips, e, w, h, spp, depth, compression, photometric, rps,
     sample_format, tile, base, predictor=1, planar=False,
-    t4_options=None,
+    t4_options=None, fill_order=1,
 ):
     """Shared IFD assembly for :func:`_encode_tiff_page`: lay out the
     segment data, off-line offset/count/BitsPerSample/SampleFormat
@@ -769,6 +778,8 @@ def _assemble_tiff_ifd(
         entry(259, 3, 1, compression),
         entry(262, 3, 1, photometric),
     ]
+    if fill_order != 1:
+        entries.append(entry(266, 3, 1, fill_order))
     if tile is None:
         entries.append(
             entry(273, 4, n, offs[0] if n == 1 else arr_off_offsets)
@@ -809,7 +820,7 @@ def _assemble_tiff_ifd(
 def _encode_tiff_page(
     px, e: str, rps: int, photometric: int = 2, compression: int = 1,
     predictor: int = 1, tile: tuple | None = None, base: int = 8,
-    planar: bool = False, g3_fill: bool = False,
+    planar: bool = False, g3_fill: bool = False, fill_order: int = 1,
 ) -> tuple:
     """Assemble ONE TIFF page's bytes (segment data + off-line arrays +
     IFD with a zeroed next pointer), all offsets absolute assuming the
@@ -868,11 +879,14 @@ def _encode_tiff_page(
                 np.packbits(rows[r : r + rps], axis=1).tobytes()
                 for r in range(0, h, rps)
             ]
+        if fill_order == 2:
+            strips = [st.translate(_BITREV) for st in strips]
         return _assemble_tiff_ifd(
             strips, e, w, h, spp=1, depth=1, compression=compression,
             photometric=photometric, rps=rps, sample_format=1,
             tile=None, base=base,
             t4_options=(4 if g3_fill else 0) if compression == 3 else None,
+            fill_order=fill_order,
         )
     depth = px.dtype.itemsize * 8
     sample_format = {"u": 1, "i": 2, "f": 3}[px.dtype.kind]
@@ -2299,6 +2313,12 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
             parts.append(np.asarray(d["vals"], np.int64))
         vals = np.concatenate(parts)
         return {"width": int(w), "height": int(h), "vals": vals}, next_ifd
+    fill_order = tags.get(266, (1,))[0]
+    if fill_order not in (1, 2):
+        raise ValueError(f"TIFF FillOrder {fill_order}")
+    if fill_order == 2 and depth != 1:
+        # LSB-first fill order is only meaningful for bit-packed data
+        raise NotImplementedError("TIFF FillOrder 2 on multi-bit samples")
     if depth == 1:  # BILEVEL (r15): packed rows or CCITT fax strips
         if 322 in tags or 323 in tags:
             raise NotImplementedError("tiled bilevel TIFF")
@@ -2339,6 +2359,8 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
             if off + cnt > len(payload):
                 raise ValueError("TIFF strip past the payload")
             chunk = payload[off : off + cnt]
+            if fill_order == 2:  # LSB-first bytes -> canonical MSB-first
+                chunk = chunk.translate(_BITREV)
             strip_rows = min(rps, h - s_i * rps)
             if strip_rows <= 0:
                 raise ValueError("TIFF more strips than image rows")

@@ -338,3 +338,52 @@ def test_g3_with_eols_round_trip_and_seams():
         ccitt.g3_decode(b"\xff\x00", 8, 1)
     with pytest.raises(ValueError):
         ccitt.g3_decode(ccitt.g3_encode(rows)[:3], 17, 3)
+
+
+def test_fill_order_2_lsb_first():
+    """TIFF FillOrder 2 (tag 266): strip bytes are bit-reversed before
+    the bilevel/fax decode; corpus lane ids carry the tag; FillOrder 2
+    on multi-bit samples stays a seam and unknown orders dead-letter."""
+    stored = np.arange(48).reshape(6, 8) % 3 == 0
+    msb = multimodal._encode_tiff(stored, "<", 2, photometric=0, compression=4)
+    lsb = multimodal._encode_tiff(
+        stored, "<", 2, photometric=0, compression=4, fill_order=2
+    )
+    assert msb != lsb  # the stored bytes genuinely differ
+    np.testing.assert_array_equal(
+        multimodal.decode_tiff_bytes(msb)["vals"],
+        multimodal.decode_tiff_bytes(lsb)["vals"],
+    )
+    # corpus lane carries tag 266 = 2
+    aid = 69  # (69//20)%2 == 1 -> FillOrder 2; variant 3 overlay 1 (MH)
+    payload = multimodal.encode_tiff(aid)
+    e = ">"
+    (ifd,) = struct.unpack_from(f"{e}I", payload, 4)
+    (n,) = struct.unpack_from(f"{e}H", payload, ifd)
+    tags = {
+        struct.unpack_from(f"{e}H", payload, ifd + 2 + 12 * k)[0]:
+        struct.unpack_from(f"{e}H", payload, ifd + 2 + 12 * k + 8)[0]
+        for k in range(n)
+    }
+    assert tags.get(266) == 2
+    # seams/corrupt: FillOrder 2 on 8-bit samples; FillOrder 3
+    gray = ((7 + 13 * np.arange(48, dtype=np.int64)) % 256).reshape(6, 8)
+    g8 = bytearray(multimodal._encode_tiff(
+        gray.astype(np.uint8), "<", 2, photometric=1, compression=1
+    ))
+    (ifd,) = struct.unpack_from("<I", g8, 4)
+    (n,) = struct.unpack_from("<H", g8, ifd)
+
+    def add_fill_order(buf, val):
+        # rewrite the Compression entry (1=none is the default anyway)
+        for k in range(n):
+            pos = ifd + 2 + 12 * k
+            if struct.unpack_from("<H", buf, pos)[0] == 259:
+                struct.pack_into("<H", buf, pos, 266)
+                struct.pack_into("<H", buf, pos + 8, val)
+        return bytes(buf)
+
+    with pytest.raises(NotImplementedError, match="FillOrder 2"):
+        multimodal.decode_tiff_bytes(add_fill_order(bytearray(g8), 2))
+    with pytest.raises(ValueError, match="FillOrder 3"):
+        multimodal.decode_tiff_bytes(add_fill_order(bytearray(g8), 3))
