@@ -407,10 +407,10 @@ def encode_tiff(asset_id: int) -> bytes:
                 ((n16 - 32768) * 65536).astype(np.int32).reshape(h, w),
                 e, 4, photometric=1, compression=comp, predictor=pred,
             )
-        if sfmt == 2:  # float64, no (integer) predictor
+        if sfmt == 2:  # float64 + the TechNote-3 FLOAT predictor (r15)
             return _encode_tiff(
                 ((n16 - 32768) / 65536.0).reshape(h, w),
-                e, 4, photometric=1, compression=comp,
+                e, 4, photometric=1, compression=comp, predictor=3,
             )
         gray16 = n16.reshape(h, w)
         photo = 1 if (asset_id // 10) % 2 == 0 else 0
@@ -675,6 +675,43 @@ def _tiff_expand(chunk: bytes, comp: int, expected: int) -> bytes:
 TIFF_FLOAT_SCALE = 65536
 
 
+def _tiff_fp3_diff(rows, bstep: int) -> bytes:
+    """Forward TIFF predictor 3: per row, serialize samples to
+    BIG-ENDIAN bytes, shuffle byte-planar (most-significant plane
+    first), then byte-wise horizontal differencing mod 256."""
+    import numpy as np
+
+    nrows, nsamples = rows.shape
+    be = np.ascontiguousarray(rows.astype(f">f{bstep}"))
+    b = np.frombuffer(be.tobytes(), np.uint8).reshape(
+        nrows, nsamples, bstep
+    )
+    shuf = b.transpose(0, 2, 1).reshape(nrows, bstep * nsamples).astype(
+        np.int64
+    )
+    shuf[:, 1:] = (shuf[:, 1:] - shuf[:, :-1]) % 256
+    return shuf.astype(np.uint8)
+
+
+def _tiff_fp3_undiff(raw: bytes, nrows: int, nsamples: int, bstep: int):
+    """Undo TIFF predictor 3 (TechNote 3 floating-point horizontal
+    differencing) on one strip/tile: per row, byte-wise cumulative sum
+    mod 256, then un-shuffle the byte-planar layout (all
+    most-significant bytes of the row's samples first) back into
+    BIG-ENDIAN floats — the scheme stores big-endian byte planes
+    regardless of the file's byte order."""
+    import numpy as np
+
+    arr = np.frombuffer(raw, np.uint8).reshape(
+        nrows, nsamples * bstep
+    ).astype(np.int64)
+    acc = (np.cumsum(arr, axis=1) % 256).astype(np.uint8)
+    shuf = np.ascontiguousarray(
+        acc.reshape(nrows, bstep, nsamples).transpose(0, 2, 1)
+    )
+    return np.frombuffer(shuf.tobytes(), f">f{bstep}")
+
+
 def _tiff_float_vals(x):
     """Map raw IEEE-float TIFF samples onto the 16.16 integer grid with
     the exact-or-dead-letter checks shared with the float-WAV path."""
@@ -892,6 +929,8 @@ def _encode_tiff_page(
     sample_format = {"u": 1, "i": 2, "f": 3}[px.dtype.kind]
     if sample_format == 3 and predictor == 2:
         raise ValueError("predictor 2 is undefined for float samples")
+    if predictor == 3 and (sample_format != 3 or planar):
+        raise ValueError("predictor 3 needs chunky float samples")
     mod = 1 << depth
     sdt = np.dtype(f"{e}{'f' if sample_format == 3 else 'u'}{depth // 8}")
     if sample_format == 2:
@@ -909,6 +948,13 @@ def _encode_tiff_page(
                 t = padded[
                     ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw
                 ]
+                if predictor == 3:
+                    strips.append(
+                        _tiff_fp3_diff(
+                            t.reshape(tl, tw * spp), depth // 8
+                        ).tobytes()
+                    )
+                    continue
                 if predictor == 2:
                     t = t.astype(np.int64)
                     t[:, 1:, :] = (t[:, 1:, :] - t[:, :-1, :]) % mod
@@ -926,6 +972,11 @@ def _encode_tiff_page(
             strips += [
                 plane[r : r + rps].tobytes() for r in range(0, h, rps)
             ]
+    elif predictor == 3:
+        rows = _tiff_fp3_diff(px.reshape(h, w * spp), depth // 8)
+        strips = [
+            rows[r : r + rps].tobytes() for r in range(0, h, rps)
+        ]
     else:
         if predictor == 2:
             # stored[x] = orig[x] - orig[x-1] (mod 2^depth) along each
@@ -2194,8 +2245,7 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
         # JPEG strips via the from-scratch JPEG decoder)
         raise NotImplementedError(f"TIFF compression {comp}")
     predictor = tags.get(317, (1,))[0]
-    if predictor not in (1, 2):
-        # 3 = floating-point horizontal differencing
+    if predictor not in (1, 2, 3):
         raise NotImplementedError(f"TIFF predictor {predictor}")
     photo = tags.get(262, (None,))[0]
     if photo == 6 and comp != 7:
@@ -2259,10 +2309,18 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
             f"TIFF WhiteIsZero with sample format {sfmt}"
         )
     if sfmt == 3 and predictor == 2:
-        # predictor 2 is integer horizontal differencing; the float
-        # predictor is 3 (already a seam above)
+        # predictor 2 is integer horizontal differencing; floats use 3
         raise NotImplementedError(
             "TIFF integer predictor 2 on floating-point samples"
+        )
+    if predictor == 3 and sfmt != 3:
+        # TechNote-3 byte-shuffle differencing is float-only
+        raise NotImplementedError(
+            f"TIFF floating-point predictor on sample format {sfmt}"
+        )
+    if predictor == 3 and planar == 2 and spp > 1:
+        raise NotImplementedError(
+            "TIFF floating-point predictor with planar configuration"
         )
     if 256 not in tags or 257 not in tags:
         raise ValueError("TIFF missing dimensions")
@@ -2417,9 +2475,14 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
             if off + cnt > len(payload):
                 raise ValueError("TIFF tile past the payload")
             chunk = _tiff_expand(payload[off : off + cnt], comp, tile_bytes)
-            tile = np.frombuffer(chunk, sdt).astype(img.dtype).reshape(
-                tl, tw, spp
-            )
+            if predictor == 3:  # float byte-shuffle diff, per tile row
+                tile = _tiff_fp3_undiff(
+                    chunk, tl, tw * spp, bstep
+                ).astype(np.float64).reshape(tl, tw, spp)
+            else:
+                tile = np.frombuffer(chunk, sdt).astype(img.dtype).reshape(
+                    tl, tw, spp
+                )
             if predictor == 2:
                 # un-difference per tile row (padding included — the
                 # encoder differenced over it too); integer-only (the
@@ -2516,7 +2579,11 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
             f"TIFF strip data {len(raw)} != {w}x{h}x{spp}x{bstep}B"
         )
     if sfmt == 3:
-        vals = _tiff_float_vals(np.frombuffer(raw, f"{e}f{bstep}"))
+        if predictor == 3:
+            x = _tiff_fp3_undiff(raw, h, w * spp, bstep)
+        else:
+            x = np.frombuffer(raw, f"{e}f{bstep}")
+        vals = _tiff_float_vals(x)
         return {"width": int(w), "height": int(h), "vals": vals}, next_ifd
     vals = np.frombuffer(raw, f"{e}u{bstep}").astype(np.int64)
     if predictor == 2:

@@ -387,3 +387,53 @@ def test_fill_order_2_lsb_first():
         multimodal.decode_tiff_bytes(add_fill_order(bytearray(g8), 2))
     with pytest.raises(ValueError, match="FillOrder 3"):
         multimodal.decode_tiff_bytes(add_fill_order(bytearray(g8), 3))
+
+
+def test_float_predictor_3():
+    """TIFF predictor 3 (TechNote 3): per-row byte-planar shuffle of
+    BIG-ENDIAN float bytes + mod-256 differencing, strips and tiles,
+    independent of file byte order; integer samples with predictor 3
+    and planar+predictor-3 stay seams."""
+    i = np.arange(9 * 7, dtype=np.int64)
+    n16 = (1237 * 3 + 4099 * i) % 65536
+    f64 = ((n16 - 32768) / 65536.0).reshape(7, 9)
+    for e in ("<", ">"):
+        plain = multimodal._encode_tiff(f64, e, 4, photometric=1)
+        pred = multimodal._encode_tiff(
+            f64, e, 4, photometric=1, predictor=3
+        )
+        assert plain != pred
+        np.testing.assert_array_equal(
+            multimodal.decode_tiff_bytes(pred)["vals"], n16 - 32768
+        )
+    # corpus slot: variant 9 overlay 2 carries predictor 3
+    payload = multimodal.encode_tiff(149)
+    (ifd,) = struct.unpack_from(">I", payload, 4)
+    (n,) = struct.unpack_from(">H", payload, ifd)
+    tags = {
+        struct.unpack_from(">H", payload, ifd + 2 + 12 * k)[0]:
+        struct.unpack_from(">H", payload, ifd + 2 + 12 * k + 8)[0]
+        for k in range(n)
+    }
+    assert tags.get(317) == 3 and tags.get(339) == 3
+    # predictor 3 on integer samples is a seam (patch an int16 file)
+    i16 = (n16 - 32768).astype(np.int16).reshape(7, 9)
+    buf = bytearray(multimodal._encode_tiff(
+        i16, "<", 4, photometric=1, compression=8, predictor=2
+    ))
+    (ifd,) = struct.unpack_from("<I", buf, 4)
+    (n,) = struct.unpack_from("<H", buf, ifd)
+    for k in range(n):
+        pos = ifd + 2 + 12 * k
+        if struct.unpack_from("<H", buf, pos)[0] == 317:
+            struct.pack_into("<H", buf, pos + 8, 3)
+    with pytest.raises(NotImplementedError, match="floating-point predictor"):
+        multimodal.decode_tiff_bytes(bytes(buf))
+    # encoder guards
+    with pytest.raises(ValueError, match="chunky float"):
+        multimodal._encode_tiff(i16, "<", 4, photometric=1, predictor=3)
+    with pytest.raises(ValueError, match="chunky float"):
+        multimodal._encode_tiff(
+            np.repeat(f64[:, :, None], 3, axis=2),
+            "<", 4, photometric=2, predictor=3, planar=True,
+        )

@@ -795,7 +795,7 @@ def test_tiff_lzw_deflate_predictor_boundaries():
         pos = p_ifd + 2 + 12 * k
         if _struct.unpack_from("<H", pred_tiff, pos)[0] == 317:
             _struct.pack_into("<H", pred_tiff, pos + 8, 3)
-    with pytest.raises(NotImplementedError, match="predictor 3"):
+    with pytest.raises(NotImplementedError, match="floating-point predictor"):
         multimodal.decode_tiff_bytes(bytes(pred_tiff))
 
 
