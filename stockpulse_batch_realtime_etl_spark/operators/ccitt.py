@@ -348,68 +348,156 @@ def _changing_elements(row) -> list:
     return list(diff) + [w, w]
 
 
+def _g4_encode_row(wtr: _BitWriter, cur, ref_ch: list, w: int) -> None:
+    """Code ONE row two-dimensionally against the reference line's
+    changing elements — pass / horizontal / vertical mode selection per
+    T.6 §2.2 (shared by G4 and the G3 MR tag-bit-0 rows)."""
+    cur_ch = _changing_elements(cur)
+    a0 = -1
+    color = 0  # color of a0 (white before the row starts)
+    ci = 0  # index of a1 within cur_ch
+    while a0 < w:
+        # a1: first changing element of cur right of a0 with color
+        # opposite to a0's color; cur_ch alternates starting with a
+        # white->black change, so parity tracks color
+        while ci < len(cur_ch) - 2 and cur_ch[ci] <= a0:
+            ci += 1
+        a1 = cur_ch[ci] if cur_ch[ci] > a0 else w
+        a2 = cur_ch[ci + 1] if ci + 1 < len(cur_ch) and cur_ch[ci + 1] > a1 else w
+        # b1: first changing element on ref right of a0 with the
+        # same "changing to" color as a1 (i.e. opposite of color)
+        b1 = w
+        for j, b in enumerate(ref_ch[:-2]):
+            if b > a0 and j % 2 == (0 if color == 0 else 1):
+                b1 = b
+                break
+        else:
+            j = None
+        b2 = w
+        if b1 < w and j is not None:
+            for b in ref_ch[j + 1 : -2]:
+                if b > b1:
+                    b2 = b
+                    break
+        if b2 < a1:  # pass mode
+            wtr.write(_MODE_PASS)
+            a0 = b2
+            continue
+        d = a1 - b1  # V_R: a1 right of b1; V_L: a1 left of b1
+        if -3 <= d <= 3:  # vertical mode
+            if d == 0:
+                wtr.write(_MODE_V0)
+            elif d > 0:
+                wtr.write(_MODE_VR[d - 1])
+            else:
+                wtr.write(_MODE_VL[-d - 1])
+            a0 = a1
+            color ^= 1
+            continue
+        # horizontal mode: runs a0a1 and a1a2 in a0's color order
+        wtr.write(_MODE_H)
+        start = max(a0, 0)
+        _write_run(wtr, a1 - start, white=(color == 0))
+        _write_run(wtr, a2 - a1, white=(color == 1))
+        a0 = a2
+
+
+def _g4_decode_row(r: _BitReader, ref_ch: list, w: int):
+    """Decode ONE two-dimensionally-coded row against the reference
+    line's changing elements; returns the (w,) 0/1 row (shared by G4
+    and the G3 MR tag-bit-0 rows)."""
+    import numpy as np
+
+    cur_runs: list = []  # changing positions of the decoded row
+    a0 = -1
+    color = 0
+    while a0 < w:
+        # read one mode code (longest-prefix over the 9 mode codes)
+        bits = ""
+        for _ in range(8):
+            bits += "1" if r.read_bit() else "0"
+            if bits == _MODE_V0:
+                mode = ("v", 0)
+                break
+            if bits == _MODE_H:
+                mode = ("h", None)
+                break
+            if bits == _MODE_PASS:
+                mode = ("p", None)
+                break
+            if bits in _MODE_VR:
+                mode = ("v", _MODE_VR.index(bits) + 1)
+                break
+            if bits in _MODE_VL:
+                mode = ("v", -(_MODE_VL.index(bits) + 1))
+                break
+        else:
+            raise ValueError("invalid CCITT 2D mode code")
+        # b1: first ref change right of a0 with color opposite a0's
+        b1 = w
+        j = None
+        for k, b in enumerate(ref_ch[:-2]):
+            if b > a0 and k % 2 == (0 if color == 0 else 1):
+                b1 = b
+                j = k
+                break
+        b2 = w
+        if j is not None:
+            for b in ref_ch[j + 1 : -2]:
+                if b > b1:
+                    b2 = b
+                    break
+        kind, arg = mode
+        if kind == "p":
+            if b2 > w:
+                raise ValueError("CCITT 2D pass mode past the row")
+            a0 = b2
+            continue
+        if kind == "v":
+            a1 = b1 + arg
+            if not -1 <= a0 < a1 <= w:
+                raise ValueError("CCITT 2D vertical mode out of order")
+            cur_runs.append(a1)
+            a0 = a1
+            color ^= 1
+            continue
+        # horizontal: two runs from max(a0, 0)
+        start = max(a0, 0)
+        r1 = _read_run(r, white=(color == 0))
+        r2 = _read_run(r, white=(color == 1))
+        a1, a2 = start + r1, start + r1 + r2
+        if a2 > w:
+            raise ValueError("CCITT 2D horizontal runs overrun the row")
+        cur_runs.append(a1)
+        cur_runs.append(a2)
+        a0 = a2
+    if a0 > w:
+        raise ValueError("CCITT 2D row overruns the width")
+    # materialize the row from its changing positions
+    row = np.zeros(w, np.int64)
+    col = 0
+    prev = 0
+    for pos in cur_runs + [w]:
+        if col:
+            row[prev:pos] = 1
+        prev = pos
+        col ^= 1
+    return row
+
+
 def g4_encode(rows, eofb: bool = True) -> bytes:
     """T.6 two-dimensional coding of an (n, w) 0/1 array (1 = black):
-    pass / horizontal / vertical mode selection per T.6 §2.2, first row
-    against the imaginary all-white reference, optional EOFB."""
+    every row coded 2D against the previous one, the first against the
+    imaginary all-white reference, optional EOFB."""
     import numpy as np
 
     rows = np.asarray(rows, dtype=np.int64)
     n, w = rows.shape
     wtr = _BitWriter()
-    ref = np.zeros(w, np.int64)
+    ref_ch = [w, w]  # imaginary all-white reference line
     for y in range(n):
-        cur = rows[y]
-        cur_ch = _changing_elements(cur)
-        ref_ch = _changing_elements(ref)
-        a0 = -1
-        color = 0  # color of a0 (white before the row starts)
-        ci = 0  # index of a1 within cur_ch
-        while a0 < w:
-            # a1: first changing element of cur right of a0 with color
-            # opposite to a0's color; cur_ch alternates starting with a
-            # white->black change, so parity tracks color
-            while ci < len(cur_ch) - 2 and cur_ch[ci] <= a0:
-                ci += 1
-            a1 = cur_ch[ci] if cur_ch[ci] > a0 else w
-            a2 = cur_ch[ci + 1] if ci + 1 < len(cur_ch) and cur_ch[ci + 1] > a1 else w
-            # b1: first changing element on ref right of a0 with the
-            # same "changing to" color as a1 (i.e. opposite of color)
-            b1 = w
-            for j, b in enumerate(ref_ch[:-2]):
-                if b > a0 and j % 2 == (0 if color == 0 else 1):
-                    b1 = b
-                    break
-            else:
-                j = None
-            b2 = w
-            if b1 < w and j is not None:
-                for b in ref_ch[j + 1 : -2]:
-                    if b > b1:
-                        b2 = b
-                        break
-            if b2 < a1:  # pass mode
-                wtr.write(_MODE_PASS)
-                a0 = b2
-                continue
-            d = a1 - b1  # V_R: a1 right of b1; V_L: a1 left of b1
-            if -3 <= d <= 3:  # vertical mode
-                if d == 0:
-                    wtr.write(_MODE_V0)
-                elif d > 0:
-                    wtr.write(_MODE_VR[d - 1])
-                else:
-                    wtr.write(_MODE_VL[-d - 1])
-                a0 = a1
-                color ^= 1
-                continue
-            # horizontal mode: runs a0a1 and a1a2 in a0's color order
-            wtr.write(_MODE_H)
-            start = max(a0, 0)
-            _write_run(wtr, a1 - start, white=(color == 0))
-            _write_run(wtr, a2 - a1, white=(color == 1))
-            a0 = a2
-        ref = cur
+        _g4_encode_row(wtr, rows[y], ref_ch, w)
+        ref_ch = _changing_elements(rows[y])
     if eofb:
         wtr.write(_EOL + _EOL)
     return wtr.bytes()
@@ -425,82 +513,8 @@ def g4_decode(data: bytes, w: int, nrows: int):
     out = np.zeros((nrows, w), np.int64)
     ref_ch = [w, w]
     for y in range(nrows):
-        cur_runs: list = []  # changing positions of the decoded row
-        a0 = -1
-        color = 0
-        while a0 < w:
-            # read one mode code (longest-prefix over the 9 mode codes)
-            bits = ""
-            for _ in range(8):
-                bits += "1" if r.read_bit() else "0"
-                if bits == _MODE_V0:
-                    mode = ("v", 0)
-                    break
-                if bits == _MODE_H:
-                    mode = ("h", None)
-                    break
-                if bits == _MODE_PASS:
-                    mode = ("p", None)
-                    break
-                if bits in _MODE_VR:
-                    mode = ("v", _MODE_VR.index(bits) + 1)
-                    break
-                if bits in _MODE_VL:
-                    mode = ("v", -(_MODE_VL.index(bits) + 1))
-                    break
-            else:
-                raise ValueError("invalid CCITT G4 mode code")
-            # b1: first ref change right of a0 with color opposite a0's
-            b1 = w
-            j = None
-            for k, b in enumerate(ref_ch[:-2]):
-                if b > a0 and k % 2 == (0 if color == 0 else 1):
-                    b1 = b
-                    j = k
-                    break
-            b2 = w
-            if j is not None:
-                for b in ref_ch[j + 1 : -2]:
-                    if b > b1:
-                        b2 = b
-                        break
-            kind, arg = mode
-            if kind == "p":
-                if b2 > w:
-                    raise ValueError("CCITT G4 pass mode past the row")
-                a0 = b2
-                continue
-            if kind == "v":
-                a1 = b1 + arg
-                if not -1 <= a0 < a1 <= w:
-                    raise ValueError("CCITT G4 vertical mode out of order")
-                cur_runs.append(a1)
-                a0 = a1
-                color ^= 1
-                continue
-            # horizontal: two runs from max(a0, 0)
-            start = max(a0, 0)
-            r1 = _read_run(r, white=(color == 0))
-            r2 = _read_run(r, white=(color == 1))
-            a1, a2 = start + r1, start + r1 + r2
-            if a2 > w:
-                raise ValueError("CCITT G4 horizontal runs overrun the row")
-            cur_runs.append(a1)
-            cur_runs.append(a2)
-            a0 = a2
-        if a0 > w:
-            raise ValueError("CCITT G4 row overruns the width")
-        # materialize the row from its changing positions
-        row = np.zeros(w, np.int64)
-        col = 0
-        prev = 0
-        for pos in cur_runs + [w]:
-            if col:
-                row[prev:pos] = 1
-            prev = pos
-            col ^= 1
-        out[y] = row
-        ref_ch = _changing_elements(row)
+        out[y] = _g4_decode_row(r, ref_ch, w)
+        ref_ch = _changing_elements(out[y])
     # optional EOFB, then zero fill bits to the byte boundary
     if len(data) * 8 - r.pos >= 24:
         eofb = "".join("1" if r.read_bit() else "0" for _ in range(24))
@@ -515,27 +529,43 @@ def g4_decode(data: bytes, w: int, nrows: int):
 # --- Group 3 one-dimensional with EOLs (TIFF Compression 3) ------------------
 
 
-def g3_encode(rows, fill: bool = False) -> bytes:
-    """T.4 Group 3 one-dimensional coding, TIFF flavor (compression 3,
-    T4Options 2D bit clear): an EOL precedes EVERY row, rows are
-    MH-coded with NO per-row byte alignment (the bit stream runs
-    continuously), no RTC at the end (TIFF 6.0 §11).  With ``fill``
-    (T4Options bit 2) zero fill bits pad each EOL so the EOL's trailing
-    1 lands on a byte boundary — i.e. row data always starts
-    byte-aligned."""
+def g3_encode(
+    rows, fill: bool = False, two_d: bool = False, k: int = 4
+) -> bytes:
+    """T.4 Group 3 coding, TIFF flavor (compression 3): an EOL precedes
+    EVERY row, the bit stream runs continuously (no per-row byte
+    alignment), no RTC at the end (TIFF 6.0 §11).  With ``fill``
+    (T4Options bit 2) zero fill bits pad each EOL so its trailing 1
+    lands on a byte boundary — i.e. row data always starts
+    byte-aligned.  With ``two_d`` (T4Options bit 0, MR): a tag bit
+    follows each EOL — 1 = the row is 1D MH-coded, 0 = 2D-coded
+    against the previous row — and every ``k``-th row is coded 1D
+    (the T.4 K-factor error-containment convention; the first row is
+    always 1D)."""
+    import numpy as np
+
     wtr = _BitWriter()
-    for row in rows:
+    ref_ch = None
+    for y, row in enumerate(rows):
+        one_d = (not two_d) or y % k == 0
         if fill:
-            # pad with zeros so that after the 12 EOL bits the position
-            # is a byte multiple
+            # pad with zeros so that after the 12 EOL bits (plus the
+            # MR tag bit, which rides with the EOL) the position is a
+            # byte multiple
             pos = len(wtr.out) * 8 + wtr.nbits
-            pad = (-(pos + 12)) % 8
+            pad = (-(pos + 12 + (1 if two_d else 0))) % 8
             wtr.write("0" * pad)
         wtr.write(_EOL)
-        color = 0
-        for run in _row_to_runs(row):
-            _write_run(wtr, run, white=(color == 0))
-            color ^= 1
+        if two_d:
+            wtr.write("1" if one_d else "0")
+        if one_d:
+            color = 0
+            for run in _row_to_runs(row):
+                _write_run(wtr, run, white=(color == 0))
+                color ^= 1
+        else:
+            _g4_encode_row(wtr, np.asarray(row, np.int64), ref_ch, len(row))
+        ref_ch = _changing_elements(row)
     return wtr.bytes()
 
 
@@ -552,16 +582,24 @@ def _g3_read_eol(r: _BitReader) -> None:
             raise ValueError("CCITT G3 runaway EOL fill")
 
 
-def g3_decode(data: bytes, w: int, nrows: int):
-    """Decode a TIFF Compression-3 (1D, EOL-prefixed) strip into an
-    (nrows, w) 0/1 array; trailing RTC EOLs and zero padding are
-    accepted, anything else dead-letters."""
+def g3_decode(data: bytes, w: int, nrows: int, two_d: bool = False):
+    """Decode a TIFF Compression-3 (EOL-prefixed) strip into an
+    (nrows, w) 0/1 array; with ``two_d`` (MR) each EOL carries a tag
+    bit selecting 1D MH or 2D coding against the previous row (a 2D
+    first row decodes against the imaginary all-white reference).
+    Trailing RTC EOLs and zero padding are accepted, anything else
+    dead-letters."""
     import numpy as np
 
     r = _BitReader(data)
     out = np.zeros((nrows, w), np.int64)
+    ref_ch = [w, w]
     for y in range(nrows):
         _g3_read_eol(r)
+        if two_d and not r.read_bit():
+            out[y] = _g4_decode_row(r, ref_ch, w)
+            ref_ch = _changing_elements(out[y])
+            continue
         pos = 0
         white = True
         while pos < w:
@@ -572,6 +610,7 @@ def g3_decode(data: bytes, w: int, nrows: int):
                 out[y, pos : pos + run] = 1
             pos += run
             white = not white
+        ref_ch = _changing_elements(out[y])
     # tail: optional RTC (EOLs) and zero fill bits only — every 1-bit
     # after the last row must terminate a full EOL (>= 11 zeros first)
     zeros = 0

@@ -455,9 +455,11 @@ def encode_tiff(asset_id: int) -> bytes:
         return _encode_tiff(
             ~intensity, e, 4, photometric=0, compression=bcomp,
             g3_fill=(asset_id // 10) % 2 == 1,
-            # FillOrder 2 (LSB-first fax bytes) on an independent lane;
-            # values unchanged, so the oracle pins the bit reversal
+            # FillOrder 2 (LSB-first fax bytes) and MR 2D coding on
+            # independent lanes; values unchanged, so the oracle pins
+            # the bit reversal and the per-row tag-bit machinery
             fill_order=2 if (asset_id // 20) % 2 == 1 else 1,
+            g3_2d=(asset_id // 150) % 2 == 1,
         )
     step = (i // 5) if variant == 3 else i
     gray = ((7 * asset_id + 13 * step) % 256).reshape(h, w)
@@ -734,13 +736,14 @@ def _encode_tiff_rgb(px, e: str, rps: int) -> bytes:
 def _encode_tiff(
     px, e: str, rps: int, photometric: int = 2, compression: int = 1,
     predictor: int = 1, tile: tuple | None = None, planar: bool = False,
-    g3_fill: bool = False, fill_order: int = 1,
+    g3_fill: bool = False, fill_order: int = 1, g3_2d: bool = False,
 ) -> bytes:
     """Single-page wrapper over :func:`_encode_tiff_page` — 8-byte
     header + one page."""
     body, ifd_abs = _encode_tiff_page(
         px, e, rps, photometric, compression, predictor, tile, base=8,
         planar=planar, g3_fill=g3_fill, fill_order=fill_order,
+        g3_2d=g3_2d,
     )
     head = struct.pack(f"{e}2sHI", b"II" if e == "<" else b"MM", 42, ifd_abs)
     return head + body
@@ -858,6 +861,7 @@ def _encode_tiff_page(
     px, e: str, rps: int, photometric: int = 2, compression: int = 1,
     predictor: int = 1, tile: tuple | None = None, base: int = 8,
     planar: bool = False, g3_fill: bool = False, fill_order: int = 1,
+    g3_2d: bool = False,
 ) -> tuple:
     """Assemble ONE TIFF page's bytes (segment data + off-line arrays +
     IFD with a zeroed next pointer), all offsets absolute assuming the
@@ -903,7 +907,8 @@ def _encode_tiff_page(
             ]
         elif compression == 3:
             strips = [
-                ccitt.g3_encode(rows[r : r + rps], fill=g3_fill)
+                ccitt.g3_encode(rows[r : r + rps], fill=g3_fill,
+                                two_d=g3_2d)
                 for r in range(0, h, rps)
             ]
         elif compression == 4:
@@ -922,7 +927,9 @@ def _encode_tiff_page(
             strips, e, w, h, spp=1, depth=1, compression=compression,
             photometric=photometric, rps=rps, sample_format=1,
             tile=None, base=base,
-            t4_options=(4 if g3_fill else 0) if compression == 3 else None,
+            t4_options=(
+                (4 if g3_fill else 0) | (1 if g3_2d else 0)
+            ) if compression == 3 else None,
             fill_order=fill_order,
         )
     depth = px.dtype.itemsize * 8
@@ -2388,15 +2395,15 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
             raise NotImplementedError(
                 f"CCITT compression with photometric {photo}"
             )
+        g3_2d = False
         if comp == 3:
             t4 = tags.get(292, (0,))[0]
-            if t4 & 1:
-                # MR: per-row 1D/2D tag bits against the previous row
-                raise NotImplementedError("TIFF G3 two-dimensional (MR)")
             if t4 & 2:
                 raise NotImplementedError("TIFF G3 uncompressed mode")
-            # bit 2 (fill bits before EOL) needs no flag: the EOL
-            # scanner consumes fill zeros either way
+            # bit 0 (MR): per-row tag bits select 1D/2D coding — real
+            # since r15; bit 2 (fill bits before EOL) needs no flag:
+            # the EOL scanner consumes fill zeros either way
+            g3_2d = bool(t4 & 1)
         if comp not in (1, 2, 3, 4):
             # byte codecs over packed bilevel rows are legal TIFF but
             # not a corpus shape — honest boundary
@@ -2425,7 +2432,7 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
             if comp == 2:
                 grid = ccitt.mh_decode(chunk, w, strip_rows)
             elif comp == 3:
-                grid = ccitt.g3_decode(chunk, w, strip_rows)
+                grid = ccitt.g3_decode(chunk, w, strip_rows, two_d=g3_2d)
             elif comp == 4:
                 grid = ccitt.g4_decode(chunk, w, strip_rows)
             else:  # packed MSB-first bits, rows byte-padded

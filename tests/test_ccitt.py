@@ -315,14 +315,17 @@ def test_g3_with_eols_round_trip_and_seams():
         np.testing.assert_array_equal(
             d["vals"], ((3 * aid + i // 4) % 7 < 3).astype(np.int64)
         )
-    # T4Options seams: 2D (bit 0) and uncompressed mode (bit 1)
+    # T4Options: uncompressed mode (bit 1) stays a seam; retagging a
+    # 1D stream as MR (bit 0 — real since r15) makes the first data
+    # bits parse as bogus tag/mode bits and dead-letters as corrupt
     stored = np.arange(48).reshape(6, 8) % 3 == 0
     good = multimodal._encode_tiff(
         stored, "<", 2, photometric=0, compression=3, g3_fill=True
     )
     (ifd,) = struct.unpack_from("<I", good, 4)
     (n,) = struct.unpack_from("<H", good, ifd)
-    for bit, msg in ((1, "two-dimensional"), (2, "uncompressed mode")):
+
+    def patch_t4(bit):
         buf = bytearray(good)
         hit = False
         for k in range(n):
@@ -331,8 +334,12 @@ def test_g3_with_eols_round_trip_and_seams():
                 struct.pack_into("<I", buf, pos + 8, bit)
                 hit = True
         assert hit
-        with pytest.raises(NotImplementedError, match=msg):
-            multimodal.decode_tiff_bytes(bytes(buf))
+        return bytes(buf)
+
+    with pytest.raises(NotImplementedError, match="uncompressed mode"):
+        multimodal.decode_tiff_bytes(patch_t4(2))
+    with pytest.raises(ValueError):
+        multimodal.decode_tiff_bytes(patch_t4(1))
     # missing EOL and truncation dead-letter
     with pytest.raises(ValueError):
         ccitt.g3_decode(b"\xff\x00", 8, 1)
@@ -437,3 +444,48 @@ def test_float_predictor_3():
             np.repeat(f64[:, :, None], 3, axis=2),
             "<", 4, photometric=2, predictor=3, planar=True,
         )
+
+
+def test_g3_mr_two_dimensional():
+    """MR (G3 2D, T4Options bit 0): each EOL carries a tag bit picking
+    1D MH or 2D coding against the previous row; the K-factor forces a
+    periodic 1D resync row.  Round-trips with fill/FillOrder combos,
+    corpus MR slots decode closed-form, and the uncompressed-mode bit
+    stays a seam."""
+    rng = np.random.default_rng(43)
+    for trial in range(40):
+        w = int(rng.integers(1, 150))
+        n = int(rng.integers(1, 9))
+        rows = (rng.random((n, w)) < rng.random()).astype(np.int64)
+        k = int(rng.integers(1, 6))
+        enc = ccitt.g3_encode(rows, fill=bool(trial % 2), two_d=True, k=k)
+        np.testing.assert_array_equal(
+            ccitt.g3_decode(enc, w, n, two_d=True), rows,
+            err_msg=f"{trial}/k={k}",
+        )
+    # MR genuinely emits tag bits: a 3-row image with k=4 has exactly
+    # one 1D row (the first) — the stream differs from pure 1D
+    rows = (np.arange(3 * 20).reshape(3, 20) % 5 < 2).astype(np.int64)
+    assert ccitt.g3_encode(rows, two_d=True) != ccitt.g3_encode(rows)
+    # TIFF integration: MR corpus slot (variant 3, overlay 2, id//150
+    # odd) carries T4Options bit 0 and decodes to the bilevel form
+    aid = 269
+    assert ((aid // 5) % 10, (aid // 50) % 3, (aid // 150) % 2) == (3, 2, 1)
+    d = multimodal.decode_image_bytes(multimodal.encode_tiff(aid))
+    w, h = multimodal._image_dims(aid)
+    i = np.arange(w * h, dtype=np.int64)
+    np.testing.assert_array_equal(
+        d["vals"], ((3 * aid + i // 4) % 7 < 3).astype(np.int64)
+    )
+    # direct TIFF round-trip across fill/FillOrder lanes
+    stored = np.arange(48).reshape(6, 8) % 3 == 0
+    for fill in (False, True):
+        for fo in (1, 2):
+            pay = multimodal._encode_tiff(
+                stored, ">", 2, photometric=0, compression=3,
+                g3_fill=fill, fill_order=fo, g3_2d=True,
+            )
+            np.testing.assert_array_equal(
+                multimodal.decode_tiff_bytes(pay)["vals"],
+                1 - stored.astype(np.int64).reshape(-1),
+            )
