@@ -3796,7 +3796,7 @@ def decode_y4m_bytes(payload: bytes) -> dict:
         raise ValueError(f"Y4M non-positive dimensions {w}x{h}")
     _check_pixel_budget(w * h, "Y4M header")
     if cspace == "C444":
-        sub = False
+        sub = None
     elif cspace.startswith("C420"):
         # C420 / C420jpeg / C420mpeg2 / C420paldv differ only in chroma
         # SITING, not sample counts — nearest-neighbor replication below
@@ -3806,12 +3806,21 @@ def decode_y4m_bytes(payload: bytes) -> dict:
         # same scene decode to comparable value sequences.
         if w % 2 or h % 2:
             raise ValueError(f"Y4M C420 requires even dims, got {w}x{h}")
-        sub = True
+        sub = (2, 2)
+    elif cspace == "C422":
+        # 4:2:2 (r15): chroma subsampled horizontally only — the
+        # broadcast/capture interchange shape; NN-replicated 2x on x
+        if w % 2:
+            raise ValueError(f"Y4M C422 requires even width, got {w}x{h}")
+        sub = (1, 2)
     else:
         raise NotImplementedError(
-            f"Y4M colourspace {cspace} (C444 and C420* only)"
+            f"Y4M colourspace {cspace} (C444, C420*, C422 only)"
         )
-    fsize = w * h * 3 if not sub else w * h * 3 // 2
+    if sub is None:
+        fsize = w * h * 3
+    else:
+        fsize = w * h + 2 * (h // sub[0]) * (w // sub[1])
     pos, frames = nl + 1, []
     while pos < len(payload):
         fnl = payload.find(b"\n", pos)
@@ -3821,15 +3830,16 @@ def decode_y4m_bytes(payload: bytes) -> dict:
         if start + fsize > len(payload):
             raise ValueError("Y4M truncated frame")
         raw = np.frombuffer(payload, np.uint8, fsize, start).astype(np.int64)
-        if not sub:
+        if sub is None:
             frames.append(raw)
         else:
             y = raw[: w * h]
-            cw, chh = w // 2, h // 2
+            sy, sx = sub
+            chh, cw = h // sy, w // sx
             u = raw[w * h : w * h + cw * chh].reshape(chh, cw)
             v = raw[w * h + cw * chh :].reshape(chh, cw)
             up = [
-                np.repeat(np.repeat(c, 2, axis=0), 2, axis=1).reshape(-1)
+                np.repeat(np.repeat(c, sy, axis=0), sx, axis=1).reshape(-1)
                 for c in (u, v)
             ]
             frames.append(np.concatenate([y, up[0], up[1]]))

@@ -1484,9 +1484,42 @@ def test_y4m_round_trip_and_errors():
     # the even-dims requirement: a hard ValueError, never silent garbage
     with pytest.raises(ValueError):
         multimodal.decode_y4m_bytes(p.replace(b"C444", b"C420"))
+    # C422 now DECODES too (r15) — relabeling this odd-width C444
+    # stream trips its even-width requirement, a hard ValueError
+    with pytest.raises(ValueError):
+        multimodal.decode_y4m_bytes(p.replace(b"C444", b"C422"))
     # genuinely unknown colourspaces stay the honest seam
     with pytest.raises(NotImplementedError, match="colourspace"):
-        multimodal.decode_y4m_bytes(p.replace(b"C444", b"C422"))
+        multimodal.decode_y4m_bytes(p.replace(b"C444", b"C411"))
+
+
+def test_y4m_c422_upsamples_chroma_horizontally():
+    """C422 Y4M (the broadcast/capture interchange shape): half-width
+    chroma planes nearest-neighbor replicate 2x on x only, presenting
+    decoded frames at full resolution like the C420/C444 paths."""
+    import numpy as np
+
+    w, h, cw = 6, 3, 3
+    rng = np.random.default_rng(47)
+    payload = [b"YUV4MPEG2 W6 H3 F25:1 C422\n"]
+    expect = []
+    for f in range(2):
+        y = rng.integers(0, 256, w * h).astype(np.uint8)
+        u = rng.integers(0, 256, cw * h).astype(np.uint8)
+        v = rng.integers(0, 256, cw * h).astype(np.uint8)
+        payload.append(b"FRAME\n" + y.tobytes() + u.tobytes() + v.tobytes())
+        expect.append(np.concatenate([
+            y.astype(np.int64),
+            np.repeat(u.reshape(h, cw), 2, axis=1).reshape(-1),
+            np.repeat(v.reshape(h, cw), 2, axis=1).reshape(-1),
+        ]))
+    d = multimodal.decode_y4m_bytes(b"".join(payload))
+    assert (d["width"], d["height"], len(d["frames"])) == (w, h, 2)
+    for f in range(2):
+        np.testing.assert_array_equal(d["frames"][f], expect[f])
+    # truncated C422 frame dead-letters (fsize = wh + 2*(w/2)*h)
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_y4m_bytes(b"".join(payload)[:-1])
 
 
 def test_y4m_c420_upsamples_chroma_to_full_resolution():
