@@ -3749,18 +3749,31 @@ def _video_frames(asset_id: int) -> int:
 
 def encode_y4m(asset_id: int) -> bytes:
     """Real YUV4MPEG2 (Y4M) uncompressed video: the standard raw-video
-    interchange container (ffmpeg/mpv-readable).  ASCII stream header with
-    W/H/frame-rate/C444 tags, then per frame a ``FRAME\\n`` marker + raw
-    4:4:4 planes.  Frame f's plane bytes are the deterministic
-    ``(11·id + 5·f + 13·i) mod 256`` — every sampled frame is arithmetic-
-    replayable by the oracle, like the image/audio codecs."""
+    interchange container (ffmpeg/mpv-readable).  ASCII stream header
+    with W/H/frame-rate/colourspace tags, then per frame a ``FRAME\\n``
+    marker + raw planes.  COLOURSPACE sub-robin ``(id // 3) % 3``
+    (r15): 0 = C444, 1 = C420 (quarter-size chroma; falls back to C444
+    when the corpus dims aren't both even), 2 = C422 (half-width
+    chroma; falls back when the width is odd).  Frame f's STORED plane
+    byte s is the deterministic ``(11·id + 5·f + 13·s) mod 256`` — the
+    oracle replays the decoded FULL-RESOLUTION values by mapping each
+    upsampled position back to its stored-stream index, so the
+    nearest-neighbor chroma upsample itself is oracle-pinned."""
     import numpy as np
 
     w, h = _image_dims(asset_id)
-    out = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C444\n" % (w, h)]
-    i = np.arange(w * h * 3, dtype=np.int64)
+    sub = (asset_id // 3) % 3
+    if (sub == 1 and (w % 2 or h % 2)) or (sub == 2 and w % 2):
+        sub = 0
+    cspace, fsize = {
+        0: (b"C444", w * h * 3),
+        1: (b"C420", w * h + 2 * (w // 2) * (h // 2)),
+        2: (b"C422", w * h + 2 * (w // 2) * h),
+    }[sub]
+    out = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 %s\n" % (w, h, cspace)]
+    s = np.arange(fsize, dtype=np.int64)
     for f in range(_video_frames(asset_id)):
-        vals = ((11 * asset_id + 5 * f + 13 * i) % 256).astype(np.uint8)
+        vals = ((11 * asset_id + 5 * f + 13 * s) % 256).astype(np.uint8)
         out.append(b"FRAME\n" + vals.tobytes())
     return b"".join(out)
 

@@ -4385,8 +4385,27 @@ v AS (
   -- 0 mod 3: Y4M stream planes; 1 mod 3: composed GIF frames; 2 mod 3:
   -- MULTI-PAGE TIFF pages (7a+13i+17f, compression cycling per page)
   SELECT asset_id, frame_idx, w, h, w * h * 3 AS n_values, i,
+         -- Y4M colourspace sub-robin (r15, (a//3)%3 with dims-parity
+         -- fallback to C444): decoded full-res position i maps back to
+         -- its STORED stream index — identity for Y and C444; chroma
+         -- positions collapse to their subsampled source ((y//2, x//2)
+         -- quarter-size planes for C420, (y, x//2) half-width for
+         -- C422) — pinning the nearest-neighbor upsample itself
          CASE WHEN asset_id % 3 = 0
-              THEN (11 * asset_id + 5 * frame_idx + 13 * i) % 256
+              THEN (11 * asset_id + 5 * frame_idx + 13 * (CASE
+                   WHEN (asset_id // 3) % 3 = 1 AND w % 2 = 0
+                        AND h % 2 = 0 AND i >= w * h
+                   THEN w * h
+                        + (i // (w * h) - 1) * ((w // 2) * (h // 2))
+                        + (((i % (w * h)) // w) // 2) * (w // 2)
+                        + ((i % (w * h)) % w) // 2
+                   WHEN (asset_id // 3) % 3 = 2 AND w % 2 = 0
+                        AND i >= w * h
+                   THEN w * h
+                        + (i // (w * h) - 1) * ((w // 2) * h)
+                        + ((i % (w * h)) // w) * (w // 2)
+                        + ((i % (w * h)) % w) // 2
+                   ELSE i END)) % 256
               WHEN asset_id % 3 = 2
               THEN (7 * asset_id + 13 * i + 17 * frame_idx) % 256
               ELSE (CASE CAST(i % 3 AS INT)

@@ -1465,17 +1465,43 @@ def test_gif_anim_composition_general_and_errors():
     )
 
 
+def _y4m_expected_full_res(aid, f, w, h):
+    """Decoded full-res values for corpus y4m asset aid, frame f: map
+    each upsampled position back to its stored-stream index per the
+    (aid//3)%3 colourspace sub-robin (with the dims-parity fallback)."""
+    import numpy as np
+
+    i = np.arange(w * h * 3, dtype=np.int64)
+    p = i % (w * h)
+    x, y, plane = p % w, p // w, i // (w * h)
+    sub = (aid // 3) % 3
+    if (sub == 1 and (w % 2 or h % 2)) or (sub == 2 and w % 2):
+        sub = 0
+    if sub == 1:
+        s = np.where(i < w * h, i, w * h + (plane - 1) * ((w // 2) * (h // 2))
+                     + (y // 2) * (w // 2) + x // 2)
+    elif sub == 2:
+        s = np.where(i < w * h, i, w * h + (plane - 1) * ((w // 2) * h)
+                     + y * (w // 2) + x // 2)
+    else:
+        s = i
+    return (11 * aid + 5 * f + 13 * s) % 256
+
+
 def test_y4m_round_trip_and_errors():
     import numpy as np
 
-    for aid in (0, 4, 11):
+    # aid 0 = C444, 4 = C420 (even dims), 11 = C422 fallback... pick
+    # ids covering all three r15 colourspace sub-variants
+    for aid in (0, 4, 11, 6, 33):
         d = multimodal.decode_y4m_bytes(multimodal.encode_y4m(aid))
         w, h = multimodal._image_dims(aid)
         assert (d["width"], d["height"]) == (w, h)
         assert len(d["frames"]) == multimodal._video_frames(aid)
-        i = np.arange(w * h * 3, dtype=np.int64)
         for f, v in enumerate(d["frames"]):
-            np.testing.assert_array_equal(v, (11 * aid + 5 * f + 13 * i) % 256)
+            np.testing.assert_array_equal(
+                v, _y4m_expected_full_res(aid, f, w, h), err_msg=f"{aid}/{f}"
+            )
     p = multimodal.encode_y4m(3)
     with pytest.raises(ValueError, match="truncated"):
         multimodal.decode_y4m_bytes(p[:-3])
@@ -1575,7 +1601,7 @@ def test_sampled_frame_stats_every_second_frame(make_docs):
         w, h = multimodal._image_dims(aid)
         i = np.arange(w * h * 3, dtype=np.int64)
         for r in rows:
-            v = (11 * aid + 5 * r.frame_idx + 13 * i) % 256
+            v = _y4m_expected_full_res(aid, r.frame_idx, w, h)
             assert r.value_sum == int(v.sum())
             assert r.weighted_sum == int((v * (i + 1)).sum())
 
