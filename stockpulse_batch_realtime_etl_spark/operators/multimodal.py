@@ -3416,12 +3416,24 @@ def _encode_jpeg_progressive(asset_id: int) -> bytes:
     return encode_jpeg_progressive(asset_id)
 
 
+def _encode_wav_robin(asset_id: int) -> bytes:
+    """Corpus 'wav' slot sub-robin (r15): ``(id//5)%2`` rotates int16
+    PCM and IEEE-FLOAT WAV (fmt tag 3; float32/float64 by id parity)
+    carrying the SAME sample series — float files decode to identical
+    integers via :data:`WAV_FLOAT_SCALE`, so every consuming oracle is
+    unchanged while fmt-3 parsing (and the decimate chain's
+    float-in/PCM-out re-encode) is corpus-pinned."""
+    if (asset_id // 5) % 2 == 1:
+        return encode_wav_float(asset_id)
+    return encode_wav(asset_id)
+
+
 _ENCODERS = {
     "bmp": encode_bmp,
     "ppm": encode_ppm,
     "gif": encode_gif,
     "tiff": encode_tiff,
-    "wav": encode_wav,
+    "wav": _encode_wav_robin,
     "png": encode_png,
     "jpeg": _encode_jpeg,
     "jpeg420": _encode_jpeg_420,
