@@ -3417,14 +3417,18 @@ def _encode_jpeg_progressive(asset_id: int) -> bytes:
 
 
 def _encode_wav_robin(asset_id: int) -> bytes:
-    """Corpus 'wav' slot sub-robin (r15): ``(id//5)%2`` rotates int16
-    PCM and IEEE-FLOAT WAV (fmt tag 3; float32/float64 by id parity)
-    carrying the SAME sample series — float files decode to identical
-    integers via :data:`WAV_FLOAT_SCALE`, so every consuming oracle is
-    unchanged while fmt-3 parsing (and the decimate chain's
-    float-in/PCM-out re-encode) is corpus-pinned."""
-    if (asset_id // 5) % 2 == 1:
+    """Corpus 'wav' slot sub-robin (r15): ``(id//5)%3`` rotates int16
+    PCM, IEEE-FLOAT (fmt tag 3; float32/float64 by id parity), and
+    WAVE_FORMAT_EXTENSIBLE (fmt 0xFFFE wrapping PCM16/float32
+    SubFormats) — all carrying the SAME sample series, so every
+    consuming oracle is unchanged while fmt-3 parsing, EXTENSIBLE
+    unwrapping, and the decimate chain's anything-in/PCM16-out
+    re-encode are corpus-pinned."""
+    v = (asset_id // 5) % 3
+    if v == 1:
         return encode_wav_float(asset_id)
+    if v == 2:
+        return encode_wav_extensible(asset_id)
     return encode_wav(asset_id)
 
 
