@@ -3783,7 +3783,11 @@ def encode_y4m(asset_id: int) -> bytes:
         sub = 0
     cspace, fsize = {
         0: (b"C444", w * h * 3),
-        1: (b"C420", w * h + 2 * (w // 2) * (h // 2)),
+        # rotate the real-world C420 SITING tag strings (same sample
+        # counts, decode-identical) so all four parse paths are pinned
+        1: ((b"C420", b"C420jpeg", b"C420mpeg2", b"C420paldv")[
+            (asset_id // 9) % 4
+        ], w * h + 2 * (w // 2) * (h // 2)),
         2: (b"C422", w * h + 2 * (w // 2) * h),
     }[sub]
     out = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 %s\n" % (w, h, cspace)]
