@@ -151,11 +151,43 @@ def encode_bmp(asset_id: int) -> bytes:
       row-major k = (3·id + 5·k) mod npal, 4-byte-padded index rows;
     - 2: 8-bit paletted BI_RLE8 — the run-length codec over the
       run-friendly index form (3·id + 5·(k//6)) mod npal (runs of 6,
-      cut at row boundaries), encoded as run packets + EOL/EOB."""
+      cut at row boundaries), encoded as run packets + EOL/EOB.
+
+    DEPTH overlay ``(id // 50) % 3`` (r15): variant 0 rotates through
+    16-BIT BI_BITFIELDS 565 (per-channel grid values
+    (7·id + 13·i) mod (32/64/32), expanded ``v·255 // (2^w − 1)``) and
+    32-BIT BGRX BI_RGB (identical decoded values to the 24-bit form);
+    variant 1 through 4-BIT (npal capped at 16) and 1-BIT (npal 2)
+    packed palettes; variant 2's overlay 1 is BI_RLE4 (nibble runs,
+    npal capped at 16)."""
     import numpy as np
 
     w, h = _image_dims(asset_id)
     variant = (asset_id // 5) % 3
+    overlay = (asset_id // 50) % 3
+    if variant == 0 and overlay == 1:  # 16-bit 565 BITFIELDS
+        i = np.arange(w * h * 3, dtype=np.int64)
+        mw = np.where(i % 3 == 1, 64, 32)
+        vw = ((7 * asset_id + 13 * i) % mw).reshape(h, w, 3)
+        return _encode_bmp_masked(vw, (0xF800, 0x07E0, 0x001F), 16)
+    if variant == 0 and overlay == 2:  # 32-bit BGRX, same values
+        return _encode_bmp32(
+            _synth_image_vals(asset_id, w, h).reshape(h, w, 3)
+        )
+    if variant == 1 and overlay != 0:  # 4-bit / 1-bit packed palettes
+        npal = min(1 << (2 + asset_id % 7), 16) if overlay == 1 else 2
+        k = np.arange(w * h, dtype=np.int64)
+        idx = ((3 * asset_id + 5 * k) % npal).reshape(h, w)
+        return _encode_bmp_lowbit(
+            idx, _gif_palette(asset_id, npal), 4 if overlay == 1 else 1
+        )
+    if variant == 2 and overlay == 1:  # BI_RLE4
+        npal = min(1 << (2 + asset_id % 7), 16)
+        k = np.arange(w * h, dtype=np.int64)
+        idx = ((3 * asset_id + 5 * (k // 6)) % npal).reshape(h, w)
+        return _encode_bmp_lowbit(
+            idx, _gif_palette(asset_id, npal), 4, rle4=True
+        )
     if variant == 0:
         rgb = _synth_image_vals(asset_id, w, h).reshape(h, w, 3)
         bgr_bottom_up = rgb[::-1, :, ::-1]
@@ -261,6 +293,155 @@ def _check_pixel_budget(npixels: int, what: str, budget: int = 0) -> None:
 #: the fax-modem byte order): translate() with this table flips every
 #: byte's bit order in one pass.
 _BITREV = bytes(int(f"{b:08b}"[::-1], 2) for b in range(256))
+
+
+def _bmp_file(info_tail: bytes, pal: bytes, data: bytes, w: int,
+              h: int, bpp: int, comp: int) -> bytes:
+    """Assemble a BMP: BITMAPFILEHEADER + BITMAPINFOHEADER(40) +
+    ``info_tail`` (e.g. BITFIELDS masks) + color table + pixel data."""
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, comp, len(data), 2835, 2835,
+        len(pal) // 4, 0,
+    )
+    off = 14 + 40 + len(info_tail) + len(pal)
+    head = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    return head + info + info_tail + pal + data
+
+
+def _encode_bmp_masked(chan_vals, masks: tuple, bpp: int) -> bytes:
+    """16/32-bit BI_BITFIELDS BMP from an (h, w, 3) array of PER-MASK
+    channel values (already within each mask's width): bottom-up rows,
+    4-byte padded, the three DWORD masks following the info header."""
+    import numpy as np
+
+    h, w = chan_vals.shape[:2]
+    units = np.zeros((h, w), np.int64)
+    for c, mask in enumerate(masks):
+        shift = (mask & -mask).bit_length() - 1
+        units |= chan_vals[:, :, c].astype(np.int64) << shift
+    unit = np.dtype("<u2") if bpp == 16 else np.dtype("<u4")
+    row = w * unit.itemsize
+    stride = row + ((-row) % 4)
+    buf = np.zeros((h, stride), np.uint8)
+    buf[:, :row] = (
+        units[::-1].astype(unit).view(np.uint8).reshape(h, row)
+    )
+    return _bmp_file(
+        struct.pack("<3I", *masks), b"", buf.tobytes(), w, h, bpp, 3
+    )
+
+
+def _encode_bmp32(rgb) -> bytes:
+    """32-bit BI_RGB BMP: bottom-up BGRX rows (pad byte zero), no
+    color table — decodes to the same RGB values as the 24-bit form."""
+    import numpy as np
+
+    h, w = rgb.shape[:2]
+    buf = np.zeros((h, w, 4), np.uint8)
+    buf[:, :, 0] = rgb[:, :, 2]
+    buf[:, :, 1] = rgb[:, :, 1]
+    buf[:, :, 2] = rgb[:, :, 0]
+    return _bmp_file(b"", b"", buf[::-1].tobytes(), w, h, 32, 0)
+
+
+def _encode_bmp_lowbit(idx, pal, bpp: int, rle4: bool = False) -> bytes:
+    """4/1-bit paletted BMP from an (h, w) index grid: bit/nibble-packed
+    4-byte-padded bottom-up rows (BI_RGB), or BI_RLE4 run packets for
+    ``rle4`` (runs alternate the packet byte's two nibbles)."""
+    import numpy as np
+
+    h, w = idx.shape
+    npal = len(pal)
+    quads = np.zeros((npal, 4), np.uint8)
+    quads[:, 0], quads[:, 1], quads[:, 2] = pal[:, 2], pal[:, 1], pal[:, 0]
+    rows = idx[::-1].astype(np.uint8)
+    if rle4:
+        out = bytearray()
+        for r in range(h):
+            row = rows[r]
+            i = 0
+            while i < w:
+                # longest run of an alternating nibble PAIR, capped 255
+                a = int(row[i])
+                b = int(row[i + 1]) if i + 1 < w else a
+                run = 1
+                while (
+                    i + run < w and run < 255
+                    and row[i + run] == (a if run % 2 == 0 else b)
+                ):
+                    run += 1
+                out += bytes((run, (a << 4) | b))
+                i += run
+            out += b"\x00\x00"
+        out[-2:] = b"\x00\x01"
+        return _bmp_file(b"", quads.tobytes(), bytes(out), w, h, 4, 2)
+    row_bytes = (w * bpp + 7) // 8
+    stride = row_bytes + ((-row_bytes) % 4)
+    buf = np.zeros((h, stride), np.uint8)
+    if bpp == 4:
+        padded = np.zeros((h, row_bytes * 2), np.uint8)
+        padded[:, :w] = rows
+        buf[:, :row_bytes] = (padded[:, 0::2] << 4) | padded[:, 1::2]
+    else:  # 1-bit MSB-first
+        padded = np.zeros((h, row_bytes * 8), np.uint8)
+        padded[:, :w] = rows
+        buf[:, :row_bytes] = np.packbits(padded, axis=1)
+    return _bmp_file(b"", quads.tobytes(), buf.tobytes(), w, h, bpp, 0)
+
+
+def _bmp_rle4_decode(data: bytes, w: int, h: int):
+    """BI_RLE4 decompression to an (h, w) int64 index grid in STORED
+    (bottom-up) row order: run packets paint ALTERNATING high/low
+    nibbles of the packet byte, absolute mode packs nibbles high-first
+    (padded to a WORD boundary), EOL/EOB escapes and delta moves as in
+    RLE8 (skipped pixels take index 0)."""
+    import numpy as np
+
+    grid = np.zeros((h, w), np.int64)
+    x = y = 0
+    i, n = 0, len(data)
+    while True:
+        if i + 2 > n:
+            raise ValueError("BMP RLE4 stream truncated (no EOB)")
+        c, v = data[i], data[i + 1]
+        i += 2
+        if c > 0:  # run packet: alternating nibbles
+            if y >= h or x + c > w:
+                raise ValueError("BMP RLE4 run overruns the row")
+            nib = np.where(
+                np.arange(c) % 2 == 0, v >> 4, v & 0x0F
+            ).astype(np.int64)
+            grid[y, x : x + c] = nib
+            x += c
+            continue
+        if v == 0:  # end of line
+            x, y = 0, y + 1
+            if y > h:
+                raise ValueError("BMP RLE4 line past the bitmap")
+            continue
+        if v == 1:  # end of bitmap
+            return grid
+        if v == 2:  # delta
+            if i + 2 > n:
+                raise ValueError("BMP RLE4 delta truncated")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if x > w or y > h:
+                raise ValueError("BMP RLE4 delta outside the bitmap")
+            continue
+        # absolute mode: v pixels, nibbles high-first, WORD-aligned
+        nbytes = (v + 1) // 2
+        nbytes += nbytes % 2
+        if i + nbytes > n:
+            raise ValueError("BMP RLE4 absolute run truncated")
+        if y >= h or x + v > w:
+            raise ValueError("BMP RLE4 absolute run overruns the row")
+        packed = np.frombuffer(data, np.uint8, nbytes, i)
+        nibs = np.stack([packed >> 4, packed & 0x0F], axis=1).reshape(-1)
+        grid[y, x : x + v] = nibs[:v].astype(np.int64)
+        x += v
+        i += nbytes
 
 
 def _bmp_rle8_decode(data: bytes, w: int, h: int):
@@ -2847,32 +3028,72 @@ def decode_image_bytes(payload: bytes) -> dict:
         bi_size, w, h, _, bpp, comp = struct.unpack_from(
             "<IiiHHI", payload, 14
         )
-        if (bpp, comp) not in ((24, 0), (8, 0), (8, 1)):
-            # 1/4-bit, RLE4, BITFIELDS, embedded PNG/JPEG stay seams
+        if (bpp, comp) not in (
+            (24, 0), (8, 0), (8, 1), (4, 0), (4, 2), (1, 0),
+            (16, 0), (16, 3), (32, 0), (32, 3),
+        ):
+            # embedded PNG/JPEG (comp 4/5), RLE on the wrong depth, and
+            # the exotic depth/codec pairs stay seams
             raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
         if bi_size < 40:
             raise NotImplementedError(f"BMP pre-BITMAPINFO header {bi_size}")
         bottom_up, h = h > 0, abs(h)
         if w <= 0 or h == 0:
             raise ValueError(f"BMP non-positive dimensions {w}x{h}")
-        # before the row-grid / RLE8 index-grid allocations below
+        # before the row-grid / RLE index-grid allocations below
         _check_pixel_budget(w * h, "BMP header")
-        if bpp == 24:
-            row = w * 3
+        if bpp in (24, 32) and comp == 0:
+            nb = bpp // 8
+            row = w * nb
             stride = row + ((-row) % 4)
             px = np.frombuffer(
                 payload, np.uint8, h * stride, data_off
             ).reshape(h, stride)[:, :row]
             if bottom_up:
                 px = px[::-1]
+            # stored BGR / BGRX: swap to RGB, drop the pad byte
             vals = (
-                px.reshape(h, w, 3)[:, :, ::-1].reshape(-1).astype(np.int64)
+                px.reshape(h, w, nb)[:, :, 2::-1][:, :, -3:]
+                .reshape(-1).astype(np.int64)
             )
             return {"width": w, "height": h, "vals": vals}
-        # 8-bit palette: BGRX quads follow the info header (biClrUsed
-        # entries; 0 means the full 256)
+        if bpp in (16, 32):  # masked pixels (BI_BITFIELDS, or 555 default)
+            if comp == 3:
+                # the three channel masks sit at byte 54 for every
+                # header revision (after BITMAPINFOHEADER; inside V4/V5)
+                if len(payload) < 66:
+                    raise ValueError("BMP BITFIELDS masks truncated")
+                masks = struct.unpack_from("<3I", payload, 54)
+            else:  # 16-bit BI_RGB defaults to 555
+                masks = (0x7C00, 0x03E0, 0x001F)
+            unit = np.dtype("<u2") if bpp == 16 else np.dtype("<u4")
+            row = w * unit.itemsize
+            stride = row + ((-row) % 4)
+            raw = np.frombuffer(
+                payload, np.uint8, h * stride, data_off
+            ).reshape(h, stride)[:, :row]
+            if bottom_up:
+                raw = raw[::-1]
+            units = raw.reshape(-1).view(unit).astype(np.int64)
+            chans = []
+            for mask in masks:
+                if mask == 0:
+                    raise ValueError("BMP BITFIELDS zero channel mask")
+                shift = (mask & -mask).bit_length() - 1
+                width = mask.bit_count()
+                if (mask >> shift) != (1 << width) - 1 or width > 16:
+                    raise NotImplementedError(
+                        f"BMP non-contiguous BITFIELDS mask {mask:#x}"
+                    )
+                v = (units >> shift) & ((1 << width) - 1)
+                # expand to 8 bits on the exact integer grid
+                chans.append(v * 255 // ((1 << width) - 1))
+            vals = np.stack(chans, axis=1).reshape(-1)
+            return {"width": w, "height": h, "vals": vals}
+        # palette depths (8/4/1): BGRX quads follow the info header
+        # (biClrUsed entries; 0 means the full 2^bpp)
         (clr_used,) = struct.unpack_from("<I", payload, 46)
-        npal = clr_used or 256
+        npal = clr_used or (1 << bpp)
         pal_off = 14 + bi_size
         if pal_off + npal * 4 > len(payload):
             raise ValueError("BMP color table truncated")
@@ -2881,17 +3102,31 @@ def decode_image_bytes(payload: bytes) -> dict:
         )
         pal = quads[:, 2::-1].astype(np.int64)  # BGRX -> RGB
         if comp == 0:
-            stride = w + ((-w) % 4)
-            idx = np.frombuffer(
+            row_bytes = (w * bpp + 7) // 8
+            stride = row_bytes + ((-row_bytes) % 4)
+            rows = np.frombuffer(
                 payload, np.uint8, h * stride, data_off
-            ).reshape(h, stride)[:, :w]
+            ).reshape(h, stride)[:, :row_bytes]
             if bottom_up:
-                idx = idx[::-1]
-            idx = idx.astype(np.int64)
-        else:  # BI_RLE8 — bottom-up by definition
+                rows = rows[::-1]
+            if bpp == 8:
+                idx = rows[:, :w].astype(np.int64)
+            elif bpp == 4:  # packed nibbles, high first
+                nibs = np.stack(
+                    [rows >> 4, rows & 0x0F], axis=2
+                ).reshape(h, -1)
+                idx = nibs[:, :w].astype(np.int64)
+            else:  # 1-bit, MSB-first
+                bits = np.unpackbits(rows, axis=1)
+                idx = bits[:, :w].astype(np.int64)
+        elif bpp == 8:  # BI_RLE8 — bottom-up by definition
             if not bottom_up:
                 raise ValueError("BMP RLE8 with top-down height")
             idx = _bmp_rle8_decode(payload[data_off:], w, h)[::-1]
+        else:  # BI_RLE4
+            if not bottom_up:
+                raise ValueError("BMP RLE4 with top-down height")
+            idx = _bmp_rle4_decode(payload[data_off:], w, h)[::-1]
         if int(idx.max()) >= npal:
             raise ValueError("BMP pixel index outside the color table")
         vals = pal[idx.reshape(-1)].reshape(-1)

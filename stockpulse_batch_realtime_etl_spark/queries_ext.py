@@ -1335,10 +1335,17 @@ vj AS (
                        = (3 * asset_id) % pc
               THEN (3 * asset_id + 7) % pc
               ELSE (3 * asset_id + 5 * (i // 3)) % pc END
+         -- r15 DEPTH overlay (a//50)%3: variant 1 caps the palette
+         -- at 16 (4-bit) or 2 (1-bit); RLE4 (variant 2 overlay 1)
+         -- caps at 16 — the index closed forms are otherwise shared
          WHEN format = 'bmp' AND (asset_id // 5) % 3 = 1
-         THEN (3 * asset_id + 5 * (i // 3)) % pc
+         THEN (3 * asset_id + 5 * (i // 3))
+              % (CASE CAST((asset_id // 50) % 3 AS INT)
+                 WHEN 1 THEN least(pc, 16) WHEN 2 THEN 2 ELSE pc END)
          WHEN format = 'bmp' AND (asset_id // 5) % 3 = 2
-         THEN (3 * asset_id + 5 * ((i // 3) // 6)) % pc
+         THEN (3 * asset_id + 5 * ((i // 3) // 6))
+              % (CASE WHEN (asset_id // 50) % 3 = 1
+                 THEN least(pc, 16) ELSE pc END)
          END AS j,
          -- 8x8 block index of pixel i//3 (JPEG-in-TIFF overlay, r15)
          CASE WHEN format = 'tiff'
@@ -1357,6 +1364,13 @@ v AS (
                     WHEN 0 THEN 7 * j + asset_id
                     WHEN 1 THEN 11 * j + 2 * asset_id
                     ELSE 13 * j + 3 * asset_id END) % 256
+              -- 16-BIT 565 BITFIELDS BMP (r15, variant 0 overlay 1):
+              -- stored grid values expand v*255 // (2^w - 1)
+              WHEN format = 'bmp' AND (asset_id // 5) % 3 = 0
+                   AND (asset_id // 50) % 3 = 1
+              THEN CASE WHEN CAST(i % 3 AS INT) = 1
+                   THEN ((7 * asset_id + 13 * i) % 64) * 255 // 63
+                   ELSE ((7 * asset_id + 13 * i) % 32) * 255 // 31 END
               -- JPEG-IN-TIFF overlay (r15, compression 7): variant 2
               -- overlay 1 embeds the id's block-constant baseline
               -- JPEG stream — replay the jpeg_stats closed form
@@ -3111,7 +3125,18 @@ src AS (
               ELSE ((p // (nw * 3)) * h // nh) * w * 3
                    + (((p % (nw * 3)) // 3) * w // nw) * 3
                    + p % 3 END AS srci,
-         (1 << CAST(2 + asset_id % 7 AS INT)) AS pc
+         -- EFFECTIVE palette size: the r15 depth overlay caps the
+         -- 4-bit/RLE4 slots at 16 entries and the 1-bit slot at 2
+         CASE WHEN asset_id % 3 = 0 AND (asset_id // 5) % 3 = 1
+                   AND (asset_id // 50) % 3 = 1
+              THEN least(1 << CAST(2 + asset_id % 7 AS INT), 16)
+              WHEN asset_id % 3 = 0 AND (asset_id // 5) % 3 = 1
+                   AND (asset_id // 50) % 3 = 2
+              THEN 2
+              WHEN asset_id % 3 = 0 AND (asset_id // 5) % 3 = 2
+                   AND (asset_id // 50) % 3 = 1
+              THEN least(1 << CAST(2 + asset_id % 7 AS INT), 16)
+              ELSE (1 << CAST(2 + asset_id % 7 AS INT)) END AS pc
   FROM pos
 ),
 v AS (
@@ -3120,7 +3145,14 @@ v AS (
   -- index (3a+5k) mod pc (variant 1) / (3a+5*(k//6)) mod pc (RLE8,
   -- variant 2); everything else is the direct (7a+13*srci) form
   SELECT asset_id, nw, nh, p,
-         CASE WHEN asset_id % 3 = 0 AND (asset_id // 5) % 3 > 0
+         CASE
+              -- r15 16-bit 565 BITFIELDS slot: expanded grid values
+              WHEN asset_id % 3 = 0 AND (asset_id // 5) % 3 = 0
+                   AND (asset_id // 50) % 3 = 1
+              THEN CASE WHEN CAST(srci % 3 AS INT) = 1
+                   THEN ((7 * asset_id + 13 * srci) % 64) * 255 // 63
+                   ELSE ((7 * asset_id + 13 * srci) % 32) * 255 // 31 END
+              WHEN asset_id % 3 = 0 AND (asset_id // 5) % 3 > 0
               THEN (CASE CAST(p % 3 AS INT)
                     WHEN 0 THEN 7 * ((3 * asset_id + 5 * (CASE
                          WHEN (asset_id // 5) % 3 = 2

@@ -156,19 +156,29 @@ def test_decode_or_dlq_seam_and_library_swap_in(spark):
 # --- real codec round trips (pure numpy, no Spark needed) -------------------
 
 def test_bmp_roundtrip_exact_order():
-    """Exact ORDER equality across the r14 three-way sub-robin — proves
-    padding stripped, rows re-flipped top-down, BGR swapped back (24-bit)
-    and BGRX palette mapping / RLE8 expansion (8-bit variants)."""
+    """Exact ORDER equality across the three-way sub-robin AND the r15
+    depth overlay — proves padding stripped, rows re-flipped top-down,
+    BGR(X) swapped back, 565 mask extraction + grid expansion,
+    nibble/bit unpacking, and palette / RLE4 / RLE8 expansion."""
     import numpy as np
 
-    for aid in range(60):  # covers all variants x padding widths
+    for aid in range(160):  # covers all variant x overlay x padding combos
         d = multimodal.decode_image_bytes(multimodal.encode_bmp(aid))
         w, h = multimodal._image_dims(aid)
         variant = (aid // 5) % 3
-        if variant == 0:  # 24-bit BI_RGB
+        overlay = (aid // 50) % 3
+        i = np.arange(w * h * 3, dtype=np.int64)
+        if variant == 0 and overlay == 1:  # 16-bit 565 BITFIELDS
+            mw = np.where(i % 3 == 1, 64, 32)
+            exp = ((7 * aid + 13 * i) % mw) * 255 // (mw - 1)
+        elif variant == 0:  # 24-bit BI_RGB / 32-bit BGRX (same values)
             exp = multimodal._synth_image_vals(aid, w, h).astype(np.int64)
-        else:  # 8-bit paletted (variant 2: run-friendly RLE8 form)
-            npal = 1 << (2 + aid % 7)
+        else:  # paletted: 8/4/1-bit + RLE8/RLE4 depth overlays
+            pc = 1 << (2 + aid % 7)
+            if variant == 1:
+                npal = {0: pc, 1: min(pc, 16), 2: 2}[overlay]
+            else:
+                npal = min(pc, 16) if overlay == 1 else pc
             k = np.arange(w * h, dtype=np.int64)
             kk = (k // 6) if variant == 2 else k
             j = (3 * aid + 5 * kk) % npal
@@ -3812,3 +3822,52 @@ def test_tiff_sample_format_signed_and_float():
             _struct.pack_into("<H", rgb, off + 4, 3)  # third channel float
     with pytest.raises(NotImplementedError, match="mixed sample formats"):
         multimodal.decode_tiff_bytes(bytes(rgb))
+
+
+def test_bmp_depth_overlay_shapes_and_edges():
+    """r15 BMP depth overlays beyond the corpus round-trip: 555-default
+    16-bit BI_RGB, non-contiguous BITFIELDS masks seam, zero mask and
+    RLE4 corrupt shapes dead-letter, 4-bit absolute/delta semantics."""
+    import struct as _struct
+
+    import numpy as np
+
+    # 16-bit BI_RGB (comp 0) defaults to 555 masks
+    cv = np.stack([np.full((2, 3), 31), np.full((2, 3), 16),
+                   np.arange(6).reshape(2, 3)], axis=2)
+    pay = multimodal._encode_bmp_masked(cv, (0x7C00, 0x03E0, 0x001F), 16)
+    buf = bytearray(pay)
+    _struct.pack_into("<I", buf, 30, 0)        # compression -> BI_RGB
+    # drop the 12 mask bytes and fix the data offset
+    (off,) = _struct.unpack_from("<I", buf, 10)
+    nobf = bytes(buf[:54]) + bytes(buf[66:])
+    nobf = bytearray(nobf)
+    _struct.pack_into("<I", nobf, 10, off - 12)
+    d = multimodal.decode_image_bytes(bytes(nobf))
+    exp = np.stack([cv[:, :, 0] * 255 // 31, cv[:, :, 1] * 255 // 31,
+                    cv[:, :, 2] * 255 // 31], axis=2)
+    np.testing.assert_array_equal(d["vals"], exp.reshape(-1))
+    # non-contiguous mask is a seam; zero mask dead-letters
+    bad = bytearray(pay)
+    _struct.pack_into("<I", bad, 54, 0x5400)   # 0101...: not contiguous
+    with pytest.raises(NotImplementedError, match="non-contiguous"):
+        multimodal.decode_image_bytes(bytes(bad))
+    _struct.pack_into("<I", bad, 54, 0)
+    with pytest.raises(ValueError, match="zero channel mask"):
+        multimodal.decode_image_bytes(bytes(bad))
+    # RLE4 semantics beyond the corpus encoder: alternating run
+    # nibbles, absolute mode (>= 3 px, nibbles high-first,
+    # WORD-aligned), early EOB zero-fill
+    # 7x1 grid: run of 3 alternating (2,7), absolute 4 px 9,1,9,1
+    data = bytes((3, 0x27)) + bytes((0, 4, 0x91, 0x91)) + b"\x00\x01"
+    grid = multimodal._bmp_rle4_decode(data, 7, 1)
+    np.testing.assert_array_equal(grid[0], [2, 7, 2, 9, 1, 9, 1])
+    hand = multimodal._bmp_file(
+        b"", np.zeros((16, 4), np.uint8).tobytes(), data, 7, 1, 4, 2,
+    )
+    multimodal.decode_image_bytes(hand)  # full container path decodes
+    # corrupt RLE4: run past the row / truncation
+    with pytest.raises(ValueError, match="overruns"):
+        multimodal._bmp_rle4_decode(bytes((9, 0x27)) + b"\x00\x01", 4, 1)
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal._bmp_rle4_decode(bytes((2, 0x27)), 4, 1)
