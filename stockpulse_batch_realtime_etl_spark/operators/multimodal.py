@@ -129,6 +129,20 @@ def encode_ppm(asset_id: int) -> bytes:
     import numpy as np
 
     w, h = _image_dims(asset_id)
+    overlay = (asset_id // 50) % 3
+    if overlay == 1:  # P4 bilevel PBM (r15): stored bit 1 = black
+        k = np.arange(w * h, dtype=np.int64)
+        intensity = ((3 * asset_id + k // 4) % 7 < 3)
+        bits = (~intensity).astype(np.uint8).reshape(h, w)
+        return (
+            b"P4\n%d %d\n" % (w, h) + np.packbits(bits, axis=1).tobytes()
+        )
+    if overlay == 2:  # 16-bit maxval-65535 (r15): big-endian samples
+        n = w * h * (3 if (asset_id // 5) % 2 == 0 else 1)
+        i = np.arange(n, dtype=np.int64)
+        v = ((1237 * asset_id + 4099 * i) % 65536).astype(">u2")
+        magic = b"P6" if (asset_id // 5) % 2 == 0 else b"P5"
+        return magic + b"\n%d %d\n65535\n" % (w, h) + v.tobytes()
     if (asset_id // 5) % 2 == 0:
         return (
             b"P6\n%d %d\n255\n" % (w, h)
@@ -3131,10 +3145,11 @@ def decode_image_bytes(payload: bytes) -> dict:
             raise ValueError("BMP pixel index outside the color table")
         vals = pal[idx.reshape(-1)].reshape(-1)
         return {"width": w, "height": h, "vals": vals}
-    if payload[:2] in (b"P6", b"P5"):
-        nch = 3 if payload[:2] == b"P6" else 1  # P5 = grayscale PGM
+    if payload[:2] in (b"P6", b"P5", b"P4"):
+        nch = 3 if payload[:2] == b"P6" else 1  # P5 = gray PGM, P4 = PBM
+        nfields = 2 if payload[:2] == b"P4" else 3  # PBM has no maxval
         pos, fields = 2, []
-        while len(fields) < 3:
+        while len(fields) < nfields:
             c = payload[pos : pos + 1]
             if c == b"":
                 # EOF mid-header: without this check the token scan below
@@ -3158,19 +3173,38 @@ def decode_image_bytes(payload: bytes) -> dict:
                     # such headers must dead-letter, not decode leniently
                     raise ValueError(f"PPM non-numeric header token {tok!r}")
                 fields.append(int(tok))
-        w, h, maxval = fields
+        w, h = fields[0], fields[1]
+        maxval = fields[2] if nfields == 3 else 1
         if w <= 0 or h <= 0:
             # int() happily parses b"-4"; np.frombuffer with the negative
             # count w*h*3 would then silently read ALL trailing bytes and
             # return a garbage dict instead of dead-lettering (fuzz-caught)
             raise ValueError(f"PPM non-positive dimensions {w}x{h}")
         _check_pixel_budget(w * h, "PPM/PGM header")
-        if maxval != 255:
+        pos += 1  # single whitespace byte after the header, then raster
+        if nfields == 2:  # P4: bit-packed rows, MSB-first, byte-padded;
+            # PBM stores 1 = BLACK — normalize to intensity (white = 1)
+            # like the bilevel-TIFF WhiteIsZero convention
+            stride = (w + 7) // 8
+            rows = np.frombuffer(payload, np.uint8, h * stride, pos).reshape(
+                h, stride
+            )
+            bits = np.unpackbits(rows, axis=1)[:, :w]
+            vals = (1 - bits.astype(np.int64)).reshape(-1)
+            return {"width": w, "height": h, "vals": vals}
+        if maxval == 255:
+            vals = np.frombuffer(payload, np.uint8, w * h * nch, pos).astype(
+                np.int64
+            )
+        elif 256 <= maxval <= 65535:
+            # two-byte samples, BIG-endian per the netpbm spec (r15 —
+            # the scientific 16-bit PGM/PPM shape); vals carry the full
+            # stored range, never narrowed
+            vals = np.frombuffer(payload, ">u2", w * h * nch, pos).astype(
+                np.int64
+            )
+        else:
             raise NotImplementedError(f"PPM maxval={maxval}")
-        pos += 1  # single whitespace byte after maxval, then raw samples
-        vals = np.frombuffer(payload, np.uint8, w * h * nch, pos).astype(
-            np.int64
-        )
         return {"width": w, "height": h, "vals": vals}
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_bytes(payload)
@@ -3937,9 +3971,18 @@ def resize_image_bytes(payload: bytes, max_px: int) -> bytes:
     px = d["vals"].reshape(h, w, nch)
     rows = (np.arange(nh, dtype=np.int64) * h) // nh
     cols = (np.arange(nw, dtype=np.int64) * w) // nw
-    out = px[rows][:, cols].astype(np.uint8)
+    out = px[rows][:, cols]
     magic = b"P6" if nch == 3 else b"P5"
-    return magic + b"\n%d %d\n255\n" % (nw, nh) + out.tobytes()
+    if int(out.max(initial=0)) > 255:
+        # 16-bit sources re-encode at maxval 65535 (two-byte BIG-endian
+        # netpbm) — truncating to 8 bits would silently corrupt (r15)
+        return (
+            magic + b"\n%d %d\n65535\n" % (nw, nh)
+            + out.astype(">u2").tobytes()
+        )
+    return magic + b"\n%d %d\n255\n" % (nw, nh) + out.astype(
+        np.uint8
+    ).tobytes()
 
 
 def resize_decoded(media: DataFrame, max_px: int = 16) -> DataFrame:

@@ -1312,6 +1312,10 @@ sized AS (
               -- sub-variants are P5 grayscale PGMs (r14)
               WHEN format = 'tiff' AND (asset_id // 5) % 2 = 1
               THEN w * h
+              -- r15 netpbm overlay (a//50)%3: 1 = P4 bilevel (one
+              -- channel on both lanes), 2 = 16-bit (lane channels)
+              WHEN format = 'ppm' AND (asset_id // 50) % 3 = 1
+              THEN w * h
               WHEN format = 'ppm' AND (asset_id // 5) % 2 = 1
               THEN w * h
               ELSE w * h * 3 END AS n_values
@@ -1364,6 +1368,14 @@ v AS (
                     WHEN 0 THEN 7 * j + asset_id
                     WHEN 1 THEN 11 * j + 2 * asset_id
                     ELSE 13 * j + 3 * asset_id END) % 256
+              -- r15 netpbm overlays: P4 bilevel decodes 0/1 intensity
+              -- (stored 1 = black, normalized white = 1); 16-bit
+              -- maxval-65535 samples carry the PNG16 closed form
+              WHEN format = 'ppm' AND (asset_id // 50) % 3 = 1
+              THEN CASE WHEN (3 * asset_id + i // 4) % 7 < 3
+                        THEN 1 ELSE 0 END
+              WHEN format = 'ppm' AND (asset_id // 50) % 3 = 2
+              THEN (1237 * asset_id + 4099 * i) % 65536
               -- 16-BIT 565 BITFIELDS BMP (r15, variant 0 overlay 1):
               -- stored grid values expand v*255 // (2^w - 1)
               WHEN format = 'bmp' AND (asset_id // 5) % 3 = 0
@@ -3103,7 +3115,9 @@ dims AS (
   -- the netpbm slot's odd sub-variants are P5 GRAYSCALE (r14): one
   -- channel through the whole resize chain
   SELECT asset_id, w, h,
-         CASE WHEN asset_id % 3 = 1 AND (asset_id // 5) % 2 = 1
+         CASE WHEN asset_id % 3 = 1 AND (asset_id // 50) % 3 = 1
+              THEN 1  -- r15 P4 bilevel PBM: one channel on both lanes
+              WHEN asset_id % 3 = 1 AND (asset_id // 5) % 2 = 1
               THEN 1 ELSE 3 END AS nch,
          CASE WHEN greatest(w, h) <= 8 THEN w
               ELSE greatest(1, (w * 8) // greatest(w, h)) END AS nw,
@@ -3146,6 +3160,12 @@ v AS (
   -- variant 2); everything else is the direct (7a+13*srci) form
   SELECT asset_id, nw, nh, p,
          CASE
+              -- r15 netpbm overlays (ppm = asset_id%3=1 here)
+              WHEN asset_id % 3 = 1 AND (asset_id // 50) % 3 = 1
+              THEN CASE WHEN (3 * asset_id + srci // 4) % 7 < 3
+                        THEN 1 ELSE 0 END
+              WHEN asset_id % 3 = 1 AND (asset_id // 50) % 3 = 2
+              THEN (1237 * asset_id + 4099 * srci) % 65536
               -- r15 16-bit 565 BITFIELDS slot: expanded grid values
               WHEN asset_id % 3 = 0 AND (asset_id // 5) % 3 = 0
                    AND (asset_id // 50) % 3 = 1

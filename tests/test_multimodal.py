@@ -3871,3 +3871,43 @@ def test_bmp_depth_overlay_shapes_and_edges():
         multimodal._bmp_rle4_decode(bytes((9, 0x27)) + b"\x00\x01", 4, 1)
     with pytest.raises(ValueError, match="truncated"):
         multimodal._bmp_rle4_decode(bytes((2, 0x27)), 4, 1)
+
+
+def test_netpbm_p4_and_16bit():
+    """r15 netpbm extensions: P4 bit-packed PBM (stored 1 = black,
+    decoded as white=1 intensity, rows byte-padded), 16-bit
+    maxval-65535 P5/P6 (big-endian samples, full range), and the
+    resize chain's 16-bit passthrough (re-encodes at maxval 65535
+    instead of truncating)."""
+    import numpy as np
+
+    bits = np.arange(7 * 3).reshape(3, 7) % 3 == 0
+    pay = b"P4\n7 3\n" + np.packbits(bits.astype(np.uint8), axis=1).tobytes()
+    d = multimodal.decode_image_bytes(pay)
+    np.testing.assert_array_equal(
+        d["vals"], (1 - bits.astype(np.int64)).reshape(-1)
+    )
+    g = (np.arange(12, dtype=np.int64) * 4099) % 65536
+    d = multimodal.decode_image_bytes(
+        b"P5\n4 3\n65535\n" + g.astype(">u2").tobytes()
+    )
+    np.testing.assert_array_equal(d["vals"], g)
+    # resize chain: 16-bit source stays 16-bit (maxval 65535 output)
+    big = b"P6\n20 10\n65535\n" + (
+        (np.arange(600, dtype=np.int64) * 1237) % 65536
+    ).astype(">u2").tobytes()
+    out = multimodal.resize_image_bytes(big, 8)
+    assert out.startswith(b"P6\n8 4\n65535\n")
+    d = multimodal.decode_image_bytes(out)
+    assert int(np.max(d["vals"])) > 255  # range preserved end-to-end
+    # 1-254 and >65535 maxvals stay seams; truncated P4 dead-letters
+    with pytest.raises(NotImplementedError, match="maxval"):
+        multimodal.decode_image_bytes(b"P5\n2 2\n15\n\x00\x00\x00\x00")
+    with pytest.raises(NotImplementedError, match="maxval"):
+        multimodal.decode_image_bytes(b"P5\n2 2\n70000\n" + b"\x00" * 8)
+    with pytest.raises(ValueError):
+        multimodal.decode_image_bytes(b"P4\n70 3\n\x00")
+    # corpus slots decode through the generic dispatcher
+    for aid, kind in ((51, "P4"), (101, "16"), (106, "16")):
+        assert (aid // 50) % 3 == (1 if kind == "P4" else 2)
+        multimodal.decode_image_bytes(multimodal.encode_ppm(aid))
