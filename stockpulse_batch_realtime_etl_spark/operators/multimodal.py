@@ -640,6 +640,20 @@ def encode_tiff(asset_id: int) -> bytes:
             tile=tile, planar=planar,
         )
     i = np.arange(w * h, dtype=np.int64)
+    if variant == 5 and sfmt != 0:
+        # PALETTE-COLOR overlay (r15, photometric 3): overlay 1 = 8-bit
+        # indices + Deflate, overlay 2 = 4-bit packed indices + LZW;
+        # ColorMap entry (c, j) carries the PNG16 closed form at flat
+        # position c*n + j, indices at (3·id + 5·k) mod n
+        n = 256 if sfmt == 1 else 16
+        k = np.arange(w * h, dtype=np.int64)
+        idx = ((3 * asset_id + 5 * k) % n).reshape(h, w)
+        cmap = (1237 * asset_id + 4099 * np.arange(3 * n, dtype=np.int64)
+                ) % 65536
+        return _encode_tiff_palette(
+            idx, cmap, e, 4, 8 if sfmt == 1 else 4,
+            compression=8 if sfmt == 1 else 5,
+        )
     if (variant == 1 or variant == 3) and sfmt != 0:
         # bilevel overlay: photometric 0 stores 1 - intensity.
         # Compression map — variant 1: uncompressed / Group 4;
@@ -966,7 +980,7 @@ def _encode_tiff_multipage(pages, e: str, rps: int) -> bytes:
 def _assemble_tiff_ifd(
     strips, e, w, h, spp, depth, compression, photometric, rps,
     sample_format, tile, base, predictor=1, planar=False,
-    t4_options=None, fill_order=1,
+    t4_options=None, fill_order=1, colormap=None,
 ):
     """Shared IFD assembly for :func:`_encode_tiff_page`: lay out the
     segment data, off-line offset/count/BitsPerSample/SampleFormat
@@ -999,6 +1013,10 @@ def _assemble_tiff_ifd(
     if sample_format != 1 and spp == 3:
         extra += struct.pack(f"{e}3H", *([sample_format] * 3))
         cur += 6
+    cm_off = cur
+    if colormap is not None:  # 3 x 2^depth SHORTs, R plane then G then B
+        extra += struct.pack(f"{e}{len(colormap)}H", *colormap)
+        cur += 2 * len(colormap)
     ifd_off = cur
 
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
@@ -1042,6 +1060,8 @@ def _assemble_tiff_ifd(
             entry(325, 4, n,
                   len(strips[0]) if n == 1 else arr_off_counts)
         )
+    if colormap is not None:
+        entries.append(entry(320, 3, len(colormap), cm_off))
     if sample_format != 1:
         entries.append(
             entry(339, 3, spp, sf_off if spp == 3 else sample_format)
@@ -1202,6 +1222,42 @@ def _encode_tiff_page(
         strips, e, w, h, spp, depth, compression, photometric, rps,
         sample_format, tile, base, predictor, planar=planar and spp == 3,
     )
+
+
+def _encode_tiff_palette(
+    idx, cmap, e: str, rps: int, bits: int, compression: int = 1,
+) -> bytes:
+    """Palette-color TIFF (photometric 3): (h, w) index grid at depth
+    ``bits`` (8, or 4 packed high-first with byte-padded rows), the
+    flat ``cmap`` (3·2^bits SHORT values, R plane then G then B — the
+    TIFF 6.0 §5 ColorMap layout) off-line, per-strip compression."""
+    import numpy as np
+
+    h, w = idx.shape
+    if bits == 8:
+        rows = idx.astype(np.uint8)
+        stride = w
+    else:
+        padded = np.zeros((h, ((w + 1) // 2) * 2), np.uint8)
+        padded[:, :w] = idx
+        rows = (padded[:, 0::2] << 4) | padded[:, 1::2]
+        stride = rows.shape[1]
+    strips = [rows[r : r + rps].tobytes() for r in range(0, h, rps)]
+    if compression == 32773:
+        strips = [_packbits_encode(st) for st in strips]
+    elif compression == 5:
+        strips = [_tiff_lzw_encode(st) for st in strips]
+    elif compression == 8:
+        import zlib
+
+        strips = [zlib.compress(st) for st in strips]
+    body, ifd_abs = _assemble_tiff_ifd(
+        strips, e, w, h, spp=1, depth=bits, compression=compression,
+        photometric=3, rps=rps, sample_format=1, tile=None, base=8,
+        colormap=list(cmap),
+    )
+    head = struct.pack(f"{e}2sHI", b"II" if e == "<" else b"MM", 42, ifd_abs)
+    return head + body
 
 
 def _encode_tiff_jpeg(stream: bytes, e: str, w: int, h: int) -> bytes:
@@ -2454,7 +2510,8 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
         # YCbCr sample storage outside the JPEG codec (subsampled raw
         # chroma planes) stays a seam
         raise NotImplementedError("TIFF YCbCr photometric without JPEG")
-    if photo not in (0, 1, 2, 6):
+    if photo not in (0, 1, 2, 3, 6):
+        # 5 = CMYK (separated) and the exotic spaces stay seams
         raise NotImplementedError(f"TIFF photometric {photo}")
     if tags.get(274, (1,))[0] != 1:
         raise NotImplementedError("TIFF non-default orientation")
@@ -2484,7 +2541,7 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
     # unsigned 1/8/16, signed 16/32, float 32/64.
     if not bits and photo in (0, 1):
         bits = (1,)  # TIFF 6.0 §4: bilevel default when the tag is absent
-    ok_depths = {1: (1, 8, 16), 2: (16, 32), 3: (32, 64)}[sfmt]
+    ok_depths = {1: (1, 4, 8, 16), 2: (16, 32), 3: (32, 64)}[sfmt]
     if (
         tags.get(277, (spp,))[0] != spp
         or not bits
@@ -2498,6 +2555,14 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
         )
     depth = bits[0]
     bstep = depth // 8
+    if depth == 4 and photo != 3:
+        # 4-bit grayscale stays a seam; 4-bit is real only as palette
+        # indices (r15)
+        raise NotImplementedError(f"TIFF depth 4 with photometric {photo}")
+    if photo == 3 and (depth not in (4, 8) or sfmt != 1):
+        raise NotImplementedError(
+            f"TIFF palette with depth {depth} sample format {sfmt}"
+        )
     if comp in (2, 3, 4) and depth != 1:
         # the fax codecs are defined on bilevel pels only; without this
         # guard an 8-bit page tagged fax would hit the byte codecs
@@ -2579,6 +2644,58 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
     if fill_order == 2 and depth != 1:
         # LSB-first fill order is only meaningful for bit-packed data
         raise NotImplementedError("TIFF FillOrder 2 on multi-bit samples")
+    if photo == 3:  # PALETTE-COLOR (r15): ColorMap lookup at 16-bit
+        # full range — indices at depth 4 (packed nibbles, high first,
+        # rows byte-padded) or 8, ColorMap = 3x2^depth SHORTs stored
+        # as the full R plane, then G, then B
+        if 320 not in tags:
+            raise ValueError("TIFF palette image missing ColorMap")
+        if predictor != 1:
+            raise NotImplementedError("TIFF predictor on palette indices")
+        if 322 in tags or 323 in tags:
+            raise NotImplementedError("tiled palette TIFF")
+        cmap = tags[320]
+        n_pal = 1 << depth
+        if len(cmap) != 3 * n_pal:
+            raise ValueError(
+                f"TIFF ColorMap length {len(cmap)} != 3x{n_pal}"
+            )
+        if 273 not in tags or 279 not in tags:
+            raise ValueError("TIFF missing strip layout")
+        offs, counts = tags[273], tags[279]
+        if len(offs) != len(counts):
+            raise ValueError("TIFF strip offset/count length mismatch")
+        rps = tags.get(278, (h,))[0]
+        if rps == 0:
+            raise ValueError("TIFF RowsPerStrip 0")
+        stride = (w * depth + 7) // 8
+        rows_parts = []
+        for s_i, (off, cnt) in enumerate(zip(offs, counts)):
+            if off + cnt > len(payload):
+                raise ValueError("TIFF strip past the payload")
+            chunk = payload[off : off + cnt]
+            strip_rows = min(rps, h - s_i * rps)
+            if strip_rows <= 0:
+                raise ValueError("TIFF more strips than image rows")
+            chunk = _tiff_expand(chunk, comp, strip_rows * stride)
+            rows = np.frombuffer(chunk, np.uint8).reshape(
+                strip_rows, stride
+            )
+            if depth == 8:
+                rows_parts.append(rows[:, :w].astype(np.int64))
+            else:  # packed nibbles, high first
+                nibs = np.stack(
+                    [rows >> 4, rows & 0x0F], axis=2
+                ).reshape(strip_rows, -1)
+                rows_parts.append(nibs[:, :w].astype(np.int64))
+        idx = np.concatenate(rows_parts).reshape(-1)
+        if len(idx) != w * h:
+            raise ValueError("TIFF palette strip rows != image rows")
+        cm = np.asarray(cmap, np.int64).reshape(3, n_pal)
+        vals = np.stack(
+            [cm[0][idx], cm[1][idx], cm[2][idx]], axis=1
+        ).reshape(-1)
+        return {"width": int(w), "height": int(h), "vals": vals}, next_ifd
     if depth == 1:  # BILEVEL (r15): packed rows or CCITT fax strips
         if 322 in tags or 323 in tags:
             raise NotImplementedError("tiled bilevel TIFF")

@@ -1309,7 +1309,11 @@ sized AS (
          CASE WHEN format = 'wav' THEN 64 + asset_id % 101
               -- TIFF sub-variants (asset_id // 5) % 10: odd = GRAY
               -- (one channel), even = chunky RGB; the netpbm slot's odd
-              -- sub-variants are P5 grayscale PGMs (r14)
+              -- sub-variants are P5 grayscale PGMs (r14).  The r15
+              -- PALETTE overlay on variant 5 expands to RGB
+              WHEN format = 'tiff' AND (asset_id // 5) % 10 = 5
+                   AND (asset_id // 50) % 3 >= 1
+              THEN w * h * 3
               WHEN format = 'tiff' AND (asset_id // 5) % 2 = 1
               THEN w * h
               -- r15 netpbm overlay (a//50)%3: 1 = P4 bilevel (one
@@ -1406,6 +1410,20 @@ v AS (
                      + 1.772 * ((11 * asset_id + 5 * blk) % 256 - 128)
                      + 0.5)))
                    END AS BIGINT)
+              -- PALETTE-COLOR TIFF overlay (r15, variant 5): channel
+              -- c of pixel k reads ColorMap flat entry c*n + idx with
+              -- idx = (3a+5k) mod n (n = 256 for 8-bit, 16 for 4-bit),
+              -- entries on the PNG16 closed form at FULL 16-bit range
+              WHEN format = 'tiff' AND (asset_id // 5) % 10 = 5
+                   AND (asset_id // 50) % 3 >= 1
+              THEN (1237 * asset_id + 4099 * (
+                     CAST(i % 3 AS INT)
+                     * (CASE WHEN (asset_id // 50) % 3 = 1
+                        THEN 256 ELSE 16 END)
+                     + (3 * asset_id + 5 * (i // 3))
+                       % (CASE WHEN (asset_id // 50) % 3 = 1
+                          THEN 256 ELSE 16 END)
+                   )) % 65536
               -- BILEVEL overlays (r15, the scanned-document shapes):
               -- variant 1 overlay 1/2 (uncompressed packed rows /
               -- CCITT Group 4) and variant 3 overlay 1/2 (CCITT

@@ -489,3 +489,56 @@ def test_g3_mr_two_dimensional():
                 multimodal.decode_tiff_bytes(pay)["vals"],
                 1 - stored.astype(np.int64).reshape(-1),
             )
+
+
+def test_tiff_palette_color():
+    """Photometric 3 (r15): 4/8-bit indices look up the 16-bit
+    ColorMap (R plane, G plane, B plane); corpus overlay slots decode
+    closed-form; missing/short ColorMaps and 4-bit non-palette depths
+    dead-letter appropriately."""
+    rng = np.random.default_rng(67)
+    idx = rng.integers(0, 16, (5, 9))
+    cmap = rng.integers(0, 65536, 48)
+    pay = multimodal._encode_tiff_palette(idx, cmap, "<", 2, 4, 5)
+    d = multimodal.decode_tiff_bytes(pay)
+    cm = cmap.reshape(3, 16)
+    np.testing.assert_array_equal(
+        d["vals"],
+        np.stack([cm[0][idx], cm[1][idx], cm[2][idx]], axis=2).reshape(-1),
+    )
+    # corpus: variant 5 overlays (8-bit Deflate / 4-bit LZW)
+    for aid in (79, 129):
+        assert ((aid // 5) % 10, (aid // 50) % 3) == (5, (aid // 50) % 3)
+        n = 256 if (aid // 50) % 3 == 1 else 16
+        d = multimodal.decode_image_bytes(multimodal.encode_tiff(aid))
+        w, h = multimodal._image_dims(aid)
+        i = np.arange(w * h * 3, dtype=np.int64)
+        j = (3 * aid + 5 * (i // 3)) % n
+        np.testing.assert_array_equal(
+            d["vals"], (1237 * aid + 4099 * ((i % 3) * n + j)) % 65536
+        )
+    # missing ColorMap is corrupt; short ColorMap too
+    (ifd,) = struct.unpack_from("<I", pay, 4)
+    (nn,) = struct.unpack_from("<H", pay, ifd)
+    buf = bytearray(pay)
+    for k in range(nn):
+        pos = ifd + 2 + 12 * k
+        if struct.unpack_from("<H", buf, pos)[0] == 320:
+            struct.pack_into("<H", buf, pos, 32767)
+    with pytest.raises(ValueError, match="missing ColorMap"):
+        multimodal.decode_tiff_bytes(bytes(buf))
+    buf = bytearray(pay)
+    for k in range(nn):
+        pos = ifd + 2 + 12 * k
+        if struct.unpack_from("<H", buf, pos)[0] == 320:
+            struct.pack_into("<I", buf, pos + 4, 24)  # count 24 != 48
+    with pytest.raises(ValueError, match="ColorMap length"):
+        multimodal.decode_tiff_bytes(bytes(buf))
+    # depth-4 grayscale (no palette photometric) stays a seam
+    buf = bytearray(pay)
+    for k in range(nn):
+        pos = ifd + 2 + 12 * k
+        if struct.unpack_from("<H", buf, pos)[0] == 262:
+            struct.pack_into("<H", buf, pos + 8, 1)
+    with pytest.raises(NotImplementedError, match="depth 4"):
+        multimodal.decode_tiff_bytes(bytes(buf))

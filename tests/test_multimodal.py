@@ -502,6 +502,12 @@ def test_tiff_roundtrip_both_endians_multistrip():
             # r15 bilevel overlays (uncompressed / G4 / MH / G3)
             i = np.arange(w * h, dtype=np.int64)
             exp = ((3 * aid + i // 4) % 7 < 3).astype(np.int64)
+        elif variant == 5 and (aid // 50) % 3 >= 1:
+            # r15 palette-color overlay (8-bit / 4-bit ColorMap)
+            n = 256 if (aid // 50) % 3 == 1 else 16
+            i = np.arange(w * h * 3, dtype=np.int64)
+            j = (3 * aid + 5 * (i // 3)) % n
+            exp = (1237 * aid + 4099 * ((i % 3) * n + j)) % 65536
         else:  # grayscale (variant 3 = run-friendly PackBits form)
             i = np.arange(w * h, dtype=np.int64)
             step = (i // 5) if variant == 3 else i
