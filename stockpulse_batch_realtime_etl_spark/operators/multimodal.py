@@ -640,6 +640,24 @@ def encode_tiff(asset_id: int) -> bytes:
             tile=tile, planar=planar,
         )
     i = np.arange(w * h, dtype=np.int64)
+    if variant == 7 and sfmt != 0:
+        # CMYK overlay (r15, photometric 5): decoded vals KEEP the four
+        # stored ink samples per pixel (the PNG-alpha presentation
+        # convention).  Overlay 1 = 8-bit TILED + LZW (the variant's
+        # tiling personality), 2 = 16-bit strips + Deflate + pred 2
+        if sfmt == 1:
+            i = np.arange(w * h * 4, dtype=np.int64)
+            px4 = ((7 * asset_id + 13 * i) % 256).astype(np.uint8)
+            return _encode_tiff(
+                px4.reshape(h, w, 4), e, 4, photometric=5,
+                compression=5, tile=(16, 16),
+            )
+        i = np.arange(w * h * 4, dtype=np.int64)
+        px4 = ((1237 * asset_id + 4099 * i) % 65536).astype(np.uint16)
+        return _encode_tiff(
+            px4.reshape(h, w, 4), e, 4, photometric=5, compression=8,
+            predictor=2,
+        )
     if variant == 5 and sfmt != 0:
         # PALETTE-COLOR overlay (r15, photometric 3): overlay 1 = 8-bit
         # indices + Deflate, overlay 2 = 4-bit packed indices + LZW;
@@ -1002,17 +1020,17 @@ def _assemble_tiff_ifd(
         arr_off_counts = cur
         extra += struct.pack(f"{e}{n}I", *[len(s) for s in strips])
         cur += 4 * n
-    # RGB BitsPerSample is 3 SHORTs = 6 bytes, always off-line; gray's
-    # single SHORT packs inline (count-1 path)
+    # multi-sample BitsPerSample is spp SHORTs, always off-line;
+    # gray's single SHORT packs inline (count-1 path)
     bps_off = cur
-    if spp == 3:
-        extra += struct.pack(f"{e}3H", depth, depth, depth)
-        cur += 6
-    # RGB SampleFormat is 3 SHORTs, off-line like BitsPerSample
+    if spp > 1:
+        extra += struct.pack(f"{e}{spp}H", *([depth] * spp))
+        cur += 2 * spp
+    # multi-sample SampleFormat is spp SHORTs, off-line likewise
     sf_off = cur
-    if sample_format != 1 and spp == 3:
-        extra += struct.pack(f"{e}3H", *([sample_format] * 3))
-        cur += 6
+    if sample_format != 1 and spp > 1:
+        extra += struct.pack(f"{e}{spp}H", *([sample_format] * spp))
+        cur += 2 * spp
     cm_off = cur
     if colormap is not None:  # 3 x 2^depth SHORTs, R plane then G then B
         extra += struct.pack(f"{e}{len(colormap)}H", *colormap)
@@ -1027,7 +1045,7 @@ def _assemble_tiff_ifd(
     entries = [
         entry(256, 4, 1, w),                       # ImageWidth
         entry(257, 4, 1, h),                       # ImageLength
-        entry(258, 3, spp, bps_off if spp == 3 else depth),
+        entry(258, 3, spp, bps_off if spp > 1 else depth),
         entry(259, 3, 1, compression),
         entry(262, 3, 1, photometric),
     ]
@@ -1064,7 +1082,7 @@ def _assemble_tiff_ifd(
         entries.append(entry(320, 3, len(colormap), cm_off))
     if sample_format != 1:
         entries.append(
-            entry(339, 3, spp, sf_off if spp == 3 else sample_format)
+            entry(339, 3, spp, sf_off if spp > 1 else sample_format)
         )
     ifd = struct.pack(f"{e}H", len(entries)) + b"".join(entries) + struct.pack(
         f"{e}I", 0
@@ -1097,7 +1115,7 @@ def _encode_tiff_page(
     inline) → IFD."""
     import numpy as np
 
-    spp = 3 if photometric == 2 else 1
+    spp = {2: 3, 5: 4}.get(photometric, 1)
     # Sample depth/format from the input dtype (r14/r15): uint8/uint16
     # write SampleFormat-1 pages, int16/int32 SampleFormat-2,
     # float32/float64 SampleFormat-3 — all in the file's byte order;
@@ -1181,7 +1199,7 @@ def _encode_tiff_page(
                     t = t.astype(np.int64)
                     t[:, 1:, :] = (t[:, 1:, :] - t[:, :-1, :]) % mod
                 strips.append(t.astype(sdt).tobytes())
-    elif planar and spp == 3:
+    elif planar and spp > 1:
         # plane-separated strips (tag 284=2): plane 0's strips first,
         # then plane 1's, then plane 2's; predictor per plane row
         arr = px.reshape(h, w, spp)
@@ -1220,7 +1238,7 @@ def _encode_tiff_page(
         strips = [zlib.compress(s) for s in strips]
     return _assemble_tiff_ifd(
         strips, e, w, h, spp, depth, compression, photometric, rps,
-        sample_format, tile, base, predictor, planar=planar and spp == 3,
+        sample_format, tile, base, predictor, planar=planar and spp > 1,
     )
 
 
@@ -2510,9 +2528,12 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
         # YCbCr sample storage outside the JPEG codec (subsampled raw
         # chroma planes) stays a seam
         raise NotImplementedError("TIFF YCbCr photometric without JPEG")
-    if photo not in (0, 1, 2, 3, 6):
-        # 5 = CMYK (separated) and the exotic spaces stay seams
+    if photo not in (0, 1, 2, 3, 5, 6):
+        # the exotic spaces (CIELAB/ICCLAB/ITULAB) stay seams
         raise NotImplementedError(f"TIFF photometric {photo}")
+    if photo == 5 and tuple(tags.get(332, (1,))) != (1,):
+        # InkSet other than standard CMYK
+        raise NotImplementedError(f"TIFF ink set {tags.get(332)}")
     if tags.get(274, (1,))[0] != 1:
         raise NotImplementedError("TIFF non-default orientation")
     planar = tags.get(284, (1,))[0]
@@ -2522,7 +2543,11 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
         # decode for real since r15, tiled planar stays a seam
         raise NotImplementedError(f"TIFF planar configuration {planar}")
     bits = tuple(tags.get(258, ()))
-    spp = 3 if photo in (2, 6) else 1
+    # CMYK (photometric 5, r15) carries FOUR ink samples per pixel;
+    # decoded vals KEEP the stored ink values as the trailing-channel
+    # convention (like PNG alpha) — RGB conversion is presentation
+    # policy that belongs to the consumer
+    spp = {2: 3, 6: 3, 5: 4}.get(photo, 1)
     # SampleFormat (tag 339, r15): 1 = unsigned int (default), 2 =
     # signed int, 3 = IEEE float — the scientific/geo-TIFF shapes.
     # 4 (undefined) and 5/6 (complex) stay honest seams; per-channel

@@ -1314,6 +1314,10 @@ sized AS (
               WHEN format = 'tiff' AND (asset_id // 5) % 10 = 5
                    AND (asset_id // 50) % 3 >= 1
               THEN w * h * 3
+              -- the r15 CMYK overlay on variant 7 keeps 4 ink samples
+              WHEN format = 'tiff' AND (asset_id // 5) % 10 = 7
+                   AND (asset_id // 50) % 3 >= 1
+              THEN w * h * 4
               WHEN format = 'tiff' AND (asset_id // 5) % 2 = 1
               THEN w * h
               -- r15 netpbm overlay (a//50)%3: 1 = P4 bilevel (one
@@ -1410,6 +1414,12 @@ v AS (
                      + 1.772 * ((11 * asset_id + 5 * blk) % 256 - 128)
                      + 0.5)))
                    END AS BIGINT)
+              -- CMYK TIFF overlay (r15, variant 7): 16-bit inks carry
+              -- the PNG16 closed form; 8-bit inks fall through to the
+              -- generic (7a+13i) mod 256 ELSE arm
+              WHEN format = 'tiff' AND (asset_id // 5) % 10 = 7
+                   AND (asset_id // 50) % 3 = 2
+              THEN (1237 * asset_id + 4099 * i) % 65536
               -- PALETTE-COLOR TIFF overlay (r15, variant 5): channel
               -- c of pixel k reads ColorMap flat entry c*n + idx with
               -- idx = (3a+5k) mod n (n = 256 for 8-bit, 16 for 4-bit),

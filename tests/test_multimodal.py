@@ -508,6 +508,14 @@ def test_tiff_roundtrip_both_endians_multistrip():
             i = np.arange(w * h * 3, dtype=np.int64)
             j = (3 * aid + 5 * (i // 3)) % n
             exp = (1237 * aid + 4099 * ((i % 3) * n + j)) % 65536
+        elif variant == 7 and (aid // 50) % 3 >= 1:
+            # r15 CMYK overlay: four stored ink samples per pixel
+            i = np.arange(w * h * 4, dtype=np.int64)
+            exp = (
+                (7 * aid + 13 * i) % 256
+                if (aid // 50) % 3 == 1
+                else (1237 * aid + 4099 * i) % 65536
+            )
         else:  # grayscale (variant 3 = run-friendly PackBits form)
             i = np.arange(w * h, dtype=np.int64)
             step = (i // 5) if variant == 3 else i
