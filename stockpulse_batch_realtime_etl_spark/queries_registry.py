@@ -1722,15 +1722,15 @@ from stockpulse_batch_realtime_etl_spark import queries_ext  # noqa: E402,F401
 #: length asserted at import time (the r4 boundary slip put 60 names ahead
 #: of a "50-entry" comment and silently dropped 10 intended rotations).
 #:
-#: ROUND-15 ROTATION (the r14 verdict's #1 directive, taken verbatim):
-#: the 50 r12-gated names — after r14 they are exactly 2 rounds stale,
-#: the rotation maximum, so they take the whole r15 window in their
-#: queued _GATE_NEXT order.  After this round the histogram is r15=50,
-#: r14=50, r13=50 and gate_audit's strict ≤2-rounds-stale invariant
-#: holds.  This window regates the two corpus-changed audit-continuity
-#: items on driver hardware (`video_frame_stats` with its three
-#: containers, `audio_decimated_stats` with five codecs) plus the
-#: r12-era minhash/simhash/contamination names.
+#: ROUND-16 ROTATION (the r15 verdict's #1 directive, taken verbatim):
+#: the 50 r13-gated names — after r15 they are exactly 2 rounds stale,
+#: the rotation maximum, so they take the whole r16 window in their
+#: queued _GATE_NEXT order.  After this round the histogram is r16=50,
+#: r15=50, r14=50 and gate_audit's strict ≤2-rounds-stale invariant
+#: holds.  This window regates the flagship serving core on driver
+#: hardware (`ohlcv_bars`/`tick_summary`/`bar_summary`/`movers`,
+#: reference aggregator.py:26-39, bars.py:58-164) plus the r13-era
+#: ANN ladder, BPE, and streaming outer-join names.
 #:
 #: STANDING RULE — paired retire-on-register: the registry holds
 #: EXACTLY 150 names so the 3-round / 50-per-round rotation has zero
@@ -1741,67 +1741,6 @@ from stockpulse_batch_realtime_etl_spark import queries_ext  # noqa: E402,F401
 #: registration is truly needed, an old name must be retired in the
 #: same commit so the count stays at 150.
 _GATE_HEAD: tuple[str, ...] = (
-    "symbols",
-    "latest_ticks",
-    "latest_tick_per_symbol",
-    "bollinger_bands",
-    "rsi_ticks",
-    "donchian_breakouts",
-    "obv_ticks",
-    "max_drawdown",
-    "ticks_asof_bars",
-    "ticks_asof_next_bar",
-    "q13_order_counts",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q7_nation_volume",
-    "q22_sales_opportunity",
-    "revenue_cube",
-    "price_deciles",
-    "symbol_correlations",
-    "symbol_beta",
-    "event_transitions",
-    "rfm_segments",
-    "weekday_hour_profile",
-    "stats_summary",
-    "kafka_roundtrip_ticks",
-    "hapax_stats",
-    "lsh_candidate_pairs",
-    "minhash_jaccard_estimate",
-    "simhash_near_dups",
-    "label_centroid_similarity",
-    "json_decode_ticks",
-    "dlq_failed_events",
-    "bigram_counts",
-    "streaming_dedup_ticks",
-    "multimodal_jpeg_stats",
-    "multimodal_jpeg411_stats",
-    "multimodal_jpeg_progressive_stats",
-    "rolling_fingerprints",
-    "fingerprint_match_pairs",
-    "contamination_overlap",
-    "bigram_lm_scores",
-    "repetition_stats",
-    "streaming_pair_join",
-    "events_profile",
-    "missing_minutes",
-    "funnel_counts",
-    "cohort_retention",
-    "kmeans_cell_report",
-    "return_outliers",
-    "video_frame_stats",
-    "audio_decimated_stats",
-)
-
-#: Names queued BEHIND the window, in r16 rotation priority: the 50
-#: r13-gated names in their r13 window order — after r15 they are
-#: exactly 2 rounds stale, the rotation maximum, so they take the whole
-#: r16 window.  The 50 r14-gated names follow in registration order as
-#: the un-listed tail (1 round stale after r15, windowed again in r17).
-#: Every name not listed follows in registration order.  All registered
-#: queries are still verified every round by the local all-queries
-#: parity suite (tests/test_oracle_parity) and tools/check_parity.py.
-_GATE_NEXT: tuple[str, ...] = (
     "ohlcv_bars",
     "tick_summary",
     "bar_summary",
@@ -1852,6 +1791,68 @@ _GATE_NEXT: tuple[str, ...] = (
     "streaming_pair_join_outer",
     "streaming_pair_join_right",
     "streaming_pair_join_full",
+)
+
+#: Names queued BEHIND the window, in r17 rotation priority: the 50
+#: r14-gated names in their r14 window order (the CORRECTNESS_r14.json
+#: key order) — after r16 they are exactly 2 rounds stale, the rotation
+#: maximum, so they take the whole r17 window.  The 50 r15-gated names
+#: follow in registration order as the un-listed tail (1 round stale
+#: after r16, windowed again in r18).  Every name not listed follows in
+#: registration order.  All registered queries are still verified every
+#: round by the local all-queries parity suite
+#: (tests/test_oracle_parity) and tools/check_parity.py.
+_GATE_NEXT: tuple[str, ...] = (
+    "multimodal_jpeg422_stats",
+    "streaming_interval_join",
+    "semantic_dedup",
+    "semdedup_recall_report",
+    "ann_ivfpq_topk",
+    "ann_pq_adc_topk",
+    "bm25_scores",
+    "curation_funnel",
+    "dataset_splits",
+    "dedup_survivors",
+    "dup_groups_star",
+    "ema_ticks",
+    "frame_samples",
+    "gapfill_bars",
+    "health_counts",
+    "hourly_bars_rollup",
+    "hourly_symbol_pivot",
+    "incremental_dedup",
+    "jaccard_top_pairs",
+    "latest_bars",
+    "minhash_signatures",
+    "mixture_sample",
+    "multimodal_features",
+    "multimodal_png_stats",
+    "ngram_novelty",
+    "notable_days",
+    "orders_profile",
+    "packing_stats",
+    "pii_redact",
+    "pii_scan",
+    "price_cardinality",
+    "price_histogram",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "quality_length_filter",
+    "quality_score",
+    "rolling_stats",
+    "session_bars",
+    "simulated_ticks",
+    "sliding_bars",
+    "source_token_stats",
+    "storage_roundtrip",
+    "stratified_sample",
+    "streaming_running_bars",
+    "streaming_sector_rollup",
+    "streaming_session_bars",
+    "time_range_stats",
+    "top_bars_per_day",
+    "version_info",
+    "vwap_bars",
 )
 assert len(_GATE_HEAD) == 50, (
     f"driver gate window is exactly 50 entries; _GATE_HEAD has "
