@@ -539,10 +539,13 @@ def encode_tiff(asset_id: int) -> bytes:
     and 2 = plane-separated + Deflate + predictor 2 — same pixel
     values, so a decoder ignoring the tag fails the weighted checksum.
 
-    JPEG-IN-TIFF overlay on variant 2 (r15): overlay 1 wraps the id's
+    JPEG-IN-TIFF overlays on variant 2: overlay 1 (r15) wraps the id's
     block-constant baseline JPEG interchange stream as a single
     compression-7 / photometric-6 strip (exact by DC-only + unit
-    quant, replayed by the jpeg_stats BT.601 closed form).
+    quant, replayed by the jpeg_stats BT.601 closed form); overlay 2
+    (r16) embeds the SAME stream OLD-style (compression 6, TIFF 6.0
+    §22) behind JPEGInterchangeFormat/­Length tags 513/514 — the
+    legacy-scanner corpus shape.
 
     BILEVEL overlay on variants 1/3 (r15, the scanned-document
     shapes): ``(id // 50) % 3`` rotates variant 1 through 0 = the
@@ -614,17 +617,23 @@ def encode_tiff(asset_id: int) -> bytes:
             stored.astype(np.uint16), e, 4, photometric=photo,
             compression=comp, predictor=pred,
         )
-    if variant == 2 and sfmt == 1:
-        # JPEG-IN-TIFF overlay (r15, compression 7 / photometric 6):
-        # the strip bytes ARE the id's block-constant baseline JPEG
+    if variant == 2 and sfmt != 0:
+        # JPEG-IN-TIFF overlays (compression 7 / photometric 6): the
+        # embedded bytes ARE the id's block-constant baseline JPEG
         # interchange stream, so the decode replays the jpeg_stats
         # closed form (BT.601 + floor(x+0.5), exact by DC-only + unit
-        # quant) inside the TIFF container
+        # quant) inside the TIFF container.  Overlay 1 (r15) = NEW-style
+        # single-strip compression 7; overlay 2 (r16) = OLD-style
+        # compression 6 via JPEGInterchangeFormat (513/514) — same
+        # stream, same decoded values, different container plumbing
         from stockpulse_batch_realtime_etl_spark.operators.jpeg import (
             encode_jpeg,
         )
 
-        return _encode_tiff_jpeg(encode_jpeg(asset_id), e, w, h)
+        stream = encode_jpeg(asset_id)
+        if sfmt == 1:
+            return _encode_tiff_jpeg(stream, e, w, h)
+        return _encode_tiff_old_jpeg(stream, e, w, h)
     if variant % 2 == 0:  # chunky 8-bit RGB
         # PLANAR overlay on variant 0 (r15, tag 284=2): overlay 1 =
         # plane-separated uncompressed, overlay 2 = plane-separated +
@@ -998,7 +1007,7 @@ def _encode_tiff_multipage(pages, e: str, rps: int) -> bytes:
 def _assemble_tiff_ifd(
     strips, e, w, h, spp, depth, compression, photometric, rps,
     sample_format, tile, base, predictor=1, planar=False,
-    t4_options=None, fill_order=1, colormap=None,
+    t4_options=None, fill_order=1, colormap=None, jpeg_interchange=False,
 ):
     """Shared IFD assembly for :func:`_encode_tiff_page`: lay out the
     segment data, off-line offset/count/BitsPerSample/SampleFormat
@@ -1084,6 +1093,11 @@ def _assemble_tiff_ifd(
         entries.append(
             entry(339, 3, spp, sf_off if spp > 1 else sample_format)
         )
+    if jpeg_interchange:
+        # old-style JPEG (compression 6): strips[0] IS the complete
+        # interchange stream; 513/514 point at it (TIFF 6.0 §22)
+        entries.append(entry(513, 4, 1, offs[0]))
+        entries.append(entry(514, 4, 1, len(strips[0])))
     ifd = struct.pack(f"{e}H", len(entries)) + b"".join(entries) + struct.pack(
         f"{e}I", 0
     )
@@ -1284,6 +1298,20 @@ def _encode_tiff_jpeg(stream: bytes, e: str, w: int, h: int) -> bytes:
     body, ifd_abs = _assemble_tiff_ifd(
         [stream], e, w, h, spp=3, depth=8, compression=7, photometric=6,
         rps=h, sample_format=1, tile=None, base=8,
+    )
+    head = struct.pack(f"{e}2sHI", b"II" if e == "<" else b"MM", 42, ifd_abs)
+    return head + body
+
+
+def _encode_tiff_old_jpeg(stream: bytes, e: str, w: int, h: int) -> bytes:
+    """OLD-style JPEG-in-TIFF (compression 6, TIFF 6.0 §22 — deprecated
+    by TechNote 2, r16): a COMPLETE JPEG interchange stream referenced
+    by JPEGInterchangeFormat (513) / JPEGInterchangeFormatLength (514).
+    The strip tags also cover the stream (the common legacy-writer
+    shape); readers prefer 513/514 per TechNote 2's repair guidance."""
+    body, ifd_abs = _assemble_tiff_ifd(
+        [stream], e, w, h, spp=3, depth=8, compression=6, photometric=6,
+        rps=h, sample_format=1, tile=None, base=8, jpeg_interchange=True,
     )
     head = struct.pack(f"{e}2sHI", b"II" if e == "<" else b"MM", 42, ifd_abs)
     return head + body
@@ -2415,13 +2443,15 @@ def decode_tiff_bytes(payload: bytes) -> dict:
     decodes INVERTED to intensity), and SampleFormat 2/3 (r15): signed
     int 16/32 via the two's-complement mod-2^depth word ring, IEEE
     float 32/64 mapped onto the 16.16 grid
-    (:data:`TIFF_FLOAT_SCALE`).  Honest boundaries raise
-    ``NotImplementedError``: other compressions (CCITT/JPEG),
-    palette/CMYK/YCbCr photometrics, depths outside each format's
-    8/16 ∪ signed 16/32 ∪ float 32/64 set, the floating-point
-    predictor 3 (and predictor 2 on float), WhiteIsZero on
-    signed/float, mixed per-channel formats, non-default orientation,
-    and planar configuration; multi-IFD files keep the stills
+    (:data:`TIFF_FLOAT_SCALE`); CCITT fax 2/3/4 on bilevel pages,
+    palette (photometric 3), CMYK (5), planar strips, and both JPEG
+    flavors — new-style strips (compression 7, r15) and old-style
+    JPEGInterchangeFormat (compression 6, r16).  Honest boundaries
+    raise ``NotImplementedError``: the per-strip old-JPEG table
+    assembly (JPEGProc without tag 513), Lab photometrics, depth-4
+    grayscale, tiled planar/bilevel/palette, predictor 3 off float,
+    WhiteIsZero on signed/float, mixed per-channel formats, and
+    non-default orientation; multi-IFD files keep the stills
     contract's seam here — :func:`decode_tiff_pages` walks the full
     page chain; corrupt shapes raise ``ValueError``."""
     e = _tiff_byte_order(payload)
@@ -2513,19 +2543,19 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
         f"{e}I", payload, ifd_off + 2 + 12 * n_entries
     )
     comp = tags.get(259, (1,))[0]
-    if comp not in (1, 32773, 5, 8, 32946, 2, 3, 4, 7):
-        # old-JPEG=6 remains an honest boundary (32946 is the
-        # pre-standard Deflate code — same codec as 8; 2 = CCITT
-        # Modified Huffman, 3 = Group 3 1D-with-EOLs, and 4 = Group 4
-        # decode for real since r15 on bilevel pages; 7 = new-style
-        # JPEG strips via the from-scratch JPEG decoder)
+    if comp not in (1, 32773, 5, 8, 32946, 2, 3, 4, 6, 7):
+        # 32946 is the pre-standard Deflate code — same codec as 8;
+        # 2 = CCITT Modified Huffman, 3 = Group 3 1D-with-EOLs, and
+        # 4 = Group 4 decode for real since r15 on bilevel pages;
+        # 7 = new-style JPEG strips via the from-scratch JPEG decoder;
+        # 6 = old-style JPEG via JPEGInterchangeFormat (r16)
         raise NotImplementedError(f"TIFF compression {comp}")
     predictor = tags.get(317, (1,))[0]
     if predictor not in (1, 2, 3):
         raise NotImplementedError(f"TIFF predictor {predictor}")
     photo = tags.get(262, (None,))[0]
-    if photo == 6 and comp != 7:
-        # YCbCr sample storage outside the JPEG codec (subsampled raw
+    if photo == 6 and comp not in (6, 7):
+        # YCbCr sample storage outside the JPEG codecs (subsampled raw
         # chroma planes) stays a seam
         raise NotImplementedError("TIFF YCbCr photometric without JPEG")
     if photo not in (0, 1, 2, 3, 5, 6):
@@ -2621,6 +2651,47 @@ def _decode_tiff_ifd(payload: bytes, e: str, ifd_off: int) -> tuple:
         raise ValueError(f"TIFF zero dimensions {w}x{h}")
     # before the strip expected-size targets and the tile canvas below
     _check_pixel_budget(w * h, "TIFF page header")
+    if comp == 6:  # OLD-STYLE JPEG (TIFF 6.0 §22, deprecated by
+        # TechNote 2; r16): the only common real-corpus shape is a
+        # COMPLETE interchange stream referenced by
+        # JPEGInterchangeFormat (513) / JPEGInterchangeFormatLength
+        # (514) — decode it whole via the from-scratch JPEG decoder,
+        # ignoring the (frequently broken in legacy writers) strip
+        # tags, per TechNote 2's repair guidance.  The per-strip
+        # table-assembly variant (JPEGProc/JPEGQTables/JPEGDCTables/
+        # JPEGACTables without 513) stays an honest seam: TechNote 2
+        # documents it as unimplementable-as-specified.
+        if photo != 6:
+            raise NotImplementedError(
+                f"TIFF old-style JPEG with photometric {photo}"
+            )
+        if depth != 8:
+            raise NotImplementedError(f"TIFF old-style JPEG depth {depth}")
+        if 322 in tags or 323 in tags:
+            raise NotImplementedError("tiled old-style JPEG TIFF")
+        if 513 not in tags or 514 not in tags:
+            raise NotImplementedError(
+                "TIFF old-style JPEG without JPEGInterchangeFormat "
+                "(per-strip JPEGProc table assembly)"
+            )
+        off, cnt = tags[513][0], tags[514][0]
+        if off + cnt > len(payload):
+            raise ValueError("TIFF JPEG interchange stream past the payload")
+        from stockpulse_batch_realtime_etl_spark.operators.jpeg import (
+            decode_jpeg_bytes,
+        )
+
+        d = decode_jpeg_bytes(payload[off : off + cnt])
+        if (d["width"], d["height"]) != (w, h):
+            raise ValueError(
+                f"TIFF JPEG interchange {d['width']}x{d['height']} != "
+                f"{w}x{h}"
+            )
+        return {
+            "width": int(w),
+            "height": int(h),
+            "vals": np.asarray(d["vals"], np.int64),
+        }, next_ifd
     if comp == 7:  # new-style JPEG-in-TIFF (r15): strips ARE JPEG
         # interchange streams — the from-scratch baseline/progressive
         # decoder handles them; the TIFF layer only concatenates rows

@@ -1391,14 +1391,16 @@ v AS (
               THEN CASE WHEN CAST(i % 3 AS INT) = 1
                    THEN ((7 * asset_id + 13 * i) % 64) * 255 // 63
                    ELSE ((7 * asset_id + 13 * i) % 32) * 255 // 31 END
-              -- JPEG-IN-TIFF overlay (r15, compression 7): variant 2
-              -- overlay 1 embeds the id's block-constant baseline
+              -- JPEG-IN-TIFF overlays: variant 2 overlay 1 (r15,
+              -- NEW-style compression 7) and overlay 2 (r16,
+              -- OLD-style compression 6 via JPEGInterchangeFormat
+              -- 513/514) both embed the id's block-constant baseline
               -- JPEG stream — replay the jpeg_stats closed form
               -- (BT.601, floor(x+0.5), same evaluation order) with
               -- yv/cb/cr = (7a+13b / 11a+5b / 3a+17b) mod 256 at
               -- block index blk
               WHEN format = 'tiff' AND (asset_id // 5) % 10 = 2
-                   AND (asset_id // 50) % 3 = 1
+                   AND (asset_id // 50) % 3 >= 1
               THEN CAST(CASE CAST(i % 3 AS INT)
                    WHEN 0 THEN least(255, greatest(0, floor(
                      (7 * asset_id + 13 * blk) % 256

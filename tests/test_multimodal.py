@@ -487,8 +487,10 @@ def test_tiff_roundtrip_both_endians_multistrip():
                 exp = exp - 32768
             elif overlay == 1:  # signed: int16 / full-range int32
                 exp = (exp - 32768) * (1 if variant == 8 else 65536)
-        elif variant == 2 and (aid // 50) % 3 == 1:
-            # r15 JPEG-in-TIFF overlay: block-constant baseline JPEG
+        elif variant == 2 and (aid // 50) % 3 != 0:
+            # JPEG-in-TIFF overlays (r15 new-style strip, r16
+            # old-style JPEGInterchangeFormat): both embed the id's
+            # block-constant baseline JPEG stream
             from stockpulse_batch_realtime_etl_spark.operators.jpeg import (
                 decode_jpeg_bytes, encode_jpeg,
             )
@@ -571,8 +573,9 @@ def test_tiff_error_paths_and_format_boundaries():
         multimodal.decode_tiff_bytes(
             bytes(patch_tag(bytearray(good), 259, 7))
         )
-    with pytest.raises(NotImplementedError, match="compression 6"):
-        # old-style JPEG stays a boundary
+    with pytest.raises(NotImplementedError, match="old-style JPEG with"):
+        # 6 = old-style JPEG decodes for real since r16, but only on
+        # photometric-6 files — retagging an RGB file stays a boundary
         multimodal.decode_tiff_bytes(
             bytes(patch_tag(bytearray(good), 259, 6))
         )
@@ -3925,3 +3928,72 @@ def test_netpbm_p4_and_16bit():
     for aid, kind in ((51, "P4"), (101, "16"), (106, "16")):
         assert (aid // 50) % 3 == (1 if kind == "P4" else 2)
         multimodal.decode_image_bytes(multimodal.encode_ppm(aid))
+
+
+def test_tiff_old_jpeg_interchange_roundtrip_and_seams():
+    """OLD-style JPEG-in-TIFF (compression 6, TIFF 6.0 §22 / TechNote 2,
+    r16): the JPEGInterchangeFormat (513/514) stream decodes whole via
+    the from-scratch JPEG decoder for both byte orders; the per-strip
+    table-assembly variant (no tag 513), truncated interchange streams,
+    and header/stream dimension mismatches dead-letter honestly."""
+    import struct as _struct
+
+    import numpy as np
+
+    from stockpulse_batch_realtime_etl_spark.operators.jpeg import (
+        decode_jpeg_bytes, encode_jpeg,
+    )
+
+    # corpus overlay slot: (a//5)%10 == 2 and (a//50)%3 == 2
+    for aid in (110, 113, 260, 263):  # both endians (even II, odd MM)
+        assert ((aid // 5) % 10, (aid // 50) % 3) == (2, 2)
+        payload = multimodal.encode_tiff(aid)
+        e = "<" if payload[:2] == b"II" else ">"
+        # container really is compression 6 with tags 513/514 present
+        (ifd_off,) = _struct.unpack_from(f"{e}I", payload, 4)
+        (n,) = _struct.unpack_from(f"{e}H", payload, ifd_off)
+        tags = {}
+        for k in range(n):
+            t, typ, cnt, = _struct.unpack_from(
+                f"{e}HHI", payload, ifd_off + 2 + 12 * k
+            )
+            tags[t] = ifd_off + 2 + 12 * k
+        assert 513 in tags and 514 in tags
+        (comp,) = _struct.unpack_from(f"{e}H", payload, tags[259] + 8)
+        assert comp == 6
+        d = multimodal.decode_tiff_bytes(payload)
+        exp = decode_jpeg_bytes(encode_jpeg(aid))
+        assert (d["width"], d["height"]) == (exp["width"], exp["height"])
+        np.testing.assert_array_equal(d["vals"], np.asarray(exp["vals"]))
+        # and through the generic dispatcher
+        d2 = multimodal.decode_image_bytes(payload)
+        np.testing.assert_array_equal(d2["vals"], d["vals"])
+
+    payload = bytearray(multimodal.encode_tiff(110))
+    e = "<"
+    (ifd_off,) = _struct.unpack_from(f"{e}I", payload, 4)
+    (n,) = _struct.unpack_from(f"{e}H", payload, ifd_off)
+
+    def tag_pos(buf, t):
+        for k in range(n):
+            if _struct.unpack_from(f"{e}H", buf, ifd_off + 2 + 12 * k)[0] == t:
+                return ifd_off + 2 + 12 * k
+        raise AssertionError(f"tag {t} not found")
+
+    # no 513 → the table-assembly variant stays an honest seam
+    no_if = bytearray(payload)
+    _struct.pack_into(f"{e}H", no_if, tag_pos(no_if, 513), 515)
+    with pytest.raises(NotImplementedError, match="JPEGInterchangeFormat"):
+        multimodal.decode_tiff_bytes(bytes(no_if))
+    # interchange length running past the payload dead-letters
+    too_long = bytearray(payload)
+    _struct.pack_into(
+        f"{e}I", too_long, tag_pos(too_long, 514) + 8, len(payload) + 64
+    )
+    with pytest.raises(ValueError, match="past the payload"):
+        multimodal.decode_tiff_bytes(bytes(too_long))
+    # header dims disagreeing with the embedded SOF dead-letter
+    bad_w = bytearray(payload)
+    _struct.pack_into(f"{e}I", bad_w, tag_pos(bad_w, 256) + 8, 9)
+    with pytest.raises(ValueError, match="interchange"):
+        multimodal.decode_tiff_bytes(bytes(bad_w))
