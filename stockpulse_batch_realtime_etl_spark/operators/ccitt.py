@@ -115,6 +115,8 @@ _MODE_VL = ("010", "000010", "0000010")       # VL1..VL3
 _MODE_H = "001"
 _MODE_PASS = "0001"
 _EOL = "000000000001"
+#: max 2D mode-code length is 7 bits (VR3/VL3)
+_MODE_BITS = 7
 
 
 def _decode_table(*tables: dict) -> dict:
@@ -131,6 +133,45 @@ def _decode_table(*tables: dict) -> dict:
 
 _WHITE_DEC = _decode_table(_WHITE_TERM, _WHITE_MAKEUP, _EXT_MAKEUP)
 _BLACK_DEC = _decode_table(_BLACK_TERM, _BLACK_MAKEUP, _EXT_MAKEUP)
+
+
+def _flat_table(dec: dict, width: int) -> list:
+    """(length, code) table → a flat 2^width window lookup (r16, the
+    classic fax-decoder acceleration): entry ``win`` holds ``(value,
+    length)`` for the unique code that prefixes the width-bit window
+    (prefix-freeness — import-audited below — guarantees at most one),
+    or ``None`` when no code does.  One peek + one list index replaces
+    the per-bit longest-prefix walk; identical accept/reject language
+    by construction, and the ``assert`` makes any table collision fail
+    at import."""
+    flat: list = [None] * (1 << width)
+    for (length, code), value in dec.items():
+        assert length <= width
+        base = code << (width - length)
+        for suffix in range(1 << (width - length)):
+            assert flat[base | suffix] is None
+            flat[base | suffix] = (value, length)
+    return flat
+
+
+#: max run-code length is 13 bits (T.4 extended makeups)
+_RUN_BITS = 13
+_WHITE_FLAT = _flat_table(_WHITE_DEC, _RUN_BITS)
+_BLACK_FLAT = _flat_table(_BLACK_DEC, _RUN_BITS)
+
+_MODE_FLAT = _flat_table(
+    {
+        (len(bits), int(bits, 2)): mode
+        for bits, mode in (
+            (_MODE_V0, ("v", 0)),
+            (_MODE_H, ("h", None)),
+            (_MODE_PASS, ("p", None)),
+            *((_MODE_VR[i], ("v", i + 1)) for i in range(3)),
+            *((_MODE_VL[i], ("v", -(i + 1))) for i in range(3)),
+        )
+    },
+    _MODE_BITS,
+)
 
 
 def _check_tables() -> None:
@@ -201,6 +242,19 @@ class _BitReader:
         self.pos += 1
         return (self.data[byte] >> (7 - off)) & 1
 
+    def peek(self, n: int) -> int:
+        """The next ``n`` bits MSB-first WITHOUT advancing, zero-padded
+        past the end of the stream (callers reject any code whose
+        accepted length would cross the real end, so padding never
+        participates in an accepted code)."""
+        byte, off = divmod(self.pos, 8)
+        need = (off + n + 7) >> 3
+        chunk = self.data[byte : byte + need]
+        if len(chunk) < need:
+            chunk = chunk + b"\x00" * (need - len(chunk))
+        v = int.from_bytes(chunk, "big")
+        return (v >> (need * 8 - off - n)) & ((1 << n) - 1)
+
     def align(self) -> None:
         self.pos = (self.pos + 7) & ~7
 
@@ -210,23 +264,31 @@ class _BitReader:
         return (len(self.data) * 8 - self.pos) < 8
 
 
-def _read_code(r: _BitReader, table: dict, what: str) -> int:
-    """Longest-prefix read of one fax code (max 13 bits)."""
-    code = 0
-    for length in range(1, 14):
-        code = (code << 1) | r.read_bit()
-        if (length, code) in table:
-            return table[(length, code)]
+def _read_code(r: _BitReader, flat: list, what: str) -> int:
+    """Longest-prefix read of one fax code (max 13 bits) via the flat
+    window table: one peek + one index.  A match whose length would
+    cross the stream end, or no match with the stream running dry,
+    preserves the bit-by-bit reader's "truncated" language; no match
+    on a full window is an invalid code, as before."""
+    hit = flat[r.peek(_RUN_BITS)]
+    if hit is not None:
+        run, length = hit
+        if r.pos + length > len(r.data) * 8:
+            raise ValueError("CCITT stream truncated")
+        r.pos += length
+        return run
+    if len(r.data) * 8 - r.pos < _RUN_BITS:
+        raise ValueError("CCITT stream truncated")
     raise ValueError(f"invalid CCITT {what} code")
 
 
 def _read_run(r: _BitReader, white: bool) -> int:
     """Read one full run length: zero or more makeup codes (>= 64)
     followed by a terminating code (< 64)."""
-    table = _WHITE_DEC if white else _BLACK_DEC
+    flat = _WHITE_FLAT if white else _BLACK_FLAT
     total = 0
     while True:
-        run = _read_code(r, table, "white run" if white else "black run")
+        run = _read_code(r, flat, "white run" if white else "black run")
         total += run
         if run < 64 or run % 64:  # terminating code ends the run
             return total
@@ -356,6 +418,8 @@ def _g4_encode_row(wtr: _BitWriter, cur, ref_ch: list, w: int) -> None:
     a0 = -1
     color = 0  # color of a0 (white before the row starts)
     ci = 0  # index of a1 within cur_ch
+    nref = len(ref_ch) - 2  # real changing elements (before sentinels)
+    ri = 0  # monotone b1 pointer — same scheme as the decoder
     while a0 < w:
         # a1: first changing element of cur right of a0 with color
         # opposite to a0's color; cur_ch alternates starting with a
@@ -365,20 +429,17 @@ def _g4_encode_row(wtr: _BitWriter, cur, ref_ch: list, w: int) -> None:
         a1 = cur_ch[ci] if cur_ch[ci] > a0 else w
         a2 = cur_ch[ci + 1] if ci + 1 < len(cur_ch) and cur_ch[ci + 1] > a1 else w
         # b1: first changing element on ref right of a0 with the
-        # same "changing to" color as a1 (i.e. opposite of color)
-        b1 = w
-        for j, b in enumerate(ref_ch[:-2]):
-            if b > a0 and j % 2 == (0 if color == 0 else 1):
-                b1 = b
-                break
+        # same "changing to" color as a1 (i.e. opposite of color) —
+        # ref_ch is strictly increasing, so the candidate sits at the
+        # monotone pointer or one past it
+        while ri < nref and ref_ch[ri] <= a0:
+            ri += 1
+        j = ri if ri % 2 == (0 if color == 0 else 1) else ri + 1
+        if j < nref:
+            b1 = ref_ch[j]
+            b2 = ref_ch[j + 1] if j + 1 < nref else w
         else:
-            j = None
-        b2 = w
-        if b1 < w and j is not None:
-            for b in ref_ch[j + 1 : -2]:
-                if b > b1:
-                    b2 = b
-                    break
+            b1, b2 = w, w
         if b2 < a1:  # pass mode
             wtr.write(_MODE_PASS)
             a0 = b2
@@ -411,42 +472,38 @@ def _g4_decode_row(r: _BitReader, ref_ch: list, w: int):
     cur_runs: list = []  # changing positions of the decoded row
     a0 = -1
     color = 0
+    nbits = len(r.data) * 8
+    nref = len(ref_ch) - 2  # real changing elements (before sentinels)
+    ri = 0  # monotone: first ref index with ref_ch[ri] > a0 (a0 never
+    # moves left, so this pointer only advances — the per-mode scan
+    # drops from O(changes) to amortized O(1) per row)
     while a0 < w:
         # read one mode code (longest-prefix over the 9 mode codes)
-        bits = ""
-        for _ in range(8):
-            bits += "1" if r.read_bit() else "0"
-            if bits == _MODE_V0:
-                mode = ("v", 0)
-                break
-            if bits == _MODE_H:
-                mode = ("h", None)
-                break
-            if bits == _MODE_PASS:
-                mode = ("p", None)
-                break
-            if bits in _MODE_VR:
-                mode = ("v", _MODE_VR.index(bits) + 1)
-                break
-            if bits in _MODE_VL:
-                mode = ("v", -(_MODE_VL.index(bits) + 1))
-                break
+        hit = _MODE_FLAT[r.peek(_MODE_BITS)]
+        if hit is None:
+            # the bit-by-bit reader walked up to 8 bits: running dry
+            # inside that walk was "truncated", a full unmatched walk
+            # was an invalid mode code
+            raise ValueError(
+                "CCITT stream truncated"
+                if nbits - r.pos < 8
+                else "invalid CCITT 2D mode code"
+            )
+        mode, length = hit
+        if r.pos + length > nbits:
+            raise ValueError("CCITT stream truncated")
+        r.pos += length
+        # b1: first ref change right of a0 with color opposite a0's —
+        # ref_ch is strictly increasing, so after skipping entries
+        # <= a0 the parity-matching candidate is at ri or ri + 1
+        while ri < nref and ref_ch[ri] <= a0:
+            ri += 1
+        j = ri if ri % 2 == (0 if color == 0 else 1) else ri + 1
+        if j < nref:
+            b1 = ref_ch[j]
+            b2 = ref_ch[j + 1] if j + 1 < nref else w
         else:
-            raise ValueError("invalid CCITT 2D mode code")
-        # b1: first ref change right of a0 with color opposite a0's
-        b1 = w
-        j = None
-        for k, b in enumerate(ref_ch[:-2]):
-            if b > a0 and k % 2 == (0 if color == 0 else 1):
-                b1 = b
-                j = k
-                break
-        b2 = w
-        if j is not None:
-            for b in ref_ch[j + 1 : -2]:
-                if b > b1:
-                    b2 = b
-                    break
+            b1, b2 = w, w
         kind, arg = mode
         if kind == "p":
             if b2 > w:
