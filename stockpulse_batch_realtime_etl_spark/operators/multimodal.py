@@ -3484,32 +3484,63 @@ _IMA_STEPS = (
 _IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8) * 2
 
 
+def _build_ima_tbl() -> tuple:
+    """Precomputed IMA transition table (r16): entry ``(idx << 4) | nib``
+    holds ``(delta, next_idx)`` — the signed predictor delta for nibble
+    ``nib`` at quantizer step index ``idx`` (T.4-style diff expansion:
+    step/8 + step/4·b0 + step/2·b1 + step·b2, negated on b3) and the
+    clamped next step index.  The per-sample recurrence collapses to
+    one tuple index + one clamped add."""
+    tbl = []
+    for idx in range(89):
+        step = _IMA_STEPS[idx]
+        for nib in range(16):
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            tbl.append(
+                (
+                    -diff if nib & 8 else diff,
+                    max(0, min(88, idx + _IMA_INDEX[nib])),
+                )
+            )
+    return tuple(tbl)
+
+
+_IMA_TBL = _build_ima_tbl()
+
+
 def _ima_run(pred: int, idx: int, nibs: "np.ndarray") -> "np.ndarray":
     """One channel's IMA recurrence: the header sample, then one output
     per 4-bit code.  Inherently sequential (each step's quantizer state
     feeds the next — same stream-shaped reality as the JPEG Huffman
     walk); parallelism lives one level up, across assets inside the
-    Arrow batch."""
+    Arrow batch.  The loop runs on Python ints over the precomputed
+    ``_IMA_TBL`` (numpy scalar extraction per nibble was the r15
+    bottleneck — 0.19 MB/s/core in tools/codec_bench.py)."""
     import numpy as np
 
     if idx > 88:
         raise ValueError(f"ADPCM step index {idx} out of range")
-    out = np.empty(1 + len(nibs), dtype=np.int64)
+    pred = int(pred)
+    out = [0] * (1 + len(nibs))
     out[0] = pred
-    for i, nib in enumerate(nibs):
-        step = _IMA_STEPS[idx]
-        diff = step >> 3
-        if nib & 1:
-            diff += step >> 2
-        if nib & 2:
-            diff += step >> 1
-        if nib & 4:
-            diff += step
-        pred = pred - diff if nib & 8 else pred + diff
-        pred = max(-32768, min(32767, pred))
-        idx = max(0, min(88, idx + _IMA_INDEX[nib]))
-        out[1 + i] = pred
-    return out
+    tbl = _IMA_TBL
+    i = 1
+    for nib in nibs.tolist():
+        delta, idx = tbl[(idx << 4) | nib]
+        pred += delta
+        if pred > 32767:
+            pred = 32767
+        elif pred < -32768:
+            pred = -32768
+        out[i] = pred
+        i += 1
+    return np.asarray(out, dtype=np.int64)
 
 
 def _byte_nibbles(nb: "np.ndarray") -> "np.ndarray":
