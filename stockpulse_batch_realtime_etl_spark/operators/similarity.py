@@ -30,7 +30,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from stockpulse_batch_realtime_etl_spark.sources.tables import fan_out
+from stockpulse_batch_realtime_etl_spark.sources.tables import (
+    fan_out,
+    literal_df,
+)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -1320,8 +1323,11 @@ def recall_report(truth: DataFrame, approx: dict[str, DataFrame]) -> DataFrame:
             F.lit(name).alias("method"), "query_id", "cand_id"
         )
         labeled = lab if labeled is None else labeled.unionAll(lab)
-    methods = spark.createDataFrame(
-        [(m,) for m in sorted(approx)], "method string"
+    # literal_df, not createDataFrame: the parallelize path costs ~45
+    # executor-seconds of Python-worker tasks per evaluation (guide §4 —
+    # eliminate the Python boundary; measured r16)
+    methods = literal_df(
+        spark, [(m,) for m in sorted(approx)], "method string"
     )
     hits = (
         labeled.join(F.broadcast(t), ["query_id", "cand_id"])
@@ -1417,26 +1423,11 @@ def semantic_dedup(
     assigned = _assign_cells(
         vecs, cent, ncells=ncells, two_level=two_level, nprobe=nprobe
     ).localCheckpoint(eager=False)
-    a, b = assigned.alias("a"), assigned.alias("b")
-    dups = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("b.vec_id").alias("dup_id"),
-            _cos_precomputed(
-                F.col("a.embedding"),
-                F.col("b.embedding"),
-                F.col("a.nrm"),
-                F.col("b.nrm"),
-            ).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
-        .select("dup_id")
-        .distinct()
-    )
+    # within-cell pair scoring as per-cell GEMM (guide §4.2), not a
+    # cell-equality self-join with per-pair Catalyst cosine — see
+    # _cell_dup_ids_np; output ids are unique by construction, so the
+    # join form's distinct() exchange disappears too (r16)
+    dups = _cell_dup_ids_np(assigned, threshold)
     return assigned.join(
         dups, assigned["vec_id"] == dups["dup_id"], "left"
     ).select(
@@ -1444,6 +1435,111 @@ def semantic_dedup(
         "cell",
         F.col("dup_id").isNull().alias("is_kept"),
     )
+
+def _pairs_above_threshold_np(vecs: DataFrame, threshold: float) -> DataFrame:
+    """All ``(pa < pb)`` pairs of ``vecs`` whose 6dp-rounded cosine is
+    ≥ ``threshold`` — the quadratic truth scan of
+    :func:`semdedup_recall_report`, scored as ONE BLAS matmul per Arrow
+    batch against the broadcast full matrix instead of per-pair Catalyst
+    array folds (guide §4.2; the r16 profile measured the Catalyst
+    BroadcastNestedLoopJoin form at 523 executor-CPU-seconds at sf0.1 —
+    ~130 µs/pair of zip_with/aggregate interpretation — where the GEMM
+    form is a few hundred ms).
+
+    The vector set must be BOUNDED by the caller (semdedup's
+    ``truth_cap`` — ≤ 4000 rows ≈ 2 MB): it is collected once and closed
+    over, the same deliberate driver-side transfer
+    :func:`brute_force_topk_np` makes for its query matrix.  Cosine math
+    mirrors ``_cos_precomputed`` exactly the way ``brute_force_topk_np``
+    does (double matmul, HALF_UP 6dp via sign·floor(|x|·10⁶+0.5)/10⁶,
+    zero-norm → NaN which fails the ≥ threshold test just like the
+    Catalyst NULL).
+    """
+    import numpy as np
+
+    spark = vecs.sparkSession
+    rows = vecs.select("vec_id", "embedding").collect()
+    if not rows:
+        return spark.range(0).select(
+            F.col("id").alias("pa"), F.col("id").alias("pb")
+        )
+    ids = np.array([r.vec_id for r in rows], dtype="int64")
+    mat = np.array([r.embedding for r in rows], dtype="float64")
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = pdf["vec_id"].to_numpy(dtype="int64")
+            a_mat = np.array(list(pdf["embedding"]), dtype="float64")
+            a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                raw = (a_mat @ mat.T) / np.outer(a_nrm, nrm)
+            sims = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+            sims[~np.isfinite(raw)] = np.nan
+            # NaN ≥ threshold is False — zero-norm pairs drop, like the
+            # Catalyst NULL-cosine filter
+            hit = sims >= threshold
+            hit &= ids[None, :] > a_ids[:, None]  # strict (pa < pb)
+            ai, bj = np.nonzero(hit)
+            if len(ai):
+                yield pd.DataFrame({"pa": a_ids[ai], "pb": ids[bj]})
+
+    return vecs.select("vec_id", "embedding").mapInPandas(
+        score, "pa long, pb long"
+    )
+
+
+def _cell_dup_ids_np(assigned: DataFrame, threshold: float) -> DataFrame:
+    """SemDeDup's within-cell duplicate detection: every vec_id that is
+    ≥ ``threshold`` cosine-similar (6dp-rounded) to a LOWER-id member of
+    the SAME cell — numpy GEMM per cell group (``applyInPandas``) instead
+    of the cell-equality self-join scoring each pair with Catalyst array
+    folds (guide §4.2).  The pair space is the same Σ|cell|²; only the
+    per-pair cost changes (BLAS vs interpreted fold — the r16 profile
+    showed the join form collapsing onto ONE AQE-coalesced task for
+    3.9 s, byte-based coalescing being blind to compute-dense rows).
+
+    Each output id appears at most once (a vector lives in exactly one
+    cell), so callers need no ``distinct()``.  Memory per group is
+    bounded O(chunk·|cell|) by the row-chunked loop; a pathological giant
+    cell degrades to one long-running task — the adaptive cell sizing
+    (``adaptive_ncells``) bounds |cell| ≈ 250 by construction, same
+    contract the join form relied on.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def find_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype="int64")
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.array(list(pdf["embedding"]), dtype="float64")[order]
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        n = len(ids)
+        dup = np.zeros(n, dtype=bool)
+        for lo in range(0, n, 1024):
+            hi = min(lo + 1024, n)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                raw = (mat[lo:hi] @ mat.T) / np.outer(nrm[lo:hi], nrm)
+            sims = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+            sims[~np.isfinite(raw)] = np.nan
+            hit = sims >= threshold  # NaN → False, like the NULL filter
+            # only strictly lower ids count: ids are sorted, so member i
+            # may match columns j < i
+            hit &= np.arange(n)[None, :] < np.arange(lo, hi)[:, None]
+            dup[lo:hi] = hit.any(axis=1)
+        return pd.DataFrame({"dup_id": ids[dup]})
+
+    return (
+        assigned.select("cell", "vec_id", "embedding")
+        .groupBy("cell")
+        .applyInPandas(find_dups, "dup_id long")
+    )
+
 
 #: Default bound on the recall harness's brute-force truth side: above this
 #: many vectors, truth pairs are counted over a deterministic md5-ordered
@@ -1547,22 +1643,12 @@ def semdedup_recall_report(
             .select("vec_id")
         )
         vecs = vecs.join(F.broadcast(sample_ids), "vec_id")
-    a, b = vecs.alias("a"), vecs.alias("b")
-    truth = (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("pa"),
-            F.col("b.vec_id").alias("pb"),
-            _cos_precomputed(
-                F.col("a.embedding"),
-                F.col("b.embedding"),
-                F.col("a.nrm"),
-                F.col("b.nrm"),
-            ).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
-        .select("pa", "pb")
-    )
+    # truth pairs via BLAS matmuls (guide §4.2) instead of the all-pairs
+    # BroadcastNestedLoopJoin with per-pair Catalyst cosine (measured 523
+    # executor-CPU-seconds at sf0.1, and the source of this query's
+    # multi-second bench variance) — see _pairs_above_threshold_np; the
+    # collected matrix is truth_cap-bounded by the sample filter above
+    truth = _pairs_above_threshold_np(vecs, threshold)
     ca = cells.select(F.col("vec_id").alias("pa"), F.col("cell").alias("cell_a"))
     cb = cells.select(F.col("vec_id").alias("pb"), F.col("cell").alias("cell_b"))
     return (

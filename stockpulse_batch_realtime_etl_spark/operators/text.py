@@ -19,7 +19,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from stockpulse_batch_realtime_etl_spark.sources.tables import fan_out
+from stockpulse_batch_realtime_etl_spark.sources.tables import (
+    fan_out,
+    literal_df,
+)
 
 #: Function-word list used for quality scoring and language-ID.  English
 #: row is what the synthetic corpus exercises; other rows keep the operator
@@ -288,7 +291,9 @@ def language_id(docs: DataFrame) -> DataFrame:
         for word in LANG_KEYWORDS[lang]
     ]
     spark = docs.sparkSession
-    kws = spark.createDataFrame(kw_rows, ["kw_li", "kw"])
+    # literal_df, not createDataFrame: skips the parallelize Python-RDD
+    # path (≈ core-count worker tasks per evaluation for a few dozen rows)
+    kws = literal_df(spark, kw_rows, "kw_li bigint, kw string")
 
     toks = fan_out(docs).select("doc_id", F.explode(_tokens()).alias("token"))
     hits = (
@@ -947,7 +952,8 @@ def mixture_sample(
     # 0 (empty subcorpus — the composition cannot be met), not silently
     # vanish from the min and hand back a sample that violates the target
     # mixture.
-    wdf = docs.sparkSession.createDataFrame(
+    wdf = literal_df(
+        docs.sparkSession,
         sorted((s, float(w)) for s, w in weights.items()),
         "source string, w double",
     )
@@ -1792,7 +1798,8 @@ def bpe_learn_merges(
     merged, pair_count).
     """
     merges, _seqs = _bpe_train(docs, n_merges, checkpoint_every)
-    return docs.sparkSession.createDataFrame(
+    return literal_df(
+        docs.sparkSession,
         merges,
         "step int, left_sym string, right_sym string, merged string, "
         "pair_count long",

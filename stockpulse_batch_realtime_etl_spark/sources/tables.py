@@ -94,6 +94,43 @@ def fan_out(df: DataFrame, min_factor: int = 2) -> DataFrame:
     return df
 
 
+def literal_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
+    """Small literal DataFrame WITHOUT the Python-RDD parallelize path.
+
+    ``spark.createDataFrame(list)`` always routes local data through
+    ``sc.parallelize`` with defaultParallelism slices, so EVERY downstream
+    action evaluates ~core-count pickled Python-worker tasks for a handful
+    of rows — measured at 45 executor-seconds (1.4 s/task × 32) for the
+    3-row method table inside ``ann_recall_report``.  Building the same
+    rows as a literal array-of-structs inlined over ``range(1)`` stays
+    entirely in the JVM: one task, no Python workers, no shuffle.
+
+    For dimension-table-sized literals only (the plan carries one literal
+    per cell); bulk local data should go through Arrow ``createDataFrame``
+    (a pandas payload) instead.
+    """
+    from pyspark.sql.types import _parse_datatype_string
+
+    fields = _parse_datatype_string(schema).fields
+    if not rows:
+        return spark.range(0).select(
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in fields
+            ]
+        )
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(f.dataType).alias(f.name)
+                for v, f in zip(row, fields)
+            ]
+        )
+        for row in rows
+    ]
+    return spark.range(1).select(F.inline(F.array(*structs)))
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
 ) -> dict[str, DataFrame]:

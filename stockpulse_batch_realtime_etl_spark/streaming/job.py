@@ -148,7 +148,11 @@ def _write_audit(
     spark: SparkSession, audit_path: str, n: int, started: float
 ) -> None:
     """Append one etl_runs audit row (aggregator.py:138-150 parity)."""
-    audit = spark.createDataFrame(
+    from stockpulse_batch_realtime_etl_spark.sources.tables import literal_df
+
+    # literal_df, not createDataFrame: this runs once PER MICRO-BATCH
+    audit = literal_df(
+        spark,
         [("aggregator", n, "complete")],
         "source string, records_processed long, status string",
     ).select(
@@ -800,7 +804,12 @@ def run_metrics_probe(
             "silently truncated progress table would skew the gated "
             "percentile summary with nothing pointing at the cause"
         )
-    return spark.createDataFrame(
+    from stockpulse_batch_realtime_etl_spark.sources.tables import literal_df
+
+    # literal_df, not createDataFrame: the ~30-row progress table would
+    # otherwise evaluate as core-count pickled Python-RDD tasks downstream
+    return literal_df(
+        spark,
         [
             tuple(r[k.split(" ")[0]] for k in metrics.PROGRESS_SCHEMA.split(", "))
             for r in rows.values()

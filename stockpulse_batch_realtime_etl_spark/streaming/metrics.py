@@ -80,13 +80,16 @@ class ProgressMetricsListener(StreamingQueryListener):
         return list(self._events)
 
     def to_df(self, spark: SparkSession) -> DataFrame:
+        from stockpulse_batch_realtime_etl_spark.sources.tables import (
+            literal_df,
+        )
+
         rows = self.snapshot()
-        if not rows:
-            return spark.createDataFrame([], PROGRESS_SCHEMA)
         cols = PROGRESS_SCHEMA.split(", ")
         names = [c.split(" ")[0] for c in cols]
-        return spark.createDataFrame(
-            [tuple(r[n] for n in names) for r in rows], PROGRESS_SCHEMA
+        # literal_df, not createDataFrame: no Python-RDD parallelize tasks
+        return literal_df(
+            spark, [tuple(r[n] for n in names) for r in rows], PROGRESS_SCHEMA
         )
 
 

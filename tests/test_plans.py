@@ -423,7 +423,9 @@ def test_semantic_dedup_joins_on_cell_no_cartesian(spark):
     df = similarity.semantic_dedup(emb, 4, 1, 0.5)
     P.assert_no_cartesian(df)
     plan = P.simple_plan(df)
-    # pair scan must be an equi-join on cell (bucketed candidate space)
+    # pair scan is the per-cell GEMM (grouped by cell — still a bucketed
+    # candidate space, Σ|cell|² pairs); the keep-list attaches via a join
+    assert "FlatMapGroupsInPandas" in plan, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan
 
 
