@@ -1036,7 +1036,7 @@ def run_stream_stream_interval_join_available_now(
     right_symbol: str = "CLICK",
     attribution_minutes: int = 10,
     key_buckets: int = 10,
-    files_per_trigger: int = 15,
+    files_per_trigger: int = 30,
 ) -> DataFrame:
     """STREAM-STREAM INTERVAL join end-to-end — the attribution-join class
     (the one shape ``run_stream_stream_join_available_now`` cannot express):
@@ -1072,10 +1072,12 @@ def run_stream_stream_interval_join_available_now(
     per key); chunked replay is linear in replayed history, the honest
     backfill cost.  ``files_per_trigger`` only sizes the replay chunk
     (state ≤ chunk + horizon per key) — the emitted rows are identical at
-    any setting; 15 (a half-month per batch) amortizes micro-batch
-    barrier overhead at bench sfs (measured: 7.0 s at 7 files, 4.6 s at
-    15 at sf0.1, identical rows) while keeping per-key state bounded at
-    chunk+horizon instead of the whole history.  Late-drop safety: batches are whole days in order,
+    any setting; 30 (a month per batch) amortizes micro-batch barrier
+    overhead at bench sfs (r15 measured 7.0 s at 7 files vs 4.6 s at 15;
+    the r16 warm-session sweep: 10.5 s at 15, 7.1 s at 30, 7.5 s at 45,
+    identical 5504 rows — batch barrier + state-commit overhead dominates
+    below ~30, per-key probe cost grows above it) while keeping per-key
+    state bounded at chunk+horizon instead of the whole history.  Late-drop safety: batches are whole days in order,
     so no row can arrive behind a watermark derived from a LATER day.
 
     At 100 TB: both sides shuffle on the equi-key bucket; per-key state is

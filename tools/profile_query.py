@@ -92,6 +92,7 @@ def _iter_events(evdir: str):
 def _report(args: list[str], walls: dict, evdir: str) -> None:
     # --- replay the event log -------------------------------------------
     job_desc = {}          # jobId -> description
+    job_times = {}         # jobId -> [start_ms, end_ms]
     stage_to_job = {}      # stageId -> jobId
     stage_info = {}        # stageId -> dict
     stage_tasks = {}       # stageId -> aggregated task metrics
@@ -103,8 +104,13 @@ def _report(args: list[str], walls: dict, evdir: str) -> None:
                 job_desc[jid] = e.get("Properties", {}).get(
                     "spark.job.description", ""
                 )
+                job_times[jid] = [e.get("Submission Time", 0), 0]
                 for s in e.get("Stage Infos", []):
                     stage_to_job[s["Stage ID"]] = jid
+            elif et == "SparkListenerJobEnd":
+                jid = e["Job ID"]
+                if jid in job_times:
+                    job_times[jid][1] = e.get("Completion Time", 0)
             elif et == "SparkListenerStageCompleted":
                 si = e["Stage Info"]
                 sid = si["Stage ID"]
@@ -170,6 +176,26 @@ def _report(args: list[str], walls: dict, evdir: str) -> None:
         sids = by_query.get(name, [])
         print(f"\n=== {name}  wall={walls.get(name, 0):.2f}s "
               f"stages={len(sids)} ===")
+        jids = sorted(
+            j for j, d in job_desc.items()
+            if d == f"PROFILE::{name}" and j in job_times
+        )
+        if jids:
+            tot_job = sum(
+                (job_times[j][1] - job_times[j][0]) / 1000 for j in jids
+            )
+            gaps = sum(
+                max(0, job_times[j][0] - job_times[jp][1]) / 1000
+                for jp, j in zip(jids, jids[1:])
+            )
+            print(
+                f"  jobs={len(jids)} job-wall={tot_job:.2f}s "
+                f"inter-job gaps={gaps:.2f}s"
+            )
+            for jp, j in zip(jids, jids[1:]):
+                g = (job_times[j][0] - job_times[jp][1]) / 1000
+                if g > 0.25:
+                    print(f"    gap {g:5.2f}s before job {j}")
         rows = []
         for sid in sids:
             si = stage_info[sid]
