@@ -588,8 +588,19 @@ def q7_nation_volume(
     sn = nation.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
+    from stockpulse_batch_realtime_etl_spark.sources.tables import fan_out
+
+    # fan_out as in _customer_revenue_join: the few-row-group harness
+    # parquet otherwise pins the whole broadcast-join pipeline to the
+    # scan's 3 tasks (r16 profile: 1.05 s wall, 3 tasks); no-op at
+    # production row-group counts
     j = (
-        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+        fan_out(
+            lineitem.select(
+                "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                "l_shipdate",
+            )
+        )
         .join(
             orders.select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),

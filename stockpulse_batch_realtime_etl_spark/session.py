@@ -44,6 +44,20 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing floor is BYTE-based (default 1m), which is
+        # miscalibrated for compute-dense, byte-light exchanges: ~1 MB of
+        # compressed shuffle columns feeding a per-symbol window or a
+        # final aggregate is 1-2 CPU-seconds of codegen work, and the
+        # default collapses it to ONE task (r16 profile: symbol_beta ran
+        # three sequential single-task window/aggregate stages).  A 64k
+        # floor keeps such stages parallel while remaining inert wherever
+        # partitions are genuinely data-sized (any production exchange) —
+        # measured r16: the rolling/window family −35%, no query slower.
+        # Env-parameterized for cluster tuning, like the partition count.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
