@@ -424,6 +424,7 @@ def _bounded_run_env(
     kind: str,
     with_redelivery: bool = False,
     keep_rocksdb: bool = False,
+    skip_no_data_batch: bool = False,
 ):
     """Shared setup for a bounded (availableNow) streaming run over the
     JSON corpus: materialize (or reuse) the corpus as text files, size
@@ -451,6 +452,17 @@ def _bounded_run_env(
         ),
         "spark.sql.shuffle.partitions": "8",
     }
+    if skip_no_data_batch:
+        # The trailing no-data micro-batch only advances the watermark to
+        # flush withheld output (outer-join null rows, append-mode window
+        # finals) and GC state.  Runs whose every output row is emitted in
+        # the batch that receives it — inner joins, dropDuplicates,
+        # update-mode upserts, complete-mode rewrites — produce an
+        # identical result without it, and the batch costs a full
+        # plan+commit cycle (measured 1.3 s on the pair join).  Callers
+        # that DO rely on the final flush (outer pair joins) keep the
+        # default.
+        overrides["spark.sql.streaming.noDataMicroBatches.enabled"] = "false"
     if keep_rocksdb:
         # transformWithState is only supported on the RocksDB provider —
         # set it EXPLICITLY (not merely "don't override"): an externally
@@ -502,7 +514,9 @@ def run_pipeline_available_now(
     sink live under ``base_dir`` (a deterministic temp dir, wiped per run
     for idempotence).
     """
-    with _bounded_run_env(spark, sf_dir, base_dir, "stream") as dirs:
+    with _bounded_run_env(
+        spark, sf_dir, base_dir, "stream", skip_no_data_batch=True
+    ) as dirs:  # update-mode upsert: every refinement emits in its batch
         raw_dir, out_dir, ckpt = dirs
         ticks, _failed = tick_stream_from_raw(raw_json_stream(spark, raw_dir))
         q = start_bar_aggregation(ticks, out_dir, ckpt, available_now=True)
@@ -555,7 +569,9 @@ def run_session_bars_available_now(
     the corpus here; a continuous production stream would run append mode
     and accept watermark-delayed emission).
     """
-    with _bounded_run_env(spark, sf_dir, base_dir, "sess") as (
+    with _bounded_run_env(
+        spark, sf_dir, base_dir, "sess", skip_no_data_batch=True
+    ) as (  # complete mode: the final data batch already wrote the full table
         raw_dir,
         out_dir,
         ckpt,
@@ -684,7 +700,14 @@ def run_dedup_available_now(
     history.
     """
     with _bounded_run_env(
-        spark, sf_dir, base_dir, "dedup", with_redelivery=True
+        spark,
+        sf_dir,
+        base_dir,
+        "dedup",
+        with_redelivery=True,
+        # dropDuplicates emits each first-seen row in its own batch; the
+        # trailing no-data batch only GCs state
+        skip_no_data_batch=True,
     ) as (raw_dir, out_dir, ckpt):
         # raw_dir is the {base,extra} glob: corpus + the redelivered slice
         ticks, _failed = tick_stream_from_raw(raw_json_stream(spark, raw_dir))
@@ -745,6 +768,11 @@ def run_metrics_probe(
     # size the listener ring to the batch count: the default 256 would
     # silently evict the earliest day-batches at larger sf
     listener = metrics.attach(spark, max_batches=max(256, 2 * n_days))
+    # the gated summary counts only rows>0 batches (and the oracle counts
+    # days), so the trailing zero-row no-data batch is pure overhead here
+    _ndb_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    _ndb_prev = spark.conf.get(_ndb_key, None)
+    spark.conf.set(_ndb_key, "false")
     try:
         q = (
             spark.readStream.format("text")
@@ -796,6 +824,10 @@ def run_metrics_probe(
                         },
                     )
     finally:
+        if _ndb_prev is None:
+            spark.conf.unset(_ndb_key)
+        else:
+            spark.conf.set(_ndb_key, _ndb_prev)
         metrics.detach(spark, listener)
     if len(rows) < n_days:
         raise RuntimeError(
@@ -868,7 +900,9 @@ def run_sector_rollup_available_now(
     # cache: Structured Streaming re-evaluates an uncached static plan
     # (full corpus decode + distinct + broadcast rebuild) EVERY micro-batch
     dim = symbol_sector_dim(spark, sf_dir).cache()
-    with _bounded_run_env(spark, sf_dir, base_dir, "sector") as (
+    with _bounded_run_env(
+        spark, sf_dir, base_dir, "sector", skip_no_data_batch=True
+    ) as (  # complete mode: the final data batch already wrote the full table
         raw_dir,
         out_dir,
         ckpt,
@@ -968,7 +1002,16 @@ def run_stream_stream_join_available_now(
         "right_outer": "ssjoin_ro",
         "full_outer": "ssjoin_fo",
     }
-    with _bounded_run_env(spark, sf_dir, base_dir, kinds[how]) as (
+    with _bounded_run_env(
+        spark,
+        sf_dir,
+        base_dir,
+        kinds[how],
+        # inner joins emit matches in-batch; the OUTER variants rely on
+        # the final no-data batch's watermark advance to flush their
+        # null-padded rows and MUST keep it
+        skip_no_data_batch=(how == "inner"),
+    ) as (
         raw_dir,
         out_dir,
         ckpt,
@@ -1086,7 +1129,9 @@ def run_stream_stream_interval_join_available_now(
     exactly how production click-attribution pipelines are sized.
     """
     daily_dir = _ensure_daily_corpus(spark, sf_dir)
-    with _bounded_run_env(spark, sf_dir, base_dir, "ssjoin_iv") as (
+    with _bounded_run_env(
+        spark, sf_dir, base_dir, "ssjoin_iv", skip_no_data_batch=True
+    ) as (  # inner interval join: matches emit in-batch
         _raw_dir,
         out_dir,
         ckpt,
