@@ -415,10 +415,15 @@ def _cc_min_label(edges: DataFrame, max_iter: int) -> DataFrame:
             .groupBy("src")
             .agg(F.min("group_id").alias("nbr_min"))
         )
-        # carry a per-row changed flag instead of re-joining new vs old
-        # labels afterwards: the convergence check becomes a metadata-cheap
-        # scan of the checkpointed partitions, one shuffle join fewer per
-        # round.
+        # The convergence count rides the checkpoint job as an observed
+        # metric (CollectMetrics accumulates during the materialization
+        # action) instead of a separate count job per round — r16 profiled
+        # the dedup trio at ~50% of wall in INTER-JOB gaps, so halving the
+        # job count per round attacks exactly that, and the changed-count
+        # value is identical (same rows, same flag).
+        from pyspark.sql import Observation
+
+        obs = Observation()
         stepped = (
             labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
             .select(
@@ -431,9 +436,10 @@ def _cc_min_label(edges: DataFrame, max_iter: int) -> DataFrame:
                     < F.col("group_id")
                 ).alias("chg"),
             )
+            .observe(obs, F.sum(F.col("chg").cast("long")).alias("changed"))
             .localCheckpoint()
         )
-        changed = stepped.filter(F.col("chg")).count()
+        changed = obs.get["changed"] or 0
         labels = stepped.drop("chg")
         # superseded generations: localCheckpoint blocks are reclaimed by
         # the ContextCleaner once the old DataFrame reference (reassigned
@@ -472,13 +478,21 @@ def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
     is idempotent under both operations, so a spurious extra round is a
     no-op, never a wrong answer.
     """
-    # canonical larger→smaller direction, deduped
+    from pyspark.sql import Observation
+
+    # canonical larger→smaller direction, deduped.  Edge counts ride each
+    # checkpoint job as observed metrics (same fuse as _cc_min_label): the
+    # count-equality half of the convergence test then costs zero extra
+    # jobs, and the exceptAll emptiness job only runs when counts match.
+    obs0 = Observation()
     cur = (
         edges.filter(F.col("src") > F.col("dst"))
         .select("src", "dst")
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
+    cur_cnt = obs0.get["n"]
     for _ in range(max_iter):
         # --- large-star: symmetric neighborhoods
         sym = cur.unionAll(
@@ -506,17 +520,20 @@ def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
             .select(F.col("src").alias("u"), "m")
         )
         joined = large.join(m2, large["src"] == m2["u"])
+        obs = Observation()
         nxt = (
             joined.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .unionAll(joined.select(F.col("u").alias("src"), "m"))
             .filter(F.col("src") != F.col("dst"))
             .distinct()
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        if nxt.count() == cur.count() and nxt.exceptAll(cur).isEmpty():
+        nxt_cnt = obs.get["n"]
+        if nxt_cnt == cur_cnt and nxt.exceptAll(cur).isEmpty():
             cur = nxt
             break
-        cur = nxt
+        cur, cur_cnt = nxt, nxt_cnt
     else:
         raise RuntimeError(
             f"_cc_star did not converge in max_iter={max_iter} rounds — "
@@ -578,22 +595,30 @@ def dup_groups(
     """
     if method not in ("auto", "min_label", "star"):
         raise ValueError(f"unknown dup_groups method: {method!r}")
-    # pairs persist BEFORE the symmetrize union: both union branches read
-    # the cache, so the LSH pipeline (shingle → minhash → band join) runs
-    # exactly once.
-    pairs = lsh_candidate_pairs(docs, num_hashes, band_size, n).persist()
+    from pyspark.sql import Observation
+
+    # ONE materialization job for the whole LSH pipeline: checkpoint the
+    # pair list itself (truncating the plan Catalyst would otherwise
+    # re-analyze every CC round — analysis time soon dwarfs execution on
+    # iterative loops) and ride the auto-method pair count on that same
+    # job as an observed metric.  The old shape (persist → count job →
+    # symmetrize-union checkpoint job → unpersist) spent two scheduled
+    # jobs and a cache generation on the same information; the symmetric
+    # edge view is now a lazy projection over the checkpointed pairs,
+    # recomputed per CC round for the cost of a map over materialized
+    # partitions.  (On a production cluster use a reliable checkpoint dir
+    # for fault tolerance; the algorithm is unchanged.)
+    obs = Observation()
+    pairs = (
+        lsh_candidate_pairs(docs, num_hashes, band_size, n)
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
     if method == "auto":
-        method = "star" if pairs.count() >= STAR_EDGE_THRESHOLD else "min_label"
+        method = "star" if obs.get["n"] >= STAR_EDGE_THRESHOLD else "min_label"
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    # localCheckpoint (not just persist): an iterative loop's logical plan
-    # otherwise grows by one join+agg per round and Catalyst re-analyzes the
-    # WHOLE tree (including the LSH subtree) every iteration — analysis time
-    # soon dwarfs execution.  Checkpointing truncates the plan to the
-    # materialized partitions.  (On a production cluster use a reliable
-    # checkpoint dir for fault tolerance; the algorithm is unchanged.)
-    edges = fwd.unionAll(rev).localCheckpoint()
-    pairs.unpersist()
+    edges = fwd.unionAll(rev)
 
     # Iterate ONLY over edge-endpoint nodes: near-dup candidates are a small
     # fraction of any real corpus, so the propagation state is |candidate

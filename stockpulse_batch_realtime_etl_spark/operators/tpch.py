@@ -588,18 +588,16 @@ def q7_nation_volume(
     sn = nation.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
-    from stockpulse_batch_realtime_etl_spark.sources.tables import fan_out
-
-    # fan_out as in _customer_revenue_join: the few-row-group harness
-    # parquet otherwise pins the whole broadcast-join pipeline to the
-    # scan's 3 tasks (r16 profile: 1.05 s wall, 3 tasks); no-op at
-    # production row-group counts
+    # NO fan_out here (unlike _customer_revenue_join): Q7's lineitem⋈orders
+    # exchange on l_orderkey already re-parallelizes everything downstream
+    # of the scan, so a round-robin exchange before it only adds a shuffle.
+    # r16 measured the fan_out variant neutral-to-worse (A/B 2.11 s without
+    # vs 2.18 s with; idle floor 1.85→2.51 s) and the r16 verdict directed
+    # the revert.
     j = (
-        fan_out(
-            lineitem.select(
-                "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
-                "l_shipdate",
-            )
+        lineitem.select(
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+            "l_shipdate",
         )
         .join(
             orders.select("o_orderkey", "o_custkey"),

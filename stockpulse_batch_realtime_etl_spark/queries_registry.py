@@ -1722,15 +1722,18 @@ from stockpulse_batch_realtime_etl_spark import queries_ext  # noqa: E402,F401
 #: length asserted at import time (the r4 boundary slip put 60 names ahead
 #: of a "50-entry" comment and silently dropped 10 intended rotations).
 #:
-#: ROUND-16 ROTATION (the r15 verdict's #1 directive, taken verbatim):
-#: the 50 r13-gated names — after r15 they are exactly 2 rounds stale,
-#: the rotation maximum, so they take the whole r16 window in their
-#: queued _GATE_NEXT order.  After this round the histogram is r16=50,
-#: r15=50, r14=50 and gate_audit's strict ≤2-rounds-stale invariant
-#: holds.  This window regates the flagship serving core on driver
-#: hardware (`ohlcv_bars`/`tick_summary`/`bar_summary`/`movers`,
-#: reference aggregator.py:26-39, bars.py:58-164) plus the r13-era
-#: ANN ladder, BPE, and streaming outer-join names.
+#: ROUND-17 ROTATION (same scheduled 3-round round-robin as r15/r16):
+#: the 50 r14-gated names — after r16 they are exactly 2 rounds stale,
+#: the rotation maximum, so they take the whole r17 window in their
+#: queued _GATE_NEXT order.  After this round the histogram is r17=50,
+#: r16=50, r15=50 and gate_audit's strict ≤2-rounds-stale invariant
+#: holds.  This window regates the r14-era names on driver hardware —
+#: including most of the queries this optimization round touches
+#: (semantic_dedup, semdedup_recall_report, ann_ivfpq_topk,
+#: dedup_survivors, dup_groups_star, jaccard_top_pairs,
+#: streaming_interval_join, streaming_sector_rollup,
+#: streaming_session_bars, orders_profile), which is exactly the
+#: highest-information placement.
 #:
 #: STANDING RULE — paired retire-on-register: the registry holds
 #: EXACTLY 150 names so the 3-round / 50-per-round rotation has zero
@@ -1741,68 +1744,6 @@ from stockpulse_batch_realtime_etl_spark import queries_ext  # noqa: E402,F401
 #: registration is truly needed, an old name must be retired in the
 #: same commit so the count stays at 150.
 _GATE_HEAD: tuple[str, ...] = (
-    "ohlcv_bars",
-    "tick_summary",
-    "bar_summary",
-    "movers",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "top_customers_by_revenue",
-    "brand_revenue",
-    "order_priority_counts",
-    "q6_forecast_revenue",
-    "revenue_rollup",
-    "customers_without_orders",
-    "text_stats",
-    "token_counts",
-    "language_id",
-    "bpe_token_counts",
-    "bpe_learned_merges",
-    "bpe_compression_stats",
-    "lang_vocab",
-    "doc_fingerprints",
-    "exact_dedup",
-    "dup_groups",
-    "simhash_fingerprints",
-    "ann_brute_force_topk",
-    "ann_lsh_bucketed_topk",
-    "embedding_near_dup_pairs",
-    "ann_ivf_topk",
-    "ann_ivf_kmeans_topk",
-    "streaming_ohlcv_bars",
-    "tfidf_top_terms",
-    "multimodal_decoded_stats",
-    "multimodal_jpeg420_stats",
-    "multimodal_png_palette_stats",
-    "ann_ivf_multiprobe_topk",
-    "mover_window_ticks",
-    "temperature_mixture_sample",
-    "packed_sequences",
-    "winnowed_fingerprints",
-    "ann_recall_report",
-    "streaming_metrics_summary",
-    "multimodal_resized_stats",
-    "boilerplate_segments",
-    "segment_dedup_stats",
-    "chunked_windows",
-    "source_kl_divergence",
-    "user_sessions",
-    "streaming_pair_join_outer",
-    "streaming_pair_join_right",
-    "streaming_pair_join_full",
-)
-
-#: Names queued BEHIND the window, in r17 rotation priority: the 50
-#: r14-gated names in their r14 window order (the CORRECTNESS_r14.json
-#: key order) — after r16 they are exactly 2 rounds stale, the rotation
-#: maximum, so they take the whole r17 window.  The 50 r15-gated names
-#: follow in registration order as the un-listed tail (1 round stale
-#: after r16, windowed again in r18).  Every name not listed follows in
-#: registration order.  All registered queries are still verified every
-#: round by the local all-queries parity suite
-#: (tests/test_oracle_parity) and tools/check_parity.py.
-_GATE_NEXT: tuple[str, ...] = (
     "multimodal_jpeg422_stats",
     "streaming_interval_join",
     "semantic_dedup",
@@ -1853,6 +1794,68 @@ _GATE_NEXT: tuple[str, ...] = (
     "top_bars_per_day",
     "version_info",
     "vwap_bars",
+)
+
+#: Names queued BEHIND the window, in r18 rotation priority: the 50
+#: r15-gated names in their r15 window order (the CORRECTNESS_r15.json
+#: key order) — after r17 they are exactly 2 rounds stale, the rotation
+#: maximum, so they take the whole r18 window.  The 50 r16-gated names
+#: follow in registration order as the un-listed tail (1 round stale
+#: after r17, windowed again in r19).  Every name not listed follows in
+#: registration order.  All registered queries are still verified every
+#: round by the local all-queries parity suite
+#: (tests/test_oracle_parity) and tools/check_parity.py.
+_GATE_NEXT: tuple[str, ...] = (
+    "symbols",
+    "latest_ticks",
+    "latest_tick_per_symbol",
+    "bollinger_bands",
+    "rsi_ticks",
+    "donchian_breakouts",
+    "obv_ticks",
+    "max_drawdown",
+    "ticks_asof_bars",
+    "ticks_asof_next_bar",
+    "q13_order_counts",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q7_nation_volume",
+    "q22_sales_opportunity",
+    "revenue_cube",
+    "price_deciles",
+    "symbol_correlations",
+    "symbol_beta",
+    "event_transitions",
+    "rfm_segments",
+    "weekday_hour_profile",
+    "stats_summary",
+    "kafka_roundtrip_ticks",
+    "hapax_stats",
+    "lsh_candidate_pairs",
+    "minhash_jaccard_estimate",
+    "simhash_near_dups",
+    "label_centroid_similarity",
+    "json_decode_ticks",
+    "dlq_failed_events",
+    "bigram_counts",
+    "streaming_dedup_ticks",
+    "multimodal_jpeg_stats",
+    "multimodal_jpeg411_stats",
+    "multimodal_jpeg_progressive_stats",
+    "rolling_fingerprints",
+    "fingerprint_match_pairs",
+    "contamination_overlap",
+    "bigram_lm_scores",
+    "repetition_stats",
+    "streaming_pair_join",
+    "events_profile",
+    "missing_minutes",
+    "funnel_counts",
+    "cohort_retention",
+    "kmeans_cell_report",
+    "return_outliers",
+    "video_frame_stats",
+    "audio_decimated_stats",
 )
 assert len(_GATE_HEAD) == 50, (
     f"driver gate window is exactly 50 entries; _GATE_HEAD has "
